@@ -1,0 +1,52 @@
+"""Table catalog over the driver's parquet star schema.
+
+The reference's catalog is implicit (a single Redshift table created by DDL,
+/root/reference/init.sql:1-17). Ours is a thin loader over partition-friendly
+parquet: explicit table list, column-pruned scans (callers select what they
+need; Catalyst prunes the parquet read), temp-view registration for the SQL
+surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .session import ensure_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one star-schema table. Parquet scan: pushdown + pruning are free."""
+    if table not in TABLES:
+        raise KeyError(f"unknown table {table!r}; known: {TABLES}")
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to micros
+        # (matches DuckDB's NS->US cast semantics).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works directly."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

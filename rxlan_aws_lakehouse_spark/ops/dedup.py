@@ -1,0 +1,152 @@
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard, MinHash-LSH,
+SimHash.
+
+Design for 100 TB:
+  * exact / fingerprint dedup — hash-groupBy on a digest column: one shuffle
+    of (digest, id), never of document bodies.
+  * MinHash-LSH — per-doc signatures are computed scan-side (column
+    expressions, codegen'd, embarrassingly parallel); candidate generation
+    explodes signatures into (band_idx, band_key) rows and groupBys — the
+    shuffle carries fixed-width band keys. No O(n^2) anywhere; bucket sizes
+    bound pair generation.
+  * SimHash — 32-bit signature via bit-vote over token hashes; near-dup =
+    hamming distance on integers (XOR + bit_count), joinable via bucketed
+    prefixes at scale.
+  * n-gram Jaccard — exact verification for candidate pairs (array_intersect /
+    array_union on shingle sets); used as the verifier behind the LSH stage,
+    only ever on candidate pairs, not all pairs.
+
+All hashes derive from md5 (engine-portable); MinHash uses k universal-hash
+permutations (a_i * u + b_i) mod P over 60-bit shingle hashes reduced mod P.
+The same constants feed the SQL-oracle generators at the bottom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import HASH_MOD, SQL_MD5_LONG, md5_long
+
+# MinHash parameters (shared with the SQL oracle).
+MINHASH_P = HASH_MOD  # 1e9+7; u < P and a < 1e5 keep a*u+b < 2^47, no overflow
+MINHASH_K = 16
+MINHASH_BANDS = 8  # 2 rows per band
+MINHASH_A = [7, 13, 31, 43, 59, 71, 89, 101, 113, 131, 151, 173, 191, 211, 229, 251]
+MINHASH_B = [3, 17, 29, 41, 53, 67, 79, 97, 109, 127, 139, 157, 179, 197, 223, 241]
+SHINGLE_N = 3  # word 3-grams
+
+SIMHASH_BITS = 32
+
+
+def word_shingles(text_col: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined)."""
+    toks = F.regexp_extract_all(text_col, F.lit(r"\S+"), 0)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
+def shingle_hashes(text_col: Column) -> Column:
+    """Distinct shingle hashes reduced mod P — the MinHash input set."""
+    return F.array_distinct(
+        F.transform(word_shingles(text_col), lambda s: md5_long(s) % MINHASH_P)
+    )
+
+
+def minhash_signature(text_col: Column) -> list[Column]:
+    """k MinHash values; empty docs get sentinel P (matches the SQL oracle)."""
+    hashes = shingle_hashes(text_col)
+    sig = []
+    for a, b in zip(MINHASH_A[:MINHASH_K], MINHASH_B[:MINHASH_K]):
+        perm = F.transform(hashes, lambda u: (F.lit(a) * u + F.lit(b)) % MINHASH_P)
+        sig.append(F.coalesce(F.array_min(perm), F.lit(MINHASH_P)).cast("long"))
+    return sig
+
+
+def band_keys(sig_cols: list[Column], bands: int = MINHASH_BANDS) -> list[Column]:
+    """LSH band keys: concat the rows of each band into one string key."""
+    rows_per_band = len(sig_cols) // bands
+    keys = []
+    for b in range(bands):
+        parts = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        keys.append(F.concat_ws("_", *[p.cast("string") for p in parts]))
+    return keys
+
+
+def simhash32(text_col: Column) -> Column:
+    """32-bit SimHash over whitespace tokens (weight 1 per occurrence).
+
+    bit_j = 1 iff sum over tokens of (+1 if bit_j(h(tok)) else -1) > 0.
+    Strictly-positive vote matches the SQL oracle's `> 0`.
+    """
+    toks = F.regexp_extract_all(text_col, F.lit(r"\S+"), 0)
+    hashes = F.transform(toks, lambda t: md5_long(t))
+    acc = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda a, u: a + F.when(F.shiftright(u, j).bitwiseAND(1) == 1, 1).otherwise(-1),
+        )
+        acc = acc + F.when(votes > 0, F.lit(2 ** j).cast("long")).otherwise(0)
+    return acc
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two array columns (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle generators (DuckDB dialect) — same constants/semantics.
+# ---------------------------------------------------------------------------
+
+SQL_SHINGLES = (
+    r"list_transform(generate_series(1, greatest(len(regexp_extract_all({c}, '\S+')) - "
+    + str(SHINGLE_N - 1)
+    + r", 0)), i -> concat_ws(' ', "
+    + ", ".join(f"regexp_extract_all({{c}}, '\\S+')[i + {j}]" for j in range(SHINGLE_N))
+    + "))"
+)
+
+SQL_SHINGLE_HASHES = (
+    "list_distinct(list_transform(" + SQL_SHINGLES + ", s -> "
+    + SQL_MD5_LONG.format(c="s") + f" % {MINHASH_P}))"
+)
+
+
+def sql_minhash_exprs(c: str, k: int = MINHASH_K) -> list[str]:
+    hashes = SQL_SHINGLE_HASHES.format(c=c)
+    out = []
+    for a, b in zip(MINHASH_A[:k], MINHASH_B[:k]):
+        out.append(
+            f"coalesce(list_min(list_transform({hashes}, u -> ({a} * u + {b}) % {MINHASH_P})), {MINHASH_P})"
+        )
+    return out
+
+
+def sql_simhash_expr(c: str) -> str:
+    toks_hashes = (
+        r"list_transform(regexp_extract_all({c}, '\S+'), t -> "
+        + SQL_MD5_LONG.format(c="t")
+        + ")"
+    ).format(c=c)
+    bits = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform({toks_hashes}, "
+            f"u -> CASE WHEN (u >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"CASE WHEN coalesce({vote}, 0) > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"

@@ -1,0 +1,148 @@
+"""Embedding similarity search: brute-force cosine top-k and sign-LSH ANN.
+
+Scale design:
+  * Brute force is the baseline: broadcast the (small) query set against the
+    full vector table — a map-side nested loop with NO shuffle of the corpus;
+    per-partition top-k via window. 100 TB posture: the corpus streams through
+    executors once per query batch; queries are the broadcast side.
+  * Sign-LSH (random-hyperplane family; axis-aligned planes here for
+    engine-portable determinism) buckets vectors by the sign pattern of the
+    leading dimensions; candidate generation is an equi-join on the bucket
+    key — one shuffle on a low-cardinality key instead of an all-pairs join.
+    This is the same coarse-quantization structure as IVF: bucket = inverted
+    list, probe = same-bucket scan.
+
+Dot products are computed with built-in higher-order array functions
+(zip_with + aggregate) in double precision — JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+LSH_SIGN_BITS = 4  # leading dims used for the sign-pattern bucket key
+
+
+def as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sign_bucket(col: Column, bits: int = LSH_SIGN_BITS) -> Column:
+    """Bucket key: '1'/'0' per leading dimension's sign (>= 0 -> '1')."""
+    parts = [
+        F.when(F.element_at(col, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(1, bits + 1)
+    ]
+    return F.concat(*parts)
+
+
+def prepare(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Normalize the vector column to double and precompute norm + bucket.
+
+    At scale this is the 'index build': one pass, persisted/bucketed by the
+    LSH key so probes co-locate.
+    """
+    v = as_double_array(F.col(vec_col))
+    return vectors.select(
+        F.col(id_col),
+        v.alias("vec"),
+        l2_norm(v).alias("norm"),
+        sign_bucket(v).alias("bucket"),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    tiebreak_round: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-matches excluded).
+
+    ``corpus``/``queries`` are ``prepare()`` outputs. The join is a broadcast
+    nested loop (queries side broadcast); ordering ties resolve on
+    (round(sim, 6) desc, neighbor id) so results are deterministic across
+    engines despite float addition order.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec"), F.col("norm")
+    )
+    sim = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("sim"), tiebreak_round).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def ann_topk_bucketed(corpus: DataFrame, k: int = 3) -> DataFrame:
+    """Approximate top-k per vector: candidates share the LSH sign bucket.
+
+    Equi-join on the bucket key — the scale path. Vectors alone in their
+    bucket produce no rows (expected ANN behavior; recall measured in tests).
+    """
+    a = corpus.select(
+        F.col("vec_id"), F.col("vec"), F.col("norm"), F.col("bucket")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nnorm"),
+        F.col("bucket").alias("nbucket"),
+    )
+    sim = dot(F.col("vec"), F.col("nvec")) / (F.col("norm") * F.col("nnorm"))
+    pairs = (
+        a.join(b, (F.col("bucket") == F.col("nbucket")) & (F.col("vec_id") != F.col("neighbor_id")))
+        .select("vec_id", "bucket", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "bucket", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle fragments (DuckDB dialect).
+# ---------------------------------------------------------------------------
+
+SQL_COSINE = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def sql_sign_bucket(c: str, bits: int = LSH_SIGN_BITS) -> str:
+    parts = " || ".join(
+        f"CASE WHEN {c}[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, bits + 1)
+    )
+    return "(" + parts + ")"

@@ -1,0 +1,470 @@
+"""LLM training-data pipeline queries (north-star extensions, SURVEY.md §7 M5).
+
+Dedup, similarity search, text analysis, and multimodal plumbing over the
+driver's `documents` and `embeddings` tables. Each oracle-matched query shares
+its hash/LSH constants with the Spark operator modules so the two sides cannot
+drift; genuinely non-SQL ops (Arrow-batched feature extraction) are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..ops import dedup as dd
+from ..ops import multimodal as mm
+from ..ops import similarity as sim
+from ..ops import text as tx
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup profile: distinct text digests vs rows, dup-group count.
+
+    Hash-groupBy on md5 digests — the shuffle carries 32-byte digests, never
+    document bodies.
+    """
+    d = load(spark, sf_dir, "documents").select(F.md5("text").alias("h"))
+    per_group = d.groupBy("h").agg(F.count("*").alias("c"))
+    return per_group.agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)).alias("n_removable"),
+    )
+
+
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-list: lowest doc_id per identical text."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup (case/whitespace-insensitive md5) +
+    order-sensitive rolling hash per document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.normalized_fingerprint(F.col("text")).alias("norm_fp"),
+        tx.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (first 4 of k=16) — deterministic ints, oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(F.col("text"))
+    return d.select(
+        "doc_id", *[s.alias(f"mh{i}") for i, s in enumerate(sig[:4])]
+    )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard.
+
+    Scale path: explode (doc, band_idx, band_key) -> groupBy band bucket ->
+    pair within bucket -> distinct pairs -> exact-Jaccard verify. Shuffles
+    carry band keys and doc ids only; the verifier re-joins shingle sets for
+    candidate pairs alone.
+    """
+    d = load(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(F.col("text"))
+    keys = dd.band_keys(sig)
+    withb = d.select(
+        "doc_id",
+        dd.shingle_hashes(F.col("text")).alias("sh"),
+        *[k.alias(f"b{i}") for i, k in enumerate(keys)],
+    )
+    exploded = withb.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("key"))
+                for i in range(len(keys))
+            ])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    sh = withb.select("doc_id", "sh")
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(dd.jaccard(F.col("sha"), F.col("shb")), 4).alias("jaccard"),
+        )
+    )
+    return verified.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).alias("n_dup_50"),
+        F.round(F.coalesce(F.max("jaccard"), F.lit(0.0)), 4).alias("max_jaccard"),
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — deterministic ints, oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", dd.simhash32(F.col("text")).alias("simhash"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over same-source pairs, aggregated per source.
+
+    Blocking on `source` bounds the pair count (the all-pairs comparison the
+    reference could never do is restricted to blocks, the standard dedup
+    blocking strategy).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", dd.shingle_hashes(F.col("text")).alias("sh")
+    )
+    a = d.select(
+        F.col("source"), F.col("doc_id").alias("a"), F.col("sh").alias("sha")
+    )
+    b = d.select(
+        F.col("source").alias("source_b"), F.col("doc_id").alias("b"), F.col("sh").alias("shb")
+    )
+    pairs = a.join(
+        b, (F.col("source") == F.col("source_b")) & (F.col("a") < F.col("b"))
+    ).select("source", "a", "b", dd.jaccard(F.col("sha"), F.col("shb")).alias("j"))
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("j") >= 0.2, 1).otherwise(0)).alias("n_sim_20"),
+            F.round(F.max("j"), 4).alias("max_jaccard"),
+            F.round(F.avg("j"), 4).alias("avg_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting aggregated per language tag."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = tx.token_count(F.col("text"))
+    return (
+        d.select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (diversity, length, token stats)."""
+    d = load(spark, sf_dir, "documents")
+    m = tx.quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["n_uniq_tokens"].alias("n_uniq_tokens"),
+        m["uniq_ratio"].alias("uniq_ratio"),
+        m["avg_token_len"].alias("avg_token_len"),
+        m["quality_score"].alias("quality_score"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled `lang` column, confusion counts."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.predict_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = sim.prepare(e)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk(corpus, queries, k=10)
+
+
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: top-3 same-bucket neighbors for vec_id < 50."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = sim.prepare(e)
+    out = sim.ann_topk_bucketed(corpus, k=3)
+    return out.filter(F.col("vec_id") < 50).select("vec_id", "neighbor_id", "sim")
+
+
+def emb_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket histogram — the 'inverted list' size profile of the index."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = sim.prepare(e)
+    return corpus.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection within LSH buckets (cosine thresholds)."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = sim.prepare(e)
+    a = corpus.select("vec_id", "vec", "norm", "bucket")
+    b = corpus.select(
+        F.col("vec_id").alias("nid"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nnorm"),
+        F.col("bucket").alias("nbucket"),
+    )
+    cos = sim.dot(F.col("vec"), F.col("nvec")) / (F.col("norm") * F.col("nnorm"))
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("nbucket")) & (F.col("vec_id") < F.col("nid"))
+    ).select(cos.alias("c"))
+    return pairs.agg(
+        F.count("*").alias("n_bucket_pairs"),
+        F.sum(F.when(F.col("c") >= 0.95, 1).otherwise(0)).alias("n_dup_95"),
+        F.sum(F.when(F.col("c") >= 0.8, 1).otherwise(0)).alias("n_sim_80"),
+        F.round(F.max("c"), 4).alias("max_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata profile per source (bytes, not chars)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("text")).alias("total_bytes"),
+            F.max(F.octet_length("text")).alias("max_bytes"),
+        )
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (rows-only check:
+    the mapInPandas boundary is not SQL-expressible)."""
+    d = load(spark, sf_dir, "documents")
+    binary = mm.to_binary_payload(d, "doc_id", "text")
+    feats = mm.extract_features(binary)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("feature", 2), 4).alias("mean_byte"),
+    )
+
+
+QUERIES = {
+    "dedup_exact_stats": dedup_exact_stats,
+    "dedup_exact_keep": dedup_exact_keep,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_minhash_sig": dedup_minhash_sig,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_ann_lsh": emb_ann_lsh,
+    "emb_bucket_profile": emb_bucket_profile,
+    "emb_neardup": emb_neardup,
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+}
+
+
+def _build_oracle() -> dict[str, str]:
+    toks = tx.SQL_TOKENS.format(c="text")
+    sh = dd.SQL_SHINGLE_HASHES.format(c="text")
+    mh = dd.sql_minhash_exprs("text")
+    bands = [
+        f"(CAST({mh[2*i]} AS VARCHAR) || '_' || CAST({mh[2*i+1]} AS VARCHAR))"
+        for i in range(dd.MINHASH_BANDS)
+    ]
+    cos = sim.SQL_COSINE
+    bucket = sim.sql_sign_bucket("embedding")
+    en = tx.sql_lang_score("en", "text")
+    es = tx.sql_lang_score("es", "text")
+    fr = tx.sql_lang_score("fr", "text")
+    de = tx.sql_lang_score("de", "text")
+
+    return {
+        "dedup_exact_stats": """
+            WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+            SELECT CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+                   CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_removable
+            FROM g
+        """,
+        "dedup_exact_keep": """
+            SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_fingerprint": f"""
+            SELECT doc_id,
+                   {tx.SQL_NORM_FP.format(c="text")} AS norm_fp,
+                   {tx.SQL_ROLLING_FP.format(c="text")} AS rolling_fp
+            FROM documents
+        """,
+        "dedup_minhash_sig": f"""
+            SELECT doc_id,
+                   {mh[0]} AS mh0, {mh[1]} AS mh1, {mh[2]} AS mh2, {mh[3]} AS mh3
+            FROM documents
+        """,
+        "dedup_minhash_pairs": f"""
+            WITH sigs AS (
+              SELECT doc_id, {sh} AS sh,
+                     {", ".join(f"{b} AS b{i}" for i, b in enumerate(bands))}
+              FROM documents),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sha, r.sh AS shb
+              FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+               AND ({" OR ".join(f"l.b{i} = r.b{i}" for i in range(dd.MINHASH_BANDS))})),
+            verified AS (
+              SELECT a, b,
+                     round(CASE WHEN len(list_distinct(list_concat(sha, shb))) > 0
+                       THEN CAST(len(list_distinct(list_intersect(sha, shb))) AS DOUBLE)
+                            / len(list_distinct(list_concat(sha, shb)))
+                       ELSE 0.0 END, 4) AS jaccard
+              FROM cand)
+            SELECT count(*) AS n_candidate_pairs,
+                   CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_50,
+                   round(coalesce(max(jaccard), 0.0), 4) AS max_jaccard
+            FROM verified
+        """,
+        "dedup_simhash": f"""
+            SELECT doc_id, {dd.sql_simhash_expr("text")} AS simhash FROM documents
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH s AS (SELECT doc_id, source, {sh} AS sh FROM documents),
+            pairs AS (
+              SELECT a.source,
+                     CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                       THEN CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+                            / len(list_distinct(list_concat(a.sh, b.sh)))
+                       ELSE 0.0 END AS j
+              FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+            SELECT source, count(*) AS n_pairs,
+                   CAST(sum(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_sim_20,
+                   round(max(j), 4) AS max_jaccard,
+                   round(avg(j), 4) AS avg_jaccard
+            FROM pairs GROUP BY source
+        """,
+        "text_tokens": f"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len({toks})) AS BIGINT) AS total_tokens,
+                   round(avg(len({toks})), 4) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(len({toks}) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct({toks})) AS INTEGER) AS n_uniq_tokens,
+                   round(CASE WHEN len({toks}) > 0
+                     THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
+                     ELSE 0.0 END, 4) AS uniq_ratio,
+                   round(CASE WHEN len({toks}) > 0
+                     THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len({toks})
+                     ELSE 0.0 END, 4) AS avg_token_len,
+                   round(0.5 * (CASE WHEN len({toks}) > 0
+                           THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
+                           ELSE 0.0 END)
+                       + 0.5 * least(1.0, CAST(len({toks}) AS DOUBLE) / 50.0), 4) AS quality_score
+            FROM documents
+        """,
+        "text_langid": f"""
+            WITH scored AS (
+              SELECT lang,
+                     CASE WHEN {en} >= {es} AND {en} >= {fr} AND {en} >= {de} AND {en} > 0 THEN 'en'
+                          WHEN {es} >= {fr} AND {es} >= {de} AND {es} > 0 THEN 'es'
+                          WHEN {fr} >= {de} AND {fr} > 0 THEN 'fr'
+                          WHEN {de} > 0 THEN 'de'
+                          ELSE 'unk' END AS pred_lang
+              FROM documents)
+            SELECT lang, pred_lang, count(*) AS n FROM scored GROUP BY 1, 2
+        """,
+        "emb_cosine_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     {cos.format(a="q.qe", b="e.embedding")} AS sim
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(sim, 6) DESC, neighbor_id) AS rn
+              FROM scored)
+            SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rn <= 10
+        """,
+        "emb_ann_lsh": f"""
+            WITH p AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     {cos.format(a="a.embedding", b="b.embedding")} AS sim
+              FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+            ranked AS (
+              SELECT vec_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY round(sim, 6) DESC, neighbor_id) AS rn
+              FROM pairs)
+            SELECT vec_id, neighbor_id, round(sim, 4) AS sim
+            FROM ranked WHERE rn <= 3 AND vec_id < 50
+        """,
+        "emb_bucket_profile": f"""
+            SELECT {bucket} AS bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+            FROM embeddings GROUP BY 1
+        """,
+        "emb_neardup": f"""
+            WITH p AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+            pairs AS (
+              SELECT {cos.format(a="a.embedding", b="b.embedding")} AS c
+              FROM p a JOIN p b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT count(*) AS n_bucket_pairs,
+                   CAST(sum(CASE WHEN c >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_95,
+                   CAST(sum(CASE WHEN c >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_sim_80,
+                   round(max(c), 4) AS max_cos
+            FROM pairs
+        """,
+        "multimodal_meta": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
+            FROM documents GROUP BY source
+        """,
+        # multimodal_features: mapInPandas boundary -> rows-only check (no oracle)
+    }
+
+
+ORACLE = _build_oracle()
