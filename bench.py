@@ -1,0 +1,82 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each headline query is executed as a full action (count of the result after
+all transformations) so every stage — scan, shuffle, agg, join, UDF — runs.
+A warmup pass on the smallest table amortizes JVM/session start cost out of
+the per-query numbers; the session itself is started before the clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from rxlan_aws_lakehouse_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per plan family (scan+agg, join pipeline,
+# window, as-of, dedup/LSH, similarity top-k, text). Kept to ~10 so the
+# per-round bench finishes fast but still exercises every shuffle shape.
+HEADLINE = [
+    "tpch_q1",           # full scan + 2-key hash agg, 8 aggregates
+    "tpch_q3",           # 3-way join + agg + top-k
+    "tpch_q5",           # 6-way join pipeline (broadcast dims)
+    "ref_group_count_max",  # events groupBy(dt,hour)
+    "window_topk",       # ranking window over events
+    "asof_purchase_click",  # as-of join (union+window)
+    "dedup_minhash_pairs",  # MinHash+LSH band join
+    "dedup_exact_stats",    # exact hash dedup
+    "emb_cosine_topk",   # brute-force cosine top-k over embeddings
+    "text_quality",      # document quality scoring
+]
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+    # Warmup: touch the smallest scan so codegen/classloading costs don't
+    # land on the first measured query.
+    queries["tpch_q1"](spark, SF_DIR).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": infer_sf(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,9 +39,21 @@ SHINGLE_N = 3  # word 3-grams
 SIMHASH_BITS = 32
 
 
-def word_shingles(text_col: Column, n: int = SHINGLE_N) -> Column:
-    """Word n-gram shingles as an array<string> (space-joined)."""
-    toks = F.regexp_extract_all(text_col, F.lit(r"\S+"), 0)
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokens as array<string>."""
+    return F.regexp_extract_all(text_col, F.lit(r"\S+"), 0)
+
+
+def word_shingles_from(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles from a *precomputed* token array column.
+
+    ``toks`` must be a plain column reference, not an inline
+    ``regexp_extract_all`` expression: higher-order-function lambdas are
+    evaluated interpreted with no subexpression elimination, so an inline
+    tokenizer would re-scan the full text on every ``element_at`` access
+    (n accesses x ~|tokens| shingles per row — quadratic in document
+    length).
+    """
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     return F.transform(
         idx,
@@ -51,21 +63,57 @@ def word_shingles(text_col: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
-def shingle_hashes(text_col: Column) -> Column:
-    """Distinct shingle hashes reduced mod P — the MinHash input set."""
+def shingle_hashes_from(toks: Column) -> Column:
+    """Distinct shingle hashes reduced mod P — the MinHash input set.
+
+    From a staged token column; see ``word_shingles_from`` for why.
+    """
     return F.array_distinct(
-        F.transform(word_shingles(text_col), lambda s: md5_long(s) % MINHASH_P)
+        F.transform(word_shingles_from(toks), lambda s: md5_long(s) % MINHASH_P)
     )
 
 
-def minhash_signature(text_col: Column) -> list[Column]:
-    """k MinHash values; empty docs get sentinel P (matches the SQL oracle)."""
-    hashes = shingle_hashes(text_col)
+def word_shingles(text_col: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined).
+
+    Only safe when the result is consumed once from a staged projection;
+    hot paths should stage ``tokens`` first and use ``word_shingles_from``.
+    """
+    return word_shingles_from(tokens(text_col), n)
+
+
+def shingle_hashes(text_col: Column) -> Column:
+    """Distinct shingle hashes mod P. Hot paths: stage ``tokens`` +
+    ``shingle_hashes_from`` instead (see ``word_shingles_from``)."""
+    return shingle_hashes_from(tokens(text_col))
+
+
+def minhash_signature_from(hashes: Column, k: int = MINHASH_K) -> list[Column]:
+    """k MinHash values from a *precomputed* shingle-hash array column.
+
+    Callers must materialize ``shingle_hashes`` into its own projection first
+    (``df.select(..., shingle_hashes(col).alias("sh"))``) and pass
+    ``F.col("sh")`` here. Each signature element is then pure arithmetic over
+    the array; the expensive md5-shingling runs once per row. Inlining
+    ``shingle_hashes(text)`` directly would duplicate the regexp+md5 subtree
+    k times — Catalyst does not CSE across those copies (CollapseProject
+    keeps a multi-referenced non-cheap projection in its own stage, which is
+    exactly what the two-step select relies on).
+    """
     sig = []
-    for a, b in zip(MINHASH_A[:MINHASH_K], MINHASH_B[:MINHASH_K]):
+    for a, b in zip(MINHASH_A[:k], MINHASH_B[:k]):
         perm = F.transform(hashes, lambda u: (F.lit(a) * u + F.lit(b)) % MINHASH_P)
         sig.append(F.coalesce(F.array_min(perm), F.lit(MINHASH_P)).cast("long"))
     return sig
+
+
+def minhash_signature(text_col: Column) -> list[Column]:
+    """k MinHash values; empty docs get sentinel P (matches the SQL oracle).
+
+    Only for single-signature projections; for k>4 or reused plans prefer
+    the two-step ``shingle_hashes`` + ``minhash_signature_from`` form.
+    """
+    return minhash_signature_from(shingle_hashes(text_col))
 
 
 def band_keys(sig_cols: list[Column], bands: int = MINHASH_BANDS) -> list[Column]:
@@ -78,14 +126,20 @@ def band_keys(sig_cols: list[Column], bands: int = MINHASH_BANDS) -> list[Column
     return keys
 
 
-def simhash32(text_col: Column) -> Column:
-    """32-bit SimHash over whitespace tokens (weight 1 per occurrence).
+def token_hashes(text_col: Column) -> Column:
+    """md5-derived 60-bit hash per whitespace token (SimHash input)."""
+    toks = F.regexp_extract_all(text_col, F.lit(r"\S+"), 0)
+    return F.transform(toks, lambda t: md5_long(t))
+
+
+def simhash32_from(hashes: Column) -> Column:
+    """32-bit SimHash from a *precomputed* token-hash array column.
 
     bit_j = 1 iff sum over tokens of (+1 if bit_j(h(tok)) else -1) > 0.
-    Strictly-positive vote matches the SQL oracle's `> 0`.
+    Strictly-positive vote matches the SQL oracle's `> 0`. Same staging rule
+    as ``minhash_signature_from``: the 32 bit-votes each scan the array, so
+    the md5 work must live in its own projection or it is recomputed 32x.
     """
-    toks = F.regexp_extract_all(text_col, F.lit(r"\S+"), 0)
-    hashes = F.transform(toks, lambda t: md5_long(t))
     acc = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
         votes = F.aggregate(
@@ -95,6 +149,30 @@ def simhash32(text_col: Column) -> Column:
         )
         acc = acc + F.when(votes > 0, F.lit(2 ** j).cast("long")).otherwise(0)
     return acc
+
+
+def simhash32(text_col: Column) -> Column:
+    """32-bit SimHash over whitespace tokens (weight 1 per occurrence)."""
+    return simhash32_from(token_hashes(text_col))
+
+
+def bucket_pairs(ids: Column) -> Column:
+    """All ordered pairs (a<b) from a *sorted* array of ids in one bucket.
+
+    The LSH scale pattern: groupBy(band_key) -> collect_sort ids ->
+    explode(bucket_pairs). One shuffle of (band_key, id) instead of a
+    two-sided self-join that re-executes the signature plan; bucket size
+    bounds the quadratic pair fan-out locally.
+    """
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
 
 
 def hamming32(a: Column, b: Column) -> Column:

@@ -60,49 +60,56 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (first 4 of k=16) — deterministic ints, oracle-checked."""
+    """MinHash signatures (first 4 of k=16) — deterministic ints, oracle-checked.
+
+    Two-stage select: md5-shingling lands in its own projection so the 4
+    signature expressions share one computation of it (Catalyst keeps a
+    multi-referenced expensive projection un-collapsed).
+    """
     d = load(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(F.col("text"))
-    return d.select(
-        "doc_id", *[s.alias(f"mh{i}") for i, s in enumerate(sig[:4])]
+    staged = d.select(
+        "doc_id", dd.tokens(F.col("text")).alias("toks")
+    ).select("doc_id", dd.shingle_hashes_from(F.col("toks")).alias("sh"))
+    sig = dd.minhash_signature_from(F.col("sh"), k=4)
+    return staged.select(
+        "doc_id", *[s.alias(f"mh{i}") for i, s in enumerate(sig)]
     )
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact Jaccard.
 
-    Scale path: explode (doc, band_idx, band_key) -> groupBy band bucket ->
-    pair within bucket -> distinct pairs -> exact-Jaccard verify. Shuffles
-    carry band keys and doc ids only; the verifier re-joins shingle sets for
-    candidate pairs alone.
+    Scale path: shingle-hash once per doc -> k=16 signature (arithmetic over
+    the staged array) -> explode (band_idx, band_key) -> groupBy bucket ->
+    generate pairs inside each bucket -> distinct -> exact-Jaccard verify.
+    The bucket shuffle carries (band_key, doc_id) only — fixed-width rows,
+    no document bodies, no self-join that would re-execute the signature
+    plan on both sides; bucket size bounds the local pair fan-out.
     """
     d = load(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(F.col("text"))
+    staged = d.select(
+        "doc_id", dd.tokens(F.col("text")).alias("toks")
+    ).select("doc_id", dd.shingle_hashes_from(F.col("toks")).alias("sh"))
+    sig = dd.minhash_signature_from(F.col("sh"))
     keys = dd.band_keys(sig)
-    withb = d.select(
-        "doc_id",
-        dd.shingle_hashes(F.col("text")).alias("sh"),
-        *[k.alias(f"b{i}") for i, k in enumerate(keys)],
+    withb = staged.select(
+        "doc_id", "sh", *[k.alias(f"b{i}") for i, k in enumerate(keys)]
     )
     exploded = withb.select(
         "doc_id",
         F.explode(
             F.array(*[
-                F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("key"))
+                F.concat_ws(":", F.lit(str(i)), F.col(f"b{i}"))
                 for i in range(len(keys))
             ])
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    left = exploded.alias("l")
-    right = exploded.alias("r")
+        ).alias("key"),
+    )
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        exploded.groupBy("key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(dd.bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
     sh = withb.select("doc_id", "sh")
@@ -123,9 +130,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document — deterministic ints, oracle-checked."""
+    """32-bit SimHash per document — deterministic ints, oracle-checked.
+
+    Token md5 hashes staged in their own projection; the 32 bit-votes are
+    arithmetic over the staged array (computed once, not 32x).
+    """
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", dd.simhash32(F.col("text")).alias("simhash"))
+    staged = d.select("doc_id", dd.token_hashes(F.col("text")).alias("th"))
+    return staged.select("doc_id", dd.simhash32_from(F.col("th")).alias("simhash"))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,8 +148,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking strategy).
     """
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", dd.shingle_hashes(F.col("text")).alias("sh")
-    )
+        "doc_id", "source", dd.tokens(F.col("text")).alias("toks")
+    ).select("doc_id", "source", dd.shingle_hashes_from(F.col("toks")).alias("sh"))
     a = d.select(
         F.col("source"), F.col("doc_id").alias("a"), F.col("sh").alias("sha")
     )
