@@ -54,7 +54,12 @@ def word_shingles_from(toks: Column, n: int = SHINGLE_N) -> Column:
     (n accesses x ~|tokens| shingles per row — quadratic in document
     length).
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # sequence(1, 0) counts DOWN in Spark ([1, 0]), unlike DuckDB's empty
+    # generate_series — guard short docs explicitly or element_at goes out
+    # of bounds.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -1,0 +1,31 @@
+"""Driver-contract smoke tests: entry(), queries()/oracle_sql() registry shape."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    # stable schema: calling twice yields identical columns
+    assert df.columns == entrymod.entry(spark).columns
+
+
+def test_registry_consistency():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 45
+    # every oracle key must name a real query
+    assert set(oracles) <= set(qs)
+    # non-SQL-expressible ops are the only permitted gaps
+    gaps = set(qs) - set(oracles)
+    assert gaps <= {"multimodal_features"}, f"unexpected rows-only queries: {gaps}"
+
+
+def test_queries_are_callable(spark, sf_dir):
+    qs = entrymod.queries()
+    # spot-run one from each family without collecting
+    for name in ("tpch_q1", "ref_count_star", "dedup_exact_stats"):
+        df = qs[name](spark, sf_dir)
+        assert df.columns

@@ -1,0 +1,94 @@
+"""Unit tests for dedup operators on tiny in-memory frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rxlan_aws_lakehouse_spark.ops import dedup as dd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles(spark):
+    df = _docs(spark, [(1, "a b c d")]).select(
+        dd.tokens(F.col("text")).alias("toks")
+    )
+    out = df.select(dd.word_shingles_from(F.col("toks")).alias("s")).head()
+    assert out["s"] == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark, [(1, "a b")]).select(dd.tokens(F.col("text")).alias("toks"))
+    out = df.select(dd.word_shingles_from(F.col("toks")).alias("s")).head()
+    assert out["s"] == []
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = _docs(
+        spark,
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "wholly different text body here")],
+    )
+    staged = df.select(
+        "doc_id", dd.tokens(F.col("text")).alias("toks")
+    ).select("doc_id", dd.shingle_hashes_from(F.col("toks")).alias("sh"))
+    sig = dd.minhash_signature_from(F.col("sh"))
+    rows = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(dd.MINHASH_K)]
+        for r in staged.select(
+            "doc_id", *[s.alias(f"m{i}") for i, s in enumerate(sig)]
+        ).collect()
+    }
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    # empty docs get the sentinel everywhere
+    empty = (
+        _docs(spark, [(9, "")])
+        .select(dd.tokens(F.col("text")).alias("toks"))
+        .select(dd.shingle_hashes_from(F.col("toks")).alias("sh"))
+        .select(*[s.alias(f"m{i}") for i, s in enumerate(dd.minhash_signature_from(F.col("sh")))])
+        .head()
+    )
+    assert all(v == dd.MINHASH_P for v in empty)
+
+
+def test_bucket_pairs(spark):
+    df = spark.createDataFrame([([1, 2, 3],)], "ids array<long>")
+    out = df.select(F.explode(dd.bucket_pairs(F.col("ids"))).alias("p")).select(
+        "p.a", "p.b"
+    )
+    assert sorted((r["a"], r["b"]) for r in out.collect()) == [(1, 2), (1, 3), (2, 3)]
+    single = spark.createDataFrame([([7],)], "ids array<long>").select(
+        F.size(dd.bucket_pairs(F.col("ids"))).alias("n")
+    )
+    assert single.head()["n"] == 0
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 3], [2, 3, 4]), ([1], [2]), ([], [])],
+        "a array<long>, b array<long>",
+    )
+    vals = [r["j"] for r in df.select(dd.jaccard(F.col("a"), F.col("b")).alias("j")).collect()]
+    assert vals[0] == 0.5  # |{2,3}| / |{1,2,3,4}|
+    assert vals[1] == 0.0
+    assert vals[2] == 0.0  # empty union -> 0 by convention
+
+
+def test_simhash_hamming(spark):
+    df = _docs(
+        spark,
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z w")],
+    )
+    staged = df.select("doc_id", dd.token_hashes(F.col("text")).alias("th"))
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in staged.select("doc_id", dd.simhash32_from(F.col("th")).alias("sh")).collect()
+    }
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 2**32
+    ham = spark.createDataFrame([(out[1], out[3])], "a long, b long").select(
+        dd.hamming32(F.col("a"), F.col("b")).alias("h")
+    )
+    assert ham.head()["h"] > 0
