@@ -30,6 +30,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # Parquet pushdown is on by default; keep explicit so a misconfigured
     # upstream session can't silently disable scan pruning.
     "spark.sql.parquet.filterPushdown": "true",
+    # dt/hour partition values stay strings (reference DDL: VARCHAR(10)/
+    # VARCHAR(2)); inference would read hour=09 back as 9.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     # The driver's events table stores TIMESTAMP(NANOS), which Spark's parquet
     # reader rejects natively; read as long and convert in the catalog.
     "spark.sql.legacy.parquet.nanosAsLong": "true",

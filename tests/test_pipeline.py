@@ -1,0 +1,152 @@
+"""End-to-end batch pipeline tests: synthetic bronze NDJSON.gz -> gold.
+
+Mirrors the reference's operational verification queries (init.sql:19-55)
+against known-answer fixtures.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from rxlan_aws_lakehouse_spark.pipeline import run_batch
+from rxlan_aws_lakehouse_spark.pipeline.bronze import read_bronze
+from rxlan_aws_lakehouse_spark.pipeline.gold import load_gold
+from rxlan_aws_lakehouse_spark.pipeline.ingest import write_ndjson_gz
+from rxlan_aws_lakehouse_spark.pipeline.schema import GOLD_COLUMNS
+
+
+def _rec(city, iso_ts, temp=20.0, humidity=50, pressure=1013, **extra):
+    base = {
+        "app": "rxlan",
+        "stage": "dev",
+        "source": "openweather",
+        "fetched_at_utc": iso_ts,
+        "city": city,
+        "country": "US",
+        "lat": "30.27",
+        "lon": "-97.74",
+        "temp_c": str(temp),
+        "feels_like_c": str(temp - 1.0),
+        "humidity": str(humidity),
+        "pressure": str(pressure),
+        "wind_speed": "3.5",
+        "raw": {"id": 1, "dt": 1700000000},
+    }
+    base.update(extra)
+    return base
+
+
+def _land(bronze, recs_by_hour):
+    for (dt, hour), recs in recs_by_hour.items():
+        write_ndjson_gz(recs, bronze, dt, hour)
+
+
+def test_batch_end_to_end(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    gold = str(tmp_path / "gold")
+    _land(
+        bronze,
+        {
+            ("2024-03-01", "10"): [
+                _rec("Austin", "2024-03-01T10:05:00Z"),
+                _rec("Chicago", "2024-03-01T10:10:00Z"),
+                _rec("BadTown", "2024-03-01T10:20:00Z", temp=99.0),  # quarantined
+            ],
+            ("2024-03-01", "11"): [_rec("Austin", "2024-03-01T11:05:00Z")],
+        },
+    )
+    m = run_batch(spark, bronze, gold)
+    assert (m.input_rows, m.good_rows, m.quarantined_rows) == (4, 3, 1)
+
+    out = load_gold(spark, gold)
+    assert sorted(out.columns) == sorted(GOLD_COLUMNS)
+    rows = {(r["city"], r["hour"]) for r in out.collect()}
+    assert rows == {("Austin", "10"), ("Chicago", "10"), ("Austin", "11")}
+    # typed columns survived the cast
+    schema = dict(out.dtypes)
+    assert schema["temp_c"] == "double" and schema["humidity"] == "int"
+    assert schema["ts"] == "timestamp"
+
+
+def test_partition_pruned_run_and_idempotent_reload(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    gold = str(tmp_path / "gold")
+    _land(
+        bronze,
+        {
+            ("2024-03-01", "10"): [_rec("Austin", "2024-03-01T10:05:00Z")],
+            ("2024-03-01", "11"): [_rec("Chicago", "2024-03-01T11:05:00Z")],
+        },
+    )
+    # hour-scoped run loads ONLY hour 10
+    m = run_batch(spark, bronze, gold, dt="2024-03-01", hour="10")
+    assert m.input_rows == 1
+    assert {r["hour"] for r in load_gold(spark, gold).collect()} == {"10"}
+
+    # partition filter reaches the file source (prunes at listing time)
+    pruned = read_bronze(spark, bronze, dt="2024-03-01", hour="10")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # re-running the same hour must not duplicate (dynamic overwrite, T7)
+    run_batch(spark, bronze, gold, dt="2024-03-01", hour="10")
+    run_batch(spark, bronze, gold, dt="2024-03-01", hour="11")
+    out = load_gold(spark, gold)
+    assert out.count() == 2
+    assert out.filter(F.col("hour") == "10").count() == 1
+
+
+def test_missing_contract_columns_become_typed_nulls(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    gold = str(tmp_path / "gold")
+    rec = _rec("Austin", "2024-03-01T10:05:00Z")
+    for k in ("wind_speed", "lat", "lon"):
+        rec.pop(k)
+    _land(bronze, {("2024-03-01", "10"): [rec]})
+    run_batch(spark, bronze, gold)
+    row = load_gold(spark, gold).head()
+    assert row["wind_speed"] is None and row["lat"] is None
+    assert row["city"] == "Austin"
+
+
+def test_payload_string_column_expansion(spark, tmp_path):
+    """F14/F15/F18: bronze rows whose body is a JSON string `payload` column."""
+    import gzip
+    import os
+
+    bronze = str(tmp_path / "bronze")
+    gold = str(tmp_path / "gold")
+    part = os.path.join(bronze, "dt=2024-03-01", "hour=10")
+    os.makedirs(part)
+    inner = _rec("Austin", "2024-03-01T10:05:00Z")
+    inner.pop("raw")
+    with gzip.open(os.path.join(part, "part-0.json.gz"), "wt") as f:
+        f.write(json.dumps({"payload": json.dumps(inner)}) + "\n")
+
+    m = run_batch(spark, bronze, gold, infer=True)
+    assert m.good_rows == 1
+    row = load_gold(spark, gold).head()
+    assert row["city"] == "Austin" and row["temp_c"] == 20.0
+
+
+def test_quarantine_written(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    gold = str(tmp_path / "gold")
+    quarantine = str(tmp_path / "quarantine")
+    _land(
+        bronze,
+        {
+            ("2024-03-01", "10"): [
+                _rec("Austin", "2024-03-01T10:05:00Z"),
+                _rec("", "2024-03-01T10:06:00Z"),  # city_missing
+                _rec("Hot", "2024-03-01T10:07:00Z", temp=77.7),
+            ]
+        },
+    )
+    m = run_batch(spark, bronze, gold, quarantine_path=quarantine)
+    assert m.quarantined_rows == 2
+    q = spark.read.json(quarantine)
+    tags = sorted(t for r in q.collect() for t in json.loads(r["validation_errors"]))
+    assert tags == ["city_missing", "temp_out_of_range"]

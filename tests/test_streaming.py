@@ -1,0 +1,119 @@
+"""Streaming CDC tests: DDB-stream envelopes -> deduped partitioned bronze.
+
+Trigger.AvailableNow drains the landing directory deterministically
+(SURVEY.md §7 hard-parts note on streaming determinism).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from rxlan_aws_lakehouse_spark.streaming import (
+    DDB_EVENT_SCHEMA,
+    cdc_transform,
+    forward_cdc,
+    windowed_counts,
+)
+
+
+def _envelope(event_name, city, iso_ts, temp="20.5", event_id="e1"):
+    return {
+        "eventID": event_id,
+        "eventName": event_name,
+        "dynamodb": {
+            "NewImage": {
+                "app": {"S": "rxlan"},
+                "stage": {"S": "dev"},
+                "source": {"S": "openweather"},
+                "fetched_at_utc": {"S": iso_ts},
+                "city": {"S": city},
+                "country": {"S": "US"},
+                "lat": {"N": "30.27"},
+                "lon": {"N": "-97.74"},
+                "temp_c": {"N": temp},
+                "feels_like_c": {"N": temp},
+                "humidity": {"N": "50"},
+                "pressure": {"N": "1013"},
+                "wind_speed": {"N": "3.5"},
+            },
+            "ApproximateCreationDateTime": 1709287500.0,
+        },
+    }
+
+
+def _write_landing(path, envelopes, name="batch0.json"):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for e in envelopes:
+            f.write(json.dumps(e) + "\n")
+
+
+def test_cdc_transform_batch_semantics(spark):
+    rows = [
+        _envelope("INSERT", "Austin", "2024-03-01T10:05:00Z", event_id="a"),
+        _envelope("INSERT", "Austin", "2024-03-01T10:05:00Z", event_id="b"),  # dup
+        _envelope("MODIFY", "Austin", "2024-03-01T10:06:00Z", event_id="c"),  # filtered
+        _envelope("INSERT", "Chicago", "2024-03-01T10:07:00Z", event_id="d"),
+    ]
+    df = spark.createDataFrame([json.dumps(r) for r in rows], "string").select(
+        F.from_json(F.col("value"), DDB_EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+    out = cdc_transform(df)
+    got = {(r["city"], str(r["ts"]), r["dt"], r["hour"]) for r in out.collect()}
+    assert got == {
+        ("Austin", "2024-03-01 10:05:00", "2024-03-01", "10"),
+        ("Chicago", "2024-03-01 10:07:00", "2024-03-01", "10"),
+    }
+    # typed decode: numbers became doubles/ints
+    types = dict(out.dtypes)
+    assert types["temp_c"] == "double" and types["humidity"] == "int"
+
+
+def test_forward_cdc_end_to_end(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_landing(
+        landing,
+        [
+            _envelope("INSERT", "Austin", "2024-03-01T10:05:00Z", event_id="a"),
+            _envelope("INSERT", "Austin", "2024-03-01T10:05:00Z", event_id="a2"),
+            _envelope("INSERT", "Chicago", "2024-03-01T11:20:00Z", event_id="b"),
+            _envelope("REMOVE", "Austin", "2024-03-01T11:30:00Z", event_id="c"),
+        ],
+    )
+    q = forward_cdc(spark, landing, out_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+    out = spark.read.option("basePath", out_dir).json(out_dir)
+    rows = {(r["city"], r["dt"], r["hour"]) for r in out.collect()}
+    assert rows == {("Austin", "2024-03-01", "10"), ("Chicago", "2024-03-01", "11")}
+    # partition directories are event-time derived
+    assert os.path.isdir(os.path.join(out_dir, "dt=2024-03-01", "hour=10"))
+
+    # restart with new data: checkpoint resumes, no reprocessing of old files
+    _write_landing(
+        landing,
+        [_envelope("INSERT", "Austin", "2024-03-01T12:00:00Z", event_id="d")],
+        name="batch1.json",
+    )
+    q2 = forward_cdc(spark, landing, out_dir, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    out2 = spark.read.option("basePath", out_dir).json(out_dir)
+    assert out2.count() == 3
+
+
+def test_windowed_counts_batch(spark):
+    rows = [
+        _envelope("INSERT", "Austin", "2024-03-01T10:05:00Z", event_id="a"),
+        _envelope("INSERT", "Austin", "2024-03-01T10:55:00Z", event_id="b"),
+        _envelope("INSERT", "Austin", "2024-03-01T11:05:00Z", event_id="c"),
+    ]
+    df = spark.createDataFrame([json.dumps(r) for r in rows], "string").select(
+        F.from_json(F.col("value"), DDB_EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+    out = windowed_counts(cdc_transform(df))
+    got = {(str(r["window_start"]), r["n"]) for r in out.collect()}
+    assert got == {("2024-03-01 10:00:00", 2), ("2024-03-01 11:00:00", 1)}
