@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..ops import dedup as dd
@@ -203,6 +204,69 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts: letter runs / digit runs / punctuation
+    split separately (the GPT-2-style pre-tokenizer shape), per source.
+
+    The regex is engine-portable (no lookarounds) so DuckDB tokenizes
+    identically; counting stays JVM-side — size(regexp_extract_all) per row,
+    no explode, no Python.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+    word = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+    num = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    staged = d.select(
+        "source",
+        F.size(toks).alias("n_bpe"),
+        word.alias("n_word"),
+        num.alias("n_num"),
+    )
+    return staged.groupBy("source").agg(
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_word").alias("total_word_tokens"),
+        F.sum("n_num").alias("total_num_tokens"),
+        F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+    )
+
+
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-curation funnel: exact-dedup -> quality gate ->
+    language gate, reporting survivors per (lang, source).
+
+    The three stages compose into ONE plan: a single shuffle for the dedup
+    groupBy; the quality/lang gates are scan-side filters. This is the shape
+    of a real pretraining-data funnel at 100 TB — no intermediate
+    materializations between stages.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # Quality score in exact integer ten-thousandths: double summation order
+    # differs between engines (and between Spark partial-agg schedules), so
+    # aggregating raw doubles is not hash-stable — integers are. floor(x+0.5)
+    # instead of round() because round-half modes also differ across engines.
+    toks = tx.tokens(F.col("text"))
+    n_tok = F.size(toks)
+    uniq_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    q_raw = 0.5 * uniq_ratio + 0.5 * F.least(F.lit(1.0), n_tok.cast("double") / 50.0)
+    qi = F.floor(q_raw * 10000 + F.lit(0.5)).cast("long")
+    gated = (
+        deduped.withColumn("qi", qi)
+        .filter(F.col("qi") >= 5000)
+        .filter(F.col("lang").isin("en", "es", "fr", "de"))
+    )
+    return gated.groupBy("lang", "source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("qi").alias("sum_q_x10k"),
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID vs the labeled `lang` column, confusion counts."""
     d = load(spark, sf_dir, "documents")
@@ -266,6 +330,33 @@ def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity of each vector to its label's centroid — the k-means
+    E-step / IVF coarse-quantizer building block.
+
+    Centroids via posexplode -> groupBy(label, pos) avg -> re-assemble: the
+    shuffle carries (label, pos, partial sum) — fixed width, mergeable, the
+    same pattern that scales to billions of vectors. The centroid table
+    (|labels| rows) broadcasts back for the scoring pass.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", sim.as_double_array(F.col("embedding")).alias("vec"))
+    cent = (
+        v.select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+    )
+    scored = v.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(sim.cosine(F.col("vec"), F.col("cvec")), 4).alias("centroid_sim"),
+    )
+    return scored
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -297,6 +388,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the Arrow feature-extraction output.
+
+    Oracle-checkable because the extractor's first feature is the payload
+    byte length — octet_length on the SQL side. This pins the whole
+    mapInPandas pipeline (binary encode -> Arrow batches -> Python decode ->
+    schema'd output) to an exact cross-engine invariant.
+    """
+    d = load(spark, sf_dir, "documents")
+    feats = mm.extract_features(mm.to_binary_payload(d, "doc_id", "text"))
+    return feats.groupBy("modality").agg(
+        F.count("*").alias("n_payloads"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.sum(F.element_at("feature", 1)), 2).alias("total_len_feature"),
+        F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+    )
+
+
 QUERIES = {
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_exact_keep": dedup_exact_keep,
@@ -308,12 +417,16 @@ QUERIES = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
+    "text_bpe_tokens": text_bpe_tokens,
+    "quality_filter_pipeline": quality_filter_pipeline,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_bucket_profile": emb_bucket_profile,
     "emb_neardup": emb_neardup,
+    "emb_centroid_dist": emb_centroid_dist,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_batch_stats": multimodal_batch_stats,
 }
 
 
@@ -476,6 +589,64 @@ def _build_oracle() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         # multimodal_features: mapInPandas boundary -> rows-only check (no oracle)
+        "text_bpe_tokens": f"""
+            WITH staged AS (
+              SELECT source,
+                     len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe,
+                     len(list_filter(regexp_extract_all(text, '{BPE_RE}'),
+                                     t -> regexp_full_match(t, '[A-Za-z]+'))) AS n_word,
+                     len(list_filter(regexp_extract_all(text, '{BPE_RE}'),
+                                     t -> regexp_full_match(t, '[0-9]+'))) AS n_num
+              FROM documents)
+            SELECT source,
+                   CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+                   CAST(sum(n_word) AS BIGINT) AS total_word_tokens,
+                   CAST(sum(n_num) AS BIGINT) AS total_num_tokens,
+                   round(avg(n_bpe), 4) AS avg_bpe_tokens
+            FROM staged GROUP BY source
+        """,
+        "quality_filter_pipeline": f"""
+            WITH deduped AS (
+              SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents
+            ), gated AS (
+              SELECT lang, source,
+                     CAST(floor((0.5 * (CASE WHEN len({toks}) > 0
+                             THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
+                             ELSE 0.0 END)
+                         + 0.5 * least(1.0, CAST(len({toks}) AS DOUBLE) / 50.0))
+                         * 10000 + 0.5) AS BIGINT) AS qi
+              FROM deduped
+              WHERE rn = 1 AND lang IN ('en', 'es', 'fr', 'de')
+            )
+            SELECT lang, source, count(*) AS n_kept,
+                   CAST(sum(qi) AS BIGINT) AS sum_q_x10k
+            FROM gated WHERE qi >= 5000 GROUP BY lang, source
+        """,
+        "emb_centroid_dist": """
+            WITH un AS (
+              -- parallel unnests zip positionally in DuckDB
+              SELECT label,
+                     unnest(generate_series(1, len(embedding))) AS pos,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x
+              FROM embeddings
+            ), cent AS (
+              SELECT label, list(m ORDER BY pos) AS cvec
+              FROM (SELECT label, pos, avg(x) AS m FROM un GROUP BY label, pos)
+              GROUP BY label
+            )
+            SELECT vec_id, e.label AS label,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), cvec), 4)
+                     AS centroid_sim
+            FROM embeddings e JOIN cent ON e.label = cent.label
+        """,
+        "multimodal_batch_stats": """
+            SELECT 'text' AS modality, count(*) AS n_payloads,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   round(sum(octet_length(encode(text))), 2) AS total_len_feature,
+                   round(avg(octet_length(encode(text))), 4) AS avg_bytes
+            FROM documents
+        """,
     }
 
 
