@@ -1,0 +1,261 @@
+"""Relational completeness pack 3: min-subquery joins, self-joined dims,
+disjunctive predicates, NOT-IN/anti patterns, distinct-count aggregates,
+array aggregation, and the datetime function surface.
+
+Rounds out the TPC-H query-shape coverage (Q2/Q7/Q12/Q16/Q19/Q22 analogues
+adapted to the driver's star schema — no partsupp table, so per-type min
+price stands in for min supply cost, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+
+def tpch_q2_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: join against a min-per-group subquery (cheapest part per
+    type). The aggregate side is tiny (|types| rows) and broadcasts; the
+    dimension never shuffles."""
+    p = load(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_type").alias("t")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_type == mins.t) & (p.p_retailprice == mins.min_price),
+        )
+        .select("p_type", "p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+        .orderBy("p_type", "p_partkey")
+    )
+
+
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: the same dimension joined twice under different roles
+    (customer nation x supplier nation revenue matrix).
+
+    nation broadcasts twice with distinct aliases — Catalyst treats each as
+    an independent build side; the fact stream is scanned once.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.c_nk)
+        .join(F.broadcast(n2), s.s_nationkey == n2.s_nk)
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2") & F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(rev, 2).alias("revenue"))
+    )
+
+
+def tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: join + two conditional aggregates bucketing order priority."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-count aggregate behind a NOT-IN exclusion.
+
+    count_distinct shuffles (group, suppkey) pairs once; the NOT-IN list is
+    a literal filter, pushed to the scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(~F.col("p_brand").isin("Brand#1", "Brand#2"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+        .limit(30)
+    )
+
+
+def tpch_q19_or_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive clauses across the join —
+    the predicate the optimizer must NOT split (OR of ANDs)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(5, 20)) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") < 5))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(rev, 2).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+def tpch_q22_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar subquery threshold + anti join (above-average-balance
+    customers with no URGENT orders), grouped by a derived code."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    pos_avg = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    rich = c.join(F.broadcast(pos_avg)).filter(F.col("c_acctbal") > F.col("a"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    code = F.substring(F.col("c_name"), 17, 2)
+    return (
+        no_orders.groupBy(code.alias("code"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def arrays_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: collect_set -> sort -> membership/size,
+    serialized with array_join so the result hashes identically everywhere."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .select(
+            "user_id",
+            F.array_join(F.col("types"), ",").alias("types_csv"),
+            F.size("types").alias("n_types"),
+            F.array_contains("types", "purchase").cast("int").alias("has_purchase"),
+        )
+    )
+
+
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function surface: add_months / months_between / last_day /
+    datediff / dayofweek / quarter over the orders timeline."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date(F.add_months("o_orderdate", 3)).cast("string").alias("plus3m"),
+        F.to_date(F.last_day("o_orderdate")).cast("string").alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).alias("days_to_2002"),
+        F.dayofweek("o_orderdate").alias("dow1"),  # Sunday=1
+        F.quarter("o_orderdate").alias("qtr"),
+        F.round(F.months_between(F.lit("2002-01-01").cast("date"), "o_orderdate"), 4).alias("months_to_2002"),
+    )
+
+
+QUERIES = {
+    "tpch_q2_min_price": tpch_q2_min_price,
+    "tpch_q7_volume": tpch_q7_volume,
+    "tpch_q12_priority": tpch_q12_priority,
+    "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+    "tpch_q19_or_preds": tpch_q19_or_preds,
+    "tpch_q22_no_orders": tpch_q22_no_orders,
+    "arrays_per_user": arrays_per_user,
+    "datetime_functions": datetime_functions,
+}
+
+ORACLE = {
+    "tpch_q2_min_price": """
+        WITH mins AS (
+          SELECT p_type AS t, min(p_retailprice) AS min_price
+          FROM part GROUP BY p_type
+        )
+        SELECT p_type, p_partkey, p_name, round(p_retailprice, 2) AS price
+        FROM part JOIN mins ON p_type = t AND p_retailprice = min_price
+        ORDER BY p_type, p_partkey
+    """,
+    "tpch_q7_volume": """
+        SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+               CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+        GROUP BY 1, 2, 3
+    """,
+    "tpch_q12_priority": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+    """,
+    "tpch_q16_supplier_cnt": """
+        SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+        GROUP BY p_brand, p_type
+        ORDER BY supplier_cnt DESC, p_brand, p_type
+        LIMIT 30
+    """,
+    "tpch_q19_or_preds": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 5 AND 20 AND l_quantity >= 5)
+           OR (p_type = 'PROMO' AND l_quantity < 5)
+    """,
+    "tpch_q22_no_orders": """
+        SELECT substr(c_name, 17, 2) AS code, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+        GROUP BY 1
+    """,
+    "arrays_per_user": """
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+               CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types,
+               CAST(list_contains(list(DISTINCT event_type), 'purchase') AS INTEGER) AS has_purchase
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY user_id
+    """,
+    "datetime_functions": """
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow1,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               round(12.0 * (extract(year FROM DATE '2002-01-01') - extract(year FROM o_orderdate))
+                     + (extract(month FROM DATE '2002-01-01') - extract(month FROM o_orderdate))
+                     + (extract(day FROM DATE '2002-01-01') - extract(day FROM o_orderdate)) / 31.0, 4)
+                 AS months_to_2002
+        FROM orders
+    """,
+}

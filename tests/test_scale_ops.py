@@ -1,0 +1,104 @@
+"""Tests for scale infrastructure: salting, warehouse/compaction, approx
+sketches (tolerance-checked — sketches can't hash-match an exact oracle)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from rxlan_aws_lakehouse_spark.catalog import load
+from rxlan_aws_lakehouse_spark.ops.salting import salted_agg, salted_join
+from rxlan_aws_lakehouse_spark.warehouse import (
+    compact_partitions,
+    create_gold_table,
+    partition_file_stats,
+)
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    plain = {
+        r["event_type"]: (r["n"], r["mx"])
+        for r in e.groupBy("event_type")
+        .agg(F.count("value").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], r["mx"])
+        for r in salted_agg(
+            e,
+            ["event_type"],
+            {"n": ("count", F.col("value")), "mx": ("max", F.col("value"))},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(o, "l_orderkey").count()
+    assert salted_join(li, o, ["l_orderkey"], salt_buckets=4).count() == plain
+    # left join keeps unmatched skewed rows exactly once
+    o_half = o.filter(F.col("l_orderkey") % 2 == 0)
+    plain_left = li.join(o_half, "l_orderkey", "left").count()
+    assert salted_join(li, o_half, ["l_orderkey"], how="left", salt_buckets=4).count() == plain_left
+
+
+def test_gold_table_and_analyze(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS gold_test")
+    df = spark.createDataFrame(
+        [("Austin", "2024-03-01T10:05:00Z", "2024-03-01", "10", 20.0)],
+        "city string, fetched_at_utc string, dt string, hour string, temp_c double",
+    )
+    create_gold_table(spark, df, "gold_test")
+    assert spark.table("gold_test").count() == 1
+    # stats recorded (ANALYZE ran)
+    stats = spark.sql("DESCRIBE EXTENDED gold_test").filter(
+        F.col("col_name") == "Statistics"
+    )
+    assert stats.count() == 1
+    spark.sql("DROP TABLE gold_test")
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "gold")
+    df = spark.range(2000).select(
+        F.concat(F.lit("c"), (F.col("id") % 7).cast("string")).alias("city"),
+        F.lit("x").alias("fetched_at_utc"),
+        F.col("id").cast("double").alias("v"),
+        F.lit("2024-03-01").alias("dt"),
+        F.lit("10").alias("hour"),
+    )
+    # fragment: many small files in one partition
+    df.repartition(24).write.partitionBy("dt", "hour").parquet(path)
+    before = partition_file_stats(spark, path).agg(F.sum("n_files")).head()[0]
+    assert before >= 24
+
+    n = compact_partitions(spark, path, dt="2024-03-01", hour="10")
+    assert n == 1
+    after = partition_file_stats(spark, path).agg(F.sum("n_files")).head()[0]
+    assert after == 1
+    out = spark.read.option("basePath", path).parquet(path)
+    assert out.count() == 2000  # no data loss
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++) and approx_percentile (t-digest-ish):
+    the 100 TB substitutes for exact distinct/percentile. Tolerance-checked
+    because sketches are estimation, not computation."""
+    e = load(spark, sf_dir, "events")
+    exact = e.agg(
+        F.count_distinct("user_id").alias("d"),
+        F.percentile("value", 0.5).alias("p50"),
+    ).head()
+    approx = e.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("d"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+    ).head()
+    assert abs(approx["d"] - exact["d"]) <= max(2, 0.05 * exact["d"])
+    assert abs(approx["p50"] - exact["p50"]) <= 0.02 * max(1.0, abs(exact["p50"]))
