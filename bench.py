@@ -30,12 +30,15 @@ HEADLINE = [
     "tpch_q1",           # full scan + 2-key hash agg, 8 aggregates
     "tpch_q3",           # 3-way join + agg + top-k
     "tpch_q5",           # 6-way join pipeline (broadcast dims)
+    "tpch_q18_big_orders",  # HAVING over fact agg + join-back
     "ref_group_count_max",  # events groupBy(dt,hour)
     "window_topk",       # ranking window over events
+    "sessionize_events",    # two-window sessionization
     "asof_purchase_click",  # as-of join (union+window)
-    "dedup_minhash_pairs",  # MinHash+LSH band join
+    "dedup_minhash_pairs",  # MinHash+LSH band buckets
     "dedup_exact_stats",    # exact hash dedup
     "emb_cosine_topk",   # brute-force cosine top-k over embeddings
+    "emb_centroid_dist",    # per-label centroid similarity
     "text_quality",      # document quality scoring
 ]
 
