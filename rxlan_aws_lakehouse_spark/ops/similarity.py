@@ -134,6 +134,125 @@ def ann_topk_bucketed(corpus: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    tiebreak_round: int = 6,
+) -> DataFrame:
+    """Arrow-vectorized twin of ``cosine_topk``: the corpus streams through
+    mapInPandas and scores against the query matrix with one numpy matmul
+    per batch.
+
+    Same inputs/outputs/tie-breaks as the JVM version — the two paths are
+    interchangeable and cross-checked in tests. This is the shape to prefer
+    when the scoring math outgrows SQL expressions (real embedding models,
+    quantized dot products): the Python boundary costs one Arrow hop per
+    batch, and the matmul amortizes it over |batch| x |queries| pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("vec_id", "vec", "norm").collect()  # small side
+    qm = np.array([r["vec"] for r in q_rows], dtype=np.float64)
+    qn = np.array([r["norm"] for r in q_rows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["vec"].to_numpy())
+            norms = pdf["norm"].to_numpy(dtype=np.float64)
+            sims = (mat @ qm.T) / (norms[:, None] * qn[None, :])
+            n, q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(dtype=np.int64), q),
+                    "sim": sims.ravel(),
+                }
+            )
+
+    scored = corpus.select("vec_id", "vec", "norm").mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("sim"), tiebreak_round).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def label_centroids(corpus_with_label: DataFrame) -> DataFrame:
+    """Per-label centroid vectors (the IVF coarse quantizer / k-means step).
+
+    posexplode -> per-dimension avg -> reassemble: the shuffle carries
+    (label, dim, partial) — fixed width, mergeable at any scale.
+    """
+    return (
+        corpus_with_label.select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+    )
+
+
+def ivf_topk(
+    corpus_with_label: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    tiebreak_round: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: assign each query to its nearest centroid (n_probe=1),
+    then scan only that inverted list.
+
+    The centroid table is |labels| rows and broadcasts twice (assignment +
+    probe); the corpus is filtered to the probed list by an equi-join on
+    label — at scale that is a partition-pruned read when the corpus is
+    stored partitioned by list id, which is exactly how IVF indexes lay out.
+    """
+    cent = label_centroids(corpus_with_label)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    csim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * l2_norm(F.col("cvec")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(csim, tiebreak_round).desc(), F.col("label").asc()
+    )
+    assign = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") == 1)
+        .select("query_id", "qvec", "qnorm", F.col("label").alias("probe_label"))
+    )
+    c = corpus_with_label.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label"),
+        F.col("vec"),
+        F.col("norm"),
+    )
+    nsim = dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("norm"))
+    wn = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("sim"), tiebreak_round).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(assign), c.label == F.col("probe_label"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "probe_label", "neighbor_id", nsim.alias("sim"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "probe_label", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL oracle fragments (DuckDB dialect).
 # ---------------------------------------------------------------------------

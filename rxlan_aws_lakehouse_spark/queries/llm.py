@@ -330,6 +330,27 @@ def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized scoring path (numpy matmul via mapInPandas) —
+    same query, same oracle, same tie-breaks as emb_cosine_topk; verifies
+    the Python fast path is numerically interchangeable with the JVM one."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = sim.prepare(e)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk_pandas(corpus, queries, k=10)
+
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: nearest-centroid assignment (n_probe=1), then top-5
+    within the probed inverted list only — the scale path where brute force
+    would scan the whole corpus per query."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", sim.as_double_array(F.col("embedding")).alias("vec"))
+    v = v.withColumn("norm", sim.l2_norm(F.col("vec")))
+    queries = v.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(v, queries, k=5)
+
+
 def emb_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine similarity of each vector to its label's centroid — the k-means
     E-step / IVF coarse-quantizer building block.
@@ -423,6 +444,8 @@ QUERIES = {
     "emb_ann_lsh": emb_ann_lsh,
     "emb_bucket_profile": emb_bucket_profile,
     "emb_neardup": emb_neardup,
+    "emb_cosine_topk_pandas": emb_cosine_topk_pandas,
+    "emb_ivf_topk": emb_ivf_topk,
     "emb_centroid_dist": emb_centroid_dist,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
@@ -552,6 +575,51 @@ def _build_oracle() -> dict[str, str]:
                                         ORDER BY round(sim, 6) DESC, neighbor_id) AS rn
               FROM scored)
             SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rn <= 10
+        """,
+        "emb_cosine_topk_pandas": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     {cos.format(a="q.qe", b="e.embedding")} AS sim
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(sim, 6) DESC, neighbor_id) AS rn
+              FROM scored)
+            SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rn <= 10
+        """,
+        "emb_ivf_topk": f"""
+            WITH un AS (
+              SELECT label,
+                     unnest(generate_series(1, len(embedding))) AS pos,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x
+              FROM embeddings
+            ), cent AS (
+              SELECT label, list(m ORDER BY pos) AS cvec
+              FROM (SELECT label, pos, avg(x) AS m FROM un GROUP BY label, pos)
+              GROUP BY label
+            ), q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+              FROM embeddings WHERE vec_id < 10
+            ), assign AS (
+              SELECT query_id, qvec, label AS probe_label,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, label) AS crn
+              FROM q CROSS JOIN cent
+            ), cand AS (
+              SELECT a.query_id, a.probe_label, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(a.qvec, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM assign a
+              JOIN embeddings e ON e.label = a.probe_label AND e.vec_id <> a.query_id
+              WHERE a.crn = 1
+            ), ranked AS (
+              SELECT query_id, probe_label, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rn
+              FROM cand)
+            SELECT query_id, probe_label, neighbor_id, round(sim, 4) AS sim
+            FROM ranked WHERE rn <= 5
         """,
         "emb_ann_lsh": f"""
             WITH p AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),

@@ -40,6 +40,50 @@ def test_cosine_topk_excludes_self_and_ranks(spark):
     assert all(r["query_id"] == 1 for r in rows)
 
 
+def test_pandas_path_matches_jvm_path(spark):
+    """The numpy mapInPandas scorer and the JVM expression scorer must
+    return identical top-k (same ranks, same rounded sims)."""
+    from rxlan_aws_lakehouse_spark.catalog import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = sim.prepare(e)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    jvm = {(r["query_id"], r["neighbor_id"], r["sim"]) for r in sim.cosine_topk(corpus, queries, k=5).collect()}
+    py = {(r["query_id"], r["neighbor_id"], r["sim"]) for r in sim.cosine_topk_pandas(corpus, queries, k=5).collect()}
+    assert jvm == py
+
+
+def test_ivf_exact_within_probed_list(spark):
+    """IVF is exact within the probed inverted list: for each query, its
+    results must equal brute force restricted to the probe label's vectors.
+    (Cross-list recall depends on how clustered the corpus is — the fixture
+    labels are unclustered, so that is not a testable invariant here.)"""
+    from rxlan_aws_lakehouse_spark.catalog import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    v = e.select("vec_id", "label", sim.as_double_array(F.col("embedding")).alias("vec"))
+    v = v.withColumn("norm", sim.l2_norm(F.col("vec")))
+    queries = v.filter(F.col("vec_id") < 10)
+    ivf_rows = sim.ivf_topk(v, queries, k=5).collect()
+    assert len({r["query_id"] for r in ivf_rows}) == 10
+    by_query = {}
+    for r in ivf_rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    label_of = {r["vec_id"]: r["label"] for r in v.select("vec_id", "label").collect()}
+    for qid, rows in by_query.items():
+        probe = rows[0]["probe_label"]
+        # every neighbor comes from the probed list
+        assert all(label_of[r["neighbor_id"]] == probe for r in rows)
+        # and matches brute force over that list alone
+        restricted = v.filter(F.col("label") == probe).select("vec_id", "vec", "norm")
+        q = queries.filter(F.col("vec_id") == qid).select("vec_id", "vec", "norm")
+        brute = {
+            (r["neighbor_id"], r["sim"])
+            for r in sim.cosine_topk(restricted, q, k=5).collect()
+        }
+        assert {(r["neighbor_id"], r["sim"]) for r in rows} == brute
+
+
 def test_sign_bucket_groups_similar_vectors(spark):
     vecs = spark.createDataFrame(
         [

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis): operator invariants that must hold on
+arbitrary inputs, checked against naive Python reference implementations."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rxlan_aws_lakehouse_spark.ops import dedup as dd
+from rxlan_aws_lakehouse_spark.ops.asof import asof_join
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.text(
+    alphabet=st.sampled_from("ab c"),  # tiny alphabet -> frequent collisions
+    min_size=0,
+    max_size=40,
+)
+
+
+@SLOW
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_minhash_containment(spark, docs):
+    """Identical docs always share signatures; signatures are permutation
+    minima so each element is <= the sentinel and deterministic."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    staged = df.select(
+        "doc_id", dd.tokens(F.col("text")).alias("toks")
+    ).select("doc_id", dd.shingle_hashes_from(F.col("toks")).alias("sh"))
+    sig = dd.minhash_signature_from(F.col("sh"), k=4)
+    rows = {
+        r["doc_id"]: tuple(r[f"m{i}"] for i in range(4))
+        for r in staged.select(
+            "doc_id", *[s.alias(f"m{i}") for i, s in enumerate(sig)]
+        ).collect()
+    }
+    by_text = {}
+    for i, t in enumerate(docs):
+        by_text.setdefault(t, []).append(i)
+    for ids in by_text.values():
+        sigs = {rows[i] for i in ids}
+        assert len(sigs) == 1  # same text -> same signature
+    for s in rows.values():
+        assert all(0 <= v <= dd.MINHASH_P for v in s)
+
+
+@SLOW
+@given(
+    st.lists(st.integers(0, 5), min_size=0, max_size=12),
+    st.lists(st.integers(0, 5), min_size=0, max_size=12),
+)
+def test_jaccard_against_python_sets(spark, a, b):
+    sa, sb = set(a), set(b)
+    expected = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
+    df = spark.createDataFrame(
+        [(list(sa), list(sb))], "a array<long>, b array<long>"
+    )
+    got = df.select(dd.jaccard(F.col("a"), F.col("b")).alias("j")).head()["j"]
+    assert abs(got - expected) < 1e-12
+
+
+@SLOW
+@given(
+    st.lists(st.integers(0, 100), min_size=1, max_size=10),
+    st.lists(st.integers(0, 100), min_size=0, max_size=10),
+)
+def test_asof_against_naive(spark, left_ts, right_ts):
+    """asof_join == the naive per-row max(right.ts <= left.ts) lookup."""
+    left = spark.createDataFrame(
+        [("k", int(t), i) for i, t in enumerate(left_ts)],
+        "key string, lts long, lid int",
+    )
+    right = spark.createDataFrame(
+        [("k", int(t), f"r{t}") for t in sorted(set(right_ts))] or [("zzz", 0, "never")],
+        "key string, rts long, rval string",
+    )
+    out = {
+        r["lid"]: r["rval_right"]
+        for r in asof_join(left, right, on=["key"], left_ts="lts", right_ts="rts").collect()
+    }
+    rset = sorted(set(right_ts))
+    for i, t in enumerate(left_ts):
+        prior = [r for r in rset if r <= t]
+        expected = f"r{max(prior)}" if prior else None
+        assert out[i] == expected, f"left ts {t}: {out[i]} != {expected}"
+
+
+@SLOW
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=30, unique=True))
+def test_bucket_pairs_complete(spark, ids):
+    """bucket_pairs emits exactly C(n,2) ordered pairs, each a < b."""
+    df = spark.createDataFrame([(sorted(ids),)], "ids array<long>")
+    rows = df.select(F.explode(dd.bucket_pairs(F.col("ids"))).alias("p")).select(
+        "p.a", "p.b"
+    ).collect()
+    n = len(ids)
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["a"] < r["b"] for r in rows)
+    assert len({(r["a"], r["b"]) for r in rows}) == len(rows)
