@@ -113,6 +113,9 @@ def forward_cdc(
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .option("compression", "gzip")
+        # T4: bound file size like the Firehose 1-5MB buffer; compaction
+        # (warehouse.compact_partitions) handles the long tail
+        .option("maxRecordsPerFile", 100_000)
         .partitionBy("dt", "hour")
         .outputMode("append")
     )

@@ -45,6 +45,54 @@ def create_gold_table(
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
 
 
+def merge_upsert(
+    spark: SparkSession,
+    target_table: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> None:
+    """SCD1 upsert: replace matching keys, append new ones — the DynamoDB
+    PutItem composite-key semantics (reference README.md:62-65) expressed as
+    a lakehouse MERGE.
+
+    Without a transactional table format the merge is anti-join + union +
+    table overwrite (Delta/Iceberg's MERGE INTO would replace the rewrite
+    with a file-level commit; the logical plan is identical). The anti join
+    broadcasts the update keys, so the rewrite cost is one pass over the
+    target — not a shuffle of it.
+    """
+    target = spark.table(target_table)
+    update_keys = updates.select(*keys).distinct()
+    kept = target.join(F.broadcast(update_keys), keys, "left_anti")
+    merged = kept.unionByName(updates.select(*target.columns))
+    # Two-phase write: materialize first (the plan reads the table being
+    # replaced), then overwrite.
+    staged = merged.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").format("parquet").saveAsTable(f"{target_table}__stage")
+    spark.sql(f"DROP TABLE {target_table}")
+    spark.sql(f"ALTER TABLE {target_table}__stage RENAME TO {target_table}")
+
+
+def create_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: pre-hash-partitioned on the join key so
+    bucket-to-bucket joins need NO exchange (verified in tests).
+
+    This is the 100 TB co-location strategy for repeated fact-fact joins:
+    pay the shuffle once at write time, never again at read time.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
 def partition_file_stats(spark: SparkSession, path: str) -> DataFrame:
     """File-count/size profile per partition directory — the compaction
     trigger metric."""

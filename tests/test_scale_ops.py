@@ -11,7 +11,9 @@ from rxlan_aws_lakehouse_spark.catalog import load
 from rxlan_aws_lakehouse_spark.ops.salting import salted_agg, salted_join
 from rxlan_aws_lakehouse_spark.warehouse import (
     compact_partitions,
+    create_bucketed_table,
     create_gold_table,
+    merge_upsert,
     partition_file_stats,
 )
 
@@ -85,6 +87,75 @@ def test_compaction_reduces_files(spark, tmp_path):
     assert after == 1
     out = spark.read.option("basePath", path).parquet(path)
     assert out.count() == 2000  # no data loss
+
+
+def test_merge_upsert_ddb_putitem_semantics(spark):
+    """PutItem by (pk, sk): same key replaces, new key appends."""
+    spark.sql("DROP TABLE IF EXISTS upsert_test")
+    spark.sql("DROP TABLE IF EXISTS upsert_test__stage")
+    base = spark.createDataFrame(
+        [("Austin", "t1", 10.0), ("Austin", "t2", 11.0), ("Chicago", "t1", 5.0)],
+        "pk string, sk string, v double",
+    )
+    base.write.format("parquet").saveAsTable("upsert_test")
+    updates = spark.createDataFrame(
+        [("Austin", "t2", 99.0), ("Denver", "t1", 7.0)],
+        "pk string, sk string, v double",
+    )
+    merge_upsert(spark, "upsert_test", updates, keys=["pk", "sk"])
+    got = {(r["pk"], r["sk"]): r["v"] for r in spark.table("upsert_test").collect()}
+    assert got == {
+        ("Austin", "t1"): 10.0,
+        ("Austin", "t2"): 99.0,  # replaced
+        ("Chicago", "t1"): 5.0,
+        ("Denver", "t1"): 7.0,  # appended
+    }
+    # idempotent: re-applying the same updates changes nothing
+    merge_upsert(spark, "upsert_test", updates, keys=["pk", "sk"])
+    assert spark.table("upsert_test").count() == 4
+    spark.sql("DROP TABLE upsert_test")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key join without any shuffle —
+    the pay-once co-location strategy for repeated fact-fact joins."""
+    import shutil
+
+    from rxlan_aws_lakehouse_spark.catalog import load
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a previously failed run can leave the managed location behind
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    create_bucketed_table(
+        spark, load(spark, sf_dir, "orders"), "b_orders", "o_orderkey", 8
+    )
+    create_bucketed_table(
+        spark,
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "b_lineitem",
+        "l_orderkey",
+        8,
+    )
+    # disable broadcast so the planner must consider the shuffle it would
+    # otherwise need — bucketing removes it
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan  # no shuffle: co-located
+        assert "Bucketed: true" in plan
+        assert joined.count() == load(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_lineitem")
 
 
 def test_approx_sketches_within_tolerance(spark, sf_dir):
