@@ -129,6 +129,31 @@ def predict_lang(text_col: Column) -> Column:
     )
 
 
+# PII scrubbing: engine-portable patterns (no lookarounds; work in Java
+# regex and RE2 alike). Corpus-curation redaction before training.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def pii_counts(text_col: Column) -> dict[str, Column]:
+    """Matches per PII class (size of regexp_extract_all)."""
+    return {
+        name: F.size(F.regexp_extract_all(text_col, F.lit(pat), 0))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text_col: Column) -> Column:
+    """Redact every PII class with a typed placeholder token."""
+    out = text_col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SQL oracle fragments (DuckDB dialect) — same constants, same semantics.
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .bronze import read_bronze
+from .bronze import read_bronze, split_corrupt
 from .gold import write_gold
 from .silver import expand_payload_column, normalize, validate
 
@@ -40,6 +40,20 @@ def run_batch(
     observed on the write job itself — no extra actions).
     """
     df = read_bronze(spark, bronze_path, dt=dt, hour=hour, infer=infer)
+    df, corrupt = split_corrupt(df)
+    if quarantine_path is not None:
+        # rename: "_corrupt_record" is reserved by the JSON reader, so a
+        # round-trip of the quarantine file would null it out. The city/
+        # fetched_at_utc context columns also keep a real data column in the
+        # plan — Spark rejects scans whose only referenced data column is
+        # the internal corrupt-record column.
+        corrupt.select(
+            F.col("_corrupt_record").alias("corrupt_line"),
+            "city",
+            "fetched_at_utc",
+            "dt",
+            "hour",
+        ).write.mode("append").json(f"{quarantine_path}/corrupt")
     df = expand_payload_column(df)
     silver = validate(normalize(df))
 
@@ -59,7 +73,11 @@ def run_batch(
         bad = silver.filter(F.size("validation_errors") > 0).withColumn(
             "validation_errors", F.to_json("validation_errors")
         )
-        bad.write.mode("append").partitionBy("dt", "hour").json(quarantine_path)
+        # separate subdir: mixing a partitioned layout with the corrupt/
+        # subdir at one root would conflict at read time
+        bad.write.mode("append").partitionBy("dt", "hour").json(
+            f"{quarantine_path}/invalid"
+        )
 
     return BatchMetrics(
         input_rows=input_rows,

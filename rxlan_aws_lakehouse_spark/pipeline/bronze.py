@@ -19,6 +19,8 @@ from pyspark.sql import types as T
 
 from .schema import BRONZE_SCHEMA
 
+CORRUPT_COL = "_corrupt_record"
+
 
 def write_bronze(df: DataFrame, path: str, mode: str = "append") -> None:
     """Append NDJSON gzip partitioned by dt/hour — the Firehose buffer's
@@ -56,11 +58,16 @@ def read_bronze(
     )
     if not infer:
         s = schema or BRONZE_SCHEMA
-        # partition cols are appended by the source; don't duplicate them
-        reader = reader.schema(
-            T.StructType(
-                [f for f in s.fields if f.name not in ("dt", "hour")]
-            )
+        # partition cols are appended by the source; don't duplicate them.
+        # PERMISSIVE + a corrupt-record column: malformed NDJSON lines (a
+        # reality of at-least-once gzip delivery) surface as quarantinable
+        # rows instead of failing the batch or being silently dropped.
+        fields = [f for f in s.fields if f.name not in ("dt", "hour")]
+        fields.append(T.StructField(CORRUPT_COL, T.StringType(), True))
+        reader = (
+            reader.schema(T.StructType(fields))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
         )
     df = reader.json(path)
     if dt is not None:
@@ -68,3 +75,15 @@ def read_bronze(
     if hour is not None:
         df = df.filter(F.col("hour") == hour)
     return df
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(parsed rows without the corrupt column, corrupt raw lines)."""
+    if CORRUPT_COL not in df.columns:
+        return df, df.limit(0).select(F.lit(None).cast("string").alias(CORRUPT_COL))
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    # Spark refuses plans whose only referenced data column is the internal
+    # corrupt-record column; keep every column in the quarantine branch so
+    # the scan stays legal (the extra columns are NULL for corrupt lines).
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return good, bad

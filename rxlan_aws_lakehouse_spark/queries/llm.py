@@ -267,6 +267,49 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition profiling — the n-gram-repetition quality filter used in
+    pretraining curation (docs dominated by one token or repeated 3-grams
+    get filtered).
+
+    Token mode via explode + two-level aggregate (the shuffle carries
+    (doc_id, token, count) partials); shingle uniqueness via array ops on a
+    staged token column — all exact integers, ratios derived at the end.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(dd.tokens(F.col("text"))).alias("t"))
+    tok_stats = (
+        toks.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok_count"), F.sum("c").alias("n_tokens"))
+    )
+    sh = (
+        d.select("doc_id", dd.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", dd.word_shingles_from(F.col("toks")).alias("sh"))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_shingles"),
+            F.size(F.array_distinct("sh")).alias("n_uniq_shingles"),
+        )
+    )
+    return (
+        tok_stats.join(sh, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "max_tok_count",
+            F.round(F.col("max_tok_count") / F.col("n_tokens"), 4).alias("top_tok_ratio"),
+            "n_shingles",
+            "n_uniq_shingles",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(1 - F.col("n_uniq_shingles") / F.col("n_shingles"), 4),
+            ).otherwise(F.lit(0.0)).alias("shingle_rep_ratio"),
+        )
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID vs the labeled `lang` column, confusion counts."""
     d = load(spark, sf_dir, "documents")
@@ -439,6 +482,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_bpe_tokens": text_bpe_tokens,
+    "text_repetition": text_repetition,
     "quality_filter_pipeline": quality_filter_pipeline,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ann_lsh": emb_ann_lsh,
@@ -672,6 +716,29 @@ def _build_oracle() -> dict[str, str]:
                    CAST(sum(n_num) AS BIGINT) AS total_num_tokens,
                    round(avg(n_bpe), 4) AS avg_bpe_tokens
             FROM staged GROUP BY source
+        """,
+        "text_repetition": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks}) AS t FROM documents
+            ), freq AS (
+              SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t
+            ), tok_stats AS (
+              SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok_count,
+                     CAST(sum(c) AS BIGINT) AS n_tokens
+              FROM freq GROUP BY doc_id
+            ), sh AS (
+              SELECT doc_id,
+                     CAST(len({dd.SQL_SHINGLES.format(c='text')}) AS INTEGER) AS n_shingles,
+                     CAST(len(list_distinct({dd.SQL_SHINGLES.format(c='text')})) AS INTEGER) AS n_uniq_shingles
+              FROM documents
+            )
+            SELECT t.doc_id, n_tokens, max_tok_count,
+                   round(CAST(max_tok_count AS DOUBLE) / n_tokens, 4) AS top_tok_ratio,
+                   n_shingles, n_uniq_shingles,
+                   CASE WHEN n_shingles > 0
+                        THEN round(1 - CAST(n_uniq_shingles AS DOUBLE) / n_shingles, 4)
+                        ELSE 0.0 END AS shingle_rep_ratio
+            FROM tok_stats t JOIN sh USING (doc_id)
         """,
         "quality_filter_pipeline": f"""
             WITH deduped AS (

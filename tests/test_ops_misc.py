@@ -52,6 +52,33 @@ def test_multimodal_features_schema_and_determinism(spark):
     assert again[1] == rows[1]["feature"]
 
 
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or visit https://example.com/x now"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = tx.pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("email"),
+            counts["url"].alias("url"),
+            counts["phone"].alias("phone"),
+            tx.scrub_pii(F.col("text")).alias("scrubbed"),
+        ).collect()
+    }
+    assert out[1]["email"] == 1 and out[1]["url"] == 1
+    assert "<EMAIL>" in out[1]["scrubbed"] and "<URL>" in out[1]["scrubbed"]
+    assert "bob@example.com" not in out[1]["scrubbed"]
+    assert out[2]["phone"] == 1 and "<PHONE>" in out[2]["scrubbed"]
+    assert out[3]["scrubbed"] == "nothing sensitive here"
+
+
 def test_rolling_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id long, text string"

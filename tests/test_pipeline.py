@@ -131,6 +131,33 @@ def test_payload_string_column_expansion(spark, tmp_path):
     assert row["city"] == "Austin" and row["temp_c"] == 20.0
 
 
+def test_corrupt_ndjson_lines_quarantined(spark, tmp_path):
+    """Malformed NDJSON lines must not fail the batch or silently vanish:
+    they land in quarantine/corrupt, good lines still load."""
+    import gzip
+    import os
+
+    bronze = str(tmp_path / "bronze")
+    gold = str(tmp_path / "gold")
+    quarantine = str(tmp_path / "q")
+    part = os.path.join(bronze, "dt=2024-03-01", "hour=10")
+    os.makedirs(part)
+    with gzip.open(os.path.join(part, "part-0.json.gz"), "wt") as f:
+        f.write(json.dumps(_rec("Austin", "2024-03-01T10:05:00Z")) + "\n")
+        f.write("{this is not json\n")
+        f.write(json.dumps(_rec("Chicago", "2024-03-01T10:06:00Z")) + "\n")
+
+    m = run_batch(spark, bronze, gold, quarantine_path=quarantine)
+    assert m.good_rows == 2
+    out = load_gold(spark, gold)
+    assert {r["city"] for r in out.collect()} == {"Austin", "Chicago"}
+    corrupt = spark.read.json(f"{quarantine}/corrupt")
+    rows = corrupt.collect()
+    assert len(rows) == 1
+    assert "not json" in rows[0]["corrupt_line"]
+    assert rows[0]["dt"] == "2024-03-01"
+
+
 def test_quarantine_written(spark, tmp_path):
     bronze = str(tmp_path / "bronze")
     gold = str(tmp_path / "gold")
@@ -147,6 +174,6 @@ def test_quarantine_written(spark, tmp_path):
     )
     m = run_batch(spark, bronze, gold, quarantine_path=quarantine)
     assert m.quarantined_rows == 2
-    q = spark.read.json(quarantine)
+    q = spark.read.json(f"{quarantine}/invalid")
     tags = sorted(t for r in q.collect() for t in json.loads(r["validation_errors"]))
     assert tags == ["city_missing", "temp_out_of_range"]
