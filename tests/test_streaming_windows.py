@@ -1,0 +1,119 @@
+"""Session-window and stream-stream join tests — streaming runs drained
+deterministically with Trigger.AvailableNow."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from rxlan_aws_lakehouse_spark.streaming import cdc
+from rxlan_aws_lakehouse_spark.streaming.windows import session_windows, stream_stream_join
+from tests.test_streaming import _envelope, _write_landing
+
+
+def _decoded_stream(spark, landing):
+    raw = spark.readStream.schema(cdc.DDB_EVENT_SCHEMA).json(landing)
+    return cdc.cdc_transform(raw)
+
+
+def test_session_windows_streaming(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_landing(
+        landing,
+        [
+            # Austin: two events 10 min apart (one session), then a 2h gap
+            _envelope("INSERT", "Austin", "2024-03-01T10:00:00Z", event_id="a"),
+            _envelope("INSERT", "Austin", "2024-03-01T10:10:00Z", event_id="b"),
+            _envelope("INSERT", "Austin", "2024-03-01T12:30:00Z", event_id="c"),
+            _envelope("INSERT", "Chicago", "2024-03-01T10:05:00Z", event_id="d"),
+        ],
+    )
+    sess = session_windows(_decoded_stream(spark, landing))
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["city"], []).append(r)
+    # watermark only CLOSES sessions seen strictly before it; the final
+    # session per key may be withheld until more data advances event time —
+    # the first Austin session must be closed and correct
+    austin = sorted(by_key.get("Austin", []), key=lambda r: r["session_start"])
+    assert austin, "first Austin session should have closed"
+    assert austin[0]["n_events"] == 2
+    assert str(austin[0]["first_ts"]) == "2024-03-01 10:00:00"
+    assert str(austin[0]["last_ts"]) == "2024-03-01 10:10:00"
+
+
+def test_session_windows_batch_semantics(spark):
+    """Same operator on a batch frame: all sessions visible."""
+    df = spark.createDataFrame(
+        [
+            ("Austin", "2024-03-01 10:00:00"),
+            ("Austin", "2024-03-01 10:10:00"),
+            ("Austin", "2024-03-01 12:30:00"),
+        ],
+        "city string, ts_s string",
+    ).select("city", F.to_timestamp("ts_s").alias("ts"))
+    out = session_windows(df).orderBy("session_start").collect()
+    assert [r["n_events"] for r in out] == [2, 1]
+
+
+def test_stream_stream_join(spark, tmp_path):
+    click_dir = str(tmp_path / "clicks")
+    buy_dir = str(tmp_path / "buys")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_landing(
+        click_dir,
+        [
+            _envelope("INSERT", "Austin", "2024-03-01T10:00:00Z", event_id="c1"),
+            _envelope("INSERT", "Austin", "2024-03-01T07:00:00Z", event_id="c2"),  # too old
+            _envelope("INSERT", "Chicago", "2024-03-01T10:20:00Z", event_id="c3"),  # after buy
+        ],
+    )
+    _write_landing(
+        buy_dir,
+        [_envelope("INSERT", "Austin", "2024-03-01T10:30:00Z", event_id="b1"),
+         _envelope("INSERT", "Chicago", "2024-03-01T10:10:00Z", event_id="b2")],
+    )
+    clicks = _decoded_stream(spark, click_dir).select(
+        "city", F.col("ts").alias("click_ts")
+    )
+    buys = _decoded_stream(spark, buy_dir).select(
+        F.col("city").alias("city_b"), F.col("ts").alias("buy_ts")
+    )
+    # rename for shared-key form
+    joined = stream_stream_join(
+        buys.withColumnRenamed("city_b", "city"),
+        clicks,
+        key="city",
+        left_ts="buy_ts",
+        right_ts="click_ts",
+        within="1 hour",
+    )
+    q = (
+        joined.select("l.city", "buy_ts", "click_ts")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["city"], str(r["click_ts"])) for r in spark.read.parquet(out_dir).collect()}
+    # Austin buy at 10:30 attributes to the 10:00 click (within 1h);
+    # the 07:00 click is outside the window; Chicago's click is AFTER its buy
+    assert rows == {("Austin", "2024-03-01 10:00:00")}
