@@ -165,6 +165,59 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: abs/ceil/floor/pow/sqrt/ln/log10/exp/mod/sign —
+    all codegen'd JVM expressions, rounded where float repr could differ."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("abs_v"),
+        F.ceil("l_extendedprice").alias("ceil_p"),
+        F.floor("l_extendedprice").alias("floor_p"),
+        F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_q"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_p"),
+        F.round(F.exp("l_discount"), 6).alias("exp_d"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("sign_v"),
+    )
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: pad/trim/replace/reverse/repeat/slice/search."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("lpadded"),
+        F.rpad("p_type", 10, ".").alias("rpadded"),
+        F.reverse(F.col("p_name")).alias("rev_name"),
+        F.repeat(F.col("p_brand"), 2).alias("doubled"),
+        F.substring("p_name", 2, 5).alias("mid"),
+        F.instr(F.col("p_name"), "a").alias("pos_a"),
+        F.translate(F.col("p_type"), "AEO", "aeo").alias("translated"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("replaced"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+        F.left(F.col("p_name"), F.lit(3)).alias("l3"),
+        F.right(F.col("p_name"), F.lit(3)).alias("r3"),
+    )
+
+
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: global replace, group extract, match test,
+    match count. Spark regexp_replace is global by default; the DuckDB twin
+    needs the explicit 'g' flag — pinned by the oracle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"\b(the|a|an)\b", "_").alias("no_articles"),
+        F.regexp_extract(F.col("text"), r"(\w+) (\w+)", 2).alias("second_word"),
+        F.col("text").rlike("spark").cast("int").alias("mentions_spark"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\bdata\b"), 0)).alias("n_data"),
+    )
+
+
 QUERIES = {
     "tpch_q2_min_price": tpch_q2_min_price,
     "tpch_q7_volume": tpch_q7_volume,
@@ -174,9 +227,49 @@ QUERIES = {
     "tpch_q22_no_orders": tpch_q22_no_orders,
     "arrays_per_user": arrays_per_user,
     "datetime_functions": datetime_functions,
+    "math_functions": math_functions,
+    "string_functions": string_functions,
+    "regex_functions": regex_functions,
 }
 
 ORACLE = {
+    "math_functions": """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_quantity - 25) AS abs_v,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+               CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+               round(pow(l_discount, 2), 6) AS disc_sq,
+               round(sqrt(l_quantity), 6) AS sqrt_q,
+               round(ln(l_extendedprice), 6) AS ln_p,
+               round(log10(l_extendedprice), 6) AS log10_p,
+               round(exp(l_discount), 6) AS exp_d,
+               l_orderkey % 7 AS mod7,
+               CAST(sign(l_quantity - 25) AS INTEGER) AS sign_v
+        FROM lineitem
+    """,
+    "string_functions": """
+        SELECT p_partkey,
+               lpad(p_brand, 12, '*') AS lpadded,
+               rpad(p_type, 10, '.') AS rpadded,
+               reverse(p_name) AS rev_name,
+               repeat(p_brand, 2) AS doubled,
+               substr(p_name, 2, 5) AS mid,
+               CAST(instr(p_name, 'a') AS INTEGER) AS pos_a,
+               translate(p_type, 'AEO', 'aeo') AS translated,
+               replace(p_brand, '#', '-') AS replaced,
+               concat_ws('|', p_brand, p_type) AS joined,
+               left(p_name, 3) AS l3,
+               right(p_name, 3) AS r3
+        FROM part
+    """,
+    "regex_functions": """
+        SELECT doc_id,
+               regexp_replace(text, '\\b(the|a|an)\\b', '_', 'g') AS no_articles,
+               regexp_extract(text, '(\\w+) (\\w+)', 2) AS second_word,
+               CAST(regexp_matches(text, 'spark') AS INTEGER) AS mentions_spark,
+               CAST(len(regexp_extract_all(text, '\\bdata\\b')) AS INTEGER) AS n_data
+        FROM documents
+    """,
     "tpch_q2_min_price": """
         WITH mins AS (
           SELECT p_type AS t, min(p_retailprice) AS min_price
