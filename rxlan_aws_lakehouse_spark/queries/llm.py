@@ -91,6 +91,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = d.select(
         "doc_id", dd.tokens(F.col("text")).alias("toks")
     ).select("doc_id", dd.shingle_hashes_from(F.col("toks")).alias("sh"))
+    # Three consumers (bucket path + both verify-join sides) read the
+    # shingle table; persisting it runs the md5 pass once (~2x faster at
+    # sf0.1). At cluster scale this is the materialized signature table an
+    # LSH index build would write anyway.
+    staged = staged.persist()
     sig = dd.minhash_signature_from(F.col("sh"))
     keys = dd.band_keys(sig)
     withb = staged.select(
