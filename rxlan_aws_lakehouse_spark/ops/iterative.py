@@ -1,0 +1,123 @@
+"""Iterative DataFrame algorithms: Lloyd's k-means and connected components.
+
+The driver contract classes these as genuinely non-SQL-expressible
+(rows-only correctness checks); pytest verifies them against known answers
+and invariants instead.
+
+Scale shape — both follow the same discipline:
+  * each iteration is ONE declarative DataFrame round (shuffle on the
+    natural key), so an N-iteration run is N shuffles, not N collect/
+    re-parallelize cycles;
+  * per-iteration state lives in a small driver-side structure only when it
+    is inherently small (k centroids); row-scale state (component labels)
+    stays distributed;
+  * loops truncate lineage with localCheckpoint so plan depth stays O(1)
+    per iteration instead of O(iterations) — without it, iteration 20's
+    plan would replay iterations 1-19.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import dot
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans(
+    vectors: DataFrame,
+    k: int,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's algorithm with deterministic seeding (first k ids).
+
+    Returns (assignments DataFrame [id_col, cluster], final centroids).
+    The E-step broadcasts the k centroids as literal arrays (no join); the
+    M-step is posexplode -> per-dimension avg — one shuffle per iteration
+    carrying (cluster, dim, partial-sum) triples.
+    """
+    seeds = (
+        vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [list(r[vec_col]) for r in seeds]
+
+    assigned = None
+    for _ in range(max_iter):
+        cent_lits = [
+            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+        ]
+        dists = [ _sq_dist(F.col(vec_col), cl) for cl in cent_lits ]
+        best = F.lit(0)
+        best_d = dists[0]
+        for i in range(1, k):
+            cond = dists[i] < best_d
+            best = F.when(cond, F.lit(i)).otherwise(best)
+            best_d = F.when(cond, dists[i]).otherwise(best_d)
+        assigned = vectors.withColumn("cluster", best)
+        new_cent = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+        )
+        got = {r["cluster"]: list(r["cvec"]) for r in new_cent.collect()}
+        centroids = [got.get(i, centroids[i]) for i in range(k)]
+
+    return assigned.select(id_col, "cluster"), centroids
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Connected components by iterative label propagation (min-label).
+
+    Returns (node, component) where component = min node id reachable.
+    Each iteration: propagate each node's current label to its neighbors,
+    keep the min — one shuffle on node id. Converges in O(diameter)
+    iterations; stops early when no label changes. This is the cluster
+    step after near-dup pair generation (MinHash/SimHash pairs -> dup
+    groups).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym.a == labels.node)
+            .select(F.col("b").alias("node"), F.col("comp"))
+            .union(labels.select("node", "comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        prop = prop.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels

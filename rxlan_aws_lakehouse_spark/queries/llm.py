@@ -426,6 +426,72 @@ def emb_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored
 
 
+def emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus (5 Lloyd iterations, deterministic
+    seeding) — cluster-size profile. Iterative, so rows-only check (the
+    driver contract's sanctioned class for loops); exactness is pytest-
+    verified on crafted fixtures (tests/test_iterative.py)."""
+    from ..ops.iterative import kmeans
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", sim.as_double_array(F.col("embedding")).alias("vec"))
+    assigned, _ = kmeans(v, k=8, max_iter=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("cluster")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group discovery: MinHash-LSH candidate pairs -> connected
+    components -> cluster size histogram. The full near-dup pipeline a
+    corpus curation job runs (pairs alone under-count transitive dups).
+    Iterative label propagation, so rows-only check; pytest covers CC
+    exactness on known graphs."""
+    from ..ops.iterative import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", dd.tokens(F.col("text")).alias("toks")
+    ).select("doc_id", dd.shingle_hashes_from(F.col("toks")).alias("sh")).persist()
+    sig = dd.minhash_signature_from(F.col("sh"))
+    keys = dd.band_keys(sig)
+    withb = staged.select("doc_id", "sh", *[k.alias(f"b{i}") for i, k in enumerate(keys)])
+    exploded = withb.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(i)), F.col(f"b{i}"))
+                for i in range(len(keys))
+            ])
+        ).alias("key"),
+    )
+    cand = (
+        exploded.groupBy("key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(dd.bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    sh = withb.select("doc_id", "sh")
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b")
+        .filter(dd.jaccard(F.col("sha"), F.col("shb")) >= 0.5)
+        .select("a", "b")
+    )
+    comps = connected_components(verified, src="a", dst="b")
+    return (
+        comps.groupBy("comp")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -496,6 +562,8 @@ QUERIES = {
     "emb_cosine_topk_pandas": emb_cosine_topk_pandas,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_centroid_dist": emb_centroid_dist,
+    "emb_kmeans_profile": emb_kmeans_profile,
+    "dedup_clusters": dedup_clusters,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_batch_stats": multimodal_batch_stats,

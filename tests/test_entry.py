@@ -18,9 +18,14 @@ def test_registry_consistency():
     assert len(qs) >= 45
     # every oracle key must name a real query
     assert set(oracles) <= set(qs)
-    # non-SQL-expressible ops are the only permitted gaps
+    # non-SQL-expressible ops (Arrow boundary, iterative algorithms) are
+    # the only permitted rows-only gaps
     gaps = set(qs) - set(oracles)
-    assert gaps <= {"multimodal_features"}, f"unexpected rows-only queries: {gaps}"
+    assert gaps <= {
+        "multimodal_features",
+        "emb_kmeans_profile",
+        "dedup_clusters",
+    }, f"unexpected rows-only queries: {gaps}"
 
 
 def test_queries_are_callable(spark, sf_dir):

@@ -1,0 +1,58 @@
+"""Exactness tests for the iterative DataFrame algorithms (k-means, CC) —
+these back the rows-only registry entries with known-answer checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rxlan_aws_lakehouse_spark.ops.iterative import connected_components, kmeans
+
+
+def test_kmeans_separable_clusters(spark):
+    """Two well-separated blobs: k-means must recover them exactly."""
+    blob_a = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)]
+    blob_b = [(10 + i, [10.0 + 0.01 * i, 10.0]) for i in range(5)]
+    df = spark.createDataFrame(blob_a + blob_b, "vec_id long, vec array<double>")
+    assigned, centroids = kmeans(df, k=2, max_iter=5)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    a_clusters = {got[i] for i in range(5)}
+    b_clusters = {got[10 + i] for i in range(5)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    # centroids converged near blob centers
+    cx = sorted(c[0] for c in centroids)
+    assert abs(cx[0] - 0.02) < 0.1 and abs(cx[1] - 10.02) < 0.1
+
+
+def test_kmeans_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(30)],
+        "vec_id long, vec array<double>",
+    )
+    a1, _ = kmeans(df, k=3, max_iter=3)
+    a2, _ = kmeans(df, k=3, max_iter=3)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains and an isolated edge: min-label components."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert {out[n] for n in (1, 2, 3, 4)} == {1}
+    assert {out[n] for n in (10, 11)} == {10}
+    assert {out[n] for n in (20, 21, 22)} == {20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A path graph longer than one propagation step still converges
+    (label must travel the full diameter)."""
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    out = {r["node"]: r["comp"] for r in connected_components(edges, max_iter=20).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == n + 1
