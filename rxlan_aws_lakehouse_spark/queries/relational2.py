@@ -276,6 +276,41 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first/last/nth over an explicit full-partition
+    frame (last_value defaults to a running frame — the classic trap; the
+    unbounded frame makes it the partition-global last)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(wfull).alias("first_type"),
+        F.last("event_type").over(wfull).alias("last_type"),
+        F.nth_value("event_type", 2).over(wfull).alias("second_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+def agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate surface: count_if / bool_and / bool_or / median /
+    max_by / min_by per group (ties impossible: the by-expression is the
+    continuous value column jittered by unique event_id ordering)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 500).alias("n_high"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 990).alias("any_very_high"),
+        F.round(F.median("value"), 4).alias("med_value"),
+        # argmax/argmin via lexicographic struct extrema: value has ties in
+        # the fixture, so plain max_by(event_id, value) is nondeterministic;
+        # the (value, event_id) struct gives a total order in both engines.
+        F.max(F.struct("value", "event_id")).getField("event_id").alias("argmax_event"),
+        F.min(F.struct("value", "event_id")).getField("event_id").alias("argmin_event"),
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) — per-user session stats.
 
@@ -388,6 +423,8 @@ QUERIES = {
     "percentiles_exact": percentiles_exact,
     "window_range_1h": window_range_1h,
     "window_distribution": window_distribution,
+    "window_value_functions": window_value_functions,
+    "agg_modern": agg_modern,
     "sessionize_events": sessionize_events,
     "explode_top_tokens": explode_top_tokens,
     "join_null_safe": join_null_safe,
@@ -506,6 +543,29 @@ ORACLE = {
                round(cume_dist() OVER w, 6) AS cdist
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    "window_value_functions": """
+        SELECT event_id, user_id,
+               first_value(event_type) OVER wf AS first_type,
+               last_value(event_type) OVER wf AS last_type,
+               nth_value(event_type, 2) OVER wf AS second_type,
+               lead(event_type, 1) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "agg_modern": """
+        SELECT event_type,
+               count_if(value > 500) AS n_high,
+               bool_and(value >= 0) AS all_nonneg,
+               bool_or(value > 990) AS any_very_high,
+               round(median(value), 4) AS med_value,
+               (max(struct_pack(v := value, e := event_id))).e AS argmax_event,
+               (min(struct_pack(v := value, e := event_id))).e AS argmin_event
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY event_type
     """,
     "sessionize_events": """
         WITH flagged AS (

@@ -158,6 +158,27 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     spark.sql("DROP TABLE b_lineitem")
 
 
+def test_parquet_schema_evolution(spark, tmp_path):
+    """Adding a column to a partitioned table must not break old readers:
+    mergeSchema unions the schemas, old files read NULL for the new col."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [("Austin", 20.0, "2024-03-01", "10")],
+        "city string, temp_c double, dt string, hour string",
+    )
+    v1.write.partitionBy("dt", "hour").parquet(path)
+    v2 = spark.createDataFrame(
+        [("Chicago", 5.0, 55, "2024-03-01", "11")],
+        "city string, temp_c double, humidity int, dt string, hour string",
+    )
+    v2.write.mode("append").partitionBy("dt", "hour").parquet(path)
+    out = spark.read.option("mergeSchema", "true").option("basePath", path).parquet(path)
+    assert "humidity" in out.columns
+    rows = {r["city"]: r for r in out.collect()}
+    assert rows["Austin"]["humidity"] is None  # old file: typed NULL
+    assert rows["Chicago"]["humidity"] == 55
+
+
 def test_approx_sketches_within_tolerance(spark, sf_dir):
     """approx_count_distinct (HLL++) and approx_percentile (t-digest-ish):
     the 100 TB substitutes for exact distinct/percentile. Tolerance-checked
