@@ -57,13 +57,10 @@ def normalize(df: DataFrame) -> DataFrame:
     )
 
 
-# Validation rules: (error tag, violation predicate) —
-# lambda/ingest_weather/handler.py:92-100 plus the README-recommended
-# null-city guard (README.md:263-265) the reference never implemented.
-VALIDATION_RULES: tuple[tuple[str, Column], ...] = ()
-
-
 def _rules() -> list[tuple[str, Column]]:
+    """Validation rules: (error tag, violation predicate) —
+    lambda/ingest_weather/handler.py:92-100 plus the README-recommended
+    null-city guard (README.md:263-265) the reference never implemented."""
     return [
         ("temp_out_of_range", (F.col("temp_c") < -90) | (F.col("temp_c") > 60)),
         ("humidity_out_of_range", (F.col("humidity") < 0) | (F.col("humidity") > 100)),
