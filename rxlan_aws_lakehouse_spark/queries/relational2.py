@@ -276,6 +276,46 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_sliding_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time windows (1h window, 30min slide) — each event lands in
+    two overlapping windows; Spark's window() expands them scan-side.
+
+    The oracle mirrors the expansion as a UNION ALL of the two candidate
+    window starts per event — same multiset, no window-function needed.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over different columns in one agg —
+    Catalyst plans this with Expand (one scan, N distinct streams)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.to_date("ts").cast("string").alias("d")).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER (WHERE ...) aggregate clause via the SQL surface."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_ord_fc")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               round(avg(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2) AS avg_big
+        FROM _ord_fc GROUP BY o_orderstatus
+        """
+    )
+
+
 def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value window functions: first/last/nth over an explicit full-partition
     frame (last_value defaults to a running frame — the classic trap; the
@@ -423,6 +463,9 @@ QUERIES = {
     "percentiles_exact": percentiles_exact,
     "window_range_1h": window_range_1h,
     "window_distribution": window_distribution,
+    "window_sliding_1h": window_sliding_1h,
+    "agg_multi_distinct": agg_multi_distinct,
+    "agg_filter_clause": agg_filter_clause,
     "window_value_functions": window_value_functions,
     "agg_modern": agg_modern,
     "sessionize_events": sessionize_events,
@@ -543,6 +586,30 @@ ORACLE = {
                round(cume_dist() OVER w, 6) AS cdist
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    "window_sliding_1h": """
+        WITH expanded AS (
+          SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w0, value FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS w0, value
+          FROM events
+        )
+        SELECT w0 AS window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM expanded GROUP BY w0
+    """,
+    "agg_multi_distinct": """
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT event_type) AS n_types,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    """,
+    "agg_filter_clause": """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               round(avg(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2) AS avg_big
+        FROM orders GROUP BY o_orderstatus
     """,
     "window_value_functions": """
         SELECT event_id, user_id,
