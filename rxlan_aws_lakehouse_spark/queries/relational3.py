@@ -165,6 +165,24 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT: each customer's top-3
+    orders — the lateral form of per-group top-k. Catalyst decorrelates it
+    into a ranked window join; the declarative form stays per-row."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_cust_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM _cust_lat c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _ord_lat o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_custkey < 50
+        """
+    )
+
+
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar surface: abs/ceil/floor/pow/sqrt/ln/log10/exp/mod/sign —
     all codegen'd JVM expressions, rounded where float repr could differ."""
@@ -227,12 +245,21 @@ QUERIES = {
     "tpch_q22_no_orders": tpch_q22_no_orders,
     "arrays_per_user": arrays_per_user,
     "datetime_functions": datetime_functions,
+    "lateral_top_orders": lateral_top_orders,
     "math_functions": math_functions,
     "string_functions": string_functions,
     "regex_functions": regex_functions,
 }
 
 ORACLE = {
+    "lateral_top_orders": """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_custkey < 50
+    """,
     "math_functions": """
         SELECT l_orderkey, l_linenumber,
                abs(l_quantity - 25) AS abs_v,

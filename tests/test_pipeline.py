@@ -98,6 +98,21 @@ def test_partition_pruned_run_and_idempotent_reload(spark, tmp_path):
     assert out.filter(F.col("hour") == "10").count() == 1
 
 
+def test_empty_slice_is_noop(spark, tmp_path):
+    """Gate-1 parity (bronze_to_silver:63-67): an empty input slice must
+    report zero counts and leave existing gold partitions untouched."""
+    bronze = str(tmp_path / "bronze")
+    gold = str(tmp_path / "gold")
+    _land(bronze, {("2024-03-01", "10"): [_rec("Austin", "2024-03-01T10:05:00Z")]})
+    run_batch(spark, bronze, gold)
+    assert load_gold(spark, gold).count() == 1
+
+    # dt filter that matches nothing
+    m = run_batch(spark, bronze, gold, dt="2024-03-01", hour="23")
+    assert (m.input_rows, m.good_rows, m.quarantined_rows) == (0, 0, 0)
+    assert load_gold(spark, gold).count() == 1  # prior data intact
+
+
 def test_missing_contract_columns_become_typed_nulls(spark, tmp_path):
     bronze = str(tmp_path / "bronze")
     gold = str(tmp_path / "gold")
