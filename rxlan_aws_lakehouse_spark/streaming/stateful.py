@@ -78,6 +78,108 @@ def running_city_stats(decoded: DataFrame) -> DataFrame:
     )
 
 
+SESSION_STATE_SCHEMA = "start_ms long, end_ms long, n long"
+SESSION_OUTPUT_SCHEMA = (
+    "city string, session_start timestamp, session_end timestamp, n_events long"
+)
+
+
+def make_session_fn(gap_ms: int):
+    """Stateful sessionizer with EVENT-TIME timeout.
+
+    Per key: accumulate (start, end, count); arm a timeout at
+    (session end + gap). When the watermark passes that point the state
+    times out — the closed session is emitted and the state cleared. This
+    is the hand-rolled equivalent of session_window, demonstrating custom
+    eviction semantics (emit-on-close rather than emit-on-update); the
+    same skeleton carries any custom state machine (fraud windows,
+    per-user rate trackers, ...).
+    """
+
+    def emit(key, sessions):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "city": [key[0]] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="ms") for s, _e, _n in sessions],
+                "session_end": [pd.Timestamp(e, unit="ms") for _s, e, _n in sessions],
+                "n_events": [n for _s, _e, n in sessions],
+            }
+        )
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield emit(key, [(start_ms, end_ms, n)])
+            return
+
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(v) for v in pdf["ts"].astype("int64") // 1_000_000)
+        ts_list.sort()
+
+        if state.exists:
+            start_ms, end_ms, n = state.get
+        else:
+            start_ms, end_ms, n = None, None, 0
+
+        closed = []
+        for t in ts_list:
+            if n and t > end_ms + gap_ms:
+                # gap exceeded by DATA: close the old session immediately
+                closed.append((start_ms, end_ms, n))
+                start_ms, end_ms, n = t, t, 1
+            else:
+                start_ms = t if start_ms is None else min(start_ms, t)
+                end_ms = t if end_ms is None else max(end_ms, t)
+                n += 1
+        if n:
+            state.update((start_ms, end_ms, n))
+            # close by WATERMARK when no later data arrives
+            state.setTimeoutTimestamp(end_ms + gap_ms)
+        yield emit(key, closed)
+
+    return update
+
+
+def sessionize_stateful(decoded: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessions that emit ONLY when closed by the watermark."""
+    return (
+        decoded.select("city", "ts")
+        .groupBy("city")
+        .applyInPandasWithState(
+            make_session_fn(gap_minutes * 60 * 1000),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_sessionize(
+    spark: Any,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+):
+    from .cdc import DDB_EVENT_SCHEMA, cdc_transform
+
+    raw = spark.readStream.schema(DDB_EVENT_SCHEMA).json(landing_dir)
+    sessions = sessionize_stateful(cdc_transform(raw), gap_minutes=gap_minutes)
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_running_stats(
     spark: Any,
     landing_dir: str,

@@ -8,8 +8,72 @@ import os
 
 from pyspark.sql import functions as F
 
-from rxlan_aws_lakehouse_spark.streaming.stateful import run_running_stats
+from rxlan_aws_lakehouse_spark.streaming.stateful import (
+    run_running_stats,
+    run_sessionize,
+)
 from tests.test_streaming import _envelope, _write_landing
+
+
+def test_event_time_timeout_closes_sessions(spark, tmp_path):
+    """Sessions emit only when the watermark passes session end + gap:
+    batch 1 opens a session; batch 2's later events advance the watermark
+    past the timeout, so batch 2's output contains the CLOSED session."""
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_landing(
+        landing,
+        [
+            _envelope("INSERT", "Austin", "2024-03-01T10:00:00Z", event_id="a"),
+            _envelope("INSERT", "Austin", "2024-03-01T10:10:00Z", event_id="b"),
+        ],
+    )
+    q = run_sessionize(spark, landing, out_dir, ckpt, gap_minutes=30)
+    q.awaitTermination(120)
+    # session still open: nothing emitted yet
+    first = spark.read.schema(
+        "city string, session_start timestamp, session_end timestamp, n_events long"
+    ).parquet(out_dir)
+    assert first.count() == 0
+
+    # close-by-DATA: a later Austin event exceeding the gap splits the
+    # session immediately; close-by-WATERMARK: Chicago's session (opened in
+    # the same batch) has no further data — a later batch advances the
+    # watermark, and timeout processing at the NEXT batch start evicts it
+    _write_landing(
+        landing,
+        [
+            _envelope("INSERT", "Austin", "2024-03-01T13:00:00Z", event_id="c"),
+            _envelope("INSERT", "Chicago", "2024-03-01T13:00:30Z", event_id="c2"),
+        ],
+        name="batch1.json",
+    )
+    q2 = run_sessionize(spark, landing, out_dir, ckpt, gap_minutes=30)
+    q2.awaitTermination(120)
+    closed = {(r["city"], str(r["session_start"]), r["n_events"]) for r in spark.read.parquet(out_dir).collect()}
+    assert closed == {("Austin", "2024-03-01 10:00:00", 2)}  # split by data
+
+    _write_landing(
+        landing,
+        [_envelope("INSERT", "Austin", "2024-03-01T16:00:00Z", event_id="d")],
+        name="batch2.json",
+    )
+    q3 = run_sessionize(spark, landing, out_dir, ckpt, gap_minutes=30)
+    q3.awaitTermination(120)
+    _write_landing(
+        landing,
+        [_envelope("INSERT", "Austin", "2024-03-01T17:00:00Z", event_id="e")],
+        name="batch3.json",
+    )
+    q4 = run_sessionize(spark, landing, out_dir, ckpt, gap_minutes=30)
+    q4.awaitTermination(120)
+    closed = {(r["city"], str(r["session_start"]), r["n_events"]) for r in spark.read.parquet(out_dir).collect()}
+    # Chicago evicted by watermark timeout; Austin's 13:00 session split by
+    # the 16:00 event
+    assert ("Chicago", "2024-03-01 13:00:30", 1) in closed
+    assert ("Austin", "2024-03-01 13:00:00", 1) in closed
 
 
 def test_running_stats_across_batches(spark, tmp_path):
