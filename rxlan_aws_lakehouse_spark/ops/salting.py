@@ -67,7 +67,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``skewed`` has hot keys and ``small`` is modest but
     above the broadcast threshold: salt the skewed side, replicate the small
-    side across every salt value, join on (keys + salt)."""
+    side across every salt value, join on (keys + salt).
+
+    Only join types that never emit unmatched SMALL-side rows are legal:
+    a replicated small side would emit its unmatched rows once per salt
+    bucket under right/full joins.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, not {how!r}: the "
+            "replicated small side would duplicate unmatched rows"
+        )
     on = list(on)
     s = with_salt(skewed, salt_buckets)
     replicated = small.withColumn(

@@ -24,6 +24,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .session import ensure_runtime_confs
+
 SORT_KEY = ("city", "fetched_at_utc")  # init.sql:17
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -125,6 +127,15 @@ def compact_partitions(
     under the same idempotence contract as the hourly reload (T7).
     Returns the file count written.
     """
+    # dynamic partition overwrite is load-bearing here: in static mode the
+    # mode("overwrite") write below would truncate the ENTIRE table, not
+    # just the slice being rewritten.
+    ensure_runtime_confs(spark)
+    if spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() != "dynamic":
+        raise RuntimeError(
+            "compact_partitions requires partitionOverwriteMode=dynamic; "
+            "static mode would truncate the whole table"
+        )
     df = spark.read.option("basePath", path).parquet(path).filter(F.col("dt") == dt)
     if hour is not None:
         df = df.filter(F.col("hour") == hour)

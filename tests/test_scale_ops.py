@@ -51,6 +51,16 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert salted_join(li, o_half, ["l_orderkey"], how="left", salt_buckets=4).count() == plain_left
 
 
+def test_salted_join_rejects_right_outer(spark, sf_dir):
+    import pytest
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(li, o, ["l_orderkey"], how=bad)
+
+
 def test_gold_table_and_analyze(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS gold_test")
     df = spark.createDataFrame(
