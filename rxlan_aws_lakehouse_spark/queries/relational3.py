@@ -236,7 +236,77 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL ordering: Spark's default ASC is NULLS FIRST, DuckDB's
+    is NULLS LAST — portable queries must pin it. NULLs derived via nullif
+    (the fixture has none)."""
+    e = load(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("click"))
+    # NULLS FIRST under DESC puts the nullif-derived NULLs inside the limit,
+    # so the result actually encodes the placement rule.
+    return (
+        e.select("event_id", k.alias("k"))
+        .orderBy(F.col("k").desc_nulls_first(), F.col("event_id").desc())
+        .limit(50)
+    )
+
+
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NOT IN vs NULL: a NULL in the subquery list makes NOT IN return
+    UNKNOWN for every row (0 matches); the NULL-filtered variant behaves
+    intuitively. The classic three-valued-logic trap, pinned cross-engine."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("_ev_nin")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM _ev_nin
+           WHERE event_type NOT IN
+             (SELECT nullif(event_type, 'click') FROM _ev_nin)) AS n_with_null_list,
+          (SELECT count(*) FROM _ev_nin
+           WHERE event_type NOT IN
+             (SELECT nullif(event_type, 'click') FROM _ev_nin
+              WHERE nullif(event_type, 'click') IS NOT NULL)) AS n_filtered_list
+        """
+    )
+
+
+def mod_sign_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modulo sign semantics on negatives: % truncates toward zero in both
+    engines (sign follows the dividend); pmod is the always-positive form,
+    expressed in the oracle as ((x % n) + n) % n."""
+    li = load(spark, sf_dir, "lineitem")
+    x = (F.col("l_quantity") - 25).cast("int")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        x.alias("x"),
+        (x % 7).alias("mod7"),
+        F.pmod(x, F.lit(7)).alias("pmod7"),
+        (x / F.lit(4)).cast("int").alias("div4_trunc"),
+    )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning histogram — the aggregation shape behind data
+    profiling dashboards; one shuffle of (bucket, count) pairs."""
+    e = load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 100).cast("int")
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
 QUERIES = {
+    "null_ordering": null_ordering,
+    "not_in_null_semantics": not_in_null_semantics,
+    "mod_sign_semantics": mod_sign_semantics,
+    "value_histogram": value_histogram,
     "tpch_q2_min_price": tpch_q2_min_price,
     "tpch_q7_volume": tpch_q7_volume,
     "tpch_q12_priority": tpch_q12_priority,
@@ -252,6 +322,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    "null_ordering": """
+        SELECT event_id, nullif(event_type, 'click') AS k
+        FROM events
+        ORDER BY k DESC NULLS FIRST, event_id DESC
+        LIMIT 50
+    """,
+    "not_in_null_semantics": """
+        SELECT
+          (SELECT count(*) FROM events
+           WHERE event_type NOT IN
+             (SELECT nullif(event_type, 'click') FROM events)) AS n_with_null_list,
+          (SELECT count(*) FROM events
+           WHERE event_type NOT IN
+             (SELECT nullif(event_type, 'click') FROM events
+              WHERE nullif(event_type, 'click') IS NOT NULL)) AS n_filtered_list
+    """,
+    "mod_sign_semantics": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity - 25 AS INTEGER) AS x,
+               CAST(CAST(l_quantity - 25 AS INTEGER) % 7 AS INTEGER) AS mod7,
+               CAST(((CAST(l_quantity - 25 AS INTEGER) % 7) + 7) % 7 AS INTEGER) AS pmod7,
+               CAST(trunc(CAST(l_quantity - 25 AS INTEGER) / 4.0) AS INTEGER) AS div4_trunc
+        FROM lineitem
+    """,
+    "value_histogram": """
+        SELECT CAST(floor(value / 100) AS INTEGER) AS bucket,
+               count(*) AS n,
+               round(min(value), 2) AS lo,
+               round(max(value), 2) AS hi
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    """,
     "lateral_top_orders": """
         SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
         FROM customer c,
