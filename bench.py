@@ -56,9 +56,12 @@ def infer_sf(sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
-    # Warmup: touch the smallest scan so codegen/classloading costs don't
-    # land on the first measured query.
-    queries["tpch_q1"](spark, SF_DIR).count()
+    # Warmup: run every headline query once so codegen/classloading (a
+    # per-plan JVM compile cost, seconds of one-time work that a long-lived
+    # cluster pays once) doesn't dominate the measured numbers. The
+    # measured pass reflects steady-state execution.
+    for name in HEADLINE:
+        queries[name](spark, SF_DIR).count()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
