@@ -329,6 +329,84 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus vocabulary
+    (tokens seen >= 5 times) — the gibberish/quality gate that needs no
+    external model. Two aggregates over one explode; the vocab (small)
+    broadcasts into an anti join; all counts exact integers.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(dd.tokens(F.col("text"))).alias("t"))
+    vocab = toks.groupBy("t").agg(F.count("*").alias("c")).filter(F.col("c") >= 5).select("t")
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    oov = (
+        toks.join(F.broadcast(vocab), "t", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_oov"))
+    )
+    return (
+        per_doc.join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.round(F.coalesce(F.col("n_oov"), F.lit(0)) / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection — the canonical pretraining
+    hygiene job: find held-out documents (doc_id % 5 == 0 stands in for the
+    eval split) that near-duplicate any training document.
+
+    Same LSH structure as dedup_minhash_pairs but as a BIPARTITE band join
+    (eval bands x train bands), so the shuffle is bounded by band-bucket
+    sizes, never |eval| x |train|. Output: contaminated eval docs with
+    match counts and the worst Jaccard. The oracle mirrors the band join
+    exactly (LSH recall is part of the operator's contract).
+    """
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", (F.col("doc_id") % 5 == 0).alias("is_eval"),
+        dd.tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id", "is_eval", dd.shingle_hashes_from(F.col("toks")).alias("sh")
+    ).persist()
+    sig = dd.minhash_signature_from(F.col("sh"))
+    keys = dd.band_keys(sig)
+    withb = staged.select(
+        "doc_id", "is_eval", "sh", *[k.alias(f"b{i}") for i, k in enumerate(keys)]
+    )
+    exploded = withb.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(i)), F.col(f"b{i}"))
+                for i in range(len(keys))
+            ])
+        ).alias("key"),
+    )
+    ev = exploded.filter(F.col("is_eval")).select(F.col("doc_id").alias("e"), "key")
+    tr = exploded.filter(~F.col("is_eval")).select(F.col("doc_id").alias("t"), "key")
+    cand = ev.join(tr, "key").select("e", "t").distinct()
+    sh = withb.select("doc_id", "sh")
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("e"), F.col("sh").alias("esh")), "e")
+        .join(sh.select(F.col("doc_id").alias("t"), F.col("sh").alias("tsh")), "t")
+        .select("e", "t", dd.jaccard(F.col("esh"), F.col("tsh")).alias("j"))
+        .filter(F.col("j") >= 0.5)
+    )
+    return (
+        verified.groupBy(F.col("e").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_train_matches"),
+            F.round(F.max("j"), 4).alias("max_jaccard"),
+        )
+    )
+
+
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     e = load(spark, sf_dir, "embeddings")
@@ -554,6 +632,8 @@ QUERIES = {
     "text_langid": text_langid,
     "text_bpe_tokens": text_bpe_tokens,
     "text_repetition": text_repetition,
+    "text_oov_rate": text_oov_rate,
+    "contamination_check": contamination_check,
     "quality_filter_pipeline": quality_filter_pipeline,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ann_lsh": emb_ann_lsh,
@@ -812,6 +892,44 @@ def _build_oracle() -> dict[str, str]:
                         THEN round(1 - CAST(n_uniq_shingles AS DOUBLE) / n_shingles, 4)
                         ELSE 0.0 END AS shingle_rep_ratio
             FROM tok_stats t JOIN sh USING (doc_id)
+        """,
+        "text_oov_rate": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks}) AS t FROM documents
+            ), vocab AS (
+              SELECT t FROM toks GROUP BY t HAVING count(*) >= 5
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+            ), oov AS (
+              SELECT doc_id, count(*) AS n_oov FROM toks
+              WHERE t NOT IN (SELECT t FROM vocab)
+              GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_tokens,
+                   CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+                   round(CAST(coalesce(o.n_oov, 0) AS DOUBLE) / p.n_tokens, 4) AS oov_rate
+            FROM per_doc p LEFT JOIN oov o ON p.doc_id = o.doc_id
+        """,
+        "contamination_check": f"""
+            WITH sigs AS (
+              SELECT doc_id, doc_id % 5 = 0 AS is_eval, {sh} AS sh,
+                     {", ".join(f"{b} AS b{i}" for i, b in enumerate(bands))}
+              FROM documents),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS e, r.doc_id AS t, l.sh AS esh, r.sh AS tsh
+              FROM sigs l JOIN sigs r
+                ON l.is_eval AND NOT r.is_eval
+               AND ({" OR ".join(f"l.b{i} = r.b{i}" for i in range(dd.MINHASH_BANDS))})),
+            verified AS (
+              SELECT e, t,
+                     CASE WHEN len(list_distinct(list_concat(esh, tsh))) > 0
+                       THEN CAST(len(list_distinct(list_intersect(esh, tsh))) AS DOUBLE)
+                            / len(list_distinct(list_concat(esh, tsh)))
+                       ELSE 0.0 END AS j
+              FROM cand)
+            SELECT e AS doc_id, count(*) AS n_train_matches,
+                   round(max(j), 4) AS max_jaccard
+            FROM verified WHERE j >= 0.5 GROUP BY e
         """,
         "quality_filter_pipeline": f"""
             WITH deduped AS (
