@@ -11,12 +11,12 @@ oracle SQL so the driver's order-insensitive value hash matches.
 
 from __future__ import annotations
 
-from . import llm, reference, relational, relational2, relational3
+from . import analytics, llm, reference, relational, relational2, relational3
 
 
 def all_queries():
     out = {}
-    for mod in (reference, relational, relational2, relational3, llm):
+    for mod in (reference, relational, relational2, relational3, analytics, llm):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -26,6 +26,6 @@ def all_queries():
 
 def all_oracles():
     out = {}
-    for mod in (reference, relational, relational2, relational3, llm):
+    for mod in (reference, relational, relational2, relational3, analytics, llm):
         out.update(mod.ORACLE)
     return out

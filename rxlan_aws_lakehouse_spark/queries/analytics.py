@@ -1,0 +1,216 @@
+"""Product-analytics pack: funnels, retention cohorts, cumulative reach,
+share-of-total, and anomaly scoring over the event stream.
+
+The workloads a gold-layer events table exists to serve. Each composes
+already-verified primitives (conditional aggregation, two-phase joins,
+windows) into the full query a dashboard would run — one shuffle per
+logical stage, counts exact, ratios derived from deterministic inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: each stage must happen at
+    or after the previous stage's FIRST occurrence, per user.
+
+    Stage timestamps via conditional min-aggregates per user (one shuffle),
+    then the ordering constraints as plain column logic — no joins, no
+    per-stage passes.
+    """
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+    )
+    # first click at/after first view, first purchase at/after that click:
+    # conditional mins need the earlier stage time, so join the stage-1
+    # result back (broadcast — it's per-user, small relative to events)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(per_user), "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(clicks), "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        per_user.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_view_click"),
+            F.count("t_purchase").alias("n_view_click_purchase"),
+        )
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention: users grouped by first-seen date, counted per
+    day-offset of later activity. The canonical retention triangle."""
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            F.col("cohort").cast("string").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user reach per day: first-seen counts + a running
+    sum — the exact streaming-friendly form of COUNT(DISTINCT) OVER
+    (ORDER BY d), which neither engine supports directly."""
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    per_day = first.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.col("d").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+def orders_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total: each nation's revenue share — a grouped aggregate
+    ratioed against a window total (one extra exchange of |groups| rows)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    total = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(total), 6).alias("share"),
+    )
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event z-score against its type's distribution; report the top-20
+    outliers. Group stats via one aggregate, broadcast back — the scalable
+    alternative to a per-row window over the whole stream."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "retention_cohorts": retention_cohorts,
+    "running_distinct_users": running_distinct_users,
+    "orders_market_share": orders_market_share,
+    "events_anomaly_zscore": events_anomaly_zscore,
+}
+
+ORACLE = {
+    "events_funnel": """
+        WITH per_user AS (
+          SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+          FROM events GROUP BY user_id
+        ), clicks AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN per_user p ON e.user_id = p.user_id
+          WHERE e.event_type = 'click' AND e.ts >= p.t_view
+          GROUP BY e.user_id
+        ), purchases AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN clicks c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT count(*) AS n_users,
+               count(t_view) AS n_view,
+               count(t_click) AS n_view_click,
+               count(t_purchase) AS n_view_click_purchase
+        FROM per_user
+        LEFT JOIN clicks USING (user_id)
+        LEFT JOIN purchases USING (user_id)
+    """,
+    "retention_cohorts": """
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), first AS (
+          SELECT user_id, min(d) AS cohort FROM days GROUP BY user_id
+        )
+        SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+               CAST(date_diff('day', cohort, d) AS INTEGER) AS day_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM days JOIN first USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "running_distinct_users": """
+        WITH first AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+        ), per_day AS (
+          SELECT d, count(*) AS new_users FROM first GROUP BY d
+        )
+        SELECT CAST(d AS VARCHAR) AS day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_users
+        FROM per_day
+    """,
+    "orders_market_share": """
+        WITH per_nation AS (
+          SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT n_name, revenue,
+               round(revenue / sum(revenue) OVER (), 6) AS share
+        FROM per_nation
+    """,
+    "events_anomaly_zscore": """
+        WITH stats AS (
+          SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+          GROUP BY event_type
+        )
+        SELECT event_id, e.event_type AS event_type, round(value, 2) AS value,
+               round((value - mu) / sd, 4) AS z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE e.event_type IS NOT NULL AND value IS NOT NULL
+        ORDER BY abs((value - mu) / sd) DESC, event_id
+        LIMIT 20
+    """,
+}
