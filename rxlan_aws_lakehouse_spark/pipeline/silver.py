@@ -18,20 +18,22 @@ def expand_payload_column(df: DataFrame, sample_rows: int = 200) -> DataFrame:
     """F14/F15/F18: if a string ``payload``/``data`` column exists, expand it.
 
     Mirrors the reference's plan-time dispatch on df.columns
-    (bronze_to_silver_openweather.py:43-57): sample non-null values, infer a
-    JSON schema from the sample, then ``from_json`` + struct explode. The
-    sample is bounded so the inference job is O(sample), not O(table).
+    (bronze_to_silver_openweather.py:43-57): sample up to ``sample_rows``
+    non-null values, infer a MERGED JSON schema across the whole sample
+    (the reference's spark.read.json(sample.rdd) trick — a single exemplar
+    would miss fields absent from the first row), then ``from_json`` +
+    struct explode. The sample is bounded so the inference job is
+    O(sample), not O(table).
     """
     payload_col = next((c for c, t in df.dtypes if c in ("payload", "data") and t == "string"), None)
     if payload_col is None:
         return df
-    sample = [
-        r[0]
-        for r in df.select(payload_col).filter(F.col(payload_col).isNotNull()).limit(sample_rows).collect()
-    ]
+    sample_df = df.select(payload_col).filter(F.col(payload_col).isNotNull()).limit(sample_rows)
+    sample = [r[0] for r in sample_df.collect()]
     if not sample:
         return df.drop(payload_col)
-    schema = F.schema_of_json(F.lit(sample[0]))
+    spark = df.sparkSession
+    schema = spark.read.json(spark.sparkContext.parallelize(sample)).schema
     expanded = df.withColumn("_j", F.from_json(F.col(payload_col), schema))
     others = [c for c in df.columns if c != payload_col]
     return expanded.select(*others, "_j.*")

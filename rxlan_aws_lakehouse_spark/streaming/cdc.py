@@ -97,14 +97,20 @@ def forward_cdc(
     available_now: bool = True,
     trigger_seconds: int = 60,
     watermark_delay: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
 ):
     """Run the CDC forwarding query; returns the StreamingQuery.
 
     ``available_now=True`` drains current input and stops (deterministic
     tests, hourly-batch parity with the reference's Glue cadence);
     ``False`` runs the reference's 60s Firehose-style buffer cadence.
+    ``max_files_per_trigger`` bounds micro-batch size (backpressure): a
+    backlog drains in controlled increments instead of one giant batch.
     """
-    raw = spark.readStream.schema(DDB_EVENT_SCHEMA).json(landing_dir)
+    reader = spark.readStream.schema(DDB_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(landing_dir)
     out = cdc_transform(raw, watermark_delay=watermark_delay)
     # per-key ordering at the sink, Kinesis partition-key style (T2)
     out = out.repartition(F.col("city"))

@@ -173,6 +173,31 @@ def test_corrupt_ndjson_lines_quarantined(spark, tmp_path):
     assert rows[0]["dt"] == "2024-03-01"
 
 
+def test_payload_inference_merges_heterogeneous_rows(spark, tmp_path):
+    """F15: schema inference must merge across the sample — a field present
+    only in LATER rows (wind_speed here) must still expand."""
+    import gzip
+    import os
+
+    bronze = str(tmp_path / "bronze")
+    gold = str(tmp_path / "gold")
+    part = os.path.join(bronze, "dt=2024-03-01", "hour=10")
+    os.makedirs(part)
+    r1 = _rec("Austin", "2024-03-01T10:05:00Z")
+    r1.pop("raw"); r1.pop("wind_speed")  # first row LACKS wind_speed
+    r2 = _rec("Chicago", "2024-03-01T10:06:00Z", wind_speed="8.8")
+    r2.pop("raw")
+    with gzip.open(os.path.join(part, "part-0.json.gz"), "wt") as f:
+        f.write(json.dumps({"payload": json.dumps(r1)}) + "\n")
+        f.write(json.dumps({"payload": json.dumps(r2)}) + "\n")
+
+    m = run_batch(spark, bronze, gold, infer=True)
+    assert m.good_rows == 2
+    rows = {r["city"]: r for r in load_gold(spark, gold).collect()}
+    assert rows["Austin"]["wind_speed"] is None
+    assert rows["Chicago"]["wind_speed"] == 8.8
+
+
 def test_quarantine_written(spark, tmp_path):
     bronze = str(tmp_path / "bronze")
     gold = str(tmp_path / "gold")

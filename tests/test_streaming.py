@@ -105,6 +105,29 @@ def test_forward_cdc_end_to_end(spark, tmp_path):
     assert out2.count() == 3
 
 
+def test_backpressure_max_files_per_trigger(spark, tmp_path):
+    """A 4-file backlog with maxFilesPerTrigger=1 drains in multiple
+    micro-batches (availableNow honors the cap batch by batch)."""
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(4):
+        _write_landing(
+            landing,
+            [_envelope("INSERT", "Austin", f"2024-03-01T1{i}:00:00Z", event_id=f"e{i}")],
+            name=f"f{i}.json",
+        )
+    q = forward_cdc(
+        spark, landing, out_dir, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    progress = q.recentProgress
+    batches_with_rows = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches_with_rows) == 4  # one file per micro-batch
+    out = spark.read.option("basePath", out_dir).json(out_dir)
+    assert out.count() == 4
+
+
 def test_windowed_counts_batch(spark):
     rows = [
         _envelope("INSERT", "Austin", "2024-03-01T10:05:00Z", event_id="a"),
