@@ -53,6 +53,22 @@ def session_windows(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    CURRENT state of the static side (re-read per batch for file-backed
+    dims — the slowly-changing-dimension lookup pattern).
+
+    No state, no watermark needed: the static side is finite, so Spark
+    plans a plain (usually broadcast) join inside every micro-batch.
+    """
+    return stream.join(dim, on, how)
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

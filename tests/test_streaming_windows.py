@@ -70,6 +70,43 @@ def test_session_windows_batch_semantics(spark):
     assert [r["n_events"] for r in out] == [2, 1]
 
 
+def test_stream_static_enrichment(spark, tmp_path):
+    """Each micro-batch joins against the static dimension (broadcast per
+    batch); unmatched stream rows survive the left join."""
+    from rxlan_aws_lakehouse_spark.streaming import stream_static_enrich
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_landing(
+        landing,
+        [
+            _envelope("INSERT", "Austin", "2024-03-01T10:00:00Z", event_id="a"),
+            _envelope("INSERT", "Nowhere", "2024-03-01T10:01:00Z", event_id="b"),
+        ],
+    )
+    dim = spark.createDataFrame(
+        [("Austin", "US-TX", 961855), ("Chicago", "US-IL", 2746388)],
+        "city string, region string, population long",
+    )
+    enriched = stream_static_enrich(
+        _decoded_stream(spark, landing).select("city", "ts", "temp_c"), dim, on="city"
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["city"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows["Austin"]["region"] == "US-TX"
+    assert rows["Nowhere"]["region"] is None  # left join keeps it
+    assert len(rows) == 2
+
+
 def test_stream_stream_join(spark, tmp_path):
     click_dir = str(tmp_path / "clicks")
     buy_dir = str(tmp_path / "buys")
