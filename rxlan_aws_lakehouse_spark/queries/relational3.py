@@ -236,6 +236,51 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep multiplicity
+    (min / difference of duplicate counts), unlike the distinct forms."""
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_returnflag").alias("f"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("f"))
+    inter = li.intersectAll(o).groupBy("f").agg(F.count("*").alias("n")).withColumn(
+        "op", F.lit("intersect_all")
+    )
+    diff = li.exceptAll(o).groupBy("f").agg(F.count("*").alias("n")).withColumn(
+        "op", F.lit("except_all")
+    )
+    return inter.unionByName(diff).select("op", "f", "n")
+
+
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers — distinguishes a real NULL group key
+    from a rollup subtotal row, which coalesce-style labels cannot."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gid")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n
+        FROM _li_gid
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """
+    )
+
+
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_cast on non-numeric strings and
+    try_divide by zero yield NULL instead of failing the job — what keeps a
+    100 TB batch alive through dirty rows."""
+    e = load(spark, sf_dir, "events")
+    zero = F.col("value") - F.col("value")
+    return e.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        F.col("props").try_cast("double").alias("props_as_double"),
+        F.round(F.try_divide(F.col("value"), zero), 4).alias("div_by_zero"),
+        F.round(F.try_divide(F.col("value"), F.lit(2.0)), 4).alias("half"),
+    )
+
+
 def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit NULL ordering: Spark's default ASC is NULLS FIRST, DuckDB's
     is NULLS LAST — portable queries must pin it. NULLs derived via nullif
@@ -303,6 +348,9 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "set_ops_all": set_ops_all,
+    "rollup_grouping_id": rollup_grouping_id,
+    "try_functions": try_functions,
     "null_ordering": null_ordering,
     "not_in_null_semantics": not_in_null_semantics,
     "mod_sign_semantics": mod_sign_semantics,
@@ -322,6 +370,36 @@ QUERIES = {
 }
 
 ORACLE = {
+    "set_ops_all": """
+        WITH i AS (
+          SELECT l_returnflag AS f FROM lineitem
+          INTERSECT ALL
+          SELECT o_orderstatus FROM orders
+        ), d AS (
+          SELECT l_returnflag AS f FROM lineitem
+          EXCEPT ALL
+          SELECT o_orderstatus FROM orders
+        )
+        SELECT 'intersect_all' AS op, f, count(*) AS n FROM i GROUP BY f
+        UNION ALL
+        SELECT 'except_all' AS op, f, count(*) AS n FROM d GROUP BY f
+    """,
+    "rollup_grouping_id": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "try_functions": """
+        SELECT event_id,
+               TRY_CAST(event_type AS INTEGER) AS type_as_int,
+               TRY_CAST(props AS DOUBLE) AS props_as_double,
+               round(value / nullif(value - value, 0), 4) AS div_by_zero,
+               round(value / 2.0, 4) AS half
+        FROM events
+    """,
     "null_ordering": """
         SELECT event_id, nullif(event_type, 'click') AS k
         FROM events
