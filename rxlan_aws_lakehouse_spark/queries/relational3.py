@@ -236,6 +236,67 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of per-customer order counts INCLUDING
+    zero-order customers — the left join makes the zero bucket exist, which
+    an inner-join formulation silently drops."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips NULLs
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: argmax against an aggregated view — suppliers whose
+    revenue equals the global max (subquery on the aggregate, not a sort,
+    so ties all surface)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated-average filter — lineitems below 20% of their
+    part's average quantity, decorrelated as an aggregate join (the
+    optimizer's rewrite, expressed directly)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep multiplicity
     (min / difference of duplicate counts), unlike the distinct forms."""
@@ -348,6 +409,9 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "tpch_q13_custdist": tpch_q13_custdist,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q17_small_qty": tpch_q17_small_qty,
     "set_ops_all": set_ops_all,
     "rollup_grouping_id": rollup_grouping_id,
     "try_functions": try_functions,
@@ -370,6 +434,42 @@ QUERIES = {
 }
 
 ORACLE = {
+    "tpch_q13_custdist": """
+        WITH per_cust AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q15_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q17_small_qty": """
+        WITH avg_qty AS (
+          SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS threshold
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN avg_qty ON l_partkey = pk
+        WHERE p_brand = 'Brand#3' AND l_quantity < threshold
+    """,
     "set_ops_all": """
         WITH i AS (
           SELECT l_returnflag AS f FROM lineitem
