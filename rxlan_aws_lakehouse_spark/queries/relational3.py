@@ -236,6 +236,35 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry path: a multi-CTE pipeline (join -> aggregate ->
+    window rank -> filter) submitted as one spark.sql text over registered
+    views — the reference's Redshift-SQL usage mode
+    (/root/reference/init.sql:19-55) generalized to the full surface."""
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT n.n_name AS nation, r.r_name AS region,
+                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name, r.r_name
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY region
+                                       ORDER BY rev DESC, nation) AS rn
+          FROM revenue
+        )
+        SELECT region, nation, rev, rn FROM ranked WHERE rn <= 3
+        """
+    )
+
+
 def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 shape: distribution of per-customer order counts INCLUDING
     zero-order customers — the left join makes the zero bucket exist, which
@@ -409,6 +438,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sql_cte_pipeline": sql_cte_pipeline,
     "tpch_q13_custdist": tpch_q13_custdist,
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
     "tpch_q17_small_qty": tpch_q17_small_qty,
@@ -434,6 +464,23 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sql_cte_pipeline": """
+        WITH revenue AS (
+          SELECT n.n_name AS nation, r.r_name AS region,
+                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name, r.r_name
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY region
+                                       ORDER BY rev DESC, nation) AS rn
+          FROM revenue
+        )
+        SELECT region, nation, rev, rn FROM ranked WHERE rn <= 3
+    """,
     "tpch_q13_custdist": """
         WITH per_cust AS (
           SELECT c_custkey, count(o_orderkey) AS c_count
