@@ -624,7 +624,7 @@ ORACLE = {
     """,
     "agg_modern": """
         SELECT event_type,
-               count_if(value > 500) AS n_high,
+               CAST(count_if(value > 500) AS BIGINT) AS n_high,
                bool_and(value >= 0) AS all_nonneg,
                bool_or(value > 990) AS any_very_high,
                round(median(value), 4) AS med_value,

@@ -22,7 +22,16 @@ from rxlan_aws_lakehouse_spark.catalog import TABLES  # noqa: E402
 from rxlan_aws_lakehouse_spark.session import get_spark  # noqa: E402
 
 
+STRICT = os.environ.get("ORACLE_LOOSE", "") == ""
+
+
 def norm_cell(v):
+    if STRICT:
+        # Mirror the driver: raw values, type-sensitive (int 0 != float 0.0,
+        # date != str). Only NaN gets collapsed (NaN != NaN otherwise).
+        if isinstance(v, float) and math.isnan(v):
+            return "float:NaN"
+        return f"{type(v).__name__}:{v!r}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
