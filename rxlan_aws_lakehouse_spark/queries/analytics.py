@@ -20,40 +20,50 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase: each stage must happen at
     or after the previous stage's FIRST occurrence, per user.
 
-    Stage timestamps via conditional min-aggregates per user (one shuffle),
-    then the ordering constraints as plain column logic — no joins, no
-    per-stage passes.
+    Scale-safe single-exchange shape: the three stage timestamps are
+    sequential conditional window-mins over the user partition (each stage's
+    predicate reads the previous stage's column), so no per-user aggregate is
+    ever joined — let alone broadcast — back against the event stream. All
+    three Window nodes share one hash partitioning on user_id, and the
+    per-user collapse reuses that same partitioning, so the whole funnel is
+    ONE wide shuffle plus the final scalar aggregate.
     """
     e = load(spark, sf_dir, "events")
-    per_user = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-    )
-    # first click at/after first view, first purchase at/after that click:
-    # conditional mins need the earlier stage time, so join the stage-1
-    # result back (broadcast — it's per-user, small relative to events)
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(per_user), "user_id")
-        .filter(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(clicks), "user_id")
-        .filter(F.col("ts") >= F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        per_user.join(clicks, "user_id", "left")
-        .join(purchases, "user_id", "left")
-        .agg(
-            F.count("*").alias("n_users"),
-            F.count("t_view").alias("n_view"),
-            F.count("t_click").alias("n_view_click"),
-            F.count("t_purchase").alias("n_view_click_purchase"),
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
         )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
     )
 
 
@@ -97,7 +107,7 @@ def orders_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders")
     per_nation = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))

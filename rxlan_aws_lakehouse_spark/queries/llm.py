@@ -332,15 +332,16 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary rate per document against the corpus vocabulary
     (tokens seen >= 5 times) — the gibberish/quality gate that needs no
-    external model. Two aggregates over one explode; the vocab (small)
-    broadcasts into an anti join; all counts exact integers.
+    external model. Two aggregates over one explode. The vocabulary grows
+    with the corpus, so the anti join carries no broadcast hint — AQE
+    broadcasts it only while it actually fits; all counts exact integers.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(dd.tokens(F.col("text"))).alias("t"))
     vocab = toks.groupBy("t").agg(F.count("*").alias("c")).filter(F.col("c") >= 5).select("t")
     per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     oov = (
-        toks.join(F.broadcast(vocab), "t", "left_anti")
+        toks.join(vocab, "t", "left_anti")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_oov"))
     )

@@ -58,9 +58,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shipping priority: customer ⨝ orders ⨝ lineitem, top-10 revenue.
 
-    customer is broadcast (dim-sized); orders⨝lineitem is a shuffle join on
-    the orderkey both sides already aggregate by. Ordering includes l_orderkey
-    so the LIMIT is deterministic under revenue ties.
+    customer grows with scale, so it carries NO broadcast hint — AQE picks
+    broadcast when the filtered side fits and falls back to shuffle join at
+    100-TB sf. orders⨝lineitem is a shuffle join on the orderkey both sides
+    already aggregate by. Ordering includes l_orderkey so the LIMIT is
+    deterministic under revenue ties.
     """
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
@@ -71,7 +73,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
@@ -82,8 +84,10 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style regional revenue: 6-table star join.
 
-    region/nation/supplier/customer all broadcast; only orders⨝lineitem
-    shuffles. Catalyst reorders the dim filters below the joins.
+    region/nation are genuinely bounded (25/5 rows at every sf) and carry
+    explicit broadcast hints; supplier/customer scale with sf, so their join
+    strategy is left to AQE/CBO (broadcast at test sf, shuffle at 100 TB).
+    Catalyst reorders the dim filters below the joins.
     """
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
@@ -96,8 +100,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )

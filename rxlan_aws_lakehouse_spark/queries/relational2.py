@@ -61,7 +61,8 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: returned-item revenue per customer, top 20.
 
-    customer/nation broadcast; orders x lineitem is the only real shuffle.
+    nation (bounded) broadcasts; customer scales with sf so AQE picks its
+    join strategy. orders x lineitem is the only guaranteed shuffle.
     TakeOrderedAndProject caps driver memory at 20 rows.
     """
     c = load(spark, sf_dir, "customer")
@@ -71,7 +72,7 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(rev, 2).alias("revenue"))
@@ -88,7 +89,7 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -116,7 +117,7 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(10)

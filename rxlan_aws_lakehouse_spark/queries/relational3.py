@@ -37,8 +37,9 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape: the same dimension joined twice under different roles
     (customer nation x supplier nation revenue matrix).
 
-    nation broadcasts twice with distinct aliases — Catalyst treats each as
-    an independent build side; the fact stream is scanned once.
+    nation (bounded) broadcasts twice with distinct aliases — Catalyst treats
+    each as an independent build side; customer/supplier scale with sf and
+    are left to AQE. The fact stream is scanned once.
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -53,8 +54,8 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), c.c_nationkey == n1.c_nk)
         .join(F.broadcast(n2), s.s_nationkey == n2.s_nk)
         .filter(F.col("cust_nation").isin("NATION_1", "NATION_2") & F.col("supp_nation").isin("NATION_1", "NATION_2"))
@@ -89,7 +90,7 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(~F.col("p_brand").isin("Brand#1", "Brand#2"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
@@ -109,7 +110,7 @@ def tpch_q19_or_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") < 5))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.round(rev, 2).alias("revenue"), F.count("*").alias("n_lines"))
     )
@@ -300,7 +301,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("m"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -316,7 +317,7 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.avg("l_quantity")).alias("threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(
