@@ -31,3 +31,20 @@ def write_gold(df: DataFrame, path: str, overwrite_partitions: bool = True) -> N
 
 def load_gold(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("basePath", path).parquet(path)
+
+
+def write_gold_txn(spark: SparkSession, df: DataFrame, path: str) -> str:
+    """Gold write with the reference's transactional property: the staged
+    Redshift COPY commits atomically (glue/bronze_to_silver_openweather.py:
+    134-148); here the snapshot + pointer swap in ``txn.TxnTable`` does —
+    a reader concurrent with the reload never sees a torn table. Returns
+    the committed version id; read back via ``TxnTable(path).read(spark)``.
+    """
+    from ..txn import TxnTable
+
+    return TxnTable(path).commit(
+        df,
+        partition_by=[c for c in ("dt", "hour") if c in df.columns],
+        sort_within=[c for c in ("city", "fetched_at_utc") if c in df.columns],
+        operation="gold_load",
+    )

@@ -47,6 +47,21 @@ def create_gold_table(
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
 
 
+def _table_layout(spark: SparkSession, table: str) -> tuple[list[str], tuple[int, list[str], list[str]] | None]:
+    """(partition columns, bucket spec) of a metastore table, so rewrites
+    can reproduce the physical layout instead of silently flattening it."""
+    part_cols = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    info = {r.col_name: (r.data_type or "").strip() for r in rows}
+    bucket = None
+    if info.get("Num Buckets"):
+        n = int(info["Num Buckets"])
+        bcols = [c.strip(" `") for c in info.get("Bucket Columns", "").strip("[]").split(",") if c.strip(" `")]
+        scols = [c.strip(" `") for c in info.get("Sort Columns", "").strip("[]").split(",") if c.strip(" `")]
+        bucket = (n, bcols, scols)
+    return part_cols, bucket
+
+
 def merge_upsert(
     spark: SparkSession,
     target_table: str,
@@ -57,22 +72,43 @@ def merge_upsert(
     PutItem composite-key semantics (reference README.md:62-65) expressed as
     a lakehouse MERGE.
 
-    Without a transactional table format the merge is anti-join + union +
-    table overwrite (Delta/Iceberg's MERGE INTO would replace the rewrite
-    with a file-level commit; the logical plan is identical). The anti join
-    broadcasts the update keys, so the rewrite cost is one pass over the
-    target — not a shuffle of it.
+    The stage table is written with the TARGET's partition/bucket layout
+    (read from the catalog), so a dt/hour-partitioned or bucketed gold table
+    keeps its layout through every upsert. The anti-join carries no
+    broadcast hint — an upsert batch is unbounded in general; AQE broadcasts
+    the key side while it actually fits.
+
+    The DROP + RENAME swap is metastore-atomic per statement but not across
+    the pair; path-level snapshot atomicity (and crash recovery) lives in
+    ``txn.TxnTable`` — use that for tables with concurrent readers. Here the
+    window is kept recoverable: the stage table holds the complete merged
+    result before the target is touched, so a crash between the two
+    statements loses no data (recover by renaming ``__stage`` back).
     """
     target = spark.table(target_table)
+    part_cols, bucket = _table_layout(spark, target_table)
     update_keys = updates.select(*keys).distinct()
-    kept = target.join(F.broadcast(update_keys), keys, "left_anti")
+    kept = target.join(update_keys, keys, "left_anti")
     merged = kept.unionByName(updates.select(*target.columns))
     # Two-phase write: materialize first (the plan reads the table being
     # replaced), then overwrite.
     staged = merged.localCheckpoint(eager=True)
-    staged.write.mode("overwrite").format("parquet").saveAsTable(f"{target_table}__stage")
+    spark.sql(f"DROP TABLE IF EXISTS {target_table}__stage")
+    writer = staged.write.mode("overwrite").format("parquet")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    if bucket:
+        n, bcols, scols = bucket
+        writer = writer.bucketBy(n, *bcols)
+        if scols:
+            writer = writer.sortBy(*scols)
+    writer.saveAsTable(f"{target_table}__stage")
     spark.sql(f"DROP TABLE {target_table}")
     spark.sql(f"ALTER TABLE {target_table}__stage RENAME TO {target_table}")
+    if part_cols:
+        # RENAME moves the directory but hive partition entries keep the old
+        # per-partition locations; re-discover them at the new root.
+        spark.sql(f"MSCK REPAIR TABLE {target_table}")
 
 
 def create_bucketed_table(
