@@ -51,19 +51,19 @@ def kmeans(
     )
     centroids = [list(r[vec_col]) for r in seeds]
 
-    assigned = None
-    for _ in range(max_iter):
-        cent_lits = [
-            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-        ]
-        dists = [ _sq_dist(F.col(vec_col), cl) for cl in cent_lits ]
+    def assign(cents):
+        cent_lits = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        dists = [_sq_dist(F.col(vec_col), cl) for cl in cent_lits]
         best = F.lit(0)
         best_d = dists[0]
         for i in range(1, k):
             cond = dists[i] < best_d
             best = F.when(cond, F.lit(i)).otherwise(best)
             best_d = F.when(cond, dists[i]).otherwise(best_d)
-        assigned = vectors.withColumn("cluster", best)
+        return vectors.withColumn("cluster", best)
+
+    for _ in range(max_iter):
+        assigned = assign(centroids)
         new_cent = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -75,12 +75,15 @@ def kmeans(
         got = {r["cluster"]: list(r["cvec"]) for r in new_cent.collect()}
         centroids = [got.get(i, centroids[i]) for i in range(k)]
 
-    return assigned.select(id_col, "cluster"), centroids
+    # one final E-step so the returned assignments are consistent with the
+    # returned (post-update) centroids — without it a point can be labeled
+    # with a cluster whose final centroid is no longer its nearest
+    return assign(centroids).select(id_col, "cluster"), centroids
 
 
 def connected_components(
     edges: DataFrame,
-    max_iter: int = 10,
+    max_iter: int = 50,
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
@@ -89,9 +92,12 @@ def connected_components(
     Returns (node, component) where component = min node id reachable.
     Each iteration: propagate each node's current label to its neighbors,
     keep the min — one shuffle on node id. Converges in O(diameter)
-    iterations; stops early when no label changes. This is the cluster
-    step after near-dup pair generation (MinHash/SimHash pairs -> dup
-    groups).
+    iterations; stops early when no label changes (so a generous max_iter
+    costs nothing on converged graphs). Raises if the budget is exhausted
+    before convergence — plain min-label needs up to graph-diameter rounds,
+    and silently returning half-propagated labels would merge/split dup
+    clusters incorrectly. This is the cluster step after near-dup pair
+    generation (MinHash/SimHash pairs -> dup groups).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -101,6 +107,7 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym.a == labels.node)
@@ -119,5 +126,11 @@ def connected_components(
         )
         labels = prop
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds the budget); raise max_iter"
+        )
     return labels

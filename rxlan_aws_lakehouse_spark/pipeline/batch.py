@@ -56,6 +56,10 @@ def run_batch(
         ).write.mode("append").json(f"{quarantine_path}/corrupt")
     df = expand_payload_column(df)
     silver = validate(normalize(df))
+    if quarantine_path is not None:
+        # two sinks (gold + invalid) read silver; persist so the bronze->
+        # silver plan runs once, not once per sink
+        silver = silver.persist()
 
     obs = Observation("batch_metrics")
     observed = silver.observe(
@@ -78,6 +82,7 @@ def run_batch(
         bad.write.mode("append").partitionBy("dt", "hour").json(
             f"{quarantine_path}/invalid"
         )
+        silver.unpersist()
 
     return BatchMetrics(
         input_rows=input_rows,

@@ -56,3 +56,30 @@ def test_connected_components_long_chain_converges(spark):
     out = {r["node"]: r["comp"] for r in connected_components(edges, max_iter=20).collect()}
     assert set(out.values()) == {0}
     assert len(out) == n + 1
+
+
+def test_connected_components_raises_when_budget_too_small(spark):
+    """Exhausting max_iter before convergence must raise, not silently
+    return half-propagated labels (wrong dup-cluster assignments)."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_kmeans_assignments_match_returned_centroids(spark):
+    """Every returned assignment must be to the NEAREST returned centroid —
+    the final E-step keeps the (assignments, centroids) pair consistent."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)],
+        "vec_id long, vec array<double>",
+    )
+    assigned, centroids = kmeans(df, k=3, max_iter=2)  # stop before convergence
+    vecs = {r["vec_id"]: list(r["vec"]) for r in df.collect()}
+    labels = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    for vid, lbl in labels.items():
+        d = [sum((a - b) ** 2 for a, b in zip(vecs[vid], c)) for c in centroids]
+        assert d[lbl] == min(d), (vid, lbl, d)
