@@ -424,6 +424,30 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("vec_id") < 50).select("vec_id", "neighbor_id", "sim")
 
 
+def emb_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN (8 tables x 6 bits = 512 inverted lists):
+    top-3 any-table-collision neighbors for vec_id < 50. The scale
+    replacement for the 16-bucket legacy index — bucket cardinality grows
+    with 2^bits so per-bucket candidate lists stay bounded at corpus scale,
+    and the extra tables win back the recall finer buckets lose (recall vs
+    brute force asserted in tests/test_ops_similarity.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = sim.prepare_multitable(e)
+    out = sim.ann_topk_multitable(corpus, k=3)
+    return out.filter(F.col("vec_id") < 50).select("vec_id", "neighbor_id", "sim")
+
+
+def emb_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with n_probe=2: each query scans its TWO nearest inverted
+    lists — the recall knob turned one notch past emb_ivf_topk's n_probe=1
+    at 2x (still tiny) scan cost."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", sim.as_double_array(F.col("embedding")).alias("vec"))
+    v = v.withColumn("norm", sim.l2_norm(F.col("vec")))
+    queries = v.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(v, queries, k=5, n_probe=2)
+
+
 def emb_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket histogram — the 'inverted list' size profile of the index."""
     e = load(spark, sf_dir, "embeddings")
@@ -638,6 +662,8 @@ QUERIES = {
     "quality_filter_pipeline": quality_filter_pipeline,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ann_lsh": emb_ann_lsh,
+    "emb_ann_multitable": emb_ann_multitable,
+    "emb_ivf_probe2": emb_ivf_probe2,
     "emb_bucket_profile": emb_bucket_profile,
     "emb_neardup": emb_neardup,
     "emb_cosine_topk_pandas": emb_cosine_topk_pandas,
@@ -832,6 +858,62 @@ def _build_oracle() -> dict[str, str]:
               FROM pairs)
             SELECT vec_id, neighbor_id, round(sim, 4) AS sim
             FROM ranked WHERE rn <= 3 AND vec_id < 50
+        """,
+        "emb_ann_multitable": f"""
+            WITH p AS (
+              SELECT vec_id, embedding,
+                     {", ".join(
+                         f"{sim.sql_sign_bucket('embedding', bits=sim.LSH_MULTITABLE_BITS, offset=t * sim.LSH_MULTITABLE_BITS)} AS bucket_{t}"
+                         for t in range(sim.LSH_MULTITABLE_TABLES)
+                     )}
+              FROM embeddings),
+            pairs AS (
+              SELECT DISTINCT vec_id, neighbor_id, sim FROM (
+                {" UNION ALL ".join(
+                    f"SELECT a.vec_id, b.vec_id AS neighbor_id, "
+                    f"{cos.format(a='a.embedding', b='b.embedding')} AS sim "
+                    f"FROM p a JOIN p b ON a.bucket_{t} = b.bucket_{t} AND a.vec_id <> b.vec_id"
+                    for t in range(sim.LSH_MULTITABLE_TABLES)
+                )})),
+            ranked AS (
+              SELECT vec_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY round(sim, 6) DESC, neighbor_id) AS rn
+              FROM pairs)
+            SELECT vec_id, neighbor_id, round(sim, 4) AS sim
+            FROM ranked WHERE rn <= 3 AND vec_id < 50
+        """,
+        "emb_ivf_probe2": f"""
+            WITH un AS (
+              SELECT label,
+                     unnest(generate_series(1, len(embedding))) AS pos,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x
+              FROM embeddings
+            ), cent AS (
+              SELECT label, list(m ORDER BY pos) AS cvec
+              FROM (SELECT label, pos, avg(x) AS m FROM un GROUP BY label, pos)
+              GROUP BY label
+            ), q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+              FROM embeddings WHERE vec_id < 10
+            ), assign AS (
+              SELECT query_id, qvec, label AS probe_label,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(list_cosine_similarity(qvec, cvec), 6) DESC, label) AS crn
+              FROM q CROSS JOIN cent
+            ), cand AS (
+              SELECT a.query_id, a.probe_label, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(a.qvec, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM assign a
+              JOIN embeddings e ON e.label = a.probe_label AND e.vec_id <> a.query_id
+              WHERE a.crn <= 2
+            ), ranked AS (
+              SELECT query_id, probe_label, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rn
+              FROM cand)
+            SELECT query_id, probe_label, neighbor_id, round(sim, 4) AS sim
+            FROM ranked WHERE rn <= 5
         """,
         "emb_bucket_profile": f"""
             SELECT {bucket} AS bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id

@@ -96,3 +96,64 @@ def test_sign_bucket_groups_similar_vectors(spark):
     b = {r["vec_id"]: r["bucket"] for r in sim.prepare(vecs).collect()}
     assert b[1] == b[2] == "1111"
     assert b[3] == "0111"
+
+
+def test_multitable_recall_beats_legacy_at_scale_buckets(spark):
+    """The scale index (2x8-bit tables, 256 buckets each) must not lose
+    recall vs the legacy 16-bucket single table, measured against exact
+    brute-force top-3 at sf0.1."""
+    sf = "/root/testdata/sf0.1"
+    from rxlan_aws_lakehouse_spark.catalog import load
+
+    e = load(spark, sf, "embeddings")
+    prepared = sim.prepare(e)
+    queries = prepared.filter(F.col("vec_id") < 50)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(prepared, queries, k=3).collect()
+    }
+
+    def recall(df):
+        got = {(r["vec_id"], r["neighbor_id"]) for r in df.filter(F.col("vec_id") < 50).collect()}
+        return len(got & truth) / len(truth)
+
+    legacy = recall(sim.ann_topk_bucketed(prepared, k=3))
+    multi = recall(sim.ann_topk_multitable(sim.prepare_multitable(e), k=3))
+    assert multi >= legacy, (multi, legacy)
+    assert multi > 0.3, multi  # floor on synthetic near-random vectors
+
+    # inverted-list cardinality actually scales: 2^6 keys per table x 8
+    # tables, realized well past the legacy index's 16 total
+    mt = sim.prepare_multitable(e)
+    total = 0
+    for t in range(sim.LSH_MULTITABLE_TABLES):
+        n = mt.select(f"bucket_{t}").distinct().count()
+        assert n > 32, (t, n)
+        total += n
+    assert total >= 256, total
+
+
+def test_ivf_probe2_superset_recall(spark):
+    """n_probe=2 candidates strictly contain the n_probe=1 list scan, so
+    top-5 recall vs brute force can only improve."""
+    sf = "/root/testdata/sf0.1"
+    from rxlan_aws_lakehouse_spark.catalog import load
+
+    e = load(spark, sf, "embeddings")
+    v = e.select("vec_id", "label", sim.as_double_array(F.col("embedding")).alias("vec"))
+    v = v.withColumn("norm", sim.l2_norm(F.col("vec")))
+    queries = v.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(v, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.ivf_topk(v, queries, k=5, n_probe=n_probe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, (r1, r2)
