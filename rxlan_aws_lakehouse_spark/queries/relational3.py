@@ -438,7 +438,65 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates under the correctness gate.
+
+    HLL++ (approx_count_distinct) and KLL-style quantile sketches
+    (approx_percentile) are the only way distinct counts / percentiles fit
+    in bounded memory at 100 TB — exact NDV shuffles every distinct key;
+    the sketch shuffles a few KB per partition. Their values are
+    approximate, so the cross-engine contract is: both engines compute the
+    EXACT statistic (hash-compared by the driver), and the Spark side
+    additionally gates its sketch against that exact value — ``within_tol``
+    flips false (hash mismatch vs the oracle's literal true) if the
+    approximation ever drifts past 5% / 2 units (HLL at rsd=0.01, so the
+    gate sits 5 sigma out). Spark's sketches are deterministic for fixed
+    input, so the gate is stable.
+    """
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+
+    def gate(approx, exact, rel=0.05):
+        return (F.abs(approx - exact) <= rel * F.abs(exact)).alias("within_tol")
+
+    ndv_users = e.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("a"),
+        F.count_distinct("user_id").alias("x"),
+    ).select(
+        F.lit("ndv_event_users").alias("metric"),
+        F.col("x").cast("double").alias("exact_value"),
+        gate(F.col("a").cast("double"), F.col("x").cast("double")),
+    )
+    ndv_cust = o.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("a"),
+        F.count_distinct("o_custkey").alias("x"),
+    ).select(
+        F.lit("ndv_order_custkeys").alias("metric"),
+        F.col("x").cast("double").alias("exact_value"),
+        gate(F.col("a").cast("double"), F.col("x").cast("double")),
+    )
+    ev = e.filter(F.col("value").isNotNull())
+    p50 = ev.agg(
+        F.percentile_approx("value", 0.5, 10000).alias("a"),
+        F.expr("percentile(value, 0.5)").alias("x"),
+    ).select(
+        F.lit("p50_event_value").alias("metric"),
+        F.round(F.col("x"), 2).alias("exact_value"),
+        (F.abs(F.col("a") - F.col("x")) <= 2.0).alias("within_tol"),
+    )
+    p95 = ev.agg(
+        F.percentile_approx("value", 0.95, 10000).alias("a"),
+        F.expr("percentile(value, 0.95)").alias("x"),
+    ).select(
+        F.lit("p95_event_value").alias("metric"),
+        F.round(F.col("x"), 2).alias("exact_value"),
+        (F.abs(F.col("a") - F.col("x")) <= 2.0).alias("within_tol"),
+    )
+    return ndv_users.unionByName(ndv_cust).unionByName(p50).unionByName(p95)
+
+
 QUERIES = {
+    "approx_aggregates": approx_aggregates,
     "sql_cte_pipeline": sql_cte_pipeline,
     "tpch_q13_custdist": tpch_q13_custdist,
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
@@ -465,6 +523,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    # exact_value cross-checked for real; within_tol is the Spark-side
+    # sketch-vs-exact gate (literal true here -> hash fails if Spark's
+    # approximation drifts out of tolerance)
+    "approx_aggregates": """
+        SELECT 'ndv_event_users' AS metric,
+               CAST(count(DISTINCT user_id) AS DOUBLE) AS exact_value,
+               true AS within_tol
+        FROM events
+        UNION ALL
+        SELECT 'ndv_order_custkeys',
+               CAST(count(DISTINCT o_custkey) AS DOUBLE), true
+        FROM orders
+        UNION ALL
+        SELECT 'p50_event_value',
+               round(quantile_cont(value, 0.5), 2), true
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT 'p95_event_value',
+               round(quantile_cont(value, 0.95), 2), true
+        FROM events WHERE value IS NOT NULL
+    """,
     "sql_cte_pipeline": """
         WITH revenue AS (
           SELECT n.n_name AS nation, r.r_name AS region,
