@@ -15,26 +15,39 @@ from . import analytics, llm, reference, relational, relational2, relational3
 
 _MODULES = (reference, relational, relational2, relational3, analytics, llm)
 
-# Names that already have a green row in CORRECTNESS_r01.json. The driver
-# records at most the first N registry entries per round, so queries it has
-# never checked are ordered FIRST to maximize cumulative driver coverage.
-_DRIVER_GREEN_R1 = {
-    "ref_count_star", "ref_group_count_max", "ref_dup_detect",
-    "ref_null_profile", "ref_fully_null_probe", "ref_validate_annotate",
-    "ref_partition_prune", "ref_top_n_recent", "ref_case_when",
-    "ref_json_expand", "ref_string_ops", "ref_time_ops", "ref_latest_per_key",
-    "tpch_q1", "tpch_q3", "tpch_q5", "join_semi", "join_anti", "join_outer",
-    "agg_rollup", "agg_cube", "distinct_agg", "window_running", "window_lag",
-    "window_topk", "set_ops", "asof_purchase_click", "range_join_clicks",
-    "pivot_events", "tpch_q4_exists", "tpch_q6_forecast", "tpch_q10_returns",
-    "tpch_q14_promo", "tpch_q18_big_orders", "subquery_scalar",
-    "subquery_correlated", "grouping_sets_flags", "unpivot_part_metrics",
-    "stats_agg", "percentiles_exact", "window_range_1h", "window_distribution",
-    "window_sliding_1h", "agg_multi_distinct", "agg_filter_clause",
-    "window_value_functions", "sessionize_events", "explode_top_tokens",
-    "join_null_safe",
-    # agg_modern was checked r1 but hash-failed (HUGEINT cast, now fixed) —
-    # keep it in the front block so the fix gets a fresh driver row.
+# Names with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json (99
+# names). The driver records at most the first N registry entries per round,
+# so queries it has never checked are ordered FIRST to maximize cumulative
+# driver coverage. After round 2 the unchecked block is exactly the 11
+# emb_*/multimodal_*/dedup_clusters/streaming queries.
+_DRIVER_GREEN = {
+    "agg_cube", "agg_filter_clause", "agg_modern", "agg_multi_distinct", "agg_rollup",
+    "approx_aggregates", "arrays_per_user", "asof_purchase_click", "contamination_check",
+    "datetime_functions", "dedup_exact_keep", "dedup_exact_stats", "dedup_fingerprint",
+    "dedup_minhash_pairs", "dedup_minhash_sig", "dedup_ngram_jaccard", "dedup_simhash",
+    "distinct_agg", "emb_ann_lsh", "emb_ann_multitable", "emb_cosine_topk",
+    "events_anomaly_zscore", "events_funnel", "explode_top_tokens",
+    "grouping_sets_flags", "join_anti", "join_null_safe", "join_outer", "join_semi",
+    "lateral_top_orders", "math_functions", "mod_sign_semantics",
+    "not_in_null_semantics", "null_ordering", "orders_market_share",
+    "percentiles_exact", "pivot_events", "quality_filter_pipeline",
+    "range_join_clicks", "ref_case_when", "ref_count_star", "ref_dup_detect",
+    "ref_fully_null_probe", "ref_group_count_max", "ref_json_expand",
+    "ref_latest_per_key", "ref_null_profile", "ref_partition_prune",
+    "ref_string_ops", "ref_time_ops", "ref_top_n_recent", "ref_validate_annotate",
+    "regex_functions", "retention_cohorts", "rollup_grouping_id",
+    "running_distinct_users", "sessionize_events", "set_ops", "set_ops_all",
+    "sql_cte_pipeline", "stats_agg", "string_agg_nations", "string_functions",
+    "subquery_correlated", "subquery_scalar", "text_bpe_tokens", "text_langid",
+    "text_oov_rate", "text_quality", "text_repetition", "text_tokens",
+    "time_bucket_weekly", "tpch_q1", "tpch_q10_returns", "tpch_q12_priority",
+    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty", "tpch_q18_big_orders",
+    "tpch_q19_or_preds", "tpch_q22_no_orders", "tpch_q2_min_price", "tpch_q3",
+    "tpch_q4_exists", "tpch_q5", "tpch_q6_forecast", "tpch_q7_volume",
+    "try_functions", "unpivot_part_metrics", "value_histogram",
+    "window_distribution", "window_lag", "window_range_1h", "window_running",
+    "window_sliding_1h", "window_topk", "window_value_functions",
 }
 
 
@@ -50,9 +63,9 @@ def all_queries():
         oracles.update(mod.ORACLE)
     # Within the unchecked block, hash-checkable queries (oracle present)
     # outrank rows-only ones — a hash row is stronger driver evidence.
-    front = [n for n in merged if n not in _DRIVER_GREEN_R1 and n in oracles]
-    front += [n for n in merged if n not in _DRIVER_GREEN_R1 and n not in oracles]
-    back = [n for n in merged if n in _DRIVER_GREEN_R1]
+    front = [n for n in merged if n not in _DRIVER_GREEN and n in oracles]
+    front += [n for n in merged if n not in _DRIVER_GREEN and n not in oracles]
+    back = [n for n in merged if n in _DRIVER_GREEN]
     return {n: merged[n] for n in front + back}
 
 
