@@ -161,6 +161,69 @@ def simhash32(text_col: Column) -> Column:
     return simhash32_from(token_hashes(text_col))
 
 
+# Skew guard for LSH banding: buckets larger than this generate no pairs
+# (a bucket of b ids explodes b*(b-1)/2 pairs in ONE task — a boilerplate
+# band key shared by millions of near-identical docs would OOM that task at
+# corpus scale). Dropped buckets are observable via ``capped_bucket_pairs``.
+LSH_MAX_BUCKET = 64
+
+
+def band_explode(withb, id_cols: list[str], n_bands: int = MINHASH_BANDS):
+    """(id..., key) rows from band columns ``b0..b{n-1}``.
+
+    The LSH shuffle input: fixed-width (band-tagged key, id) rows, never
+    document bodies. ``withb`` must already exclude zero-shingle docs —
+    empty docs share the sentinel-P signature in EVERY band, so one stray
+    boilerplate class collapses all bands into a single mega-bucket.
+    """
+    return withb.select(
+        *id_cols,
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(i)), F.col(f"b{i}"))
+                for i in range(n_bands)
+            ])
+        ).alias("key"),
+    )
+
+
+def capped_bucket_pairs(
+    exploded,
+    id_col: str = "doc_id",
+    max_bucket: int = LSH_MAX_BUCKET,
+    observation=None,
+):
+    """Candidate pairs from exploded (id, key) band rows, skew-capped.
+
+    groupBy(key) -> sorted id list -> drop singleton AND over-cap buckets ->
+    explode in-bucket pairs -> distinct. ``observation`` (a
+    ``pyspark.sql.Observation``) records ``n_buckets_dropped`` /
+    ``max_bucket_size`` on the same job, so the drop count is logged without
+    a second action; capping trades recall for a hard per-task bound, which
+    is the right trade for near-dup candidate generation (a 64-doc bucket
+    already yields 2016 candidate pairs for the verifier).
+    """
+    buckets = (
+        exploded.groupBy("key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.sum(
+                F.when(F.size("ids") > max_bucket, 1).otherwise(0)
+            ).alias("n_buckets_dropped"),
+            F.max(F.size("ids")).alias("max_bucket_size"),
+        )
+    return (
+        buckets.filter(F.size("ids") <= max_bucket)
+        .select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+
+
 def bucket_pairs(ids: Column) -> Column:
     """All ordered pairs (a<b) from a *sorted* array of ids in one bucket.
 

@@ -85,7 +85,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generate pairs inside each bucket -> distinct -> exact-Jaccard verify.
     The bucket shuffle carries (band_key, doc_id) only — fixed-width rows,
     no document bodies, no self-join that would re-execute the signature
-    plan on both sides; bucket size bounds the local pair fan-out.
+    plan on both sides. Zero-shingle docs are excluded from banding (their
+    sentinel-P signature would collide in every band — exact dedup already
+    owns trivially-empty docs) and buckets above ``dd.LSH_MAX_BUCKET``
+    generate no pairs, so per-task pair fan-out is hard-bounded.
     """
     d = load(spark, sf_dir, "documents")
     staged = d.select(
@@ -95,29 +98,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle table; persisting it runs the md5 pass once (~2x faster at
     # sf0.1). At cluster scale this is the materialized signature table an
     # LSH index build would write anyway.
-    staged = staged.persist()
+    staged = staged.filter(F.size("sh") > 0).persist()
     sig = dd.minhash_signature_from(F.col("sh"))
     keys = dd.band_keys(sig)
     withb = staged.select(
         "doc_id", "sh", *[k.alias(f"b{i}") for i, k in enumerate(keys)]
     )
-    exploded = withb.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.concat_ws(":", F.lit(str(i)), F.col(f"b{i}"))
-                for i in range(len(keys))
-            ])
-        ).alias("key"),
-    )
-    cand = (
-        exploded.groupBy("key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(dd.bucket_pairs(F.col("ids"))).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
-    )
+    cand = dd.capped_bucket_pairs(dd.band_explode(withb, ["doc_id"]))
     sh = withb.select("doc_id", "sh")
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a")
@@ -373,22 +360,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.tokens(F.col("text")).alias("toks"),
     ).select(
         "doc_id", "is_eval", dd.shingle_hashes_from(F.col("toks")).alias("sh")
+    ).filter(
+        F.size("sh") > 0  # sentinel-signature guard, see dedup_minhash_pairs
     ).persist()
     sig = dd.minhash_signature_from(F.col("sh"))
     keys = dd.band_keys(sig)
     withb = staged.select(
         "doc_id", "is_eval", "sh", *[k.alias(f"b{i}") for i, k in enumerate(keys)]
     )
-    exploded = withb.select(
-        "doc_id",
-        "is_eval",
-        F.explode(
-            F.array(*[
-                F.concat_ws(":", F.lit(str(i)), F.col(f"b{i}"))
-                for i in range(len(keys))
-            ])
-        ).alias("key"),
-    )
+    exploded = dd.band_explode(withb, ["doc_id", "is_eval"])
     ev = exploded.filter(F.col("is_eval")).select(F.col("doc_id").alias("e"), "key")
     tr = exploded.filter(~F.col("is_eval")).select(F.col("doc_id").alias("t"), "key")
     cand = ev.join(tr, "key").select("e", "t").distinct()
@@ -555,29 +535,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.iterative import connected_components
 
     d = load(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id", dd.tokens(F.col("text")).alias("toks")
-    ).select("doc_id", dd.shingle_hashes_from(F.col("toks")).alias("sh")).persist()
+    staged = (
+        d.select("doc_id", dd.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", dd.shingle_hashes_from(F.col("toks")).alias("sh"))
+        .filter(F.size("sh") > 0)  # sentinel-signature guard, see dedup_minhash_pairs
+        .persist()
+    )
     sig = dd.minhash_signature_from(F.col("sh"))
     keys = dd.band_keys(sig)
     withb = staged.select("doc_id", "sh", *[k.alias(f"b{i}") for i, k in enumerate(keys)])
-    exploded = withb.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.concat_ws(":", F.lit(str(i)), F.col(f"b{i}"))
-                for i in range(len(keys))
-            ])
-        ).alias("key"),
-    )
-    cand = (
-        exploded.groupBy("key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(dd.bucket_pairs(F.col("ids"))).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
-    )
+    cand = dd.capped_bucket_pairs(dd.band_explode(withb, ["doc_id"]))
     sh = withb.select("doc_id", "sh")
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a")
@@ -720,17 +687,25 @@ def _build_oracle() -> dict[str, str]:
               SELECT doc_id, {sh} AS sh,
                      {", ".join(f"{b} AS b{i}" for i, b in enumerate(bands))}
               FROM documents),
+            sigsf AS (SELECT * FROM sigs WHERE len(sh) > 0),
+            e AS (
+              {" UNION ALL ".join(f"SELECT doc_id, '{i}:' || b{i} AS key FROM sigsf" for i in range(dd.MINHASH_BANDS))}),
+            bk AS (
+              SELECT key FROM e GROUP BY key
+              HAVING count(*) > 1 AND count(*) <= {dd.LSH_MAX_BUCKET}),
             cand AS (
-              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sha, r.sh AS shb
-              FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
-               AND ({" OR ".join(f"l.b{i} = r.b{i}" for i in range(dd.MINHASH_BANDS))})),
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM e l JOIN e r ON l.key = r.key AND l.doc_id < r.doc_id
+              JOIN bk ON l.key = bk.key),
             verified AS (
               SELECT a, b,
-                     round(CASE WHEN len(list_distinct(list_concat(sha, shb))) > 0
-                       THEN CAST(len(list_distinct(list_intersect(sha, shb))) AS DOUBLE)
-                            / len(list_distinct(list_concat(sha, shb)))
+                     round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                       THEN CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                            / len(list_distinct(list_concat(sa.sh, sb.sh)))
                        ELSE 0.0 END, 4) AS jaccard
-              FROM cand)
+              FROM cand
+              JOIN sigsf sa ON sa.doc_id = cand.a
+              JOIN sigsf sb ON sb.doc_id = cand.b)
             SELECT count(*) AS n_candidate_pairs,
                    CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_50,
                    round(coalesce(max(jaccard), 0.0), 4) AS max_jaccard
@@ -994,10 +969,11 @@ def _build_oracle() -> dict[str, str]:
             FROM per_doc p LEFT JOIN oov o ON p.doc_id = o.doc_id
         """,
         "contamination_check": f"""
-            WITH sigs AS (
+            WITH sigs0 AS (
               SELECT doc_id, doc_id % 5 = 0 AS is_eval, {sh} AS sh,
                      {", ".join(f"{b} AS b{i}" for i, b in enumerate(bands))}
               FROM documents),
+            sigs AS (SELECT * FROM sigs0 WHERE len(sh) > 0),
             cand AS (
               SELECT DISTINCT l.doc_id AS e, r.doc_id AS t, l.sh AS esh, r.sh AS tsh
               FROM sigs l JOIN sigs r

@@ -76,6 +76,59 @@ def test_jaccard(spark):
     assert vals[2] == 0.0  # empty union -> 0 by convention
 
 
+def test_lsh_empty_docs_generate_no_pairs(spark):
+    """10k zero-shingle docs (the sentinel-signature hot class) must produce
+    ZERO candidate pairs once excluded from banding — previously they all
+    collided into one mega-bucket exploding ~50M pairs in a single task."""
+    rows = [(i, "") for i in range(10_000)] + [
+        (100_001, "the quick brown fox jumps over the lazy dog"),
+        (100_002, "the quick brown fox jumps over the lazy dog"),
+    ]
+    staged = (
+        _docs(spark, rows)
+        .select("doc_id", dd.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", dd.shingle_hashes_from(F.col("toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sig = dd.minhash_signature_from(F.col("sh"))
+    keys = dd.band_keys(sig)
+    withb = staged.select("doc_id", *[k.alias(f"b{i}") for i, k in enumerate(keys)])
+    pairs = dd.capped_bucket_pairs(dd.band_explode(withb, ["doc_id"])).collect()
+    # only the one real duplicate pair survives; the 10k empties contribute nothing
+    assert sorted((r["a"], r["b"]) for r in pairs) == [(100_001, 100_002)]
+
+
+def test_lsh_bucket_cap_bounds_fanout(spark):
+    """A hot bucket above LSH_MAX_BUCKET generates no pairs, and the drop is
+    observable (n_buckets_dropped / max_bucket_size) on the same job."""
+    from pyspark.sql import Observation
+
+    hot = [(i, "common boilerplate header text block") for i in range(200)]
+    cool = [(1001, "rare unique document body one two"),
+            (1002, "rare unique document body one two")]
+    staged = (
+        _docs(spark, hot + cool)
+        .select("doc_id", dd.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", dd.shingle_hashes_from(F.col("toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sig = dd.minhash_signature_from(F.col("sh"))
+    keys = dd.band_keys(sig)
+    withb = staged.select("doc_id", *[k.alias(f"b{i}") for i, k in enumerate(keys)])
+    obs = Observation("lsh_cap")
+    pairs = dd.capped_bucket_pairs(
+        dd.band_explode(withb, ["doc_id"]), observation=obs
+    ).collect()
+    # the 200-doc hot class (one bucket per band, all > cap) is dropped;
+    # the cool pair survives in its own small buckets
+    assert sorted(set((r["a"], r["b"]) for r in pairs)) == [(1001, 1002)]
+    assert obs.get["n_buckets_dropped"] >= 1
+    assert obs.get["max_bucket_size"] == 200
+    # upper bound on per-bucket fan-out honoured: no surviving bucket could
+    # have produced more than C(LSH_MAX_BUCKET, 2) pairs
+    assert len(pairs) <= dd.LSH_MAX_BUCKET * (dd.LSH_MAX_BUCKET - 1) // 2
+
+
 def test_simhash_hamming(spark):
     df = _docs(
         spark,
