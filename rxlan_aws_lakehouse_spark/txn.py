@@ -36,11 +36,19 @@ import json
 import os
 import shutil
 import time
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _VERSIONS = "_versions"
 _LATEST = "_LATEST"
+
+
+def _local_path(file_uri: str) -> str:
+    """file:/... URI (as returned by input_file_name) -> local filesystem path."""
+    p = urlparse(file_uri)
+    return unquote(p.path) if p.scheme in ("file", "") else file_uri
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -80,9 +88,15 @@ class TxnTable:
         os.rename(tmp, os.path.join(self.root, _LATEST))
 
     def _next_version(self) -> str:
+        # Max over the pointer AND existing version dirs: an orphaned slot
+        # from a crashed commit must not permanently collide with the next
+        # writer's rename.
         cur = self.current_version()
-        n = int(cur[1:]) + 1 if cur else 1
-        return f"v{n:08d}"
+        n = int(cur[1:]) if cur else 0
+        for v in os.listdir(os.path.join(self.root, _VERSIONS)):
+            if v.startswith("v") and v[1:].isdigit():
+                n = max(n, int(v[1:]))
+        return f"v{n + 1:08d}"
 
     # -- metadata ---------------------------------------------------------
     def _meta(self, version: str) -> dict:
@@ -93,6 +107,9 @@ class TxnTable:
         vdir = os.path.join(self.root, _VERSIONS)
         out = []
         for v in sorted(os.listdir(vdir)):
+            # skip in-flight .tmp-* staging dirs — only renamed slots count
+            if not (v.startswith("v") and v[1:].isdigit()):
+                continue
             meta_path = os.path.join(vdir, v, "_meta.json")
             if os.path.exists(meta_path):
                 out.append(self._meta(v))
@@ -115,23 +132,53 @@ class TxnTable:
         partition_by: list[str] | None = None,
         sort_within: list[str] | None = None,
         operation: str = "overwrite",
+        carry_files: dict[str, str] | None = None,
     ) -> str:
-        """Write ``df`` as a complete new snapshot and atomically publish it.
+        """Write ``df`` as a new snapshot and atomically publish it.
 
         ``partition_by`` defaults to the previous snapshot's spec, so the
         physical layout survives rewrites without every caller restating it.
+
+        ``carry_files`` maps relative paths -> absolute source paths of
+        parquet files from a previous snapshot to carry over BY REFERENCE
+        (hard link, no data copy) — how ``merge_upsert`` leaves untouched
+        files alone. On an object store the link becomes a manifest entry
+        pointing at the original object (Delta/Iceberg never copy carried
+        files either); locally a hard link gives the same economy with a
+        plain-directory reader.
+
+        Crash/race safety: everything is written into a unique ``.tmp-*``
+        staging dir and renamed into the version slot. A writer that loses
+        the rename race only ever deletes its OWN staging dir — a committed
+        (possibly pointer-referenced) snapshot written by the winner is
+        never touched. The pointer swap then re-checks the expected parent
+        (optimistic concurrency).
         """
         expect = self.current_version()
         if partition_by is None and expect is not None:
             partition_by = self._meta(expect).get("partition_by") or None
-        version = self._next_version()
-        data = os.path.join(self.root, _VERSIONS, version)
+        staging = os.path.join(
+            self.root, _VERSIONS, f".tmp-{os.getpid()}-{time.time_ns()}"
+        )
         out = df.sortWithinPartitions(*sort_within) if sort_within else df
         writer = out.write.mode("error").format("parquet")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        version: str | None = None
+        renamed = False
         try:
-            writer.save(data)
+            writer.save(staging)
+            for rel, src in (carry_files or {}).items():
+                dst = os.path.join(staging, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(src, dst)
+            files = sorted(
+                os.path.relpath(os.path.join(r, n), staging)
+                for r, _d, ns in os.walk(staging)
+                for n in ns
+                if n.endswith(".parquet")
+            )
+            version = self._next_version()
             meta = {
                 "version": version,
                 "parent": expect,
@@ -139,36 +186,93 @@ class TxnTable:
                 "partition_by": partition_by or [],
                 "schema": df.schema.jsonValue(),
                 "committed_at_unix": time.time(),
+                # per-file manifest: what this snapshot is made of, and how
+                # much of it was carried by reference vs freshly written
+                "files": files,
+                "n_files_carried": len(carry_files or {}),
+                "n_files_written": len(files) - len(carry_files or {}),
             }
-            with open(os.path.join(data, "_meta.json"), "w") as f:
+            with open(os.path.join(staging, "_meta.json"), "w") as f:
                 json.dump(meta, f)
                 f.flush()
                 os.fsync(f.fileno())
+            data = os.path.join(self.root, _VERSIONS, version)
+            try:
+                os.rename(staging, data)
+            except OSError as e:
+                raise ConcurrentCommitError(
+                    f"version slot {version} taken by a concurrent writer"
+                ) from e
+            renamed = True
             self._swap_pointer(version, expect)
         except Exception:
-            # A failed commit leaves only an unreferenced version dir; the
-            # pointer still names the intact parent snapshot. Clean up and
-            # re-raise so retries start from a consistent state.
-            shutil.rmtree(data, ignore_errors=True)
+            # Losing paths each clean up ONLY what this commit created:
+            # the staging dir (no-op once renamed), and — if the rename
+            # landed but the pointer swap lost — our still-unreferenced
+            # version slot. Never a slot the pointer names.
+            shutil.rmtree(staging, ignore_errors=True)
+            if renamed and version and self.current_version() != version:
+                shutil.rmtree(
+                    os.path.join(self.root, _VERSIONS, version),
+                    ignore_errors=True,
+                )
             raise
         return version
 
     def merge_upsert(
         self, spark: SparkSession, updates: DataFrame, keys: list[str]
     ) -> str:
-        """SCD1 MERGE: replace rows matching ``keys``, append the rest.
+        """SCD1 MERGE, file-granular: rewrite ONLY the files that contain a
+        matched key; every other file carries into the new snapshot by
+        reference (hard link — no data copy, no re-shuffle).
 
-        Anti-join against the update keys (no broadcast hint — an upsert
-        batch is unbounded in general; AQE broadcasts it while it fits),
-        union, commit as a new snapshot with the inherited partition spec.
-        Readers see the pre-merge snapshot until the pointer swap, then the
-        post-merge one — never a mixture.
+        Delta Lake's MERGE algorithm on a plain-parquet snapshot store:
+
+          1. semi-join target x update-keys over ``input_file_name()`` ->
+             the distinct set of touched files (a metadata-scale collect,
+             like Delta's matched-file listing — file count, not row count);
+          2. re-read just those files, anti-join the update keys -> kept
+             rows;
+          3. write kept + updates (inheriting the partition spec), link
+             every untouched file unchanged.
+
+        At 100 TB an upsert matching 0.1% of keys rewrites ~0.1% of files
+        instead of the whole table. Readers see the pre-merge snapshot
+        until the pointer swap, then the post-merge one — never a mixture.
         """
+        expect = self.current_version()
+        if expect is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        data_root = os.path.join(self.root, _VERSIONS, expect)
         target = self.read(spark)
         update_keys = updates.select(*keys).distinct()
-        kept = target.join(update_keys, keys, "left_anti")
-        merged = kept.unionByName(updates.select(*target.columns))
-        return self.commit(merged, operation="merge_upsert")
+        touched = sorted(
+            _local_path(r["_f"])
+            for r in target.withColumn("_f", F.input_file_name())
+            .join(update_keys, keys, "leftsemi")
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        touched_set = set(touched)
+        carry = {
+            os.path.relpath(os.path.join(r, n), data_root): os.path.join(r, n)
+            for r, _d, ns in os.walk(data_root)
+            for n in ns
+            if n.endswith(".parquet")
+            and os.path.join(r, n) not in touched_set
+        }
+        if touched:
+            kept = (
+                spark.read.option("basePath", data_root)
+                .parquet(*touched)
+                .join(update_keys, keys, "left_anti")
+            )
+            merged = kept.unionByName(updates.select(*target.columns))
+        else:
+            # pure insert: nothing matched, carry every existing file
+            merged = updates.select(*target.columns)
+        return self.commit(merged, operation="merge_upsert", carry_files=carry)
 
     def compact(
         self,

@@ -110,16 +110,112 @@ def test_reader_never_sees_torn_table(spark, tmp_path):
     assert t.read(spark).count() == sizes[-1]
 
 
+def test_orphan_slot_does_not_block_commits(spark, tmp_path):
+    """A crashed commit's leftover version dir must not wedge the table:
+    _next_version skips occupied slots instead of colliding forever."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 10))
+    os.makedirs(os.path.join(t.root, "_versions", "v00000002"))  # orphan
+    v = t.commit(_df(spark, 20))
+    assert v == "v00000003"
+    assert t.current_version() == v
+    assert t.read(spark).count() == 20
+    assert t.read(spark, v1).count() == 10
+
+
 def test_failed_commit_leaves_pointer_and_no_debris(spark, tmp_path):
     t = TxnTable(str(tmp_path / "t"))
     v1 = t.commit(_df(spark, 10))
-    # force the next version's write to fail: mode("error") + existing dir
-    os.makedirs(os.path.join(t.root, "_versions", "v00000002"))
+    # a df whose job fails mid-write: error raised inside an executor task
+    bad = _df(spark, 20).withColumn(
+        "boom", F.assert_true(F.col("k") < 5, F.lit("forced failure"))
+    )
     with pytest.raises(Exception):
-        t.commit(_df(spark, 20))
+        t.commit(bad)
     assert t.current_version() == v1
     assert t.read(spark).count() == 10
+    # no .tmp staging debris, no unreferenced slots
     assert os.listdir(os.path.join(t.root, "_versions")) == [v1]
+
+
+def test_losing_racer_never_deletes_winner_snapshot(spark, tmp_path, monkeypatch):
+    """Two writers race to the same version slot: the loser must fail with
+    ConcurrentCommitError and clean up ONLY its own staging dir — the
+    winner's committed (pointer-referenced) snapshot survives untouched."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 10))
+    winner = t.commit(_df(spark, 20))  # occupies v00000002, pointer -> it
+    loser = TxnTable(t.root)
+    # loser computed its slot before the winner renamed (the race)
+    monkeypatch.setattr(loser, "_next_version", lambda: winner)
+    with pytest.raises(ConcurrentCommitError):
+        loser.merge_upsert(
+            spark,
+            spark.range(3).select(
+                F.col("id").alias("k"), F.lit("upd").alias("tag"),
+                F.lit("0").alias("dt"),
+            ),
+            keys=["k"],
+        )
+    # winner's snapshot intact and still live
+    assert t.current_version() == winner
+    assert t.read(spark).count() == 20
+    assert sorted(os.listdir(os.path.join(t.root, "_versions"))) == [
+        "v00000001", winner,
+    ]
+
+
+def _inodes(data_dir):
+    return {
+        os.path.relpath(os.path.join(r, n), data_dir): os.stat(
+            os.path.join(r, n)
+        ).st_ino
+        for r, _d, ns in os.walk(data_dir)
+        for n in ns
+        if n.endswith(".parquet")
+    }
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """File-granular MERGE: an upsert matching keys in ONE dt partition
+    carries every other partition's files by reference — same inodes, no
+    data copy — and reads stay consistent."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 30), partition_by=["dt"])  # dt in {0,1,2}
+    old = _inodes(os.path.join(t.root, "_versions", v1))
+    # update keys 0 and 3 — both live in dt=0 only
+    updates = spark.createDataFrame(
+        [(0, "upd", "0"), (3, "upd", "0")], "k long, tag string, dt string"
+    )
+    v2 = t.merge_upsert(spark, updates, keys=["k"])
+    new = _inodes(os.path.join(t.root, "_versions", v2))
+    carried = {p for p in new if p in old and new[p] == old[p]}
+    rewritten = set(new) - carried
+    # every dt=1 / dt=2 file carried by reference (hard link, same inode)
+    assert {p for p in old if p.startswith(("dt=1", "dt=2"))} <= carried
+    # nothing outside dt=0 was rewritten
+    assert all(p.startswith("dt=0") for p in rewritten)
+    meta = t.history()[-1]
+    assert meta["n_files_carried"] == len(carried)
+    assert meta["n_files_written"] == len(rewritten)
+    # reads: same totals, updated rows visible, old snapshot untouched
+    got = t.read(spark)
+    assert got.count() == 30
+    assert got.filter(F.col("tag") == "upd").count() == 2
+    assert t.read(spark, v1).filter(F.col("tag") == "upd").count() == 0
+
+
+def test_merge_pure_insert_carries_all_files(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 10), partition_by=["dt"])
+    old = _inodes(os.path.join(t.root, "_versions", v1))
+    inserts = spark.createDataFrame(
+        [(100, "ins", "0"), (101, "ins", "1")], "k long, tag string, dt string"
+    )
+    v2 = t.merge_upsert(spark, inserts, keys=["k"])
+    new = _inodes(os.path.join(t.root, "_versions", v2))
+    assert all(new[p] == ino for p, ino in old.items())  # all carried
+    assert t.read(spark).count() == 12
 
 
 def test_concurrent_commit_detected(spark, tmp_path):
