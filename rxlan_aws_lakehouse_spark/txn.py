@@ -133,6 +133,7 @@ class TxnTable:
         sort_within: list[str] | None = None,
         operation: str = "overwrite",
         carry_files: dict[str, str] | None = None,
+        carry_resolver=None,
     ) -> str:
         """Write ``df`` as a new snapshot and atomically publish it.
 
@@ -145,7 +146,11 @@ class TxnTable:
         files alone. On an object store the link becomes a manifest entry
         pointing at the original object (Delta/Iceberg never copy carried
         files either); locally a hard link gives the same economy with a
-        plain-directory reader.
+        plain-directory reader. ``carry_resolver`` computes that map AFTER
+        the dataframe write, from the staging directory's contents —
+        needed when the carried set depends on what was written (e.g.
+        which partitions ``df`` actually produced) without re-executing
+        ``df``'s plan.
 
         Crash/race safety: everything is written into a unique ``.tmp-*``
         staging dir and renamed into the version slot. A writer that loses
@@ -168,6 +173,8 @@ class TxnTable:
         renamed = False
         try:
             writer.save(staging)
+            if carry_files is None and carry_resolver is not None:
+                carry_files = carry_resolver(staging)
             for rel, src in (carry_files or {}).items():
                 dst = os.path.join(staging, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -273,6 +280,91 @@ class TxnTable:
             # pure insert: nothing matched, carry every existing file
             merged = updates.select(*target.columns)
         return self.commit(merged, operation="merge_upsert", carry_files=carry)
+
+    def overwrite_partitions(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        sort_within: list[str] | None = None,
+    ) -> str:
+        """Dynamic-partition-overwrite as a snapshot commit: replace ONLY
+        the partitions present in ``df``; every other file carries into the
+        new snapshot by reference (hard link, no rewrite).
+
+        The idempotent-hourly-reload semantics of
+        ``partitionOverwriteMode=dynamic``, but atomic: a reader concurrent
+        with the reload resolves either the whole old snapshot or the whole
+        new one. The touched-partition set is read off the STAGING output
+        after the write (the partition dirs ``df`` actually produced), so
+        ``df``'s plan runs exactly once — important for callers whose
+        metrics ``observe()`` rides the write job.
+        """
+        expect = self.current_version()
+        if expect is None:
+            return self.commit(
+                df, partition_by=partition_by, sort_within=sort_within,
+                operation="overwrite_partitions",
+            )
+        if partition_by is None:
+            partition_by = self._meta(expect).get("partition_by") or None
+        if not partition_by:
+            # unpartitioned table: partition-overwrite degenerates to overwrite
+            return self.commit(
+                df, sort_within=sort_within, operation="overwrite"
+            )
+        data_root = os.path.join(self.root, _VERSIONS, expect)
+        depth = len(partition_by)
+
+        def resolver(staging: str) -> dict[str, str]:
+            staged_parts = {
+                tuple(os.path.relpath(r, staging).split(os.sep)[:depth])
+                for r, _d, ns in os.walk(staging)
+                for n in ns
+                if n.endswith(".parquet")
+            }
+            return {
+                rel: os.path.join(r, n)
+                for r, _d, ns in os.walk(data_root)
+                for n in ns
+                if n.endswith(".parquet")
+                and (rel := os.path.relpath(os.path.join(r, n), data_root))
+                and tuple(rel.split(os.sep)[:depth]) not in staged_parts
+            }
+
+        return self.commit(
+            df,
+            partition_by=list(partition_by),
+            sort_within=sort_within,
+            operation="overwrite_partitions",
+            carry_resolver=resolver,
+        )
+
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        sort_within: list[str] | None = None,
+    ) -> str:
+        """Atomic append: carry EVERY existing file by reference, add the
+        new rows' files alongside. No read, no rewrite of existing data."""
+        expect = self.current_version()
+        if expect is None:
+            return self.commit(
+                df, partition_by=partition_by, sort_within=sort_within,
+                operation="append",
+            )
+        data_root = os.path.join(self.root, _VERSIONS, expect)
+        carry = {
+            os.path.relpath(os.path.join(r, n), data_root): os.path.join(r, n)
+            for r, _d, ns in os.walk(data_root)
+            for n in ns
+            if n.endswith(".parquet")
+        }
+        return self.commit(
+            df, partition_by=partition_by, sort_within=sort_within,
+            operation="append", carry_files=carry,
+        )
 
     def compact(
         self,

@@ -62,6 +62,23 @@ def _table_layout(spark: SparkSession, table: str) -> tuple[list[str], tuple[int
     return part_cols, bucket
 
 
+def recover_stage(spark: SparkSession, target_table: str) -> bool:
+    """Crash recovery for the metastore MERGE shim: if a previous
+    ``merge_upsert`` died between DROP and RENAME, the complete merged
+    result still exists as ``<table>__stage`` — promote it. Returns True
+    if a recovery happened. Safe to call at startup for every gold table.
+    """
+    if spark.catalog.tableExists(target_table) or not spark.catalog.tableExists(
+        f"{target_table}__stage"
+    ):
+        return False
+    spark.sql(f"ALTER TABLE {target_table}__stage RENAME TO {target_table}")
+    part_cols, _ = _table_layout(spark, target_table)
+    if part_cols:
+        spark.sql(f"MSCK REPAIR TABLE {target_table}")
+    return True
+
+
 def merge_upsert(
     spark: SparkSession,
     target_table: str,
@@ -72,6 +89,12 @@ def merge_upsert(
     PutItem composite-key semantics (reference README.md:62-65) expressed as
     a lakehouse MERGE.
 
+    COMPATIBILITY SHIM for metastore-managed (especially bucketed) tables —
+    ``bucketBy`` only exists on ``saveAsTable``, so these can't ride the
+    snapshot store. The default gold path is ``txn.TxnTable`` (file-granular
+    merge, atomic pointer swap, used by ``pipeline.gold``); prefer it for
+    any table with concurrent readers.
+
     The stage table is written with the TARGET's partition/bucket layout
     (read from the catalog), so a dt/hour-partitioned or bucketed gold table
     keeps its layout through every upsert. The anti-join carries no
@@ -79,22 +102,22 @@ def merge_upsert(
     the key side while it actually fits.
 
     The DROP + RENAME swap is metastore-atomic per statement but not across
-    the pair; path-level snapshot atomicity (and crash recovery) lives in
-    ``txn.TxnTable`` — use that for tables with concurrent readers. Here the
-    window is kept recoverable: the stage table holds the complete merged
-    result before the target is touched, so a crash between the two
-    statements loses no data (recover by renaming ``__stage`` back).
+    the pair; the window is recoverable, and recovery is AUTOMATIC: the
+    stage table holds the complete merged result before the target is
+    touched, and both this function and ``recover_stage`` promote a
+    stranded ``__stage`` on the next run.
     """
+    if recover_stage(spark, target_table):
+        pass  # a crashed predecessor's merge is now the visible table
     target = spark.table(target_table)
     part_cols, bucket = _table_layout(spark, target_table)
     update_keys = updates.select(*keys).distinct()
     kept = target.join(update_keys, keys, "left_anti")
     merged = kept.unionByName(updates.select(*target.columns))
-    # Two-phase write: materialize first (the plan reads the table being
-    # replaced), then overwrite.
-    staged = merged.localCheckpoint(eager=True)
+    # The merged plan only READS the target; the stage write targets a
+    # different table, so no materialization barrier is needed before it.
     spark.sql(f"DROP TABLE IF EXISTS {target_table}__stage")
-    writer = staged.write.mode("overwrite").format("parquet")
+    writer = merged.write.mode("overwrite").format("parquet")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     if bucket:

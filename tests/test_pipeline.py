@@ -217,3 +217,55 @@ def test_quarantine_written(spark, tmp_path):
     q = spark.read.json(f"{quarantine}/invalid")
     tags = sorted(t for r in q.collect() for t in json.loads(r["validation_errors"]))
     assert tags == ["city_missing", "temp_out_of_range"]
+
+
+def test_gold_reader_never_sees_torn_table(spark, tmp_path):
+    """Reader/writer interleave on the PIPELINE path (write_gold/load_gold):
+    every concurrent read resolves exactly one committed snapshot — the
+    default gold path is transactional, not just the TxnTable unit surface."""
+    import threading
+
+    from rxlan_aws_lakehouse_spark.pipeline.gold import write_gold
+
+    gold = str(tmp_path / "gold")
+
+    def batch(n, hour):
+        return spark.range(n).select(
+            F.lit("Austin").alias("city"),
+            F.col("id").cast("double").alias("temp_c"),
+            F.lit("2024-03-01").alias("dt"),
+            F.lit(hour).alias("hour"),
+        )
+
+    write_gold(batch(5, "00"), gold)
+    # committed totals: each loop replaces hour "01" with k rows -> 5 + k
+    committed = {5}
+    lock = threading.Lock()
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def writer():
+        try:
+            for k in (10, 20, 30):
+                with lock:
+                    committed.add(5 + k)
+                write_gold(batch(k, "01"), gold)
+        finally:
+            stop.set()
+
+    w = threading.Thread(target=writer)
+    w.start()
+    while not stop.is_set():
+        n = load_gold(spark, gold).count()
+        with lock:
+            ok = n in committed
+        if not ok:
+            errors.append(f"torn read: {n} rows not a committed total")
+            break
+    w.join()
+    assert not errors, errors
+    assert load_gold(spark, gold).count() == 35
+    # hour=00 files were carried by reference through every reload
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    assert TxnTable(gold).history()[-1]["n_files_carried"] >= 1

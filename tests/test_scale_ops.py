@@ -126,6 +126,34 @@ def test_merge_upsert_ddb_putitem_semantics(spark):
     spark.sql("DROP TABLE upsert_test")
 
 
+def test_merge_upsert_recovers_from_crash_between_drop_and_rename(spark):
+    """Simulate a crash in the shim's DROP->RENAME window: target gone,
+    __stage holds the complete merged result. The next merge_upsert must
+    first promote the stage automatically (no data loss, no manual step)."""
+    from rxlan_aws_lakehouse_spark.warehouse import recover_stage
+
+    spark.sql("DROP TABLE IF EXISTS crash_test")
+    spark.sql("DROP TABLE IF EXISTS crash_test__stage")
+    merged = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "pk string, v double"
+    )
+    # crashed predecessor state: stage written, target already dropped
+    merged.write.format("parquet").saveAsTable("crash_test__stage")
+    assert not spark.catalog.tableExists("crash_test")
+
+    assert recover_stage(spark, "crash_test") is True
+    assert spark.catalog.tableExists("crash_test")
+    assert spark.table("crash_test").count() == 2
+
+    # and the merge path itself performs the recovery when called cold
+    spark.sql("ALTER TABLE crash_test RENAME TO crash_test__stage")
+    updates = spark.createDataFrame([("b", 9.0)], "pk string, v double")
+    merge_upsert(spark, "crash_test", updates, keys=["pk"])
+    got = {r["pk"]: r["v"] for r in spark.table("crash_test").collect()}
+    assert got == {"a": 1.0, "b": 9.0}
+    spark.sql("DROP TABLE crash_test")
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Two tables bucketed on the join key join without any shuffle —
     the pay-once co-location strategy for repeated fact-fact joins."""
