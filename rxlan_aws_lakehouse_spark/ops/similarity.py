@@ -306,10 +306,14 @@ def ivf_topk(
     probed lists (still a vanishing fraction of the corpus) while recovering
     neighbors that sit just across a centroid boundary. Lists are disjoint
     by label, so no pair is scored twice. The centroid table is |labels|
-    rows and broadcasts twice (assignment + probe); the corpus is filtered
-    to the probed lists by an equi-join on label — at scale that is a
-    partition-pruned read when the corpus is stored partitioned by list id,
-    which is exactly how IVF indexes lay out.
+    rows — bounded, so it carries an explicit broadcast hint. The
+    assignment table is |queries| x n_probe rows — UNBOUNDED, so it
+    deliberately carries none: AQE broadcasts it while a probe batch fits
+    and falls back to a shuffle join for corpus-sized query sets instead
+    of OOMing the build side. The corpus is filtered to the probed lists
+    by an equi-join on label — at scale that is a partition-pruned read
+    when the corpus is stored partitioned by list id, which is exactly how
+    IVF indexes lay out.
     """
     cent = label_centroids(corpus_with_label)
     q = queries.select(
@@ -338,7 +342,7 @@ def ivf_topk(
         F.round(F.col("sim"), tiebreak_round).desc(), F.col("neighbor_id").asc()
     )
     return (
-        c.join(F.broadcast(assign), c.label == F.col("probe_label"))
+        c.join(assign, c.label == F.col("probe_label"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "probe_label", "neighbor_id", nsim.alias("sim"))
         .withColumn("rn", F.row_number().over(wn))

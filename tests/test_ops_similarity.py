@@ -99,9 +99,9 @@ def test_sign_bucket_groups_similar_vectors(spark):
 
 
 def test_multitable_recall_beats_legacy_at_scale_buckets(spark):
-    """The scale index (2x8-bit tables, 256 buckets each) must not lose
-    recall vs the legacy 16-bucket single table, measured against exact
-    brute-force top-3 at sf0.1."""
+    """The scale index (8 tables x 6 bits, 64 buckets each — 512 inverted
+    lists total) must not lose recall vs the legacy 16-bucket single table,
+    measured against exact brute-force top-3 at sf0.1."""
     sf = "/root/testdata/sf0.1"
     from rxlan_aws_lakehouse_spark.catalog import load
 
@@ -131,6 +131,30 @@ def test_multitable_recall_beats_legacy_at_scale_buckets(spark):
         assert n > 32, (t, n)
         total += n
     assert total >= 256, total
+
+
+def test_ivf_probe_join_not_force_broadcast(spark):
+    """The probe-side join must NOT force-broadcast the assignment table:
+    |assign| = |queries| x n_probe is unbounded (a corpus-sized query set
+    would OOM a forced build side). Only the |labels|-row centroid table
+    may carry an explicit hint; the assign side is left to AQE."""
+    from rxlan_aws_lakehouse_spark.catalog import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    v = e.select("vec_id", "label", sim.as_double_array(F.col("embedding")).alias("vec"))
+    v = v.withColumn("norm", sim.l2_norm(F.col("vec")))
+    # corpus-sized query batch: every vector queries the index
+    out = sim.ivf_topk(v, v, k=3, n_probe=2)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    # exactly the centroid hint survives analysis; no hint wraps the
+    # assignment subtree (row_number window over the centroid cross join)
+    hints = [ln for ln in analyzed.splitlines() if "ResolvedHint" in ln]
+    assert len(hints) == 1, hints
+    # and it still computes: full self-query run returns k rows per query
+    n_q = v.count()
+    got = out.groupBy("query_id").count().collect()
+    assert len(got) == n_q
+    assert all(r["count"] <= 3 for r in got)
 
 
 def test_ivf_probe2_superset_recall(spark):
