@@ -11,9 +11,20 @@ oracle SQL so the driver's order-insensitive value hash matches.
 
 from __future__ import annotations
 
-from . import analytics, llm, reference, relational, relational2, relational3
+from . import (
+    analytics,
+    llm,
+    reference,
+    relational,
+    relational2,
+    relational3,
+    streaming_live,
+)
 
-_MODULES = (reference, relational, relational2, relational3, analytics, llm)
+_MODULES = (
+    reference, relational, relational2, relational3, analytics, llm,
+    streaming_live,
+)
 
 # Names with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json (99
 # names). The driver records at most the first N registry entries per round,

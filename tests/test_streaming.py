@@ -140,3 +140,17 @@ def test_windowed_counts_batch(spark):
     out = windowed_counts(cdc_transform(df))
     got = {(str(r["window_start"]), r["n"]) for r in out.collect()}
     assert got == {("2024-03-01 10:00:00", 2), ("2024-03-01 11:00:00", 1)}
+
+
+def test_streaming_cdc_counts_driver_query(spark):
+    """The driver-visible streaming artifact: a real AvailableNow run over
+    fixture-derived envelopes, deterministic across reruns."""
+    from rxlan_aws_lakehouse_spark.queries.streaming_live import (
+        streaming_cdc_counts,
+    )
+
+    a = streaming_cdc_counts(spark, "/root/testdata/sf0.001").collect()
+    assert len(a) > 0
+    assert all(r["n_rows"] > 0 and r["n_cities"] > 0 for r in a)
+    b = streaming_cdc_counts(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
