@@ -34,3 +34,21 @@ def test_queries_are_callable(spark, sf_dir):
     for name in ("tpch_q1", "ref_count_star", "dedup_exact_stats"):
         df = qs[name](spark, sf_dir)
         assert df.columns
+
+
+def test_plans_md_covers_every_query():
+    """PLANS.md is plan evidence for ALL registered queries; fail when the
+    registry grows without regenerating it (python tools/explain_all.py)."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLANS.md")
+    with open(path) as f:
+        text = f.read()
+    sections = set(re.findall(r"^## (\S+)$", text, flags=re.M))
+    registered = set(entrymod.queries())
+    missing = registered - sections
+    stale = sections - registered
+    assert not missing, f"PLANS.md missing plans for: {sorted(missing)}"
+    assert not stale, f"PLANS.md has stale sections: {sorted(stale)}"
+    assert "ERROR:" not in text
