@@ -36,6 +36,14 @@ LSH_SIGN_BITS = 4  # legacy single-table bucket key (kept for the r1 queries)
 # 8-table recall near 1.
 LSH_MULTITABLE_BITS = 6
 LSH_MULTITABLE_TABLES = 8
+# Inverted-list cap for the kNN-graph path: axis-aligned sign LSH can't grow
+# bits past the vector dimensionality, so per-list size grows linearly with
+# the corpus and Σ|list|² makes the self-join quadratic (measured 30x for
+# 10x corpus at 200k vectors). Capping the CANDIDATE side of each list to a
+# per-table-independent deterministic sample bounds the join to
+# O(n * max_list) per table; a pair survives if it makes the sample in ANY
+# table, so drops decorrelate across the 8 tables.
+ANN_MAX_LIST = 256
 
 
 def as_double_array(col: Column) -> Column:
@@ -115,18 +123,55 @@ def ann_topk_multitable(
     k: int = 3,
     n_tables: int = LSH_MULTITABLE_TABLES,
     tiebreak_round: int = 6,
+    max_list: int | None = ANN_MAX_LIST,
 ) -> DataFrame:
     """Approximate top-k via multi-table LSH: a pair is a candidate if it
     collides in ANY table; per-table equi-joins union'd, pair-deduped, then
     ranked.
 
     Scale shape: each table contributes one shuffle on a 2^bits-cardinality
-    key (256+ buckets — no degenerate mega-bucket like the 4-bit legacy
-    index); the union + distinct dedups collisions before ranking so a pair
-    is scored once no matter how many tables it collides in. An OR-join
-    would be a nested loop in Spark — the union of equi-joins is the
-    engine-native formulation.
+    key; the union + distinct dedups collisions before ranking so a pair is
+    scored once no matter how many tables it collides in. An OR-join would
+    be a nested loop in Spark — the union of equi-joins is the engine-native
+    formulation. The CANDIDATE side of each inverted list is capped at
+    ``max_list`` via a deterministic md5-ordered sample (salted per table,
+    so overflow drops are independent across tables): without the cap the
+    self-join is Σ|list|² — quadratic in the corpus once lists outgrow
+    2^bits, which axis-aligned sign planes can't raise past the vector
+    dimensionality. Every vector still queries from the uncapped side, so
+    each still gets ~k neighbors; only its candidate pool is bounded.
+
+    The cap is OVERFLOW-GATED: list sizes are a <= n_tables * 2^bits row
+    aggregate (bounded by index geometry, not data), collected once. A
+    table with no overflowing list joins its candidate side directly —
+    zero extra shuffles, so fixture/bench scales pay only the skinny count
+    pass. A table that overflows windows its WHOLE candidate side (rows in
+    small lists pass the rank filter trivially): one shuffle that the
+    bucket-key join then reuses — splitting hot/cool lists and unioning
+    was measured 7x slower because the union forfeits that exchange reuse.
     """
+    overflow: set[int] = set()
+    if max_list is not None:
+        sizes = (
+            corpus.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.col(f"bucket_{t}").alias("bkt"),
+                        )
+                        for t in range(n_tables)
+                    ])
+                ).alias("tb")
+            )
+            .groupBy("tb.t", "tb.bkt")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_list)
+            .select("t")
+            .distinct()
+            .collect()
+        )
+        overflow = {r["t"] for r in sizes}
     per_table = []
     for t in range(n_tables):
         bkt = f"bucket_{t}"
@@ -137,6 +182,20 @@ def ann_topk_multitable(
             F.col("norm").alias("nnorm"),
             F.col(bkt).alias("nbkt"),
         )
+        if t in overflow:
+            wl = Window.partitionBy("nbkt").orderBy(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(t)), F.col("neighbor_id").cast("string")
+                    )
+                ),
+                F.col("neighbor_id"),
+            )
+            b = (
+                b.withColumn("lrn", F.row_number().over(wl))
+                .filter(F.col("lrn") <= max_list)
+                .drop("lrn")
+            )
         sim = dot(F.col("vec"), F.col("nvec")) / (F.col("norm") * F.col("nnorm"))
         per_table.append(
             a.join(b, (F.col("bkt") == F.col("nbkt")) & (F.col("vec_id") != F.col("neighbor_id")))

@@ -842,12 +842,20 @@ def _build_oracle() -> dict[str, str]:
                          for t in range(sim.LSH_MULTITABLE_TABLES)
                      )}
               FROM embeddings),
+            {", ".join(
+                f"cap_{t} AS (SELECT vec_id, embedding, bucket_{t} FROM ("
+                f"SELECT vec_id, embedding, bucket_{t}, "
+                f"row_number() OVER (PARTITION BY bucket_{t} "
+                f"ORDER BY md5('{t}:' || CAST(vec_id AS VARCHAR)), vec_id) AS lrn "
+                f"FROM p) WHERE lrn <= {sim.ANN_MAX_LIST})"
+                for t in range(sim.LSH_MULTITABLE_TABLES)
+            )},
             pairs AS (
               SELECT DISTINCT vec_id, neighbor_id, sim FROM (
                 {" UNION ALL ".join(
                     f"SELECT a.vec_id, b.vec_id AS neighbor_id, "
                     f"{cos.format(a='a.embedding', b='b.embedding')} AS sim "
-                    f"FROM p a JOIN p b ON a.bucket_{t} = b.bucket_{t} AND a.vec_id <> b.vec_id"
+                    f"FROM p a JOIN cap_{t} b ON a.bucket_{t} = b.bucket_{t} AND a.vec_id <> b.vec_id"
                     for t in range(sim.LSH_MULTITABLE_TABLES)
                 )})),
             ranked AS (
