@@ -18,13 +18,14 @@ def test_registry_consistency():
     assert len(qs) >= 45
     # every oracle key must name a real query
     assert set(oracles) <= set(qs)
-    # non-SQL-expressible ops (Arrow boundary, iterative algorithms) are
-    # the only permitted rows-only gaps
+    # non-SQL-expressible ops (Arrow boundary, iterative algorithms, a
+    # Structured Streaming run) are the only permitted rows-only gaps
     gaps = set(qs) - set(oracles)
     assert gaps <= {
         "multimodal_features",
         "emb_kmeans_profile",
         "dedup_clusters",
+        "streaming_cdc_counts",
     }, f"unexpected rows-only queries: {gaps}"
 
 
