@@ -18,12 +18,14 @@ from . import (
     relational,
     relational2,
     relational3,
+    relational4,
+    sampling,
     streaming_live,
 )
 
 _MODULES = (
-    reference, relational, relational2, relational3, analytics, llm,
-    streaming_live,
+    reference, relational, relational2, relational3, relational4, analytics,
+    llm, sampling, streaming_live,
 )
 
 # Names with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json (99

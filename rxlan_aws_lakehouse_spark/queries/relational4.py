@@ -1,0 +1,287 @@
+"""Relational completeness pack 4: the TPC-H tail (Q8/Q9/Q11/Q20/Q21
+analogues adapted to the driver's star schema — no partsupp table, so
+``p_retailprice`` stands in for supply cost and shipped quantity for
+available quantity; no l_commitdate/l_receiptdate, so "late" means shipped
+more than 60 days after the order date).
+
+Scale notes common to the pack: nation/region are bounded and broadcast;
+part/customer/supplier grow with sf and are left to AQE; every query scans
+the lineitem fact exactly once (Q21 reuses one per-(order,supplier)
+aggregate for both the exists and the not-exists role via a window, instead
+of the textbook triple self-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+# Q11-style HAVING threshold: fraction of the global inventory value. At
+# sf0.01 the nearest group sits 1.1e-4 (relative) away from the cutoff, so
+# float summation order can never flip a row in or out.
+Q11_FRACTION = 0.0005
+
+# Q20/Q21 adaptation knobs.
+Q20_MIN_QTY = 50
+Q21_LATE_DAYS = 60
+
+
+def tpch_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: national market share — share of ASIA-region PROMO-part
+    revenue supplied by NATION_1, per order year.
+
+    Two nation roles (customer side filters the region, supplier side names
+    the share numerator); both broadcast. The conditional-sum ratio is a
+    single groupBy over the once-scanned fact join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: product-type profit by supplier nation and year.
+
+    No partsupp, so cost is adapted as 0.5 * p_retailprice * quantity.
+    Part filter (name contains 'widget') prunes the fact early; nation
+    broadcasts; one shuffle for the (nation, year) aggregate.
+
+    Profit mixes positive and negative terms, so a double sum lands within
+    float noise of the cent-rounding boundary and the result would depend
+    on partition order. Each row's term is rounded to 4 decimals and summed
+    as exact DECIMAL — order-independent on any cluster layout.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    profit_exact = F.round(profit, 4).cast("decimal(18,4)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit_exact), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def tpch_q11_top_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose shipped inventory value exceeds a fixed
+    fraction of the GLOBAL total (scalar-subquery HAVING).
+
+    The per-part aggregate is one shuffle; the global total is a 1-row
+    re-aggregate of that same shuffled output (no second fact scan) and is
+    broadcast into the filter. At 100 TB both sides reuse one exchange.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
+    )
+    total = per_part.agg(F.sum("val").alias("total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("total") * Q11_FRACTION)
+        .select("l_partkey", F.round("val", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+def tpch_q20_potential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers who shipped more than a threshold quantity of
+    red-named parts in 1997 (stand-in for the availqty/2 subquery).
+
+    The part filter broadcasts into the fact scan; the having-aggregate is
+    (suppkey)-fixed-width; supplier joins the small qualifying set.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("red_qty"))
+        .filter(F.col("red_qty") > Q20_MIN_QTY)
+    )
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("red_qty", 1).alias("red_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order ("late" = shipped >60 days after order date —
+    the schema has no commit/receipt dates).
+
+    The textbook plan is lineitem joined to itself twice (EXISTS other
+    supplier + NOT EXISTS other late supplier). Here both existential
+    tests collapse into window counts over one per-(order,supplier)
+    aggregate: a single fact shuffle on l_orderkey, then an
+    orderkey-partitioned window — no self-joins, no second scan, and the
+    window reuses the groupBy's clustering at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS)
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
+    )
+    waiting = flagged.filter(
+        (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "tpch_q8_mktshare": tpch_q8_mktshare,
+    "tpch_q9_profit": tpch_q9_profit,
+    "tpch_q11_top_value": tpch_q11_top_value,
+    "tpch_q20_potential": tpch_q20_potential,
+    "tpch_q21_waiting": tpch_q21_waiting,
+}
+
+ORACLE = {
+    "tpch_q8_mktshare": """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "tpch_q9_profit": """
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                         - 0.5 * p_retailprice * l_quantity, 4)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+    "tpch_q11_top_value": f"""
+        WITH per_part AS (
+            SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_partkey, round(val, 2) AS value
+        FROM per_part
+        WHERE val > (SELECT sum(val) FROM per_part) * {Q11_FRACTION}
+        ORDER BY value DESC, l_partkey
+    """,
+    "tpch_q20_potential": f"""
+        WITH qualifying AS (
+            SELECT l_suppkey, sum(l_quantity) AS red_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+            WHERE year(l_shipdate) = 1997
+            GROUP BY 1
+            HAVING sum(l_quantity) > {Q20_MIN_QTY}
+        )
+        SELECT s_suppkey, s_name, n_name AS nation, round(red_qty, 1) AS red_qty
+        FROM supplier
+        JOIN qualifying ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY s_suppkey
+    """,
+    "tpch_q21_waiting": f"""
+        WITH per_os AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+            GROUP BY 1, 2
+        ),
+        flagged AS (
+            SELECT *,
+                   count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                   sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+            FROM per_os
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM flagged
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE late = 1 AND n_supp > 1 AND n_late = 1
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+}

@@ -1,0 +1,192 @@
+"""Training-data selection operators: deterministic sampling over the
+documents corpus.
+
+A 100 TB pretraining pipeline rarely trains on the raw crawl — it samples:
+per-language rates (stratified Bernoulli), per-source caps (quota), and
+temperature-flattened mixture weights (the alpha-sampling scheme from
+multilingual-LM training). All three are implemented here with a
+DETERMINISTIC md5-derived uniform instead of ``rand()``:
+
+* reproducible across runs, engines, partitionings, and cluster sizes —
+  the sample is a pure function of the row key, so a re-run of a failed
+  stage (or a different executor count) selects the same rows;
+* embarrassingly parallel — no coordination, no driver-side state, the
+  Bernoulli test is a codegen'd projection on the scan;
+* oracle-checkable — DuckDB computes the identical md5 uniform.
+
+``rand(seed)`` in Spark is per-partition-deterministic, NOT row-
+deterministic: a repartition reshuffles which rows draw which variates.
+Hash-based sampling is the standard fix (same trick as Spark's own
+``sampleBy`` caveats and the per-table salted sample in
+``ops/similarity.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..ops.text import md5_long
+
+# Per-language Bernoulli keep-rates: keep all low-resource text, downsample
+# English — the canonical multilingual rebalancing move.
+LANG_RATES = {"en": 0.3, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.8}
+_DEFAULT_RATE = 1.0
+
+# Per-source document cap for the quota sampler.
+QUOTA_PER_SOURCE = 15
+
+# Mixture temperature: q_s ∝ p_s^TAU (TAU < 1 flattens toward uniform).
+MIXTURE_TAU = 0.5
+
+# 6-decimal uniform in [0, 1): plenty of resolution for corpus-scale rates,
+# and an exact decimal fraction both engines agree on bit-for-bit.
+_U_MOD = 1_000_000
+
+
+def _uniform(key: F.Column, salt: str) -> F.Column:
+    """Deterministic per-row uniform in [0,1) from md5(salt || key)."""
+    return (md5_long(F.concat(F.lit(salt), key.cast("string"))) % _U_MOD) / _U_MOD
+
+
+_SQL_UNIFORM = (
+    "(CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {_U_MOD}) / {_U_MOD}.0"
+)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Bernoulli sampling by language at fixed per-stratum rates,
+    reported as per-(lang, source) audit counts.
+
+    The keep-test is one hash + compare per row inside the scan projection
+    — no shuffle, no state, no second pass. The audit aggregate shuffles
+    only (lang, source, flag) triples. At 100 TB the sampled WRITE would
+    branch off the same scan; the audit is what the driver can hash-check.
+    """
+    d = load(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in LANG_RATES.items()],
+        F.lit(_DEFAULT_RATE),
+    )
+    kept = (_uniform(F.col("doc_id"), "strat:") < rate).cast("int")
+    return (
+        d.select("lang", "source", kept.alias("kept"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: an md5-ordered deterministic top-K per
+    source (K = 15) — the "cap every domain" dedup-adjacent selection step.
+
+    One hash-partitioned window per source; the rank order is a pure
+    function of doc_id, so adding executors or re-running picks the same
+    documents. At 100 TB source cardinality is ~millions, so the window
+    partitions stay small and skew-free; a hot source pays O(|source|)
+    within its partition — cap-before-sort via an approximate pre-filter
+    would be the next lever if a single source dominated a task.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = _uniform(F.col("doc_id"), "quota:").alias("u")
+    w = Window.partitionBy("source").orderBy("u", "doc_id")
+    return (
+        d.select("doc_id", "source", u)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("rn"))
+        .orderBy("source", "rn")
+    )
+
+
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture weights per source (alpha-sampling):
+    p_s = source's share of corpus chars; q_s ∝ p_s^0.5 normalized; the
+    per-document repeat factor is q_s / p_s.
+
+    Two tiny aggregates over one scan: per-source char sums (|sources|
+    rows), then a broadcast of the 1-row normalizers. Everything after the
+    first groupBy is dimension-sized regardless of corpus bytes.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    norm = per_src.agg(
+        F.sum("chars").alias("total_chars"),
+        F.sum(F.pow(F.col("chars"), MIXTURE_TAU)).alias("z"),
+    )
+    p = F.col("chars") / F.col("total_chars")
+    q = F.pow(F.col("chars"), MIXTURE_TAU) / F.col("z")
+    return (
+        per_src.join(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            F.round(p, 6).alias("p_share"),
+            F.round(q, 6).alias("q_share"),
+            F.round(q / p, 4).alias("repeat_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+_STRAT_RATE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in LANG_RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+QUERIES = {
+    "sample_stratified": sample_stratified,
+    "sample_quota": sample_quota,
+    "sample_mixture_weights": sample_mixture_weights,
+}
+
+ORACLE = {
+    "sample_stratified": f"""
+        SELECT lang, source, count(*) AS n_total,
+               CAST(sum(CASE WHEN {_SQL_UNIFORM.format(salt="strat:", key="doc_id")}
+                                  < {_STRAT_RATE_SQL}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "sample_quota": f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_SQL_UNIFORM.format(salt="quota:", key="doc_id")},
+                                doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(rn AS INT) AS rn
+        FROM ranked WHERE rn <= {QUOTA_PER_SOURCE}
+        ORDER BY source, rn
+    """,
+    "sample_mixture_weights": f"""
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+            FROM documents GROUP BY 1
+        ),
+        norm AS (
+            SELECT sum(chars) AS total_chars,
+                   sum(pow(chars, {MIXTURE_TAU})) AS z
+            FROM per_src
+        )
+        SELECT source, n_docs,
+               round(chars / total_chars, 6) AS p_share,
+               round(pow(chars, {MIXTURE_TAU}) / z, 6) AS q_share,
+               round((pow(chars, {MIXTURE_TAU}) / z) / (chars / total_chars), 4)
+                   AS repeat_factor
+        FROM per_src, norm ORDER BY source
+    """,
+}
