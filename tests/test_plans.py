@@ -81,3 +81,28 @@ def test_partition_values_survive_roundtrip(spark, tmp_path):
     df.write.partitionBy("dt", "hour").parquet(path)
     row = spark.read.option("basePath", path).parquet(path).head()
     assert row["hour"] == "09"
+
+
+def test_q11_total_reuses_per_part_exchange(spark, sf_dir):
+    """The global-total scalar must re-aggregate the per-part exchange, not
+    rescan the fact table: at 100 TB a second scan doubles the query's IO."""
+    df = entrymod.queries()["tpch_q11_top_value"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_existentials_are_windows_not_self_joins(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS pair must collapse into orderkey-window
+    counts over ONE per-(order,supplier) aggregate — the textbook plan scans
+    and shuffles lineitem three times."""
+    df = entrymod.queries()["tpch_q21_waiting"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the only joins are orders (filter) and supplier (name lookup) — the
+    # existential tests must not reintroduce a lineitem self-join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 20 is a true top-k
