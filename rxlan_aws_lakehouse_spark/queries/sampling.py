@@ -40,6 +40,12 @@ QUOTA_PER_SOURCE = 15
 # Mixture temperature: q_s ∝ p_s^TAU (TAU < 1 flattens toward uniform).
 MIXTURE_TAU = 0.5
 
+# Weighted-sample size (per whole corpus) for the A-ES sampler.
+WEIGHTED_K = 100
+
+# Train/val/test cumulative cut points on the unit interval.
+SPLIT_CUTS = {"train": 0.9, "val": 0.95}  # remainder -> test
+
 # 6-decimal uniform in [0, 1): plenty of resolution for corpus-scale rates,
 # and an exact decimal fraction both engines agree on bit-for-bit.
 _U_MOD = 1_000_000
@@ -137,6 +143,53 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    key_i = u_i^(1/w_i); the global top-K keys are a weighted sample of K
+    items, here weighted by document length so long documents are
+    proportionally more likely to be drawn.
+
+    The classic reservoir algorithm is sequential; the key trick makes it
+    embarrassingly parallel — compute keys in the scan projection, then one
+    TakeOrdered top-K (partial top-K per partition, K-row final merge: no
+    full sort, no shuffle of non-winners). Keys of distinct documents are
+    continuous-valued, so cross-engine libm ulp differences cannot reorder
+    them; ties are broken by doc_id anyway.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = _uniform(F.col("doc_id"), "wsamp:")
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        d.select("doc_id", "source", "n_chars", F.round(key, 8).alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(WEIGHTED_K)
+    )
+
+
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the split is a pure
+    function of doc_id, so it never leaks across reruns, engines, or
+    repartitions — the property that matters for contamination-free eval
+    sets. Reported as per-(lang, split) counts.
+
+    One hash + two compares per row in the scan projection; the audit
+    aggregate shuffles only (lang, split) pairs.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = _uniform(F.col("doc_id"), "split:")
+    split = (
+        F.when(u < SPLIT_CUTS["train"], F.lit("train"))
+        .when(u < SPLIT_CUTS["val"], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
 _STRAT_RATE_SQL = (
     "CASE "
     + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in LANG_RATES.items())
@@ -147,6 +200,8 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_quota": sample_quota,
     "sample_mixture_weights": sample_mixture_weights,
+    "sample_weighted": sample_weighted,
+    "sample_split": sample_split,
 }
 
 ORACLE = {
@@ -171,6 +226,24 @@ ORACLE = {
         SELECT doc_id, source, CAST(rn AS INT) AS rn
         FROM ranked WHERE rn <= {QUOTA_PER_SOURCE}
         ORDER BY source, rn
+    """,
+    "sample_weighted": f"""
+        SELECT doc_id, source, n_chars,
+               round(pow({_SQL_UNIFORM.format(salt="wsamp:", key="doc_id")},
+                         1.0 / n_chars), 8) AS k
+        FROM documents
+        ORDER BY k DESC, doc_id LIMIT {WEIGHTED_K}
+    """,
+    "sample_split": f"""
+        SELECT lang,
+               CASE WHEN {_SQL_UNIFORM.format(salt="split:", key="doc_id")}
+                         < {SPLIT_CUTS["train"]} THEN 'train'
+                    WHEN {_SQL_UNIFORM.format(salt="split:", key="doc_id")}
+                         < {SPLIT_CUTS["val"]} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n
+        FROM documents
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "sample_mixture_weights": f"""
         WITH per_src AS (

@@ -370,21 +370,71 @@ class TxnTable:
         self,
         spark: SparkSession,
         target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: int | None = None,
         sort_within: list[str] | None = None,
     ) -> str:
-        """Small-file compaction as a snapshot rewrite: same rows, fewer
-        files, same partition spec — published atomically like any commit."""
-        cur = self.current_version()
-        data_dir = os.path.join(self.root, _VERSIONS, cur or "")
-        size = sum(
-            os.path.getsize(os.path.join(r, n))
-            for r, _d, ns in os.walk(data_dir)
-            for n in ns
-            if n.endswith(".parquet")
+        """File-granular small-file compaction (Delta OPTIMIZE semantics):
+        within each partition, bin-pack only the files smaller than
+        ``small_file_bytes`` into ~``target_file_bytes`` outputs; every
+        already-right-sized file — and every untouched partition — carries
+        into the new snapshot by reference. Same rows, fewer files, same
+        partition spec, published atomically like any commit.
+
+        A streaming/hourly ingest leaves thousands of tiny files per
+        partition; rewriting the WHOLE table to fix that (the naive
+        ``coalesce`` compact) costs a full-table IO pass. Here the rewrite
+        IO is proportional to the small-file bytes only — at 100 TB that is
+        the difference between a maintenance job and a migration. Returns
+        the current version unchanged when there is nothing to compact, so
+        schedulers can call it idempotently.
+
+        Each partition's small files become their own union branch with an
+        exact per-partition ``coalesce`` — per-partition bin-packing that a
+        single global repartition cannot express. Partition count bounds
+        the plan width; a real deployment runs one job per partition group
+        (as Delta's OPTIMIZE does), which this layout maps onto directly.
+        """
+        expect = self.current_version()
+        if expect is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if small_file_bytes is None:
+            small_file_bytes = target_file_bytes // 2
+        partition_by = self._meta(expect).get("partition_by") or []
+        depth = len(partition_by)
+        data_root = os.path.join(self.root, _VERSIONS, expect)
+        by_part: dict[tuple, list[str]] = {}
+        for r, _d, ns in os.walk(data_root):
+            for n in ns:
+                if n.endswith(".parquet"):
+                    path = os.path.join(r, n)
+                    rel = os.path.relpath(path, data_root)
+                    part = tuple(rel.split(os.sep)[:depth]) if depth else ()
+                    by_part.setdefault(part, []).append(path)
+        rewrite: list[tuple[list[str], int]] = []
+        carry: dict[str, str] = {}
+        for files in by_part.values():
+            small = [f for f in files if os.path.getsize(f) < small_file_bytes]
+            keep = files if len(small) < 2 else [f for f in files if f not in set(small)]
+            for f in keep:
+                carry[os.path.relpath(f, data_root)] = f
+            if len(small) >= 2:
+                size = sum(os.path.getsize(f) for f in small)
+                rewrite.append((small, max(1, -(-size // target_file_bytes))))
+        if not rewrite:
+            return expect
+        branches = [
+            spark.read.option("basePath", data_root).parquet(*fs).coalesce(bins)
+            for fs, bins in rewrite
+        ]
+        df = branches[0]
+        for b in branches[1:]:
+            df = df.unionByName(b)
+        # union and sortWithinPartitions are both narrow, so each branch's
+        # coalesce partitioning — and with it the per-partition bin count —
+        # survives through commit()'s write untouched
+        return self.commit(
+            df, sort_within=sort_within, operation="compact", carry_files=carry
         )
-        n_files = max(1, -(-size // target_file_bytes))
-        df = self.read(spark).coalesce(n_files)
-        return self.commit(df, sort_within=sort_within, operation="compact")
 
     def vacuum(self, keep: int = 2) -> list[str]:
         """Drop all but the newest ``keep`` snapshots (never the live one).

@@ -81,3 +81,28 @@ def test_mixture_weights_flatten_toward_uniform(spark, sf_dir):
     for r in rows:
         lo, hi = sorted((r["p_share"], uniform))
         assert lo - 1e-6 <= r["q_share"] <= hi + 1e-6, tuple(r)
+
+
+def test_weighted_sample_is_true_topk_and_length_biased(spark, sf_dir):
+    """A-ES keys must reach the plan as a TakeOrderedAndProject (no global
+    sort), and the sample must actually skew long: the sampled docs' mean
+    length exceeds the corpus mean."""
+    from rxlan_aws_lakehouse_spark.catalog import load
+
+    df = entrymod.queries()["sample_weighted"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort before the limit
+    sampled = df.agg(F.avg("n_chars")).first()[0]
+    corpus = load(spark, sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
+    assert sampled > corpus
+
+
+def test_split_is_exhaustive_and_disjoint(spark, sf_dir):
+    """Every document lands in exactly one split; totals reconcile."""
+    from rxlan_aws_lakehouse_spark.catalog import load
+
+    rows = entrymod.queries()["sample_split"](spark, sf_dir).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    total = sum(r["n"] for r in rows)
+    assert total == load(spark, sf_dir, "documents").count()

@@ -261,3 +261,68 @@ def test_metastore_merge_upsert_preserves_bucketing(spark, tmp_path):
     assert "k" in info.get("Bucket Columns", "")
     assert spark.table(tbl).count() == 30
     spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_compact_bins_small_files_and_carries_the_rest(spark, tmp_path):
+    """File-granular OPTIMIZE: many tiny files in dt=0 get bin-packed into
+    one file; partitions already in good shape carry by reference (same
+    inodes); rows and partition spec are unchanged; a second compact is a
+    no-op returning the same version."""
+    t = TxnTable(str(tmp_path / "t"))
+    # coalesce(1) -> exactly one base file per dt partition
+    t.commit(_df(spark, 30).coalesce(1), partition_by=["dt"])
+    # fragment dt=0 with 6 tiny appends (each lands as its own file)
+    for i in range(6):
+        t.append(
+            spark.createDataFrame([(100 + i, "frag", "0")], "k long, tag string, dt string")
+        )
+    v_before = t.current_version()
+    root_before = os.path.join(t.root, "_versions", v_before)
+    old = _inodes(root_before)
+    n_dt0_before = sum(1 for p in old if p.startswith("dt=0"))
+    assert n_dt0_before >= 7
+
+    v2 = t.compact(spark)
+    assert v2 != v_before
+    new = _inodes(os.path.join(t.root, "_versions", v2))
+    carried = {p for p in new if p in old and new[p] == old[p]}
+    rewritten = set(new) - carried
+    # dt=0's fragments were binned into a single file
+    assert sum(1 for p in new if p.startswith("dt=0")) == 1
+    assert all(p.startswith("dt=0") for p in rewritten)
+    # rows identical, spec preserved
+    got = t.read(spark)
+    assert got.count() == 36
+    assert t.history()[-1]["partition_by"] == ["dt"]
+    assert got.filter(F.col("tag") == "frag").count() == 6
+    # already-compacted table: idempotent no-op, pointer unmoved
+    assert t.compact(spark) == v2
+    assert t.current_version() == v2
+
+
+def test_compact_leaves_right_sized_files_alone(spark, tmp_path):
+    """Files at or above the small-file threshold are never rewritten even
+    inside a partition that has small files to bin."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 12).coalesce(1), partition_by=["dt"])
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(200 + i, "frag", "1")], "k long, tag string, dt string")
+        )
+    v1 = t.current_version()
+    root = os.path.join(t.root, "_versions", v1)
+    sizes = {
+        p: os.path.getsize(os.path.join(root, p))
+        for p in _inodes(root)
+        if p.startswith("dt=1")
+    }
+    # threshold chosen between the base file and the tiny fragments: the
+    # base dt=1 file counts as right-sized, the 3 fragments as small
+    big = max(sizes, key=sizes.get)
+    thr = sizes[big]
+    old = _inodes(root)
+    v2 = t.compact(spark, small_file_bytes=thr)
+    new = _inodes(os.path.join(t.root, "_versions", v2))
+    assert new[big] == old[big]  # right-sized file carried by inode
+    assert sum(1 for p in new if p.startswith("dt=1")) == 2  # big + 1 bin
+    assert t.read(spark).count() == 15
