@@ -196,6 +196,9 @@ class TxnTable:
                 # per-file manifest: what this snapshot is made of, and how
                 # much of it was carried by reference vs freshly written
                 "files": files,
+                # which of those were carried by reference — the complement
+                # (freshly written files) is what incremental readers consume
+                "carried": sorted(carry_files or {}),
                 "n_files_carried": len(carry_files or {}),
                 "n_files_written": len(files) - len(carry_files or {}),
             }
@@ -435,6 +438,69 @@ class TxnTable:
         return self.commit(
             df, sort_within=sort_within, operation="compact", carry_files=carry
         )
+
+    def changed_files(
+        self, since: str | None, until: str | None = None
+    ) -> dict[str, list[str]]:
+        """Per-version absolute paths of files FRESHLY WRITTEN in each
+        snapshot after ``since`` up to ``until`` (default: the live
+        version). Carried (hard-linked) files are excluded — they hold only
+        rows an earlier snapshot already exposed."""
+        until = until or self.current_version()
+        if until is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        lo = int(since[1:]) if since else 0
+        hi = int(until[1:])
+        out: dict[str, list[str]] = {}
+        for meta in self.history():
+            v = meta["version"]
+            if lo < int(v[1:]) <= hi:
+                root = os.path.join(self.root, _VERSIONS, v)
+                carried = set(meta.get("carried", []))
+                out[v] = [
+                    os.path.join(root, rel)
+                    for rel in meta["files"]
+                    if rel not in carried
+                ]
+        return out
+
+    def read_changes(
+        self, spark: SparkSession, since: str | None, until: str | None = None
+    ) -> DataFrame:
+        """Incremental consumption: rows added between two snapshots —
+        the files each version wrote, skipping everything carried by
+        reference. One manifest diff, zero data rewritten, IO proportional
+        to the change, not the table: the feed a downstream incremental
+        aggregate / materialized view reads instead of re-scanning 100 TB.
+
+        Granularity contract (file-level, like Delta CDF without a change
+        log): for ``append`` this is EXACT row-level changes. For
+        ``merge_upsert`` / ``compact`` / ``overwrite_partitions`` the
+        rewritten files also re-expose unchanged rows that shared a file
+        with a change — consumers keyed on a primary key upsert these
+        idempotently (the standard file-grain CDC contract). ``compact`` in
+        particular adds no new rows, only re-homes them.
+
+        Reads resolve snapshot directories that ``vacuum`` may later
+        remove — consume changes before vacuuming past them.
+        """
+        per_version = self.changed_files(since, until)
+        branches = [
+            spark.read.option(
+                "basePath", os.path.join(self.root, _VERSIONS, v)
+            ).parquet(*paths)
+            for v, paths in per_version.items()
+            if paths
+        ]
+        if not branches:
+            schema = spark.createDataFrame(
+                [], self.read(spark, until or self.current_version()).schema
+            )
+            return schema
+        df = branches[0]
+        for b in branches[1:]:
+            df = df.unionByName(b)
+        return df
 
     def vacuum(self, keep: int = 2) -> list[str]:
         """Drop all but the newest ``keep`` snapshots (never the live one).

@@ -326,3 +326,44 @@ def test_compact_leaves_right_sized_files_alone(spark, tmp_path):
     assert new[big] == old[big]  # right-sized file carried by inode
     assert sum(1 for p in new if p.startswith("dt=1")) == 2  # big + 1 bin
     assert t.read(spark).count() == 15
+
+
+def test_read_changes_append_only_is_exact(spark, tmp_path):
+    """File-level CDF: for append-only tables the incremental feed is exact
+    row-level changes — each cursor advance sees precisely the new rows."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 10).coalesce(1), partition_by=["dt"])
+    b2 = spark.createDataFrame([(100, "b2", "0"), (101, "b2", "1")],
+                               "k long, tag string, dt string")
+    v2 = t.append(b2)
+    b3 = spark.createDataFrame([(102, "b3", "2")], "k long, tag string, dt string")
+    v3 = t.append(b3)
+    # full history from genesis
+    assert t.read_changes(spark, None, v1).count() == 10
+    # cursor at v1: exactly the two appended batches, no base rows
+    got = {r["k"] for r in t.read_changes(spark, v1).collect()}
+    assert got == {100, 101, 102}
+    # per-version slicing
+    assert {r["k"] for r in t.read_changes(spark, v1, v2).collect()} == {100, 101}
+    # cursor at head: empty, with the table's schema
+    empty = t.read_changes(spark, v3)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "tag", "dt"}
+
+
+def test_read_changes_merge_is_file_grain(spark, tmp_path):
+    """After a merge, the feed re-exposes only rows from rewritten files
+    (the documented upsert-grain contract) — untouched partitions' carried
+    files contribute nothing."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 30).coalesce(1), partition_by=["dt"])
+    updates = spark.createDataFrame([(0, "upd", "0")], "k long, tag string, dt string")
+    t.merge_upsert(spark, updates, keys=["k"])
+    changed = t.read_changes(spark, v1)
+    rows = changed.collect()
+    # the updated row is present; every re-exposed row is from dt=0's file
+    assert any(r["k"] == 0 and r["tag"] == "upd" for r in rows)
+    assert {r["dt"] for r in rows} == {"0"}
+    # dedupe-by-key consumption reconstructs the post-merge dt=0 partition
+    assert changed.select("k").distinct().count() == \
+        t.read(spark).filter(F.col("dt") == "0").count()
