@@ -77,8 +77,8 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs, verified with exact Jaccard.
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH pipeline: (a, b, jaccard) candidate pairs, exact-verified.
 
     Scale path: shingle-hash once per doc -> k=16 signature (arithmetic over
     the staged array) -> explode (band_idx, band_key) -> groupBy bucket ->
@@ -106,7 +106,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = dd.capped_bucket_pairs(dd.band_explode(withb, ["doc_id"]))
     sh = withb.select("doc_id", "sh")
-    verified = (
+    return (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b")
         .select(
@@ -115,7 +115,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dd.jaccard(F.col("sha"), F.col("shb")), 4).alias("jaccard"),
         )
     )
-    return verified.agg(
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard — see
+    ``_minhash_verified_pairs`` for the full scale story."""
+    return _minhash_verified_pairs(spark, sf_dir).agg(
         F.count("*").alias("n_candidate_pairs"),
         F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).alias("n_dup_50"),
         F.round(F.coalesce(F.max("jaccard"), F.lit(0.0)), 4).alias("max_jaccard"),
@@ -611,12 +616,81 @@ def multimodal_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Chunking geometry: CHUNK_CHARS-wide windows every CHUNK_STRIDE chars
+# (CHUNK_CHARS - CHUNK_STRIDE chars of overlap between neighbors).
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150
+
+
+def dedup_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: LSH pairs verified at Jaccard >= 0.5,
+    then greedy keep-smallest-id — any document that duplicates a
+    smaller-id document is dropped. Reported as per-source audit counts.
+
+    The drop set is a DISTINCT over verified pairs' right side — tiny
+    relative to the corpus (it is the duplicates themselves), so the
+    anti-join broadcasts. Transitive closure is ``dedup_clusters``'s job;
+    the greedy rule needs no iteration and is what crawl pipelines run
+    when near-dup rates are low.
+    """
+    drop = (
+        _minhash_verified_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        d.join(drop, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("dup"), F.lit(0)))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking — the context-window slicing step
+    of a pretraining/RAG pipeline (chars stand in for tokens; the geometry
+    and plan shape are identical).
+
+    ``sequence`` + ``posexplode`` generate chunk starts inside the scan
+    projection — no shuffle at all until (and unless) a consumer needs
+    one; output order is pinned only for the oracle compare. Chunk CONTENT
+    is verified via md5, so the comparison never hauls the substrings
+    around. Row fan-out is len/stride per doc, linear in corpus bytes.
+    """
+    d = load(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    exploded = d.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.substring(F.col("text"), F.col("start"), CHUNK_CHARS)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 QUERIES = {
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_exact_keep": dedup_exact_keep,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_sig": dedup_minhash_sig,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_neardup_keep": dedup_neardup_keep,
+    "text_chunking": text_chunking,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "text_tokens": text_tokens,
@@ -659,6 +733,33 @@ def _build_oracle() -> dict[str, str]:
     fr = tx.sql_lang_score("fr", "text")
     de = tx.sql_lang_score("de", "text")
 
+    # Shared LSH pipeline CTE (mirrors _minhash_verified_pairs): ends at
+    # `verified(a, b, jaccard)`; consumers append their own final SELECT.
+    lsh_verified_cte = f"""
+            WITH sigs AS (
+              SELECT doc_id, {sh} AS sh,
+                     {", ".join(f"{b} AS b{i}" for i, b in enumerate(bands))}
+              FROM documents),
+            sigsf AS (SELECT * FROM sigs WHERE len(sh) > 0),
+            e AS (
+              {" UNION ALL ".join(f"SELECT doc_id, '{i}:' || b{i} AS key FROM sigsf" for i in range(dd.MINHASH_BANDS))}),
+            bk AS (
+              SELECT key FROM e GROUP BY key
+              HAVING count(*) > 1 AND count(*) <= {dd.LSH_MAX_BUCKET}),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM e l JOIN e r ON l.key = r.key AND l.doc_id < r.doc_id
+              JOIN bk ON l.key = bk.key),
+            verified AS (
+              SELECT a, b,
+                     round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                       THEN CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                            / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                       ELSE 0.0 END, 4) AS jaccard
+              FROM cand
+              JOIN sigsf sa ON sa.doc_id = cand.a
+              JOIN sigsf sb ON sb.doc_id = cand.b)"""
+
     return {
         "dedup_exact_stats": """
             WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
@@ -682,34 +783,34 @@ def _build_oracle() -> dict[str, str]:
                    {mh[0]} AS mh0, {mh[1]} AS mh1, {mh[2]} AS mh2, {mh[3]} AS mh3
             FROM documents
         """,
-        "dedup_minhash_pairs": f"""
-            WITH sigs AS (
-              SELECT doc_id, {sh} AS sh,
-                     {", ".join(f"{b} AS b{i}" for i, b in enumerate(bands))}
-              FROM documents),
-            sigsf AS (SELECT * FROM sigs WHERE len(sh) > 0),
-            e AS (
-              {" UNION ALL ".join(f"SELECT doc_id, '{i}:' || b{i} AS key FROM sigsf" for i in range(dd.MINHASH_BANDS))}),
-            bk AS (
-              SELECT key FROM e GROUP BY key
-              HAVING count(*) > 1 AND count(*) <= {dd.LSH_MAX_BUCKET}),
-            cand AS (
-              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-              FROM e l JOIN e r ON l.key = r.key AND l.doc_id < r.doc_id
-              JOIN bk ON l.key = bk.key),
-            verified AS (
-              SELECT a, b,
-                     round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
-                       THEN CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
-                            / len(list_distinct(list_concat(sa.sh, sb.sh)))
-                       ELSE 0.0 END, 4) AS jaccard
-              FROM cand
-              JOIN sigsf sa ON sa.doc_id = cand.a
-              JOIN sigsf sb ON sb.doc_id = cand.b)
+        "dedup_minhash_pairs": f"""{lsh_verified_cte}
             SELECT count(*) AS n_candidate_pairs,
                    CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_50,
                    round(coalesce(max(jaccard), 0.0), 4) AS max_jaccard
             FROM verified
+        """,
+        "dedup_neardup_keep": f"""{lsh_verified_cte},
+            dropped AS (
+              SELECT DISTINCT b AS doc_id FROM verified WHERE jaccard >= 0.5)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN dropped.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                   CAST(count(*) - sum(CASE WHEN dropped.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM documents LEFT JOIN dropped USING (doc_id)
+            GROUP BY source ORDER BY source
+        """,
+        "text_chunking": f"""
+            -- DuckDB's generate_series cannot read lateral columns; a
+            -- constant series joined on "start fits in the doc" is
+            -- equivalent (the fixture corpus tops out well under the bound)
+            SELECT doc_id,
+                   CAST(g.i AS INT) AS chunk_idx,
+                   CAST(1 + g.i * {CHUNK_STRIDE} AS INT) AS start,
+                   CAST(length(substr(text, CAST(1 + g.i * {CHUNK_STRIDE} AS INT), {CHUNK_CHARS})) AS INT) AS chunk_len,
+                   md5(substr(text, CAST(1 + g.i * {CHUNK_STRIDE} AS INT), {CHUNK_CHARS})) AS chunk_md5
+            FROM documents
+            JOIN generate_series(0, 999) AS g(i)
+              ON 1 + g.i * {CHUNK_STRIDE} <= greatest(length(text), 1)
+            ORDER BY doc_id, chunk_idx
         """,
         "dedup_simhash": f"""
             SELECT doc_id, {dd.sql_simhash_expr("text")} AS simhash FROM documents
