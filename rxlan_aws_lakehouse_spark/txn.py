@@ -32,17 +32,112 @@ table partitioned by dt/hour stays partitioned through every upsert.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
 import time
 from urllib.parse import unquote, urlparse
 
+import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _VERSIONS = "_versions"
 _LATEST = "_LATEST"
+
+
+def _stat_value(v):
+    """Parquet-footer min/max -> (type_tag, JSON value), or None if the
+    type is one we will not prune on. ISO-8601 strings order the same as
+    the timestamps/dates they encode, so range compares stay lexical."""
+    if isinstance(v, bool) or v is None:
+        return None  # boolean ranges prune nothing useful
+    if isinstance(v, (int, float)):
+        return ("num", v)
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, bytes):
+        try:
+            return ("str", v.decode("utf-8"))
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, _dt.datetime):
+        return ("ts", v.isoformat(sep=" "))
+    if isinstance(v, _dt.date):
+        return ("date", v.isoformat())
+    return None
+
+
+def _coerce_literal(tag: str, lit):
+    """A user predicate literal -> the stats domain for ``tag`` (None if
+    incomparable, which disables pruning on that conjunct for the file)."""
+    try:
+        if tag == "num":
+            return float(lit) if not isinstance(lit, bool) else None
+        if tag == "str":
+            return lit if isinstance(lit, str) else None
+        if tag == "ts":
+            if isinstance(lit, _dt.datetime):
+                return lit.isoformat(sep=" ")
+            if isinstance(lit, _dt.date):
+                return _dt.datetime.combine(lit, _dt.time()).isoformat(sep=" ")
+            return str(lit) if isinstance(lit, str) else None
+        if tag == "date":
+            if isinstance(lit, _dt.datetime):
+                return lit.date().isoformat()
+            if isinstance(lit, _dt.date):
+                return lit.isoformat()
+            return str(lit) if isinstance(lit, str) else None
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
+def _file_column_stats(path: str) -> dict:
+    """Footer-only per-file stats: rows + per-top-level-column min/max/nulls.
+
+    The same metadata Iceberg manifests and Delta's stats JSON carry; read
+    from the parquet footer (a few KB) rather than the data pages, so commit
+    cost stays proportional to file COUNT. Columns whose footer lacks
+    min/max in any row group are omitted (never pruned on).
+    """
+    md = _pq.ParquetFile(path).metadata
+    cols: dict[str, dict] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name or name in bad:
+                continue
+            st = c.statistics
+            nulls = st.null_count if st is not None else None
+            all_null = (
+                st is not None and nulls is not None and nulls == g.num_rows
+            )
+            if st is None or nulls is None or not (st.has_min_max or all_null):
+                bad.add(name)
+                cols.pop(name, None)
+                continue
+            lo = _stat_value(st.min) if st.has_min_max else None
+            hi = _stat_value(st.max) if st.has_min_max else None
+            if not all_null and (lo is None or hi is None or lo[0] != hi[0]):
+                bad.add(name)
+                cols.pop(name, None)
+                continue
+            e = cols.setdefault(
+                name, {"t": lo[0] if lo else None, "min": None, "max": None,
+                       "nulls": 0}
+            )
+            e["nulls"] += nulls
+            if lo is not None:
+                if e["t"] is None:
+                    e["t"] = lo[0]
+                e["min"] = lo[1] if e["min"] is None else min(e["min"], lo[1])
+                e["max"] = hi[1] if e["max"] is None else max(e["max"], hi[1])
+    return {"rows": md.num_rows, "columns": cols}
 
 
 def _local_path(file_uri: str) -> str:
@@ -125,6 +220,129 @@ class TxnTable:
         data = os.path.join(self.root, _VERSIONS, v)
         return spark.read.option("basePath", data).parquet(data)
 
+    # -- stats-based file skipping ---------------------------------------
+    @staticmethod
+    def _file_prunable(entry: dict, rel: str, predicates) -> bool:
+        """True if the manifest PROVES no row of this file can satisfy the
+        conjunction. Conservative: unknown columns/types never prune."""
+        cols = entry.get("columns", {})
+        rows = entry.get("rows", 0)
+        parts = dict(
+            seg.split("=", 1) for seg in rel.split(os.sep)[:-1] if "=" in seg
+        )
+        for col, op, lit in predicates:
+            if col in parts:
+                v = unquote(parts[col])
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    return True  # null partition: comparisons match nothing
+
+                def empty(a, b):
+                    return (
+                        (op == "=" and a != b)
+                        or (op == "<" and a >= b)
+                        or (op == "<=" and a > b)
+                        or (op == ">" and a <= b)
+                        or (op == ">=" and a < b)
+                    )
+
+                # Partition-type inference is global (over dirs this file
+                # can't see), so the comparison semantics are ambiguous
+                # from one path alone. Prune only when EVERY plausible
+                # semantic proves the file empty: lexical for string
+                # literals, numeric whenever both sides parse. A numeric
+                # literal against a non-numeric dir value casts to null in
+                # Spark -> no row matches -> prunable.
+                if isinstance(lit, str):
+                    verdicts = [empty(v, lit)]
+                    try:
+                        verdicts.append(empty(float(v), float(lit)))
+                    except (TypeError, ValueError):
+                        pass
+                    if all(verdicts):
+                        return True
+                elif isinstance(lit, (int, float)) and not isinstance(
+                    lit, bool
+                ):
+                    try:
+                        if empty(float(v), float(lit)):
+                            return True
+                    except (TypeError, ValueError):
+                        return True
+                continue
+            st = cols.get(col)
+            if st is None:
+                continue
+            if st["nulls"] == rows and rows > 0:
+                return True  # all-null file: no comparison can match
+            if st["min"] is None or st["max"] is None:
+                continue
+            lo, hi = st["min"], st["max"]
+            cl = _coerce_literal(st["t"], lit)
+            if cl is None:
+                continue
+            if (
+                (op == "=" and (cl < lo or cl > hi))
+                or (op == "<" and lo >= cl)
+                or (op == "<=" and lo > cl)
+                or (op == ">" and hi <= cl)
+                or (op == ">=" and hi < cl)
+            ):
+                return True
+        return False
+
+    def pruned_files(
+        self, predicates, version: str | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-only file skipping: relative paths of the files a scan
+        with ``predicates`` (conjunctive ``(col, op, literal)`` triples,
+        ops ``= < <= > >=``) must read, plus the snapshot's total file
+        count. Pure metadata — no data IO, no Spark job."""
+        v = version or self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        meta = self._meta(v)
+        stats = meta.get("stats", {})
+        kept = [
+            rel
+            for rel in meta["files"]
+            if not self._file_prunable(stats.get(rel, {}), rel, predicates)
+        ]
+        return kept, len(meta["files"])
+
+    def read_pruned(
+        self, spark: SparkSession, predicates, version: str | None = None
+    ) -> DataFrame:
+        """Snapshot read that skips every file whose manifest min/max range
+        proves it irrelevant (Iceberg/Delta data skipping), then applies
+        ``predicates`` as real row filters — pruning is an IO optimization,
+        never the correctness boundary. On a 100 TB time-partitioned table
+        a day-range predicate turns the scan's file list from the whole
+        manifest into one day's files before Spark plans a single task.
+
+        A table whose files are clustered on the predicate columns (see
+        ``commit(sort_within=...)`` / ``ops.zorder``) skips most; a random
+        layout skips little — same contract as any min/max index.
+        """
+        v = version or self.current_version()
+        kept, _total = self.pruned_files(predicates, v)
+        data = os.path.join(self.root, _VERSIONS, v)
+        if not kept:
+            df = spark.createDataFrame([], self.read(spark, v).schema)
+        else:
+            df = spark.read.option("basePath", data).parquet(
+                *(os.path.join(data, rel) for rel in kept)
+            )
+        ops = {
+            "=": lambda c, x: c == x,
+            "<": lambda c, x: c < x,
+            "<=": lambda c, x: c <= x,
+            ">": lambda c, x: c > x,
+            ">=": lambda c, x: c >= x,
+        }
+        for col, op, lit in predicates:
+            df = df.filter(ops[op](F.col(col), F.lit(lit)))
+        return df
+
     # -- write ------------------------------------------------------------
     def commit(
         self,
@@ -186,6 +404,20 @@ class TxnTable:
                 if n.endswith(".parquet")
             )
             version = self._next_version()
+            # Per-file column stats (Iceberg manifest / Delta stats-JSON
+            # analogue). Carried files inherit their stats from the parent
+            # manifest — zero IO; freshly written files cost one footer
+            # read each (file-count scale, not data scale).
+            parent_stats = (
+                self._meta(expect).get("stats", {}) if expect else {}
+            )
+            carried_set = set(carry_files or {})
+            stats = {}
+            for rel in files:
+                if rel in carried_set and rel in parent_stats:
+                    stats[rel] = parent_stats[rel]
+                else:
+                    stats[rel] = _file_column_stats(os.path.join(staging, rel))
             meta = {
                 "version": version,
                 "parent": expect,
@@ -196,6 +428,8 @@ class TxnTable:
                 # per-file manifest: what this snapshot is made of, and how
                 # much of it was carried by reference vs freshly written
                 "files": files,
+                # per-file column min/max/null stats for scan-time skipping
+                "stats": stats,
                 # which of those were carried by reference — the complement
                 # (freshly written files) is what incremental readers consume
                 "carried": sorted(carry_files or {}),

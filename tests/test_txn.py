@@ -367,3 +367,75 @@ def test_read_changes_merge_is_file_grain(spark, tmp_path):
     # dedupe-by-key consumption reconstructs the post-merge dt=0 partition
     assert changed.select("k").distinct().count() == \
         t.read(spark).filter(F.col("dt") == "0").count()
+
+
+def test_manifest_records_file_stats_and_carries_them(spark, tmp_path):
+    """Every commit's manifest carries per-file column min/max/null stats
+    (footer reads, Iceberg-manifest style); carried files inherit the
+    parent's stats entries verbatim — no recomputation."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 20).coalesce(1))
+    m1 = t._meta(v1)
+    (rel,) = m1["files"]
+    st = m1["stats"][rel]
+    assert st["rows"] == 20
+    assert st["columns"]["k"] == {"t": "num", "min": 0, "max": 19, "nulls": 0}
+    assert st["columns"]["tag"]["min"] == "a" == st["columns"]["tag"]["max"]
+    v2 = t.append(_df(spark, 5, tag="b").coalesce(1))
+    m2 = t._meta(v2)
+    assert m2["stats"][rel] == st  # carried entry is byte-identical
+    fresh = [f for f in m2["files"] if f != rel]
+    assert all(m2["stats"][f]["columns"]["tag"]["min"] == "b" for f in fresh)
+
+
+def test_read_pruned_skips_files_and_matches_full_scan(spark, tmp_path):
+    """A range predicate over a range-clustered table reads a strict
+    subset of files, and returns exactly what the unpruned filter does —
+    pruning is an IO optimization, never the correctness boundary."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.commit(df.repartitionByRange(8, "k"), sort_within=["k"])
+    preds = [("k", ">=", 900)]
+    kept, total = t.pruned_files(preds)
+    assert total == 8 and 1 <= len(kept) <= 2
+    got = sorted(r["k"] for r in t.read_pruned(spark, preds).collect())
+    assert got == list(range(900, 1000))
+    # equality inside one file's range: exactly one file survives
+    kept_eq, _ = t.pruned_files([("k", "=", 123)])
+    assert len(kept_eq) == 1
+    assert t.read_pruned(spark, [("k", "=", 123)]).count() == 1
+    # disjoint range: zero files, empty result, schema intact
+    kept0, _ = t.pruned_files([("k", ">", 99999)])
+    assert kept0 == []
+    empty = t.read_pruned(spark, [("k", ">", 99999)])
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+
+
+def test_read_pruned_uses_partition_dirs(spark, tmp_path):
+    """Partition-value predicates prune whole directories from the
+    manifest (no footer stats needed), for string and numeric literals."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 30), partition_by=["dt"])
+    for lit in ("1", 1):
+        kept, total = t.pruned_files([("dt", "=", lit)])
+        assert total > len(kept) >= 1
+        assert all("dt=1" in rel for rel in kept)
+    got = t.read_pruned(spark, [("dt", "=", "1")]).select("k").collect()
+    want = t.read(spark).filter(F.col("dt") == "1").select("k").collect()
+    assert sorted(r["k"] for r in got) == sorted(r["k"] for r in want)
+
+
+def test_read_pruned_drops_all_null_files(spark, tmp_path):
+    """A file whose column is entirely null is provably empty under any
+    comparison — the manifest's null count alone prunes it."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") >= 50, F.col("id")).alias("v"),
+    )
+    t.commit(df.repartitionByRange(2, "k"))
+    kept, total = t.pruned_files([("v", ">=", 0)])
+    assert total == 2 and len(kept) == 1
+    assert t.read_pruned(spark, [("v", ">=", 0)]).count() == 50
