@@ -683,6 +683,117 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure audit — the pre-training scrub report:
+    how many documents carry emails / URLs / phone-shaped strings, and how
+    many matches in total. All regexp_extract_all counts inside the scan
+    projection (engine-portable patterns, no lookarounds), one narrow
+    groupBy(source) — no explode, no Python, codegen throughout.
+    """
+    d = load(spark, sf_dir, "documents")
+    c = tx.pii_counts(F.col("text"))
+    staged = d.select(
+        "source",
+        *[c[k].alias(f"n_{k}") for k in ("email", "url", "phone")],
+    )
+    aggs = []
+    for k in ("email", "url", "phone"):
+        aggs.append(F.sum(f"n_{k}").cast("long").alias(f"total_{k}s"))
+        aggs.append(
+            F.sum((F.col(f"n_{k}") > 0).cast("long")).alias(f"docs_with_{k}")
+        )
+    return (
+        staged.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+        .orderBy("source")
+    )
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-placeholder PII redaction, verified by content hash: each
+    document's scrubbed text is md5'd so the oracle compare proves the
+    REDACTED BYTES match without moving document bodies. Pure
+    regexp_replace chain — JVM-side, no UDF; redaction order (email, url,
+    phone) is part of the operator contract since classes can nest.
+    """
+    d = load(spark, sf_dir, "documents")
+    c = tx.pii_counts(F.col("text"))
+    n_pii = c["email"] + c["url"] + c["phone"]
+    scrubbed = tx.scrub_pii(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_pii.cast("long").alias("n_pii"),
+        F.length(scrubbed).cast("long").alias("redacted_len"),
+        F.md5(scrubbed).alias("redacted_md5"),
+    )
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score without a model: average unigram
+    log2-probability per document, scored against the corpus's own
+    unigram distribution (the cheap first-pass filter before an LM-based
+    quality model).
+
+    One explode feeds BOTH the frequency table and the scoring join —
+    token frequencies are a groupBy on the exploded tokens, the corpus
+    total rides along as a single-row aggregate cross join (Catalyst
+    broadcasts it). The per-token logprob join shuffles on token, which
+    is Zipf-skewed — at 100 TB the top tokens want AQE skew-join (on by
+    default) rather than salting, since the join is a plain equi-join.
+    Docs with zero tokens drop out (no distribution to score against).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(dd.tokens(F.col("text"))).alias("t"))
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("tot"))
+    return (
+        toks.join(freq, "t")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log2(F.col("c") / F.col("tot"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def emb_quantize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4x-compression step before an ANN index ships to serving — profiled
+    with integer-exact checksums (sum / L1 / extremes of the quantized
+    codes) so the oracle compare is bit-stable, no float tolerance games.
+
+    All array math is built-in HOFs over the staged max-abs scale: one
+    projection, no shuffle, no Python. float32 inputs promote to float64
+    identically in both engines, and round() is half-away-from-zero in
+    both, so the codes are deterministic.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(F.transform("embedding", lambda v: F.abs(v)))
+    staged = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.when(maxabs > 0, maxabs).otherwise(F.lit(1.0)).alias("scale"),
+    )
+    q = F.transform(
+        "embedding",
+        lambda v: F.round(v * 127.0 / F.col("scale")).cast("long"),
+    )
+    qs = staged.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.size(F.filter(q, lambda x: x != 0)).alias("q_nonzero"),
+    )
+    return qs
+
+
 QUERIES = {
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_exact_keep": dedup_exact_keep,
@@ -699,6 +810,10 @@ QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_repetition": text_repetition,
     "text_oov_rate": text_oov_rate,
+    "text_pii_scan": text_pii_scan,
+    "text_pii_redact": text_pii_redact,
+    "text_unigram_logprob": text_unigram_logprob,
+    "emb_quantize_profile": emb_quantize_profile,
     "contamination_check": contamination_check,
     "quality_filter_pipeline": quality_filter_pipeline,
     "emb_cosine_topk": emb_cosine_topk,
@@ -1076,6 +1191,60 @@ def _build_oracle() -> dict[str, str]:
                    CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
                    round(CAST(coalesce(o.n_oov, 0) AS DOUBLE) / p.n_tokens, 4) AS oov_rate
             FROM per_doc p LEFT JOIN oov o ON p.doc_id = o.doc_id
+        """,
+        "text_pii_scan": f"""
+            SELECT source, count(*) AS n_docs,
+                   {", ".join(
+                       f"CAST(sum(len(regexp_extract_all(text, '{tx.PII_PATTERNS[k]}'))) AS BIGINT) AS total_{k}s, "
+                       f"CAST(sum(CASE WHEN len(regexp_extract_all(text, '{tx.PII_PATTERNS[k]}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_{k}"
+                       for k in ("email", "url", "phone")
+                   )}
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "text_pii_redact": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '{tx.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                       '{tx.PII_PATTERNS["url"]}', '<URL>', 'g'),
+                       '{tx.PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS scrubbed,
+                     {" + ".join(f"len(regexp_extract_all(text, '{tx.PII_PATTERNS[k]}'))" for k in ("email", "url", "phone"))} AS n_pii
+              FROM documents)
+            SELECT doc_id, CAST(n_pii AS BIGINT) AS n_pii,
+                   CAST(length(scrubbed) AS BIGINT) AS redacted_len,
+                   md5(scrubbed) AS redacted_md5
+            FROM s
+        """,
+        "text_unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({toks}) AS t FROM documents
+            ), freq AS (
+              SELECT t, count(*) AS c FROM toks GROUP BY t
+            ), tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS tot FROM freq
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(log2(CAST(c AS DOUBLE) / tot)), 4) AS avg_logprob
+            FROM toks JOIN freq USING (t) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "emb_quantize_profile": """
+            WITH s AS (
+              SELECT vec_id, label, embedding,
+                     CASE WHEN list_max(list_transform(embedding, v -> abs(v))) > 0
+                          THEN CAST(list_max(list_transform(embedding, v -> abs(v))) AS DOUBLE)
+                          ELSE CAST(1.0 AS DOUBLE) END AS scale
+              FROM embeddings),
+            q AS (
+              SELECT vec_id, label, CAST(len(embedding) AS INT) AS n_dims,
+                     list_transform(embedding,
+                                    v -> CAST(round(v * 127.0 / scale) AS BIGINT)) AS qv
+              FROM s)
+            SELECT vec_id, label, n_dims,
+                   list_min(qv) AS q_min, list_max(qv) AS q_max,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(len(list_filter(qv, x -> x != 0)) AS INT) AS q_nonzero
+            FROM q
         """,
         "contamination_check": f"""
             WITH sigs0 AS (

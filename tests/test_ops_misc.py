@@ -89,3 +89,64 @@ def test_rolling_fingerprint_order_sensitive(spark):
     }
     assert fp[1] == fp[3]
     assert fp[1] != fp[2]
+
+
+def test_pii_redact_leaves_no_matches(spark, sf_dir):
+    """After scrub_pii, no PII pattern matches the redacted corpus text
+    (placeholders contain no '@', '://', or 8+ digit runs)."""
+    from rxlan_aws_lakehouse_spark.queries.llm import text_pii_redact
+    from rxlan_aws_lakehouse_spark.catalog import load
+
+    d = load(spark, sf_dir, "documents")
+    scrubbed = d.select(tx.scrub_pii(F.col("text")).alias("s"))
+    leftover = scrubbed.select(
+        *[
+            F.sum(F.size(F.regexp_extract_all("s", F.lit(p), 0))).alias(k)
+            for k, p in tx.PII_PATTERNS.items()
+        ]
+    ).first()
+    assert all(leftover[k] == 0 for k in tx.PII_PATTERNS)
+    # redacted_len/md5 rows exist for every document
+    out = text_pii_redact(spark, sf_dir)
+    assert out.count() == d.count()
+
+
+def test_unigram_logprob_bounds(spark, sf_dir):
+    """Unigram log2-probs are strictly negative and above log2(1/total);
+    every scored doc has >= 1 token."""
+    from rxlan_aws_lakehouse_spark.queries.llm import text_unigram_logprob
+
+    rows = text_unigram_logprob(spark, sf_dir).collect()
+    assert rows and all(r["n_tokens"] >= 1 for r in rows)
+    assert all(r["avg_logprob"] < 0 for r in rows)
+
+
+def test_quantize_profile_reconstruction(spark, sf_dir):
+    """int8 codes stay in [-127, 127] and reconstruct each element to
+    within half a quantization step."""
+    from rxlan_aws_lakehouse_spark.catalog import load
+    from rxlan_aws_lakehouse_spark.queries.llm import emb_quantize_profile
+
+    prof = emb_quantize_profile(spark, sf_dir)
+    bad = prof.filter((F.col("q_min") < -127) | (F.col("q_max") > 127))
+    assert bad.count() == 0
+
+    e = load(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(F.transform("embedding", lambda v: F.abs(v)))
+    staged = e.select(
+        "embedding", F.when(maxabs > 0, maxabs).otherwise(F.lit(1.0)).alias("scale")
+    )
+    q = F.transform(
+        "embedding", lambda v: F.round(v * 127.0 / F.col("scale")).cast("long")
+    )
+    recon_err = F.array_max(
+        F.zip_with(
+            "embedding",
+            q,
+            lambda v, code: F.abs(v - code * F.col("scale") / 127.0),
+        )
+    )
+    worst = staged.select(
+        (recon_err - F.col("scale") / 254.0 * 1.0001).alias("excess")
+    ).agg(F.max("excess")).first()[0]
+    assert worst <= 1e-9
