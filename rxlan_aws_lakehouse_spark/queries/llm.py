@@ -778,20 +778,28 @@ def emb_quantize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.when(maxabs > 0, maxabs).otherwise(F.lit(1.0)).alias("scale"),
     )
-    q = F.transform(
-        "embedding",
-        lambda v: F.round(v * 127.0 / F.col("scale")).cast("long"),
-    )
-    qs = staged.select(
+    # stage the code array once — four array stats over an UNstaged HOF
+    # would re-run the transform per consumer (HOFs are not CSE'd)
+    coded = staged.select(
         "vec_id",
         "label",
         F.size("embedding").alias("n_dims"),
-        F.array_min(q).alias("q_min"),
-        F.array_max(q).alias("q_max"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-        F.size(F.filter(q, lambda x: x != 0)).alias("q_nonzero"),
+        F.transform(
+            "embedding",
+            lambda v: F.round(v * 127.0 / F.col("scale")).cast("long"),
+        ).alias("qv"),
     )
-    return qs
+    return coded.select(
+        "vec_id",
+        "label",
+        "n_dims",
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.size(F.filter("qv", lambda x: x != 0)).alias("q_nonzero"),
+    )
 
 
 QUERIES = {
