@@ -11,6 +11,10 @@ oracle SQL so the driver's order-insensitive value hash matches.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from . import (
     analytics,
     llm,
@@ -21,47 +25,36 @@ from . import (
     relational4,
     sampling,
     streaming_live,
+    txn_live,
 )
 
 _MODULES = (
     reference, relational, relational2, relational3, relational4, analytics,
-    llm, sampling, streaming_live,
+    llm, sampling, streaming_live, txn_live,
 )
 
-# Names with a green row in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json (99
-# names). The driver records at most the first N registry entries per round,
-# so queries it has never checked are ordered FIRST to maximize cumulative
-# driver coverage. After round 2 the unchecked block is exactly the 11
-# emb_*/multimodal_*/dedup_clusters/streaming queries.
-_DRIVER_GREEN = {
-    "agg_cube", "agg_filter_clause", "agg_modern", "agg_multi_distinct", "agg_rollup",
-    "approx_aggregates", "arrays_per_user", "asof_purchase_click", "contamination_check",
-    "datetime_functions", "dedup_exact_keep", "dedup_exact_stats", "dedup_fingerprint",
-    "dedup_minhash_pairs", "dedup_minhash_sig", "dedup_ngram_jaccard", "dedup_simhash",
-    "distinct_agg", "emb_ann_lsh", "emb_ann_multitable", "emb_cosine_topk",
-    "events_anomaly_zscore", "events_funnel", "explode_top_tokens",
-    "grouping_sets_flags", "join_anti", "join_null_safe", "join_outer", "join_semi",
-    "lateral_top_orders", "math_functions", "mod_sign_semantics",
-    "not_in_null_semantics", "null_ordering", "orders_market_share",
-    "percentiles_exact", "pivot_events", "quality_filter_pipeline",
-    "range_join_clicks", "ref_case_when", "ref_count_star", "ref_dup_detect",
-    "ref_fully_null_probe", "ref_group_count_max", "ref_json_expand",
-    "ref_latest_per_key", "ref_null_profile", "ref_partition_prune",
-    "ref_string_ops", "ref_time_ops", "ref_top_n_recent", "ref_validate_annotate",
-    "regex_functions", "retention_cohorts", "rollup_grouping_id",
-    "running_distinct_users", "sessionize_events", "set_ops", "set_ops_all",
-    "sql_cte_pipeline", "stats_agg", "string_agg_nations", "string_functions",
-    "subquery_correlated", "subquery_scalar", "text_bpe_tokens", "text_langid",
-    "text_oov_rate", "text_quality", "text_repetition", "text_tokens",
-    "time_bucket_weekly", "tpch_q1", "tpch_q10_returns", "tpch_q12_priority",
-    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty", "tpch_q18_big_orders",
-    "tpch_q19_or_preds", "tpch_q22_no_orders", "tpch_q2_min_price", "tpch_q3",
-    "tpch_q4_exists", "tpch_q5", "tpch_q6_forecast", "tpch_q7_volume",
-    "try_functions", "unpivot_part_metrics", "value_histogram",
-    "window_distribution", "window_lag", "window_range_1h", "window_running",
-    "window_sliding_1h", "window_topk", "window_value_functions",
-}
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _last_checked_rounds() -> dict[str, int]:
+    """Per-query latest round with a driver CORRECTNESS row, read from the
+    committed CORRECTNESS_r*.json artifacts. Drives registry rotation: the
+    driver records at most the first ~50 registry entries per round, so
+    ordering STALEST-FIRST (never-checked, then oldest-checked) makes every
+    round both extend coverage and re-green the oldest prior evidence —
+    regression detection for queries outside the most recent window."""
+    rounds: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r"):-len(".json")])
+            with open(path) as f:
+                rows = json.load(f)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name in rows:
+            rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
 
 
 def all_queries():
@@ -74,12 +67,16 @@ def all_queries():
     oracles = set()
     for mod in _MODULES:
         oracles.update(mod.ORACLE)
-    # Within the unchecked block, hash-checkable queries (oracle present)
-    # outrank rows-only ones — a hash row is stronger driver evidence.
-    front = [n for n in merged if n not in _DRIVER_GREEN and n in oracles]
-    front += [n for n in merged if n not in _DRIVER_GREEN and n not in oracles]
-    back = [n for n in merged if n in _DRIVER_GREEN]
-    return {n: merged[n] for n in front + back}
+    checked = _last_checked_rounds()
+    # Sort key: (last-checked round, rows-only after hash-checkable, name).
+    # Never-checked queries (round 0) lead; among equals, oracle-backed
+    # queries outrank rows-only ones (a hash row is stronger evidence), and
+    # the name tiebreak keeps the order deterministic.
+    names = sorted(
+        merged,
+        key=lambda n: (checked.get(n, 0), n not in oracles, n),
+    )
+    return {n: merged[n] for n in names}
 
 
 def all_oracles():

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..streaming.cdc import forward_cdc
+from ..streaming.stateful import run_sessionize
 
 _N_EVENTS = 2000
 
@@ -107,5 +108,45 @@ def streaming_cdc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"streaming_cdc_counts": streaming_cdc_counts}
-ORACLE: dict[str, str] = {}  # genuinely non-SQL: a streaming run, rows-only
+def streaming_sessionize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the STATEFUL streaming lane (applyInPandasWithState sessionizer,
+    ``streaming/stateful.py``) under the driver's eye: synthesize envelopes,
+    drain them in ONE AvailableNow batch, and aggregate the emitted sessions
+    per city.
+
+    Determinism: a single landing file -> a single micro-batch, so every
+    session CLOSED BY DATA (a later event exceeding the 30-minute gap)
+    emits in that batch, identically on every run; each city's trailing
+    session stays in state awaiting a watermark that never comes — also
+    identically on every run. The events fixture gives each city ~40 events
+    over two days (mean gap ~36 min), so both session splits and multi-event
+    sessions occur.
+    """
+    work = tempfile.mkdtemp(prefix="cdc_sessions_")
+    landing, out_dir, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
+    _envelopes(spark, sf_dir).coalesce(1).write.mode("overwrite").text(landing)
+    q = run_sessionize(spark, landing, out_dir, ckpt, gap_minutes=30)
+    q.awaitTermination()
+    sessions = spark.read.schema(
+        "city string, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    ).parquet(out_dir)
+    return (
+        sessions.groupBy("city")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max(
+                F.unix_timestamp("session_end")
+                - F.unix_timestamp("session_start")
+            ).alias("max_session_sec"),
+        )
+        .orderBy("city")
+    )
+
+
+QUERIES = {
+    "streaming_cdc_counts": streaming_cdc_counts,
+    "streaming_sessionize_counts": streaming_sessionize_counts,
+}
+ORACLE: dict[str, str] = {}  # genuinely non-SQL: streaming runs, rows-only

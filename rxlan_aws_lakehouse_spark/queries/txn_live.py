@@ -1,0 +1,130 @@
+"""Driver-visible transactional-table queries.
+
+The TxnTable lane (snapshot commits, file-granular MERGE, schema evolution,
+file-level change feed — ``txn.py``) is the engine's answer to the
+reference's staged-COPY warehouse load (/root/reference/glue/
+bronze_to_silver_openweather.py:134-148, Redshift owns atomicity there).
+Sinks have no SQL form, so the lane was pytest-only; these queries put it
+under the driver's ORACLE gate by building a real table in a temp dir from
+fixture data, running the transactional operation, and returning a read
+whose expected contents DuckDB can recompute from the same fixtures with
+plain SQL. Determinism: results depend only on fixture contents — temp
+paths, file layout, and commit timestamps never reach the output.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..txn import TxnTable
+
+_N_CUST = 200
+
+
+def txn_merge_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-granular MERGE with additive schema evolution, read back.
+
+    Base = customers with c_custkey <= 200, partitioned by market segment.
+    Upsert = every 10th customer gets +1000.0 balance AND a new ``tier``
+    column (merge_schema=True). The returned snapshot read must show the
+    evolved schema: updated rows carry values, rows from carried files read
+    as typed NULLs through the recorded snapshot schema.
+    """
+    work = tempfile.mkdtemp(prefix="txn_live_")
+    try:
+        t = TxnTable(f"{work}/t")
+        base = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= _N_CUST)
+            .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        )
+        t.commit(base, partition_by=["c_mktsegment"])
+        updates = (
+            base.filter(F.col("c_custkey") % 10 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0))
+            .withColumn("tier", F.lit("vip"))
+        )
+        t.merge_upsert(spark, updates, keys=["c_custkey"], merge_schema=True)
+        out = (
+            t.read(spark)
+            .select(
+                "c_custkey",
+                F.col("c_acctbal").alias("acctbal"),
+                "tier",
+                F.col("c_mktsegment").alias("segment"),
+            )
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()  # materialize before the temp dir is removed
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption off the file-level change feed.
+
+    Base commit = orders before 1995; two appends = 1995 and 1996 order
+    slices. A consumer whose cursor is the base version reads EXACTLY the
+    two appended batches (append-only feeds are row-exact), aggregated per
+    order year. DuckDB recomputes the same from the fixture directly.
+    """
+    work = tempfile.mkdtemp(prefix="txn_feed_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        v1 = t.commit(orders.filter(F.col("o_year") < "1995"))
+        t.append(orders.filter(F.col("o_year") == "1995"))
+        t.append(orders.filter(F.col("o_year") == "1996"))
+        out = (
+            t.read_changes(spark, since=v1)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .orderBy("o_year")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES = {
+    "txn_merge_evolved": txn_merge_evolved,
+    "txn_change_feed": txn_change_feed,
+}
+
+ORACLE = {
+    "txn_merge_evolved": f"""
+        SELECT
+            c_custkey,
+            CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+                 ELSE c_acctbal END AS acctbal,
+            CASE WHEN c_custkey % 10 = 0 THEN 'vip' END AS tier,
+            c_mktsegment AS segment
+        FROM customer
+        WHERE c_custkey <= {_N_CUST}
+        ORDER BY c_custkey
+    """,
+    "txn_change_feed": """
+        SELECT
+            strftime(o_orderdate, '%Y') AS o_year,
+            count(*) AS n_orders,
+            round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y') IN ('1995', '1996')
+        GROUP BY 1
+        ORDER BY 1
+    """,
+}

@@ -42,9 +42,15 @@ from urllib.parse import unquote, urlparse
 import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _VERSIONS = "_versions"
 _LATEST = "_LATEST"
+# Fresh-file footer stats move from serial driver reads to a distributed
+# Spark job once a commit writes at least this many files. Below it, one
+# driver-side footer read per file is cheaper than a job round-trip.
+_DIST_STATS_MIN_FILES = 64
+_ROOT_SHARD = "root"
 
 
 def _stat_value(v):
@@ -146,8 +152,62 @@ def _local_path(file_uri: str) -> str:
     return unquote(p.path) if p.scheme in ("file", "") else file_uri
 
 
+def _shard_key(rel: str) -> str:
+    """Manifest shard for a file: its top-level partition directory, or the
+    ``root`` shard for unpartitioned layouts. One shard per first-level
+    partition keeps each manifest fragment proportional to ONE partition's
+    file count, and lets partition predicates skip whole fragments unread."""
+    head, _sep, tail = rel.partition(os.sep)
+    return head if tail else _ROOT_SHARD
+
+
+def _file_entry(path: str) -> dict:
+    """Per-file manifest entry: footer stats + on-disk size."""
+    e = _file_column_stats(path)
+    e["bytes"] = os.path.getsize(path)
+    return e
+
+
+def _entries_for(paths: list[str], spark: SparkSession | None) -> dict[str, dict]:
+    """Manifest entries for freshly written files, keyed by absolute path.
+
+    Small commits read footers serially in the driver (one ~KB read each);
+    commits writing >= _DIST_STATS_MIN_FILES files fan the footer reads out
+    as a Spark job (mapInPandas over the path list) so commit metadata cost
+    stays flat in wall-clock as file count grows — the executor-side
+    analogue of Iceberg collecting manifests from its write tasks.
+    """
+    if spark is not None and len(paths) >= _DIST_STATS_MIN_FILES:
+        import pandas as pd
+
+        def compute(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "path": pdf["path"],
+                        "entry": [
+                            json.dumps(_file_entry(p)) for p in pdf["path"]
+                        ],
+                    }
+                )
+
+        n_slices = max(1, min(64, len(paths) // 8))
+        rows = (
+            spark.createDataFrame([(p,) for p in paths], "path string")
+            .repartition(n_slices)
+            .mapInPandas(compute, "path string, entry string")
+            .collect()
+        )
+        return {r["path"]: json.loads(r["entry"]) for r in rows}
+    return {p: _file_entry(p) for p in paths}
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed between this transaction's read and write."""
+
+
+class VacuumProtectionError(RuntimeError):
+    """Vacuum would remove snapshots an incremental consumer still needs."""
 
 
 class TxnTable:
@@ -194,9 +254,42 @@ class TxnTable:
         return f"v{n + 1:08d}"
 
     # -- metadata ---------------------------------------------------------
+    # Manifest layout (sharded, Iceberg-style): the core ``_meta.json`` is
+    # O(1 + changed files) — schema, lineage, and a shard index mapping each
+    # top-level partition to its ``_shard-<key>.json`` fragment plus the
+    # rels freshly written there this commit. Each fragment holds that
+    # partition's full per-file stats. A commit touching 1 of N partitions
+    # rewrites 1 fragment and hard-links the other N-1 — manifest IO scales
+    # with the CHANGE, not the table.
     def _meta(self, version: str) -> dict:
         with open(os.path.join(self.root, _VERSIONS, version, "_meta.json")) as f:
             return json.load(f)
+
+    def _shard_file(self, version: str, key: str) -> str:
+        return os.path.join(
+            self.root, _VERSIONS, version, f"_shard-{key}.json"
+        )
+
+    def _load_shard(self, version: str, key: str) -> dict[str, dict]:
+        """One shard's ``{rel: {rows, bytes, columns}}`` manifest entries."""
+        with open(self._shard_file(version, key)) as f:
+            return json.load(f)["files"]
+
+    def files(self, version: str | None = None) -> list[str]:
+        """All data files (relative paths) in a snapshot, from the manifest
+        alone — the data directory is never listed."""
+        return sorted(self.file_entries(version))
+
+    def file_entries(self, version: str | None = None) -> dict[str, dict]:
+        """rel -> per-file manifest entry (rows/bytes/column stats) for a
+        snapshot, merged across shards."""
+        v = version or self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        out: dict[str, dict] = {}
+        for key in self._meta(v)["shards"]:
+            out.update(self._load_shard(v, key))
+        return out
 
     def history(self) -> list[dict]:
         vdir = os.path.join(self.root, _VERSIONS)
@@ -213,12 +306,23 @@ class TxnTable:
     # -- read -------------------------------------------------------------
     def read(self, spark: SparkSession, version: str | None = None) -> DataFrame:
         """Snapshot read: resolve the pointer ONCE, then scan an immutable
-        directory — later commits cannot tear this DataFrame."""
+        directory — later commits cannot tear this DataFrame.
+
+        The scan uses the schema RECORDED AT COMMIT, not footer inference:
+        planning never opens data files, each snapshot keeps exactly the
+        schema it was committed with (time travel across schema evolution),
+        and files written before a column was added read as typed NULLs for
+        it — the additive-evolution contract of Delta's mergeSchema.
+        """
         v = version or self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         data = os.path.join(self.root, _VERSIONS, v)
-        return spark.read.option("basePath", data).parquet(data)
+        reader = spark.read.option("basePath", data)
+        schema_json = self._meta(v).get("schema")
+        if schema_json:
+            reader = reader.schema(StructType.fromJson(schema_json))
+        return reader.parquet(data)
 
     # -- stats-based file skipping ---------------------------------------
     @staticmethod
@@ -301,13 +405,23 @@ class TxnTable:
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         meta = self._meta(v)
-        stats = meta.get("stats", {})
-        kept = [
-            rel
-            for rel in meta["files"]
-            if not self._file_prunable(stats.get(rel, {}), rel, predicates)
-        ]
-        return kept, len(meta["files"])
+        kept: list[str] = []
+        for key, info in meta["shards"].items():
+            # Shard-level pruning: a partition predicate that proves the
+            # shard's partition dir empty skips the whole fragment UNREAD —
+            # metadata IO proportional to surviving partitions, the same
+            # property Iceberg gets from manifest-level partition summaries.
+            if key != _ROOT_SHARD and self._file_prunable(
+                {}, os.path.join(key, "_"), predicates
+            ):
+                continue
+            entries = self._load_shard(v, key)
+            kept.extend(
+                rel
+                for rel in sorted(entries)
+                if not self._file_prunable(entries[rel], rel, predicates)
+            )
+        return kept, meta["n_files"]
 
     def read_pruned(
         self, spark: SparkSession, predicates, version: str | None = None
@@ -391,33 +505,73 @@ class TxnTable:
         renamed = False
         try:
             writer.save(staging)
-            if carry_files is None and carry_resolver is not None:
-                carry_files = carry_resolver(staging)
-            for rel, src in (carry_files or {}).items():
-                dst = os.path.join(staging, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.link(src, dst)
-            files = sorted(
+            # Fresh files = what THIS write produced, listed from the
+            # staging dir only (IO proportional to the change). Committed
+            # snapshot dirs are never walked — their contents come from the
+            # parent manifest.
+            fresh = sorted(
                 os.path.relpath(os.path.join(r, n), staging)
                 for r, _d, ns in os.walk(staging)
                 for n in ns
                 if n.endswith(".parquet")
             )
+            if carry_files is None and carry_resolver is not None:
+                carry_files = carry_resolver(staging)
+            carry_files = carry_files or {}
+            for rel, src in carry_files.items():
+                dst = os.path.join(staging, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(src, dst)
             version = self._next_version()
             # Per-file column stats (Iceberg manifest / Delta stats-JSON
-            # analogue). Carried files inherit their stats from the parent
-            # manifest — zero IO; freshly written files cost one footer
-            # read each (file-count scale, not data scale).
-            parent_stats = (
-                self._meta(expect).get("stats", {}) if expect else {}
-            )
-            carried_set = set(carry_files or {})
-            stats = {}
-            for rel in files:
-                if rel in carried_set and rel in parent_stats:
-                    stats[rel] = parent_stats[rel]
-                else:
-                    stats[rel] = _file_column_stats(os.path.join(staging, rel))
+            # analogue): fresh files cost one footer read each — serial for
+            # small commits, a distributed Spark job for large ones
+            # (_entries_for). Carried files inherit their entries from the
+            # parent's shard fragments; a shard with NO fresh files and the
+            # same file count as the parent's carries its whole fragment by
+            # hard link — zero loads, zero rewrites.
+            abs_fresh = [os.path.join(staging, rel) for rel in fresh]
+            by_path = _entries_for(abs_fresh, df.sparkSession)
+            fresh_entries = {
+                rel: by_path[p] for rel, p in zip(fresh, abs_fresh)
+            }
+            parent_shards = self._meta(expect)["shards"] if expect else {}
+            fresh_by_shard: dict[str, list[str]] = {}
+            for rel in fresh:
+                fresh_by_shard.setdefault(_shard_key(rel), []).append(rel)
+            carried_by_shard: dict[str, list[str]] = {}
+            for rel in carry_files:
+                carried_by_shard.setdefault(_shard_key(rel), []).append(rel)
+            shards_index: dict[str, dict] = {}
+            for key in sorted(set(fresh_by_shard) | set(carried_by_shard)):
+                f_rels = sorted(fresh_by_shard.get(key, []))
+                c_rels = carried_by_shard.get(key, [])
+                shards_index[key] = {
+                    "n": len(f_rels) + len(c_rels),
+                    "fresh": f_rels,
+                }
+                dst = os.path.join(staging, f"_shard-{key}.json")
+                if (
+                    not f_rels
+                    and key in parent_shards
+                    and len(c_rels) == parent_shards[key]["n"]
+                ):
+                    # unchanged shard: carry the manifest fragment itself
+                    # by reference (carried rels are a subset of the parent
+                    # shard's files, so equal counts imply equal sets)
+                    os.link(self._shard_file(expect, key), dst)
+                    continue
+                entries = {rel: fresh_entries[rel] for rel in f_rels}
+                if c_rels:
+                    parent_entries = self._load_shard(expect, key)
+                    for rel in c_rels:
+                        entries[rel] = (
+                            parent_entries[rel]
+                            if rel in parent_entries
+                            else _file_entry(os.path.join(staging, rel))
+                        )
+                with open(dst, "w") as f:
+                    json.dump({"files": entries}, f)
             meta = {
                 "version": version,
                 "parent": expect,
@@ -425,16 +579,13 @@ class TxnTable:
                 "partition_by": partition_by or [],
                 "schema": df.schema.jsonValue(),
                 "committed_at_unix": time.time(),
-                # per-file manifest: what this snapshot is made of, and how
-                # much of it was carried by reference vs freshly written
-                "files": files,
-                # per-file column min/max/null stats for scan-time skipping
-                "stats": stats,
-                # which of those were carried by reference — the complement
-                # (freshly written files) is what incremental readers consume
-                "carried": sorted(carry_files or {}),
-                "n_files_carried": len(carry_files or {}),
-                "n_files_written": len(files) - len(carry_files or {}),
+                "n_files": len(fresh) + len(carry_files),
+                "n_files_carried": len(carry_files),
+                "n_files_written": len(fresh),
+                # shard index: per top-level partition, its fragment's file
+                # count and the rels freshly written there this commit —
+                # the change feed reads THIS, never the fragments
+                "shards": shards_index,
             }
             with open(os.path.join(staging, "_meta.json"), "w") as f:
                 json.dump(meta, f)
@@ -463,8 +614,29 @@ class TxnTable:
             raise
         return version
 
+    def _with_retries(self, fn, max_retries: int):
+        """Optimistic-concurrency retry: on ConcurrentCommitError, re-run
+        ``fn`` (which must re-resolve the current snapshot itself) up to
+        ``max_retries`` more times. Safe for the operations here because
+        each recomputes against the NEW snapshot: SCD1 merge is
+        last-writer-wins per key, partition overwrite per partition, append
+        conflict-free — the standard lakehouse commit-conflict rules."""
+        last: ConcurrentCommitError | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return fn()
+            except ConcurrentCommitError as e:
+                last = e
+        assert last is not None
+        raise last
+
     def merge_upsert(
-        self, spark: SparkSession, updates: DataFrame, keys: list[str]
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        merge_schema: bool = False,
+        max_retries: int = 2,
     ) -> str:
         """SCD1 MERGE, file-granular: rewrite ONLY the files that contain a
         matched key; every other file carries into the new snapshot by
@@ -478,45 +650,77 @@ class TxnTable:
           2. re-read just those files, anti-join the update keys -> kept
              rows;
           3. write kept + updates (inheriting the partition spec), link
-             every untouched file unchanged.
+             every untouched file unchanged. The carry set comes from the
+             parent MANIFEST (``files()``), never a directory listing —
+             object-store-portable and flat in table file count.
+
+        ``merge_schema=True`` evolves the table additively: columns present
+        in ``updates`` but not the target are appended to the snapshot
+        schema; rewritten rows get typed NULLs, carried files read as NULLs
+        through the recorded schema, and earlier snapshots keep their own
+        schema (time travel is schema-faithful).
+
+        A ``ConcurrentCommitError`` (another writer landed first) re-reads
+        the new snapshot and re-runs the merge, up to ``max_retries`` times
+        — correct under SCD1 last-writer-wins for overlapping keys, exact
+        for disjoint writers.
 
         At 100 TB an upsert matching 0.1% of keys rewrites ~0.1% of files
         instead of the whole table. Readers see the pre-merge snapshot
         until the pointer swap, then the post-merge one — never a mixture.
         """
-        expect = self.current_version()
-        if expect is None:
-            raise FileNotFoundError(f"no committed version at {self.root}")
-        data_root = os.path.join(self.root, _VERSIONS, expect)
-        target = self.read(spark)
-        update_keys = updates.select(*keys).distinct()
-        touched = sorted(
-            _local_path(r["_f"])
-            for r in target.withColumn("_f", F.input_file_name())
-            .join(update_keys, keys, "leftsemi")
-            .select("_f")
-            .distinct()
-            .collect()
-        )
-        touched_set = set(touched)
-        carry = {
-            os.path.relpath(os.path.join(r, n), data_root): os.path.join(r, n)
-            for r, _d, ns in os.walk(data_root)
-            for n in ns
-            if n.endswith(".parquet")
-            and os.path.join(r, n) not in touched_set
-        }
-        if touched:
-            kept = (
-                spark.read.option("basePath", data_root)
-                .parquet(*touched)
-                .join(update_keys, keys, "left_anti")
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            target = self.read(spark, expect)
+            update_keys = updates.select(*keys).distinct()
+            touched = sorted(
+                os.path.relpath(_local_path(r["_f"]), data_root)
+                for r in target.withColumn("_f", F.input_file_name())
+                .join(update_keys, keys, "leftsemi")
+                .select("_f")
+                .distinct()
+                .collect()
             )
-            merged = kept.unionByName(updates.select(*target.columns))
-        else:
-            # pure insert: nothing matched, carry every existing file
-            merged = updates.select(*target.columns)
-        return self.commit(merged, operation="merge_upsert", carry_files=carry)
+            touched_set = set(touched)
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in self.files(expect)
+                if rel not in touched_set
+            }
+            out_cols = list(target.columns)
+            extra_fields = []
+            if merge_schema:
+                have = set(out_cols)
+                extra_fields = [
+                    f for f in updates.schema.fields if f.name not in have
+                ]
+                out_cols += [f.name for f in extra_fields]
+            if touched:
+                kept = (
+                    spark.read.option("basePath", data_root)
+                    .schema(target.schema)
+                    .parquet(*(os.path.join(data_root, rel) for rel in touched))
+                    .join(update_keys, keys, "left_anti")
+                )
+                for f in extra_fields:
+                    kept = kept.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+                merged = kept.select(*out_cols).unionByName(
+                    updates.select(*out_cols)
+                )
+            else:
+                # pure insert: nothing matched, carry every existing file
+                merged = updates.select(*out_cols)
+            return self.commit(
+                merged, operation="merge_upsert", carry_files=carry
+            )
+
+        return self._with_retries(attempt, max_retries)
 
     def overwrite_partitions(
         self,
@@ -524,10 +728,12 @@ class TxnTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         sort_within: list[str] | None = None,
+        max_retries: int = 2,
     ) -> str:
         """Dynamic-partition-overwrite as a snapshot commit: replace ONLY
         the partitions present in ``df``; every other file carries into the
-        new snapshot by reference (hard link, no rewrite).
+        new snapshot by reference (hard link, no rewrite). The carried set
+        comes from the parent manifest, never a directory listing.
 
         The idempotent-hourly-reload semantics of
         ``partitionOverwriteMode=dynamic``, but atomic: a reader concurrent
@@ -535,73 +741,83 @@ class TxnTable:
         new one. The touched-partition set is read off the STAGING output
         after the write (the partition dirs ``df`` actually produced), so
         ``df``'s plan runs exactly once — important for callers whose
-        metrics ``observe()`` rides the write job.
+        metrics ``observe()`` rides the write job. Concurrent commits are
+        retried against the new snapshot (exact for writers overwriting
+        disjoint partitions).
         """
-        expect = self.current_version()
-        if expect is None:
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                return self.commit(
+                    df, partition_by=partition_by, sort_within=sort_within,
+                    operation="overwrite_partitions",
+                )
+            spec = partition_by
+            if spec is None:
+                spec = self._meta(expect).get("partition_by") or None
+            if not spec:
+                # unpartitioned table: degenerates to plain overwrite
+                return self.commit(
+                    df, sort_within=sort_within, operation="overwrite"
+                )
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            depth = len(spec)
+
+            def resolver(staging: str) -> dict[str, str]:
+                staged_parts = {
+                    tuple(os.path.relpath(r, staging).split(os.sep)[:depth])
+                    for r, _d, ns in os.walk(staging)
+                    for n in ns
+                    if n.endswith(".parquet")
+                }
+                return {
+                    rel: os.path.join(data_root, rel)
+                    for rel in self.files(expect)
+                    if tuple(rel.split(os.sep)[:depth]) not in staged_parts
+                }
+
             return self.commit(
-                df, partition_by=partition_by, sort_within=sort_within,
+                df,
+                partition_by=list(spec),
+                sort_within=sort_within,
                 operation="overwrite_partitions",
+                carry_resolver=resolver,
             )
-        if partition_by is None:
-            partition_by = self._meta(expect).get("partition_by") or None
-        if not partition_by:
-            # unpartitioned table: partition-overwrite degenerates to overwrite
-            return self.commit(
-                df, sort_within=sort_within, operation="overwrite"
-            )
-        data_root = os.path.join(self.root, _VERSIONS, expect)
-        depth = len(partition_by)
 
-        def resolver(staging: str) -> dict[str, str]:
-            staged_parts = {
-                tuple(os.path.relpath(r, staging).split(os.sep)[:depth])
-                for r, _d, ns in os.walk(staging)
-                for n in ns
-                if n.endswith(".parquet")
-            }
-            return {
-                rel: os.path.join(r, n)
-                for r, _d, ns in os.walk(data_root)
-                for n in ns
-                if n.endswith(".parquet")
-                and (rel := os.path.relpath(os.path.join(r, n), data_root))
-                and tuple(rel.split(os.sep)[:depth]) not in staged_parts
-            }
-
-        return self.commit(
-            df,
-            partition_by=list(partition_by),
-            sort_within=sort_within,
-            operation="overwrite_partitions",
-            carry_resolver=resolver,
-        )
+        return self._with_retries(attempt, max_retries)
 
     def append(
         self,
         df: DataFrame,
         partition_by: list[str] | None = None,
         sort_within: list[str] | None = None,
+        max_retries: int = 2,
     ) -> str:
-        """Atomic append: carry EVERY existing file by reference, add the
-        new rows' files alongside. No read, no rewrite of existing data."""
-        expect = self.current_version()
-        if expect is None:
+        """Atomic append: carry EVERY existing file by reference (from the
+        parent manifest — the data dir is never listed), add the new rows'
+        files alongside. No read, no rewrite of existing data. Appends
+        never conflict semantically, so a concurrent commit just retries
+        against the new snapshot."""
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                return self.commit(
+                    df, partition_by=partition_by, sort_within=sort_within,
+                    operation="append",
+                )
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in self.files(expect)
+            }
             return self.commit(
                 df, partition_by=partition_by, sort_within=sort_within,
-                operation="append",
+                operation="append", carry_files=carry,
             )
-        data_root = os.path.join(self.root, _VERSIONS, expect)
-        carry = {
-            os.path.relpath(os.path.join(r, n), data_root): os.path.join(r, n)
-            for r, _d, ns in os.walk(data_root)
-            for n in ns
-            if n.endswith(".parquet")
-        }
-        return self.commit(
-            df, partition_by=partition_by, sort_within=sort_within,
-            operation="append", carry_files=carry,
-        )
+
+        return self._with_retries(attempt, max_retries)
 
     def compact(
         self,
@@ -639,24 +855,32 @@ class TxnTable:
         partition_by = self._meta(expect).get("partition_by") or []
         depth = len(partition_by)
         data_root = os.path.join(self.root, _VERSIONS, expect)
-        by_part: dict[tuple, list[str]] = {}
-        for r, _d, ns in os.walk(data_root):
-            for n in ns:
-                if n.endswith(".parquet"):
-                    path = os.path.join(r, n)
-                    rel = os.path.relpath(path, data_root)
-                    part = tuple(rel.split(os.sep)[:depth]) if depth else ()
-                    by_part.setdefault(part, []).append(path)
+        # File list AND sizes come from the manifest (the "bytes" entry each
+        # commit records) — planning a compaction is pure metadata, no
+        # directory listing, no stat calls.
+        by_part: dict[tuple, list[tuple[str, int]]] = {}
+        for rel, entry in self.file_entries(expect).items():
+            part = tuple(rel.split(os.sep)[:depth]) if depth else ()
+            by_part.setdefault(part, []).append((rel, entry["bytes"]))
         rewrite: list[tuple[list[str], int]] = []
         carry: dict[str, str] = {}
         for files in by_part.values():
-            small = [f for f in files if os.path.getsize(f) < small_file_bytes]
-            keep = files if len(small) < 2 else [f for f in files if f not in set(small)]
-            for f in keep:
-                carry[os.path.relpath(f, data_root)] = f
+            small = [(rel, b) for rel, b in files if b < small_file_bytes]
+            keep = (
+                files
+                if len(small) < 2
+                else [rb for rb in files if rb not in set(small)]
+            )
+            for rel, _b in keep:
+                carry[rel] = os.path.join(data_root, rel)
             if len(small) >= 2:
-                size = sum(os.path.getsize(f) for f in small)
-                rewrite.append((small, max(1, -(-size // target_file_bytes))))
+                size = sum(b for _rel, b in small)
+                rewrite.append(
+                    (
+                        [os.path.join(data_root, rel) for rel, _b in small],
+                        max(1, -(-size // target_file_bytes)),
+                    )
+                )
         if not rewrite:
             return expect
         branches = [
@@ -690,12 +914,13 @@ class TxnTable:
             v = meta["version"]
             if lo < int(v[1:]) <= hi:
                 root = os.path.join(self.root, _VERSIONS, v)
-                carried = set(meta.get("carried", []))
-                out[v] = [
+                # each commit's core meta indexes its fresh rels per shard —
+                # the change feed never loads shard fragments at all
+                out[v] = sorted(
                     os.path.join(root, rel)
-                    for rel in meta["files"]
-                    if rel not in carried
-                ]
+                    for info in meta["shards"].values()
+                    for rel in info["fresh"]
+                )
         return out
 
     def read_changes(
@@ -736,18 +961,59 @@ class TxnTable:
             df = df.unionByName(b)
         return df
 
-    def vacuum(self, keep: int = 2) -> list[str]:
-        """Drop all but the newest ``keep`` snapshots (never the live one).
+    def vacuum(
+        self,
+        keep: int = 2,
+        retain_hours: float | None = None,
+        changes_cursor: str | None = None,
+        force: bool = False,
+    ) -> list[str]:
+        """Drop old snapshots (never the live one), subject to two guards:
 
-        Run only after in-flight readers of old snapshots are done — the
-        same contract as Delta VACUUM's retention window.
+        * ``retain_hours`` — age-based retention (Delta VACUUM's window):
+          snapshots committed within the last ``retain_hours`` survive even
+          beyond the ``keep`` count, protecting in-flight readers that
+          resolved them recently.
+        * ``changes_cursor`` — change-feed protection: a ``read_changes``
+          consumer whose cursor is ``changes_cursor`` still needs every
+          snapshot AFTER it. Vacuuming one of those raises
+          ``VacuumProtectionError`` unless ``force=True`` (the explicit
+          "I know I'm breaking the feed" override, like Delta's retention
+          check disable).
         """
         vdir = os.path.join(self.root, _VERSIONS)
-        versions = sorted(v for v in os.listdir(vdir) if v.startswith("v"))
+        versions = sorted(
+            v
+            for v in os.listdir(vdir)
+            if v.startswith("v") and v[1:].isdigit()
+        )
         live = self.current_version()
+        cutoff = (
+            time.time() - retain_hours * 3600.0
+            if retain_hours is not None
+            else None
+        )
+        candidates = [
+            v for v in versions[: max(0, len(versions) - keep)] if v != live
+        ]
+        if cutoff is not None:
+            candidates = [
+                v
+                for v in candidates
+                if self._meta(v).get("committed_at_unix", 0) < cutoff
+            ]
+        if changes_cursor is not None and not force:
+            unread = [
+                v for v in candidates if int(v[1:]) > int(changes_cursor[1:])
+            ]
+            if unread:
+                raise VacuumProtectionError(
+                    f"snapshots {unread} hold changes a consumer at "
+                    f"{changes_cursor} has not read; pass force=True to "
+                    "drop them anyway"
+                )
         removed = []
-        for v in versions[: max(0, len(versions) - keep)]:
-            if v != live:
-                shutil.rmtree(os.path.join(vdir, v), ignore_errors=True)
-                removed.append(v)
+        for v in candidates:
+            shutil.rmtree(os.path.join(vdir, v), ignore_errors=True)
+            removed.append(v)
         return removed

@@ -26,6 +26,7 @@ def test_registry_consistency():
         "emb_kmeans_profile",
         "dedup_clusters",
         "streaming_cdc_counts",
+        "streaming_sessionize_counts",
     }, f"unexpected rows-only queries: {gaps}"
 
 

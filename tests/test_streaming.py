@@ -154,3 +154,18 @@ def test_streaming_cdc_counts_driver_query(spark):
     assert all(r["n_rows"] > 0 and r["n_cities"] > 0 for r in a)
     b = streaming_cdc_counts(spark, "/root/testdata/sf0.001").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_streaming_sessionize_counts_driver_query(spark):
+    """The stateful-lane driver artifact: applyInPandasWithState sessions
+    drained in one AvailableNow batch — deterministic across reruns, with
+    real multi-event sessions (close-by-data) emitted."""
+    from rxlan_aws_lakehouse_spark.queries.streaming_live import (
+        streaming_sessionize_counts,
+    )
+
+    a = streaming_sessionize_counts(spark, "/root/testdata/sf0.001").collect()
+    assert len(a) > 0
+    assert all(r["n_sessions"] > 0 and r["n_events"] >= r["n_sessions"] for r in a)
+    b = streaming_sessionize_counts(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

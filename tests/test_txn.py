@@ -375,17 +375,197 @@ def test_manifest_records_file_stats_and_carries_them(spark, tmp_path):
     parent's stats entries verbatim — no recomputation."""
     t = TxnTable(str(tmp_path / "t"))
     v1 = t.commit(_df(spark, 20).coalesce(1))
-    m1 = t._meta(v1)
-    (rel,) = m1["files"]
-    st = m1["stats"][rel]
+    (rel,) = t.files(v1)
+    st = t.file_entries(v1)[rel]
     assert st["rows"] == 20
+    assert st["bytes"] > 0
     assert st["columns"]["k"] == {"t": "num", "min": 0, "max": 19, "nulls": 0}
     assert st["columns"]["tag"]["min"] == "a" == st["columns"]["tag"]["max"]
     v2 = t.append(_df(spark, 5, tag="b").coalesce(1))
+    e2 = t.file_entries(v2)
+    assert e2[rel] == st  # carried entry is byte-identical
+    fresh = [f for f in e2 if f != rel]
+    assert all(e2[f]["columns"]["tag"]["min"] == "b" for f in fresh)
+
+
+def test_manifest_shards_per_partition_and_links_unchanged(spark, tmp_path):
+    """The manifest is sharded per top-level partition: an append touching
+    only dt=0 rewrites dt=0's fragment and carries dt=1/dt=2's fragments by
+    hard link (same inode) — manifest IO proportional to the change."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 30), partition_by=["dt"])
+    m1 = t._meta(v1)
+    assert set(m1["shards"]) == {"dt=0", "dt=1", "dt=2"}
+    v2 = t.append(
+        spark.createDataFrame([(100, "x", "0")], "k long, tag string, dt string")
+    )
     m2 = t._meta(v2)
-    assert m2["stats"][rel] == st  # carried entry is byte-identical
-    fresh = [f for f in m2["files"] if f != rel]
-    assert all(m2["stats"][f]["columns"]["tag"]["min"] == "b" for f in fresh)
+    # fresh files indexed in the core meta, only under the touched shard
+    assert m2["shards"]["dt=1"]["fresh"] == []
+    assert m2["shards"]["dt=2"]["fresh"] == []
+    assert len(m2["shards"]["dt=0"]["fresh"]) >= 1
+    for key in ("dt=1", "dt=2"):
+        assert (
+            os.stat(t._shard_file(v1, key)).st_ino
+            == os.stat(t._shard_file(v2, key)).st_ino
+        )
+    assert (
+        os.stat(t._shard_file(v1, "dt=0")).st_ino
+        != os.stat(t._shard_file(v2, "dt=0")).st_ino
+    )
+    # entries survive the link/rewrite split intact
+    assert t.read(spark).count() == 31
+    assert len(t.file_entries(v2)) == m2["n_files"]
+
+
+def test_operations_never_list_committed_data_dirs(spark, tmp_path, monkeypatch):
+    """merge_upsert / append / overwrite_partitions / compact derive their
+    carry sets from the manifest: walking a COMMITTED version directory is
+    forbidden (only .tmp-* staging walks are allowed). This is the property
+    that makes commits flat in table file count and object-store-portable."""
+    import rxlan_aws_lakehouse_spark.txn as txn_mod
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 30), partition_by=["dt"])
+
+    real_walk = os.walk
+    versions_root = os.path.join(t.root, "_versions")
+
+    def guarded(top, *a, **kw):
+        top_s = str(top)
+        if top_s.startswith(versions_root) and "/.tmp-" not in top_s:
+            raise AssertionError(f"walked committed dir {top_s}")
+        return real_walk(top, *a, **kw)
+
+    monkeypatch.setattr(txn_mod.os, "walk", guarded)
+    t.append(
+        spark.createDataFrame([(200, "x", "1")], "k long, tag string, dt string")
+    )
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(0, "upd", "0")], "k long, tag string, dt string"),
+        keys=["k"],
+    )
+    t.overwrite_partitions(
+        spark,
+        spark.createDataFrame([(300, "ow", "2")], "k long, tag string, dt string"),
+    )
+    t.compact(spark)
+    got = t.read(spark)
+    assert got.filter(F.col("tag") == "upd").count() == 1
+    assert got.filter(F.col("dt") == "2").count() == 1  # partition replaced
+
+
+def test_concurrent_merge_retries_and_both_land(spark, tmp_path):
+    """Two writers upsert DISJOINT keys; writer B lands between writer A's
+    snapshot read and pointer swap. A's merge must detect the conflict,
+    re-resolve against B's snapshot, and retry — both updates in the final
+    table, no lost write."""
+    a = TxnTable(str(tmp_path / "t"))
+    a.commit(_df(spark, 10))
+    b = TxnTable(a.root)
+    upd_a = spark.createDataFrame(
+        [(0, "A", "0"), (1, "A", "1")], "k long, tag string, dt string"
+    )
+    upd_b = spark.createDataFrame(
+        [(5, "B", "2"), (6, "B", "0")], "k long, tag string, dt string"
+    )
+    original_swap = a._swap_pointer
+    fired = {"done": False}
+
+    def interleave(version, expect):
+        if not fired["done"]:
+            fired["done"] = True
+            b.merge_upsert(spark, upd_b, keys=["k"])  # B wins the race
+        return original_swap(version, expect)
+
+    a._swap_pointer = interleave
+    try:
+        a.merge_upsert(spark, upd_a, keys=["k"])
+    finally:
+        a._swap_pointer = original_swap
+    assert fired["done"]
+    got = a.read(spark)
+    assert got.count() == 10
+    tags = {r["k"]: r["tag"] for r in got.collect()}
+    assert tags[0] == "A" and tags[1] == "A"
+    assert tags[5] == "B" and tags[6] == "B"
+    # lineage shows three merges: base, B's, then A's retry on top of B's
+    ops = [m["operation"] for m in a.history()]
+    assert ops.count("merge_upsert") == 2
+
+
+def test_merge_schema_evolution_adds_typed_null_column(spark, tmp_path):
+    """merge_schema=True appends new columns: rewritten rows carry values,
+    carried files read as typed NULLs through the recorded schema, and the
+    OLD snapshot keeps the old schema (time travel is schema-faithful)."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 30), partition_by=["dt"])
+    updates = spark.createDataFrame(
+        [(0, "upd", "0", 0.9), (3, "upd", "0", 0.7)],
+        "k long, tag string, dt string, score double",
+    )
+    v2 = t.merge_upsert(spark, updates, keys=["k"], merge_schema=True)
+    got = t.read(spark)
+    assert got.schema["score"].dataType.typeName() == "double"
+    assert got.count() == 30
+    assert got.filter(F.col("score").isNotNull()).count() == 2
+    # rows from carried (dt=1/dt=2) files: typed NULLs
+    assert got.filter(F.col("dt") != "0").filter(
+        F.col("score").isNotNull()
+    ).count() == 0
+    # old snapshot: no score column at all
+    assert "score" not in t.read(spark, v1).columns
+    # next plain upsert keeps the evolved schema
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(7, "upd2", "1", 0.5)], "k long, tag string, dt string, score double"
+        ),
+        keys=["k"],
+    )
+    assert t.read(spark).filter(F.col("score").isNotNull()).count() == 3
+    assert t._meta(v2)["schema"] != t._meta(v1)["schema"]
+
+
+def test_vacuum_age_retention(spark, tmp_path):
+    """retain_hours protects young snapshots beyond the keep count; a zero
+    retention window restores pure count-based vacuuming."""
+    t = TxnTable(str(tmp_path / "t"))
+    for n in (5, 10, 15, 20):
+        t.commit(_df(spark, n))
+    # everything was committed seconds ago: nothing is old enough
+    assert t.vacuum(keep=1, retain_hours=1.0) == []
+    assert t.read(spark, "v00000001").count() == 5
+    # zero window: age guard passes, count guard applies
+    assert t.vacuum(keep=2, retain_hours=0.0) == ["v00000001", "v00000002"]
+    assert t.read(spark).count() == 20
+
+
+def test_vacuum_change_feed_guard(spark, tmp_path):
+    """A consumer cursor protects unread snapshots: vacuuming past it
+    raises unless forced; snapshots at or before the cursor vacuum freely."""
+    from rxlan_aws_lakehouse_spark.txn import VacuumProtectionError
+
+    t = TxnTable(str(tmp_path / "t"))
+    for n in (5, 10, 15, 20):
+        t.commit(_df(spark, n))
+    with pytest.raises(VacuumProtectionError):
+        t.vacuum(keep=1, changes_cursor="v00000001")
+    # nothing was removed by the refused call
+    assert t.read(spark, "v00000002").count() == 10
+    # consumer has advanced to v3: v1..v3 are all consumed, so keep=1 may
+    # drop them — the guard only protects snapshots PAST the cursor
+    assert t.vacuum(keep=1, changes_cursor="v00000003") == [
+        "v00000001", "v00000002", "v00000003",
+    ]
+    assert t.read(spark).count() == 20
+    # forced vacuum past a cursor succeeds
+    t2 = TxnTable(str(tmp_path / "t2"))
+    for n in (5, 10, 15):
+        t2.commit(_df(spark, n))
+    removed = t2.vacuum(keep=1, changes_cursor="v00000001", force=True)
+    assert removed == ["v00000001", "v00000002"]
 
 
 def test_read_pruned_skips_files_and_matches_full_scan(spark, tmp_path):
