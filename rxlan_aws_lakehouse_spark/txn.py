@@ -675,23 +675,55 @@ class TxnTable:
             if expect is None:
                 raise FileNotFoundError(f"no committed version at {self.root}")
             data_root = os.path.join(self.root, _VERSIONS, expect)
-            target = self.read(spark, expect)
+            # Schema comes from the manifest, NOT a directory read — a
+            # spark.read over the snapshot dir would run partition
+            # discovery across every partition directory (file-count-scale
+            # driver listing) just to learn a schema the commit recorded.
+            target_schema = StructType.fromJson(self._meta(expect)["schema"])
             update_keys = updates.select(*keys).distinct()
-            touched = sorted(
-                os.path.relpath(_local_path(r["_f"]), data_root)
-                for r in target.withColumn("_f", F.input_file_name())
-                .join(update_keys, keys, "leftsemi")
-                .select("_f")
-                .distinct()
-                .collect()
-            )
+            # Candidate pruning (Delta's merge file-skipping): a file whose
+            # manifest min/max range on a key column misses the updates'
+            # [min, max] cannot contain a matched key, so the touched-file
+            # discovery scan reads only range-overlapping files — on a
+            # key-clustered 100 TB table that is the handful of files the
+            # merge actually hits, not the whole table. One cheap partial
+            # aggregate over the (typically small) update set buys it.
+            bounds = updates.agg(
+                *[F.min(k).alias(f"lo_{k}") for k in keys],
+                *[F.max(k).alias(f"hi_{k}") for k in keys],
+            ).first()
+            preds = []
+            for k in keys:
+                if bounds[f"lo_{k}"] is not None:
+                    preds.append((k, ">=", bounds[f"lo_{k}"]))
+                if bounds[f"hi_{k}"] is not None:
+                    preds.append((k, "<=", bounds[f"hi_{k}"]))
+            candidates, _total = self.pruned_files(preds, expect)
+            if candidates:
+                cand_scan = (
+                    spark.read.option("basePath", data_root)
+                    .schema(target_schema)
+                    .parquet(
+                        *(os.path.join(data_root, rel) for rel in candidates)
+                    )
+                )
+                touched = sorted(
+                    os.path.relpath(_local_path(r["_f"]), data_root)
+                    for r in cand_scan.withColumn("_f", F.input_file_name())
+                    .join(update_keys, keys, "leftsemi")
+                    .select("_f")
+                    .distinct()
+                    .collect()
+                )
+            else:
+                touched = []
             touched_set = set(touched)
             carry = {
                 rel: os.path.join(data_root, rel)
                 for rel in self.files(expect)
                 if rel not in touched_set
             }
-            out_cols = list(target.columns)
+            out_cols = list(target_schema.fieldNames())
             extra_fields = []
             if merge_schema:
                 have = set(out_cols)
@@ -702,7 +734,7 @@ class TxnTable:
             if touched:
                 kept = (
                     spark.read.option("basePath", data_root)
-                    .schema(target.schema)
+                    .schema(target_schema)
                     .parquet(*(os.path.join(data_root, rel) for rel in touched))
                     .join(update_keys, keys, "left_anti")
                 )
