@@ -683,6 +683,63 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+PACK_BUDGET = 512   # token budget per packed training sequence
+PACK_BUCKETS = 16   # parallel packing streams (scales with the cluster)
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — concatenate documents into fixed-token-budget
+    training sequences (the step between dedup/filter and the trainer's
+    dataloader).
+
+    A single global greedy pack is a serial algorithm; the scalable form
+    shards documents into ``PACK_BUCKETS`` deterministic streams
+    (md5(doc_id) — reproducible across engines/partitionings, like the
+    samplers) and packs WITHIN each stream by token-offset assignment:
+    a running token sum orders the stream, and a document starting at
+    offset ``cum - n_tok`` joins sequence ``floor(offset / budget)``.
+    Documents never split; a doc straddling a boundary stays in its
+    starting sequence, so a sequence can overrun the budget by at most one
+    document's tokens (reported as ``overflow_tokens`` — the trainer
+    truncates or the budget gets headroom). One shuffle on the bucket key;
+    each bucket's window is an independent running sum, so parallelism ==
+    buckets and buckets scale with the cluster.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = tx.md5_long(F.col("doc_id").cast("string"))
+    staged = d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tok"),
+        h.alias("h"),
+        (h % PACK_BUCKETS).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = staged.select(
+        "bucket",
+        "n_tok",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok"))
+            / F.lit(float(PACK_BUDGET))
+        ).alias("seq_id"),
+    )
+    return (
+        packed.groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.sum("n_tok") - F.lit(PACK_BUDGET),
+            ).alias("overflow_tokens"),
+        )
+        .orderBy("bucket", "seq_id")
+    )
+
+
 def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII exposure audit — the pre-training scrub report:
     how many documents carry emails / URLs / phone-shaped strings, and how
@@ -810,6 +867,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_neardup_keep": dedup_neardup_keep,
     "text_chunking": text_chunking,
+    "text_pack_sequences": text_pack_sequences,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "text_tokens": text_tokens,
@@ -934,6 +992,28 @@ def _build_oracle() -> dict[str, str]:
             JOIN generate_series(0, 999) AS g(i)
               ON 1 + g.i * {CHUNK_STRIDE} <= greatest(length(text), 1)
             ORDER BY doc_id, chunk_idx
+        """,
+        "text_pack_sequences": f"""
+            WITH staged AS (
+              SELECT doc_id,
+                     len({tx.SQL_TOKENS.format(c="text")}) AS n_tok,
+                     {tx.SQL_MD5_LONG.format(c="CAST(doc_id AS VARCHAR)")} AS h
+              FROM documents),
+            packed AS (
+              SELECT h % {PACK_BUCKETS} AS bucket, n_tok,
+                     CAST(floor(
+                       (sum(n_tok) OVER (PARTITION BY h % {PACK_BUCKETS}
+                                         ORDER BY h, doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tok)
+                       / {PACK_BUDGET}.0) AS BIGINT) AS seq_id
+              FROM staged)
+            SELECT bucket, seq_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+                   greatest(0, CAST(sum(n_tok) AS BIGINT) - {PACK_BUDGET}) AS overflow_tokens
+            FROM packed
+            GROUP BY bucket, seq_id
+            ORDER BY bucket, seq_id
         """,
         "dedup_simhash": f"""
             SELECT doc_id, {dd.sql_simhash_expr("text")} AS simhash FROM documents

@@ -100,9 +100,54 @@ def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate maintained off the change feed.
+
+    Source = orders (pre-1995 base commit, then 1995 and 1996 appends);
+    the rollup (orders + total price per priority) refreshes after the base
+    and again after the appends — the second refresh consumes ONLY the two
+    appended batches and file-granularly merges combined partials
+    (``ops/incremental.py``). The returned table must equal a full
+    recompute, which is exactly what the DuckDB oracle does.
+    """
+    from ..ops.incremental import IncrementalAggregate
+
+    work = tempfile.mkdtemp(prefix="txn_inc_")
+    try:
+        src = TxnTable(f"{work}/src")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        src.commit(orders.filter(F.col("o_year") < "1995"))
+        inc = IncrementalAggregate(
+            src, f"{work}/agg", ["o_orderpriority"], ["o_totalprice"]
+        )
+        inc.refresh(spark)
+        src.append(orders.filter(F.col("o_year") == "1995"))
+        src.append(orders.filter(F.col("o_year") == "1996"))
+        inc.refresh(spark)
+        out = (
+            inc.read(spark)
+            .select(
+                "o_orderpriority",
+                "n_rows",
+                F.round("sum_o_totalprice", 2).alias("total_price"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
+    "txn_incremental_agg": txn_incremental_agg,
 }
 
 ORACLE = {
@@ -124,6 +169,16 @@ ORACLE = {
             round(sum(o_totalprice), 2) AS total_price
         FROM orders
         WHERE strftime(o_orderdate, '%Y') IN ('1995', '1996')
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "txn_incremental_agg": """
+        SELECT
+            o_orderpriority,
+            count(*) AS n_rows,
+            round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y') <= '1996'
         GROUP BY 1
         ORDER BY 1
     """,

@@ -466,8 +466,15 @@ class TxnTable:
         operation: str = "overwrite",
         carry_files: dict[str, str] | None = None,
         carry_resolver=None,
+        extra_meta: dict | None = None,
     ) -> str:
         """Write ``df`` as a new snapshot and atomically publish it.
+
+        ``extra_meta`` rides in the snapshot manifest under ``"extra"`` —
+        application state that must commit ATOMICALLY with the data (e.g.
+        an incremental consumer's source cursor: state and cursor can never
+        disagree, the exactly-once trick streaming sinks use by writing
+        offsets into the transaction).
 
         ``partition_by`` defaults to the previous snapshot's spec, so the
         physical layout survives rewrites without every caller restating it.
@@ -576,6 +583,7 @@ class TxnTable:
                 "version": version,
                 "parent": expect,
                 "operation": operation,
+                "extra": extra_meta or {},
                 "partition_by": partition_by or [],
                 "schema": df.schema.jsonValue(),
                 "committed_at_unix": time.time(),
@@ -637,6 +645,7 @@ class TxnTable:
         keys: list[str],
         merge_schema: bool = False,
         max_retries: int = 2,
+        extra_meta: dict | None = None,
     ) -> str:
         """SCD1 MERGE, file-granular: rewrite ONLY the files that contain a
         matched key; every other file carries into the new snapshot by
@@ -749,7 +758,8 @@ class TxnTable:
                 # pure insert: nothing matched, carry every existing file
                 merged = updates.select(*out_cols)
             return self.commit(
-                merged, operation="merge_upsert", carry_files=carry
+                merged, operation="merge_upsert", carry_files=carry,
+                extra_meta=extra_meta,
             )
 
         return self._with_retries(attempt, max_retries)
