@@ -516,9 +516,11 @@ def emb_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embedding corpus (5 Lloyd iterations, deterministic
-    seeding) — cluster-size profile. Iterative, so rows-only check (the
-    driver contract's sanctioned class for loops); exactness is pytest-
-    verified on crafted fixtures (tests/test_iterative.py)."""
+    seeding) — cluster-size profile. The fixed iteration count and
+    deterministic seed make even this iterative algorithm oracle-checkable:
+    the DuckDB twin (``_kmeans_oracle_sql``) unrolls the same 5 rounds as
+    chained CTEs and hash-matches exactly; pytest additionally verifies CC
+    exactness on crafted fixtures (tests/test_iterative.py)."""
     from ..ops.iterative import kmeans
 
     e = load(spark, sf_dir, "embeddings")
@@ -535,8 +537,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-group discovery: MinHash-LSH candidate pairs -> connected
     components -> cluster size histogram. The full near-dup pipeline a
     corpus curation job runs (pairs alone under-count transitive dups).
-    Iterative label propagation, so rows-only check; pytest covers CC
-    exactness on known graphs."""
+    The Spark side is iterative label propagation (O(diameter) shuffles);
+    the DuckDB oracle recomputes the same components via a recursive-CTE
+    transitive closure — the size histogram is label-invariant, so the two
+    formulations hash-match exactly."""
     from ..ops.iterative import connected_components
 
     d = load(spark, sf_dir, "documents")
@@ -899,6 +903,61 @@ QUERIES = {
 }
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """DuckDB twin of ``ops.iterative.kmeans`` + the profile aggregation.
+
+    The Spark side runs a FIXED ``iters`` Lloyd rounds with deterministic
+    seeding (first k vec_ids), so the oracle UNROLLS the same rounds as
+    chained CTEs: assignment = row_number over (distance, cluster) — the
+    same lowest-index tie-break as the Spark E-step's strict ``<`` scan
+    (list_distance is the monotone sqrt of the squared distance Spark
+    folds); M-step = per-dimension avg rebuilt with list(... ORDER BY p);
+    empty clusters carry the previous centroid via coalesce, mirroring
+    ``centroids[i]`` carry-forward. A final E-step against the post-update
+    centroids matches the Spark implementation's consistency pass.
+    """
+    parts = [
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec"
+        " FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS"
+        f" INTEGER) AS cluster, vec AS cvec FROM"
+        f" (SELECT * FROM base ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cluster, vec FROM ("
+            f"SELECT b.vec_id, c.cluster, b.vec, row_number() OVER ("
+            f"PARTITION BY b.vec_id ORDER BY list_distance(b.vec, c.cvec),"
+            f" c.cluster) AS rn FROM base b CROSS JOIN c{t-1} c)"
+            f" WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT cluster, list(m ORDER BY p) AS cvec FROM ("
+            f"SELECT cluster, g.p AS p, avg(vec[g.p]) AS m FROM a{t}"
+            f" JOIN generate_series(1, {dim}) g(p) ON true"
+            f" GROUP BY cluster, g.p) GROUP BY cluster)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT p.cluster, coalesce(m.cvec, p.cvec) AS cvec"
+            f" FROM c{t-1} p LEFT JOIN m{t} m USING (cluster))"
+        )
+    final = iters + 1
+    parts.append(
+        f"a{final} AS (SELECT vec_id, cluster FROM ("
+        f"SELECT b.vec_id, c.cluster, row_number() OVER ("
+        f"PARTITION BY b.vec_id ORDER BY list_distance(b.vec, c.cvec),"
+        f" c.cluster) AS rn FROM base b CROSS JOIN c{iters} c)"
+        f" WHERE rn = 1)"
+    )
+    return (
+        ",\n            ".join(parts)
+        + f"""
+            SELECT cluster, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+            FROM a{final} GROUP BY cluster ORDER BY cluster
+        """
+    )
+
+
 def _build_oracle() -> dict[str, str]:
     toks = tx.SQL_TOKENS.format(c="text")
     sh = dd.SQL_SHINGLE_HASHES.format(c="text")
@@ -969,6 +1028,20 @@ def _build_oracle() -> dict[str, str]:
                    CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_50,
                    round(coalesce(max(jaccard), 0.0), 4) AS max_jaccard
             FROM verified
+        """,
+        "emb_kmeans_profile": _kmeans_oracle_sql(),
+        "dedup_clusters": f"""{lsh_verified_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
+            dup AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+            edges AS (SELECT a, b FROM dup UNION SELECT b AS a, a AS b FROM dup),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+            sizes AS (SELECT comp, count(*) AS cluster_size FROM labels GROUP BY comp)
+            SELECT cluster_size, count(*) AS n_clusters
+            FROM sizes GROUP BY cluster_size ORDER BY cluster_size
         """,
         "dedup_neardup_keep": f"""{lsh_verified_cte},
             dropped AS (

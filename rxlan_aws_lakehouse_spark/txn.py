@@ -834,13 +834,22 @@ class TxnTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         sort_within: list[str] | None = None,
+        merge_schema: bool = False,
         max_retries: int = 2,
     ) -> str:
         """Atomic append: carry EVERY existing file by reference (from the
         parent manifest — the data dir is never listed), add the new rows'
         files alongside. No read, no rewrite of existing data. Appends
         never conflict semantically, so a concurrent commit just retries
-        against the new snapshot."""
+        against the new snapshot.
+
+        Schema guard: the snapshot schema each commit records is what every
+        reader resolves, so an append missing a table column would silently
+        hide that column for ALL rows (carried included) — that raises.
+        Extra columns require ``merge_schema=True`` (additive evolution:
+        appended to the schema, carried files read them as typed NULLs);
+        a changed type on an existing column always raises.
+        """
 
         def attempt() -> str:
             expect = self.current_version()
@@ -849,13 +858,41 @@ class TxnTable:
                     df, partition_by=partition_by, sort_within=sort_within,
                     operation="append",
                 )
+            parent = StructType.fromJson(self._meta(expect)["schema"])
+            by_name = {f.name: f for f in df.schema.fields}
+            missing = [f.name for f in parent.fields if f.name not in by_name]
+            if missing:
+                raise ValueError(
+                    f"append is missing table columns {missing}; an append"
+                    " must supply every existing column"
+                )
+            changed = [
+                f.name
+                for f in parent.fields
+                if by_name[f.name].dataType != f.dataType
+            ]
+            if changed:
+                raise ValueError(
+                    f"append changes column types for {changed}; only"
+                    " additive evolution is supported"
+                )
+            extra = [
+                c for c in df.columns
+                if c not in {f.name for f in parent.fields}
+            ]
+            if extra and not merge_schema:
+                raise ValueError(
+                    f"append has new columns {extra}; pass merge_schema=True"
+                    " to evolve the table schema additively"
+                )
+            out = df.select(*[f.name for f in parent.fields], *extra)
             data_root = os.path.join(self.root, _VERSIONS, expect)
             carry = {
                 rel: os.path.join(data_root, rel)
                 for rel in self.files(expect)
             }
             return self.commit(
-                df, partition_by=partition_by, sort_within=sort_within,
+                out, partition_by=partition_by, sort_within=sort_within,
                 operation="append", carry_files=carry,
             )
 

@@ -21,10 +21,10 @@ def test_registry_consistency():
     # non-SQL-expressible ops (Arrow boundary, iterative algorithms, a
     # Structured Streaming run) are the only permitted rows-only gaps
     gaps = set(qs) - set(oracles)
+    # the only rows-only queries left are the genuinely non-SQL ones:
+    # real Structured Streaming runs and the Arrow mapInPandas extractor
     assert gaps <= {
         "multimodal_features",
-        "emb_kmeans_profile",
-        "dedup_clusters",
         "streaming_cdc_counts",
         "streaming_sessionize_counts",
     }, f"unexpected rows-only queries: {gaps}"

@@ -181,3 +181,40 @@ def test_ivf_probe2_superset_recall(spark):
 
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1, (r1, r2)
+
+
+def test_topk_agg_equals_rank_window_on_adversarial_ties(spark):
+    """The partial-aggregation top-k must match the rank-window formulation
+    row for row — including rounded-sim ties resolved by neighbor id, and
+    regardless of how rows are partitioned (the stage-1 spark_partition_id
+    salt must never leak into results)."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    rng = random.Random(7)
+    rows = []
+    for q in range(5):
+        for n in range(200):
+            # heavy tie mass: sims drawn from a tiny discrete set
+            rows.append((q, n, rng.choice([0.1, 0.5, 0.5000004, 0.9])))
+    scored = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, sim double"
+    )
+
+    def window_version(df, k):
+        w = W.partitionBy("query_id").orderBy(
+            F.round(F.col("sim"), 6).desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+        )
+
+    for parts in (1, 7, 32):
+        got = sorted(
+            map(tuple, sim.topk_per_query_agg(scored.repartition(parts), k=10).collect())
+        )
+        want = sorted(map(tuple, window_version(scored, 10).collect()))
+        assert got == want, f"mismatch at repartition({parts})"

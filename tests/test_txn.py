@@ -619,3 +619,47 @@ def test_read_pruned_drops_all_null_files(spark, tmp_path):
     kept, total = t.pruned_files([("v", ">=", 0)])
     assert total == 2 and len(kept) == 1
     assert t.read_pruned(spark, [("v", ">=", 0)]).count() == 50
+
+
+def test_distributed_footer_stats_on_wide_commit(spark, tmp_path):
+    """A commit writing >= 64 files takes the distributed (mapInPandas)
+    footer-stats path; every file still gets a complete manifest entry
+    identical in shape to the serial path's."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(8000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("dt")
+    )
+    t.commit(df.repartition(80), partition_by=["dt"])
+    entries = t.file_entries()
+    assert len(entries) >= 64
+    for rel, e in entries.items():
+        assert e["rows"] > 0 and e["bytes"] > 0
+        assert "k" in e["columns"]
+        assert e["columns"]["k"]["min"] <= e["columns"]["k"]["max"]
+    # pruning still works off the distributed-computed stats
+    kept, total = t.pruned_files([("k", "=", 7999)])
+    assert 0 < len(kept) < total
+
+
+def test_append_schema_guard(spark, tmp_path):
+    """An append missing a table column (which would silently hide it for
+    every carried row) or changing a type raises; new columns require
+    merge_schema=True and read as typed NULLs for carried files."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 10))
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.append(spark.createDataFrame([(99, "x")], "k long, tag string"))
+    with pytest.raises(ValueError, match="changes column types"):
+        t.append(
+            spark.createDataFrame([(1, "x", "0")], "k int, tag string, dt string")
+        )
+    extra = spark.createDataFrame(
+        [(99, "x", "0", 1.5)], "k long, tag string, dt string, score double"
+    )
+    with pytest.raises(ValueError, match="new columns"):
+        t.append(extra)
+    t.append(extra, merge_schema=True)
+    got = t.read(spark)
+    assert got.count() == 11
+    assert got.filter(F.col("score").isNotNull()).count() == 1
+    assert got.schema["score"].dataType.typeName() == "double"
