@@ -40,6 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query; omitted keys (non-SQL-expressible
-    ops, e.g. the Arrow-batched multimodal extractor) get rows-only checks."""
+    """DuckDB-runnable ANSI SQL per query. The only omitted keys are the
+    two real Structured Streaming runs (no SQL form exists for a streaming
+    execution); every batch query — including the iterative ones (k-means,
+    connected components) and the Arrow mapInPandas extractor — has a
+    hash-checked oracle."""
     return all_oracles()

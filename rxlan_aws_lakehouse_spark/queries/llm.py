@@ -589,8 +589,10 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (rows-only check:
-    the mapInPandas boundary is not SQL-expressible)."""
+    """Arrow-batched feature extraction over binary payloads. The stand-in
+    decoder computes byte moments, so even the Python side of the
+    mapInPandas boundary is oracle-checked byte-exactly (the DuckDB twin
+    recomputes mean byte via hex slices of the encoded payload)."""
     d = load(spark, sf_dir, "documents")
     binary = mm.to_binary_payload(d, "doc_id", "text")
     feats = mm.extract_features(binary)
@@ -1030,6 +1032,25 @@ def _build_oracle() -> dict[str, str]:
             FROM verified
         """,
         "emb_kmeans_profile": _kmeans_oracle_sql(),
+        "multimodal_features": """
+            -- pins the Arrow mapInPandas fake-decoder byte-exactly: mean
+            -- byte of the utf-8 payload via the hex-slice trick (2 hex
+            -- chars per byte); the series bound is a constant the fixture
+            -- corpus stays well under (same device as text_chunking)
+            WITH b AS (
+              SELECT doc_id, 'text' AS modality,
+                     octet_length(encode(text)) AS n_bytes,
+                     hex(encode(text)) AS h
+              FROM documents),
+            bytes AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(h, 2 * g.i - 1, 2)) AS INT) AS byte
+              FROM b JOIN generate_series(1, 9999) AS g(i) ON g.i <= n_bytes)
+            SELECT b.doc_id, b.modality, CAST(b.n_bytes AS INTEGER) AS n_bytes,
+                   round(coalesce(avg(bytes.byte), 0.0), 4) AS mean_byte
+            FROM b LEFT JOIN bytes ON b.doc_id = bytes.doc_id
+            GROUP BY b.doc_id, b.modality, b.n_bytes
+        """,
         "dedup_clusters": f"""{lsh_verified_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
             dup AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
             edges AS (SELECT a, b FROM dup UNION SELECT b AS a, a AS b FROM dup),

@@ -22,9 +22,8 @@ def test_registry_consistency():
     # Structured Streaming run) are the only permitted rows-only gaps
     gaps = set(qs) - set(oracles)
     # the only rows-only queries left are the genuinely non-SQL ones:
-    # real Structured Streaming runs and the Arrow mapInPandas extractor
+    # real Structured Streaming runs
     assert gaps <= {
-        "multimodal_features",
         "streaming_cdc_counts",
         "streaming_sessionize_counts",
     }, f"unexpected rows-only queries: {gaps}"
