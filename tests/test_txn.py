@@ -663,3 +663,89 @@ def test_append_schema_guard(spark, tmp_path):
     assert got.count() == 11
     assert got.filter(F.col("score").isNotNull()).count() == 1
     assert got.schema["score"].dataType.typeName() == "double"
+
+
+def test_concurrent_overwrite_partitions_disjoint_both_land(spark, tmp_path):
+    """Two writers overwrite DISJOINT partitions; the loser re-resolves and
+    retries, so both partition replacements land."""
+    a = TxnTable(str(tmp_path / "t"))
+    a.commit(_df(spark, 30), partition_by=["dt"])  # dt 0/1/2, 10 rows each
+    b = TxnTable(a.root)
+    new_dt0 = spark.createDataFrame(
+        [(500, "A", "0")], "k long, tag string, dt string"
+    )
+    new_dt1 = spark.createDataFrame(
+        [(600, "B", "1"), (601, "B", "1")], "k long, tag string, dt string"
+    )
+    original_swap = a._swap_pointer
+    fired = {"done": False}
+
+    def interleave(version, expect):
+        if not fired["done"]:
+            fired["done"] = True
+            b.overwrite_partitions(spark, new_dt1)
+        return original_swap(version, expect)
+
+    a._swap_pointer = interleave
+    try:
+        a.overwrite_partitions(spark, new_dt0)
+    finally:
+        a._swap_pointer = original_swap
+    assert fired["done"]
+    got = a.read(spark)
+    assert got.filter(F.col("dt") == "0").count() == 1  # A's replacement
+    assert got.filter(F.col("dt") == "1").count() == 2  # B's replacement
+    assert got.filter(F.col("dt") == "2").count() == 10  # untouched
+
+
+def test_randomized_op_sequence_matches_model(spark, tmp_path):
+    """Model-based check: a seeded random sequence of append / merge /
+    overwrite_partitions / compact / vacuum against a plain-dict model of
+    the table. After every operation the full table contents must equal
+    the model — catching any interaction bug between carry sets, shard
+    manifests, schema recording, and retries that single-op tests miss."""
+    import random
+
+    rng = random.Random(42)
+    t = TxnTable(str(tmp_path / "t"))
+    model: dict[int, tuple[str, str]] = {}  # k -> (tag, dt)
+
+    def rows_for(ks, tag):
+        return [(k, tag, str(k % 3)) for k in ks]
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, tag string, dt string")
+
+    base = rows_for(range(30), "base")
+    t.commit(df_of(base), partition_by=["dt"])
+    model.update({k: (tag, dt) for k, tag, dt in base})
+
+    for step in range(10):
+        op = rng.choice(["append", "merge", "overwrite_part", "compact", "vacuum"])
+        tag = f"s{step}"
+        if op == "append":
+            ks = [1000 + step * 100 + i for i in range(rng.randint(1, 4))]
+            rows = rows_for(ks, tag)
+            t.append(df_of(rows))
+            model.update({k: (tg, dt) for k, tg, dt in rows})
+        elif op == "merge":
+            ks = rng.sample(sorted(model), rng.randint(1, 5))
+            ks += [2000 + step]  # one pure insert
+            rows = rows_for(ks, tag)
+            t.merge_upsert(spark, df_of(rows), keys=["k"])
+            model.update({k: (tg, dt) for k, tg, dt in rows})
+        elif op == "overwrite_part":
+            dt = str(rng.randint(0, 2))
+            ks = [3000 + step * 10 + i for i in range(rng.randint(1, 3))]
+            rows = [(k, tag, dt) for k in ks]
+            t.overwrite_partitions(spark, df_of(rows))
+            model = {k: v for k, v in model.items() if v[1] != dt}
+            model.update({k: (tag, d) for k, tag, d in rows})
+        elif op == "compact":
+            t.compact(spark)
+        elif op == "vacuum":
+            t.vacuum(keep=2)
+        got = {
+            r["k"]: (r["tag"], r["dt"]) for r in t.read(spark).collect()
+        }
+        assert got == model, f"divergence after step {step} ({op})"
