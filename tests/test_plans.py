@@ -106,3 +106,27 @@ def test_q21_existentials_are_windows_not_self_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # LIMIT 20 is a true top-k
+
+
+def test_cosine_topk_has_no_global_sort(spark, sf_dir):
+    """The exact top-k must be the partial-aggregation plan: hash
+    aggregates with a slice bound, and NO Sort node over the scored pairs
+    (the rank-window formulation's 50-partition full sort was the measured
+    16.8x-per-10x scaling failure)."""
+    plan = _plan(spark, sf_dir, "emb_cosine_topk")
+    assert "Sort" not in plan, "scored pairs must never be globally sorted"
+    assert "Window" not in plan
+    assert plan.count("ObjectHashAggregate") >= 2  # partial + final stages
+
+
+def test_pack_sequences_single_bucket_exchange(spark, sf_dir):
+    """Sequence packing shuffles once on the bucket key; the running-sum
+    window and the final aggregation reuse that partitioning (no second
+    wide exchange of the doc rows)."""
+    plan = _plan(spark, sf_dir, "text_pack_sequences")
+    # exactly one wide shuffle of doc rows (on bucket); the group-by rides
+    # it via map-side partials, and the only other exchange is the range
+    # partitioning of the already-aggregated output for the final orderBy
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the window's sort is within-partition (global=false), never a global sort
+    assert "], false, 0" in plan.split("Window")[1], plan
