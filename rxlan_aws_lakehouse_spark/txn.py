@@ -28,6 +28,14 @@ upsert/compact logic below is written against snapshots, not paths.
 Each snapshot's ``_meta.json`` records the partition spec, so operations
 that rewrite the table (``merge_upsert``, ``compact``) re-apply it — a gold
 table partitioned by dt/hour stays partitioned through every upsert.
+
+Manifest metadata is SHARDED: ``_meta.json`` holds only O(1 + changed
+files) core state (schema, lineage, shard index with per-shard fresh-file
+lists), while per-file stats live in per-top-level-partition
+``_shard-<key>.json`` fragments that unchanged commits carry by hard link.
+Every operation derives its file sets from this manifest — committed data
+directories are never listed — so commit cost scales with the change, not
+the table (measured flat 200 -> 5000 files, tools/meta_probe.py).
 """
 
 from __future__ import annotations
@@ -646,6 +654,7 @@ class TxnTable:
         merge_schema: bool = False,
         max_retries: int = 2,
         extra_meta: dict | None = None,
+        validate_keys: bool = True,
     ) -> str:
         """SCD1 MERGE, file-granular: rewrite ONLY the files that contain a
         matched key; every other file carries into the new snapshot by
@@ -678,6 +687,25 @@ class TxnTable:
         instead of the whole table. Readers see the pre-merge snapshot
         until the pointer swap, then the post-merge one — never a mixture.
         """
+        if validate_keys:
+            # Ambiguous-merge guard (Delta raises the same way): two update
+            # rows with the same key would BOTH land, silently duplicating
+            # the key. One skinny aggregate over the (typically small)
+            # update set, run once before any commit attempt; disable for
+            # pre-deduped pipelines that can't afford the extra job.
+            dup = (
+                updates.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"updates contain duplicate merge keys, e.g. "
+                    f"{[dup[0][k] for k in keys]}; dedupe the update set "
+                    "or pass validate_keys=False"
+                )
 
         def attempt() -> str:
             expect = self.current_version()

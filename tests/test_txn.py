@@ -749,3 +749,19 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
             r["k"]: (r["tag"], r["dt"]) for r in t.read(spark).collect()
         }
         assert got == model, f"divergence after step {step} ({op})"
+
+
+def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    """Two update rows with the same key would both land (silent key
+    duplication) — the ambiguous-merge guard raises instead, and
+    validate_keys=False restores the old permissive behavior."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 10))
+    dup_updates = spark.createDataFrame(
+        [(3, "x", "0"), (3, "y", "0")], "k long, tag string, dt string"
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge_upsert(spark, dup_updates, keys=["k"])
+    assert t.read(spark).count() == 10  # nothing committed
+    t.merge_upsert(spark, dup_updates, keys=["k"], validate_keys=False)
+    assert t.read(spark).filter(F.col("k") == 3).count() == 2
