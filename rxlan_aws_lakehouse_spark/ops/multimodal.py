@@ -65,6 +65,60 @@ def decode_real(payload: bytes, modality: str):  # pragma: no cover - stub
     )
 
 
+FRAME_BYTES = 64
+MAX_FRAMES = 8
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    max_frames: int = MAX_FRAMES,
+) -> DataFrame:
+    """Frame sampling over an opaque binary payload — the video-pipeline
+    step (decode container -> pick every k-th frame -> per-frame features)
+    with the codec stubbed: frames are fixed-width byte slices, the sample
+    stride adapts so at most ``max_frames`` frames emerge per payload.
+
+    Everything runs as scan-side column expressions (sequence + explode +
+    binary substring), so frame fan-out never shuffles: at 100 TB the
+    sampled frames flow straight into the per-frame feature extractor in
+    the same stage as the read. Payloads shorter than one frame produce no
+    rows (a real sampler skips undecodable clips the same way).
+    """
+    n_frames = F.floor(F.octet_length("payload") / F.lit(frame_bytes))
+    # ceil stride guarantees ceil(n/stride) <= max_frames sampled frames
+    stride = F.greatest(
+        F.lit(1), F.ceil(n_frames / F.lit(max_frames))
+    ).cast("int")
+    idx = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0), (n_frames - 1).cast("int"), stride),
+    ).otherwise(F.array().cast("array<int>"))
+    slice_ = F.substring(
+        F.col("payload"),
+        (F.col("frame_idx") * frame_bytes + 1).cast("int"),
+        frame_bytes,
+    )
+    return (
+        binary_df.select(
+            "doc_id",
+            F.col("meta.modality").alias("modality"),
+            "payload",
+            F.explode(idx).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "modality",
+            "frame_idx",
+            F.octet_length(slice_).alias("frame_bytes"),
+            # md5 over the hex rendering: both engines agree on hex(blob)
+            # (uppercase) and md5(varchar), so the frame CONTENT is pinned
+            # without hauling raw bytes through the comparator
+            F.md5(F.hex(slice_)).alias("frame_md5"),
+        )
+    )
+
+
 def extract_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via mapInPandas."""
 

@@ -604,6 +604,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive frame sampling over binary payloads (``ops/multimodal.py
+    sample_frames``): at most 8 fixed-width frames per payload, evenly
+    strided, content pinned by md5 of each frame's hex rendering. The
+    aggregation profiles sampling coverage per modality."""
+    d = load(spark, sf_dir, "documents")
+    frames = mm.sample_frames(mm.to_binary_payload(d, "doc_id", "text"))
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("frame_bytes").alias("sampled_bytes"),
+            F.md5(F.concat_ws("|", F.sort_array(F.collect_list("frame_md5"))))
+            .alias("frames_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over the Arrow feature-extraction output.
 
@@ -901,6 +920,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_batch_stats": multimodal_batch_stats,
 }
 
@@ -1032,6 +1052,33 @@ def _build_oracle() -> dict[str, str]:
             FROM verified
         """,
         "emb_kmeans_profile": _kmeans_oracle_sql(),
+        "multimodal_frame_sample": f"""
+            -- frames are byte slices; DuckDB lacks blob substring, but
+            -- slicing the HEX rendering (2 chars/byte) is equivalent and
+            -- both engines hex() uppercase
+            WITH b AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                     CAST(floor(octet_length(encode(text)) / {mm.FRAME_BYTES})
+                          AS BIGINT) AS n_frames
+              FROM documents),
+            p AS (
+              SELECT doc_id, h, n_frames,
+                     greatest(1, CAST(ceil(n_frames / {mm.MAX_FRAMES}.0)
+                                      AS BIGINT)) AS stride
+              FROM b),
+            frames AS (
+              SELECT doc_id,
+                     len(substr(h, CAST(g.i * {2 * mm.FRAME_BYTES} + 1 AS BIGINT),
+                                {2 * mm.FRAME_BYTES})) / 2 AS frame_bytes,
+                     md5(substr(h, CAST(g.i * {2 * mm.FRAME_BYTES} + 1 AS BIGINT),
+                                {2 * mm.FRAME_BYTES})) AS frame_md5
+              FROM p JOIN generate_series(0, 9999) AS g(i)
+                ON g.i < n_frames AND g.i % stride = 0)
+            SELECT doc_id, count(*) AS n_frames,
+                   CAST(sum(frame_bytes) AS BIGINT) AS sampled_bytes,
+                   md5(string_agg(frame_md5, '|' ORDER BY frame_md5)) AS frames_digest
+            FROM frames GROUP BY doc_id ORDER BY doc_id
+        """,
         "multimodal_features": """
             -- pins the Arrow mapInPandas fake-decoder byte-exactly: mean
             -- byte of the utf-8 payload via the hex-slice trick (2 hex
