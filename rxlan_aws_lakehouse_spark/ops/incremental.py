@@ -54,11 +54,19 @@ class IncrementalAggregate:
         target_root: str,
         group_cols: list[str],
         sum_cols: list[str],
+        min_cols: list[str] | None = None,
+        max_cols: list[str] | None = None,
     ):
         self.source = source
         self.target = TxnTable(target_root)
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        # min/max are decomposable under appends too: min(old, delta).
+        # (avg/stddev derive downstream from sum+count; true holistic
+        # aggregates — medians, distinct counts — need the full-recompute
+        # path or a mergeable sketch.)
+        self.min_cols = list(min_cols or [])
+        self.max_cols = list(max_cols or [])
 
     # -- state ------------------------------------------------------------
     def cursor(self) -> str | None:
@@ -81,6 +89,8 @@ class IncrementalAggregate:
         return df.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[F.sum(c).alias(f"sum_{c}") for c in self.sum_cols],
+            *[F.min(c).alias(f"min_{c}") for c in self.min_cols],
+            *[F.max(c).alias(f"max_{c}") for c in self.max_cols],
         )
 
     def _range_is_append_only(self, since: str | None, until: str) -> bool:
@@ -141,6 +151,14 @@ class IncrementalAggregate:
                 *[
                     F.sum(f"sum_{c}").alias(f"sum_{c}")
                     for c in self.sum_cols
+                ],
+                *[
+                    F.min(f"min_{c}").alias(f"min_{c}")
+                    for c in self.min_cols
+                ],
+                *[
+                    F.max(f"max_{c}").alias(f"max_{c}")
+                    for c in self.max_cols
                 ],
             )
         )

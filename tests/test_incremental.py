@@ -118,3 +118,32 @@ def test_aggregate_table_merge_is_file_granular(spark, tmp_path):
     meta = inc.target._meta(v)
     assert meta["n_files_carried"] >= 3  # most group files untouched
     assert _got(spark, inc) == _expected(spark, src)
+
+
+def test_min_max_aggregates_fold_incrementally(spark, tmp_path):
+    src = TxnTable(str(tmp_path / "src"))
+    src.commit(_batch(spark, 0, 40))
+    inc = IncrementalAggregate(
+        src, str(tmp_path / "agg"), ["grp"], ["v"],
+        min_cols=["v"], max_cols=["v"],
+    )
+    inc.refresh(spark)
+    src.append(_batch(spark, 40, 25, tag="b"))
+    inc.refresh(spark)
+    want = {
+        (r["grp"], r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in src.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    got = {
+        (r["grp"], r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in inc.read(spark).collect()
+    }
+    assert got == want
