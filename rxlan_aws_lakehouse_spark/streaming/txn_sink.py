@@ -1,0 +1,64 @@
+"""Exactly-once streaming sink into a TxnTable.
+
+The reference's streaming path lands at-least-once (Kinesis retries,
+Firehose re-delivery — duplicates are EXPECTED input, detected after the
+fact by SQL: /root/reference/init.sql:46-52). Structured Streaming's file
+sinks are exactly-once only for their own output format; writing into a
+transactional table from ``foreachBatch`` reintroduces the classic failure:
+a crash between the table commit and the checkpoint advance makes Spark
+re-run the same epoch, appending the batch twice.
+
+This sink closes that window the way Delta's idempotent writes do: the
+epoch id commits ATOMICALLY inside the table's snapshot manifest
+(``extra_meta``), and a re-delivered epoch whose id is already recorded in
+the table lineage is skipped. Commit-and-remember is one atomic pointer
+swap, so there is no state in which the data landed but the epoch id did
+not — exactly-once end to end, regardless of where the driver dies.
+
+Epoch ids only grow per checkpoint; interleaved non-streaming commits on
+the same table are fine (the guard scans lineage newest-first for the last
+recorded epoch, like the incremental aggregate's cursor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..txn import TxnTable
+
+_EPOCH_KEY = "streaming_epoch_id"
+
+
+def last_epoch(table: TxnTable) -> int | None:
+    """Newest streaming epoch recorded anywhere in the table lineage."""
+    if table.current_version() is None:
+        return None
+    for meta in reversed(table.history()):
+        e = meta.get("extra", {}).get(_EPOCH_KEY)
+        if e is not None:
+            return int(e)
+    return None
+
+
+def txn_append_sink(table: TxnTable, partition_by: list[str] | None = None):
+    """``foreachBatch`` function appending each micro-batch exactly once.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(txn_append_sink(table, partition_by=["dt"]))
+             .option("checkpointLocation", ckpt)
+             .start())
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_epoch(table)
+        if last is not None and batch_id <= last:
+            return  # epoch already committed: crash-replay, drop it
+        table.append(
+            batch_df,
+            partition_by=partition_by,
+            extra_meta={_EPOCH_KEY: int(batch_id)},
+        )
+
+    return sink

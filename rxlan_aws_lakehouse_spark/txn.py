@@ -864,6 +864,7 @@ class TxnTable:
         sort_within: list[str] | None = None,
         merge_schema: bool = False,
         max_retries: int = 2,
+        extra_meta: dict | None = None,
     ) -> str:
         """Atomic append: carry EVERY existing file by reference (from the
         parent manifest — the data dir is never listed), add the new rows'
@@ -884,7 +885,7 @@ class TxnTable:
             if expect is None:
                 return self.commit(
                     df, partition_by=partition_by, sort_within=sort_within,
-                    operation="append",
+                    operation="append", extra_meta=extra_meta,
                 )
             parent = StructType.fromJson(self._meta(expect)["schema"])
             by_name = {f.name: f for f in df.schema.fields}
@@ -922,6 +923,7 @@ class TxnTable:
             return self.commit(
                 out, partition_by=partition_by, sort_within=sort_within,
                 operation="append", carry_files=carry,
+                extra_meta=extra_meta,
             )
 
         return self._with_retries(attempt, max_retries)
