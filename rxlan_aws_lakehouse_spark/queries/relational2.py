@@ -249,7 +249,11 @@ def window_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour RANGE frame per user: rolling event-value sum.
 
     RANGE frames include all peers of the current timestamp, so the result
-    is deterministic even with duplicate (user_id, ts) pairs.
+    is deterministic even with duplicate (user_id, ts) pairs. The frame is
+    defined over WHOLE-SECOND epochs (unix_timestamp truncates), and the
+    oracle floors epoch(ts) to match — raw fractional epochs would flip
+    membership for event pairs straddling the hour by sub-second amounts
+    (caught by the sf0.1 sweep: one boundary pair in 100k rows).
     """
     e = load(spark, sf_dir, "events")
     w = (
@@ -576,7 +580,7 @@ ORACLE = {
     "window_range_1h": """
         SELECT event_id, user_id,
                round(sum(value) OVER (
-                 PARTITION BY user_id ORDER BY epoch(ts)
+                 PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS sum_1h
         FROM events
     """,
@@ -638,7 +642,7 @@ ORACLE = {
     "sessionize_events": """
         WITH flagged AS (
           SELECT user_id, ts, event_id,
-                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                 CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
                         OR lag(ts) OVER w IS NULL
                       THEN 1 ELSE 0 END AS new_sess
           FROM events
