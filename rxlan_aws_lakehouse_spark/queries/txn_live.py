@@ -144,10 +144,49 @@ def txn_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping under the oracle gate: commit a range-
+    clustered orders snapshot, then ``read_pruned`` an order-key band. The
+    manifest's per-file min/max must prove most files irrelevant (asserted:
+    the scan reads a strict minority of files) while returning EXACTLY the
+    rows a plain filter does — pruning is IO optimization, never the
+    correctness boundary.
+    """
+    work = tempfile.mkdtemp(prefix="txn_prune_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        t.commit(
+            orders.repartitionByRange(16, "o_orderkey"),
+            sort_within=["o_orderkey"],
+        )
+        preds = [("o_orderkey", ">=", 1000), ("o_orderkey", "<=", 3000)]
+        kept, total = t.pruned_files(preds)
+        assert 0 < len(kept) < total, (len(kept), total)
+        out = (
+            t.read_pruned(spark, preds)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
     "txn_incremental_agg": txn_incremental_agg,
+    "txn_pruned_read": txn_pruned_read,
 }
 
 ORACLE = {
@@ -179,6 +218,18 @@ ORACLE = {
             round(sum(o_totalprice), 2) AS total_price
         FROM orders
         WHERE strftime(o_orderdate, '%Y') <= '1996'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "txn_pruned_read": """
+        SELECT
+            o_orderpriority,
+            count(*) AS n_orders,
+            round(sum(o_totalprice), 2) AS total_price,
+            min(o_orderkey) AS min_key,
+            max(o_orderkey) AS max_key
+        FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 3000
         GROUP BY 1
         ORDER BY 1
     """,
