@@ -533,14 +533,10 @@ def emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-group discovery: MinHash-LSH candidate pairs -> connected
-    components -> cluster size histogram. The full near-dup pipeline a
-    corpus curation job runs (pairs alone under-count transitive dups).
-    The Spark side is iterative label propagation (O(diameter) shuffles);
-    the DuckDB oracle recomputes the same components via a recursive-CTE
-    transitive closure — the size histogram is label-invariant, so the two
-    formulations hash-match exactly."""
+def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage: MinHash-LSH candidates -> exact-Jaccard verify (>= 0.5)
+    -> connected components. Returns (node, comp) for every doc in a dup
+    cluster; singletons are absent (their cluster is themselves)."""
     from ..ops.iterative import connected_components
 
     d = load(spark, sf_dir, "documents")
@@ -561,13 +557,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dd.jaccard(F.col("sha"), F.col("shb")) >= 0.5)
         .select("a", "b")
     )
-    comps = connected_components(verified, src="a", dst="b")
+    return connected_components(verified, src="a", dst="b")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group discovery: MinHash-LSH candidate pairs -> connected
+    components -> cluster size histogram. The full near-dup pipeline a
+    corpus curation job runs (pairs alone under-count transitive dups).
+    The Spark side is iterative label propagation (O(diameter) shuffles);
+    the DuckDB oracle recomputes the same components via a recursive-CTE
+    transitive closure — the size histogram is label-invariant, so the two
+    formulations hash-match exactly."""
+    comps = _dup_components(spark, sf_dir)
     return (
         comps.groupBy("comp")
         .agg(F.count("*").alias("cluster_size"))
         .groupBy("cluster_size")
         .agg(F.count("*").alias("n_clusters"))
         .orderBy("cluster_size")
+    )
+
+
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution: within each duplicate CLUSTER
+    (transitive, not just pairs) keep the single best document — longest by
+    token count, doc_id as the tiebreak — and drop the rest. This is the
+    curation policy real corpus builds use (keep the canonical/longest copy
+    of a mirrored page), upgraded from ``dedup_neardup_keep``'s pairwise
+    keep-smallest-id. Singleton docs are their own cluster and always
+    survive. Output: per-source keep/drop accounting plus surviving token
+    mass.
+    """
+    comps = _dup_components(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tok")
+    )
+    labeled = d.join(
+        comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).withColumn("cluster", F.coalesce("comp", "doc_id"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc()
+    )
+    flagged = labeled.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("kept")).alias("n_dropped"),
+            F.sum(F.col("n_tok") * F.col("kept")).alias("kept_tokens"),
+        )
+        .orderBy("source")
     )
 
 
@@ -918,6 +960,7 @@ QUERIES = {
     "emb_centroid_dist": emb_centroid_dist,
     "emb_kmeans_profile": emb_kmeans_profile,
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_keep_best": dedup_cluster_keep_best,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -1110,6 +1153,33 @@ def _build_oracle() -> dict[str, str]:
             sizes AS (SELECT comp, count(*) AS cluster_size FROM labels GROUP BY comp)
             SELECT cluster_size, count(*) AS n_clusters
             FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+        """,
+        "dedup_cluster_keep_best": f"""{lsh_verified_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
+            dup AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+            edges AS (SELECT a, b FROM dup UNION SELECT b AS a, a AS b FROM dup),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+            docs AS (
+              SELECT doc_id, source, len({toks}) AS n_tok FROM documents),
+            labeled AS (
+              SELECT d.doc_id, d.source, d.n_tok,
+                     coalesce(l.comp, d.doc_id) AS cluster
+              FROM docs d LEFT JOIN labels l ON l.node = d.doc_id),
+            flagged AS (
+              SELECT source, n_tok,
+                     CASE WHEN row_number() OVER (
+                       PARTITION BY cluster ORDER BY n_tok DESC, doc_id ASC
+                     ) = 1 THEN 1 ELSE 0 END AS kept
+              FROM labeled)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS n_kept,
+                   CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+                   CAST(sum(n_tok * kept) AS BIGINT) AS kept_tokens
+            FROM flagged GROUP BY source ORDER BY source
         """,
         "dedup_neardup_keep": f"""{lsh_verified_cte},
             dropped AS (
