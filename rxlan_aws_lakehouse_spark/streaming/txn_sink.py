@@ -16,8 +16,12 @@ swap, so there is no state in which the data landed but the epoch id did
 not — exactly-once end to end, regardless of where the driver dies.
 
 Epoch ids only grow per checkpoint; interleaved non-streaming commits on
-the same table are fine (the guard scans lineage newest-first for the last
-recorded epoch, like the incremental aggregate's cursor).
+the same table are fine: the epoch id is a WATERMARK key that every
+``TxnTable.commit`` folds forward from its parent (txn._WATERMARK_KEYS),
+so the LIVE snapshot always carries the newest recorded epoch — the guard
+reads one manifest per micro-batch instead of walking O(history), and
+vacuuming the commit that first recorded the epoch cannot lose it (the
+fold-forward keeps a copy in every descendant, including the live head).
 """
 
 from __future__ import annotations
@@ -30,9 +34,18 @@ _EPOCH_KEY = "streaming_epoch_id"
 
 
 def last_epoch(table: TxnTable) -> int | None:
-    """Newest streaming epoch recorded anywhere in the table lineage."""
-    if table.current_version() is None:
+    """Newest streaming epoch recorded in the table lineage.
+
+    Commit fold-forward guarantees the live snapshot carries it, so this
+    is one manifest read; the newest-first walk remains only for tables
+    whose last epoch commit predates the fold-forward behavior.
+    """
+    cur = table.current_version()
+    if cur is None:
         return None
+    e = table._meta(cur).get("extra", {}).get(_EPOCH_KEY)
+    if e is not None:
+        return int(e)
     for meta in reversed(table.history()):
         e = meta.get("extra", {}).get(_EPOCH_KEY)
         if e is not None:

@@ -54,6 +54,12 @@ from pyspark.sql.types import StructType
 
 _VERSIONS = "_versions"
 _LATEST = "_LATEST"
+# extra_meta keys that are WATERMARKS, not per-commit annotations: each
+# commit folds the parent's value forward when it doesn't set its own, so
+# the live snapshot always carries the newest value and vacuuming old
+# snapshots can never lose it (the exactly-once guards of the streaming
+# sink and the incremental aggregate both depend on this surviving).
+_WATERMARK_KEYS = ("streaming_epoch_id", "source_cursor")
 # Fresh-file footer stats move from serial driver reads to a distributed
 # Spark job once a commit writes at least this many files. Below it, one
 # driver-side footer read per file is cheaper than a job round-trip.
@@ -208,6 +214,41 @@ def _entries_for(paths: list[str], spark: SparkSession | None) -> dict[str, dict
         )
         return {r["path"]: json.loads(r["entry"]) for r in rows}
     return {p: _file_entry(p) for p in paths}
+
+
+def _evolved_columns(
+    parent: StructType, df: DataFrame, merge_schema: bool, op: str
+) -> list[str]:
+    """Schema guard for operations that CARRY existing files: the snapshot
+    schema a commit records is what every reader resolves, so a df missing
+    a table column would silently hide that column for carried rows too.
+    Validates df against the recorded table schema and returns the output
+    column order (table columns first, then additive extras)."""
+    by_name = {f.name: f for f in df.schema.fields}
+    missing = [f.name for f in parent.fields if f.name not in by_name]
+    if missing:
+        raise ValueError(
+            f"{op} is missing table columns {missing}; carried rows would"
+            " silently lose them — supply every existing column"
+        )
+    changed = [
+        f.name
+        for f in parent.fields
+        if by_name[f.name].dataType != f.dataType
+    ]
+    if changed:
+        raise ValueError(
+            f"{op} changes column types for {changed}; only additive"
+            " evolution is supported"
+        )
+    have = {f.name for f in parent.fields}
+    extra = [c for c in df.columns if c not in have]
+    if extra and not merge_schema:
+        raise ValueError(
+            f"{op} has new columns {extra}; pass merge_schema=True to"
+            " evolve the table schema additively"
+        )
+    return [f.name for f in parent.fields] + extra
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -448,10 +489,21 @@ class TxnTable:
         v = version or self.current_version()
         kept, _total = self.pruned_files(predicates, v)
         data = os.path.join(self.root, _VERSIONS, v)
+        # The kept files scan under the RECORDED snapshot schema, exactly
+        # like read(): after additive evolution a pruned read whose kept
+        # files all predate the new column must still expose it (as typed
+        # NULLs), or predicates on it would fail to resolve.
+        schema_json = self._meta(v).get("schema")
+        schema = StructType.fromJson(schema_json) if schema_json else None
         if not kept:
-            df = spark.createDataFrame([], self.read(spark, v).schema)
+            df = spark.createDataFrame(
+                [], schema if schema else self.read(spark, v).schema
+            )
         else:
-            df = spark.read.option("basePath", data).parquet(
+            reader = spark.read.option("basePath", data)
+            if schema:
+                reader = reader.schema(schema)
+            df = reader.parquet(
                 *(os.path.join(data, rel) for rel in kept)
             )
         ops = {
@@ -507,8 +559,18 @@ class TxnTable:
         (optimistic concurrency).
         """
         expect = self.current_version()
+        parent_meta = self._meta(expect) if expect is not None else {}
         if partition_by is None and expect is not None:
-            partition_by = self._meta(expect).get("partition_by") or None
+            partition_by = parent_meta.get("partition_by") or None
+        # Watermark fold-forward (see _WATERMARK_KEYS): interleaved
+        # commits that don't set their own value inherit the parent's, so
+        # the newest epoch/cursor always rides the LIVE snapshot — O(1) to
+        # find, and immune to vacuuming the commit that first recorded it.
+        extra = dict(extra_meta or {})
+        parent_extra = parent_meta.get("extra", {})
+        for wk in _WATERMARK_KEYS:
+            if wk not in extra and wk in parent_extra:
+                extra[wk] = parent_extra[wk]
         staging = os.path.join(
             self.root, _VERSIONS, f".tmp-{os.getpid()}-{time.time_ns()}"
         )
@@ -550,7 +612,7 @@ class TxnTable:
             fresh_entries = {
                 rel: by_path[p] for rel, p in zip(fresh, abs_fresh)
             }
-            parent_shards = self._meta(expect)["shards"] if expect else {}
+            parent_shards = parent_meta["shards"] if expect else {}
             fresh_by_shard: dict[str, list[str]] = {}
             for rel in fresh:
                 fresh_by_shard.setdefault(_shard_key(rel), []).append(rel)
@@ -591,7 +653,7 @@ class TxnTable:
                 "version": version,
                 "parent": expect,
                 "operation": operation,
-                "extra": extra_meta or {},
+                "extra": extra,
                 "partition_by": partition_by or [],
                 "schema": df.schema.jsonValue(),
                 "committed_at_unix": time.time(),
@@ -760,14 +822,17 @@ class TxnTable:
                 for rel in self.files(expect)
                 if rel not in touched_set
             }
-            out_cols = list(target_schema.fieldNames())
-            extra_fields = []
-            if merge_schema:
-                have = set(out_cols)
-                extra_fields = [
-                    f for f in updates.schema.fields if f.name not in have
-                ]
-                out_cols += [f.name for f in extra_fields]
+            # Same guard as append(): a typo'd/extra column in updates
+            # must raise (not silently drop) unless merge_schema evolves
+            # the table; a missing table column would hide it for carried
+            # rows; a changed type is never allowed.
+            out_cols = _evolved_columns(
+                target_schema, updates, merge_schema, "merge_upsert"
+            )
+            have = set(target_schema.fieldNames())
+            extra_fields = [
+                f for f in updates.schema.fields if f.name not in have
+            ]
             if touched:
                 kept = (
                     spark.read.option("basePath", data_root)
@@ -798,6 +863,7 @@ class TxnTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         sort_within: list[str] | None = None,
+        merge_schema: bool = False,
         max_retries: int = 2,
     ) -> str:
         """Dynamic-partition-overwrite as a snapshot commit: replace ONLY
@@ -833,6 +899,16 @@ class TxnTable:
                 )
             data_root = os.path.join(self.root, _VERSIONS, expect)
             depth = len(spec)
+            # Carried (untouched) partitions' rows read under the schema
+            # THIS commit records, so the same guard as append(): a df
+            # missing an existing column would silently hide that column
+            # for every carried row.
+            parent_schema = StructType.fromJson(self._meta(expect)["schema"])
+            out = df.select(
+                *_evolved_columns(
+                    parent_schema, df, merge_schema, "overwrite_partitions"
+                )
+            )
 
             def resolver(staging: str) -> dict[str, str]:
                 staged_parts = {
@@ -848,7 +924,7 @@ class TxnTable:
                 }
 
             return self.commit(
-                df,
+                out,
                 partition_by=list(spec),
                 sort_within=sort_within,
                 operation="overwrite_partitions",
@@ -888,33 +964,9 @@ class TxnTable:
                     operation="append", extra_meta=extra_meta,
                 )
             parent = StructType.fromJson(self._meta(expect)["schema"])
-            by_name = {f.name: f for f in df.schema.fields}
-            missing = [f.name for f in parent.fields if f.name not in by_name]
-            if missing:
-                raise ValueError(
-                    f"append is missing table columns {missing}; an append"
-                    " must supply every existing column"
-                )
-            changed = [
-                f.name
-                for f in parent.fields
-                if by_name[f.name].dataType != f.dataType
-            ]
-            if changed:
-                raise ValueError(
-                    f"append changes column types for {changed}; only"
-                    " additive evolution is supported"
-                )
-            extra = [
-                c for c in df.columns
-                if c not in {f.name for f in parent.fields}
-            ]
-            if extra and not merge_schema:
-                raise ValueError(
-                    f"append has new columns {extra}; pass merge_schema=True"
-                    " to evolve the table schema additively"
-                )
-            out = df.select(*[f.name for f in parent.fields], *extra)
+            out = df.select(
+                *_evolved_columns(parent, df, merge_schema, "append")
+            )
             data_root = os.path.join(self.root, _VERSIONS, expect)
             carry = {
                 rel: os.path.join(data_root, rel)
@@ -992,8 +1044,17 @@ class TxnTable:
                 )
         if not rewrite:
             return expect
+        # Rewrite under the RECORDED snapshot schema, not footer inference:
+        # if every small file predates an additive evolution, inference
+        # would drop the evolved column from the new snapshot's schema for
+        # ALL rows (carried files included), and mixed-schema branches
+        # could fail the union. The recorded schema keeps typed NULLs.
+        schema = StructType.fromJson(self._meta(expect)["schema"])
         branches = [
-            spark.read.option("basePath", data_root).parquet(*fs).coalesce(bins)
+            spark.read.option("basePath", data_root)
+            .schema(schema)
+            .parquet(*fs)
+            .coalesce(bins)
             for fs, bins in rewrite
         ]
         df = branches[0]

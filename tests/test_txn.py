@@ -765,3 +765,109 @@ def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
     assert t.read(spark).count() == 10  # nothing committed
     t.merge_upsert(spark, dup_updates, keys=["k"], validate_keys=False)
     assert t.read(spark).filter(F.col("k") == 3).count() == 2
+
+
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """ADVICE r4 (high): compact() must rewrite under the RECORDED snapshot
+    schema — if every small file predates an additive evolution, footer
+    inference would silently drop the evolved column from the table schema
+    for ALL rows, carried files included."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 12).repartition(4))  # several small files, no 'tier'
+    evolved = spark.createDataFrame(
+        [(999, "new", "0", "gold")], "k long, tag string, dt string, tier string"
+    )
+    t.merge_upsert(spark, evolved, keys=["k"], merge_schema=True)
+    t.compact(spark)  # every small file predates 'tier'
+    got = t.read(spark)
+    assert "tier" in got.columns
+    assert got.count() == 13
+    assert got.filter(F.col("k") == 999).first()["tier"] == "gold"
+    # carried/rewritten pre-evolution rows read typed NULLs, not a lost column
+    assert got.filter(F.col("tier").isNull()).count() == 12
+    meta_schema = [
+        f["name"]
+        for f in t._meta(t.current_version())["schema"]["fields"]
+    ]
+    assert "tier" in meta_schema
+
+
+def test_read_pruned_after_schema_evolution(spark, tmp_path):
+    """ADVICE r4 (medium): read_pruned must apply the recorded snapshot
+    schema like read() — kept files that predate an additive evolution
+    still expose the evolved column as typed NULLs."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 10).repartition(2))
+    evolved = spark.createDataFrame(
+        [(999, "new", "0", "gold")], "k long, tag string, dt string, tier string"
+    )
+    t.merge_upsert(spark, evolved, keys=["k"], merge_schema=True)
+    # predicate keeps only pre-evolution files (k < 10 excludes the insert)
+    df = t.read_pruned(spark, [("k", "<", 10)])
+    assert "tier" in df.columns
+    # predicating on the evolved column must resolve (was UNRESOLVED_COLUMN)
+    assert df.filter(F.col("tier").isNull()).count() == 10
+
+
+def test_merge_upsert_rejects_extra_columns_without_merge_schema(spark, tmp_path):
+    """ADVICE r4: merge_schema=False must raise on unknown update columns
+    (a typo'd column silently losing data), mirroring append()'s guard."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 10))
+    bad = spark.createDataFrame(
+        [(3, "x", "0", "oops")], "k long, tag string, dt string, typo string"
+    )
+    with pytest.raises(ValueError, match="new columns"):
+        t.merge_upsert(spark, bad, keys=["k"])
+    # pure-insert branch guards too
+    bad_insert = spark.createDataFrame(
+        [(999, "x", "0", "oops")], "k long, tag string, dt string, typo string"
+    )
+    with pytest.raises(ValueError, match="new columns"):
+        t.merge_upsert(spark, bad_insert, keys=["k"])
+    assert t.read(spark).count() == 10  # nothing committed
+    # merge_schema=True is the sanctioned evolution path
+    t.merge_upsert(spark, bad, keys=["k"], merge_schema=True)
+    assert "typo" in t.read(spark).columns
+
+
+def test_overwrite_partitions_schema_guard(spark, tmp_path):
+    """ADVICE r4: overwrite_partitions records df.schema for the whole
+    snapshot, so a df missing an existing column would hide it for carried
+    partitions' rows — the same append() guard now applies."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 30), partition_by=["dt"])
+    missing = spark.createDataFrame([(1, "0")], "k long, dt string")
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.overwrite_partitions(spark, missing)
+    extra = spark.createDataFrame(
+        [(1, "x", "0", "g")], "k long, tag string, dt string, tier string"
+    )
+    with pytest.raises(ValueError, match="new columns"):
+        t.overwrite_partitions(spark, extra)
+    assert t.read(spark).count() == 30  # nothing committed
+    # additive evolution through the guard: carried partitions read NULLs
+    t.overwrite_partitions(spark, extra, merge_schema=True)
+    got = t.read(spark)
+    assert "tier" in got.columns
+    assert got.filter(F.col("dt") != "0").filter(
+        F.col("tier").isNull()
+    ).count() == got.filter(F.col("dt") != "0").count()
+
+
+def test_watermark_extras_fold_forward(spark, tmp_path):
+    """Watermark extra_meta keys (streaming epoch, incremental cursor)
+    propagate into every descendant commit, so the live snapshot always
+    carries the newest value and vacuum cannot strand it."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 5))
+    t.append(_df(spark, 3), extra_meta={"source_cursor": "v00000007"})
+    t.append(_df(spark, 2))  # no extra_meta: inherits the cursor
+    t.compact(spark)
+    head = t._meta(t.current_version())
+    assert head["extra"].get("source_cursor") == "v00000007"
+    # a NEWER watermark overrides the inherited one
+    t.append(_df(spark, 1), extra_meta={"source_cursor": "v00000009"})
+    assert (
+        t._meta(t.current_version())["extra"]["source_cursor"] == "v00000009"
+    )

@@ -92,3 +92,27 @@ def test_streaming_cdc_into_txn_table_end_to_end(spark, tmp_path):
     assert got.count() == 3
     assert {r["city"] for r in got.collect()} == {"Austin", "Chicago", "Denver"}
     assert t._meta(t.current_version())["partition_by"] == ["dt"]
+
+
+def test_epoch_survives_vacuum_of_recording_commit(spark, tmp_path):
+    """ADVICE r4: vacuuming the snapshot that first recorded an epoch (with
+    later non-streaming commits on top) must not resurrect the epoch — the
+    fold-forward keeps the watermark on the live head, so a crash-replayed
+    epoch is still dropped."""
+    t = TxnTable(str(tmp_path / "t"))
+    sink = txn_append_sink(t)
+    sink(_batch(spark, 0, 4, "s"), 0)
+    sink(_batch(spark, 10, 4, "s"), 1)
+    # non-streaming commits advance the table past the epoch commits
+    t.append(_batch(spark, 20, 2, "b"))
+    t.append(_batch(spark, 30, 2, "b"))
+    t.compact(spark)
+    removed = t.vacuum(keep=2)
+    assert removed  # the epoch-recording snapshots are gone
+    assert last_epoch(t) == 1
+    before = t.read(spark).count()
+    sink(_batch(spark, 10, 4, "s"), 1)  # crash-replay of epoch 1
+    assert t.read(spark).count() == before  # dropped, not re-appended
+    sink(_batch(spark, 40, 3, "s"), 2)  # a genuinely new epoch still lands
+    assert t.read(spark).count() == before + 3
+    assert last_epoch(t) == 2
