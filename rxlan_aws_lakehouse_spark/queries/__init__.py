@@ -36,14 +36,15 @@ _MODULES = (
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _last_checked_rounds() -> dict[str, int]:
-    """Per-query latest round with a driver CORRECTNESS row, read from the
-    committed CORRECTNESS_r*.json artifacts. Drives registry rotation: the
-    driver records at most the first ~50 registry entries per round, so
-    ordering STALEST-FIRST (never-checked, then oldest-checked) makes every
-    round both extend coverage and re-green the oldest prior evidence —
-    regression detection for queries outside the most recent window."""
-    rounds: dict[str, int] = {}
+def _last_checked_rounds() -> dict[str, tuple[int, bool]]:
+    """Per-query (latest round with a driver CORRECTNESS row, whether that
+    row was hash-checked), read from the committed CORRECTNESS_r*.json
+    artifacts. Drives registry rotation: the driver records at most the
+    first ~50 registry entries per round, so ordering STALEST-FIRST
+    (never-checked, then oldest-checked) makes every round both extend
+    coverage and re-green the oldest prior evidence — regression detection
+    for queries outside the most recent window."""
+    rounds: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
         base = os.path.basename(path)
         try:
@@ -52,8 +53,11 @@ def _last_checked_rounds() -> dict[str, int]:
                 rows = json.load(f)
         except (ValueError, OSError, json.JSONDecodeError):
             continue
-        for name in rows:
-            rounds[name] = max(rounds.get(name, 0), rnd)
+        for name, row in rows.items():
+            hashed = bool(isinstance(row, dict) and row.get("hash_match"))
+            prev = rounds.get(name, (0, False))
+            if rnd > prev[0]:
+                rounds[name] = (rnd, hashed)
     return rounds
 
 
@@ -68,13 +72,23 @@ def all_queries():
     for mod in _MODULES:
         oracles.update(mod.ORACLE)
     checked = _last_checked_rounds()
-    # Sort key: (last-checked round, rows-only after hash-checkable, name).
-    # Never-checked queries (round 0) lead; among equals, oracle-backed
-    # queries outrank rows-only ones (a hash row is stronger evidence), and
-    # the name tiebreak keeps the order deterministic.
+
+    # Sort key: (effective last-checked round, rows-only after
+    # hash-checkable, name). Never-checked queries (round 0) lead; a query
+    # whose ORACLE APPEARED AFTER its last driver row (latest row exists
+    # but was not hash-checked, yet an oracle is registered now) also
+    # sorts as never-checked — its strongest available evidence has never
+    # been driver-recorded. Among equals, oracle-backed queries outrank
+    # rows-only ones, and the name tiebreak keeps the order deterministic.
+    def effective_round(n: str) -> int:
+        rnd, hashed = checked.get(n, (0, False))
+        if n in oracles and not hashed:
+            return 0
+        return rnd
+
     names = sorted(
         merged,
-        key=lambda n: (checked.get(n, 0), n not in oracles, n),
+        key=lambda n: (effective_round(n), n not in oracles, n),
     )
     return {n: merged[n] for n in names}
 
