@@ -98,8 +98,13 @@ def streaming_cdc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = forward_cdc(spark, landing, out_dir, ckpt, available_now=True)
     q.awaitTermination()
     sink = spark.read.option("basePath", out_dir).json(out_dir)
+    # dt/hour come back through partition-type inference (date / int) —
+    # normalize to the strings the oracle emits so the schema compare holds
     return (
-        sink.groupBy("dt", "hour")
+        sink.groupBy(
+            F.col("dt").cast("string").alias("dt"),
+            F.lpad(F.col("hour").cast("string"), 2, "0").alias("hour"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("city").alias("n_cities"),
@@ -149,4 +154,71 @@ QUERIES = {
     "streaming_cdc_counts": streaming_cdc_counts,
     "streaming_sessionize_counts": streaming_sessionize_counts,
 }
-ORACLE: dict[str, str] = {}  # genuinely non-SQL: streaming runs, rows-only
+
+# Batch-equivalent oracles: both runs drain DETERMINISTIC synthesized
+# envelopes in one AvailableNow batch, so the RESULT (not the execution)
+# has an exact SQL description over the same events fixture. The envelope
+# synthesis inverts to: event_id < 2000, ts < 2024-01-03, MODIFY rows
+# (event_id % 10 = 0) filtered, second-floored timestamps (the ISO
+# round-trip), at-least-once duplicates collapsed by DISTINCT (city, ts) —
+# exactly what the watermark dedup does to a single batch.
+_ENVELOPE_BASE = """
+  SELECT DISTINCT 'City' || CAST(user_id % 25 AS VARCHAR) AS city,
+         date_trunc('second', CAST(ts AS TIMESTAMP)) AS tss
+  FROM events
+  WHERE event_id < 2000
+    AND ts < TIMESTAMP '2024-01-03 00:00:00'
+    AND event_id % 10 <> 0
+"""
+
+ORACLE: dict[str, str] = {
+    "streaming_cdc_counts": f"""
+        WITH base AS ({_ENVELOPE_BASE})
+        SELECT strftime(tss, '%Y-%m-%d') AS dt,
+               strftime(tss, '%H') AS hour,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT city) AS BIGINT) AS n_cities
+        FROM base
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    # A session emits either CLOSED BY DATA (a later event of its city
+    # exceeds the 30-minute gap inside the drained batch) or TIMED OUT by
+    # the final AvailableNow batch, whose watermark is the global max
+    # event time minus the 10-minute delay: states with
+    # session_end + gap < watermark fire; younger trailing sessions stay
+    # in state unemitted.
+    "streaming_sessionize_counts": f"""
+        WITH base AS ({_ENVELOPE_BASE}),
+        flagged AS (
+          SELECT city, tss,
+                 CASE WHEN lag(tss) OVER w IS NULL
+                        OR epoch(tss) - epoch(lag(tss) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM base
+          WINDOW w AS (PARTITION BY city ORDER BY tss)
+        ), sess AS (
+          SELECT city, tss,
+                 sum(new_sess) OVER (PARTITION BY city ORDER BY tss
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        ), agg AS (
+          SELECT city, sid, min(tss) AS session_start,
+                 max(tss) AS session_end, count(*) AS n_events
+          FROM sess GROUP BY city, sid
+        ), closed AS (
+          SELECT * FROM (
+            SELECT agg.*, max(sid) OVER (PARTITION BY city) AS max_sid,
+                   (SELECT max(tss) - INTERVAL 10 MINUTE FROM base) AS wm
+            FROM agg
+          ) WHERE sid < max_sid
+             OR session_end + INTERVAL 30 MINUTE < wm
+        )
+        SELECT city,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(max(epoch(session_end) - epoch(session_start)) AS BIGINT)
+                 AS max_session_sec
+        FROM closed GROUP BY city ORDER BY city
+    """,
+}
