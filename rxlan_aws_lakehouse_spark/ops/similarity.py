@@ -124,6 +124,7 @@ def ann_topk_multitable(
     n_tables: int = LSH_MULTITABLE_TABLES,
     tiebreak_round: int = 6,
     max_list: int | None = ANN_MAX_LIST,
+    query_ids=None,
 ) -> DataFrame:
     """Approximate top-k via multi-table LSH: a pair is a candidate if it
     collides in ANY table; per-table equi-joins union'd, pair-deduped, then
@@ -176,6 +177,11 @@ def ann_topk_multitable(
     for t in range(n_tables):
         bkt = f"bucket_{t}"
         a = corpus.select("vec_id", "vec", "norm", F.col(bkt).alias("bkt"))
+        if query_ids is not None:
+            # kNN-graph slice: restrict the QUERY side only (candidate
+            # lists stay whole), e.g. for recall probes — per-query cost
+            # drops to Σ matched-list sizes instead of the full graph
+            a = a.filter(F.col("vec_id").isin(list(query_ids)))
         b = corpus.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("vec").alias("nvec"),
@@ -299,7 +305,7 @@ def cosine_topk(
     return topk_per_query_agg(scored, k, tiebreak_round)
 
 
-def ann_topk_bucketed(corpus: DataFrame, k: int = 3) -> DataFrame:
+def ann_topk_bucketed(corpus: DataFrame, k: int = 3, query_ids=None) -> DataFrame:
     """Approximate top-k per vector: candidates share the LSH sign bucket.
 
     Equi-join on the bucket key — the scale path. Vectors alone in their
@@ -308,6 +314,8 @@ def ann_topk_bucketed(corpus: DataFrame, k: int = 3) -> DataFrame:
     a = corpus.select(
         F.col("vec_id"), F.col("vec"), F.col("norm"), F.col("bucket")
     )
+    if query_ids is not None:
+        a = a.filter(F.col("vec_id").isin(list(query_ids)))
     b = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("vec").alias("nvec"),

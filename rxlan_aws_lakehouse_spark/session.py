@@ -59,6 +59,12 @@ def get_spark(app_name: str = "rxlan_aws_lakehouse_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # In local mode every task IS process-local; the default 3 s
+        # locality wait only stalls tasks whose preferred locations can't
+        # match (e.g. a coalesce(1) over a parallelized collection waits
+        # the full delay before scheduling — measured 4.5 s for a 1-row
+        # write). On a real cluster this stays at its default.
+        .config("spark.locality.wait", "0s")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

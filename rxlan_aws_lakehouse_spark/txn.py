@@ -41,6 +41,7 @@ the table (measured flat 200 -> 5000 files, tools/meta_probe.py).
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 import json
 import os
 import shutil
@@ -65,6 +66,14 @@ _WATERMARK_KEYS = ("streaming_epoch_id", "source_cursor")
 # driver-side footer read per file is cheaper than a job round-trip.
 _DIST_STATS_MIN_FILES = 64
 _ROOT_SHARD = "root"
+# A shard fragment growing past this many files splits into hash
+# sub-shards, so commit IO stays ~changed-files even for tables with no
+# (or giant) top-level partitions — the degeneracy round 4 left open:
+# an unpartitioned table mapped everything to ONE "root" fragment that
+# every commit rewrote in full. Splits are recorded in the snapshot meta
+# (``split_shards``) so carried files keep a stable fragment assignment.
+_SUBSHARD_MAX = 512
+_SUBSHARD_BUCKETS = 64
 
 
 def _stat_value(v):
@@ -167,12 +176,23 @@ def _local_path(file_uri: str) -> str:
 
 
 def _shard_key(rel: str) -> str:
-    """Manifest shard for a file: its top-level partition directory, or the
-    ``root`` shard for unpartitioned layouts. One shard per first-level
-    partition keeps each manifest fragment proportional to ONE partition's
-    file count, and lets partition predicates skip whole fragments unread."""
+    """Base manifest shard for a file: its top-level partition directory,
+    or the ``root`` shard for unpartitioned layouts. One shard per
+    first-level partition keeps each manifest fragment proportional to ONE
+    partition's file count, and lets partition predicates skip whole
+    fragments unread. Shards past ``_SUBSHARD_MAX`` files split further by
+    file-name hash (``_subshard_suffix``)."""
     head, _sep, tail = rel.partition(os.sep)
     return head if tail else _ROOT_SHARD
+
+
+def _subshard_suffix(rel: str) -> str:
+    """Deterministic hash bucket for a file within a split shard. Keyed on
+    the file's relative path so the assignment is stable across commits —
+    a carried file lands in the same sub-fragment its parent entry lives
+    in, which is what lets unchanged sub-fragments carry by hard link."""
+    h = int(hashlib.md5(rel.encode("utf-8")).hexdigest()[:8], 16)
+    return f"{h % _SUBSHARD_BUCKETS:02x}"
 
 
 def _file_entry(path: str) -> dict:
@@ -460,8 +480,10 @@ class TxnTable:
             # shard's partition dir empty skips the whole fragment UNREAD —
             # metadata IO proportional to surviving partitions, the same
             # property Iceberg gets from manifest-level partition summaries.
-            if key != _ROOT_SHARD and self._file_prunable(
-                {}, os.path.join(key, "_"), predicates
+            # Sub-sharded fragments prune on their recorded BASE partition.
+            base = info.get("base", key)
+            if base != _ROOT_SHARD and self._file_prunable(
+                {}, os.path.join(base, "_"), predicates
             ):
                 continue
             entries = self._load_shard(v, key)
@@ -613,25 +635,68 @@ class TxnTable:
                 rel: by_path[p] for rel, p in zip(fresh, abs_fresh)
             }
             parent_shards = parent_meta["shards"] if expect else {}
-            fresh_by_shard: dict[str, list[str]] = {}
+            parent_split = (
+                set(parent_meta.get("split_shards", [])) if expect else set()
+            )
+            fresh_by_base: dict[str, list[str]] = {}
             for rel in fresh:
-                fresh_by_shard.setdefault(_shard_key(rel), []).append(rel)
-            carried_by_shard: dict[str, list[str]] = {}
+                fresh_by_base.setdefault(_shard_key(rel), []).append(rel)
+            carried_by_base: dict[str, list[str]] = {}
             for rel in carry_files:
-                carried_by_shard.setdefault(_shard_key(rel), []).append(rel)
+                carried_by_base.setdefault(_shard_key(rel), []).append(rel)
+            # Sub-shard decision per base shard: sticky once split (carried
+            # files must keep their fragment assignment), re-decided only
+            # when a commit fully rewrites the shard (no carried files).
+            split = set(parent_split)
+            for base in set(fresh_by_base) | set(carried_by_base):
+                n_total = len(fresh_by_base.get(base, ())) + len(
+                    carried_by_base.get(base, ())
+                )
+                if n_total > _SUBSHARD_MAX:
+                    split.add(base)
+                elif base in split and not carried_by_base.get(base):
+                    split.discard(base)
+            # drop split records for bases with no files in this snapshot
+            split = {
+                b
+                for b in split
+                if b in fresh_by_base or b in carried_by_base
+            }
+
+            def key_of(rel: str, split_set) -> str:
+                base = _shard_key(rel)
+                if base in split_set:
+                    return f"{base}#{_subshard_suffix(rel)}"
+                return base
+
+            fresh_by_shard: dict[str, list[str]] = {}
+            carried_by_shard: dict[str, list[str]] = {}
+            base_of: dict[str, str] = {}
+            for rel in fresh:
+                k = key_of(rel, split)
+                base_of[k] = _shard_key(rel)
+                fresh_by_shard.setdefault(k, []).append(rel)
+            for rel in carry_files:
+                k = key_of(rel, split)
+                base_of[k] = _shard_key(rel)
+                carried_by_shard.setdefault(k, []).append(rel)
             shards_index: dict[str, dict] = {}
+            parent_frags: dict[str, dict] = {}
             for key in sorted(set(fresh_by_shard) | set(carried_by_shard)):
                 f_rels = sorted(fresh_by_shard.get(key, []))
                 c_rels = carried_by_shard.get(key, [])
+                base = base_of[key]
                 shards_index[key] = {
                     "n": len(f_rels) + len(c_rels),
                     "fresh": f_rels,
+                    "base": base,
                 }
                 dst = os.path.join(staging, f"_shard-{key}.json")
                 if (
                     not f_rels
                     and key in parent_shards
                     and len(c_rels) == parent_shards[key]["n"]
+                    and (base in split) == (base in parent_split)
                 ):
                     # unchanged shard: carry the manifest fragment itself
                     # by reference (carried rels are a subset of the parent
@@ -639,14 +704,22 @@ class TxnTable:
                     os.link(self._shard_file(expect, key), dst)
                     continue
                 entries = {rel: fresh_entries[rel] for rel in f_rels}
-                if c_rels:
-                    parent_entries = self._load_shard(expect, key)
-                    for rel in c_rels:
-                        entries[rel] = (
-                            parent_entries[rel]
-                            if rel in parent_entries
-                            else _file_entry(os.path.join(staging, rel))
-                        )
+                for rel in c_rels:
+                    # a carried file's stats live under its PARENT key —
+                    # which differs from ``key`` across a split/unsplit
+                    # boundary, so resolve per rel (fragment loads cached)
+                    pk = key_of(rel, parent_split)
+                    if pk not in parent_frags:
+                        try:
+                            parent_frags[pk] = self._load_shard(expect, pk)
+                        except FileNotFoundError:
+                            parent_frags[pk] = {}
+                    pe = parent_frags[pk]
+                    entries[rel] = (
+                        pe[rel]
+                        if rel in pe
+                        else _file_entry(os.path.join(staging, rel))
+                    )
                 with open(dst, "w") as f:
                     json.dump({"files": entries}, f)
             meta = {
@@ -664,6 +737,9 @@ class TxnTable:
                 # count and the rels freshly written there this commit —
                 # the change feed reads THIS, never the fragments
                 "shards": shards_index,
+                # base shards currently hash-split into sub-fragments —
+                # the NEXT commit keys carried files with this
+                "split_shards": sorted(split),
             }
             with open(os.path.join(staging, "_meta.json"), "w") as f:
                 json.dump(meta, f)

@@ -154,15 +154,37 @@ def create_bucketed_table(
     writer.saveAsTable(table)
 
 
+def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive (relative_path, bytes) listing via the Hadoop FileSystem
+    API — the portability seam: the same call pattern resolves to
+    LocalFileSystem here and S3AFileSystem/HDFS on a cluster, so nothing in
+    the compaction lane assumes POSIX. (Prefer the TxnTable lane for big
+    tables: its manifests make this listing unnecessary entirely.)"""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    base = fs.makeQualified(jpath).toString().rstrip("/")
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        rel = full[len(base) + 1 :] if full.startswith(base + "/") else full
+        name = rel.rsplit("/", 1)[-1]
+        if name.startswith((".", "_")):
+            continue
+        out.append((rel, int(st.getLen())))
+    return out
+
+
 def partition_file_stats(spark: SparkSession, path: str) -> DataFrame:
     """File-count/size profile per partition directory — the compaction
     trigger metric."""
-    files = []
-    for root, _dirs, names in os.walk(path):
-        part = os.path.relpath(root, path)
-        for n in names:
-            if n.endswith((".parquet", ".json", ".json.gz")) and not n.startswith("."):
-                files.append((part, os.path.getsize(os.path.join(root, n))))
+    files = [
+        (rel.rsplit("/", 1)[0] if "/" in rel else "", size)
+        for rel, size in _list_files(spark, path)
+        if rel.endswith((".parquet", ".json", ".json.gz"))
+    ]
     return spark.createDataFrame(files or [("", 0)], "partition string, bytes long").groupBy(
         "partition"
     ).agg(
@@ -201,10 +223,9 @@ def compact_partitions(
 
     slice_dir = os.path.join(path, f"dt={dt}") + (f"/hour={hour}" if hour else "")
     size = sum(
-        os.path.getsize(os.path.join(r, n))
-        for r, _d, ns in os.walk(slice_dir)
-        for n in ns
-        if n.endswith(".parquet")
+        b
+        for rel, b in _list_files(spark, slice_dir)
+        if rel.endswith(".parquet")
     )
     n_files = max(1, -(-size // target_file_bytes))
     sort_cols = [c for c in SORT_KEY if c in df.columns]

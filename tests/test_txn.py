@@ -871,3 +871,90 @@ def test_watermark_extras_fold_forward(spark, tmp_path):
     assert (
         t._meta(t.current_version())["extra"]["source_cursor"] == "v00000009"
     )
+
+
+def test_unpartitioned_shard_splits_past_threshold(spark, tmp_path, monkeypatch):
+    """An unpartitioned table past _SUBSHARD_MAX files splits its single
+    "root" fragment into hash sub-fragments, so a later 1-file append
+    rewrites ONE sub-fragment and hard-links the rest — commit metadata IO
+    proportional to the change even with no partition columns."""
+    from rxlan_aws_lakehouse_spark import txn as txn_mod
+
+    monkeypatch.setattr(txn_mod, "_SUBSHARD_MAX", 8)
+    t = TxnTable(str(tmp_path / "t"))
+    df = (
+        spark.range(12)
+        .repartition(12)
+        .select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    )
+    v1 = t.commit(df)
+    m1 = t._meta(v1)
+    n1 = m1["n_files"]  # Spark may skip empty partitions' files
+    assert n1 > 8
+    assert m1["split_shards"] == ["root"]
+    assert len(m1["shards"]) > 1
+    assert all(info["base"] == "root" for info in m1["shards"].values())
+    assert t.read(spark).count() == 12
+    assert len(t.file_entries(v1)) == n1
+
+    one = spark.createDataFrame(
+        [(100, "y")], "k long, tag string"
+    ).repartition(1)
+    v2 = t.append(one)
+    m2 = t._meta(v2)
+    fresh_keys = [k for k, i in m2["shards"].items() if i["fresh"]]
+    assert len(fresh_keys) == 1
+    for key, info in m2["shards"].items():
+        if info["fresh"] or key not in m1["shards"]:
+            continue
+        # every untouched sub-fragment carried by hard link
+        assert (
+            os.stat(t._shard_file(v1, key)).st_ino
+            == os.stat(t._shard_file(v2, key)).st_ino
+        )
+    assert t.read(spark).count() == 13
+    assert len(t.file_entries(v2)) == n1 + 1
+
+    # merge across the split boundary: only touched sub-fragments rewrite
+    upd = spark.createDataFrame([(0, "upd")], "k long, tag string")
+    v3 = t.merge_upsert(spark, upd, keys=["k"])
+    m3 = t._meta(v3)
+    assert "root" in m3["split_shards"]
+    got = t.read(spark)
+    assert got.count() == 13
+    assert got.filter(F.col("k") == 0).select("tag").first()["tag"] == "upd"
+
+
+def test_partitioned_table_splits_only_big_partition(spark, tmp_path, monkeypatch):
+    """Sub-sharding is per base shard: a big partition splits, small ones
+    keep one fragment each, and partition-predicate shard pruning still
+    skips whole sub-fragment groups via their recorded base."""
+    from rxlan_aws_lakehouse_spark import txn as txn_mod
+
+    monkeypatch.setattr(txn_mod, "_SUBSHARD_MAX", 8)
+    t = TxnTable(str(tmp_path / "t"))
+    big = (
+        spark.range(12)
+        .repartition(12)
+        .select(F.col("id").alias("k"), F.lit("0").alias("dt"))
+    )
+    small = spark.range(2).select(
+        (F.col("id") + 100).alias("k"), F.lit("1").alias("dt")
+    )
+    v1 = t.commit(big.unionByName(small), partition_by=["dt"])
+    m1 = t._meta(v1)
+    assert m1["split_shards"] == ["dt=0"]
+    bases = {i["base"] for i in m1["shards"].values()}
+    assert bases == {"dt=0", "dt=1"}
+    assert sum(1 for i in m1["shards"].values() if i["base"] == "dt=1") == 1
+    # pruning on the partition predicate skips every dt=0 sub-fragment
+    kept, total = t.pruned_files([("dt", "=", "1")])
+    assert total == m1["n_files"]
+    assert kept and all(rel.startswith("dt=1") for rel in kept)
+    assert t.read_pruned(spark, [("dt", "=", "1")]).count() == 2
+
+    # a full rewrite below the threshold un-splits (compact bins files)
+    v2 = t.compact(spark, target_file_bytes=512 * 1024 * 1024)
+    m2 = t._meta(v2)
+    assert m2["split_shards"] == []
+    assert t.read(spark).count() == 14

@@ -46,6 +46,23 @@ def build(spark, n_files: int) -> TxnTable:
     return t
 
 
+def build_unpartitioned(spark, n_files: int) -> TxnTable:
+    """The round-4 degeneracy case: no partition columns at all, so every
+    file used to land in ONE "root" manifest fragment that each commit
+    rewrote in full. With hash sub-sharding the fragment count is bounded
+    and a 1-file append rewrites ~1/64th of the manifest."""
+    root = os.path.join(SCRATCH, f"u{n_files}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxnTable(root)
+    df = (
+        spark.range(n_files * 10)
+        .select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        .repartitionByRange(n_files, "k")
+    )
+    t.commit(df)
+    return t
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [200, 1000, 5000]
     spark = get_spark("meta-probe")
@@ -66,6 +83,28 @@ def main() -> None:
         t_merge = time.perf_counter() - t0
         print(
             f"| {nf} | {t_build:.2f}s | {t_append:.2f}s | {t_merge:.2f}s |",
+            flush=True,
+        )
+    print()
+    print("| files (unpartitioned) | build commit | append 1 file | merge 1 key | frags |")
+    print("|---|---|---|---|---|")
+    for n in sizes:
+        t0 = time.perf_counter()
+        t = build_unpartitioned(spark, n)
+        t_build = time.perf_counter() - t0
+        meta = t._meta(t.current_version())
+        nf = meta["n_files"]
+        one = spark.createDataFrame([(10**9, "new")], "k long, tag string").repartition(1)
+        t0 = time.perf_counter()
+        t.append(one)
+        t_append = time.perf_counter() - t0
+        upd = spark.createDataFrame([(0, "upd")], "k long, tag string").repartition(1)
+        t0 = time.perf_counter()
+        t.merge_upsert(spark, upd, keys=["k"])
+        t_merge = time.perf_counter() - t0
+        n_frags = len(t._meta(t.current_version())["shards"])
+        print(
+            f"| {nf} | {t_build:.2f}s | {t_append:.2f}s | {t_merge:.2f}s | {n_frags} |",
             flush=True,
         )
 
