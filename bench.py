@@ -40,6 +40,13 @@ HEADLINE = [
     "emb_cosine_topk",   # brute-force cosine top-k over embeddings
     "emb_centroid_dist",    # per-label centroid similarity
     "text_quality",      # document quality scoring
+    # round-4 lanes — the newest (least-benched) code, one per family, so
+    # regressions there show up round-over-round:
+    "txn_merge_evolved",    # txn MERGE + additive schema evolution
+    "txn_incremental_agg",  # change-feed incremental aggregate refresh
+    "multimodal_frame_sample",  # adaptive frame sampling (scan-side exprs)
+    "text_pack_sequences",  # md5-bucketed sequence packing
+    "contamination_check",  # bipartite LSH band join vs eval set
 ]
 
 

@@ -182,11 +182,152 @@ def txn_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE, file-granular: remove BUILDING-segment customers
+    with negative balances from a segment-partitioned snapshot. The
+    ``prune`` triples bound the touched-file discovery to the BUILDING
+    partition via the manifest (asserted); files in other segments carry by
+    reference. The surviving table must equal a plain filtered recompute.
+    """
+    work = tempfile.mkdtemp(prefix="txn_del_")
+    try:
+        t = TxnTable(f"{work}/t")
+        base = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= _N_CUST)
+            .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        )
+        t.commit(base, partition_by=["c_mktsegment"])
+        prune = [("c_mktsegment", "=", "BUILDING")]
+        kept, total = t.pruned_files(prune)
+        assert 0 < len(kept) < total, (len(kept), total)
+        t.delete_where(
+            spark,
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") < 0),
+            prune=prune,
+        )
+        out = (
+            t.read(spark)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            )
+            .orderBy("segment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def txn_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch applied as one atomic commit: updates, deletes, inserts,
+    and per-key op ordering (a key with U then D nets to a delete).
+
+    Base = customers <= 200, range-clustered on the key so the manifest
+    prunes candidate files. The change batch is fixture-derived: every
+    10th key updated (+500 balance, seq 1), every 7th deleted (seq 2 —
+    beats the update for keys divisible by both), and keys 1..5 re-inserted
+    shifted by 10000. DuckDB recomputes the surviving table directly.
+    """
+    work = tempfile.mkdtemp(prefix="txn_cdc_")
+    try:
+        t = TxnTable(f"{work}/t")
+        base = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= _N_CUST)
+            .select("c_custkey", "c_name", "c_acctbal")
+        )
+        t.commit(base.repartitionByRange(8, "c_custkey"),
+                 sort_within=["c_custkey"])
+        updates = (
+            base.filter(F.col("c_custkey") % 10 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(500.0))
+            .withColumn("op", F.lit("U"))
+            .withColumn("seq", F.lit(1))
+        )
+        deletes = (
+            base.filter(F.col("c_custkey") % 7 == 0)
+            .select(
+                "c_custkey",
+                F.lit(None).cast("string").alias("c_name"),
+                F.lit(None).cast("double").alias("c_acctbal"),
+                F.lit("D").alias("op"),
+                F.lit(2).alias("seq"),
+            )
+        )
+        inserts = (
+            base.filter(F.col("c_custkey") <= 5)
+            .select(
+                (F.col("c_custkey") + 10000).alias("c_custkey"),
+                F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+                F.round(F.col("c_acctbal") / 2, 2).alias("c_acctbal"),
+                F.lit("I").alias("op"),
+                F.lit(1).alias("seq"),
+            )
+        )
+        changes = updates.unionByName(deletes).unionByName(inserts)
+        t.apply_cdc(spark, changes, keys=["c_custkey"], seq_col="seq")
+        out = (
+            t.read(spark)
+            .select("c_custkey", "c_name",
+                    F.round("c_acctbal", 2).alias("acctbal"))
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-as-of reads across three commits (time travel): the same
+    aggregate evaluated against each retained version — v1 (orders through
+    1996), v2 (+1997), v3 (+1998) — from ONE table whose old snapshots stay
+    readable after later commits. DuckDB recomputes each cutoff directly.
+    """
+    work = tempfile.mkdtemp(prefix="txn_tt_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        versions = [t.commit(orders.filter(F.col("o_year") <= "1996"))]
+        versions.append(t.append(orders.filter(F.col("o_year") == "1997")))
+        versions.append(t.append(orders.filter(F.col("o_year") == "1998")))
+        snaps = []
+        for i, v in enumerate(versions, start=1):
+            snaps.append(
+                t.read(spark, v)
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                )
+                .select(
+                    F.lit(i).alias("snapshot"), "n_orders", "total_price"
+                )
+            )
+        out = snaps[0]
+        for s in snaps[1:]:
+            out = out.unionByName(s)
+        out = out.orderBy("snapshot")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
     "txn_incremental_agg": txn_incremental_agg,
     "txn_pruned_read": txn_pruned_read,
+    "txn_delete_where": txn_delete_where,
+    "txn_apply_cdc": txn_apply_cdc,
+    "txn_time_travel": txn_time_travel,
 }
 
 ORACLE = {
@@ -232,5 +373,46 @@ ORACLE = {
         WHERE o_orderkey BETWEEN 1000 AND 3000
         GROUP BY 1
         ORDER BY 1
+    """,
+    "txn_delete_where": f"""
+        SELECT
+            c_mktsegment AS segment,
+            count(*) AS n_customers,
+            round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_custkey <= {_N_CUST}
+          AND NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "txn_apply_cdc": f"""
+        WITH survivors AS (
+            SELECT
+                c_custkey,
+                c_name,
+                CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 500.0
+                     ELSE c_acctbal END AS acctbal
+            FROM customer
+            WHERE c_custkey <= {_N_CUST} AND c_custkey % 7 <> 0
+        ), inserts AS (
+            SELECT
+                c_custkey + 10000 AS c_custkey,
+                'new_' || c_name AS c_name,
+                round(c_acctbal / 2, 2) AS acctbal
+            FROM customer
+            WHERE c_custkey <= 5
+        )
+        SELECT c_custkey, c_name, round(acctbal, 2) AS acctbal
+        FROM (SELECT * FROM survivors UNION ALL SELECT * FROM inserts)
+        ORDER BY c_custkey
+    """,
+    "txn_time_travel": """
+        SELECT s.snapshot,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM (VALUES (1, '1996'), (2, '1997'), (3, '1998')) AS s(snapshot, cutoff)
+        JOIN orders o ON strftime(o.o_orderdate, '%Y') <= s.cutoff
+        GROUP BY s.snapshot
+        ORDER BY s.snapshot
     """,
 }

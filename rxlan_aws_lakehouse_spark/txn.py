@@ -1056,6 +1056,199 @@ class TxnTable:
 
         return self._with_retries(attempt, max_retries)
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        prune: list | None = None,
+        max_retries: int = 2,
+        extra_meta: dict | None = None,
+    ) -> str:
+        """Row-level DELETE, file-granular (Delta DELETE semantics):
+        rewrite ONLY the files that contain a matching row — each keeps its
+        non-matching rows — and carry every untouched file by reference.
+
+        ``condition`` is a pyspark Column predicate; rows where it holds
+        are removed. ``prune`` optionally passes conjunctive
+        ``(col, op, literal)`` triples (the ``pruned_files`` grammar) that
+        OVER-APPROXIMATE the condition, bounding the touched-file discovery
+        scan to range-overlapping files via manifest stats — on a
+        key-clustered 100 TB table a keyed delete then scans the handful of
+        files it actually hits. Pruning is an IO bound only: correctness
+        comes from the row filter.
+
+        Returns the new version (or the current one unchanged when nothing
+        matched — no empty commit). Deleting every row of a file drops the
+        file from the snapshot entirely.
+        """
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            target_schema = StructType.fromJson(self._meta(expect)["schema"])
+            candidates, _total = self.pruned_files(prune or [], expect)
+            if not candidates:
+                return expect
+            cand_scan = (
+                spark.read.option("basePath", data_root)
+                .schema(target_schema)
+                .parquet(*(os.path.join(data_root, rel) for rel in candidates))
+            )
+            touched = sorted(
+                os.path.relpath(_local_path(r["_f"]), data_root)
+                for r in cand_scan.withColumn("_f", F.input_file_name())
+                .filter(condition)
+                .select("_f")
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return expect  # nothing matched: the table is unchanged
+            touched_set = set(touched)
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in self.files(expect)
+                if rel not in touched_set
+            }
+            kept = (
+                spark.read.option("basePath", data_root)
+                .schema(target_schema)
+                .parquet(*(os.path.join(data_root, rel) for rel in touched))
+                .filter(~condition)
+            )
+            return self.commit(
+                kept, operation="delete", carry_files=carry,
+                extra_meta=extra_meta,
+            )
+
+        return self._with_retries(attempt, max_retries)
+
+    def apply_cdc(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        keys: list[str],
+        op_col: str = "op",
+        seq_col: str | None = None,
+        max_retries: int = 2,
+        extra_meta: dict | None = None,
+    ) -> str:
+        """Apply a CDC batch — inserts/updates/deletes — as ONE atomic
+        file-granular commit (the Delta ``MERGE WHEN MATCHED DELETE``
+        shape, i.e. what a Debezium/DynamoDB-Streams consumer runs).
+
+        ``changes`` carries the key columns, the data columns, an
+        ``op_col`` in {'I','U','D'} (delete rows may leave data columns
+        NULL), and optionally a ``seq_col`` ordering column. With
+        ``seq_col`` the batch may contain several ops per key: only the
+        LATEST op per key applies (a trailing D deletes, a trailing I/U
+        upserts) — per-key last-writer-wins, resolved with one window over
+        the (small) change batch. Without it, one op per key is enforced.
+
+        Execution mirrors ``merge_upsert``: manifest min/max candidate
+        pruning on the key bounds, one discovery scan for touched files,
+        rewrite = kept rows (non-affected keys) + surviving upserts,
+        everything else carried by hard link. Deletes that match nothing
+        are no-ops; the whole batch lands in exactly one snapshot.
+        """
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            target_schema = StructType.fromJson(self._meta(expect)["schema"])
+
+            latest = changes
+            if seq_col is not None:
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+                latest = (
+                    changes.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            else:
+                dup = (
+                    changes.groupBy(*keys)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(
+                        "CDC batch has multiple ops for key "
+                        f"{[dup[0][k] for k in keys]}; pass seq_col to "
+                        "resolve per-key ordering"
+                    )
+            latest = latest.persist()
+            upserts = latest.filter(
+                F.col(op_col).isin("I", "U")
+            ).drop(op_col, *( [seq_col] if seq_col else [] ))
+            upserts = upserts.select(*[f.name for f in target_schema.fields])
+            affected_keys = latest.select(*keys).distinct()
+
+            bounds = affected_keys.agg(
+                *[F.min(k).alias(f"lo_{k}") for k in keys],
+                *[F.max(k).alias(f"hi_{k}") for k in keys],
+            ).first()
+            preds = []
+            for k in keys:
+                if bounds[f"lo_{k}"] is not None:
+                    preds.append((k, ">=", bounds[f"lo_{k}"]))
+                if bounds[f"hi_{k}"] is not None:
+                    preds.append((k, "<=", bounds[f"hi_{k}"]))
+            candidates, _total = self.pruned_files(preds, expect)
+            if candidates:
+                cand_scan = (
+                    spark.read.option("basePath", data_root)
+                    .schema(target_schema)
+                    .parquet(
+                        *(os.path.join(data_root, rel) for rel in candidates)
+                    )
+                )
+                touched = sorted(
+                    os.path.relpath(_local_path(r["_f"]), data_root)
+                    for r in cand_scan.withColumn("_f", F.input_file_name())
+                    .join(affected_keys, keys, "leftsemi")
+                    .select("_f")
+                    .distinct()
+                    .collect()
+                )
+            else:
+                touched = []
+            touched_set = set(touched)
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in self.files(expect)
+                if rel not in touched_set
+            }
+            if touched:
+                kept = (
+                    spark.read.option("basePath", data_root)
+                    .schema(target_schema)
+                    .parquet(
+                        *(os.path.join(data_root, rel) for rel in touched)
+                    )
+                    .join(affected_keys, keys, "left_anti")
+                )
+                merged = kept.unionByName(upserts)
+            else:
+                merged = upserts
+            try:
+                return self.commit(
+                    merged, operation="apply_cdc", carry_files=carry,
+                    extra_meta=extra_meta,
+                )
+            finally:
+                latest.unpersist()
+
+        return self._with_retries(attempt, max_retries)
+
     def compact(
         self,
         spark: SparkSession,

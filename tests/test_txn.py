@@ -958,3 +958,75 @@ def test_partitioned_table_splits_only_big_partition(spark, tmp_path, monkeypatc
     m2 = t._meta(v2)
     assert m2["split_shards"] == []
     assert t.read(spark).count() == 14
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """Row-level DELETE: files with no matching row carry by reference
+    (same inode); matching files are rewritten without the deleted rows."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 30), partition_by=["dt"])
+    old = _inodes(os.path.join(t.root, "_versions", v1))
+    v2 = t.delete_where(
+        spark,
+        (F.col("dt") == "0") & (F.col("k") < 9),
+        prune=[("dt", "=", "0")],
+    )
+    new = _inodes(os.path.join(t.root, "_versions", v2))
+    got = t.read(spark)
+    assert got.count() == 27  # k in {0,3,6} deleted
+    assert got.filter((F.col("dt") == "0") & (F.col("k") < 9)).count() == 0
+    # dt=1 / dt=2 untouched: carried by hard link
+    for p, ino in old.items():
+        if p.startswith(("dt=1", "dt=2")):
+            assert new.get(p) == ino
+    # old snapshot still has all rows (time travel unaffected)
+    assert t.read(spark, v1).count() == 30
+    # deleting nothing returns the same version, no new commit
+    assert t.delete_where(spark, F.col("k") > 10**6) == v2
+
+
+def test_delete_where_drops_fully_matched_files(spark, tmp_path):
+    """A file whose every row matches disappears from the snapshot."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 30), partition_by=["dt"])
+    v = t.delete_where(spark, F.col("dt") == "1", prune=[("dt", "=", "1")])
+    got = t.read(spark)
+    assert got.filter(F.col("dt") == "1").count() == 0
+    assert got.count() == 20
+    assert not any(r.startswith("dt=1") for r in t.files(v))
+
+
+def test_apply_cdc_upserts_and_deletes_atomically(spark, tmp_path):
+    """One CDC batch: update k=2, delete k=5, insert k=100, and a key with
+    U-then-D (k=8, seq-resolved) nets to a delete — all in ONE commit."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 10))
+    n_commits_before = len(t.history())
+    changes = spark.createDataFrame(
+        [
+            (2, "upd", "2", "U", 1),
+            (5, None, None, "D", 1),
+            (8, "upd8", "2", "U", 1),
+            (8, None, None, "D", 2),
+            (100, "ins", "1", "I", 1),
+        ],
+        "k long, tag string, dt string, op string, seq int",
+    )
+    t.apply_cdc(spark, changes, keys=["k"], seq_col="seq")
+    assert len(t.history()) == n_commits_before + 1
+    got = t.read(spark)
+    assert got.count() == 9  # 10 - del(5) - del(8) + ins(100)
+    assert got.filter(F.col("k").isin(5, 8)).count() == 0
+    assert got.filter(F.col("k") == 2).first()["tag"] == "upd"
+    assert got.filter(F.col("k") == 100).first()["tag"] == "ins"
+
+
+def test_apply_cdc_rejects_ambiguous_batch_without_seq(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 5))
+    changes = spark.createDataFrame(
+        [(1, "a", "0", "U"), (1, None, None, "D")],
+        "k long, tag string, dt string, op string",
+    )
+    with pytest.raises(ValueError, match="multiple ops"):
+        t.apply_cdc(spark, changes, keys=["k"])

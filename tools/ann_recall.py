@@ -103,20 +103,25 @@ def main() -> None:
     # exists to avoid, so it only runs on small corpora.
     print("| path | cap | recall@k | full-graph wall |")
     print("|---|---|---|---|")
-    caps: list[int | None] = [64, 128, 256, 512]
-    if n_vecs <= 50_000:
-        caps.append(None)
+    caps: list[int | None] = [64, 128, 256, 512, None]
     for cap in caps:
+        # recall is measured on the query-restricted slice (cheap, exact
+        # for the sampled queries); the full-graph wall only runs where it
+        # is bounded: capped at the default, or any setting on a small
+        # corpus. The uncapped full graph is the quadratic the cap avoids.
         r = recall_at_k(
             sim.ann_topk_multitable(mt, k=k, max_list=cap, query_ids=qids),
             exact,
             k,
         )
-        t0 = time.perf_counter()
-        sim.ann_topk_multitable(mt, k=k, max_list=cap).count()
-        wall = time.perf_counter() - t0
+        if n_vecs <= 50_000 or cap == sim.ANN_MAX_LIST:
+            t0 = time.perf_counter()
+            sim.ann_topk_multitable(mt, k=k, max_list=cap).count()
+            wall_s = f"{time.perf_counter() - t0:.2f}s"
+        else:
+            wall_s = "—"
         cap_s = "uncapped" if cap is None else str(cap)
-        print(f"| multitable | {cap_s} | {r:.3f} | {wall:.2f}s |", flush=True)
+        print(f"| multitable | {cap_s} | {r:.3f} | {wall_s} |", flush=True)
 
     r = recall_at_k(
         sim.ann_topk_bucketed(prepared, k=k, query_ids=qids), exact, k
