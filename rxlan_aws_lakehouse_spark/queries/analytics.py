@@ -143,12 +143,47 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_trend_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event values over time, via the built-in
+    least-squares AGGREGATES (``regr_slope``/``regr_intercept``/``regr_r2``
+    — one hash-agg pass, JVM-side partial aggregation, no per-group
+    collect or model fit in Python).
+
+    This is the grouped-model shape ("fit a line per key") that tempts a
+    ``applyInPandas`` grouped-map UDF; at 100 TB the aggregate form wins
+    outright — it is a single map-side-combinable shuffle with fixed-width
+    state (6 moments per group). x is event time in DAYS since a fixed
+    epoch (2024-01-01): day-scale x keeps the slope in a magnitude where
+    the cross-engine float comparison is stable (slope/r2 rounded at 5
+    decimals — their 6th straddles a float rounding boundary at sf0.01).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    x = (
+        F.unix_timestamp("ts").cast("double")
+        - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    ) / 86400.0
+    y = F.col("value")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.regr_count(y, x).alias("n"),
+            F.round(F.regr_slope(y, x), 5).alias("slope_per_day"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 5).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "retention_cohorts": retention_cohorts,
     "running_distinct_users": running_distinct_users,
     "orders_market_share": orders_market_share,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "events_trend_regr": events_trend_regr,
 }
 
 ORACLE = {
@@ -222,5 +257,21 @@ ORACLE = {
         WHERE e.event_type IS NOT NULL AND value IS NOT NULL
         ORDER BY abs((value - mu) / sd) DESC, event_id
         LIMIT 20
+    """,
+    "events_trend_regr": """
+        SELECT event_type,
+               CAST(regr_count(value, x) AS BIGINT) AS n,
+               round(regr_slope(value, x), 5) AS slope_per_day,
+               round(regr_intercept(value, x), 4) AS intercept,
+               round(regr_r2(value, x), 5) AS r2
+        FROM (
+          SELECT event_type, value,
+                 (epoch(CAST(ts AS TIMESTAMP))
+                  - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 86400.0 AS x
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+        )
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }

@@ -150,9 +150,51 @@ def streaming_sessionize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join under the driver's eye: the CDC stream enriched
+    with a region dimension (broadcast join inside each micro-batch,
+    ``streaming/enrich.py``), drained AvailableNow, aggregated per region.
+
+    The dimension is fixture-derived and total (every synthesized city
+    maps to a region), so the LEFT join is lossless and the result has an
+    exact batch SQL description: city index i = user_id % 25, region =
+    the fixture region with r_regionkey = i % 5.
+    """
+    from ..streaming.enrich import enrich_stream
+
+    work = tempfile.mkdtemp(prefix="cdc_enrich_")
+    landing, out_dir, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
+    _envelopes(spark, sf_dir).coalesce(1).write.mode("overwrite").text(landing)
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        spark.range(25)
+        .select(
+            F.concat(F.lit("City"), F.col("id").cast("string")).alias("city"),
+            (F.col("id") % 5).alias("r_regionkey"),
+        )
+        .join(region, "r_regionkey")
+        .select("city", F.col("r_name").alias("region"))
+    )
+    q = enrich_stream(spark, landing, out_dir, ckpt, dim, on="city")
+    q.awaitTermination()
+    sink = spark.read.parquet(out_dir)
+    # counts only: the watermark dedup keeps an ARBITRARY row per
+    # (city, ts) key, so value columns (e.g. temp) of a collided key are
+    # nondeterministic — sf0.1 has exactly one such key
+    return (
+        sink.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("city").alias("n_cities"),
+        )
+        .orderBy("region")
+    )
+
+
 QUERIES = {
     "streaming_cdc_counts": streaming_cdc_counts,
     "streaming_sessionize_counts": streaming_sessionize_counts,
+    "streaming_join_counts": streaming_join_counts,
 }
 
 # Batch-equivalent oracles: both runs drain DETERMINISTIC synthesized
@@ -220,5 +262,23 @@ ORACLE: dict[str, str] = {
                CAST(max(epoch(session_end) - epoch(session_start)) AS BIGINT)
                  AS max_session_sec
         FROM closed GROUP BY city ORDER BY city
+    """,
+    # Stream-static join: the dimension is total over the 25 synthesized
+    # cities (region key = city index % 5), so the LEFT join is lossless
+    # and the batch description is the envelope base joined to the region
+    # fixture the same way.
+    "streaming_join_counts": f"""
+        WITH base AS ({_ENVELOPE_BASE}),
+        keyed AS (
+          SELECT city,
+                 CAST(substr(city, 5) AS INTEGER) % 5 AS r_regionkey
+          FROM base
+        )
+        SELECT r.r_name AS region,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT k.city) AS BIGINT) AS n_cities
+        FROM keyed k JOIN region r USING (r_regionkey)
+        GROUP BY 1
+        ORDER BY 1
     """,
 }

@@ -169,3 +169,34 @@ def test_streaming_sessionize_counts_driver_query(spark):
     assert all(r["n_sessions"] > 0 and r["n_events"] >= r["n_sessions"] for r in a)
     b = streaming_sessionize_counts(spark, "/root/testdata/sf0.001").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    """Stream-static join: each micro-batch row enriched with a broadcast
+    dimension; unmatched cities pass through with NULL (left join), and the
+    watermark dedup still collapses duplicates before the join."""
+    from rxlan_aws_lakehouse_spark.streaming.enrich import enrich_stream
+
+    landing = str(tmp_path / "landing")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_landing(
+        landing,
+        [
+            _envelope("INSERT", "Austin", "2024-03-01T10:00:00Z", event_id="a1"),
+            _envelope("INSERT", "Austin", "2024-03-01T10:00:00Z", event_id="a1dup"),
+            _envelope("INSERT", "Dallas", "2024-03-01T10:05:00Z", event_id="d1"),
+            _envelope("INSERT", "Nowhere", "2024-03-01T10:06:00Z", event_id="n1"),
+            _envelope("MODIFY", "Austin", "2024-03-01T11:00:00Z", event_id="m1"),
+        ],
+    )
+    dim = spark.createDataFrame(
+        [("Austin", "TX", "south"), ("Dallas", "TX", "south")],
+        "city string, state string, region string",
+    )
+    q = enrich_stream(spark, landing, out_dir, ckpt, dim, on="city")
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    rows = {r["city"]: r for r in got.collect()}
+    assert set(rows) == {"Austin", "Dallas", "Nowhere"}  # MODIFY filtered, dup collapsed
+    assert rows["Austin"]["region"] == "south"
+    assert rows["Nowhere"]["region"] is None  # left join annotates, never drops

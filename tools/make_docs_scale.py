@@ -13,7 +13,12 @@ factor, using the same bijections as make_sf1:
     (element roll by copy_index % dim), so copies don't collapse into the
     same LSH buckets / IVF lists.
 
-Usage: python tools/make_docs_scale.py [copies] [out_dir]
+The replication is ONE crossJoin against a copies-range (per-copy
+transforms expressed with Column-arg regexp_replace / slice), not a
+copies-way union — a 1000-branch union plan stalls Catalyst long before
+the data is big.
+
+Usage: python tools/make_docs_scale.py [copies] [out_dir] [--docs-only]
        (defaults: 100 -> /root/repo/.scratch/docs10)
 """
 
@@ -34,49 +39,53 @@ SRC = "/root/testdata/sf0.1"
 
 
 def main() -> None:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/docs10"
+    args = [a for a in sys.argv[1:] if a != "--docs-only"]
+    docs_only = "--docs-only" in sys.argv[1:]
+    copies = int(args[0]) if args else 100
+    out = args[1] if len(args) > 1 else "/root/repo/.scratch/docs10"
     spark = get_spark("make-docs-scale")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
+    copy = F.col("copy")
+    copies_df = spark.range(copies).select(F.col("id").alias("copy"))
+
     docs = load(spark, SRC, "documents")
     doc_stride = int(docs.agg(F.max("doc_id")).first()[0]) + 1
-    parts = []
-    for i in range(copies):
-        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_stride))
-        if i > 0:
-            c = c.withColumn("text", F.regexp_replace("text", r"(\S+)", rf"$1_{i}"))
-        parts.append(c)
-    full = parts[0]
-    for p in parts[1:]:
-        full = full.unionByName(p)
-    full.repartition(32).write.mode("overwrite").parquet(
+    full = docs.crossJoin(copies_df).select(
+        (F.col("doc_id") + copy * doc_stride).alias("doc_id"),
+        F.when(copy == 0, F.col("text"))
+        .otherwise(
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1_"), copy.cast("string")),
+            )
+        )
+        .alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    full.repartition(max(32, copies // 2)).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
     )
     print(f"documents: x{copies}")
+    if docs_only:
+        return
 
     emb = load(spark, SRC, "embeddings")
     vec_stride = int(emb.agg(F.max("vec_id")).first()[0]) + 1
     dim = len(emb.select("embedding").first()[0])
-    parts = []
-    for i in range(copies):
-        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vec_stride))
-        r = i % dim
-        if r:
-            # roll the vector by r positions: norm-preserving, bucket-mixing
-            c = c.withColumn(
-                "embedding",
-                F.concat(
-                    F.slice("embedding", r + 1, dim - r),
-                    F.slice("embedding", 1, r),
-                ),
-            )
-        parts.append(c)
-    full = parts[0]
-    for p in parts[1:]:
-        full = full.unionByName(p)
-    full.repartition(32).write.mode("overwrite").parquet(
+    r = (copy % dim).cast("int")
+    rolled = F.concat(
+        F.slice("embedding", r + 1, F.lit(dim) - r),
+        F.slice("embedding", F.lit(1), r),
+    )
+    full_e = emb.crossJoin(copies_df).select(
+        (F.col("vec_id") + copy * vec_stride).alias("vec_id"),
+        rolled.alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    full_e.repartition(max(32, copies // 2)).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
     )
     print(f"embeddings: x{copies}")
