@@ -191,10 +191,62 @@ def streaming_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join under the driver's eye: clicks and purchases from
+    the events fixture land as two NDJSON streams, the attribution join
+    (``streaming/stream_join.py`` — key + 30-minute event-time range,
+    watermarks on both sides bounding state) drains AvailableNow, and the
+    matched pairs aggregate per conversion day.
+
+    Deterministic: one landing file per side -> one micro-batch, the
+    initial watermark drops nothing, and an inner range join of complete
+    inputs is exactly its batch SQL description.
+    """
+    from ..streaming.stream_join import run_attribution
+
+    work = tempfile.mkdtemp(prefix="stream_join_")
+    clicks_dir, convs_dir = f"{work}/clicks", f"{work}/convs"
+    out_dir, ckpt = f"{work}/out", f"{work}/ckpt"
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < _N_EVENTS)
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts")
+    e.filter(F.col("event_type") == "click").select(
+        F.to_json(
+            F.struct("user_id", F.col("event_id").alias("click_id"), iso)
+        ).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(clicks_dir)
+    e.filter(F.col("event_type") == "purchase").select(
+        F.to_json(
+            F.struct(
+                "user_id",
+                F.col("event_id").alias("conv_id"),
+                iso,
+                F.round("value", 2).alias("amount"),
+            )
+        ).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(convs_dir)
+    q = run_attribution(spark, clicks_dir, convs_dir, out_dir, ckpt)
+    q.awaitTermination()
+    pairs = spark.read.schema(
+        "user_id long, conv_id long, click_id long, "
+        "click_ts timestamp, conv_ts timestamp, amount double"
+    ).parquet(out_dir)
+    return (
+        pairs.groupBy(F.date_format("conv_ts", "yyyy-MM-dd").alias("conv_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("conv_id").alias("n_conversions"),
+            F.countDistinct("click_id").alias("n_clicks"),
+            F.round(F.sum("amount"), 2).alias("attributed_amount"),
+        )
+        .orderBy("conv_day")
+    )
+
+
 QUERIES = {
     "streaming_cdc_counts": streaming_cdc_counts,
     "streaming_sessionize_counts": streaming_sessionize_counts,
     "streaming_join_counts": streaming_join_counts,
+    "streaming_stream_join_counts": streaming_stream_join_counts,
 }
 
 # Batch-equivalent oracles: both runs drain DETERMINISTIC synthesized
@@ -278,6 +330,34 @@ ORACLE: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(count(DISTINCT k.city) AS BIGINT) AS n_cities
         FROM keyed k JOIN region r USING (r_regionkey)
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    # Stream-stream attribution join: inner join of complete single-batch
+    # inputs == the same join in batch SQL. Timestamps second-floored by
+    # the ISO round-trip through the NDJSON landing files.
+    "streaming_stream_join_counts": f"""
+        WITH clicks AS (
+          SELECT user_id, event_id AS click_id,
+                 date_trunc('second', CAST(ts AS TIMESTAMP)) AS click_ts
+          FROM events
+          WHERE event_id < {_N_EVENTS} AND event_type = 'click'
+        ), convs AS (
+          SELECT user_id, event_id AS conv_id,
+                 date_trunc('second', CAST(ts AS TIMESTAMP)) AS conv_ts,
+                 round(value, 2) AS amount
+          FROM events
+          WHERE event_id < {_N_EVENTS} AND event_type = 'purchase'
+        )
+        SELECT strftime(conv_ts, '%Y-%m-%d') AS conv_day,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+               CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
+               round(sum(amount), 2) AS attributed_amount
+        FROM convs v JOIN clicks c
+          ON v.user_id = c.user_id
+         AND c.click_ts <= v.conv_ts
+         AND v.conv_ts <= c.click_ts + INTERVAL 30 MINUTE
         GROUP BY 1
         ORDER BY 1
     """,

@@ -200,3 +200,41 @@ def test_enrich_stream_static_join(spark, tmp_path):
     assert set(rows) == {"Austin", "Dallas", "Nowhere"}  # MODIFY filtered, dup collapsed
     assert rows["Austin"]["region"] == "south"
     assert rows["Nowhere"]["region"] is None  # left join annotates, never drops
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Two live streams joined on key + event-time range: conversions match
+    clicks of the same user within the 30-minute window only."""
+    import json as _json
+    from rxlan_aws_lakehouse_spark.streaming.stream_join import run_attribution
+
+    clicks_dir = str(tmp_path / "clicks")
+    convs_dir = str(tmp_path / "convs")
+    os.makedirs(clicks_dir), os.makedirs(convs_dir)
+    with open(os.path.join(clicks_dir, "c.json"), "w") as f:
+        for row in [
+            {"user_id": 1, "click_id": 10, "ts": "2024-03-01T10:00:00"},
+            {"user_id": 1, "click_id": 11, "ts": "2024-03-01T10:20:00"},
+            {"user_id": 2, "click_id": 20, "ts": "2024-03-01T10:00:00"},
+        ]:
+            f.write(_json.dumps(row) + "\n")
+    with open(os.path.join(convs_dir, "v.json"), "w") as f:
+        for row in [
+            # in-window for clicks 10 and 11
+            {"user_id": 1, "conv_id": 100, "ts": "2024-03-01T10:25:00", "amount": 5.0},
+            # out of window for click 20 (45 min later)
+            {"user_id": 2, "conv_id": 200, "ts": "2024-03-01T10:45:00", "amount": 7.0},
+            # conversion BEFORE any click: no match
+            {"user_id": 1, "conv_id": 300, "ts": "2024-03-01T09:00:00", "amount": 9.0},
+        ]:
+            f.write(_json.dumps(row) + "\n")
+    q = run_attribution(
+        spark, clicks_dir, convs_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = spark.read.schema(
+        "user_id long, conv_id long, click_id long, "
+        "click_ts timestamp, conv_ts timestamp, amount double"
+    ).parquet(str(tmp_path / "out"))
+    pairs = {(r["conv_id"], r["click_id"]) for r in got.collect()}
+    assert pairs == {(100, 10), (100, 11)}
