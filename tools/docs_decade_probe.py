@@ -8,6 +8,11 @@ tools/make_docs_scale.py), each timed with per-stage wall attribution from
 the Spark event log, so a bucket-cap cliff or a quadratic stage shows up
 AS A STAGE, not just a total.
 
+Each (corpus, query) pair runs in its OWN SparkSession: the event log
+finalizes on session stop (it is not flushed reliably mid-run in local
+mode), and per-run logs need no timestamp fencing. JVM startup (~10s) is
+outside the timed window.
+
 Usage: python tools/docs_decade_probe.py [corpus_dir ...]
        (default: .scratch/docs10 .scratch/docs30 .scratch/docs100)
 """
@@ -31,7 +36,7 @@ EVENTLOG_DIR = "/tmp/docs_decade_eventlog"
 QUERIES = ("dedup_minhash_pairs", "contamination_check")
 
 
-def get_spark_with_eventlog() -> SparkSession:
+def fresh_spark() -> SparkSession:
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -50,13 +55,13 @@ def get_spark_with_eventlog() -> SparkSession:
     return builder.getOrCreate()
 
 
-def stage_walls(since_ms: float) -> list[tuple[str, float]]:
-    """(stage name, wall seconds) for stages completed after ``since_ms``,
-    from the event log (flushed continuously in local mode)."""
+def stage_walls() -> list[tuple[str, float]]:
+    """(stage name, wall seconds) across every log file in EVENTLOG_DIR
+    (the caller clears the dir before each run)."""
     out = []
     for path in glob.glob(os.path.join(EVENTLOG_DIR, "*")):
-        if path.endswith(".inprogress") or not os.path.isfile(path):
-            pass
+        if not os.path.isfile(path):
+            continue
         try:
             with open(path) as f:
                 for line in f:
@@ -69,7 +74,7 @@ def stage_walls(since_ms: float) -> list[tuple[str, float]]:
                     info = ev.get("Stage Info", {})
                     sub = info.get("Submission Time")
                     comp = info.get("Completion Time")
-                    if not sub or not comp or sub < since_ms:
+                    if not sub or not comp:
                         continue
                     out.append(
                         (info.get("Stage Name", "?"), (comp - sub) / 1000.0)
@@ -85,22 +90,23 @@ def main() -> None:
         "/root/repo/.scratch/docs30",
         "/root/repo/.scratch/docs100",
     ]
-    shutil.rmtree(EVENTLOG_DIR, ignore_errors=True)
-    os.makedirs(EVENTLOG_DIR, exist_ok=True)
-    spark = get_spark_with_eventlog()
-    import __spark_entry__ as entrymod
-
-    queries = entrymod.queries()
     print("| corpus | query | rows | wall | top stages (wall) |")
     print("|---|---|---|---|---|")
     for d in dirs:
         for name in QUERIES:
-            since = time.time() * 1000
+            shutil.rmtree(EVENTLOG_DIR, ignore_errors=True)
+            os.makedirs(EVENTLOG_DIR, exist_ok=True)
+            spark = fresh_spark()
+            import __spark_entry__ as entrymod
+
+            fn = entrymod.queries()[name]
             t0 = time.perf_counter()
-            n = queries[name](spark, d).count()
+            n = fn(spark, d).count()
             wall = time.perf_counter() - t0
-            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
-            top = stage_walls(since)[:3]
+            spark.stop()
+            # new JVM per run: getOrCreate would reuse the stopped context
+            SparkSession._instantiatedSession = None
+            top = stage_walls()[:3]
             top_s = "; ".join(f"{nm.split(' at ')[0]} {w:.1f}s" for nm, w in top)
             print(
                 f"| {os.path.basename(d)} | {name} | {n} | {wall:.2f}s | {top_s} |",
