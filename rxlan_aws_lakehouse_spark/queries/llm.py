@@ -97,8 +97,12 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Three consumers (bucket path + both verify-join sides) read the
     # shingle table; persisting it runs the md5 pass once (~2x faster at
     # sf0.1). At cluster scale this is the materialized signature table an
-    # LSH index build would write anyway.
+    # LSH index build would write anyway. The count() MATERIALIZES the
+    # cache before the consumers launch: without it the three branches
+    # start concurrently against a cold cache and each recomputes the md5
+    # pass (measured at docs10: three overlapping ~39s stages -> one).
     staged = staged.filter(F.size("sh") > 0).persist()
+    staged.count()
     sig = dd.minhash_signature_from(F.col("sh"))
     keys = dd.band_keys(sig)
     withb = staged.select(
@@ -368,6 +372,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         F.size("sh") > 0  # sentinel-signature guard, see dedup_minhash_pairs
     ).persist()
+    staged.count()  # materialize before the 3 consumers fork (see above)
     sig = dd.minhash_signature_from(F.col("sh"))
     keys = dd.band_keys(sig)
     withb = staged.select(
@@ -546,6 +551,7 @@ def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("sh") > 0)  # sentinel-signature guard, see dedup_minhash_pairs
         .persist()
     )
+    staged.count()  # materialize before the consumers fork
     sig = dd.minhash_signature_from(F.col("sh"))
     keys = dd.band_keys(sig)
     withb = staged.select("doc_id", "sh", *[k.alias(f"b{i}") for i, k in enumerate(keys)])

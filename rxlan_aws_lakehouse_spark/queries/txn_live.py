@@ -320,6 +320,39 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE under the oracle gate: three commits (orders through 1996,
+    +1997, +1998), roll back to the middle snapshot, read the live table.
+    The result must equal the <= 1997 cutoff recomputed by DuckDB — and
+    the rollback is a new auditable commit, not history surgery.
+    """
+    work = tempfile.mkdtemp(prefix="txn_restore_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        t.commit(orders.filter(F.col("o_year") <= "1996"))
+        v2 = t.append(orders.filter(F.col("o_year") == "1997"))
+        t.append(orders.filter(F.col("o_year") == "1998"))
+        t.restore(spark, v2)
+        out = (
+            t.read(spark)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .orderBy("o_year")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -328,6 +361,7 @@ QUERIES = {
     "txn_delete_where": txn_delete_where,
     "txn_apply_cdc": txn_apply_cdc,
     "txn_time_travel": txn_time_travel,
+    "txn_restore": txn_restore,
 }
 
 ORACLE = {
@@ -414,5 +448,14 @@ ORACLE = {
         JOIN orders o ON strftime(o.o_orderdate, '%Y') <= s.cutoff
         GROUP BY s.snapshot
         ORDER BY s.snapshot
+    """,
+    "txn_restore": """
+        SELECT strftime(o_orderdate, '%Y') AS o_year,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y') <= '1997'
+        GROUP BY 1
+        ORDER BY 1
     """,
 }

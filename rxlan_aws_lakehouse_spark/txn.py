@@ -1249,6 +1249,44 @@ class TxnTable:
 
         return self._with_retries(attempt, max_retries)
 
+    def restore(
+        self,
+        spark: SparkSession,
+        version: str,
+        max_retries: int = 2,
+        extra_meta: dict | None = None,
+    ) -> str:
+        """Roll the table BACK to an earlier snapshot as a NEW commit
+        (Delta RESTORE semantics): the live state becomes ``version``'s
+        exactly — files (carried by reference, no data copied), schema,
+        and partition spec — while history is preserved, so the rollback
+        is itself auditable and reversible. A reader mid-flight on the
+        bad snapshot is unaffected; the next reader resolves the restored
+        one. The restored files must still exist: restore cannot reach
+        past ``vacuum``.
+        """
+        meta_v = self._meta(version)  # raises if the snapshot is gone
+        src_root = os.path.join(self.root, _VERSIONS, version)
+
+        def attempt() -> str:
+            carry = {
+                rel: os.path.join(src_root, rel)
+                for rel in self.files(version)
+            }
+            schema = StructType.fromJson(meta_v["schema"])
+            empty = spark.createDataFrame([], schema)
+            return self.commit(
+                empty,
+                partition_by=list(meta_v.get("partition_by") or []) or None,
+                operation="restore",
+                carry_files=carry,
+                extra_meta={
+                    "restored_from": version, **(extra_meta or {})
+                },
+            )
+
+        return self._with_retries(attempt, max_retries)
+
     def compact(
         self,
         spark: SparkSession,

@@ -1030,3 +1030,48 @@ def test_apply_cdc_rejects_ambiguous_batch_without_seq(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="multiple ops"):
         t.apply_cdc(spark, changes, keys=["k"])
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE: live state returns to an earlier snapshot byte-for-byte
+    (files carried by reference), history preserved and auditable."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 10), partition_by=["dt"])
+    t.append(_df(spark, 5, tag="extra"))
+    bad = t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(0, "bad", "0")], "k long, tag string, dt string"
+        ),
+        keys=["k"],
+    )
+    assert t.read(spark).count() == 15
+    v_restored = t.restore(spark, v1)
+    got = t.read(spark)
+    assert got.count() == 10
+    assert got.filter(F.col("tag") == "bad").count() == 0
+    meta = t._meta(v_restored)
+    assert meta["operation"] == "restore"
+    assert meta["extra"]["restored_from"] == v1
+    assert meta["partition_by"] == ["dt"]
+    assert meta["n_files_written"] == 0  # pure carry, no data rewritten
+    # the rollback is itself reversible: restore forward to the bad head
+    t.restore(spark, bad)
+    assert t.read(spark).count() == 15
+    assert t.read(spark).filter(F.col("tag") == "bad").count() == 1
+
+
+def test_restore_preserves_old_schema_across_evolution(spark, tmp_path):
+    """Restoring past an additive evolution reinstates the OLD schema."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 6))
+    t.merge_upsert(
+        spark,
+        _df(spark, 2).withColumn("tier", F.lit("vip")),
+        keys=["k"],
+        merge_schema=True,
+    )
+    assert "tier" in t.read(spark).columns
+    t.restore(spark, v1)
+    assert "tier" not in t.read(spark).columns
+    assert t.read(spark).count() == 6

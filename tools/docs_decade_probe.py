@@ -19,7 +19,6 @@ Usage: python tools/docs_decade_probe.py [corpus_dir ...]
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import shutil
@@ -33,7 +32,14 @@ from pyspark.sql import SparkSession
 from rxlan_aws_lakehouse_spark.session import RUNTIME_CONFS, default_parallelism
 
 EVENTLOG_DIR = "/tmp/docs_decade_eventlog"
-QUERIES = ("dedup_minhash_pairs", "contamination_check")
+# override with DECADE_QUERIES=name1,name2 to run a subset
+QUERIES = tuple(
+    q
+    for q in os.environ.get(
+        "DECADE_QUERIES", "dedup_minhash_pairs,contamination_check"
+    ).split(",")
+    if q
+)
 
 
 def fresh_spark() -> SparkSession:
@@ -49,6 +55,10 @@ def fresh_spark() -> SparkSession:
         .config("spark.locality.wait", "0s")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{EVENTLOG_DIR}")
+        # Spark 4 defaults to rolling v2 logs, zstd-compressed, in an
+        # app subdirectory — keep them as plain JSON so the parser below
+        # stays dependency-free
+        .config("spark.eventLog.compress", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
@@ -59,7 +69,13 @@ def stage_walls() -> list[tuple[str, float]]:
     """(stage name, wall seconds) across every log file in EVENTLOG_DIR
     (the caller clears the dir before each run)."""
     out = []
-    for path in glob.glob(os.path.join(EVENTLOG_DIR, "*")):
+    paths = [
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(EVENTLOG_DIR)
+        for n in ns
+        if n.startswith(("events", "local-")) or n.endswith(".inprogress")
+    ]
+    for path in paths:
         if not os.path.isfile(path):
             continue
         try:
@@ -76,9 +92,11 @@ def stage_walls() -> list[tuple[str, float]]:
                     comp = info.get("Completion Time")
                     if not sub or not comp:
                         continue
-                    out.append(
-                        (info.get("Stage Name", "?"), (comp - sub) / 1000.0)
+                    label = (
+                        f"s{info.get('Stage ID')}"
+                        f"[{info.get('Number of Tasks')}t]"
                     )
+                    out.append((label, (comp - sub) / 1000.0))
         except OSError:
             continue
     return sorted(out, key=lambda t: -t[1])
@@ -107,7 +125,7 @@ def main() -> None:
             # new JVM per run: getOrCreate would reuse the stopped context
             SparkSession._instantiatedSession = None
             top = stage_walls()[:3]
-            top_s = "; ".join(f"{nm.split(' at ')[0]} {w:.1f}s" for nm, w in top)
+            top_s = "; ".join(f"{nm} {w:.1f}s" for nm, w in top)
             print(
                 f"| {os.path.basename(d)} | {name} | {n} | {wall:.2f}s | {top_s} |",
                 flush=True,
