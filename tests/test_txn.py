@@ -1037,7 +1037,11 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     (files carried by reference), history preserved and auditable."""
     t = TxnTable(str(tmp_path / "t"))
     v1 = t.commit(_df(spark, 10), partition_by=["dt"])
-    t.append(_df(spark, 5, tag="extra"))
+    extra = spark.range(100, 105).select(
+        F.col("id").alias("k"), F.lit("extra").alias("tag"),
+        (F.col("id") % 3).cast("string").alias("dt"),
+    )
+    t.append(extra)
     bad = t.merge_upsert(
         spark,
         spark.createDataFrame(
