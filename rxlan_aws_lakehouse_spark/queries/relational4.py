@@ -202,12 +202,61 @@ def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (``ops/scd2.py``): customer
+    segment history rebuilt from three timestamped update waves applied in
+    ONE batch — per-key ordering, interval closing, and no-change
+    suppression all happen in a single window pass.
+
+    Waves (fixture-derived, deterministic): initial load 2024-01-01 from
+    c_mktsegment; every 4th key moves to WEB on 02-01; every 6th to MOBILE
+    on 03-01; every 8th to WEB on 04-01 (a no-change for keys whose live
+    segment is already WEB — suppressed, no spurious version).
+    """
+    from ..ops.scd2 import OPEN_END, scd2_apply
+
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 150)
+        .select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    )
+    current = c.select(
+        "c_custkey",
+        "segment",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+    )
+    waves = [
+        (4, "WEB", "2024-02-01 00:00:00"),
+        (6, "MOBILE", "2024-03-01 00:00:00"),
+        (8, "WEB", "2024-04-01 00:00:00"),
+    ]
+    updates = None
+    for mod, seg, ts in waves:
+        u = c.filter(F.col("c_custkey") % mod == 0).select(
+            "c_custkey",
+            F.lit(seg).alias("segment"),
+            F.lit(ts).cast("timestamp").alias("ts"),
+        )
+        updates = u if updates is None else updates.unionByName(u)
+    hist = scd2_apply(
+        current, updates, keys=["c_custkey"], attr_cols=["segment"]
+    )
+    return hist.select(
+        "c_custkey",
+        "segment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+    ).orderBy("c_custkey", "valid_from")
+
+
 QUERIES = {
     "tpch_q8_mktshare": tpch_q8_mktshare,
     "tpch_q9_profit": tpch_q9_profit,
     "tpch_q11_top_value": tpch_q11_top_value,
     "tpch_q20_potential": tpch_q20_potential,
     "tpch_q21_waiting": tpch_q21_waiting,
+    "scd2_customer_history": scd2_customer_history,
 }
 
 ORACLE = {
@@ -283,5 +332,39 @@ ORACLE = {
         JOIN supplier ON l_suppkey = s_suppkey
         WHERE late = 1 AND n_supp > 1 AND n_late = 1
         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    "scd2_customer_history": """
+        WITH cust AS (
+          SELECT c_custkey, c_mktsegment AS segment FROM customer
+          WHERE c_custkey <= 150
+        ), versions AS (
+          SELECT c_custkey, segment,
+                 TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+          FROM cust
+          UNION ALL
+          SELECT c_custkey, 'WEB', TIMESTAMP '2024-02-01 00:00:00'
+          FROM cust WHERE c_custkey % 4 = 0
+          UNION ALL
+          SELECT c_custkey, 'MOBILE', TIMESTAMP '2024-03-01 00:00:00'
+          FROM cust WHERE c_custkey % 6 = 0
+          UNION ALL
+          SELECT c_custkey, 'WEB', TIMESTAMP '2024-04-01 00:00:00'
+          FROM cust WHERE c_custkey % 8 = 0
+        ), suppressed AS (
+          SELECT * FROM (
+            SELECT c_custkey, segment, valid_from,
+                   lag(segment) OVER (PARTITION BY c_custkey
+                                      ORDER BY valid_from) AS prev_seg
+            FROM versions
+          ) WHERE prev_seg IS NULL OR prev_seg <> segment
+        )
+        SELECT c_custkey, segment,
+               strftime(valid_from, '%Y-%m-%d') AS valid_from,
+               strftime(coalesce(
+                 lead(valid_from) OVER (PARTITION BY c_custkey
+                                        ORDER BY valid_from),
+                 TIMESTAMP '9999-12-31 00:00:00'), '%Y-%m-%d') AS valid_to
+        FROM suppressed
+        ORDER BY c_custkey, valid_from
     """,
 }
