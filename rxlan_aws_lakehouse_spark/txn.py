@@ -549,6 +549,7 @@ class TxnTable:
         carry_files: dict[str, str] | None = None,
         carry_resolver=None,
         extra_meta: dict | None = None,
+        carry_entries: dict[str, dict] | None = None,
     ) -> str:
         """Write ``df`` as a new snapshot and atomically publish it.
 
@@ -708,12 +709,23 @@ class TxnTable:
                     # a carried file's stats live under its PARENT key —
                     # which differs from ``key`` across a split/unsplit
                     # boundary, so resolve per rel (fragment loads cached)
+                    if carry_entries and rel in carry_entries:
+                        entries[rel] = carry_entries[rel]
+                        continue
                     pk = key_of(rel, parent_split)
                     if pk not in parent_frags:
-                        try:
-                            parent_frags[pk] = self._load_shard(expect, pk)
-                        except FileNotFoundError:
+                        # no parent snapshot (e.g. a clone's first commit
+                        # carries files from ANOTHER table): stats come
+                        # from the staged files themselves below
+                        if expect is None:
                             parent_frags[pk] = {}
+                        else:
+                            try:
+                                parent_frags[pk] = self._load_shard(
+                                    expect, pk
+                                )
+                            except FileNotFoundError:
+                                parent_frags[pk] = {}
                     pe = parent_frags[pk]
                     entries[rel] = (
                         pe[rel]
@@ -1248,6 +1260,46 @@ class TxnTable:
                 latest.unpersist()
 
         return self._with_retries(attempt, max_retries)
+
+    def clone_to(
+        self,
+        spark: SparkSession,
+        dest_root: str,
+        version: str | None = None,
+    ) -> "TxnTable":
+        """Shallow clone (Delta CLONE semantics): a NEW independent table
+        whose first snapshot references this table's files by hard link —
+        no data copied, metadata rebuilt, O(files) links. The clone then
+        evolves independently (its commits never touch the source's
+        files: merges/deletes rewrite into the clone's own versions), the
+        dev-branch / experiment workflow. Vacuuming the SOURCE does not
+        break the clone locally (hard links keep bytes alive); on an
+        object store the clone's manifest pins the source objects, the
+        same caveat Delta shallow clones carry.
+        """
+        v = version or self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        meta_v = self._meta(v)
+        src_root = os.path.join(self.root, _VERSIONS, v)
+        dest = TxnTable(dest_root)
+        if dest.current_version() is not None:
+            raise ValueError(f"clone target {dest_root} is not empty")
+        src_entries = self.file_entries(v)
+        carry = {
+            rel: os.path.join(src_root, rel) for rel in src_entries
+        }
+        schema = StructType.fromJson(meta_v["schema"])
+        dest.commit(
+            spark.createDataFrame([], schema),
+            partition_by=list(meta_v.get("partition_by") or []) or None,
+            operation="clone",
+            carry_files=carry,
+            # stats travel from the source manifest - no footer re-reads
+            carry_entries=src_entries,
+            extra_meta={"cloned_from": f"{self.root}@{v}"},
+        )
+        return dest
 
     def restore(
         self,

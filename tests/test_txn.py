@@ -1079,3 +1079,32 @@ def test_restore_preserves_old_schema_across_evolution(spark, tmp_path):
     t.restore(spark, v1)
     assert "tier" not in t.read(spark).columns
     assert t.read(spark).count() == 6
+
+
+def test_shallow_clone_is_independent(spark, tmp_path):
+    """CLONE: zero-copy snapshot of the source that then evolves on its
+    own — source commits/vacuum never affect the clone and vice versa."""
+    src = TxnTable(str(tmp_path / "src"))
+    v1 = src.commit(_df(spark, 12), partition_by=["dt"])
+    clone = src.clone_to(spark, str(tmp_path / "dev"))
+    assert clone.read(spark).count() == 12
+    meta = clone._meta(clone.current_version())
+    assert meta["operation"] == "clone"
+    assert meta["extra"]["cloned_from"] == f"{src.root}@{v1}"
+    assert meta["partition_by"] == ["dt"]
+    assert meta["n_files_written"] == 0
+    # same inodes: no data was copied
+    src_files = _inodes(os.path.join(src.root, "_versions", v1))
+    cl_files = _inodes(
+        os.path.join(clone.root, "_versions", clone.current_version())
+    )
+    assert src_files == cl_files
+    # divergence: clone mutates, source unaffected (and vice versa)
+    clone.delete_where(spark, F.col("dt") == "0", prune=[("dt", "=", "0")])
+    src.append(_df(spark, 3, tag="srcside"))
+    assert clone.read(spark).filter(F.col("dt") == "0").count() == 0
+    assert src.read(spark).filter(F.col("dt") == "0").count() > 0
+    assert clone.read(spark).filter(F.col("tag") == "srcside").count() == 0
+    # cloning into a non-empty table is refused
+    with pytest.raises(ValueError, match="not empty"):
+        src.clone_to(spark, str(tmp_path / "dev"))
