@@ -130,3 +130,25 @@ def test_pack_sequences_single_bucket_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     # the window's sort is within-partition (global=false), never a global sort
     assert "], false, 0" in plan.split("Window")[1], plan
+
+
+def test_trend_regr_is_one_hash_agg_pass(spark, sf_dir):
+    """The grouped regression is ONE partial-aggregated hash agg — no
+    join-back, no window, no Python: exactly the plan that scales."""
+    plan = _plan(spark, sf_dir, "events_trend_regr")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_regr_slope" in plan or "partial" in plan
+    assert "Window" not in plan and "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_scd2_history_single_key_shuffle(spark, sf_dir):
+    """SCD2 apply: the rebuild is window passes over ONE hash exchange on
+    the dimension key (the late-update join reuses it; no extra wide
+    shuffles of the history)."""
+    plan = _plan(spark, sf_dir, "scd2_customer_history")
+    assert "Window" in plan
+    # every hash exchange in the plan is on the dimension key
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "c_custkey" in line
