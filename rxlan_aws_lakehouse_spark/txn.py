@@ -550,6 +550,7 @@ class TxnTable:
         carry_resolver=None,
         extra_meta: dict | None = None,
         carry_entries: dict[str, dict] | None = None,
+        publish: bool = True,
     ) -> str:
         """Write ``df`` as a new snapshot and atomically publish it.
 
@@ -765,7 +766,8 @@ class TxnTable:
                     f"version slot {version} taken by a concurrent writer"
                 ) from e
             renamed = True
-            self._swap_pointer(version, expect)
+            if publish:
+                self._swap_pointer(version, expect)
         except Exception:
             # Losing paths each clean up ONLY what this commit created:
             # the staging dir (no-op once renamed), and — if the rename
@@ -1260,6 +1262,24 @@ class TxnTable:
                 latest.unpersist()
 
         return self._with_retries(attempt, max_retries)
+
+    def publish(self, version: str) -> str:
+        """Write-audit-publish, step 3: make a STAGED snapshot (written
+        with ``commit(..., publish=False)``) the live table.
+
+        The WAP pattern (Iceberg audit branches / Netflix WAP): a pipeline
+        writes its output as a full, immutable, readable-but-unreferenced
+        snapshot; audits run against ``read(spark, version)``; only then
+        does the pointer move. A bad batch is simply never published — no
+        rollback, readers never saw it. Publishing re-checks the staged
+        snapshot's recorded parent against the live pointer (optimistic
+        concurrency): if the table advanced since staging, this raises
+        ``ConcurrentCommitError`` and the staged work must be redone
+        against the new head (same conflict rule as any commit).
+        """
+        meta = self._meta(version)  # raises if the staged snapshot is gone
+        self._swap_pointer(version, meta.get("parent"))
+        return version
 
     def clone_to(
         self,

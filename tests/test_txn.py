@@ -1108,3 +1108,28 @@ def test_shallow_clone_is_independent(spark, tmp_path):
     # cloning into a non-empty table is refused
     with pytest.raises(ValueError, match="not empty"):
         src.clone_to(spark, str(tmp_path / "dev"))
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP: a staged commit is readable but invisible to the pointer until
+    published; a never-published bad batch leaves no trace in the live
+    lineage; publishing after a concurrent commit raises."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 10))
+    staged = t.commit(_df(spark, 99, tag="staged"), publish=False)
+    # live table unchanged; staged snapshot fully readable for audits
+    assert t.current_version() == v1
+    assert t.read(spark).count() == 10
+    audit = t.read(spark, staged)
+    assert audit.count() == 99
+    assert audit.filter(F.col("tag") != "staged").count() == 0
+    # audits pass -> publish makes it live atomically
+    assert t.publish(staged) == staged
+    assert t.current_version() == staged
+    assert t.read(spark).count() == 99
+    # stage again, but another writer lands first: publish must refuse
+    staged2 = t.commit(_df(spark, 5), publish=False)
+    t.append(_df(spark, 1, tag="racer"))
+    with pytest.raises(ConcurrentCommitError):
+        t.publish(staged2)
+    assert t.read(spark).count() == 100  # 99 + the racer's append
