@@ -495,6 +495,59 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndv_users.unionByName(ndv_cust).unionByName(p50).unionByName(p95)
 
 
+def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the VARIANT type (Spark 4's shredded
+    binary JSON — the open-lakehouse answer to string-typed JSON columns):
+    order rows serialize to JSON, ``parse_json`` ingests them ONCE into
+    variant, and typed ``variant_get`` paths drive the filter and the
+    aggregation. Against a string column every extraction re-parses the
+    JSON; against variant the parse is paid once and extractions are
+    pointer walks into the binary encoding — the difference between
+    O(fields x parse) and O(parse + fields) per row at 100 TB.
+
+    The oracle reads the same JSON with DuckDB's native JSON extraction.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    j = o.select(
+        F.to_json(
+            F.struct(
+                "o_orderkey",
+                "o_orderpriority",
+                "o_totalprice",
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    (F.col("o_custkey") % 7).alias("bucket"),
+                ).alias("meta"),
+            )
+        ).alias("js")
+    )
+    v = j.select(F.parse_json(F.col("js")).alias("v"))
+    return (
+        v.select(
+            F.variant_get(F.col("v"), "$.o_orderpriority", "string").alias(
+                "priority"
+            ),
+            F.variant_get(F.col("v"), "$.meta.status", "string").alias(
+                "status"
+            ),
+            F.variant_get(F.col("v"), "$.o_totalprice", "double").alias(
+                "price"
+            ),
+            F.try_variant_get(F.col("v"), "$.missing.path", "string").alias(
+                "absent"
+            ),
+        )
+        .filter(F.col("price") > 1000.0)
+        .groupBy("priority", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+            F.count("absent").alias("n_absent"),
+        )
+        .orderBy("priority", "status")
+    )
+
+
 QUERIES = {
     "approx_aggregates": approx_aggregates,
     "sql_cte_pipeline": sql_cte_pipeline,
@@ -520,6 +573,7 @@ QUERIES = {
     "math_functions": math_functions,
     "string_functions": string_functions,
     "regex_functions": regex_functions,
+    "json_variant_ops": json_variant_ops,
 }
 
 ORACLE = {
@@ -784,5 +838,27 @@ ORACLE = {
                      + (extract(day FROM DATE '2002-01-01') - extract(day FROM o_orderdate)) / 31.0, 4)
                  AS months_to_2002
         FROM orders
+    """,
+    "json_variant_ops": """
+        WITH j AS (
+          SELECT to_json(struct_pack(
+                   o_orderkey := o_orderkey,
+                   o_orderpriority := o_orderpriority,
+                   o_totalprice := o_totalprice,
+                   meta := struct_pack(status := o_orderstatus,
+                                       bucket := o_custkey % 7)
+                 )) AS js
+          FROM orders WHERE o_orderkey <= 5000
+        )
+        SELECT json_extract_string(js, '$.o_orderpriority') AS priority,
+               json_extract_string(js, '$.meta.status') AS status,
+               count(*) AS n_orders,
+               round(sum(CAST(json_extract(js, '$.o_totalprice') AS DOUBLE)), 2)
+                 AS total_price,
+               count(json_extract_string(js, '$.missing.path')) AS n_absent
+        FROM j
+        WHERE CAST(json_extract(js, '$.o_totalprice') AS DOUBLE) > 1000.0
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
 }
