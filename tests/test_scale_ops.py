@@ -232,3 +232,29 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
     ).head()
     assert abs(approx["d"] - exact["d"]) <= max(2, 0.05 * exact["d"])
     assert abs(approx["p50"] - exact["p50"]) <= 0.02 * max(1.0, abs(exact["p50"]))
+
+
+def test_hll_sketches_merge_exactly_like_one_pass(spark):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via the
+    built-in hll_sketch_agg/hll_union_agg): partial sketches built per
+    partition-slice and UNIONED must yield the IDENTICAL estimate as one
+    global pass — the property that lets 1000 executors pre-aggregate
+    distincts and a coordinator merge |slices| tiny buffers instead of
+    reshuffling 100 TB of raw keys. Estimate accuracy asserted vs exact."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(2_000_000).select(
+        (F.col("id") % 250_000).alias("k"),
+        (F.col("id") % 8).alias("slice"),
+    )
+    one_pass = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("est")
+    ).first()["est"]
+    merged = (
+        df.groupBy("slice")
+        .agg(F.hll_sketch_agg("k").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    assert merged == one_pass  # merge-invariance, bit-exact
+    assert abs(merged - 250_000) / 250_000 < 0.05  # sketch accuracy
