@@ -131,6 +131,66 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-CONTAINMENT detection: a doc whose shingle set is
+    mostly inside another's (quotes, excerpts, boilerplate-wrapped copies)
+    — the curation case symmetric Jaccard misses, because a short doc
+    fully contained in a long one has low Jaccard but containment ~1.
+
+    Same capped-LSH candidate generation as ``dedup_minhash_pairs``
+    (shingle once, band join, bucket cap — no all-pairs), then per
+    candidate pair the DIRECTED overlap ratios |A∩B|/|A| and |A∩B|/|B|
+    (shingle sets are distinct by construction). Reported as corpus-level
+    counts at the 0.8 threshold plus the worst offender.
+    """
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", dd.tokens(F.col("text")).alias("toks")
+    ).select("doc_id", dd.shingle_hashes_from(F.col("toks")).alias("sh"))
+    staged = staged.filter(F.size("sh") > 0).persist()
+    staged.count()  # materialize before the 3 consumers fork
+    sig = dd.minhash_signature_from(F.col("sh"))
+    keys = dd.band_keys(sig)
+    withb = staged.select(
+        "doc_id", "sh", *[k.alias(f"b{i}") for i, k in enumerate(keys)]
+    )
+    cand = dd.capped_bucket_pairs(dd.band_explode(withb, ["doc_id"]))
+    sh = withb.select("doc_id", "sh")
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast(
+        "double"
+    )
+    scored = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")),
+            "a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")),
+            "b",
+        )
+        .select(
+            (inter / F.size("sha")).alias("c_ab"),
+            (inter / F.size("shb")).alias("c_ba"),
+        )
+        .select(
+            F.greatest("c_ab", "c_ba").alias("cmax"),
+            F.least("c_ab", "c_ba").alias("cmin"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("cmax") >= 0.8, 1).otherwise(0)).alias(
+            "n_contained_80"
+        ),
+        F.sum(F.when(F.col("cmin") >= 0.8, 1).otherwise(0)).alias(
+            "n_bidirectional_80"
+        ),
+        F.round(F.coalesce(F.max("cmax"), F.lit(0.0)), 4).alias(
+            "max_containment"
+        ),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document — deterministic ints, oracle-checked.
 
@@ -938,6 +998,7 @@ QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_sig": dedup_minhash_sig,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_containment": dedup_containment,
     "dedup_neardup_keep": dedup_neardup_keep,
     "text_chunking": text_chunking,
     "text_pack_sequences": text_pack_sequences,
@@ -1093,6 +1154,27 @@ def _build_oracle() -> dict[str, str]:
             SELECT doc_id,
                    {mh[0]} AS mh0, {mh[1]} AS mh1, {mh[2]} AS mh2, {mh[3]} AS mh3
             FROM documents
+        """,
+        "dedup_containment": f"""{lsh_verified_cte},
+            contain AS (
+              SELECT greatest(
+                       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh),
+                       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh)
+                     ) AS cmax,
+                     least(
+                       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh),
+                       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh)
+                     ) AS cmin
+              FROM cand
+              JOIN sigsf sa ON sa.doc_id = cand.a
+              JOIN sigsf sb ON sb.doc_id = cand.b)
+            SELECT count(*) AS n_candidate_pairs,
+                   CAST(sum(CASE WHEN cmax >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contained_80,
+                   CAST(sum(CASE WHEN cmin >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_bidirectional_80,
+                   round(coalesce(max(cmax), 0.0), 4) AS max_containment
+            FROM contain
         """,
         "dedup_minhash_pairs": f"""{lsh_verified_cte}
             SELECT count(*) AS n_candidate_pairs,
