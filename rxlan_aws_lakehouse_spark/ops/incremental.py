@@ -163,7 +163,10 @@ class IncrementalAggregate:
             )
         )
         return self.target.merge_upsert(
-            spark, combined, keys=self.group_cols, extra_meta=meta
+            spark, combined, keys=self.group_cols, extra_meta=meta,
+            # combined is a groupBy on exactly the merge keys: unique by
+            # construction, so skip the duplicate-key validation job
+            validate_keys=False,
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
