@@ -75,3 +75,49 @@ def txn_append_sink(table: TxnTable, partition_by: list[str] | None = None):
         )
 
     return sink
+
+
+def txn_cdc_apply_sink(
+    table: TxnTable,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+):
+    """``foreachBatch`` function APPLYING each micro-batch as a CDC merge
+    (I/U/D with per-key last-writer-wins) exactly once — the streaming
+    MERGE pattern: a Debezium/DynamoDB-Streams change feed maintains a
+    queryable mirror table, not an append log.
+
+    Exactly-once by the same epoch-in-manifest trick as the append sink:
+    ``apply_cdc`` lands the whole batch in ONE atomic commit carrying the
+    epoch id, so a crash-replayed epoch is recognized and dropped — a
+    replayed DELETE cannot resurrect-then-re-delete, a replayed UPDATE
+    cannot double-apply. The merge itself is idempotent per batch only if
+    nothing else wrote in between; the epoch guard removes even that
+    window.
+
+    Usage::
+
+        q = (changes.writeStream
+             .foreachBatch(txn_cdc_apply_sink(table, keys=["pk"],
+                                              seq_col="seq"))
+             .option("checkpointLocation", ckpt)
+             .start())
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_epoch(table)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed epoch: already merged, drop it
+        if not batch_df.take(1):
+            return  # empty batch: no commit, no epoch burn
+        table.apply_cdc(
+            batch_df.sparkSession,
+            batch_df,
+            keys=keys,
+            op_col=op_col,
+            seq_col=seq_col,
+            extra_meta={_EPOCH_KEY: int(batch_id)},
+        )
+
+    return sink

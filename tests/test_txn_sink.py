@@ -116,3 +116,53 @@ def test_epoch_survives_vacuum_of_recording_commit(spark, tmp_path):
     sink(_batch(spark, 40, 3, "s"), 2)  # a genuinely new epoch still lands
     assert t.read(spark).count() == before + 3
     assert last_epoch(t) == 2
+
+
+def _cdc_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, tag string, op string, seq int"
+    )
+
+
+def test_cdc_apply_sink_merges_each_epoch_once(spark, tmp_path):
+    """Streaming MERGE: each micro-batch applies I/U/D atomically; a
+    crash-replayed epoch is dropped (no double-update, no resurrect)."""
+    from rxlan_aws_lakehouse_spark.streaming.txn_sink import txn_cdc_apply_sink
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit("base").alias("tag")
+        )
+    )
+    sink = txn_cdc_apply_sink(t, keys=["k"], seq_col="seq")
+    # epoch 0: update k=1, delete k=2, insert k=100
+    sink(
+        _cdc_batch(
+            spark,
+            [(1, "upd", "U", 1), (2, None, "D", 1), (100, "ins", "I", 1)],
+        ),
+        0,
+    )
+    got = t.read(spark)
+    assert got.count() == 10  # 10 - 1 del + 1 ins
+    assert got.filter(F.col("k") == 1).first()["tag"] == "upd"
+    assert got.filter(F.col("k") == 2).count() == 0
+    # crash-replay of epoch 0: table unchanged (delete not re-applied to a
+    # re-inserted key, update not double-applied)
+    sink(
+        _cdc_batch(
+            spark,
+            [(1, "upd", "U", 1), (2, None, "D", 1), (100, "ins", "I", 1)],
+        ),
+        0,
+    )
+    assert t.read(spark).count() == 10
+    assert last_epoch(t) == 0
+    # empty epoch: no commit, later epoch still applies
+    n_versions = len(t.history())
+    sink(_cdc_batch(spark, []), 1)
+    assert len(t.history()) == n_versions
+    sink(_cdc_batch(spark, [(3, "late", "U", 1)]), 2)
+    assert t.read(spark).filter(F.col("k") == 3).first()["tag"] == "late"
+    assert last_epoch(t) == 2
