@@ -353,6 +353,78 @@ def txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING MERGE under the oracle gate: a change feed
+    (derived from orders) streams through ``txn_cdc_apply_sink`` into a
+    customer mirror table — every order is an upsert stamping the
+    customer with that order's price (per-key last-writer-wins on the
+    order key), every 9th customer ends deleted. One AvailableNow batch
+    drains the feed; the final table must equal DuckDB's closed form
+    (arg_max over the same orders).
+    """
+    import json as _json
+
+    from ..streaming.txn_sink import txn_cdc_apply_sink
+
+    work = tempfile.mkdtemp(prefix="txn_cdcstream_")
+    try:
+        t = TxnTable(f"{work}/t")
+        base = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= _N_CUST)
+            .select("c_custkey", "c_name", "c_acctbal")
+        )
+        t.commit(base.repartitionByRange(8, "c_custkey"),
+                 sort_within=["c_custkey"])
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_custkey") <= _N_CUST
+        )
+        ups = orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.concat(F.lit("upd_"), F.col("o_custkey").cast("string")).alias(
+                "c_name"
+            ),
+            F.round("o_totalprice", 2).alias("c_acctbal"),
+            F.lit("U").alias("op"),
+            F.col("o_orderkey").alias("seq"),
+        )
+        dels = base.filter(F.col("c_custkey") % 9 == 0).select(
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+            F.lit("D").alias("op"),
+            F.lit(2_000_000_000).alias("seq"),
+        )
+        changes_dir = f"{work}/changes"
+        ups.unionByName(dels).select(
+            F.to_json(F.struct("c_custkey", "c_name", "c_acctbal", "op", "seq"))
+            .alias("value")
+        ).coalesce(1).write.mode("overwrite").text(changes_dir)
+        stream = spark.readStream.schema(
+            "c_custkey long, c_name string, c_acctbal double, "
+            "op string, seq long"
+        ).json(changes_dir)
+        q = (
+            stream.writeStream.foreachBatch(
+                txn_cdc_apply_sink(t, keys=["c_custkey"], seq_col="seq")
+            )
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            t.read(spark)
+            .select("c_custkey", "c_name",
+                    F.round("c_acctbal", 2).alias("acctbal"))
+            .orderBy("c_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -362,6 +434,7 @@ QUERIES = {
     "txn_apply_cdc": txn_apply_cdc,
     "txn_time_travel": txn_time_travel,
     "txn_restore": txn_restore,
+    "txn_streaming_cdc_merge": txn_streaming_cdc_merge,
 }
 
 ORACLE = {
@@ -457,5 +530,21 @@ ORACLE = {
         WHERE strftime(o_orderdate, '%Y') <= '1997'
         GROUP BY 1
         ORDER BY 1
+    """,
+    "txn_streaming_cdc_merge": f"""
+        WITH latest AS (
+          SELECT o_custkey AS c_custkey,
+                 arg_max(round(o_totalprice, 2), o_orderkey) AS price
+          FROM orders WHERE o_custkey <= {_N_CUST}
+          GROUP BY 1
+        )
+        SELECT c.c_custkey,
+               CASE WHEN l.c_custkey IS NOT NULL
+                    THEN 'upd_' || CAST(c.c_custkey AS VARCHAR)
+                    ELSE c.c_name END AS c_name,
+               round(coalesce(l.price, c.c_acctbal), 2) AS acctbal
+        FROM customer c LEFT JOIN latest l USING (c_custkey)
+        WHERE c.c_custkey <= {_N_CUST} AND c.c_custkey % 9 <> 0
+        ORDER BY c.c_custkey
     """,
 }
