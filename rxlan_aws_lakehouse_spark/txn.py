@@ -1263,6 +1263,51 @@ class TxnTable:
 
         return self._with_retries(attempt, max_retries)
 
+    def rewrite_layout(
+        self,
+        spark: SparkSession,
+        partition_by: list[str] | None = None,
+        sort_within: list[str] | None = None,
+        n_files: int | None = None,
+        max_retries: int = 2,
+    ) -> str:
+        """Change the table's physical layout — partition spec, in-file
+        sort order, file count — as ONE atomic commit (same rows, new
+        files). The lakehouse partition-spec-evolution move for engines
+        without hidden partitioning (Delta's is also a rewrite): readers
+        see the old layout or the new one, never a mix, and time travel
+        keeps every prior layout readable. Pass ``partition_by=[]`` to
+        UNpartition. The full-table rewrite cost is the honest price;
+        for file-count-only maintenance use ``compact`` (file-granular).
+        """
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            df = self.read(spark, expect)
+            if n_files:
+                df = (
+                    df.repartition(n_files)
+                    if not sort_within
+                    else df.repartitionByRange(n_files, *sort_within)
+                )
+            spec = (
+                self._meta(expect).get("partition_by") or []
+                if partition_by is None
+                else partition_by
+            )
+            # pass [] through verbatim: commit() only inherits the parent
+            # spec on None, so an explicit [] really unpartitions
+            return self.commit(
+                df,
+                partition_by=list(spec),
+                sort_within=sort_within,
+                operation="rewrite_layout",
+            )
+
+        return self._with_retries(attempt, max_retries)
+
     def publish(self, version: str) -> str:
         """Write-audit-publish, step 3: make a STAGED snapshot (written
         with ``commit(..., publish=False)``) the live table.

@@ -1133,3 +1133,30 @@ def test_write_audit_publish(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError):
         t.publish(staged2)
     assert t.read(spark).count() == 100  # 99 + the racer's append
+
+
+def test_rewrite_layout_changes_spec_atomically(spark, tmp_path):
+    """Partition-spec evolution via atomic rewrite: same rows, new layout;
+    old snapshots keep the old layout readable (time travel)."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 30))  # unpartitioned
+    assert t._meta(v1)["partition_by"] == []
+    v2 = t.rewrite_layout(spark, partition_by=["dt"], sort_within=["k"])
+    m2 = t._meta(v2)
+    assert m2["operation"] == "rewrite_layout"
+    assert m2["partition_by"] == ["dt"]
+    data = os.path.join(t.root, "_versions", v2)
+    assert any(d.startswith("dt=") for d in os.listdir(data))
+    assert t.read(spark).count() == 30
+    assert t.read(spark, v1).count() == 30  # old layout still readable
+    # later commits INHERIT the new spec
+    t.append(spark.createDataFrame(
+        [(100, "x", "1")], "k long, tag string, dt string"))
+    assert t._meta(t.current_version())["partition_by"] == ["dt"]
+    # explicit [] really unpartitions (no silent inherit)
+    v4 = t.rewrite_layout(spark, partition_by=[])
+    m4 = t._meta(v4)
+    assert m4["partition_by"] == []
+    data4 = os.path.join(t.root, "_versions", v4)
+    assert not any(d.startswith("dt=") for d in os.listdir(data4))
+    assert t.read(spark).count() == 31
