@@ -47,6 +47,10 @@ HEADLINE = [
     "multimodal_frame_sample",  # adaptive frame sampling (scan-side exprs)
     "text_pack_sequences",  # md5-bucketed sequence packing
     "contamination_check",  # bipartite LSH band join vs eval set
+    # round-5 lanes:
+    "scd2_customer_history",  # SCD2 interval rebuild (one window pass)
+    "dedup_containment",    # directed containment over LSH candidates
+    "json_variant_ops",     # VARIANT parse-once / typed extraction
 ]
 
 
