@@ -34,19 +34,18 @@ _EPOCH_KEY = "streaming_epoch_id"
 
 
 def last_epoch(table: TxnTable) -> int | None:
-    """Newest streaming epoch recorded in the table lineage.
+    """Newest streaming epoch recorded in the table's PUBLISHED lineage.
 
     Commit fold-forward guarantees the live snapshot carries it, so this
-    is one manifest read; the newest-first walk remains only for tables
-    whose last epoch commit predates the fold-forward behavior.
+    is one manifest read; the parent-link walk remains only for tables
+    whose last epoch commit predates the fold-forward behavior. The walk
+    follows ``lineage()`` (live pointer -> parents), never ``history()``:
+    a staged-but-unpublished WAP snapshot or a slot orphaned by a lost
+    pointer race still exists on disk with an ``_meta.json``, and an
+    epoch recorded there was never applied to the live table — trusting
+    it would wrongly drop the replayed batch.
     """
-    cur = table.current_version()
-    if cur is None:
-        return None
-    e = table._meta(cur).get("extra", {}).get(_EPOCH_KEY)
-    if e is not None:
-        return int(e)
-    for meta in reversed(table.history()):
+    for meta in table.lineage():
         e = meta.get("extra", {}).get(_EPOCH_KEY)
         if e is not None:
             return int(e)

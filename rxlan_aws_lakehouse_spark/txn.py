@@ -361,6 +361,11 @@ class TxnTable:
         return out
 
     def history(self) -> list[dict]:
+        """Every renamed version slot, oldest first — INCLUDING staged
+        WAP snapshots (``commit(publish=False)``) and slots orphaned by a
+        lost pointer race, which were never live. Consumers that must see
+        only what readers could ever have observed (e.g. the streaming
+        epoch guard) walk ``lineage()`` instead."""
         vdir = os.path.join(self.root, _VERSIONS)
         out = []
         for v in sorted(os.listdir(vdir)):
@@ -370,6 +375,26 @@ class TxnTable:
             meta_path = os.path.join(vdir, v, "_meta.json")
             if os.path.exists(meta_path):
                 out.append(self._meta(v))
+        return out
+
+    def lineage(self) -> list[dict]:
+        """The PUBLISHED ancestry: metas from the live pointer back to the
+        root via parent links, newest first. Staged/orphaned slots are by
+        construction unreachable — a snapshot appears here iff a reader
+        could at some point have resolved it (or one of its descendants).
+        Empty when the table has no live version. The walk stops where
+        ``vacuum`` truncated history — watermark fold-forward keeps
+        anything that matters (epoch ids, cursors) on the live head, so
+        consumers never need the vacuumed tail."""
+        out: list[dict] = []
+        v = self.current_version()
+        while v is not None:
+            try:
+                meta = self._meta(v)
+            except FileNotFoundError:
+                break  # ancestor vacuumed away
+            out.append(meta)
+            v = meta.get("parent")
         return out
 
     # -- read -------------------------------------------------------------
@@ -551,6 +576,7 @@ class TxnTable:
         extra_meta: dict | None = None,
         carry_entries: dict[str, dict] | None = None,
         publish: bool = True,
+        carry_src: str | None = None,
     ) -> str:
         """Write ``df`` as a new snapshot and atomically publish it.
 
@@ -574,6 +600,15 @@ class TxnTable:
         needed when the carried set depends on what was written (e.g.
         which partitions ``df`` actually produced) without re-executing
         ``df``'s plan.
+
+        ``carry_src`` names the snapshot the carried files were resolved
+        FROM. When it equals the parent being committed against, an
+        unchanged shard may carry its manifest fragment by hard link
+        (equal counts prove equal sets only within one snapshot); a carry
+        from any OTHER snapshot — ``restore`` carries an old version's
+        files, ``clone_to`` another table's — always rebuilds fragments,
+        because an old shard and the head's can share a file count while
+        listing different files.
 
         Crash/race safety: everything is written into a unique ``.tmp-*``
         staging dir and renamed into the version slot. A writer that loses
@@ -699,10 +734,16 @@ class TxnTable:
                     and key in parent_shards
                     and len(c_rels) == parent_shards[key]["n"]
                     and (base in split) == (base in parent_split)
+                    and carry_src == expect
                 ):
                     # unchanged shard: carry the manifest fragment itself
-                    # by reference (carried rels are a subset of the parent
-                    # shard's files, so equal counts imply equal sets)
+                    # by reference. Sound ONLY when the carried files were
+                    # resolved from the parent snapshot itself (carry_src
+                    # == expect): then carried rels are a subset of the
+                    # parent shard's files and equal counts imply equal
+                    # sets. A restore/clone carrying an OLD snapshot's
+                    # files can match the head's count while listing
+                    # different files — those always rebuild the fragment.
                     os.link(self._shard_file(expect, key), dst)
                     continue
                 entries = {rel: fresh_entries[rel] for rel in f_rels}
@@ -942,7 +983,7 @@ class TxnTable:
                 merged = updates.select(*out_cols)
             return self.commit(
                 merged, operation="merge_upsert", carry_files=carry,
-                extra_meta=extra_meta,
+                extra_meta=extra_meta, carry_src=expect,
             )
 
         return self._with_retries(attempt, max_retries)
@@ -1019,6 +1060,7 @@ class TxnTable:
                 sort_within=sort_within,
                 operation="overwrite_partitions",
                 carry_resolver=resolver,
+                carry_src=expect,
             )
 
         return self._with_retries(attempt, max_retries)
@@ -1065,7 +1107,7 @@ class TxnTable:
             return self.commit(
                 out, partition_by=partition_by, sort_within=sort_within,
                 operation="append", carry_files=carry,
-                extra_meta=extra_meta,
+                extra_meta=extra_meta, carry_src=expect,
             )
 
         return self._with_retries(attempt, max_retries)
@@ -1126,15 +1168,21 @@ class TxnTable:
                 for rel in self.files(expect)
                 if rel not in touched_set
             }
+            # DELETE semantics: remove rows where the condition is TRUE.
+            # ``~condition`` alone would also drop NULL-evaluating rows
+            # (NULL negates to NULL, and filter drops non-TRUE) — silent
+            # data loss on any nullable predicate column. Keep = NOT
+            # coalesce(condition, FALSE), the SQL-standard three-valued
+            # reading Delta's DELETE implements.
             kept = (
                 spark.read.option("basePath", data_root)
                 .schema(target_schema)
                 .parquet(*(os.path.join(data_root, rel) for rel in touched))
-                .filter(~condition)
+                .filter(~F.coalesce(condition.cast("boolean"), F.lit(False)))
             )
             return self.commit(
                 kept, operation="delete", carry_files=carry,
-                extra_meta=extra_meta,
+                extra_meta=extra_meta, carry_src=expect,
             )
 
         return self._with_retries(attempt, max_retries)
@@ -1256,7 +1304,7 @@ class TxnTable:
             try:
                 return self.commit(
                     merged, operation="apply_cdc", carry_files=carry,
-                    extra_meta=extra_meta,
+                    extra_meta=extra_meta, carry_src=expect,
                 )
             finally:
                 latest.unpersist()
@@ -1357,7 +1405,9 @@ class TxnTable:
         schema = StructType.fromJson(meta_v["schema"])
         dest.commit(
             spark.createDataFrame([], schema),
-            partition_by=list(meta_v.get("partition_by") or []) or None,
+            # [] passes through verbatim (commit only inherits on None):
+            # cloning an unpartitioned snapshot must record unpartitioned
+            partition_by=list(meta_v.get("partition_by") or []),
             operation="clone",
             carry_files=carry,
             # stats travel from the source manifest - no footer re-reads
@@ -1386,17 +1436,26 @@ class TxnTable:
         src_root = os.path.join(self.root, _VERSIONS, version)
 
         def attempt() -> str:
+            restored_entries = self.file_entries(version)
             carry = {
                 rel: os.path.join(src_root, rel)
-                for rel in self.files(version)
+                for rel in restored_entries
             }
             schema = StructType.fromJson(meta_v["schema"])
             empty = spark.createDataFrame([], schema)
             return self.commit(
                 empty,
-                partition_by=list(meta_v.get("partition_by") or []) or None,
+                # [] verbatim: restoring an unpartitioned snapshot from a
+                # partitioned head must NOT inherit the head's spec (None
+                # would), or the next append mixes root-level files with
+                # partition dirs under one basePath
+                partition_by=list(meta_v.get("partition_by") or []),
                 operation="restore",
                 carry_files=carry,
+                # stats travel from the RESTORED snapshot's manifest —
+                # the head's fragments may not list these files at all
+                carry_entries=restored_entries,
+                carry_src=version,
                 extra_meta={
                     "restored_from": version, **(extra_meta or {})
                 },
@@ -1488,7 +1547,8 @@ class TxnTable:
         # coalesce partitioning — and with it the per-partition bin count —
         # survives through commit()'s write untouched
         return self.commit(
-            df, sort_within=sort_within, operation="compact", carry_files=carry
+            df, sort_within=sort_within, operation="compact",
+            carry_files=carry, carry_src=expect,
         )
 
     def changed_files(

@@ -1037,11 +1037,10 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     (files carried by reference), history preserved and auditable."""
     t = TxnTable(str(tmp_path / "t"))
     v1 = t.commit(_df(spark, 10), partition_by=["dt"])
-    extra = spark.range(100, 105).select(
-        F.col("id").alias("k"), F.lit("extra").alias("tag"),
-        (F.col("id") % 3).cast("string").alias("dt"),
-    )
-    t.append(extra)
+    # overlapping keys on purpose: a later rewrite can leave a shard with
+    # the SAME file count as v1's but different files — the equal-count
+    # fragment-carry shortcut must not fire for a restore's carried set
+    t.append(_df(spark, 5, tag="extra"))
     bad = t.merge_upsert(
         spark,
         spark.createDataFrame(
@@ -1049,7 +1048,8 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
         ),
         keys=["k"],
     )
-    assert t.read(spark).count() == 15
+    # 10 + 5 appended, then BOTH k=0 rows merged into the single update
+    assert t.read(spark).count() == 14
     v_restored = t.restore(spark, v1)
     got = t.read(spark)
     assert got.count() == 10
@@ -1061,7 +1061,7 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     assert meta["n_files_written"] == 0  # pure carry, no data rewritten
     # the rollback is itself reversible: restore forward to the bad head
     t.restore(spark, bad)
-    assert t.read(spark).count() == 15
+    assert t.read(spark).count() == 14
     assert t.read(spark).filter(F.col("tag") == "bad").count() == 1
 
 
@@ -1160,3 +1160,94 @@ def test_rewrite_layout_changes_spec_atomically(spark, tmp_path):
     data4 = os.path.join(t.root, "_versions", v4)
     assert not any(d.startswith("dt=") for d in os.listdir(data4))
     assert t.read(spark).count() == 31
+
+
+# -- advisor-found regressions (round 6) --------------------------------
+
+
+def test_restore_manifest_lists_only_existing_files(spark, tmp_path):
+    """Regression (ADVICE r5, txn.py:700): commit -> delete_where ->
+    restore, where the deleted partition's shard ends with the SAME file
+    count at head as at v1 but a DIFFERENT file. The equal-count
+    fragment-carry shortcut used to hard-link the HEAD's fragment into
+    the restored snapshot, whose manifest then listed files missing on
+    disk. Every manifest consumer must see only files that exist."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(
+        _df(spark, 30).repartition(1, "dt"), partition_by=["dt"]
+    )
+    files_v1 = t.files(v1)
+    # rewrite dt=0's single file into a single NEW file (same count)
+    t.delete_where(
+        spark,
+        (F.col("dt") == "0") & (F.col("k") == 0),
+        prune=[("dt", "=", "0")],
+    )
+    head_files = t.files()
+    assert len(head_files) == len(files_v1)
+    assert set(head_files) != set(files_v1)
+    v_restored = t.restore(spark, v1)
+    restored_files = t.files(v_restored)
+    data = os.path.join(t.root, "_versions", v_restored)
+    # the manifest and the directory agree, byte for byte
+    for rel in restored_files:
+        assert os.path.exists(os.path.join(data, rel)), rel
+    assert set(restored_files) == set(files_v1)
+    assert t.read(spark).count() == 30
+    # manifest consumers: pruned read + a follow-up merge both work
+    rels, _ = t.pruned_files([("dt", "=", "0")], v_restored)
+    for rel in rels:
+        assert os.path.exists(os.path.join(data, rel))
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(0, "post", "0")], "k long, tag string, dt string"
+        ),
+        keys=["k"],
+    )
+    assert t.read(spark).filter(F.col("tag") == "post").count() == 1
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """Regression (ADVICE r5, txn.py:1133): DELETE removes rows where the
+    condition is TRUE — a NULL-evaluating row in the same file must
+    survive the rewrite (SQL three-valued semantics, Delta DELETE)."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "k long, tag string"
+    ).coalesce(1)
+    t.commit(df)
+    t.delete_where(spark, F.col("tag") == "x")
+    got = t.read(spark).orderBy("k").collect()
+    assert [r["k"] for r in got] == [2, 3]
+    assert got[1]["tag"] is None  # the NULL-tag row survived
+
+
+def test_restore_unpartitioned_snapshot_from_partitioned_head(spark, tmp_path):
+    """Regression (ADVICE r5, txn.py:1397): restoring an UNpartitioned
+    snapshot from a partitioned head must record partition_by=[] (not
+    inherit the head's spec), or the next append would mix root-level
+    files with partition dirs under one basePath."""
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 9))  # unpartitioned
+    t.rewrite_layout(spark, partition_by=["dt"])
+    v_restored = t.restore(spark, v1)
+    assert t._meta(v_restored)["partition_by"] == []
+    # the next append stays unpartitioned and readable
+    t.append(spark.createDataFrame(
+        [(100, "x", "1")], "k long, tag string, dt string"))
+    vh = t.current_version()
+    assert t._meta(vh)["partition_by"] == []
+    data = os.path.join(t.root, "_versions", vh)
+    assert not any(d.startswith("dt=") for d in os.listdir(data))
+    assert t.read(spark).count() == 10
+
+
+def test_clone_of_unpartitioned_snapshot_records_empty_spec(spark, tmp_path):
+    src = TxnTable(str(tmp_path / "src"))
+    src.commit(_df(spark, 8))  # unpartitioned
+    clone = src.clone_to(spark, str(tmp_path / "dev"))
+    assert clone._meta(clone.current_version())["partition_by"] == []
+    clone.append(_df(spark, 2, tag="b"))
+    assert clone._meta(clone.current_version())["partition_by"] == []
+    assert clone.read(spark).count() == 10

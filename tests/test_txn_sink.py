@@ -166,3 +166,30 @@ def test_cdc_apply_sink_merges_each_epoch_once(spark, tmp_path):
     sink(_cdc_batch(spark, [(3, "late", "U", 1)]), 2)
     assert t.read(spark).filter(F.col("k") == 3).first()["tag"] == "late"
     assert last_epoch(t) == 2
+
+
+def test_last_epoch_ignores_staged_and_orphaned_snapshots(spark, tmp_path):
+    """Regression (ADVICE r5, txn_sink.py:110): a WAP snapshot staged with
+    commit(publish=False) — or a slot orphaned by a lost pointer race —
+    exists on disk with an _meta.json but was never live. An epoch id
+    recorded only there was never applied, so the guard must NOT trust it
+    (trusting it would silently drop the replayed batch's data)."""
+    t = TxnTable(str(tmp_path / "t"))
+    sink = txn_append_sink(t)
+    sink(_batch(spark, 0, 6, "e0"), 0)
+    assert last_epoch(t) == 0
+    # stage epoch 1's batch but never publish (audit rejected it)
+    t.commit(
+        _batch(spark, 6, 4, "e1-staged"),
+        operation="append",
+        extra_meta={"streaming_epoch_id": 1},
+        publish=False,
+    )
+    assert t.read(spark).count() == 6  # staged batch not live
+    # the guard only believes the published lineage
+    assert last_epoch(t) == 0
+    # so epoch 1's re-delivery (the real one) must land
+    sink(_batch(spark, 6, 4, "e1"), 1)
+    assert t.read(spark).count() == 10
+    assert last_epoch(t) == 1
+    assert t.read(spark).filter(F.col("tag") == "e1-staged").count() == 0
