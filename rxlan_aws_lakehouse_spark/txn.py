@@ -279,37 +279,112 @@ class VacuumProtectionError(RuntimeError):
     """Vacuum would remove snapshots an incremental consumer still needs."""
 
 
-class TxnTable:
-    """A parquet table with atomic commits and snapshot reads."""
+class PointerBackend:
+    """The one storage primitive a deployment must supply: an atomic
+    COMPARE-AND-SWAP on the table's live-version pointer. Everything else
+    in ``TxnTable`` is plain immutable-object IO (write-once snapshot
+    dirs), which every store provides; the pointer swap is where
+    linearizability lives — Delta's LogStore / Iceberg's catalog
+    ``commit`` play exactly this role. Implementations: ``LocalFSPointer``
+    (O_EXCL lockfile + rename) here; an object-store deployment maps
+    ``compare_and_swap`` onto a conditional PUT (S3 If-Match / GCS
+    ``ifGenerationMatch`` / DynamoDB conditional write) with no other
+    code change."""
 
-    def __init__(self, root: str):
-        self.root = root
-        os.makedirs(os.path.join(root, _VERSIONS), exist_ok=True)
+    def read(self, root: str) -> str | None:
+        raise NotImplementedError
 
-    # -- pointer ----------------------------------------------------------
-    def current_version(self) -> str | None:
+    def compare_and_swap(
+        self, root: str, version: str, expect: str | None
+    ) -> None:
+        """Atomically set the pointer to ``version`` iff it currently
+        reads ``expect``; raise ``ConcurrentCommitError`` otherwise."""
+        raise NotImplementedError
+
+
+class LocalFSPointer(PointerBackend):
+    """POSIX CAS: an ``O_EXCL``-created lockfile serializes the
+    check-then-rename, making the swap a REAL compare-and-swap — two
+    writers interleaving between their version check and their rename
+    can no longer both publish (the round-5 race window). A lock left by
+    a crashed holder is stolen after ``stale_after`` seconds; the loser
+    of any interleaving gets ``ConcurrentCommitError`` and retries on
+    the new head, never silently overwriting the winner."""
+
+    def __init__(self, stale_after: float = 10.0, timeout: float = 30.0):
+        self.stale_after = stale_after
+        self.timeout = timeout
+
+    def read(self, root: str) -> str | None:
         try:
-            with open(os.path.join(self.root, _LATEST)) as f:
+            with open(os.path.join(root, _LATEST)) as f:
                 return f.read().strip() or None
         except FileNotFoundError:
             return None
 
-    def _swap_pointer(self, version: str, expect: str | None) -> None:
-        # Optimistic concurrency: re-check the parent version immediately
-        # before the swap. Two local writers racing past this check is the
-        # window a real deployment closes with a conditional PUT; the
-        # check still catches every read-modify-write conflict that spans
-        # a Spark job, which is the realistic interleaving.
-        if self.current_version() != expect:
-            raise ConcurrentCommitError(
-                f"table advanced past {expect!r}; retry on the new snapshot"
+    def compare_and_swap(
+        self, root: str, version: str, expect: str | None
+    ) -> None:
+        lock = os.path.join(root, f"{_LATEST}.lock")
+        deadline = time.monotonic() + self.timeout
+        fd = None
+        while fd is None:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    held = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder released between EXISTS and stat
+                if held > self.stale_after:
+                    # crashed holder: steal. Removal is idempotent; two
+                    # stealers race to the O_EXCL create next loop.
+                    try:
+                        os.unlink(lock)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise ConcurrentCommitError(
+                        f"pointer lock at {lock} held past timeout"
+                    )
+                time.sleep(0.002)
+        try:
+            if self.read(root) != expect:
+                raise ConcurrentCommitError(
+                    f"table advanced past {expect!r}; retry on the new "
+                    "snapshot"
+                )
+            tmp = os.path.join(
+                root, f".{_LATEST}.{os.getpid()}.{time.time_ns()}"
             )
-        tmp = os.path.join(self.root, f".{_LATEST}.{os.getpid()}.{time.time_ns()}")
-        with open(tmp, "w") as f:
-            f.write(version)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(self.root, _LATEST))
+            with open(tmp, "w") as f:
+                f.write(version)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, os.path.join(root, _LATEST))
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass  # stolen as stale mid-hold (pathological clock skew)
+
+
+class TxnTable:
+    """A parquet table with atomic commits and snapshot reads."""
+
+    def __init__(self, root: str, pointer: PointerBackend | None = None):
+        self.root = root
+        self.pointer = pointer or LocalFSPointer()
+        os.makedirs(os.path.join(root, _VERSIONS), exist_ok=True)
+
+    # -- pointer ----------------------------------------------------------
+    def current_version(self) -> str | None:
+        return self.pointer.read(self.root)
+
+    def _swap_pointer(self, version: str, expect: str | None) -> None:
+        self.pointer.compare_and_swap(self.root, version, expect)
 
     def _next_version(self) -> str:
         # Max over the pointer AND existing version dirs: an orphaned slot

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 import shutil
 import threading
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -1251,3 +1252,77 @@ def test_clone_of_unpartitioned_snapshot_records_empty_spec(spark, tmp_path):
     clone.append(_df(spark, 2, tag="b"))
     assert clone._meta(clone.current_version())["partition_by"] == []
     assert clone.read(spark).count() == 10
+
+
+def test_pointer_cas_prevents_double_publish(spark, tmp_path):
+    """Regression (ADVICE r5, txn.py:300): two writers that both read the
+    same expected parent and interleave between the check and the rename.
+    Pre-CAS, both renames succeeded — the second silently overwrote the
+    first (a lost commit). With the lockfile CAS exactly one publishes and
+    the other deterministically gets ConcurrentCommitError."""
+    import threading
+
+    t = TxnTable(str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 5))
+    barrier = threading.Barrier(2)
+    results: dict[str, str] = {}
+
+    def racer(name: str, version: str) -> None:
+        barrier.wait()  # both enter the swap with the SAME expect
+        try:
+            t._swap_pointer(version, v1)
+            results[name] = "published"
+        except ConcurrentCommitError:
+            results[name] = "conflict"
+
+    a = threading.Thread(target=racer, args=("a", "v00000002"))
+    b = threading.Thread(target=racer, args=("b", "v00000003"))
+    a.start(); b.start(); a.join(); b.join()
+    assert sorted(results.values()) == ["conflict", "published"]
+    winner = next(n for n, r in results.items() if r == "published")
+    assert t.current_version() == {"a": "v00000002", "b": "v00000003"}[winner]
+
+
+def test_pointer_stale_lock_is_stolen(spark, tmp_path):
+    """A lockfile left by a crashed holder must not wedge the table."""
+    from rxlan_aws_lakehouse_spark.txn import LocalFSPointer
+
+    t = TxnTable(str(tmp_path / "t"), pointer=LocalFSPointer(stale_after=0.2))
+    t.commit(_df(spark, 4))
+    lock = os.path.join(t.root, "_LATEST.lock")
+    with open(lock, "w"):
+        pass
+    stale = time.time() - 60
+    os.utime(lock, (stale, stale))
+    v = t.append(_df(spark, 2, tag="after"))  # steals the stale lock
+    assert t.current_version() == v
+    assert not os.path.exists(lock)  # released after the swap
+
+
+def test_concurrent_merges_both_land_via_retry(spark, tmp_path):
+    """Two writers merging DISJOINT keys concurrently: the CAS loser
+    retries against the winner's snapshot and both updates land."""
+    import threading
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 10))
+    errs: list[Exception] = []
+
+    def merge(lo: int, tag: str) -> None:
+        try:
+            upd = spark.createDataFrame(
+                [(lo, tag, "0"), (lo + 1, tag, "0")],
+                "k long, tag string, dt string",
+            )
+            t.merge_upsert(spark, upd, keys=["k"], max_retries=5)
+        except Exception as e:  # pragma: no cover - failure surface
+            errs.append(e)
+
+    th1 = threading.Thread(target=merge, args=(0, "w1"))
+    th2 = threading.Thread(target=merge, args=(4, "w2"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs, errs
+    got = t.read(spark)
+    assert got.filter(F.col("tag") == "w1").count() == 2
+    assert got.filter(F.col("tag") == "w2").count() == 2
+    assert got.count() == 10
