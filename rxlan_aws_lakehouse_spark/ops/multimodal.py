@@ -57,12 +57,157 @@ def _fake_decode_features(payload: bytes) -> list[float]:
     return [float(n), s / n, float(mx), float(mn)]
 
 
-def decode_real(payload: bytes, modality: str):  # pragma: no cover - stub
-    """Placeholder for real decode; kept separate so swapping in a real
-    decoder touches exactly one function."""
-    raise NotImplementedError(
-        f"real {modality} decoding requires media libraries not present in this environment"
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Serialize a real, spec-conformant 24-bit uncompressed BMP:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, scanlines bottom-up in BGR order,
+    each row zero-padded to a 4-byte boundary. ``pixel_fn(x, y)`` returns
+    the (r, g, b) of the TOP-DOWN pixel grid. Any BMP viewer opens the
+    output; ``decode_real`` round-trips it exactly."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    pixel_bytes = row_stride * height
+    off = 14 + 40
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", off + pixel_bytes, 0, 0, off)
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes,
+        2835, 2835, 0, 0,
     )
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            row += bytes((b & 0xFF, g & 0xFF, r & 0xFF))  # BGR on disk
+        row += b"\x00" * (row_stride - len(row))
+        out += row
+    return bytes(out)
+
+
+def decode_real(payload: bytes, modality: str) -> dict:
+    """Real decode for the formats this environment can parse without
+    media libraries: 24-bit uncompressed BMP (pure header+scanline
+    parsing). Returns ``{"format", "width", "height", "pixels"}`` with
+    ``pixels`` the top-down row-major (r, g, b) tuples — padding stripped,
+    bottom-up storage unflipped, BGR swapped back. Other containers raise
+    ``ValueError`` (undecodable input, the error a real decoder gives),
+    so the pipeline's bad-payload handling is exercised for real."""
+    import struct
+
+    if modality != "image" or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError(
+            f"undecodable {modality} payload: not a BMP container"
+        )
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant: bpp={bpp} compression={compression}"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    if off + row_stride * height > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    pixels: list[tuple[int, int, int]] = []
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        base = off + src_y * row_stride
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            pixels.append((r, g, b))
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "pixels": pixels,
+    }
+
+
+DECODED_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def make_bmp_payloads(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Arrow-batched synthesis of REAL image payloads: each row becomes a
+    spec-conformant 24-bit BMP whose dimensions and pixel values derive
+    deterministically from (id, len(text)) — the ingest-side twin of
+    ``decode_features``. The generation rule is simple enough to restate
+    in SQL, which is what lets a DuckDB oracle hash-check the DECODED
+    output end to end: an encoder or decoder bug (padding, bottom-up
+    order, BGR swap) shifts the decoded channel means and the hash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i, n in zip(pdf[id_col], pdf[text_col].str.len()):
+                i, n = int(i), int(n)
+                w, h = 4 + i % 5, 3 + i % 3
+                payloads.append(
+                    encode_bmp(
+                        w,
+                        h,
+                        lambda x, y, i=i, n=n: (
+                            (i * 7 + y) % 256,
+                            (x * 13 + i) % 256,
+                            n % 256,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "modality": "image",
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema="doc_id long, payload binary, modality string"
+    )
+
+
+def decode_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: parse each payload with ``decode_real``
+    and reduce the pixel grid to per-channel means — the decode → feature
+    step of an image pipeline with an actual (pure-Python) codec doing
+    the decoding. Same batch shape as ``extract_features``; swapping in
+    PIL/libav means replacing ``decode_real`` only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, modality in zip(
+                pdf["doc_id"], pdf["payload"], pdf["modality"]
+            ):
+                img = decode_real(bytes(payload), str(modality))
+                px = img["pixels"]
+                n = len(px)
+                rows.append(
+                    (
+                        int(doc_id),
+                        img["format"],
+                        img["width"],
+                        img["height"],
+                        sum(p[0] for p in px) / n,
+                        sum(p[1] for p in px) / n,
+                        sum(p[2] for p in px) / n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return binary_df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
 FRAME_BYTES = 64

@@ -45,6 +45,24 @@ LSH_MULTITABLE_TABLES = 8
 # table, so drops decorrelate across the 8 tables.
 ANN_MAX_LIST = 256
 
+# Rotated-hyperplane LSH (the worst-case-recall fix, SCALING.md r5/r6):
+# axis-aligned planes read one raw dimension per bit, so on a corpus whose
+# dimensions are near-independent the bits within a table are maximally
+# redundant with the raw data's structure and every list is ~uniform —
+# overflow everywhere, and the cap costs most of the achievable recall
+# (measured 0.645 -> 0.170 at the default cap). A RADEMACHER rotation
+# gives each bit its own dense ±1 combination of ALL dimensions — general
+# random-hyperplane LSH, bits decorrelated regardless of the corpus's
+# axis alignment. Determinism across engines: vectors are quantized to
+# FIXED POINT (floor(x * 1e6), exact in IEEE double for |x| < ~4e9) and
+# the projection is an integer dot product with ±1 coefficients — every
+# intermediate is an integer far below 2^53, so Spark's fold and DuckDB's
+# list_dot_product agree bit-for-bit in ANY accumulation order. The
+# coefficients derive from md5(seed:table:bit:dim) parity — pure data, no
+# RNG state, emitted verbatim into the oracle SQL.
+ROT_SEED = "rot-v1"
+FP_SCALE = 1_000_000
+
 
 def as_double_array(col: Column) -> Column:
     return F.transform(col, lambda v: v.cast("double"))
@@ -94,6 +112,88 @@ def prepare(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddin
         v.alias("vec"),
         l2_norm(v).alias("norm"),
         sign_bucket(v).alias("bucket"),
+    )
+
+
+def rademacher_planes(
+    n_tables: int = LSH_MULTITABLE_TABLES,
+    bits: int = LSH_MULTITABLE_BITS,
+    dim: int = 64,
+    seed: str = ROT_SEED,
+) -> list[list[list[int]]]:
+    """``planes[t][j][i]`` ∈ {−1, +1}: the i-th coefficient of table t's
+    j-th hyperplane, from md5 parity — deterministic everywhere, no RNG."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if int(
+                    hashlib.md5(
+                        f"{seed}:{t}:{j}:{i}".encode()
+                    ).hexdigest(),
+                    16,
+                )
+                % 2
+                == 0
+                else -1
+                for i in range(dim)
+            ]
+            for j in range(bits)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def quantize_fixed(col: Column) -> Column:
+    """array<double> -> array<long> fixed-point at ``FP_SCALE`` via floor —
+    the engine-exact value both Spark and the SQL oracle bucket on."""
+    return F.transform(col, lambda x: F.floor(x * F.lit(float(FP_SCALE))))
+
+
+def rotated_bucket(qcol: Column, plane_rows: list[list[int]]) -> Column:
+    """Bucket key over a quantized vector: one '1'/'0' per hyperplane,
+    '1' iff the integer dot product with its ±1 coefficients is >= 0."""
+    parts = []
+    for coeffs in plane_rows:
+        lits = F.array(*[F.lit(int(c)) for c in coeffs])
+        d = F.aggregate(
+            F.zip_with(qcol, lits, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        parts.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*parts)
+
+
+def prepare_multitable_rotated(
+    vectors: DataFrame,
+    bits: int = LSH_MULTITABLE_BITS,
+    n_tables: int = LSH_MULTITABLE_TABLES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: str = ROT_SEED,
+) -> DataFrame:
+    """Index build for ROTATED multi-table sign-LSH: same output shape as
+    ``prepare_multitable`` (``bucket_t`` columns, ``ann_topk_multitable``
+    consumes either), but every bit is a dense Rademacher projection of
+    all ``dim`` dimensions instead of one raw dimension's sign — the
+    general random-hyperplane family, which keeps lists balanced on
+    corpora whose raw axes carry no structure (the axis-aligned worst
+    case). One extra narrow projection per row; no new shuffle."""
+    planes = rademacher_planes(n_tables, bits, dim, seed)
+    v = as_double_array(F.col(vec_col))
+    q = quantize_fixed(v)
+    return vectors.select(
+        F.col(id_col),
+        v.alias("vec"),
+        l2_norm(v).alias("norm"),
+        *[
+            rotated_bucket(q, planes[t]).alias(f"bucket_{t}")
+            for t in range(n_tables)
+        ],
     )
 
 
@@ -486,5 +586,30 @@ def sql_sign_bucket(c: str, bits: int = LSH_SIGN_BITS, offset: int = 0) -> str:
     parts = " || ".join(
         f"CASE WHEN {c}[{i}] >= 0 THEN '1' ELSE '0' END"
         for i in range(offset + 1, offset + bits + 1)
+    )
+    return "(" + parts + ")"
+
+
+def sql_quantize_fixed(c: str) -> str:
+    """DuckDB twin of ``quantize_fixed``: float list -> exact fixed-point,
+    carried as DOUBLE (integer-valued, so arithmetic stays exact)."""
+    return (
+        f"list_transform(CAST({c} AS DOUBLE[]), "
+        f"x -> CAST(CAST(floor(x * {FP_SCALE}.0) AS BIGINT) AS DOUBLE))"
+    )
+
+
+def sql_rotated_bucket(qc: str, plane_rows: list[list[int]]) -> str:
+    """DuckDB twin of ``rotated_bucket`` over a quantized list column
+    ``qc``: the ±1 coefficient rows are emitted as literals, and the
+    integer-valued dot products match Spark's fold exactly (every
+    intermediate < 2^53)."""
+    parts = " || ".join(
+        "CASE WHEN list_dot_product({qc}, [{lits}]) >= 0 "
+        "THEN '1' ELSE '0' END".format(
+            qc=qc,
+            lits=", ".join(f"{c}.0" for c in coeffs),
+        )
+        for coeffs in plane_rows
     )
     return "(" + parts + ")"

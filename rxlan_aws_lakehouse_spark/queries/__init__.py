@@ -74,16 +74,22 @@ def all_queries():
     checked = _last_checked_rounds()
 
     # Sort key: (effective last-checked round, rows-only after
-    # hash-checkable, name). Never-checked queries (round 0) lead; a query
-    # whose ORACLE APPEARED AFTER its last driver row (latest row exists
-    # but was not hash-checked, yet an oracle is registered now) also
-    # sorts as never-checked — its strongest available evidence has never
-    # been driver-recorded. Among equals, oracle-backed queries outrank
-    # rows-only ones, and the name tiebreak keeps the order deterministic.
-    def effective_round(n: str) -> int:
+    # hash-checkable, name). The stalest DRIVER EVIDENCE leads — the
+    # oldest rows are the ones a silent regression could hide behind
+    # longest. Never-checked queries (and queries whose ORACLE APPEARED
+    # AFTER their last driver row — their strongest evidence has never
+    # been driver-recorded) slot just BEFORE the second-newest cohort:
+    # soon enough to be recorded within a round, but never displacing the
+    # stale tail out of the driver's ~50-row window (a new query is
+    # pytest- and locally-oracle-verified already; an old driver row is
+    # the only guard its query has). Among equals, oracle-backed queries
+    # outrank rows-only ones; the name tiebreak keeps order deterministic.
+    max_round = max((r for r, _h in checked.values()), default=0)
+
+    def effective_round(n: str) -> float:
         rnd, hashed = checked.get(n, (0, False))
-        if n in oracles and not hashed:
-            return 0
+        if rnd == 0 or (n in oracles and not hashed):
+            return max_round - 1.5
         return rnd
 
     names = sorted(

@@ -487,6 +487,23 @@ def emb_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("vec_id") < 50).select("vec_id", "neighbor_id", "sim")
 
 
+def emb_ann_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ANN over ROTATED (Rademacher) hyperplanes: same join
+    shape as emb_ann_multitable, but each bucket bit is a dense ±1
+    projection of all 64 dims instead of one raw dimension's sign —
+    general random-hyperplane LSH. Two properties the axis-aligned index
+    lacks at scale: bits are decorrelated from any axis structure of the
+    corpus, and the bit budget is unbounded by the vector dimensionality,
+    so lists can be kept under the candidate cap by raising bits with
+    log(corpus) (the measured worst-case-recall fix, SCALING.md r6).
+    Buckets are engine-exact via fixed-point quantization: Spark's fold
+    and DuckDB's list_dot_product agree bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = sim.prepare_multitable_rotated(e)
+    out = sim.ann_topk_multitable(corpus, k=3)
+    return out.filter(F.col("vec_id") < 50).select("vec_id", "neighbor_id", "sim")
+
+
 def emb_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with n_probe=2: each query scans its TWO nearest inverted
     lists — the recall knob turned one notch past emb_ivf_topk's n_probe=1
@@ -709,6 +726,28 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modality",
         "n_bytes",
         F.round(F.element_at("feature", 2), 4).alias("mean_byte"),
+    )
+
+
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL codec path: synthesize a spec-conformant 24-bit
+    BMP per document (dimensions/pixels derived from doc_id and text
+    length), then parse it back with the pure-Python BMP decoder
+    (``ops/multimodal.py decode_real`` — header fields, bottom-up
+    scanlines, row padding, BGR order) and reduce to per-channel means.
+    The oracle recomputes the expected means from the generation rule, so
+    any encode/decode defect (padding arithmetic, row flip, channel
+    swap) breaks the hash. Both hops are Arrow-batched mapInPandas."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    decoded = mm.decode_features(mm.make_bmp_payloads(d))
+    return decoded.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
     )
 
 
@@ -1019,6 +1058,7 @@ QUERIES = {
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_multitable": emb_ann_multitable,
+    "emb_ann_rotated": emb_ann_rotated,
     "emb_ivf_probe2": emb_ivf_probe2,
     "emb_bucket_profile": emb_bucket_profile,
     "emb_neardup": emb_neardup,
@@ -1030,6 +1070,7 @@ QUERIES = {
     "dedup_cluster_keep_best": dedup_cluster_keep_best,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_decode_real": multimodal_decode_real,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_batch_stats": multimodal_batch_stats,
 }
@@ -1088,6 +1129,9 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
             FROM a{final} GROUP BY cluster ORDER BY cluster
         """
     )
+
+
+_ROT_PLANES = sim.rademacher_planes()
 
 
 def _build_oracle() -> dict[str, str]:
@@ -1228,6 +1272,35 @@ def _build_oracle() -> dict[str, str]:
                    round(coalesce(avg(bytes.byte), 0.0), 4) AS mean_byte
             FROM b LEFT JOIN bytes ON b.doc_id = bytes.doc_id
             GROUP BY b.doc_id, b.modality, b.n_bytes
+        """,
+        # expected output of the REAL BMP encode->decode round trip,
+        # recomputed from the generation rule (w = 4 + id%5, h = 3 + id%3,
+        # r = (id*7+y)%256, g = (x*13+id)%256, b = len%256): a decoder bug
+        # in padding / bottom-up order / BGR swap shifts a channel mean
+        "multimodal_decode_real": """
+            WITH d AS (
+              SELECT doc_id, length(text) AS n,
+                     4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+              FROM documents WHERE doc_id < 60),
+            ys AS (
+              SELECT doc_id, unnest(generate_series(0, h - 1)) AS y FROM d),
+            rs AS (
+              SELECT ys.doc_id,
+                     avg(CAST((d.doc_id * 7 + y) % 256 AS DOUBLE)) AS mean_r
+              FROM ys JOIN d ON ys.doc_id = d.doc_id GROUP BY ys.doc_id),
+            xs AS (
+              SELECT doc_id, unnest(generate_series(0, w - 1)) AS x FROM d),
+            gs AS (
+              SELECT xs.doc_id,
+                     avg(CAST((x * 13 + d.doc_id) % 256 AS DOUBLE)) AS mean_g
+              FROM xs JOIN d ON xs.doc_id = d.doc_id GROUP BY xs.doc_id)
+            SELECT d.doc_id, 'bmp' AS fmt,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   round(rs.mean_r, 4) AS mean_r,
+                   round(gs.mean_g, 4) AS mean_g,
+                   round(CAST(n % 256 AS DOUBLE), 4) AS mean_b
+            FROM d JOIN rs ON d.doc_id = rs.doc_id
+                   JOIN gs ON d.doc_id = gs.doc_id
         """,
         "dedup_clusters": f"""{lsh_verified_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
             dup AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
@@ -1445,6 +1518,46 @@ def _build_oracle() -> dict[str, str]:
                          for t in range(sim.LSH_MULTITABLE_TABLES)
                      )}
               FROM embeddings),
+            {", ".join(
+                f"cap_{t} AS (SELECT vec_id, embedding, bucket_{t} FROM ("
+                f"SELECT vec_id, embedding, bucket_{t}, "
+                f"row_number() OVER (PARTITION BY bucket_{t} "
+                f"ORDER BY md5('{t}:' || CAST(vec_id AS VARCHAR)), vec_id) AS lrn "
+                f"FROM p) WHERE lrn <= {sim.ANN_MAX_LIST})"
+                for t in range(sim.LSH_MULTITABLE_TABLES)
+            )},
+            pairs AS (
+              SELECT DISTINCT vec_id, neighbor_id, sim FROM (
+                {" UNION ALL ".join(
+                    f"SELECT a.vec_id, b.vec_id AS neighbor_id, "
+                    f"{cos.format(a='a.embedding', b='b.embedding')} AS sim "
+                    f"FROM p a JOIN cap_{t} b ON a.bucket_{t} = b.bucket_{t} AND a.vec_id <> b.vec_id"
+                    for t in range(sim.LSH_MULTITABLE_TABLES)
+                )})),
+            ranked AS (
+              SELECT vec_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY round(sim, 6) DESC, neighbor_id) AS rn
+              FROM pairs)
+            SELECT vec_id, neighbor_id, round(sim, 4) AS sim
+            FROM ranked WHERE rn <= 3 AND vec_id < 50
+        """,
+        # rotated (Rademacher) hyperplanes: the ±1 coefficient matrices are
+        # emitted as literals from the same md5-seeded generator Spark uses,
+        # and bucketing runs on the fixed-point quantized vectors — integer
+        # arithmetic, so both engines agree bit-for-bit
+        "emb_ann_rotated": f"""
+            WITH pq AS (
+              SELECT vec_id, embedding,
+                     {sim.sql_quantize_fixed('embedding')} AS q
+              FROM embeddings),
+            p AS (
+              SELECT vec_id, embedding,
+                     {", ".join(
+                         f"{sim.sql_rotated_bucket('q', _ROT_PLANES[t])} AS bucket_{t}"
+                         for t in range(sim.LSH_MULTITABLE_TABLES)
+                     )}
+              FROM pq),
             {", ".join(
                 f"cap_{t} AS (SELECT vec_id, embedding, bucket_{t} FROM ("
                 f"SELECT vec_id, embedding, bucket_{t}, "

@@ -2,9 +2,11 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from rxlan_aws_lakehouse_spark.ops import multimodal as mm
+from rxlan_aws_lakehouse_spark.ops.multimodal import encode_bmp
 from rxlan_aws_lakehouse_spark.ops import text as tx
 from rxlan_aws_lakehouse_spark.ops.topk import topk_per_group
 
@@ -150,3 +152,49 @@ def test_quantize_profile_reconstruction(spark, sf_dir):
         (recon_err - F.col("scale") / 254.0 * 1.0001).alias("excess")
     ).agg(F.max("excess")).first()[0]
     assert worst <= 1e-9
+
+
+def test_bmp_encode_decode_round_trip():
+    """decode_real is a REAL parser: it must invert encode_bmp exactly —
+    including the row padding (width 5 -> 15-byte rows padded to 16),
+    bottom-up scanline order, and BGR channel order on disk."""
+    grid = {(x, y): ((x * 3 + y) % 256, (y * 5) % 256, (x + 200) % 256)
+            for x in range(5) for y in range(3)}
+    payload = encode_bmp(5, 3, lambda x, y: grid[(x, y)])
+    # spec checks: magic, declared size, 54-byte pixel offset, stride pad
+    assert payload[:2] == b"BM"
+    assert len(payload) == 54 + 16 * 3  # (5*3 + pad) * 3 rows
+    img = mm.decode_real(payload, "image")
+    assert (img["format"], img["width"], img["height"]) == ("bmp", 5, 3)
+    # pixels come back top-down row-major RGB — exactly the input grid
+    expect = [grid[(x, y)] for y in range(3) for x in range(5)]
+    assert img["pixels"] == expect
+
+
+def test_decode_real_rejects_non_bmp():
+    with pytest.raises(ValueError, match="not a BMP"):
+        mm.decode_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64, "image")
+    with pytest.raises(ValueError, match="not a BMP"):
+        mm.decode_real(b"BM", "audio")
+    # real container, unsupported variant (8bpp) must refuse, not garble
+    bad = bytearray(encode_bmp(2, 2, lambda x, y: (0, 0, 0)))
+    bad[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        mm.decode_real(bytes(bad), "image")
+
+
+def test_decode_features_real_pipeline(spark):
+    """Spark end to end: synthesize BMPs, decode with the real parser,
+    check a hand-computed channel mean."""
+    df = spark.createDataFrame(
+        [(3, "hello world"), (7, "abc")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mm.decode_features(mm.make_bmp_payloads(df)).collect()
+    }
+    r3 = out[3]
+    # doc 3: w = 4+3%5 = 7, h = 3+3%3 = 3; mean_r = avg((21+y)%256) = 22
+    assert (r3["fmt"], r3["width"], r3["height"]) == ("bmp", 7, 3)
+    assert r3["mean_r"] == pytest.approx(22.0)
+    assert r3["mean_b"] == pytest.approx(float(len("hello world") % 256))
