@@ -51,7 +51,17 @@ HEADLINE = [
     "scd2_customer_history",  # SCD2 interval rebuild (one window pass)
     "dedup_containment",    # directed containment over LSH candidates
     "json_variant_ops",     # VARIANT parse-once / typed extraction
+    # round-6 lanes — the three most join-intensive TPC-H plans (never
+    # previously benched round-over-round) plus the new rotated-LSH index:
+    "tpch_q8_mktshare",     # 8-way join + year/market-share agg
+    "tpch_q9_profit",       # 6-way join incl. part LIKE-filter fan-out
+    "tpch_q21_waiting",     # exists/not-exists double correlated semi-join
+    "emb_ann_rotated",      # Rademacher-rotated multi-table LSH ANN
 ]
+
+# The original 13-query set (rounds 1-5): summed separately so
+# round-over-round totals stay mechanically comparable as lanes are added.
+HEADLINE_13 = HEADLINE[:13]
 
 
 def infer_sf(sf_dir: str) -> float:
@@ -104,6 +114,9 @@ def main() -> None:
                 "queries": per_query,
                 "queries_min": per_query_min,
                 "min_total": round(sum(per_query_min.values()), 4),
+                "headline_13_subtotal": round(
+                    sum(per_query[n] for n in HEADLINE_13), 4
+                ),
                 "runs_per_query": N_RUNS,
                 "sf": infer_sf(SF_DIR),
             }

@@ -145,6 +145,126 @@ def ingest_cities(
     return out
 
 
+class RateLimiter:
+    """Per-worker request throttle: enforce ``min_interval`` seconds
+    between calls. Driver-testable in isolation; each fetch partition
+    owns one instance, so the FLEET rate scales with partitions — the
+    knob a polite crawler tunes (requests/s = partitions / interval)."""
+
+    def __init__(
+        self,
+        min_interval: float,
+        sleep: Callable[[float], None] = time.sleep,
+        clock: Callable[[], float] = time.monotonic,
+    ):
+        self.min_interval = min_interval
+        self.sleep = sleep
+        self.clock = clock
+        self._last: float | None = None
+        self.waits = 0
+
+    def wait(self) -> None:
+        if self.min_interval <= 0:
+            return
+        now = self.clock()
+        if self._last is not None:
+            due = self._last + self.min_interval
+            if now < due:
+                self.waits += 1
+                self.sleep(due - now)
+                now = self.clock()
+        self._last = now
+
+
+INGEST_DIST_SCHEMA = (
+    "city string, ok boolean, attempts int, error string, "
+    "partition_id int, record_json string"
+)
+
+
+def ingest_cities_distributed(
+    spark,
+    fetch_factory: Callable[[], FetchFn],
+    cities: list[str],
+    url: str = "https://api.openweathermap.org/data/2.5/weather",
+    api_key: str = "",
+    now_iso: str | None = None,
+    n_partitions: int = 8,
+    min_interval: float = 0.0,
+    retries: int = 2,
+    base_backoff: float = 0.5,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """The scale shape of S1/S2: the endpoint list becomes a DataFrame,
+    fetches run INSIDE an Arrow-batched ``mapInPandas`` — per-partition
+    transport (``fetch_factory`` builds one connection/session per
+    partition, never serialized from the driver), per-partition rate
+    limiting, and the same retry/backoff policy as ``get_with_retries``.
+    The driver-side ``ingest_cities`` loop is right for the reference's 8
+    cities (handler.py:105-137); a crawl of 10^6 endpoints needs this —
+    work distributed, failures as DATA (``ok``/``error`` columns, a
+    failed endpoint never kills the job), retry accounting riding each
+    row so the fleet's behavior is auditable from the output table alone.
+
+    Returns a DataFrame: one row per endpoint with ``ok``, ``attempts``,
+    ``error``, the executing ``partition_id``, and the normalized record
+    as an NDJSON string (``record_json``, NULL on failure) ready for the
+    bronze writer."""
+    import pandas as pd
+
+    cities_df = spark.createDataFrame(
+        [(c,) for c in cities], "city string"
+    ).repartition(n_partitions)
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        fetch = fetch_factory()  # one transport per partition
+        limiter = RateLimiter(min_interval, sleep=sleep)
+        for pdf in batches:
+            rows = []
+            for q in pdf["city"]:
+                attempts = 0
+
+                def counting(u: str, params: dict, _q=q):
+                    nonlocal attempts
+                    attempts += 1
+                    limiter.wait()
+                    return fetch(u, params)
+
+                try:
+                    payload = get_with_retries(
+                        counting,
+                        url,
+                        {"q": q, "appid": api_key, "units": "metric"},
+                        retries=retries,
+                        base_backoff=base_backoff,
+                        sleep=sleep,
+                    )
+                    rec = normalize_weather_record(
+                        q, payload, now_iso=now_iso
+                    )
+                    rows.append(
+                        (
+                            q, True, attempts, None, pid,
+                            json.dumps(rec, separators=(",", ":")),
+                        )
+                    )
+                except FetchError as e:
+                    rows.append((q, False, attempts, str(e), pid, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "city", "ok", "attempts", "error",
+                    "partition_id", "record_json",
+                ],
+            )
+
+    return cities_df.mapInPandas(run, schema=INGEST_DIST_SCHEMA)
+
+
 def write_ndjson_gz(records: list[dict], directory: str, dt: str, hour: str) -> str:
     """Land records as one gzip NDJSON part file under dt=/hour= —
     the Firehose buffer-flush shape (README.md:147-154)."""

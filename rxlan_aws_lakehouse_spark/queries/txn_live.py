@@ -425,6 +425,77 @@ def txn_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance ON the transactional store: each update
+    wave folds into the history with ``scd2_apply`` (one window pass) and
+    lands as ONE atomic ``merge_upsert`` on (key, valid_from) — interval
+    closings update in place, new versions insert, untouched files carry
+    by reference. Time travel then proves history-of-history: the output
+    is the MID snapshot (after wave 1, read via its version id) unioned
+    with the FINAL one, labeled. Wave 2 is applied TWICE — the late-update
+    drop in ``scd2_apply`` makes the replay a no-op, so the re-delivered
+    batch merges zero changes (idempotent reload against the txn store).
+    """
+    from ..ops.scd2 import OPEN_END, scd2_apply
+
+    work = tempfile.mkdtemp(prefix="txn_scd2_")
+    try:
+        t = TxnTable(f"{work}/t")
+        c = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 120)
+            .select("c_custkey", F.col("c_mktsegment").alias("segment"))
+        )
+        initial = c.select(
+            "c_custkey",
+            "segment",
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+            F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+        )
+        t.commit(initial.repartitionByRange(4, "c_custkey"))
+
+        def wave(mod: int, seg: str, ts: str) -> DataFrame:
+            return c.filter(F.col("c_custkey") % mod == 0).select(
+                "c_custkey",
+                F.lit(seg).alias("segment"),
+                F.lit(ts).cast("timestamp").alias("ts"),
+            )
+
+        def apply_wave(u: DataFrame) -> str:
+            hist = scd2_apply(
+                t.read(spark), u, keys=["c_custkey"], attr_cols=["segment"]
+            )
+            return t.merge_upsert(
+                spark, hist, keys=["c_custkey", "valid_from"],
+                validate_keys=False,
+            )
+
+        w1 = wave(5, "WEB", "2024-02-15 00:00:00")
+        w2 = wave(7, "MOBILE", "2024-03-10 00:00:00")
+        v_mid = apply_wave(w1)
+        apply_wave(w2)
+        v_replay = apply_wave(w2)  # re-delivered batch: must change nothing
+
+        def render(df: DataFrame, label: str) -> DataFrame:
+            return df.select(
+                F.lit(label).alias("snapshot"),
+                "c_custkey",
+                "segment",
+                F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+                F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+            )
+
+        out = (
+            render(t.read(spark, v_mid), "mid")
+            .unionByName(render(t.read(spark, v_replay), "final"))
+            .orderBy("snapshot", "c_custkey", "valid_from")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -435,9 +506,50 @@ QUERIES = {
     "txn_time_travel": txn_time_travel,
     "txn_restore": txn_restore,
     "txn_streaming_cdc_merge": txn_streaming_cdc_merge,
+    "txn_scd2_history": txn_scd2_history,
 }
 
 ORACLE = {
+    # interval rebuild per snapshot: mid = initial + wave 1, final = all
+    # waves; a replayed wave contributes the same rows (UNION ALL + the
+    # lag-suppression dedups nothing here because scd2 drops the late
+    # batch before it reaches the history)
+    "txn_scd2_history": """
+        WITH cust AS (
+          SELECT c_custkey, c_mktsegment AS segment FROM customer
+          WHERE c_custkey <= 120
+        ), v_mid AS (
+          SELECT c_custkey, segment,
+                 TIMESTAMP '2024-01-01 00:00:00' AS valid_from FROM cust
+          UNION ALL
+          SELECT c_custkey, 'WEB', TIMESTAMP '2024-02-15 00:00:00'
+          FROM cust WHERE c_custkey % 5 = 0
+        ), v_final AS (
+          SELECT * FROM v_mid
+          UNION ALL
+          SELECT c_custkey, 'MOBILE', TIMESTAMP '2024-03-10 00:00:00'
+          FROM cust WHERE c_custkey % 7 = 0
+        ), both_v AS (
+          SELECT 'mid' AS snapshot, * FROM v_mid
+          UNION ALL
+          SELECT 'final' AS snapshot, * FROM v_final
+        ), suppressed AS (
+          SELECT * FROM (
+            SELECT snapshot, c_custkey, segment, valid_from,
+                   lag(segment) OVER (PARTITION BY snapshot, c_custkey
+                                      ORDER BY valid_from) AS prev_seg
+            FROM both_v
+          ) WHERE prev_seg IS NULL OR prev_seg <> segment
+        )
+        SELECT snapshot, c_custkey, segment,
+               strftime(valid_from, '%Y-%m-%d') AS valid_from,
+               strftime(coalesce(
+                 lead(valid_from) OVER (PARTITION BY snapshot, c_custkey
+                                        ORDER BY valid_from),
+                 TIMESTAMP '9999-12-31 00:00:00'), '%Y-%m-%d') AS valid_to
+        FROM suppressed
+        ORDER BY snapshot, c_custkey, valid_from
+    """,
     "txn_merge_evolved": f"""
         SELECT
             c_custkey,
