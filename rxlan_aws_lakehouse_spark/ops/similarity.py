@@ -182,7 +182,16 @@ def prepare_multitable_rotated(
     all ``dim`` dimensions instead of one raw dimension's sign — the
     general random-hyperplane family, which keeps lists balanced on
     corpora whose raw axes carry no structure (the axis-aligned worst
-    case). One extra narrow projection per row; no new shuffle."""
+    case). One extra narrow projection per row; no new shuffle.
+
+    Sizing (measured, SCALING.md r6): pick ``bits`` ~
+    log2(n_vectors / (cap/2)) so inverted lists stay under the candidate
+    cap — at 200k vectors, 10 bits lifted worst-case capped recall@3
+    0.170 -> 0.308 while CUTTING the graph wall 35% (smaller lists =
+    fewer candidate pairs: recall and cost improve together). Add tables
+    for recall beyond that (16t x 8b -> 0.367 at ~1.5x cost).
+    Axis-aligned planes can do neither: their bit budget is capped by
+    the vector dimensionality."""
     planes = rademacher_planes(n_tables, bits, dim, seed)
     v = as_double_array(F.col(vec_col))
     q = quantize_fixed(v)

@@ -78,3 +78,32 @@ def test_legacy_bucketed_recall_floor(spark, corpus):
     prepared, mt, qids, exact = corpus
     r = _recall(exact, sim.ann_topk_bucketed(prepared, k=K, query_ids=qids))
     assert r >= 0.9, f"legacy 16-bucket recall@{K} = {r:.3f}"
+
+
+def test_rotated_recall_floor_and_engine_exact_buckets(spark, corpus):
+    """Rotated (Rademacher) hyperplanes at 8 bits: on the structured
+    corpus the finer lists stay under the cap and recall holds the same
+    floor as the axis-aligned index — while on the near-random worst
+    case (tools/ann_recall.py, SCALING.md r6) the extra bits are what
+    lift capped recall 0.170 -> 0.308+ at LOWER cost. Also pins that the
+    fixed-point quantization makes bucket keys pure functions of the
+    data (stable across independent prepares)."""
+    prepared, mt, qids, exact = corpus
+    emb = prepared.select(
+        "vec_id", F.col("vec").alias("embedding")
+    )
+    rot = sim.prepare_multitable_rotated(emb, bits=8).persist()
+    try:
+        r = _recall(
+            exact, sim.ann_topk_multitable(rot, k=K, query_ids=qids)
+        )
+        assert r >= 0.9, f"rotated 8-bit capped recall@{K} = {r:.3f}"
+        again = sim.prepare_multitable_rotated(emb, bits=8)
+        assert (
+            rot.select("vec_id", "bucket_0")
+            .exceptAll(again.select("vec_id", "bucket_0"))
+            .count()
+            == 0
+        )
+    finally:
+        rot.unpersist()
