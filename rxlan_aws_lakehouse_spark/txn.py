@@ -914,6 +914,42 @@ class TxnTable:
         assert last is not None
         raise last
 
+    # Below this many files, stats-based candidate pruning is skipped:
+    # pruning exists to SAVE IO, but it costs one Spark job (min/max over
+    # the update set) — on a table this small, the discovery scan reads
+    # everything faster than the bounds job runs. O(1) to decide (the
+    # file count rides the snapshot meta). Delta's MERGE makes the same
+    # call by skipping file-skipping when stats can't pay for themselves.
+    _PRUNE_SKIP_FILES = 8
+
+    def _merge_candidates(
+        self, expect: str, updates: DataFrame, keys: list[str]
+    ) -> list[str]:
+        """Candidate files for a keyed merge's touched-file discovery.
+
+        Big tables: manifest min/max pruning on the update set's key
+        bounds (Delta's merge file-skipping) — a file whose recorded
+        range misses the updates' [min, max] cannot contain a matched
+        key, so discovery reads only range-overlapping files; on a
+        key-clustered 100 TB table that is the handful of files the
+        merge actually hits. Small tables (``_PRUNE_SKIP_FILES``): every
+        file is a candidate and the bounds job is elided entirely.
+        """
+        if self._meta(expect).get("n_files", 0) <= self._PRUNE_SKIP_FILES:
+            return self.files(expect)
+        bounds = updates.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in keys],
+            *[F.max(k).alias(f"hi_{k}") for k in keys],
+        ).first()
+        preds = []
+        for k in keys:
+            if bounds[f"lo_{k}"] is not None:
+                preds.append((k, ">=", bounds[f"lo_{k}"]))
+            if bounds[f"hi_{k}"] is not None:
+                preds.append((k, "<=", bounds[f"hi_{k}"]))
+        candidates, _total = self.pruned_files(preds, expect)
+        return candidates
+
     def merge_upsert(
         self,
         spark: SparkSession,
@@ -954,7 +990,16 @@ class TxnTable:
         At 100 TB an upsert matching 0.1% of keys rewrites ~0.1% of files
         instead of the whole table. Readers see the pre-merge snapshot
         until the pointer swap, then the post-merge one — never a mixture.
+
+        ``updates`` is persisted for the duration of the merge: its plan
+        feeds THREE jobs (key bounds, touched-file discovery, the commit
+        write — four with validation), and callers often hand in a
+        non-trivial plan (the incremental-aggregate refresh passes a full
+        combine aggregate). Without the persist each job re-executes that
+        plan end to end — the fixed per-refresh overhead the r5 bench
+        surfaced on ``txn_incremental_agg``.
         """
+        updates = updates.persist()
         if validate_keys:
             # Ambiguous-merge guard (Delta raises the same way): two update
             # rows with the same key would BOTH land, silently duplicating
@@ -986,24 +1031,7 @@ class TxnTable:
             # driver listing) just to learn a schema the commit recorded.
             target_schema = StructType.fromJson(self._meta(expect)["schema"])
             update_keys = updates.select(*keys).distinct()
-            # Candidate pruning (Delta's merge file-skipping): a file whose
-            # manifest min/max range on a key column misses the updates'
-            # [min, max] cannot contain a matched key, so the touched-file
-            # discovery scan reads only range-overlapping files — on a
-            # key-clustered 100 TB table that is the handful of files the
-            # merge actually hits, not the whole table. One cheap partial
-            # aggregate over the (typically small) update set buys it.
-            bounds = updates.agg(
-                *[F.min(k).alias(f"lo_{k}") for k in keys],
-                *[F.max(k).alias(f"hi_{k}") for k in keys],
-            ).first()
-            preds = []
-            for k in keys:
-                if bounds[f"lo_{k}"] is not None:
-                    preds.append((k, ">=", bounds[f"lo_{k}"]))
-                if bounds[f"hi_{k}"] is not None:
-                    preds.append((k, "<=", bounds[f"hi_{k}"]))
-            candidates, _total = self.pruned_files(preds, expect)
+            candidates = self._merge_candidates(expect, updates, keys)
             if candidates:
                 cand_scan = (
                     spark.read.option("basePath", data_root)
@@ -1061,7 +1089,10 @@ class TxnTable:
                 extra_meta=extra_meta, carry_src=expect,
             )
 
-        return self._with_retries(attempt, max_retries)
+        try:
+            return self._with_retries(attempt, max_retries)
+        finally:
+            updates.unpersist()
 
     def overwrite_partitions(
         self,
@@ -1328,18 +1359,7 @@ class TxnTable:
             ).drop(op_col, *( [seq_col] if seq_col else [] ))
             upserts = upserts.select(*[f.name for f in target_schema.fields])
             affected_keys = latest.select(*keys).distinct()
-
-            bounds = affected_keys.agg(
-                *[F.min(k).alias(f"lo_{k}") for k in keys],
-                *[F.max(k).alias(f"hi_{k}") for k in keys],
-            ).first()
-            preds = []
-            for k in keys:
-                if bounds[f"lo_{k}"] is not None:
-                    preds.append((k, ">=", bounds[f"lo_{k}"]))
-                if bounds[f"hi_{k}"] is not None:
-                    preds.append((k, "<=", bounds[f"hi_{k}"]))
-            candidates, _total = self.pruned_files(preds, expect)
+            candidates = self._merge_candidates(expect, affected_keys, keys)
             if candidates:
                 cand_scan = (
                     spark.read.option("basePath", data_root)
