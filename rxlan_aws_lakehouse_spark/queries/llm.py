@@ -499,7 +499,12 @@ def emb_ann_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Buckets are engine-exact via fixed-point quantization: Spark's fold
     and DuckDB's list_dot_product agree bit-for-bit."""
     e = load(spark, sf_dir, "embeddings")
-    corpus = sim.prepare_multitable_rotated(e)
+    # persist-then-count barrier (same reason as the dedup lane,
+    # llm.py:104): the 48 dense projections are ~100x the axis bucket's
+    # cost, and the 8 per-table self-joins would otherwise re-execute
+    # the projection on BOTH sides (16x) — the index build runs once
+    corpus = sim.prepare_multitable_rotated(e).persist()
+    corpus.count()
     out = sim.ann_topk_multitable(corpus, k=3)
     return out.filter(F.col("vec_id") < 50).select("vec_id", "neighbor_id", "sim")
 

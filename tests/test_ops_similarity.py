@@ -218,3 +218,23 @@ def test_topk_agg_equals_rank_window_on_adversarial_ties(spark):
         )
         want = sorted(map(tuple, window_version(scored, 10).collect()))
         assert got == want, f"mismatch at repartition({parts})"
+
+
+def test_rotated_bucket_arrow_matches_hof(spark):
+    """The Arrow matmul bucket path and the HOF integer-fold path are the
+    SAME function: all-integer fixed-point arithmetic, so the two must
+    agree bit-for-bit on every bucket key (and with the DuckDB oracle,
+    which mirrors the HOF form)."""
+    from rxlan_aws_lakehouse_spark.ops import similarity as sim
+
+    vec = F.array(
+        *[F.sin(F.col("id") * (i + 3) * 1.3 - i) for i in range(64)]
+    )
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    cols = ["vec_id"] + [f"bucket_{t}" for t in range(8)]
+    a = sim.prepare_multitable_rotated(emb, bits=8, arrow=True).select(cols)
+    h = sim.prepare_multitable_rotated(emb, bits=8, arrow=False).select(cols)
+    assert a.exceptAll(h).count() == 0
+    assert h.exceptAll(a).count() == 0
