@@ -243,6 +243,56 @@ def bucket_pairs(ids: Column) -> Column:
     )
 
 
+WINNOW_W = 4  # winnowing window: guarantee t = W + SHINGLE_N - 1 = 6 words
+
+
+def ordered_shingle_hashes_from(toks: Column) -> Column:
+    """POSITIONAL shingle hashes (duplicates kept, document order) — the
+    winnowing input. ``shingle_hashes_from`` dedups for set semantics;
+    winnowing needs the sequence."""
+    return F.transform(
+        word_shingles_from(toks), lambda s: md5_long(s) % MINHASH_P
+    )
+
+
+def winnow_fingerprints_from(toks: Column, w: int = WINNOW_W) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): slide a window of ``w`` consecutive k-gram hashes
+    and keep each window's MINIMUM; the distinct minima are the doc's
+    fingerprints.
+
+    The guarantee the MinHash lane cannot give: any shared substring of
+    at least w + k - 1 words yields at least one SHARED fingerprint —
+    substring-level (quote/boilerplate/excerpt) detection with positional
+    locality, at an expected density of 2/(w+1) fingerprints per k-gram.
+    Everything runs scan-side (one transform over the staged token
+    array); candidate generation downstream is an equi-join on the
+    fingerprint value — shuffle carries (fingerprint, doc_id), never
+    text. Documents shorter than one window fingerprint as a single
+    whole-document window (standard winnowing edge case)."""
+    return winnow_from_hashes(ordered_shingle_hashes_from(toks), w)
+
+
+def winnow_from_hashes(hs: Column, w: int = WINNOW_W) -> Column:
+    """Winnowing from a STAGED positional-hash column — the hot-path form
+    (``hs`` is referenced several times below; a staged plain column
+    reference evaluates once, an inline HOF expression would re-hash the
+    document per reference)."""
+    n_win = F.size(hs) - (w - 1)
+    windows = (
+        F.when(
+            F.size(hs) >= w,
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            ),
+        )
+        .when(F.size(hs) > 0, F.array(F.array_min(hs)))
+        .otherwise(F.expr("array()").cast("array<bigint>"))
+    )
+    return F.array_distinct(windows)
+
+
 def hamming32(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -270,6 +320,27 @@ SQL_SHINGLE_HASHES = (
     "list_distinct(list_transform(" + SQL_SHINGLES + ", s -> "
     + SQL_MD5_LONG.format(c="s") + f" % {MINHASH_P}))"
 )
+
+
+SQL_ORDERED_SHINGLE_HASHES = (
+    "list_transform(" + SQL_SHINGLES + ", s -> "
+    + SQL_MD5_LONG.format(c="s") + f" % {MINHASH_P})"
+)
+
+
+def sql_winnow_from_hashes(hs: str, w: int = WINNOW_W) -> str:
+    """DuckDB twin of ``winnow_from_hashes`` over a CTE-staged hash-list
+    column (stage ``SQL_ORDERED_SHINGLE_HASHES`` first, same reason as
+    the Spark side: ``hs`` is referenced per window). 1-based inclusive
+    ``list_slice`` mirrors Spark's (start, length) slice exactly."""
+    return (
+        f"list_distinct(CASE "
+        f"WHEN len({hs}) >= {w} THEN "
+        f"list_transform(generate_series(1, len({hs}) - {w - 1}), "
+        f"i -> list_min(list_slice({hs}, i, i + {w - 1}))) "
+        f"WHEN len({hs}) > 0 THEN [list_min({hs})] "
+        f"ELSE CAST([] AS BIGINT[]) END)"
+    )
 
 
 def sql_minhash_exprs(c: str, k: int = MINHASH_K) -> list[str]:

@@ -131,6 +131,73 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged winnowing fingerprints per doc: tokens -> positional k-gram
+    hashes -> window minima (``ops/dedup.py winnow_from_hashes``). Three
+    narrow projections so each HOF pass runs once per row."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", dd.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            dd.ordered_shingle_hashes_from(F.col("toks")).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.size("hs").alias("n_kgrams"),
+            dd.winnow_from_hashes(F.col("hs")).alias("fp"),
+        )
+    )
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint profile (MOSS selection): how
+    many k-grams, how many selected fingerprints, and the selection
+    density — expected ~2/(w+1) on long docs, exactly the knob that makes
+    substring-level dedup affordable at corpus scale (the downstream
+    join carries only the selected minima, not every k-gram)."""
+    return (
+        _winnowed(spark, sf_dir)
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.size("fp").alias("n_fingerprints"),
+            F.round(
+                F.when(
+                    F.col("n_kgrams") > 0,
+                    F.size("fp") / F.col("n_kgrams"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate candidates via shared winnowing
+    fingerprints: explode (fingerprint, doc_id), group by fingerprint,
+    pair within each group (sorted + local pair fan-out, the LSH bucket
+    pattern — no self-join), then count shared fingerprints per pair.
+    Pairs sharing >= 3 minima contain common word runs of >= w + k - 1
+    words — catches quotes and boilerplate that whole-document Jaccard
+    dilutes away. The shuffle carries (fingerprint, doc_id) only."""
+    fp = _winnowed(spark, sf_dir).select("doc_id", F.explode("fp").alias("f"))
+    grouped = fp.groupBy("f").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    pairs = grouped.filter(F.size("ids") > 1).select(
+        F.explode(dd.bucket_pairs(F.col("ids"))).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= 3)
+        .orderBy("a", "b")
+    )
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-CONTAINMENT detection: a doc whose shingle set is
     mostly inside another's (quotes, excerpts, boilerplate-wrapped copies)
@@ -1047,6 +1114,8 @@ QUERIES = {
     "text_chunking": text_chunking,
     "text_pack_sequences": text_pack_sequences,
     "dedup_simhash": dedup_simhash,
+    "text_winnowing": text_winnowing,
+    "winnowing_overlap": winnowing_overlap,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -1394,6 +1463,36 @@ def _build_oracle() -> dict[str, str]:
         """,
         "dedup_simhash": f"""
             SELECT doc_id, {dd.sql_simhash_expr("text")} AS simhash FROM documents
+        """,
+        "text_winnowing": f"""
+            WITH hs AS (
+              SELECT doc_id,
+                     {dd.SQL_ORDERED_SHINGLE_HASHES.format(c="text")} AS hs
+              FROM documents),
+            fp AS (
+              SELECT doc_id, len(hs) AS n_kgrams,
+                     {dd.sql_winnow_from_hashes("hs")} AS fp
+              FROM hs)
+            SELECT doc_id, CAST(n_kgrams AS INTEGER) AS n_kgrams,
+                   CAST(len(fp) AS INTEGER) AS n_fingerprints,
+                   round(CASE WHEN n_kgrams > 0
+                         THEN CAST(len(fp) AS DOUBLE) / n_kgrams
+                         ELSE 0.0 END, 4) AS density
+            FROM fp ORDER BY doc_id
+        """,
+        "winnowing_overlap": f"""
+            WITH hs AS (
+              SELECT doc_id,
+                     {dd.SQL_ORDERED_SHINGLE_HASHES.format(c="text")} AS hs
+              FROM documents),
+            fp AS (
+              SELECT doc_id, {dd.sql_winnow_from_hashes("hs")} AS fp
+              FROM hs),
+            ex AS (SELECT doc_id, unnest(fp) AS f FROM fp)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   count(*) AS shared_fingerprints
+            FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2
         """,
         "dedup_ngram_jaccard": f"""
             WITH s AS (SELECT doc_id, source, {sh} AS sh FROM documents),

@@ -145,3 +145,44 @@ def test_simhash_hamming(spark):
         dd.hamming32(F.col("a"), F.col("b")).alias("h")
     )
     assert ham.head()["h"] > 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing contract (MOSS): two documents sharing a word run of
+    at least w + k - 1 = 6 words MUST share at least one fingerprint; the
+    selection density on long docs sits near the expected 2/(w+1)."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unrelated preamble one two {shared} tail xx yy"),
+            (2, f"{shared} totally different continuation here now"),
+            (3, "no overlap with anything else at all whatsoever"),
+            (4, "tiny doc"),  # shorter than one k-gram: zero fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    staged = docs.select(
+        "doc_id", dd.tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id", dd.ordered_shingle_hashes_from(F.col("toks")).alias("hs")
+    ).select("doc_id", dd.winnow_from_hashes(F.col("hs")).alias("fp"))
+    fps = {r["doc_id"]: set(r["fp"]) for r in staged.collect()}
+    assert fps[1] & fps[2], "shared 6-word run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert fps[4] == set()
+    # density on a long synthetic doc ~ 2/(w+1) = 0.4 (loose band)
+    long_doc = spark.range(1).select(
+        F.lit(0).alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.md5(F.lit(str(i)))[0:7] for i in range(400)]
+        ).alias("text"),
+    )
+    row = long_doc.select(
+        dd.tokens(F.col("text")).alias("toks")
+    ).select(
+        dd.ordered_shingle_hashes_from(F.col("toks")).alias("hs")
+    ).select(
+        F.size("hs").alias("n"), F.size(dd.winnow_from_hashes(F.col("hs"))).alias("k")
+    ).first()
+    density = row["k"] / row["n"]
+    assert 0.25 <= density <= 0.55, density
