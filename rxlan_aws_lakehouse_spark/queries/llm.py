@@ -131,6 +131,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_MAX_POSTING = 64  # df-cut: fingerprints in more docs are boilerplate
+
+
 def _winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged winnowing fingerprints per doc: tokens -> positional k-gram
     hashes -> window minima (``ops/dedup.py winnow_from_hashes``). Three
@@ -181,12 +184,33 @@ def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — no self-join), then count shared fingerprints per pair.
     Pairs sharing >= 3 minima contain common word runs of >= w + k - 1
     words — catches quotes and boilerplate that whole-document Jaccard
-    dilutes away. The shuffle carries (fingerprint, doc_id) only."""
-    fp = _winnowed(spark, sf_dir).select("doc_id", F.explode("fp").alias("f"))
+    dilutes away. The shuffle carries (fingerprint, doc_id) only.
+
+    Fingerprints whose posting list exceeds ``WINNOW_MAX_POSTING`` docs
+    are DROPPED before pairing — the document-frequency cut every
+    fingerprint index at scale applies (a minimum shared by thousands of
+    docs is corpus boilerplate, not a duplication signal, and its pair
+    fan-out is quadratic: measured 420s at 50k docs uncapped vs linear
+    capped, SCALING.md r6). Mirrored exactly in the oracle.
+
+    ``explode_outer`` + post-generate null filter, NOT plain ``explode``:
+    the optimizer's InferFiltersFromGenerate rule turns a plain explode
+    into a ``size(fp) > 0`` predicate pushed below the staged
+    projections, INLINING the whole winnow chain into a per-row filter
+    where every ``element_at`` re-runs the tokenizer — measured 60x
+    (406s -> 6.9s at 5k docs, SCALING.md r6). The outer variant infers
+    no filter, so the staging survives."""
+    fp = (
+        _winnowed(spark, sf_dir)
+        .select("doc_id", F.explode_outer("fp").alias("f"))
+        .filter(F.col("f").isNotNull())
+    )
     grouped = fp.groupBy("f").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    pairs = grouped.filter(F.size("ids") > 1).select(
+    pairs = grouped.filter(
+        (F.size("ids") > 1) & (F.size("ids") <= WINNOW_MAX_POSTING)
+    ).select(
         F.explode(dd.bucket_pairs(F.col("ids"))).alias("p")
     )
     return (
@@ -1488,10 +1512,14 @@ def _build_oracle() -> dict[str, str]:
             fp AS (
               SELECT doc_id, {dd.sql_winnow_from_hashes("hs")} AS fp
               FROM hs),
-            ex AS (SELECT doc_id, unnest(fp) AS f FROM fp)
+            ex AS (SELECT doc_id, unnest(fp) AS f FROM fp),
+            keep AS (
+              SELECT f FROM ex GROUP BY f
+              HAVING count(*) BETWEEN 2 AND {WINNOW_MAX_POSTING}),
+            exc AS (SELECT ex.doc_id, ex.f FROM ex JOIN keep USING (f))
             SELECT a.doc_id AS a, b.doc_id AS b,
                    count(*) AS shared_fingerprints
-            FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+            FROM exc a JOIN exc b ON a.f = b.f AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2
         """,
         "dedup_ngram_jaccard": f"""
