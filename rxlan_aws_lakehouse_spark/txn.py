@@ -40,6 +40,7 @@ the table (measured flat 200 -> 5000 files, tools/meta_probe.py).
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
 import hashlib
 import json
@@ -169,6 +170,64 @@ def _file_column_stats(path: str) -> dict:
     return {"rows": md.num_rows, "columns": cols}
 
 
+_BLOOM_BITS_PER = 16  # bits per distinct value (~0.24% fpp at k=4)
+_BLOOM_K = 4
+_BLOOM_MAX_DISTINCT = 200_000  # per-file cap: above this, skip the bloom
+
+
+def _bloom_canon(v) -> str | None:
+    """Canonical hash key for a bloom-indexed value — int/str only (the
+    merge/point-lookup key types); other types return None and are never
+    bloom-pruned (conservative)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    return None
+
+
+def _bloom_build(values) -> dict | None:
+    """Per-file bloom over a column's distinct values. Sized at
+    ``_BLOOM_BITS_PER`` bits/value (power-of-two m); md5-derived double
+    hashing, engine/runtime-stable."""
+    keys = {c for c in (_bloom_canon(v) for v in values) if c is not None}
+    if not keys or len(keys) > _BLOOM_MAX_DISTINCT:
+        return None
+    m = max(64, 1 << (len(keys) * _BLOOM_BITS_PER).bit_length())
+    bits = bytearray(m // 8)
+    for c in keys:
+        d = hashlib.md5(c.encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        for j in range(_BLOOM_K):
+            pos = (h1 + j * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def _bloom_maybe_contains(bloom: dict, v) -> bool:
+    """False ONLY when the bloom proves the value absent."""
+    c = _bloom_canon(v)
+    if c is None:
+        return True
+    m, k = bloom["m"], bloom["k"]
+    bits = base64.b64decode(bloom["b64"])
+    d = hashlib.md5(c.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    for j in range(k):
+        pos = (h1 + j * h2) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 def _local_path(file_uri: str) -> str:
     """file:/... URI (as returned by input_file_name) -> local filesystem path."""
     p = urlparse(file_uri)
@@ -195,14 +254,33 @@ def _subshard_suffix(rel: str) -> str:
     return f"{h % _SUBSHARD_BUCKETS:02x}"
 
 
-def _file_entry(path: str) -> dict:
-    """Per-file manifest entry: footer stats + on-disk size."""
+def _file_entry(path: str, bloom_cols: tuple[str, ...] = ()) -> dict:
+    """Per-file manifest entry: footer stats + on-disk size, plus a bloom
+    filter per configured column (Delta bloom index / Iceberg bloom
+    analogue). Blooms cost ONE column read per fresh file at commit —
+    carried files keep theirs through the manifest — and buy point-lookup
+    pruning that min/max cannot give on unclustered keys (a uniformly
+    distributed key overlaps every file's range)."""
     e = _file_column_stats(path)
     e["bytes"] = os.path.getsize(path)
+    if bloom_cols:
+        pf = _pq.ParquetFile(path)
+        present = [c for c in bloom_cols if c in pf.schema_arrow.names]
+        blooms = {}
+        for c in present:
+            bl = _bloom_build(pf.read(columns=[c]).column(c).to_pylist())
+            if bl is not None:
+                blooms[c] = bl
+        if blooms:
+            e["bloom"] = blooms
     return e
 
 
-def _entries_for(paths: list[str], spark: SparkSession | None) -> dict[str, dict]:
+def _entries_for(
+    paths: list[str],
+    spark: SparkSession | None,
+    bloom_cols: tuple[str, ...] = (),
+) -> dict[str, dict]:
     """Manifest entries for freshly written files, keyed by absolute path.
 
     Small commits read footers serially in the driver (one ~KB read each);
@@ -220,7 +298,8 @@ def _entries_for(paths: list[str], spark: SparkSession | None) -> dict[str, dict
                     {
                         "path": pdf["path"],
                         "entry": [
-                            json.dumps(_file_entry(p)) for p in pdf["path"]
+                            json.dumps(_file_entry(p, bloom_cols))
+                            for p in pdf["path"]
                         ],
                     }
                 )
@@ -233,7 +312,7 @@ def _entries_for(paths: list[str], spark: SparkSession | None) -> dict[str, dict
             .collect()
         )
         return {r["path"]: json.loads(r["entry"]) for r in rows}
-    return {p: _file_entry(p) for p in paths}
+    return {p: _file_entry(p, bloom_cols) for p in paths}
 
 
 def _evolved_columns(
@@ -561,6 +640,32 @@ class TxnTable:
                 or (op == ">=" and hi < cl)
             ):
                 return True
+            if op == "=":
+                bl = entry.get("bloom", {}).get(col)
+                if bl is not None and not _bloom_maybe_contains(bl, cl):
+                    return True  # bloom PROVES the value absent
+        return False
+
+    @staticmethod
+    def _file_matches_any(entry: dict, col: str, values) -> bool:
+        """Disjunctive point probe: may this file contain ANY of
+        ``values`` in ``col``? Range stats first, bloom second; unknown
+        stats or non-bloomable values keep the file (conservative)."""
+        st = entry.get("columns", {}).get(col)
+        bl = entry.get("bloom", {}).get(col)
+        rows = entry.get("rows", 0)
+        if rows == 0:
+            return False  # empty file (writer artifact): nothing matches
+        if st is not None and st["nulls"] == rows:
+            return False  # all-null file: equality never matches
+        for v in values:
+            if st is not None and st["min"] is not None:
+                cl = _coerce_literal(st["t"], v)
+                if cl is not None and (cl < st["min"] or cl > st["max"]):
+                    continue
+            if bl is not None and not _bloom_maybe_contains(bl, v):
+                continue
+            return True
         return False
 
     def pruned_files(
@@ -593,6 +698,30 @@ class TxnTable:
                 if not self._file_prunable(entries[rel], rel, predicates)
             )
         return kept, meta["n_files"]
+
+    def pruned_files_in(
+        self, col: str, values, version: str | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-only DISJUNCTIVE point skipping: files that may
+        contain ANY of ``values`` in ``col`` — the IN-list / merge-key
+        shape. Range stats apply per value; per-file blooms (when the
+        table records ``bloom_cols``) prune even when every file's
+        [min, max] spans the key space, which is exactly the unclustered-
+        key case where range stats are useless. Pure metadata."""
+        v = version or self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        meta = self._meta(v)
+        vals = list(values)
+        kept: list[str] = []
+        for key in meta["shards"]:
+            entries = self._load_shard(v, key)
+            kept.extend(
+                rel
+                for rel in sorted(entries)
+                if self._file_matches_any(entries[rel], col, vals)
+            )
+        return sorted(kept), meta["n_files"]
 
     def read_pruned(
         self, spark: SparkSession, predicates, version: str | None = None
@@ -652,6 +781,7 @@ class TxnTable:
         carry_entries: dict[str, dict] | None = None,
         publish: bool = True,
         carry_src: str | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> str:
         """Write ``df`` as a new snapshot and atomically publish it.
 
@@ -696,6 +826,12 @@ class TxnTable:
         parent_meta = self._meta(expect) if expect is not None else {}
         if partition_by is None and expect is not None:
             partition_by = parent_meta.get("partition_by") or None
+        # bloom_cols is a TABLE PROPERTY: set once (first commit or an
+        # explicit pass), inherited by every later commit like the
+        # partition spec — fresh files get blooms, carried files keep
+        # theirs through the manifest fragments.
+        if bloom_cols is None:
+            bloom_cols = parent_meta.get("bloom_cols") or []
         # Watermark fold-forward (see _WATERMARK_KEYS): interleaved
         # commits that don't set their own value inherit the parent's, so
         # the newest epoch/cursor always rides the LIVE snapshot — O(1) to
@@ -742,7 +878,9 @@ class TxnTable:
             # same file count as the parent's carries its whole fragment by
             # hard link — zero loads, zero rewrites.
             abs_fresh = [os.path.join(staging, rel) for rel in fresh]
-            by_path = _entries_for(abs_fresh, df.sparkSession)
+            by_path = _entries_for(
+                abs_fresh, df.sparkSession, tuple(bloom_cols)
+            )
             fresh_entries = {
                 rel: by_path[p] for rel, p in zip(fresh, abs_fresh)
             }
@@ -847,7 +985,9 @@ class TxnTable:
                     entries[rel] = (
                         pe[rel]
                         if rel in pe
-                        else _file_entry(os.path.join(staging, rel))
+                        else _file_entry(
+                            os.path.join(staging, rel), tuple(bloom_cols)
+                        )
                     )
                 with open(dst, "w") as f:
                     json.dump({"files": entries}, f)
@@ -869,6 +1009,7 @@ class TxnTable:
                 # base shards currently hash-split into sub-fragments —
                 # the NEXT commit keys carried files with this
                 "split_shards": sorted(split),
+                "bloom_cols": list(bloom_cols),
             }
             with open(os.path.join(staging, "_meta.json"), "w") as f:
                 json.dump(meta, f)
@@ -921,6 +1062,10 @@ class TxnTable:
     # file count rides the snapshot meta). Delta's MERGE makes the same
     # call by skipping file-skipping when stats can't pay for themselves.
     _PRUNE_SKIP_FILES = 8
+    # Max distinct merge keys probed against per-file blooms; above this
+    # a point-probe loop over the manifest stops paying and the range-
+    # bounds job takes over.
+    _BLOOM_PROBE_MAX = 128
 
     def _merge_candidates(
         self, expect: str, updates: DataFrame, keys: list[str]
@@ -934,9 +1079,29 @@ class TxnTable:
         key-clustered 100 TB table that is the handful of files the
         merge actually hits. Small tables (``_PRUNE_SKIP_FILES``): every
         file is a candidate and the bounds job is elided entirely.
+
+        When the single merge-key column carries per-file BLOOMS and the
+        update set is small (``_BLOOM_PROBE_MAX`` distinct keys), the
+        bounds job is replaced by a limited distinct-collect and
+        candidates come from bloom point probes — on an UNCLUSTERED key
+        (every file's range spans the key space, min/max prunes nothing)
+        this is the difference between scanning the whole table for a
+        10-row upsert and scanning the ~10 files that can hold the keys.
         """
         if self._meta(expect).get("n_files", 0) <= self._PRUNE_SKIP_FILES:
             return self.files(expect)
+        bloom_cols = self._meta(expect).get("bloom_cols") or []
+        if len(keys) == 1 and keys[0] in bloom_cols:
+            k = keys[0]
+            rows = (
+                updates.select(k)
+                .distinct()
+                .limit(self._BLOOM_PROBE_MAX + 1)
+                .collect()
+            )
+            if len(rows) <= self._BLOOM_PROBE_MAX:
+                vals = [r[k] for r in rows if r[k] is not None]
+                return self.pruned_files_in(k, vals, expect)[0]
         bounds = updates.agg(
             *[F.min(k).alias(f"lo_{k}") for k in keys],
             *[F.max(k).alias(f"hi_{k}") for k in keys],

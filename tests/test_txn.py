@@ -1326,3 +1326,79 @@ def test_concurrent_merges_both_land_via_retry(spark, tmp_path):
     assert got.filter(F.col("tag") == "w1").count() == 2
     assert got.filter(F.col("tag") == "w2").count() == 2
     assert got.count() == 10
+
+
+# -- per-file bloom filters (round 6) ------------------------------------
+
+
+def _bloom_table(spark, tmp_path, n_files=12, rows_per=100):
+    """Unclustered key: k round-robins across files, so EVERY file's
+    [min, max] spans nearly the whole key space — range stats prune
+    nothing, which is exactly what blooms exist for."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(n_files * rows_per).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("tag"),
+        (F.col("id") % n_files).cast("int").alias("bucket"),
+    ).repartition(n_files, "k")
+    t.commit(df, bloom_cols=["k"])
+    return t
+
+
+def test_bloom_point_prune_on_unclustered_key(spark, tmp_path):
+    t = _bloom_table(spark, tmp_path)
+    meta = t._meta(t.current_version())
+    assert meta["bloom_cols"] == ["k"]
+    entries = t.file_entries()
+    assert len(entries) == 12
+    assert all("bloom" in e and "k" in e["bloom"] for e in entries.values())
+    # range stats are useless here: every file overlaps key 7's value
+    rng, total = t.pruned_files([("k", "=", 7)])
+    assert len(rng) >= 1
+    # bloom point probe: exactly the one file holding k=7 (fpp ~0.2%)
+    kept, total = t.pruned_files_in("k", [7])
+    assert total == 12
+    assert len(kept) == 1
+    got = (
+        t.read(spark, None)
+        .filter(F.col("k") == 7)
+        .select(F.input_file_name().alias("f"))
+        .first()["f"]
+    )
+    assert kept[0].split("/")[-1] in got
+    # an absent key prunes EVERYTHING (bloom proves absence)
+    kept_absent, _ = t.pruned_files_in("k", [10**9])
+    assert kept_absent == []
+    # conjunctive "=" predicates use the bloom too
+    kept_eq, _ = t.pruned_files([("k", "=", 10**9)])
+    assert kept_eq == []
+
+
+def test_bloom_merge_prunes_discovery_and_survives_carry(spark, tmp_path):
+    """A 2-key upsert on the unclustered key touches ~2 files via bloom
+    probes (not all 6); carried files keep their blooms; the fresh file
+    gets a new one; results stay exact."""
+    t = _bloom_table(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(7, "UPD", 1), (13, "UPD", 1)], "k long, tag string, bucket int"
+    )
+    cands = t._merge_candidates(t.current_version(), updates, ["k"])
+    assert len(cands) <= 2  # bloom-pruned discovery set
+    v2 = t.merge_upsert(spark, updates, keys=["k"])
+    got = t.read(spark).filter(F.col("tag") == "UPD").count()
+    assert got == 2
+    assert t.read(spark).count() == 1200
+    ents = t.file_entries(v2)
+    assert all("bloom" in e for e in ents.values())
+    # the rewritten file's bloom reflects the new contents: probing an
+    # updated key still finds exactly one file
+    kept, _ = t.pruned_files_in("k", [13])
+    assert len(kept) == 1
+    # inheritance: a later append (no bloom_cols arg) still records blooms
+    t.append(spark.createDataFrame(
+        [(5000, "new", 0)], "k long, tag string, bucket int"))
+    newest = [
+        e for rel, e in t.file_entries().items()
+        if rel not in ents and e["rows"] > 0
+    ]
+    assert newest and all("bloom" in e for e in newest)
