@@ -496,6 +496,57 @@ def txn_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookups on an UNCLUSTERED key: orders committed
+    hash-distributed on o_orderkey (every file's [min, max] spans the key
+    space — range stats prune nothing) with ``bloom_cols=["o_orderkey"]``.
+    A point merge and a batch of point reads then prune through the
+    per-file blooms (``pruned_files_in``); the output proves both the
+    pruned read's CORRECTNESS (rows equal the full-scan answer DuckDB
+    computes) and the pruning's EFFECT (files scanned, a deterministic
+    fraction of the table, riding the result as data)."""
+    work = tempfile.mkdtemp(prefix="txn_bloom_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        t.commit(
+            orders.repartition(16, "o_orderkey"),
+            bloom_cols=["o_orderkey"],
+        )
+        # point upsert: bloom-pruned discovery, then read the keys back
+        keys = [1, 7, 32, 33, 4000]
+        upd = spark.createDataFrame(
+            [(1, -1, 0.0, "POINT")], "o_orderkey long, o_custkey long, "
+            "o_totalprice double, o_orderpriority string"
+        )
+        t.merge_upsert(spark, upd, keys=["o_orderkey"])
+        rels, total = t.pruned_files_in("o_orderkey", keys)
+        data_root = f"{t.root}/_versions/{t.current_version()}"
+        hit = (
+            spark.read.schema(t.read(spark).schema)
+            .parquet(*(f"{data_root}/{r}" for r in rels))
+            .filter(F.col("o_orderkey").isin(keys))
+        )
+        out = hit.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderpriority",
+            # the pruning-effect claim rides the result: k point keys may
+            # touch at most k of the table's files (16 written + the
+            # merge's rewrite), or blooms aren't pruning at all
+            F.lit(len(rels) <= len(keys) and total >= 16).alias(
+                "bloom_pruned"
+            ),
+        ).orderBy("o_orderkey")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -507,9 +558,26 @@ QUERIES = {
     "txn_restore": txn_restore,
     "txn_streaming_cdc_merge": txn_streaming_cdc_merge,
     "txn_scd2_history": txn_scd2_history,
+    "txn_bloom_point_lookup": txn_bloom_point_lookup,
 }
 
 ORACLE = {
+    # the bloom-pruned point read must equal the full-scan answer with
+    # the k=1 row carrying the merged values; bloom_pruned TRUE encodes
+    # the files-scanned bound the Spark side computed from the manifest
+    "txn_bloom_point_lookup": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey = 1 THEN -1 ELSE o_custkey END
+                 AS o_custkey,
+               round(CASE WHEN o_orderkey = 1 THEN 0.0
+                     ELSE o_totalprice END, 2) AS total_price,
+               CASE WHEN o_orderkey = 1 THEN 'POINT'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               TRUE AS bloom_pruned
+        FROM orders
+        WHERE o_orderkey IN (1, 7, 32, 33, 4000)
+        ORDER BY o_orderkey
+    """,
     # interval rebuild per snapshot: mid = initial + wave 1, final = all
     # waves; a replayed wave contributes the same rows (UNION ALL + the
     # lag-suppression dedups nothing here because scd2 drops the late
