@@ -462,11 +462,20 @@ def txn_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def apply_wave(u: DataFrame) -> str:
+            current = t.read(spark)
             hist = scd2_apply(
-                t.read(spark), u, keys=["c_custkey"], attr_cols=["segment"]
+                current, u, keys=["c_custkey"], attr_cols=["segment"]
             )
+            # merge only the CHANGED rows: SCD2 never deletes, so the new
+            # history differs from the current one by exactly (closed
+            # intervals with a new valid_to) + (inserted versions) — the
+            # exceptAll diff. The merge then touches only the files
+            # holding affected keys instead of rewriting the whole
+            # dimension per wave (at 100 TB: the point of file-granular
+            # MERGE). An empty diff (replayed wave) commits nothing.
+            delta = hist.exceptAll(current)
             return t.merge_upsert(
-                spark, hist, keys=["c_custkey", "valid_from"],
+                spark, delta, keys=["c_custkey", "valid_from"],
                 validate_keys=False,
             )
 
