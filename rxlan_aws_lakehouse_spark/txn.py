@@ -1668,6 +1668,8 @@ class TxnTable:
             # [] passes through verbatim (commit only inherits on None):
             # cloning an unpartitioned snapshot must record unpartitioned
             partition_by=list(meta_v.get("partition_by") or []),
+            # table properties travel with the clone
+            bloom_cols=list(meta_v.get("bloom_cols") or []),
             operation="clone",
             carry_files=carry,
             # stats travel from the source manifest - no footer re-reads
@@ -1710,6 +1712,8 @@ class TxnTable:
                 # would), or the next append mixes root-level files with
                 # partition dirs under one basePath
                 partition_by=list(meta_v.get("partition_by") or []),
+                # restore reinstates table PROPERTIES too, not just files
+                bloom_cols=list(meta_v.get("bloom_cols") or []),
                 operation="restore",
                 carry_files=carry,
                 # stats travel from the RESTORED snapshot's manifest —

@@ -1402,3 +1402,22 @@ def test_bloom_merge_prunes_discovery_and_survives_carry(spark, tmp_path):
         if rel not in ents and e["rows"] > 0
     ]
     assert newest and all("bloom" in e for e in newest)
+
+
+def test_bloom_cols_travel_with_clone_and_restore(spark, tmp_path):
+    t = _bloom_table(spark, tmp_path, n_files=2, rows_per=20)
+    clone = t.clone_to(spark, str(tmp_path / "dev"))
+    assert clone._meta(clone.current_version())["bloom_cols"] == ["k"]
+    clone.append(spark.createDataFrame(
+        [(9000, "x", 0)], "k long, tag string, bucket int"))
+    fresh = [
+        e for e in clone.file_entries().values()
+        if e["rows"] == 1
+    ]
+    assert fresh and "bloom" in fresh[0]
+    # restore reinstates the property from the restored snapshot
+    v1 = t.current_version()
+    t.commit(t.read(spark), bloom_cols=[])  # property dropped at head
+    assert t._meta(t.current_version())["bloom_cols"] == []
+    t.restore(spark, v1)
+    assert t._meta(t.current_version())["bloom_cols"] == ["k"]
