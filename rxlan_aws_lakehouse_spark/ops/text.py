@@ -173,3 +173,61 @@ def sql_lang_score(lang: str, c: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
     toks = SQL_TOKENS.format(c=c)
     return f"len(list_filter({toks}, t -> lower(t) IN ({words})))"
+
+
+# -- markup stripping (web-corpus cleaning) --------------------------------
+
+# Entities the unescaper handles; order matters (&amp; LAST on decode so
+# double-escaped text resolves one level per pass, standard single-pass
+# semantics).
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(col: Column) -> Column:
+    """HTML/markup removal for web-crawl text (the trafilatura/justext
+    step reduced to its engine-side core): drop <script>/<style> elements
+    WITH their content, drop comments, replace every remaining tag with a
+    space (so adjacent words don't fuse), unescape the common entities,
+    and collapse whitespace. Pure regexp column expressions — codegen'd,
+    no Python in the row path, linear in text size."""
+    out = col
+    # two passes, no backreference: the SQL twin runs on RE2 (DuckDB),
+    # which has no \1
+    for el in ("script", "style"):
+        out = F.regexp_replace(
+            out, rf"(?is)<{el}\b[^>]*>.*?</{el}\s*>", " "
+        )
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, ch)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def tag_count(col: Column) -> Column:
+    """How many tags the stripper would remove (markup-density signal —
+    crawl-quality filters cut on this)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"(?s)<[^>]+>"), 0))
+
+
+def sql_strip_markup(c: str) -> str:
+    """DuckDB twin of ``strip_markup`` (same regexes; DuckDB flags go in
+    the 4th arg, 's' via inline (?s))."""
+    out = c
+    for el in ("script", "style"):
+        out = (
+            f"regexp_replace({out}, "
+            f"'(?is)<{el}\\b[^>]*>.*?</{el}\\s*>', ' ', 'g')"
+        )
+    out = f"regexp_replace({out}, '(?s)<!--.*?-->', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?s)<[^>]+>', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -134,6 +134,48 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_MAX_POSTING = 64  # df-cut: fingerprints in more docs are boilerplate
 
 
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus markup removal (``ops/text.py strip_markup``): each doc
+    is wrapped in deterministic synthetic HTML — container div, script
+    element with CONTENT to drop on every 3rd doc, comment on every 5th,
+    escaped entities in the tail — then stripped back to clean text.
+    Both the synthesis and the strip are mirrored in the oracle, so a
+    regex divergence (greedy match, missed entity, fused words) breaks
+    the md5 hash. Pure regexp projections: codegen'd, linear, the
+    trafilatura step's engine-side core."""
+    d = load(spark, sf_dir, "documents")
+    marked = F.concat(
+        F.lit('<div id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p>'),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<script type="text/javascript">var x = 1 < 2;</script>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("<!-- crawler boilerplate -->")
+        ).otherwise(F.lit("")),
+        F.lit(" &amp; tail &lt;end&gt;</div>"),
+    )
+    staged = d.select("doc_id", marked.alias("marked"))
+    return (
+        staged.select(
+            "doc_id",
+            tx.tag_count(F.col("marked")).alias("n_tags"),
+            tx.strip_markup(F.col("marked")).alias("clean"),
+        )
+        .select(
+            "doc_id",
+            "n_tags",
+            F.length("clean").alias("clean_len"),
+            F.md5("clean").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged winnowing fingerprints per doc: tokens -> positional k-gram
     hashes -> window minima (``ops/dedup.py winnow_from_hashes``). Three
@@ -1140,6 +1182,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "text_winnowing": text_winnowing,
     "winnowing_overlap": winnowing_overlap,
+    "text_html_strip": text_html_strip,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -1487,6 +1530,28 @@ def _build_oracle() -> dict[str, str]:
         """,
         "dedup_simhash": f"""
             SELECT doc_id, {dd.sql_simhash_expr("text")} AS simhash FROM documents
+        """,
+        "text_html_strip": f"""
+            WITH marked AS (
+              SELECT doc_id,
+                     '<div id="d' || CAST(doc_id AS VARCHAR) || '"><p>'
+                     || text || '</p>'
+                     || CASE WHEN doc_id % 3 = 0
+                        THEN '<script type="text/javascript">var x = 1 < 2;</script>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN '<!-- crawler boilerplate -->' ELSE '' END
+                     || ' &amp; tail &lt;end&gt;</div>' AS marked
+              FROM documents),
+            stripped AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(marked, '(?s)<[^>]+>')) AS n_tags,
+                     {tx.sql_strip_markup('marked')} AS clean
+              FROM marked)
+            SELECT doc_id, CAST(n_tags AS INTEGER) AS n_tags,
+                   CAST(length(clean) AS INTEGER) AS clean_len,
+                   md5(clean) AS clean_md5
+            FROM stripped ORDER BY doc_id
         """,
         "text_winnowing": f"""
             WITH hs AS (

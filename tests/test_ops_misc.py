@@ -198,3 +198,27 @@ def test_decode_features_real_pipeline(spark):
     assert (r3["fmt"], r3["width"], r3["height"]) == ("bmp", 7, 3)
     assert r3["mean_r"] == pytest.approx(22.0)
     assert r3["mean_b"] == pytest.approx(float(len("hello world") % 256))
+
+
+def test_strip_markup_semantics(spark):
+    """Unit semantics the oracle's aggregate hash can't isolate: content
+    of script/style dropped entirely, tags become separators (no word
+    fusing), entities unescape once, whitespace collapses."""
+    rows = spark.createDataFrame(
+        [
+            (1, 'a<script x="y">var q = "<b>"</script>b'),
+            (2, "x<style>.c{color:red}</style>y"),
+            (3, "one<br/>two<!-- hidden words -->three"),
+            (4, "5 &lt; 6 &amp;&amp; 7 &gt; 2, &quot;q&quot; &#39;s&#39;"),
+            (5, "  spaced   <p>  out  </p>  "),
+            (6, "plain text untouched"),
+        ],
+        "id long, t string",
+    ).select("id", tx.strip_markup(F.col("t")).alias("c"), tx.tag_count(F.col("t")).alias("n"))
+    got = {r["id"]: (r["c"], r["n"]) for r in rows.collect()}
+    assert got[1] == ("a b", 3)  # script gone; its "<b>" string counts as raw markup density
+    assert got[2] == ("x y", 2)
+    assert got[3] == ("one two three", 2)  # comment matches the raw-density counter too
+    assert got[4] == ('5 < 6 && 7 > 2, "q" \'s\'', 0)
+    assert got[5] == ("spaced out", 2)
+    assert got[6] == ("plain text untouched", 0)
