@@ -40,9 +40,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query. The only omitted keys are the
-    two real Structured Streaming runs (no SQL form exists for a streaming
-    execution); every batch query — including the iterative ones (k-means,
-    connected components) and the Arrow mapInPandas extractor — has a
-    hash-checked oracle."""
+    """DuckDB-runnable ANSI SQL per query — one for EVERY key in
+    ``queries()``, no omissions: the real Structured Streaming runs have
+    batch-equivalent closed forms, the iterative algorithms (k-means,
+    connected components) unroll as CTEs, and the Arrow mapInPandas
+    extractors (features, BMP decode, rotated buckets) are pinned by
+    value-recomputing twins."""
     return all_oracles()
