@@ -211,13 +211,11 @@ def _bloom_build(values) -> dict | None:
     }
 
 
-def _bloom_maybe_contains(bloom: dict, v) -> bool:
+def _bloom_probe(bits: bytes, m: int, k: int, v) -> bool:
     """False ONLY when the bloom proves the value absent."""
     c = _bloom_canon(v)
     if c is None:
         return True
-    m, k = bloom["m"], bloom["k"]
-    bits = base64.b64decode(bloom["b64"])
     d = hashlib.md5(c.encode("utf-8")).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:], "big") | 1
@@ -226,6 +224,12 @@ def _bloom_maybe_contains(bloom: dict, v) -> bool:
         if not (bits[pos >> 3] >> (pos & 7)) & 1:
             return False
     return True
+
+
+def _bloom_maybe_contains(bloom: dict, v) -> bool:
+    return _bloom_probe(
+        base64.b64decode(bloom["b64"]), bloom["m"], bloom["k"], v
+    )
 
 
 def _local_path(file_uri: str) -> str:
@@ -658,12 +662,17 @@ class TxnTable:
             return False  # empty file (writer artifact): nothing matches
         if st is not None and st["nulls"] == rows:
             return False  # all-null file: equality never matches
+        # decode the bitset ONCE per file, probe per value — an IN-list
+        # of 128 keys against a 10^5-file manifest stays metadata-cheap
+        bits = base64.b64decode(bl["b64"]) if bl is not None else None
         for v in values:
             if st is not None and st["min"] is not None:
                 cl = _coerce_literal(st["t"], v)
                 if cl is not None and (cl < st["min"] or cl > st["max"]):
                     continue
-            if bl is not None and not _bloom_maybe_contains(bl, v):
+            if bits is not None and not _bloom_probe(
+                bits, bl["m"], bl["k"], v
+            ):
                 continue
             return True
         return False
