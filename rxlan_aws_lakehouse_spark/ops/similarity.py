@@ -186,6 +186,10 @@ def _rotated_buckets_arrow(planes: list[list[list[int]]]):
     )  # (n_tables*bits, dim)
 
     def buckets(vecs):  # pd.Series -> pd.DataFrame (struct row per vec)
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.DataFrame(
+                {f"bucket_{t}": [] for t in range(n_tables)}
+            )
         mat = np.stack(vecs.to_numpy())  # (n, dim) float64
         q = np.floor(mat * 1e6).astype(np.int64)
         bit = (q @ S.T) >= 0  # (n, n_tables*bits) bool
