@@ -105,6 +105,11 @@ def decode_real(payload: bytes, modality: str) -> dict:
         raise ValueError(
             f"unsupported BMP variant: bpp={bpp} compression={compression}"
         )
+    if width <= 0 or height == 0:
+        # zero-area (or negative-width) images are malformed: raise the
+        # documented bad-payload error instead of returning an empty
+        # pixel grid that downstream means would divide by
+        raise ValueError(f"degenerate BMP dimensions: {width}x{height}")
     bottom_up = height > 0
     height = abs(height)
     row_stride = (width * 3 + 3) & ~3

@@ -191,7 +191,7 @@ def _rotated_buckets_arrow(planes: list[list[list[int]]]):
                 {f"bucket_{t}": [] for t in range(n_tables)}
             )
         mat = np.stack(vecs.to_numpy())  # (n, dim) float64
-        q = np.floor(mat * 1e6).astype(np.int64)
+        q = np.floor(mat * float(FP_SCALE)).astype(np.int64)
         bit = (q @ S.T) >= 0  # (n, n_tables*bits) bool
         chars = np.where(bit, "1", "0")
         out = {}

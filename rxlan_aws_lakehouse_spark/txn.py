@@ -56,6 +56,9 @@ from pyspark.sql.types import StructType
 
 _VERSIONS = "_versions"
 _LATEST = "_LATEST"
+# commit(expect_parent=...) sentinel: "resolve the head at commit time"
+# (None is a real value meaning "expect an empty table")
+_CURRENT = object()
 # extra_meta keys that are WATERMARKS, not per-commit annotations: each
 # commit folds the parent's value forward when it doesn't set its own, so
 # the live snapshot always carries the newest value and vacuuming old
@@ -420,10 +423,19 @@ class LocalFSPointer(PointerBackend):
                 except OSError:
                     continue  # holder released between EXISTS and stat
                 if held > self.stale_after:
-                    # crashed holder: steal. Removal is idempotent; two
-                    # stealers race to the O_EXCL create next loop.
+                    # crashed holder: steal by RENAME, not unlink — the
+                    # rename succeeds for exactly one stealer (atomic),
+                    # so a second stealer that stat'ed the OLD lock can
+                    # never delete the first stealer's freshly created
+                    # one (an unlink here would reopen the double-hold
+                    # race the lock exists to close).
+                    grave = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
                     try:
-                        os.unlink(lock)
+                        os.rename(lock, grave)
+                    except FileNotFoundError:
+                        continue  # someone else stole it first
+                    try:
+                        os.unlink(grave)
                     except FileNotFoundError:
                         pass
                     continue
@@ -645,8 +657,11 @@ class TxnTable:
             ):
                 return True
             if op == "=":
+                # probe with the RAW literal: blooms hash the column's
+                # native Python values (int/str); the float-coerced stats
+                # literal would canon to None and disable the probe
                 bl = entry.get("bloom", {}).get(col)
-                if bl is not None and not _bloom_maybe_contains(bl, cl):
+                if bl is not None and not _bloom_maybe_contains(bl, lit):
                     return True  # bloom PROVES the value absent
         return False
 
@@ -791,6 +806,7 @@ class TxnTable:
         publish: bool = True,
         carry_src: str | None = None,
         bloom_cols: list[str] | None = None,
+        expect_parent=_CURRENT,
     ) -> str:
         """Write ``df`` as a new snapshot and atomically publish it.
 
@@ -830,8 +846,23 @@ class TxnTable:
         (possibly pointer-referenced) snapshot written by the winner is
         never touched. The pointer swap then re-checks the expected parent
         (optimistic concurrency).
+
+        ``expect_parent`` is the snapshot the caller DERIVED this commit
+        from (touched-file discovery, carry set, kept rows). Passing it
+        makes the CAS catch a concurrent commit that landed while the
+        caller was computing: committing against the NEW head with state
+        read from the OLD one would silently drop the concurrent writer's
+        rows (the carry set still references superseded files). Every
+        read-modify-write operation (merge/append/delete/cdc/compact)
+        passes its snapshot; whole-table replacements (overwrite,
+        restore, clone) keep the default — resolve the head at commit,
+        last-writer-wins, since they carry nothing forward from it.
         """
-        expect = self.current_version()
+        expect = (
+            self.current_version()
+            if expect_parent is _CURRENT
+            else expect_parent
+        )
         parent_meta = self._meta(expect) if expect is not None else {}
         if partition_by is None and expect is not None:
             partition_by = parent_meta.get("partition_by") or None
@@ -1174,7 +1205,8 @@ class TxnTable:
         surfaced on ``txn_incremental_agg``.
         """
         updates = updates.persist()
-        if validate_keys:
+
+        def validate() -> None:
             # Ambiguous-merge guard (Delta raises the same way): two update
             # rows with the same key would BOTH land, silently duplicating
             # the key. One skinny aggregate over the (typically small)
@@ -1261,9 +1293,14 @@ class TxnTable:
             return self.commit(
                 merged, operation="merge_upsert", carry_files=carry,
                 extra_meta=extra_meta, carry_src=expect,
+                expect_parent=expect,
             )
 
         try:
+            # validation runs INSIDE the unpersist guard: a rejected batch
+            # must not leak its cached blocks for the session's lifetime
+            if validate_keys:
+                validate()
             return self._with_retries(attempt, max_retries)
         finally:
             updates.unpersist()
@@ -1341,6 +1378,7 @@ class TxnTable:
                 operation="overwrite_partitions",
                 carry_resolver=resolver,
                 carry_src=expect,
+                expect_parent=expect,
             )
 
         return self._with_retries(attempt, max_retries)
@@ -1374,6 +1412,7 @@ class TxnTable:
                 return self.commit(
                     df, partition_by=partition_by, sort_within=sort_within,
                     operation="append", extra_meta=extra_meta,
+                    expect_parent=None,
                 )
             parent = StructType.fromJson(self._meta(expect)["schema"])
             out = df.select(
@@ -1388,6 +1427,7 @@ class TxnTable:
                 out, partition_by=partition_by, sort_within=sort_within,
                 operation="append", carry_files=carry,
                 extra_meta=extra_meta, carry_src=expect,
+                expect_parent=expect,
             )
 
         return self._with_retries(attempt, max_retries)
@@ -1463,6 +1503,7 @@ class TxnTable:
             return self.commit(
                 kept, operation="delete", carry_files=carry,
                 extra_meta=extra_meta, carry_src=expect,
+                expect_parent=expect,
             )
 
         return self._with_retries(attempt, max_retries)
@@ -1574,6 +1615,7 @@ class TxnTable:
                 return self.commit(
                     merged, operation="apply_cdc", carry_files=carry,
                     extra_meta=extra_meta, carry_src=expect,
+                    expect_parent=expect,
                 )
             finally:
                 latest.unpersist()
@@ -1621,6 +1663,9 @@ class TxnTable:
                 partition_by=list(spec),
                 sort_within=sort_within,
                 operation="rewrite_layout",
+                # the rewrite's rows were READ from expect: committing
+                # against a newer head would drop its concurrent writes
+                expect_parent=expect,
             )
 
         return self._with_retries(attempt, max_retries)
@@ -1821,7 +1866,7 @@ class TxnTable:
         # survives through commit()'s write untouched
         return self.commit(
             df, sort_within=sort_within, operation="compact",
-            carry_files=carry, carry_src=expect,
+            carry_files=carry, carry_src=expect, expect_parent=expect,
         )
 
     def changed_files(

@@ -222,3 +222,16 @@ def test_strip_markup_semantics(spark):
     assert got[4] == ('5 < 6 && 7 > 2, "q" \'s\'', 0)
     assert got[5] == ("spaced out", 2)
     assert got[6] == ("plain text untouched", 0)
+
+
+def test_decode_real_rejects_degenerate_dimensions():
+    import struct
+
+    bad = bytearray(encode_bmp(2, 2, lambda x, y: (0, 0, 0)))
+    struct.pack_into("<i", bad, 18, 0)  # width = 0
+    with pytest.raises(ValueError, match="degenerate"):
+        mm.decode_real(bytes(bad), "image")
+    bad2 = bytearray(encode_bmp(2, 2, lambda x, y: (0, 0, 0)))
+    struct.pack_into("<i", bad2, 22, 0)  # height = 0
+    with pytest.raises(ValueError, match="degenerate"):
+        mm.decode_real(bytes(bad2), "image")

@@ -1421,3 +1421,67 @@ def test_bloom_cols_travel_with_clone_and_restore(spark, tmp_path):
     assert t._meta(t.current_version())["bloom_cols"] == []
     t.restore(spark, v1)
     assert t._meta(t.current_version())["bloom_cols"] == ["k"]
+
+
+def test_concurrent_append_during_merge_is_never_lost(spark, tmp_path, monkeypatch):
+    """Code-review r6 finding: a commit that lands while another writer is
+    COMPUTING its merge must not be silently overwritten. The merge's
+    commit now CASes against the snapshot the merge was derived from, so
+    the stale attempt fails and the retry re-reads the new head — both
+    writers' rows survive."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(_df(spark, 10))
+    other = TxnTable(t.root)
+    orig = t._merge_candidates
+    fired: list[int] = []
+
+    def hooked(expect, updates, keys):
+        if not fired:  # inject the concurrent commit mid-computation
+            fired.append(1)
+            other.append(
+                spark.createDataFrame(
+                    [(500, "concurrent", "1")],
+                    "k long, tag string, dt string",
+                )
+            )
+        return orig(expect, updates, keys)
+
+    monkeypatch.setattr(t, "_merge_candidates", hooked)
+    upd = spark.createDataFrame(
+        [(1, "mine", "1")], "k long, tag string, dt string"
+    )
+    t.merge_upsert(spark, upd, keys=["k"], max_retries=3)
+    got = t.read(spark)
+    # the interleaved append's row is STILL THERE after the merge lands
+    assert got.filter(F.col("tag") == "concurrent").count() == 1
+    assert got.filter(F.col("tag") == "mine").count() == 1
+    assert got.count() == 11
+    assert len(fired) == 1  # hook fired once; retry used the fresh head
+
+
+def test_bloom_conjunctive_equality_prunes_int_literal(spark, tmp_path):
+    """Code-review r6 finding: the conjunctive "=" bloom probe must use
+    the RAW literal (the float-coerced stats literal canons to None and
+    silently disabled pruning for integer keys — the primary use case).
+    Even keys only, so an odd IN-RANGE value is absent but range stats
+    cannot prove it."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(300).select(
+        (F.col("id") * 2).alias("k"),
+        F.lit("x").alias("tag"),
+    ).repartition(4, "k")
+    t.commit(df, bloom_cols=["k"])
+    # in-range absent value: range stats keep files, bloom must prune all
+    kept, total = t.pruned_files([("k", "=", 151)])
+    assert total >= 4 and kept == []
+    # present value: kept and correct
+    kept_hit, _ = t.pruned_files([("k", "=", 150)])
+    assert len(kept_hit) >= 1
+    data = os.path.join(t.root, "_versions", t.current_version())
+    import pyspark.sql.functions as _F
+    n = (
+        spark.read.parquet(*(os.path.join(data, r) for r in kept_hit))
+        .filter(_F.col("k") == 150)
+        .count()
+    )
+    assert n == 1
