@@ -296,7 +296,12 @@ def _entries_for(
     stays flat in wall-clock as file count grows — the executor-side
     analogue of Iceberg collecting manifests from its write tasks.
     """
-    if spark is not None and len(paths) >= _DIST_STATS_MIN_FILES:
+    # Footer-only stats are ~KB reads — serial is fine below 64 files.
+    # With bloom_cols each entry READS A COLUMN and md5-hashes every
+    # distinct value, so the distributed path pays off almost immediately
+    # (measured: 32-file/2M-row commit 5.5s serial -> sub-second fanned).
+    min_files = 4 if bloom_cols else _DIST_STATS_MIN_FILES
+    if spark is not None and len(paths) >= min_files:
         import pandas as pd
 
         def compute(batches):
@@ -311,7 +316,14 @@ def _entries_for(
                     }
                 )
 
-        n_slices = max(1, min(64, len(paths) // 8))
+        # footer-only: batch ~8 files per task (each is a KB read);
+        # bloom builds: one file per task — the column read + hashing IS
+        # the work, so parallelism should match file count
+        n_slices = (
+            min(256, len(paths))
+            if bloom_cols
+            else max(1, min(64, len(paths) // 8))
+        )
         rows = (
             spark.createDataFrame([(p,) for p in paths], "path string")
             .repartition(n_slices)
