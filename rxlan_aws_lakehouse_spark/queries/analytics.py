@@ -177,6 +177,50 @@ def events_trend_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the resample/densify step every metrics
+    warehouse needs): hourly event counts per type with EXPLICIT zero
+    rows for silent hours. The dense hour spine is generated with
+    ``sequence`` over the observed [min, max] span (one tiny aggregate,
+    no calendar table), cross-joined to the type dimension (broadcast —
+    both sides are metadata-sized), then left-joined to the actual
+    hourly counts. At scale the expensive side is the counts aggregate;
+    the spine is O(hours x types) and never touches the fact table.
+    Output profiles the fill: hours, zero-hours, total per type."""
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    )
+    span = e.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = (
+        span.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+        .crossJoin(F.broadcast(e.select("event_type").distinct()))
+    )
+    hourly = e.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dense = spine.join(hourly, ["h", "event_type"], "left").select(
+        "h", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    return (
+        dense.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).alias(
+                "n_silent_hours"
+            ),
+            F.sum("n").alias("n_events"),
+            F.round(F.avg("n"), 4).alias("avg_per_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "retention_cohorts": retention_cohorts,
@@ -184,9 +228,32 @@ QUERIES = {
     "orders_market_share": orders_market_share,
     "events_anomaly_zscore": events_anomaly_zscore,
     "events_trend_regr": events_trend_regr,
+    "events_gapfill_hourly": events_gapfill_hourly,
 }
 
 ORACLE = {
+    "events_gapfill_hourly": """
+        WITH e AS (
+          SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+        span AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        spine AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h,
+                 t.event_type
+          FROM span, (SELECT DISTINCT event_type FROM e) t),
+        hourly AS (
+          SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+        dense AS (
+          SELECT spine.h, spine.event_type, coalesce(hourly.n, 0) AS n
+          FROM spine LEFT JOIN hourly
+            ON spine.h = hourly.h AND spine.event_type = hourly.event_type)
+        SELECT event_type,
+               count(*) AS n_hours,
+               CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_silent_hours,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               round(avg(n), 4) AS avg_per_hour
+        FROM dense GROUP BY event_type ORDER BY event_type
+    """,
     "events_funnel": """
         WITH per_user AS (
           SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view

@@ -398,6 +398,36 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_top_quartile_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-SOURCE quality thresholding — the curation rule that a global
+    cutoff gets wrong (a global threshold empties low-scoring sources
+    entirely and keeps every doc from high-scoring ones; mixture quotas
+    need survivors from each). percent_rank within source over the
+    deterministic (score, doc_id) order keeps each source's top quartile;
+    the output profiles what survived. One window shuffle on source."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    m = tx.quality_metrics(F.col("text"))
+    scored = d.select(
+        "doc_id", "source", m["quality_score"].alias("score")
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    kept = ranked.filter(F.col("pr") >= 0.75)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("score"), 4).alias("avg_kept_score"),
+            F.round(F.min("score"), 4).alias("threshold_score"),
+        )
+        .orderBy("source")
+    )
+
+
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -1183,6 +1213,7 @@ QUERIES = {
     "text_winnowing": text_winnowing,
     "winnowing_overlap": winnowing_overlap,
     "text_html_strip": text_html_strip,
+    "quality_top_quartile_per_source": quality_top_quartile_per_source,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -1623,6 +1654,27 @@ def _build_oracle() -> dict[str, str]:
                            ELSE 0.0 END)
                        + 0.5 * least(1.0, CAST(len({toks}) AS DOUBLE) / 50.0), 4) AS quality_score
             FROM documents
+        """,
+        "quality_top_quartile_per_source": f"""
+            WITH scored AS (
+              SELECT doc_id, source,
+                     round(0.5 * (CASE WHEN len({toks}) > 0
+                             THEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})
+                             ELSE 0.0 END)
+                         + 0.5 * least(1.0, CAST(len({toks}) AS DOUBLE) / 50.0), 4)
+                       AS score
+              FROM documents),
+            ranked AS (
+              SELECT source, score,
+                     percent_rank() OVER (PARTITION BY source
+                                          ORDER BY score, doc_id) AS pr
+              FROM scored)
+            SELECT source,
+                   count(*) AS n_kept,
+                   round(avg(score), 4) AS avg_kept_score,
+                   round(min(score), 4) AS threshold_score
+            FROM ranked WHERE pr >= 0.75
+            GROUP BY source ORDER BY source
         """,
         "text_langid": f"""
             WITH scored AS (
