@@ -250,6 +250,60 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey", "valid_from")
 
 
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE query SCD2 exists for: facts joined against the dimension AS
+    OF each fact's own timestamp ("what segment was this customer in when
+    the order shipped?"). The customer segment history is rebuilt from
+    two timestamped waves (``ops/scd2.py``), then orders join on the key
+    PLUS interval containment — o_orderdate ∈ [valid_from, valid_to).
+    Plan shape: the dimension history is dimension-sized by definition,
+    so it broadcasts and the fact scans once with the range predicate
+    evaluated map-side (BroadcastHashJoin on the key, no shuffle of the
+    fact, no window over facts) — the exact join a 100 TB fact table
+    needs. A Type-1 dimension would mislabel every order placed before
+    its customer's latest segment change."""
+    from ..ops.scd2 import OPEN_END, scd2_apply
+
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 150)
+        .select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    )
+    current = c.select(
+        "c_custkey",
+        "segment",
+        F.lit("1994-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+    )
+    waves = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.lit("WEB").alias("segment"),
+        F.lit("1997-01-01 00:00:00").cast("timestamp").alias("ts"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 6 == 0).select(
+            "c_custkey",
+            F.lit("MOBILE").alias("segment"),
+            F.lit("1999-06-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+    )
+    hist = scd2_apply(current, waves, keys=["c_custkey"], attr_cols=["segment"])
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 150)
+    joined = o.join(
+        F.broadcast(hist),
+        (o.o_custkey == hist.c_custkey)
+        & (o.o_orderdate >= hist.valid_from)
+        & (o.o_orderdate < hist.valid_to),
+    )
+    return (
+        joined.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("segment")
+    )
+
+
 QUERIES = {
     "tpch_q8_mktshare": tpch_q8_mktshare,
     "tpch_q9_profit": tpch_q9_profit,
@@ -257,6 +311,7 @@ QUERIES = {
     "tpch_q20_potential": tpch_q20_potential,
     "tpch_q21_waiting": tpch_q21_waiting,
     "scd2_customer_history": scd2_customer_history,
+    "scd2_point_in_time_join": scd2_point_in_time_join,
 }
 
 ORACLE = {
@@ -332,6 +387,40 @@ ORACLE = {
         JOIN supplier ON l_suppkey = s_suppkey
         WHERE late = 1 AND n_supp > 1 AND n_late = 1
         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    "scd2_point_in_time_join": """
+        WITH cust AS (
+          SELECT c_custkey, c_mktsegment AS segment FROM customer
+          WHERE c_custkey <= 150
+        ), versions AS (
+          SELECT c_custkey, segment,
+                 TIMESTAMP '1994-01-01 00:00:00' AS valid_from FROM cust
+          UNION ALL
+          SELECT c_custkey, 'WEB', TIMESTAMP '1997-01-01 00:00:00'
+          FROM cust WHERE c_custkey % 4 = 0
+          UNION ALL
+          SELECT c_custkey, 'MOBILE', TIMESTAMP '1999-06-01 00:00:00'
+          FROM cust WHERE c_custkey % 6 = 0
+        ), suppressed AS (
+          SELECT * FROM (
+            SELECT c_custkey, segment, valid_from,
+                   lag(segment) OVER (PARTITION BY c_custkey
+                                      ORDER BY valid_from) AS prev_seg
+            FROM versions
+          ) WHERE prev_seg IS NULL OR prev_seg <> segment
+        ), hist AS (
+          SELECT c_custkey, segment, valid_from,
+                 coalesce(lead(valid_from) OVER (PARTITION BY c_custkey
+                                                 ORDER BY valid_from),
+                          TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+          FROM suppressed)
+        SELECT segment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders JOIN hist
+          ON o_custkey = c_custkey
+         AND o_orderdate >= valid_from AND o_orderdate < valid_to
+        WHERE o_custkey <= 150
+        GROUP BY segment ORDER BY segment
     """,
     "scd2_customer_history": """
         WITH cust AS (
