@@ -46,6 +46,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 import time
 from urllib.parse import unquote, urlparse
 
@@ -195,8 +196,14 @@ def _bloom_build(values) -> dict | None:
     """Per-file bloom over a column's distinct values. Sized at
     ``_BLOOM_BITS_PER`` bits/value (power-of-two m); md5-derived double
     hashing, engine/runtime-stable."""
-    keys = {c for c in (_bloom_canon(v) for v in values) if c is not None}
-    if not keys or len(keys) > _BLOOM_MAX_DISTINCT:
+    keys = set()
+    for v in values:
+        c = _bloom_canon(v)
+        if c is not None:
+            keys.add(c)
+            if len(keys) > _BLOOM_MAX_DISTINCT:
+                return None
+    if not keys:
         return None
     m = max(64, 1 << (len(keys) * _BLOOM_BITS_PER).bit_length())
     bits = bytearray(m // 8)
@@ -233,6 +240,21 @@ def _bloom_maybe_contains(bloom: dict, v) -> bool:
     return _bloom_probe(
         base64.b64decode(bloom["b64"]), bloom["m"], bloom["k"], v
     )
+
+
+def _bloom_literal_ok(st: dict | None, lit) -> bool:
+    """Bloom keys are type-tagged (``i:``/``s:``), but Spark's equality
+    casts across types — ``int_col = '7'`` matches rows whose bloom key is
+    ``i:7``. Probe only when the literal's Python type agrees with the
+    column's stats type tag; any mismatch keeps the file (conservative).
+    The range-stats path is already safe via ``_coerce_literal``."""
+    if st is None or isinstance(lit, bool):
+        return False
+    if isinstance(lit, int):
+        return st.get("t") == "num"
+    if isinstance(lit, str):
+        return st.get("t") == "str"
+    return False
 
 
 def _local_path(file_uri: str) -> str:
@@ -275,7 +297,16 @@ def _file_entry(path: str, bloom_cols: tuple[str, ...] = ()) -> dict:
         present = [c for c in bloom_cols if c in pf.schema_arrow.names]
         blooms = {}
         for c in present:
-            bl = _bloom_build(pf.read(columns=[c]).column(c).to_pylist())
+            # Stream row-group batches: peak memory is one batch + the
+            # distinct-key set (bounded by _BLOOM_MAX_DISTINCT inside
+            # _bloom_build, which bails early once the cap is crossed) —
+            # never the whole materialized column.
+            values = (
+                v
+                for batch in pf.iter_batches(columns=[c])
+                for v in batch.column(0).to_pylist()
+            )
+            bl = _bloom_build(values)
             if bl is not None:
                 blooms[c] = bl
         if blooms:
@@ -425,8 +456,20 @@ class LocalFSPointer(PointerBackend):
     ) -> None:
         lock = os.path.join(root, f"{_LATEST}.lock")
         deadline = time.monotonic() + self.timeout
+        # Per-holder nonce written INTO the lockfile at acquire: release
+        # re-reads it and unlinks only if still ours, so a holder paused
+        # past stale_after (GC, SIGSTOP, scheduler stall) whose lock was
+        # stolen cannot delete the stealer's freshly created lock.
+        nonce = f"{os.getpid()}.{time.time_ns()}"
         fd = None
         while fd is None:
+            # Deadline bounds EVERY iteration — including the
+            # OSError-on-stat and successful-steal paths, which would
+            # otherwise spin unbounded under continuous lock churn.
+            if time.monotonic() > deadline:
+                raise ConcurrentCommitError(
+                    f"pointer lock at {lock} held past timeout"
+                )
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
@@ -451,12 +494,10 @@ class LocalFSPointer(PointerBackend):
                     except FileNotFoundError:
                         pass
                     continue
-                if time.monotonic() > deadline:
-                    raise ConcurrentCommitError(
-                        f"pointer lock at {lock} held past timeout"
-                    )
                 time.sleep(0.002)
         try:
+            os.write(fd, nonce.encode("ascii"))
+            os.fsync(fd)
             if self.read(root) != expect:
                 raise ConcurrentCommitError(
                     f"table advanced past {expect!r}; retry on the new "
@@ -473,9 +514,82 @@ class LocalFSPointer(PointerBackend):
         finally:
             os.close(fd)
             try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass  # stolen as stale mid-hold (pathological clock skew)
+                # Ownership-checked release: unlink only if the lockfile
+                # still carries OUR nonce. If we stalled past stale_after
+                # and a stealer replaced the lock, this leaves the
+                # stealer's lock intact instead of reopening the
+                # double-publish window. (The read→unlink gap is a few µs
+                # vs a ≥10 s staleness horizon.)
+                with open(lock) as lf:
+                    if lf.read() == nonce:
+                        os.unlink(lock)
+            except OSError:
+                pass  # stolen/replaced mid-hold: not ours to remove
+
+
+class _PreconditionFailed(Exception):
+    """Internal: the conditional PUT's If-Match etag no longer matches."""
+
+
+class InMemoryEtagPointer(PointerBackend):
+    """Object-store-shaped pointer backend: the pointer is an immutable
+    (value, etag) pair per root, written only through a conditional PUT
+    that carries the etag the writer last read (S3 ``If-Match`` / GCS
+    ``ifGenerationMatch`` / DynamoDB conditional write). There is no
+    lockfile, no rename, no mtime — the check-and-set is the store's own
+    atomic precondition. Exists to prove the ``PointerBackend`` seam is
+    not shaped around ``os.rename``: the CAS race / concurrent-merge /
+    writer-stress suites run over BOTH backends
+    (``tests/test_txn.py``)."""
+
+    _ABSENT = object()
+
+    def __init__(self):
+        self._mu = threading.Lock()
+        self._objects: dict[str, tuple[str, int]] = {}  # root -> (val, etag)
+
+    # -- the two store primitives a real client would wrap ---------------
+    def _get(self, root: str):
+        """(value, etag) of the pointer object, or (None, None) if absent."""
+        with self._mu:
+            ent = self._objects.get(root)
+            return (ent[0], ent[1]) if ent else (None, None)
+
+    def _put_if_match(self, root: str, value: str, etag) -> None:
+        """Conditional PUT: succeeds iff the object's current etag equals
+        ``etag`` (``None`` = If-None-Match, i.e. create-only)."""
+        with self._mu:
+            ent = self._objects.get(root)
+            cur_etag = ent[1] if ent else None
+            if cur_etag != etag:
+                raise _PreconditionFailed(
+                    f"etag mismatch at {root}: have {cur_etag}, sent {etag}"
+                )
+            self._objects[root] = (value, (ent[1] + 1) if ent else 1)
+
+    # -- PointerBackend contract ------------------------------------------
+    def read(self, root: str) -> str | None:
+        return self._get(root)[0]
+
+    def compare_and_swap(
+        self, root: str, version: str, expect: str | None
+    ) -> None:
+        # read → verify → conditional PUT, exactly the client-side shape a
+        # real object store forces; a precondition failure means another
+        # writer published between our read and our PUT, which is a
+        # concurrent commit by definition (their value can't equal
+        # ``expect`` — versions never repeat).
+        value, etag = self._get(root)
+        if value != expect:
+            raise ConcurrentCommitError(
+                f"table advanced past {expect!r}; retry on the new snapshot"
+            )
+        try:
+            self._put_if_match(root, version, etag)
+        except _PreconditionFailed as e:
+            raise ConcurrentCommitError(
+                f"pointer moved during swap to {version}: {e}"
+            ) from e
 
 
 class TxnTable:
@@ -668,10 +782,13 @@ class TxnTable:
                 or (op == ">=" and hi < cl)
             ):
                 return True
-            if op == "=":
+            if op == "=" and _bloom_literal_ok(st, lit):
                 # probe with the RAW literal: blooms hash the column's
                 # native Python values (int/str); the float-coerced stats
-                # literal would canon to None and disable the probe
+                # literal would canon to None and disable the probe. The
+                # type gate keeps cross-typed equality (int literal on a
+                # string column and vice versa — Spark casts, bloom keys
+                # don't) from falsely proving files absent.
                 bl = entry.get("bloom", {}).get(col)
                 if bl is not None and not _bloom_maybe_contains(bl, lit):
                     return True  # bloom PROVES the value absent
@@ -697,8 +814,10 @@ class TxnTable:
                 cl = _coerce_literal(st["t"], v)
                 if cl is not None and (cl < st["min"] or cl > st["max"]):
                     continue
-            if bits is not None and not _bloom_probe(
-                bits, bl["m"], bl["k"], v
+            if (
+                bits is not None
+                and _bloom_literal_ok(st, v)
+                and not _bloom_probe(bits, bl["m"], bl["k"], v)
             ):
                 continue
             return True
@@ -1721,7 +1840,9 @@ class TxnTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         meta_v = self._meta(v)
         src_root = os.path.join(self.root, _VERSIONS, v)
-        dest = TxnTable(dest_root)
+        # the clone shares the pointer backend (both shipped backends are
+        # root-keyed, so one instance serves many tables)
+        dest = TxnTable(dest_root, pointer=self.pointer)
         if dest.current_version() is not None:
             raise ValueError(f"clone target {dest_root} is not empty")
         src_entries = self.file_entries(v)

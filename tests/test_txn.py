@@ -12,8 +12,24 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
-from rxlan_aws_lakehouse_spark.txn import ConcurrentCommitError, TxnTable
+from rxlan_aws_lakehouse_spark.txn import (
+    ConcurrentCommitError,
+    InMemoryEtagPointer,
+    LocalFSPointer,
+    TxnTable,
+)
 from rxlan_aws_lakehouse_spark import warehouse
+
+
+@pytest.fixture(params=["localfs", "etag"])
+def pointer(request):
+    """Both shipped PointerBackends: the POSIX lockfile CAS and the
+    object-store-shaped conditional-PUT fake. The race/stress tests run
+    over each to prove the seam isn't shaped around os.rename."""
+    return (
+        LocalFSPointer() if request.param == "localfs"
+        else InMemoryEtagPointer()
+    )
 
 
 def _drop(spark, *tables):
@@ -1254,15 +1270,16 @@ def test_clone_of_unpartitioned_snapshot_records_empty_spec(spark, tmp_path):
     assert clone.read(spark).count() == 10
 
 
-def test_pointer_cas_prevents_double_publish(spark, tmp_path):
+def test_pointer_cas_prevents_double_publish(spark, tmp_path, pointer):
     """Regression (ADVICE r5, txn.py:300): two writers that both read the
     same expected parent and interleave between the check and the rename.
     Pre-CAS, both renames succeeded — the second silently overwrote the
-    first (a lost commit). With the lockfile CAS exactly one publishes and
-    the other deterministically gets ConcurrentCommitError."""
+    first (a lost commit). With the CAS exactly one publishes and the
+    other deterministically gets ConcurrentCommitError. Runs over BOTH
+    pointer backends (lockfile and conditional-PUT)."""
     import threading
 
-    t = TxnTable(str(tmp_path / "t"))
+    t = TxnTable(str(tmp_path / "t"), pointer=pointer)
     v1 = t.commit(_df(spark, 5))
     barrier = threading.Barrier(2)
     results: dict[str, str] = {}
@@ -1299,12 +1316,13 @@ def test_pointer_stale_lock_is_stolen(spark, tmp_path):
     assert not os.path.exists(lock)  # released after the swap
 
 
-def test_concurrent_merges_both_land_via_retry(spark, tmp_path):
+def test_concurrent_merges_both_land_via_retry(spark, tmp_path, pointer):
     """Two writers merging DISJOINT keys concurrently: the CAS loser
-    retries against the winner's snapshot and both updates land."""
+    retries against the winner's snapshot and both updates land. Runs
+    over both pointer backends."""
     import threading
 
-    t = TxnTable(str(tmp_path / "t"))
+    t = TxnTable(str(tmp_path / "t"), pointer=pointer)
     t.commit(_df(spark, 10))
     errs: list[Exception] = []
 
@@ -1487,13 +1505,13 @@ def test_bloom_conjunctive_equality_prunes_int_literal(spark, tmp_path):
     assert n == 1
 
 
-def test_multi_writer_stress_no_lost_rows(spark, tmp_path):
+def test_multi_writer_stress_no_lost_rows(spark, tmp_path, pointer):
     """Five concurrent writers (3 appenders + 2 disjoint-key mergers)
     hammer one table through the CAS pointer. Linearizability check:
     every writer's rows are present exactly once in the final snapshot,
     and the history's parent links form one unbroken chain (no slot ever
-    double-published)."""
-    t = TxnTable(str(tmp_path / "t"))
+    double-published). Runs over both pointer backends."""
+    t = TxnTable(str(tmp_path / "t"), pointer=pointer)
     t.commit(_df(spark, 10))
     errs: list[Exception] = []
 
@@ -1501,7 +1519,7 @@ def test_multi_writer_stress_no_lost_rows(spark, tmp_path):
         try:
             for i in range(2):
                 rows = [(1000 + wid * 10 + i, f"app{wid}", "1")]
-                TxnTable(t.root).append(
+                TxnTable(t.root, pointer=pointer).append(
                     spark.createDataFrame(
                         rows, "k long, tag string, dt string"
                     ),
@@ -1516,7 +1534,7 @@ def test_multi_writer_stress_no_lost_rows(spark, tmp_path):
                 [(wid * 3, f"m{wid}", "0"), (wid * 3 + 1, f"m{wid}", "0")],
                 "k long, tag string, dt string",
             )
-            TxnTable(t.root).merge_upsert(
+            TxnTable(t.root, pointer=pointer).merge_upsert(
                 spark, upd, keys=["k"], max_retries=10
             )
         except Exception as e:  # pragma: no cover
@@ -1544,3 +1562,133 @@ def test_multi_writer_stress_no_lost_rows(spark, tmp_path):
     assert len(lineage) == len(t.history())
     versions = [m["version"] for m in lineage]
     assert len(set(versions)) == len(versions)
+
+
+# -- advisor-found regressions (round 7) --------------------------------
+
+
+def test_bloom_cross_typed_literal_never_prunes(spark, tmp_path):
+    """Regression (ADVICE r6, txn.py:676): bloom keys are type-tagged
+    (i:/s:), but Spark equality casts across types — ``k = '7'`` on an
+    int column matches rows. A cross-typed literal must keep files
+    (conservative), not be 'proven absent' by a probe that can never
+    hit the other type's keys."""
+    t = _bloom_table(spark, tmp_path)
+    # string literal on the int column: bloom gated off; range stats
+    # still coerce ("7" -> 7.0) so only genuinely impossible files could
+    # drop — here the key space spans every file, so ALL files survive
+    kept, total = t.pruned_files_in("k", ["7"])
+    assert total == 12
+    # range stats may still drop files whose numeric [min,max] excludes 7
+    # (that path coerces safely) — but the bloom must NOT fire, so the
+    # cross-typed kept set strictly contains the same-typed one, and the
+    # file that really holds k=7 is in it
+    same, _ = t.pruned_files_in("k", [7])
+    assert len(same) == 1
+    assert set(same) <= set(kept) and len(kept) > len(same)
+    kept_eq, _ = t.pruned_files([("k", "=", "7")])
+    assert set(same) <= set(kept_eq) and len(kept_eq) > len(same)
+    # and the cast-matching row is really readable from the kept files
+    import os as _os
+
+    data = _os.path.join(t.root, "_versions", t.current_version())
+    got = (
+        spark.read.parquet(*[_os.path.join(data, r) for r in kept])
+        .filter(F.col("k") == "7")
+        .count()
+    )
+    assert got == 1
+
+
+def test_cas_deadline_bounds_every_loop_path(tmp_path, monkeypatch):
+    """Regression (ADVICE r6, txn.py:436): the OSError-on-stat path used
+    to ``continue`` without a deadline check, so continuous lock churn
+    could spin compare_and_swap forever. Every iteration is now bounded."""
+    root = str(tmp_path / "t")
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, "_LATEST.lock")
+    with open(lock, "w"):
+        pass
+
+    def always_raises(_path):
+        raise OSError("stat storm")
+
+    monkeypatch.setattr("os.path.getmtime", always_raises)
+    p = LocalFSPointer(stale_after=10.0, timeout=0.3)
+    start = time.monotonic()
+    with pytest.raises(ConcurrentCommitError):
+        p.compare_and_swap(root, "v00000001", None)
+    assert time.monotonic() - start < 5.0  # bounded, not a spin
+
+
+def test_stalled_holder_does_not_delete_stealers_lock(tmp_path):
+    """Regression (ADVICE r6, txn.py:478): a holder paused past
+    stale_after whose lock was stolen must NOT unlink the stealer's
+    freshly created lock on release — release is ownership-checked via
+    the nonce written into the lockfile at acquire."""
+    root = str(tmp_path / "t")
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, "_LATEST.lock")
+    acquired = threading.Event()
+
+    class StallingPointer(LocalFSPointer):
+        def read(self, r):  # called while HOLDING the lock
+            acquired.set()
+            time.sleep(0.8)  # stall well past stale_after
+            return super().read(r)
+
+    a = StallingPointer(stale_after=0.2, timeout=5.0)
+    res: list[str] = []
+
+    def holder():
+        try:
+            a.compare_and_swap(root, "v00000001", None)
+            res.append("published")
+        except ConcurrentCommitError:
+            res.append("conflict")
+
+    th = threading.Thread(target=holder)
+    th.start()
+    assert acquired.wait(5.0)
+    time.sleep(0.4)  # A's lock is now stale
+    # B steals exactly as the code would: rename away, create its own
+    os.rename(lock, lock + ".stale.test")
+    os.unlink(lock + ".stale.test")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, b"B-nonce")
+    os.close(fd)
+    th.join()
+    # A finished (either outcome) but B's lock MUST still be there,
+    # untouched — pre-fix, A's finally-unlink deleted it.
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert f.read() == "B-nonce"
+
+
+def test_etag_pointer_is_a_real_backend(spark, tmp_path):
+    """The conditional-PUT backend drives a full table lifecycle —
+    commit, append, merge, clone (pointer travels), restore — with no
+    filesystem pointer file at all."""
+    p = InMemoryEtagPointer()
+    t = TxnTable(str(tmp_path / "t"), pointer=p)
+    t.commit(_df(spark, 10))
+    t.append(
+        spark.createDataFrame(
+            [(100, "b", "1"), (101, "b", "2")],
+            "k long, tag string, dt string",
+        )
+    )
+    assert t.read(spark).count() == 12
+    # no _LATEST file on disk: the pointer lives in the backend
+    assert not os.path.exists(os.path.join(t.root, "_LATEST"))
+    upd = spark.createDataFrame(
+        [(0, "merged", "0")], "k long, tag string, dt string"
+    )
+    t.merge_upsert(spark, upd, keys=["k"])
+    assert t.read(spark).filter(F.col("tag") == "merged").count() == 1
+    clone = t.clone_to(spark, str(tmp_path / "dev"))
+    assert clone.pointer is p  # backend travels with the clone
+    assert clone.read(spark).count() == 12
+    # stale CAS raises (not silently overwrites)
+    with pytest.raises(ConcurrentCommitError):
+        p.compare_and_swap(t.root, "v99999999", None)
