@@ -203,9 +203,30 @@ def _rotated_buckets_arrow(planes: list[list[list[int]]]):
     return buckets
 
 
+def auto_bits(
+    n_vectors: int,
+    max_list: int = ANN_MAX_LIST,
+    floor: int = LSH_MULTITABLE_BITS,
+    cap: int = 16,
+) -> int:
+    """Rotated-index bit budget from the corpus size: ``ceil(log2(n /
+    (max_list/2)))`` clamped to [floor, cap] — sized so the EXPECTED
+    inverted-list length is ~max_list/2, keeping lists under the
+    candidate cap as the corpus grows (the measured rule from SCALING.md
+    r6, previously a docstring-only convention a 10x-bigger corpus would
+    silently ignore). Pure function of n: given the same count both an
+    engine and an oracle derive the same plan literals."""
+    import math
+
+    if n_vectors <= 0:
+        return floor
+    target = max(1.0, n_vectors / (max_list / 2.0))
+    return min(cap, max(floor, math.ceil(math.log2(target))))
+
+
 def prepare_multitable_rotated(
     vectors: DataFrame,
-    bits: int = LSH_MULTITABLE_BITS,
+    bits: int | None = None,
     n_tables: int = LSH_MULTITABLE_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -236,7 +257,17 @@ def prepare_multitable_rotated(
     asserted in tests) but ~10x cheaper, the sanctioned vectorized-UDF
     fallback for math that outgrows SQL expressions. ``vec`` and
     ``norm`` stay JVM-side expressions either way, so downstream cosine
-    ranking is byte-identical across both paths."""
+    ranking is byte-identical across both paths.
+
+    ``bits=None`` (default) AUTO-SIZES from the corpus: one ``count()``
+    (cheap — parquet row-count metadata, or the already-planned scan)
+    feeds ``auto_bits``, so a 10x-bigger corpus gets the finer buckets
+    the sizing rule demands instead of silently reverting to overfull
+    lists. Registry queries that need a STATIC oracle pass the bit
+    budget explicitly (bits is data-independent given n, so an oracle
+    can receive it as a literal)."""
+    if bits is None:
+        bits = auto_bits(vectors.count())
     planes = rademacher_planes(n_tables, bits, dim, seed)
     v = as_double_array(F.col(vec_col))
     if not arrow:
@@ -298,6 +329,115 @@ def prepare_multitable(
     )
 
 
+def _overflow_tables(
+    corpus: DataFrame, n_tables: int, max_list: int | None
+) -> set[int]:
+    """Tables with at least one inverted list over ``max_list``. The
+    aggregate is <= n_tables * 2^bits rows (bounded by index geometry,
+    not data) — one skinny count pass, collected once."""
+    if max_list is None:
+        return set()
+    sizes = (
+        corpus.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.col(f"bucket_{t}").alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ])
+            ).alias("tb")
+        )
+        .groupBy("tb.t", "tb.bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_list)
+        .select("t")
+        .distinct()
+        .collect()
+    )
+    return {r["t"] for r in sizes}
+
+
+def candidate_pairs_multitable(
+    corpus: DataFrame,
+    n_tables: int = LSH_MULTITABLE_TABLES,
+    max_list: int | None = ANN_MAX_LIST,
+    query_ids=None,
+    pair_pred: str = "!=",
+) -> DataFrame:
+    """Deduped scored candidate pairs from a multi-table LSH index —
+    the shared core of ANN top-k ranking AND near-dup pair counting.
+
+    A pair is a candidate if it collides in ANY table; per-table
+    equi-joins union'd, then ``distinct`` (same pair -> same sim) so a
+    pair is scored once however many tables it collides in. The
+    CANDIDATE side of each inverted list is capped at ``max_list`` via a
+    deterministic md5-ordered sample (salted per table, so overflow
+    drops are independent across tables): without the cap the self-join
+    is Σ|list|² — quadratic in the corpus once lists outgrow 2^bits.
+    Every vector still queries from the uncapped side.
+
+    The cap is OVERFLOW-GATED (``_overflow_tables``): a table with no
+    overflowing list joins its candidate side directly — zero extra
+    shuffles; a table that overflows windows its WHOLE candidate side
+    (rows in small lists pass the rank filter trivially): one shuffle
+    the bucket-key join then reuses — splitting hot/cool lists and
+    unioning was measured 7x slower because the union forfeits that
+    exchange reuse.
+
+    ``pair_pred``: ``"!="`` yields directed pairs (both orientations —
+    the ANN kNN-graph shape); ``"<"`` yields each unordered pair once,
+    kept iff the HIGHER id survives the candidate cap (mirrored verbatim
+    by the SQL oracles)."""
+    if pair_pred not in ("!=", "<"):
+        raise ValueError(f"pair_pred must be '!=' or '<', got {pair_pred!r}")
+    overflow = _overflow_tables(corpus, n_tables, max_list)
+    per_table = []
+    for t in range(n_tables):
+        bkt = f"bucket_{t}"
+        a = corpus.select("vec_id", "vec", "norm", F.col(bkt).alias("bkt"))
+        if query_ids is not None:
+            # kNN-graph slice: restrict the QUERY side only (candidate
+            # lists stay whole), e.g. for recall probes — per-query cost
+            # drops to Σ matched-list sizes instead of the full graph
+            a = a.filter(F.col("vec_id").isin(list(query_ids)))
+        b = corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("vec").alias("nvec"),
+            F.col("norm").alias("nnorm"),
+            F.col(bkt).alias("nbkt"),
+        )
+        if t in overflow:
+            wl = Window.partitionBy("nbkt").orderBy(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(t)), F.col("neighbor_id").cast("string")
+                    )
+                ),
+                F.col("neighbor_id"),
+            )
+            b = (
+                b.withColumn("lrn", F.row_number().over(wl))
+                .filter(F.col("lrn") <= max_list)
+                .drop("lrn")
+            )
+        sim = dot(F.col("vec"), F.col("nvec")) / (F.col("norm") * F.col("nnorm"))
+        pred = (
+            F.col("vec_id") != F.col("neighbor_id")
+            if pair_pred == "!="
+            else F.col("vec_id") < F.col("neighbor_id")
+        )
+        per_table.append(
+            a.join(b, (F.col("bkt") == F.col("nbkt")) & pred)
+            .select("vec_id", "neighbor_id", sim.alias("sim"))
+        )
+    pairs = per_table[0]
+    for p in per_table[1:]:
+        pairs = pairs.unionByName(p)
+    return pairs.distinct()
+
+
 def ann_topk_multitable(
     corpus: DataFrame,
     k: int = 3,
@@ -331,66 +471,13 @@ def ann_topk_multitable(
     bucket-key join then reuses — splitting hot/cool lists and unioning
     was measured 7x slower because the union forfeits that exchange reuse.
     """
-    overflow: set[int] = set()
-    if max_list is not None:
-        sizes = (
-            corpus.select(
-                F.explode(
-                    F.array(*[
-                        F.struct(
-                            F.lit(t).alias("t"),
-                            F.col(f"bucket_{t}").alias("bkt"),
-                        )
-                        for t in range(n_tables)
-                    ])
-                ).alias("tb")
-            )
-            .groupBy("tb.t", "tb.bkt")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_list)
-            .select("t")
-            .distinct()
-            .collect()
-        )
-        overflow = {r["t"] for r in sizes}
-    per_table = []
-    for t in range(n_tables):
-        bkt = f"bucket_{t}"
-        a = corpus.select("vec_id", "vec", "norm", F.col(bkt).alias("bkt"))
-        if query_ids is not None:
-            # kNN-graph slice: restrict the QUERY side only (candidate
-            # lists stay whole), e.g. for recall probes — per-query cost
-            # drops to Σ matched-list sizes instead of the full graph
-            a = a.filter(F.col("vec_id").isin(list(query_ids)))
-        b = corpus.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("vec").alias("nvec"),
-            F.col("norm").alias("nnorm"),
-            F.col(bkt).alias("nbkt"),
-        )
-        if t in overflow:
-            wl = Window.partitionBy("nbkt").orderBy(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.lit(str(t)), F.col("neighbor_id").cast("string")
-                    )
-                ),
-                F.col("neighbor_id"),
-            )
-            b = (
-                b.withColumn("lrn", F.row_number().over(wl))
-                .filter(F.col("lrn") <= max_list)
-                .drop("lrn")
-            )
-        sim = dot(F.col("vec"), F.col("nvec")) / (F.col("norm") * F.col("nnorm"))
-        per_table.append(
-            a.join(b, (F.col("bkt") == F.col("nbkt")) & (F.col("vec_id") != F.col("neighbor_id")))
-            .select("vec_id", "neighbor_id", sim.alias("sim"))
-        )
-    pairs = per_table[0]
-    for p in per_table[1:]:
-        pairs = pairs.unionByName(p)
-    pairs = pairs.distinct()  # same pair -> same sim, so distinct dedups collisions
+    pairs = candidate_pairs_multitable(
+        corpus,
+        n_tables=n_tables,
+        max_list=max_list,
+        query_ids=query_ids,
+        pair_pred="!=",
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.round(F.col("sim"), tiebreak_round).desc(), F.col("neighbor_id").asc()
     )
@@ -485,11 +572,23 @@ def cosine_topk(
     return topk_per_query_agg(scored, k, tiebreak_round)
 
 
-def ann_topk_bucketed(corpus: DataFrame, k: int = 3, query_ids=None) -> DataFrame:
+def ann_topk_bucketed(
+    corpus: DataFrame,
+    k: int = 3,
+    query_ids=None,
+    max_list: int | None = ANN_MAX_LIST,
+) -> DataFrame:
     """Approximate top-k per vector: candidates share the LSH sign bucket.
 
-    Equi-join on the bucket key — the scale path. Vectors alone in their
-    bucket produce no rows (expected ANN behavior; recall measured in tests).
+    Equi-join on the bucket key. Vectors alone in their bucket produce no
+    rows (expected ANN behavior; recall measured in tests). The CANDIDATE
+    side of each bucket is capped at ``max_list`` via a deterministic
+    md5-ordered sample (round 7: the 16-bucket index otherwise degenerates
+    to Σ|bucket|² ≈ n²/16 pairs on any real corpus); the cap is
+    overflow-gated — when no bucket exceeds ``max_list`` (one skinny
+    count, bounded by 2^bits rows) the join runs direct with zero extra
+    shuffles, and the SQL oracle's unconditional rank filter is then a
+    trivial pass, so results agree either way.
     """
     a = corpus.select(
         F.col("vec_id"), F.col("vec"), F.col("norm"), F.col("bucket")
@@ -500,11 +599,30 @@ def ann_topk_bucketed(corpus: DataFrame, k: int = 3, query_ids=None) -> DataFram
         F.col("vec_id").alias("neighbor_id"),
         F.col("vec").alias("nvec"),
         F.col("norm").alias("nnorm"),
-        F.col("bucket").alias("nbucket"),
+        F.col("bucket").alias("cand_bucket"),
     )
+    if max_list is not None:
+        overflow = (
+            corpus.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_list)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if overflow:
+            wl = Window.partitionBy("cand_bucket").orderBy(
+                F.md5(F.col("neighbor_id").cast("string")),
+                F.col("neighbor_id"),
+            )
+            b = (
+                b.withColumn("lrn", F.row_number().over(wl))
+                .filter(F.col("lrn") <= max_list)
+                .drop("lrn")
+            )
     sim = dot(F.col("vec"), F.col("nvec")) / (F.col("norm") * F.col("nnorm"))
     pairs = (
-        a.join(b, (F.col("bucket") == F.col("nbucket")) & (F.col("vec_id") != F.col("neighbor_id")))
+        a.join(b, (F.col("bucket") == F.col("cand_bucket")) & (F.col("vec_id") != F.col("neighbor_id")))
         .select("vec_id", "bucket", "neighbor_id", sim.alias("sim"))
     )
     w = Window.partitionBy("vec_id").orderBy(
