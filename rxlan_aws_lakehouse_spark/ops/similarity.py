@@ -18,6 +18,8 @@ Dot products are computed with built-in higher-order array functions
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -260,19 +262,29 @@ def prepare_multitable_rotated(
     ranking is byte-identical across both paths.
 
     ``bits=None`` (default) AUTO-SIZES from the corpus: one ``count()``
-    (cheap — parquet row-count metadata, or the already-planned scan)
-    feeds ``auto_bits``, so a 10x-bigger corpus gets the finer buckets
-    the sizing rule demands instead of silently reverting to overfull
-    lists. Registry queries that need a STATIC oracle pass the bit
-    budget explicitly (bits is data-independent given n, so an oracle
-    can receive it as a literal)."""
+    (cheap — parquet row-count metadata, or the already-planned scan),
+    run EAGERLY at plan-construction time, feeds ``auto_bits``, so a
+    10x-bigger corpus gets the finer buckets the sizing rule demands
+    instead of silently reverting to overfull lists. The derived width
+    is therefore DATA-DEPENDENT: the bucket-string schema changes when
+    the corpus crosses a decade boundary, and a statically-planned
+    oracle would silently diverge. Registry queries avoid this by
+    pinning ``bits``; library callers get the chosen width back on the
+    returned DataFrame as ``._rotated_bits`` and an INFO log line, so a
+    mismatch against a static oracle is diagnosable (ADVICE r7)."""
     if bits is None:
-        bits = auto_bits(vectors.count())
+        n = vectors.count()
+        bits = auto_bits(n)
+        logging.getLogger(__name__).info(
+            "prepare_multitable_rotated: auto_bits(%d) -> %d bits "
+            "(%d tables); pin bits=%d for a static oracle",
+            n, bits, n_tables, bits,
+        )
     planes = rademacher_planes(n_tables, bits, dim, seed)
     v = as_double_array(F.col(vec_col))
     if not arrow:
         q = quantize_fixed(v)
-        return vectors.select(
+        out = vectors.select(
             F.col(id_col),
             v.alias("vec"),
             l2_norm(v).alias("norm"),
@@ -281,6 +293,8 @@ def prepare_multitable_rotated(
                 for t in range(n_tables)
             ],
         )
+        out._rotated_bits = bits
+        return out
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType, StructField
     from pyspark.sql.types import StructType as _StructType
@@ -300,12 +314,14 @@ def prepare_multitable_rotated(
         l2_norm(v).alias("norm"),
         udf(v).alias("_b"),
     )
-    return base.select(
+    out = base.select(
         id_col,
         "vec",
         "norm",
         *[F.col(f"_b.bucket_{t}").alias(f"bucket_{t}") for t in range(n_tables)],
     )
+    out._rotated_bits = bits
+    return out
 
 
 def prepare_multitable(
@@ -572,24 +588,15 @@ def cosine_topk(
     return topk_per_query_agg(scored, k, tiebreak_round)
 
 
-def ann_topk_bucketed(
+def bucketed_candidate_pairs(
     corpus: DataFrame,
-    k: int = 3,
     query_ids=None,
     max_list: int | None = ANN_MAX_LIST,
 ) -> DataFrame:
-    """Approximate top-k per vector: candidates share the LSH sign bucket.
-
-    Equi-join on the bucket key. Vectors alone in their bucket produce no
-    rows (expected ANN behavior; recall measured in tests). The CANDIDATE
-    side of each bucket is capped at ``max_list`` via a deterministic
-    md5-ordered sample (round 7: the 16-bucket index otherwise degenerates
-    to Σ|bucket|² ≈ n²/16 pairs on any real corpus); the cap is
-    overflow-gated — when no bucket exceeds ``max_list`` (one skinny
-    count, bounded by 2^bits rows) the join runs direct with zero extra
-    shuffles, and the SQL oracle's unconditional rank filter is then a
-    trivial pass, so results agree either way.
-    """
+    """Candidate stage of the legacy 16-bucket index, exposed so tests
+    can measure pair VOLUME directly (the cap bounds this stage, not the
+    k-bounded final output): (vec_id, bucket, neighbor_id, sim) for every
+    surviving bucket-equal pair. Capped volume <= n_queries * max_list."""
     a = corpus.select(
         F.col("vec_id"), F.col("vec"), F.col("norm"), F.col("bucket")
     )
@@ -621,10 +628,35 @@ def ann_topk_bucketed(
                 .drop("lrn")
             )
     sim = dot(F.col("vec"), F.col("nvec")) / (F.col("norm") * F.col("nnorm"))
-    pairs = (
-        a.join(b, (F.col("bucket") == F.col("cand_bucket")) & (F.col("vec_id") != F.col("neighbor_id")))
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("cand_bucket"))
+            & (F.col("vec_id") != F.col("neighbor_id")),
+        )
         .select("vec_id", "bucket", "neighbor_id", sim.alias("sim"))
     )
+
+
+def ann_topk_bucketed(
+    corpus: DataFrame,
+    k: int = 3,
+    query_ids=None,
+    max_list: int | None = ANN_MAX_LIST,
+) -> DataFrame:
+    """Approximate top-k per vector: candidates share the LSH sign bucket.
+
+    Equi-join on the bucket key. Vectors alone in their bucket produce no
+    rows (expected ANN behavior; recall measured in tests). The CANDIDATE
+    side of each bucket is capped at ``max_list`` via a deterministic
+    md5-ordered sample (round 7: the 16-bucket index otherwise degenerates
+    to Σ|bucket|² ≈ n²/16 pairs on any real corpus); the cap is
+    overflow-gated — when no bucket exceeds ``max_list`` (one skinny
+    count, bounded by 2^bits rows) the join runs direct with zero extra
+    shuffles, and the SQL oracle's unconditional rank filter is then a
+    trivial pass, so results agree either way.
+    """
+    pairs = bucketed_candidate_pairs(corpus, query_ids, max_list)
     w = Window.partitionBy("vec_id").orderBy(
         F.round(F.col("sim"), 6).desc(), F.col("neighbor_id").asc()
     )

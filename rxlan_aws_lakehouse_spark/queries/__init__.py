@@ -36,6 +36,24 @@ _MODULES = (
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _content_since_rounds() -> dict[str, int]:
+    """name -> first driver round for which the query's CURRENT content
+    (plan source + oracle SQL) is valid, from the committed
+    CONTENT_KEYS.json (maintained by tools/update_content_keys.py; a
+    pytest gate keeps it in sync with HEAD). A driver row OLDER than this
+    validated different content and must not count as evidence."""
+    try:
+        with open(os.path.join(_REPO_ROOT, "CONTENT_KEYS.json")) as f:
+            keys = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    return {
+        n: int(v.get("since_round", 0))
+        for n, v in keys.items()
+        if isinstance(v, dict)
+    }
+
+
 def _last_checked_rounds() -> dict[str, tuple[int, bool]]:
     """Per-query (latest round with a driver CORRECTNESS row, whether that
     row was hash-checked), read from the committed CORRECTNESS_r*.json
@@ -74,22 +92,30 @@ def all_queries():
     checked = _last_checked_rounds()
 
     # Sort key: (effective last-checked round, rows-only after
-    # hash-checkable, name). The stalest DRIVER EVIDENCE leads — the
-    # oldest rows are the ones a silent regression could hide behind
-    # longest. Never-checked queries (and queries whose ORACLE APPEARED
-    # AFTER their last driver row — their strongest evidence has never
-    # been driver-recorded) slot just BEFORE the second-newest cohort:
-    # soon enough to be recorded within a round, but never displacing the
-    # stale tail out of the driver's ~50-row window (a new query is
-    # pytest- and locally-oracle-verified already; an old driver row is
-    # the only guard its query has). Among equals, oracle-backed queries
-    # outrank rows-only ones; the name tiebreak keeps order deterministic.
-    max_round = max((r for r, _h in checked.values()), default=0)
+    # hash-checkable, name). Priority order (r7 verdict, task 2):
+    #   1. CONTENT-INVALIDATED (rank -1): the plan/oracle was rewritten
+    #      AFTER the last driver row (CONTENT_KEYS.json since_round >
+    #      last checked round) — the existing green row validated
+    #      different content, so no current driver evidence exists at
+    #      all. These must re-enter the ~50-row window immediately.
+    #   2. NEVER-CHECKED (rank -0.5): no driver row ever (includes
+    #      queries whose oracle appeared after their last rows-only
+    #      row). Locally oracle-verified, but the driver signal — the
+    #      hard signal — is absent.
+    #   3. The stale tail, oldest driver round first — the rows a
+    #      silent regression could hide behind longest.
+    # Cohorts 1+2 are small (rewrites + this round's additions), so the
+    # stale tail still drains ~40+ rows per round. Among equals,
+    # oracle-backed queries outrank rows-only ones; the name tiebreak
+    # keeps order deterministic.
+    since = _content_since_rounds()
 
     def effective_round(n: str) -> float:
         rnd, hashed = checked.get(n, (0, False))
+        if rnd < since.get(n, 0):
+            return -1.0  # driver row predates the current content
         if rnd == 0 or (n in oracles and not hashed):
-            return max_round - 1.5
+            return -0.5
         return rnd
 
     names = sorted(

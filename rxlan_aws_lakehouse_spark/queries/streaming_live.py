@@ -242,11 +242,96 @@ def streaming_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_watermark_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark dedup as a MULTI-BATCH streaming run (T5/T6 under the
+    driver gate, r7 verdict task 5): per-day landing files drain one per
+    micro-batch, so the watermark advances between batches and
+    ``dropDuplicatesWithinWatermark`` exercises cross-batch state, not
+    just in-batch distinct.
+
+    Synthesized arrival schedule from the events fixture (event_id < 2000,
+    ts < 2024-01-04, city = City{user_id%25}, second-floored ts):
+      - file d carries day d's rows, mtime-ordered so batch order = day order;
+      - event_id % 7 == 0 rows are doubled IN-FILE (in-batch duplicates);
+      - rows with event_id % 9 == 0 in a day's LAST HOUR are replayed in
+        the next file (cross-batch at-least-once duplicates — their
+        originals' ts + 1h delay is past the next batch's watermark, so
+        their dedup state is guaranteed live: deterministically dropped);
+      - rows with event_id % 13 == 0 in the last hour arrive one file LATE
+        (out-of-order NEW data — kept: the operator never drops below-
+        watermark input, it only expires state).
+    Every duplicate is therefore suppressed and every original emitted:
+    the closed form is exactly DISTINCT (city, ts), aggregated per day.
+    """
+    from ..streaming.windows import run_watermark_dedup
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    work = tempfile.mkdtemp(prefix="wm_dedup_")
+    landing, out_dir, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
+    _os.makedirs(landing)
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("event_id") < _N_EVENTS)
+        & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+    )
+    base = e.select(
+        "event_id",
+        F.concat(F.lit("City"), (F.col("user_id") % 25).cast("string")).alias("city"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.dayofmonth("ts").alias("day"),
+        (F.hour("ts") == 23).alias("last_hour"),
+    )
+    late = F.col("last_hour") & (F.col("event_id") % 13 == 0)
+    dup_infile = F.col("event_id") % 7 == 0
+    replay = F.col("last_hour") & (F.col("event_id") % 9 == 0)
+    sched = base.select(
+        "city",
+        "iso_ts",
+        (F.col("day") + F.when(late, F.lit(1)).otherwise(F.lit(0))).alias("file_id"),
+        "day",
+        dup_infile.alias("dup_infile"),
+        replay.alias("replay"),
+    )
+    arrivals = sched.select("city", "iso_ts", "file_id").unionByName(
+        sched.filter("dup_infile").select("city", "iso_ts", "file_id")
+    ).unionByName(
+        sched.filter("replay").select(
+            "city", "iso_ts", (F.col("day") + 1).alias("file_id")
+        )
+    )
+    rows = F.to_json(F.struct("city", F.col("iso_ts").alias("ts")))
+    for i, fid in enumerate(sorted(
+        r["file_id"] for r in arrivals.select("file_id").distinct().collect()
+    )):
+        tmp = f"{work}/tmp{fid}"
+        arrivals.filter(F.col("file_id") == fid).select(
+            rows.alias("value")
+        ).coalesce(1).write.mode("overwrite").text(tmp)
+        part = _glob.glob(f"{tmp}/part-*")[0]
+        dst = f"{landing}/b{fid:02d}.json"
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    q = run_watermark_dedup(spark, landing, out_dir, ckpt, delay="1 hour")
+    q.awaitTermination()
+    sink = spark.read.schema("city string, ts timestamp").parquet(out_dir)
+    return (
+        sink.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("city").alias("n_cities"),
+            F.countDistinct(F.hour("ts")).alias("n_hours"),
+        )
+        .orderBy("dt")
+    )
+
+
 QUERIES = {
     "streaming_cdc_counts": streaming_cdc_counts,
     "streaming_sessionize_counts": streaming_sessionize_counts,
     "streaming_join_counts": streaming_join_counts,
     "streaming_stream_join_counts": streaming_stream_join_counts,
+    "streaming_watermark_dedup_counts": streaming_watermark_dedup_counts,
 }
 
 # Batch-equivalent oracles: both runs drain DETERMINISTIC synthesized
@@ -362,3 +447,27 @@ ORACLE: dict[str, str] = {
         ORDER BY 1
     """,
 }
+
+# Watermark-dedup closed form: originals are never dropped (the operator
+# never filters below-watermark input) and every injected duplicate —
+# in-batch (%7 doubles) and cross-batch (last-hour %9 replays, whose
+# originals' state is provably live at the next batch's watermark) — is
+# suppressed, so the sink is exactly DISTINCT (city, second-floored ts)
+# over the synthesized base. The %13 late arrivals are REORDERINGS of
+# base rows, not additions, so they don't change the distinct set.
+ORACLE["streaming_watermark_dedup_counts"] = """
+    WITH base AS (
+      SELECT DISTINCT 'City' || CAST(user_id % 25 AS VARCHAR) AS city,
+             date_trunc('second', CAST(ts AS TIMESTAMP)) AS tss
+      FROM events
+      WHERE event_id < 2000
+        AND ts < TIMESTAMP '2024-01-04 00:00:00'
+    )
+    SELECT strftime(tss, '%Y-%m-%d') AS dt,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT city) AS BIGINT) AS n_cities,
+           CAST(count(DISTINCT extract(hour FROM tss)) AS BIGINT) AS n_hours
+    FROM base
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -99,3 +99,46 @@ def stream_stream_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner")
+
+
+def run_watermark_dedup(
+    spark,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    delay: str = "1 hour",
+):
+    """Multi-batch watermarked exact dedup (T5/T6 as a REAL streaming run):
+    NDJSON ``{city, ts}`` landing files drain one-file-per-micro-batch
+    (``maxFilesPerTrigger=1`` under ``Trigger.AvailableNow``, files ordered
+    by modification time), so the event-time watermark genuinely ADVANCES
+    between batches — unlike the single-batch CDC lane, where the initial
+    watermark never moves. ``dropDuplicatesWithinWatermark`` then collapses
+    at-least-once duplicates both within a batch and ACROSS batches, with
+    state bounded by the watermark horizon instead of growing with history
+    (the 100 TB property: keys expire ``delay`` past the frontier).
+
+    Measured semantics this implementation relies on (Spark 4.1, pinned by
+    tests/test_streaming_windows.py): rows are NEVER dropped for being
+    below the watermark (the operator uses the watermark only for state
+    eviction), and a duplicate whose original's ``ts + delay`` is still
+    >= the current watermark is ALWAYS suppressed. Callers who want a
+    batch-SQL-equivalent result therefore keep duplicates within ``delay``
+    of their batch frontier — then the output is exactly
+    ``SELECT DISTINCT city, ts`` over the landed rows.
+    """
+    stream = (
+        spark.readStream.schema("city string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(landing_dir)
+        .select("city", F.to_timestamp("ts").alias("ts"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["city", "ts"])
+    )
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -205,6 +205,7 @@ def _bloom_build(values) -> dict | None:
                 return None
     if not keys:
         return None
+    tags = {c[0] for c in keys}  # canon prefix: "i" (int) or "s" (str)
     m = max(64, 1 << (len(keys) * _BLOOM_BITS_PER).bit_length())
     bits = bytearray(m // 8)
     for c in keys:
@@ -214,11 +215,19 @@ def _bloom_build(values) -> dict | None:
         for j in range(_BLOOM_K):
             pos = (h1 + j * h2) % m
             bits[pos >> 3] |= 1 << (pos & 7)
-    return {
+    out = {
         "m": m,
         "k": _BLOOM_K,
         "b64": base64.b64encode(bytes(bits)).decode("ascii"),
     }
+    # Key-type tag, stored IN the bloom at build time (round 8, ADVICE):
+    # lets _bloom_literal_ok gate the probe even when the file has no
+    # range stats for the column (previously such files could never be
+    # bloom-pruned). Mixed-tag key sets (can't occur for a single parquet
+    # column type) omit the tag -> probe stays disabled, conservative.
+    if len(tags) == 1:
+        out["t"] = "num" if tags == {"i"} else "str"
+    return out
 
 
 def _bloom_probe(bits: bytes, m: int, k: int, v) -> bool:
@@ -242,18 +251,23 @@ def _bloom_maybe_contains(bloom: dict, v) -> bool:
     )
 
 
-def _bloom_literal_ok(st: dict | None, lit) -> bool:
+def _bloom_literal_ok(bloom: dict | None, st: dict | None, lit) -> bool:
     """Bloom keys are type-tagged (``i:``/``s:``), but Spark's equality
     casts across types — ``int_col = '7'`` matches rows whose bloom key is
     ``i:7``. Probe only when the literal's Python type agrees with the
-    column's stats type tag; any mismatch keeps the file (conservative).
-    The range-stats path is already safe via ``_coerce_literal``."""
-    if st is None or isinstance(lit, bool):
+    bloom's own key-type tag (stored at build time); blooms persisted
+    before the tag existed fall back to the column's range-stats tag. Any
+    mismatch or missing tag keeps the file (conservative). The range-stats
+    path is already safe via ``_coerce_literal``."""
+    if bloom is None or isinstance(lit, bool):
         return False
+    t = bloom.get("t")
+    if t is None and st is not None:
+        t = st.get("t")
     if isinstance(lit, int):
-        return st.get("t") == "num"
+        return t == "num"
     if isinstance(lit, str):
-        return st.get("t") == "str"
+        return t == "str"
     return False
 
 
@@ -542,8 +556,6 @@ class InMemoryEtagPointer(PointerBackend):
     writer-stress suites run over BOTH backends
     (``tests/test_txn.py``)."""
 
-    _ABSENT = object()
-
     def __init__(self):
         self._mu = threading.Lock()
         self._objects: dict[str, tuple[str, int]] = {}  # root -> (val, etag)
@@ -764,6 +776,22 @@ class TxnTable:
                         return True
                 continue
             st = cols.get(col)
+            if op == "=" and _bloom_literal_ok(
+                entry.get("bloom", {}).get(col), st, lit
+            ):
+                # Probe BEFORE the range-stats gates (round 8): a file
+                # with a bloom but no usable min/max is still prunable.
+                # Probe with the RAW literal: blooms hash the column's
+                # native Python values (int/str); the float-coerced stats
+                # literal would canon to None and disable the probe. The
+                # type gate (bloom's own key-type tag) keeps cross-typed
+                # equality (int literal on a string column and vice versa
+                # — Spark casts, bloom keys don't) from falsely proving
+                # files absent.
+                if not _bloom_maybe_contains(
+                    entry["bloom"][col], lit
+                ):
+                    return True  # bloom PROVES the value absent
             if st is None:
                 continue
             if st["nulls"] == rows and rows > 0:
@@ -782,16 +810,6 @@ class TxnTable:
                 or (op == ">=" and hi < cl)
             ):
                 return True
-            if op == "=" and _bloom_literal_ok(st, lit):
-                # probe with the RAW literal: blooms hash the column's
-                # native Python values (int/str); the float-coerced stats
-                # literal would canon to None and disable the probe. The
-                # type gate keeps cross-typed equality (int literal on a
-                # string column and vice versa — Spark casts, bloom keys
-                # don't) from falsely proving files absent.
-                bl = entry.get("bloom", {}).get(col)
-                if bl is not None and not _bloom_maybe_contains(bl, lit):
-                    return True  # bloom PROVES the value absent
         return False
 
     @staticmethod
@@ -816,7 +834,7 @@ class TxnTable:
                     continue
             if (
                 bits is not None
-                and _bloom_literal_ok(st, v)
+                and _bloom_literal_ok(bl, st, v)
                 and not _bloom_probe(bits, bl["m"], bl["k"], v)
             ):
                 continue

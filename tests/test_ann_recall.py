@@ -98,9 +98,18 @@ def test_legacy_bucketed_cap_bounds_candidates_at_scale(spark, corpus):
     is the documented price of bounding a 16-list index, and the reason
     emb_neardup/emb_ann_* ride the multi-table indexes."""
     prepared, mt, qids, exact = corpus
+    # Assert on the CANDIDATE stage, not the k-bounded output (which any
+    # top-k satisfies, cap or no cap — ADVICE r7): the capped join's pair
+    # volume is <= n_queries * max_list, while at 20k vectors the
+    # uncapped 16-list index produces strictly more pairs.
+    capped = sim.bucketed_candidate_pairs(prepared, query_ids=qids).count()
+    assert capped <= N_QUERIES * sim.ANN_MAX_LIST, capped
+    uncapped = sim.bucketed_candidate_pairs(
+        prepared, query_ids=qids, max_list=None
+    ).count()
+    assert uncapped > capped, (uncapped, capped)
+    # and the ranked output built on those candidates is still a top-k
     ann = sim.ann_topk_bucketed(prepared, k=K, query_ids=qids)
-    # every query's candidate pool is <= max_list, so its top-k exists
-    # and the result is <= n_queries * k rows
     assert ann.count() <= N_QUERIES * K
 
 

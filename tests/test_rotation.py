@@ -1,0 +1,111 @@
+"""Driver-rotation staleness logic (queries/__init__.py) and the
+CONTENT_KEYS.json freshness gate (tools/update_content_keys.py).
+
+The rotation orders the registry stalest-driver-evidence-first so the
+driver's ~50-row CORRECTNESS window both extends coverage and re-greens
+the oldest rows. Round 8 made staleness CONTENT-KEYED: a driver row
+recorded before the query's plan/oracle was rewritten no longer counts
+as evidence (r7 verdict, task 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from rxlan_aws_lakehouse_spark import queries as qmod
+
+
+def test_content_keys_file_matches_head():
+    """CONTENT_KEYS.json must be regenerated whenever a query plan or
+    oracle changes — otherwise a rewrite silently keeps stale driver
+    evidence. Failing here means: run python tools/update_content_keys.py."""
+    import update_content_keys as uck
+
+    with open(os.path.join(REPO, "CONTENT_KEYS.json")) as f:
+        committed = json.load(f)
+    current = uck.current_hashes()
+    assert set(committed) == set(current), (
+        "registry/name drift — run tools/update_content_keys.py: "
+        f"missing={sorted(set(current) - set(committed))} "
+        f"extra={sorted(set(committed) - set(current))}"
+    )
+    stale = sorted(
+        n for n, h in current.items() if committed[n]["hash"] != h
+    )
+    assert not stale, (
+        f"content changed without re-keying — run tools/update_content_keys.py: {stale}"
+    )
+
+
+def test_rewritten_query_requeues_as_never_checked(monkeypatch):
+    """A query whose content changed after its last driver row must jump
+    to the front of the rotation (effective rank -1), ahead of both the
+    never-checked cohort and the stale tail."""
+    monkeypatch.setattr(
+        qmod,
+        "_last_checked_rounds",
+        lambda: {
+            "rewritten_q": (6, True),   # green row, but from round 6...
+            "fresh_q": (7, True),
+            "stale_q": (2, True),
+        },
+    )
+    monkeypatch.setattr(
+        qmod,
+        "_content_since_rounds",
+        lambda: {"rewritten_q": 7},     # ...content rewritten in round 7
+    )
+
+    class _Mod:
+        QUERIES = {
+            "rewritten_q": lambda s, d: None,
+            "fresh_q": lambda s, d: None,
+            "stale_q": lambda s, d: None,
+            "never_q": lambda s, d: None,
+        }
+        ORACLE = {n: "SELECT 1" for n in QUERIES}
+
+    monkeypatch.setattr(qmod, "_MODULES", (_Mod,))
+    order = list(qmod.all_queries())
+    assert order == ["rewritten_q", "never_q", "stale_q", "fresh_q"]
+
+
+def test_untouched_query_keeps_its_evidence(monkeypatch):
+    """since_round <= last driver row leaves the ordering untouched —
+    content keys only invalidate, never refresh."""
+    monkeypatch.setattr(
+        qmod,
+        "_last_checked_rounds",
+        lambda: {"a": (3, True), "b": (5, True)},
+    )
+    monkeypatch.setattr(qmod, "_content_since_rounds", lambda: {"a": 2, "b": 0})
+
+    class _Mod:
+        QUERIES = {"a": lambda s, d: None, "b": lambda s, d: None}
+        ORACLE = {"a": "SELECT 1", "b": "SELECT 1"}
+
+    monkeypatch.setattr(qmod, "_MODULES", (_Mod,))
+    assert list(qmod.all_queries()) == ["a", "b"]
+
+
+def test_live_registry_front_of_queue_is_current():
+    """At HEAD, the content-invalidated + never-checked cohort leads the
+    real registry: the r7-rewritten emb_neardup (last driver row r6,
+    old plan) and the six never-sampled round-6 queries must all sit
+    inside the driver's ~50-row window."""
+    names = list(qmod.all_queries())
+    for n in (
+        "emb_neardup",
+        "scd2_point_in_time_join",
+        "text_html_strip",
+        "text_winnowing",
+        "txn_bloom_point_lookup",
+        "txn_scd2_history",
+        "winnowing_overlap",
+    ):
+        assert names.index(n) < 45, (n, names.index(n))

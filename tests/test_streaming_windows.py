@@ -154,3 +154,47 @@ def test_stream_stream_join(spark, tmp_path):
     # Austin buy at 10:30 attributes to the 10:00 click (within 1h);
     # the 07:00 click is outside the window; Chicago's click is AFTER its buy
     assert rows == {("Austin", "2024-03-01 10:00:00")}
+
+
+def test_watermark_dedup_multibatch_semantics(spark, tmp_path):
+    """Pins the Spark semantics run_watermark_dedup documents and the
+    registry lane's oracle relies on (measured round 8): (1) one file per
+    micro-batch in mtime order, so the watermark advances between batches;
+    (2) the operator never drops below-watermark INPUT (late new keys are
+    emitted); (3) duplicates are suppressed cross-batch while their
+    original's ts + delay is at or past the current watermark."""
+    import json
+    import os
+
+    from rxlan_aws_lakehouse_spark.streaming.windows import run_watermark_dedup
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    f1 = [
+        {"city": "A", "ts": "2024-01-01T10:00:00"},
+        {"city": "A", "ts": "2024-01-01T10:00:00"},   # in-batch dup
+        {"city": "C", "ts": "2024-01-01T12:00:00"},   # frontier -> wm2 11:00
+    ]
+    f2 = [
+        {"city": "D", "ts": "2024-01-02T09:00:00"},
+        {"city": "A", "ts": "2024-01-01T10:00:00"},   # cross-batch dup,
+                                                      # expiresAt 11:00 == wm2
+        {"city": "E", "ts": "2024-01-01T08:00:00"},   # NEW key below wm2
+    ]
+    for i, rows in enumerate([f1, f2]):
+        p = landing / f"b{i}.json"
+        p.write_text("".join(json.dumps(r) + "\n" for r in rows))
+        os.utime(p, (1_700_000_000 + i * 60,) * 2)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_watermark_dedup(spark, str(landing), out, ckpt, delay="1 hour")
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2  # genuinely multi-batch
+    got = sorted(
+        (r["city"], str(r["ts"])) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("A", "2024-01-01 10:00:00"),
+        ("C", "2024-01-01 12:00:00"),
+        ("D", "2024-01-02 09:00:00"),
+        ("E", "2024-01-01 08:00:00"),
+    ]

@@ -1692,3 +1692,41 @@ def test_etag_pointer_is_a_real_backend(spark, tmp_path):
     # stale CAS raises (not silently overwrites)
     with pytest.raises(ConcurrentCommitError):
         p.compare_and_swap(t.root, "v99999999", None)
+
+
+def test_bloom_tag_and_stats_free_pruning():
+    """Round 8: the bloom carries its own key-type tag, so a file with a
+    bloom but NO range stats for the column is still point-prunable
+    (pre-fix, _bloom_literal_ok required the stats entry and such files
+    could never be bloom-pruned); cross-typed literals still keep the
+    file conservatively."""
+    from rxlan_aws_lakehouse_spark.txn import (
+        TxnTable,
+        _bloom_build,
+        _bloom_literal_ok,
+    )
+
+    bl_num = _bloom_build(iter(range(100)))
+    bl_str = _bloom_build(iter(f"v{i}" for i in range(100)))
+    assert bl_num["t"] == "num" and bl_str["t"] == "str"
+    # tag alone gates the probe — no stats entry needed
+    assert _bloom_literal_ok(bl_num, None, 7)
+    assert _bloom_literal_ok(bl_str, None, "v7")
+    # cross-typed literals (Spark casts, bloom keys don't): no probe
+    assert not _bloom_literal_ok(bl_num, None, "7")
+    assert not _bloom_literal_ok(bl_str, None, 7)
+    assert not _bloom_literal_ok(bl_num, None, True)
+    # no bloom at all -> nothing to probe
+    assert not _bloom_literal_ok(None, {"t": "num"}, 7)
+
+    # manifest entry WITHOUT range stats for k (footer lacked min/max)
+    entry = {"rows": 100, "columns": {}, "bloom": {"k": bl_num}}
+    assert TxnTable._file_prunable(entry, "f.parquet", [("k", "=", 10**9)])
+    assert not TxnTable._file_prunable(entry, "f.parquet", [("k", "=", 7)])
+    # type confusion still conservative: string literal on an int bloom
+    assert not TxnTable._file_prunable(
+        entry, "f.parquet", [("k", "=", str(10**9))]
+    )
+    # disjunctive IN-probe path, same stats-free entry
+    assert not TxnTable._file_matches_any(entry, "k", [10**9, 10**9 + 1])
+    assert TxnTable._file_matches_any(entry, "k", [10**9, 7])
