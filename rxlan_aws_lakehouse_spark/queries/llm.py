@@ -929,6 +929,31 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio codec path (round 8 — second container
+    beside BMP, proving the decode seam isn't image-shaped): synthesize a
+    spec-conformant RIFF/WAVE 16-bit PCM file per document (rate /
+    channels / frames / signed amplitudes derived from doc_id and text
+    length — mono AND stereo interleave), parse it back with the
+    pure-Python WAV decoder (``ops/multimodal.py decode_wav`` — chunk
+    walk, PCM validation, int16 two's-complement samples) and reduce to
+    mean / peak / RMS. The oracle recomputes the expected stats from the
+    generation rule, so an interleave, endianness, or sign-extension
+    defect breaks the hash. Both hops are Arrow-batched mapInPandas."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    decoded = mm.decode_audio_features(mm.make_wav_payloads(d))
+    return decoded.select(
+        "doc_id",
+        "fmt",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        F.round("mean_amp", 4).alias("mean_amp"),
+        "peak",
+        F.round("rms", 4).alias("rms"),
+    )
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive frame sampling over binary payloads (``ops/multimodal.py
     sample_frames``): at most 8 fixed-width frames per payload, evenly
@@ -1253,6 +1278,7 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_decode_real": multimodal_decode_real,
+    "multimodal_decode_audio": multimodal_decode_audio,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_batch_stats": multimodal_batch_stats,
 }
@@ -1483,6 +1509,36 @@ def _build_oracle() -> dict[str, str]:
                    round(CAST(n % 256 AS DOUBLE), 4) AS mean_b
             FROM d JOIN rs ON d.doc_id = rs.doc_id
                    JOIN gs ON d.doc_id = gs.doc_id
+        """,
+        # expected output of the REAL WAV encode->decode round trip,
+        # recomputed from the generation rule (nf = 20 + id%13,
+        # nc = 1 + id%2, rate = 8000 + 100*(id%5),
+        # amp(t,c) = ((id*31 + t*17 + c*7 + len) % 2003) - 1001): an
+        # interleave / endianness / int16-sign bug shifts mean/peak/rms
+        "multimodal_decode_audio": """
+            WITH d AS (
+              SELECT doc_id, length(text) AS n,
+                     20 + doc_id % 13 AS nf, 1 + doc_id % 2 AS nc,
+                     8000 + 100 * (doc_id % 5) AS sr
+              FROM documents WHERE doc_id < 60),
+            tc AS (
+              SELECT d.doc_id, t.t, c.c, d.n, d.nf, d.nc, d.sr,
+                     ((d.doc_id * 31 + t.t * 17 + c.c * 7 + d.n) % 2003)
+                       - 1001 AS amp
+              FROM d
+              JOIN LATERAL (
+                SELECT unnest(generate_series(0, d.nf - 1)) AS t) t ON TRUE
+              JOIN LATERAL (
+                SELECT unnest(generate_series(0, d.nc - 1)) AS c) c ON TRUE)
+            SELECT doc_id, 'wav' AS fmt,
+                   CAST(sr AS INTEGER) AS sample_rate,
+                   CAST(nc AS INTEGER) AS n_channels,
+                   CAST(nf AS INTEGER) AS n_frames,
+                   round(avg(CAST(amp AS DOUBLE)), 4) AS mean_amp,
+                   CAST(max(abs(amp)) AS INTEGER) AS peak,
+                   round(sqrt(avg(CAST(amp AS DOUBLE) * amp)), 4) AS rms
+            FROM tc
+            GROUP BY doc_id, sr, nc, nf
         """,
         "dedup_clusters": f"""{lsh_verified_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
             dup AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),

@@ -304,6 +304,57 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-skewed fact x dim through the EXPLICIT salting operators
+    (``ops/salting.py`` — round 8, first registry lane for them): the
+    events fact is keyed so ~2/3 of all rows land on ONE key (the shape
+    where a plain shuffle sends a whole key to one reducer), joined via
+    ``salted_join`` (dim replicated per salt bucket, fact salted — no
+    single reducer sees the hot key whole), then aggregated via
+    ``salted_agg`` (two-phase: per-(key, salt) partials, then merge).
+
+    The salt never reaches values, so the result equals the plain
+    join+agg the oracle states. At THIS sf the dim would broadcast and
+    AQE's skew-join would cover an SMJ; the salted plan is the 100 TB
+    form for the two shapes AQE can't fix (hot-key aggregation, and a
+    skewed join whose dim exceeds the broadcast threshold) — the lane
+    pins that the rewrite is value-preserving under the driver's hash.
+    """
+    from ..ops.salting import salted_agg, salted_join
+
+    e = load(spark, sf_dir, "events")
+    fact = e.select(
+        F.when(F.col("event_id") % 3 < 2, F.lit(0))
+        .otherwise(F.col("user_id") % 50)
+        .cast("long")
+        .alias("k"),
+        "value",
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("segment"))
+    )
+    joined = salted_join(fact, dim, on=["k"])
+    out = salted_agg(
+        joined,
+        ["segment"],
+        {
+            "n_rows": ("count", F.lit(1)),
+            "n_hot": ("sum", (F.col("k") == 0).cast("long")),
+            "total_value": ("sum", F.col("value")),
+            "max_value": ("max", F.col("value")),
+        },
+    )
+    return out.select(
+        "segment",
+        "n_rows",
+        "n_hot",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 2).alias("max_value"),
+    ).orderBy("segment")
+
+
 QUERIES = {
     "tpch_q8_mktshare": tpch_q8_mktshare,
     "tpch_q9_profit": tpch_q9_profit,
@@ -312,9 +363,30 @@ QUERIES = {
     "tpch_q21_waiting": tpch_q21_waiting,
     "scd2_customer_history": scd2_customer_history,
     "scd2_point_in_time_join": scd2_point_in_time_join,
+    "join_skew_salted": join_skew_salted,
 }
 
 ORACLE = {
+    # the salt is partitioning-only; the salted join+agg equals this
+    # plain join+agg (hot key 0 carries ~2/3 of the fact)
+    "join_skew_salted": """
+        WITH fact AS (
+          SELECT CASE WHEN event_id % 3 < 2 THEN 0
+                      ELSE user_id % 50 END AS k,
+                 value
+          FROM events),
+        dim AS (
+          SELECT c_custkey AS k, c_mktsegment AS segment
+          FROM customer WHERE c_custkey < 50)
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+               round(sum(value), 2) AS total_value,
+               round(max(value), 2) AS max_value
+        FROM fact JOIN dim USING (k)
+        GROUP BY segment
+        ORDER BY segment
+    """,
     "tpch_q8_mktshare": """
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
                round(sum(CASE WHEN n2.n_name = 'NATION_1'

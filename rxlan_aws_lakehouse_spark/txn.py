@@ -45,6 +45,7 @@ import datetime as _dt
 import hashlib
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -725,6 +726,74 @@ class TxnTable:
         if schema_json:
             reader = reader.schema(StructType.fromJson(schema_json))
         return reader.parquet(data)
+
+    def register(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: str | None = None,
+        analyze_columns: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Register a snapshot as a catalog table WITH CBO statistics, so
+        Catalyst's cost-based optimizer sees real row counts (and, for
+        ``analyze_columns``, min/max/ndv) instead of riding the 10 MB
+        ``autoBroadcastJoinThreshold`` default at every scale (r7 verdict
+        task 4 — the Delta/Iceberg "table statistics surface" analogue).
+
+        Mechanics: an external parquet table pinned to the IMMUTABLE
+        version directory (snapshot isolation survives registration —
+        later commits write new dirs and never touch this one), created
+        with the schema RECORDED AT COMMIT (evolved snapshots read old
+        files as typed NULLs, same as ``read``), then ``ANALYZE TABLE``:
+
+          * ``COMPUTE STATISTICS`` — rowCount + sizeInBytes. Parquet
+            answers the count from footers, so cost stays proportional
+            to file COUNT, not data size.
+          * ``FOR COLUMNS`` on ``analyze_columns`` — min/max/ndv/nulls,
+            what FilterEstimation needs to shrink a post-filter size
+            estimate below the broadcast threshold. This DOES scan the
+            named columns: spend it on dimension-scale tables (the side
+            a broadcast decision is about), never the fact.
+
+        The catalog rowCount is cross-checked against the manifest's own
+        per-file row totals — a free integrity gate that also catches
+        misregistration (e.g. a hive-partitioned snapshot whose files an
+        unpartitioned external table would silently miss).
+        """
+        v = version or self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        entries = self.file_entries(v)
+        data = os.path.join(self.root, _VERSIONS, v)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        schema_json = self._meta(v).get("schema")
+        kwargs = {"path": data, "source": "parquet"}
+        if schema_json:
+            kwargs["schema"] = StructType.fromJson(schema_json)
+        spark.catalog.createTable(name, **kwargs)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        if analyze_columns:
+            cols = ", ".join(f"`{c}`" for c in analyze_columns)
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        manifest_rows = sum(e.get("rows", 0) for e in entries.values())
+        stats_line = next(
+            (
+                r.data_type
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+                if r.col_name == "Statistics"
+            ),
+            "",
+        )
+        m = re.search(r"(\d+)\s+rows", stats_line)
+        catalog_rows = int(m.group(1)) if m else -1
+        if catalog_rows != manifest_rows:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            raise ValueError(
+                f"registered rowCount {catalog_rows} != manifest total "
+                f"{manifest_rows} for {self.root}@{v} — snapshot layout "
+                "not representable as a flat external table"
+            )
+        return spark.table(name)
 
     # -- stats-based file skipping ---------------------------------------
     @staticmethod

@@ -235,3 +235,63 @@ def test_decode_real_rejects_degenerate_dimensions():
     struct.pack_into("<i", bad2, 22, 0)  # height = 0
     with pytest.raises(ValueError, match="degenerate"):
         mm.decode_real(bytes(bad2), "image")
+
+
+def test_wav_encode_decode_round_trip():
+    """decode_wav is a REAL parser: it inverts encode_wav exactly —
+    int16 two's-complement extremes, stereo interleave, frame count."""
+    from rxlan_aws_lakehouse_spark.ops import multimodal as mm
+
+    samples = [0, -1, 1000, -1001, 32767, -32768]
+    wav = mm.encode_wav(8000, 2, samples)
+    got = mm.decode_wav(wav)
+    assert got == {
+        "format": "wav",
+        "sample_rate": 8000,
+        "n_channels": 2,
+        "n_frames": 3,
+        "samples": samples,
+    }
+    mono = mm.decode_wav(mm.encode_wav(8100, 1, [5, -5, 7]))
+    assert mono["n_channels"] == 1 and mono["n_frames"] == 3
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """Real WAV files carry LIST/fact/cue chunks; the parser must skip
+    them (with RIFF even-padding) and still find fmt/data."""
+    import struct
+
+    from rxlan_aws_lakehouse_spark.ops import multimodal as mm
+
+    wav = mm.encode_wav(8000, 1, [1, 2, 3])
+    # odd-sized unknown chunk between WAVE id and fmt: pad byte required
+    extra = wav[:12] + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00" + wav[12:]
+    assert mm.decode_wav(extra)["samples"] == [1, 2, 3]
+
+
+def test_wav_rejects_bad_payloads():
+    import struct
+
+    import pytest as _pytest
+
+    from rxlan_aws_lakehouse_spark.ops import multimodal as mm
+
+    wav = mm.encode_wav(8000, 2, [1, 2, 3, 4])
+    with _pytest.raises(ValueError):  # not RIFF
+        mm.decode_wav(b"\x00" * 64)
+    with _pytest.raises(ValueError):  # RIFF but not WAVE
+        mm.decode_wav(wav[:8] + b"AVI " + wav[12:])
+    with _pytest.raises(ValueError):  # wrong modality
+        mm.decode_wav(wav, modality="image")
+    with _pytest.raises(ValueError):  # truncated data chunk
+        mm.decode_wav(wav[:-3])
+    # non-PCM format tag
+    bad_fmt = bytearray(wav)
+    struct.pack_into("<H", bad_fmt, 20, 3)  # IEEE float tag
+    with _pytest.raises(ValueError):
+        mm.decode_wav(bytes(bad_fmt))
+    # data not frame-aligned for stereo: chop 2 bytes off data, fix size
+    misaligned = bytearray(wav[:-2])
+    struct.pack_into("<I", misaligned, 40, 6)  # data size 8 -> 6
+    with _pytest.raises(ValueError):
+        mm.decode_wav(bytes(misaligned))

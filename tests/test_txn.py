@@ -1730,3 +1730,84 @@ def test_bloom_tag_and_stats_free_pruning():
     # disjunctive IN-probe path, same stats-free entry
     assert not TxnTable._file_matches_any(entry, "k", [10**9, 10**9 + 1])
     assert TxnTable._file_matches_any(entry, "k", [10**9, 7])
+
+
+def test_register_surfaces_cbo_stats_for_broadcast_decision(spark, tmp_path):
+    """r7 verdict task 4: a dimension JUST OVER the broadcast threshold
+    still broadcasts once catalog statistics say it fits post-filter.
+    TxnTable.register pins the snapshot as an external table, ANALYZEs
+    rowCount + the filter column, and cross-checks the catalog rowCount
+    against the manifest's per-file totals; with CBO on, FilterEstimation
+    shrinks the size estimate below the threshold -> BroadcastHashJoin,
+    while the stats-less path read of the SAME files stays SortMergeJoin."""
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    dim = spark.range(40_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).alias("seg"),
+        F.concat(F.lit("name_"), F.col("id").cast("string")).alias("nm"),
+    )
+    t = TxnTable(str(tmp_path / "dim"))
+    t.commit(dim)
+    reg = t.register(spark, "cbo_dim_t", analyze_columns=("seg",))
+    assert reg.count() == 40_000
+    stats = next(
+        r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED cbo_dim_t").collect()
+        if r.col_name == "Statistics"
+    )
+    assert "40000 rows" in stats
+    fact = spark.range(1_000_000).select(
+        (F.col("id") % 40_000).alias("k"), F.col("id").alias("v")
+    )
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.adaptive.enabled": "false",
+        # full dim ~390 KB > threshold; the seg=3 slice estimates ~220 KB
+        "spark.sql.autoBroadcastJoinThreshold": "300000",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        with_stats = (
+            fact.join(spark.table("cbo_dim_t").filter(F.col("seg") == 3), "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in with_stats, with_stats
+        without = (
+            fact.join(t.read(spark).filter(F.col("seg") == 3), "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in without, without
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_dim_t")
+
+
+def test_register_rejects_rowcount_mismatch(spark, tmp_path):
+    """The manifest cross-check: registering a snapshot whose files an
+    external table can't fully see (or whose manifest disagrees) raises
+    instead of silently serving wrong statistics."""
+    import json
+    import os
+
+    from rxlan_aws_lakehouse_spark.txn import TxnTable, _VERSIONS
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.range(100).select(F.col("id").alias("k")))
+    v = t.current_version()
+    # corrupt one manifest entry's row count
+    meta = t._meta(v)
+    key = next(iter(meta["shards"]))
+    shard_path = t._shard_file(v, key)
+    with open(shard_path) as f:
+        shard = json.load(f)
+    rel = next(iter(shard["files"]))
+    shard["files"][rel]["rows"] += 5
+    with open(shard_path, "w") as f:
+        json.dump(shard, f)
+    with pytest.raises(ValueError, match="manifest total"):
+        t.register(spark, "cbo_bad_t")
+    assert not spark.catalog.tableExists("cbo_bad_t")
