@@ -556,6 +556,50 @@ def txn_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_cbo_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO-planned join against a STAT-REGISTERED txn snapshot (round 8):
+    the customer dimension lands in a txn table, ``register`` pins it as
+    an external catalog table with ANALYZE'd rowCount + column stats on
+    the filter column (cross-checked against the manifest), and the
+    orders fact joins the filtered dimension with ``spark.sql.cbo.enabled``
+    — the broadcast-vs-SMJ decision rides FilterEstimation over real
+    statistics instead of the byte-size default (the plan assertion lives
+    in tests/test_txn.py; the driver hash pins that the CBO path is
+    value-identical to the plain join DuckDB computes)."""
+    work = tempfile.mkdtemp(prefix="txn_cbo_")
+    table = "txn_cbo_dim_reg"
+    confs = {"spark.sql.cbo.enabled": "true"}
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        t = TxnTable(f"{work}/dim")
+        dim = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        t.commit(dim)
+        reg = t.register(spark, table, analyze_columns=("c_mktsegment",))
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        seg = reg.filter(F.col("c_mktsegment") == "BUILDING")
+        o = load(spark, sf_dir, "orders")
+        out = (
+            o.join(seg, o.o_custkey == seg.c_custkey)
+            .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("c_custkey").alias("n_cust"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .orderBy("o_year")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -568,9 +612,23 @@ QUERIES = {
     "txn_streaming_cdc_merge": txn_streaming_cdc_merge,
     "txn_scd2_history": txn_scd2_history,
     "txn_bloom_point_lookup": txn_bloom_point_lookup,
+    "txn_cbo_broadcast_join": txn_cbo_broadcast_join,
 }
 
 ORACLE = {
+    # the CBO-planned join over the stat-registered snapshot must equal
+    # the plain fixture join — statistics steer the PLAN, never values
+    "txn_cbo_broadcast_join": """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1
+        ORDER BY 1
+    """,
     # the bloom-pruned point read must equal the full-scan answer with
     # the k=1 row carrying the merged values; bloom_pruned TRUE encodes
     # the files-scanned bound the Spark side computed from the manifest

@@ -1,0 +1,127 @@
+"""sf0.1 -> sf1 scale sweep for the post-round-4 lanes (r7 verdict task 1).
+
+The newest plans — txn merge/incremental, SCD2 (+ point-in-time), winnowing,
+contamination, the rotated ANN index (incl. the auto-bits sizing rule) and
+the round-7-rewritten emb_neardup — had never run above sf0.1; their
+100x-scale claims rested on sf0.1 walls plus synthetic docs probes. This
+sweep measures each lane at both scales on the same session and prints
+wall seconds + the sf1/sf0.1 slope (10x data => slope ~10 is linear IO-bound,
+~1 is overhead-bound, >>10 is super-linear = a scale bug).
+
+Also probes the auto_bits path explicitly: at sf1 the 10x corpus must get
+finer buckets (bits up), with max inverted-list length reported before the
+candidate cap.
+
+Usage: python tools/sf1_sweep.py [sf1_dir] [lane ...]
+Writes one JSON line per lane to stdout; paste the table into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from rxlan_aws_lakehouse_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+
+DEFAULT_LANES = [
+    "txn_merge_evolved",
+    "txn_incremental_agg",
+    "scd2_customer_history",
+    "scd2_point_in_time_join",
+    "text_winnowing",
+    "winnowing_overlap",
+    "contamination_check",
+    "emb_ann_rotated",
+    "emb_neardup",
+    "emb_ann_lsh",
+    "dedup_minhash_pairs",
+    "streaming_watermark_dedup_counts",
+    "multimodal_decode_audio",
+    "join_skew_salted",
+]
+
+
+def timed(fn, spark, sf_dir, runs=2):
+    fn(spark, sf_dir).count()  # warmup: codegen + lane index build
+    walls = []
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        walls.append(time.perf_counter() - t0)
+    return min(walls), n
+
+
+def autobits_probe(spark, sf_dir):
+    """bits chosen + worst/mean inverted-list length for the AUTO-sized
+    rotated index (registry queries pin bits; this is the library path)."""
+    from pyspark.sql import functions as F
+
+    from rxlan_aws_lakehouse_spark.catalog import load
+    from rxlan_aws_lakehouse_spark.ops import similarity as sim
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    t0 = time.perf_counter()
+    prep = sim.prepare_multitable_rotated(emb, bits=None)
+    bits = prep._rotated_bits
+    lists = (
+        prep.select(F.col("bucket_0").alias("b"))
+        .groupBy("b")
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.avg("count").alias("mean"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .first()
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "n_vectors": n,
+        "auto_bits": bits,
+        "max_list": int(lists["mx"]),
+        "mean_list": round(float(lists["mean"]), 1),
+        "n_buckets": int(lists["n_buckets"]),
+        "cap": sim.ANN_MAX_LIST,
+        "wall": round(wall, 2),
+    }
+
+
+def main() -> None:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
+    lanes = sys.argv[2:] or DEFAULT_LANES
+    spark = get_spark("sf1-sweep")
+    queries = entrymod.queries()
+    for sf_dir, tag in ((SF01, "sf0.1"), (sf1, "sf1")):
+        print(json.dumps({"autobits_" + tag: autobits_probe(spark, sf_dir)}))
+    for name in lanes:
+        fn = queries[name]
+        spark.catalog.clearCache()
+        w01, n01 = timed(fn, spark, SF01)
+        spark.catalog.clearCache()
+        w1, n1 = timed(fn, spark, sf1)
+        print(
+            json.dumps(
+                {
+                    "lane": name,
+                    "sf0.1_wall": round(w01, 2),
+                    "sf1_wall": round(w1, 2),
+                    "slope": round(w1 / w01, 2) if w01 else None,
+                    "sf0.1_rows": n01,
+                    "sf1_rows": n1,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
