@@ -95,11 +95,63 @@ def autobits_probe(spark, sf_dir):
     }
 
 
+def txn_scale_probe(spark, sf_dir):
+    """The registry txn lanes pin small working sets (oracle determinism),
+    so their flat sweep slopes prove overhead, not scaling. This probe
+    runs the same OPERATIONS on the full customer table at each scale:
+    commit (partitioned), 10% merge_upsert, incremental change-feed agg
+    refresh over an append — the walls that must stay ~linear in table
+    size for the 100 TB claim."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rxlan_aws_lakehouse_spark.catalog import load
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    work = tempfile.mkdtemp(prefix="txn_scale_")
+    try:
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        )
+        n = cust.count()
+        t = TxnTable(f"{work}/t")
+        t0 = time.perf_counter()
+        t.commit(cust, partition_by=["c_mktsegment"])
+        commit_wall = time.perf_counter() - t0
+        updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(1.0)
+        )
+        t0 = time.perf_counter()
+        t.merge_upsert(spark, updates, keys=["c_custkey"])
+        merge_wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got = t.read(spark).count()
+        read_wall = time.perf_counter() - t0
+        assert got == n, (got, n)
+        return {
+            "n_rows": n,
+            "commit_wall": round(commit_wall, 2),
+            "merge_wall": round(merge_wall, 2),
+            "read_wall": round(read_wall, 2),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
     lanes = sys.argv[2:] or DEFAULT_LANES
     spark = get_spark("sf1-sweep")
     queries = entrymod.queries()
+    if lanes == ["txn_probe"]:
+        for sf_dir, tag in ((SF01, "sf0.1"), (sf1, "sf1")):
+            print(
+                json.dumps({"txn_scale_" + tag: txn_scale_probe(spark, sf_dir)}),
+                flush=True,
+            )
+        return
     for sf_dir, tag in ((SF01, "sf0.1"), (sf1, "sf1")):
         print(json.dumps({"autobits_" + tag: autobits_probe(spark, sf_dir)}))
     for name in lanes:
