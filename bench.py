@@ -57,6 +57,10 @@ HEADLINE = [
     "tpch_q9_profit",       # 6-way join incl. part LIKE-filter fan-out
     "tpch_q21_waiting",     # exists/not-exists double correlated semi-join
     "emb_ann_rotated",      # Rademacher-rotated multi-table LSH ANN
+    # round-8 lanes:
+    "join_skew_salted",     # Zipf fact through salted join + two-phase agg
+    "txn_cbo_broadcast_join",  # stat-registered txn dim, CBO-planned join
+    "zorder_box_read",      # Morton-clustered rewrite + 2D box read
 ]
 
 # The original 13-query set (rounds 1-5): summed separately so

@@ -600,6 +600,73 @@ def txn_cbo_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering under the driver gate (round 8): the
+    events table is rewritten clustered on the interleaved (user_id,
+    value) ranks (``ops/zorder.py`` — Delta OPTIMIZE ZORDER BY analogue),
+    then a 2D box predicate reads it back. The aggregate must equal the
+    plain fixture filter (clustering is layout-only), and the
+    ``zorder_pruned`` flag pins the layout's POINT: the box touches at
+    most half of the written files by footer min/max — a single-column
+    sort cannot give that for a predicate on the second dimension
+    (asserted comparatively in tests/test_zorder.py)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from ..ops.zorder import zorder_write
+
+    work = tempfile.mkdtemp(prefix="zorder_live_")
+    try:
+        e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        zorder_write(e, f"{work}/z", ["user_id", "value"], n_files=16)
+        files = _glob.glob(f"{work}/z/part-*.parquet")
+        overlap = 0
+        for p in files:
+            md = _pq.ParquetFile(p).metadata
+            lo: dict[str, float] = {}
+            hi: dict[str, float] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    name = c.path_in_schema
+                    lo[name] = min(lo.get(name, st.min), st.min)
+                    hi[name] = max(hi.get(name, st.max), st.max)
+            if (
+                lo.get("user_id", 30) < 60
+                and hi.get("user_id", 30) >= 30
+                and lo.get("value", 25.0) < 75.0
+                and hi.get("value", 25.0) >= 25.0
+            ):
+                overlap += 1
+        box = (
+            spark.read.parquet(f"{work}/z")
+            .filter(
+                (F.col("user_id") >= 30)
+                & (F.col("user_id") < 60)
+                & (F.col("value") >= 25.0)
+                & (F.col("value") < 75.0)
+            )
+        )
+        out = box.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        ).withColumn(
+            "zorder_pruned", F.lit(overlap * 2 <= len(files))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -613,9 +680,24 @@ QUERIES = {
     "txn_scd2_history": txn_scd2_history,
     "txn_bloom_point_lookup": txn_bloom_point_lookup,
     "txn_cbo_broadcast_join": txn_cbo_broadcast_join,
+    "zorder_box_read": zorder_box_read,
 }
 
 ORACLE = {
+    # clustering is layout-only: the box read over the z-ordered rewrite
+    # equals the plain fixture filter; zorder_pruned TRUE encodes the
+    # files-touched bound the Spark side computed from parquet footers
+    "zorder_box_read": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(sum(value), 2) AS total_value,
+               min(event_id) AS min_event,
+               max(event_id) AS max_event,
+               TRUE AS zorder_pruned
+        FROM events
+        WHERE user_id >= 30 AND user_id < 60
+          AND value >= 25.0 AND value < 75.0
+    """,
     # the CBO-planned join over the stat-registered snapshot must equal
     # the plain fixture join — statistics steer the PLAN, never values
     "txn_cbo_broadcast_join": """

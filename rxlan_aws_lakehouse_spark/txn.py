@@ -527,19 +527,26 @@ class LocalFSPointer(PointerBackend):
                 os.fsync(f.fileno())
             os.rename(tmp, os.path.join(root, _LATEST))
         finally:
-            os.close(fd)
             try:
-                # Ownership-checked release: unlink only if the lockfile
-                # still carries OUR nonce. If we stalled past stale_after
-                # and a stealer replaced the lock, this leaves the
-                # stealer's lock intact instead of reopening the
-                # double-publish window. (The read→unlink gap is a few µs
-                # vs a ≥10 s staleness horizon.)
-                with open(lock) as lf:
-                    if lf.read() == nonce:
-                        os.unlink(lock)
+                # Ownership-checked release (ADVICE r7): unlink only if
+                # the lock PATH still resolves to the inode WE created —
+                # os.fstat on our held fd vs os.stat on the path, an
+                # identity check no content collision can fool. If we
+                # stalled past stale_after and a stealer replaced the
+                # lock, this leaves the stealer's lock intact instead of
+                # reopening the double-publish window. The stat→unlink
+                # gap remains a few µs vs the ≥10 s staleness horizon —
+                # unclosable with path-based unlink; the full close would
+                # be flock-based holding (kernel releases on crash), at
+                # the price of no live-holder steal.
+                ours = os.fstat(fd)
+                cur = os.stat(lock)
+                if (cur.st_ino, cur.st_dev) == (ours.st_ino, ours.st_dev):
+                    os.unlink(lock)
             except OSError:
                 pass  # stolen/replaced mid-hold: not ours to remove
+            finally:
+                os.close(fd)
 
 
 class _PreconditionFailed(Exception):
