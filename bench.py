@@ -99,16 +99,19 @@ def main() -> None:
     # median absorbs one bad pass; the min is also reported as the
     # "machine-idle floor" for cross-round comparisons.
     # Neutral JIT warmup (round 8, r7 verdict task 3): before lane 1, run
-    # one NON-headline scan+agg and one small join so the shared Spark
-    # paths (parquet reader, hash-agg, broadcast join, codegen compiler)
-    # reach C2-compiled steady state. Measured at the r7 HEAD: without
-    # this, tpch_q1 read 0.641 s as the first lane under a fresh JVM vs
-    # 0.304 s after a warm suite — a +92% pure-JIT artifact the r7 driver
-    # bench recorded as a phantom regression. The warmup queries are
-    # deliberately not in HEADLINE, and per-lane clearCache() still
-    # isolates data/cache residency between lanes.
-    queries["ref_count_star"](spark, SF_DIR).count()
-    queries["tpch_q14_promo"](spark, SF_DIR).count()
+    # two NON-headline queries (scan+agg, small join) repeatedly so the
+    # shared Spark paths (parquet reader, hash-agg, broadcast join,
+    # codegen compiler) reach C2-compiled steady state. Measured at the
+    # r8 HEAD, tpch_q1 as the first lane: 0.641 s cold (fresh JVM, the
+    # +92% phantom regression the r7 driver bench recorded), 0.59 s after
+    # 1 warmup round, 0.44 s after 3, 0.33 s after 8 — matching the
+    # 0.304 s the r7 judge measured after a full-suite warmup. 8 rounds
+    # (~5 s) buys the asymptote. The warmup queries are deliberately not
+    # in HEADLINE, and per-lane clearCache() still isolates data/cache
+    # residency between lanes.
+    for _ in range(8):
+        queries["ref_count_star"](spark, SF_DIR).count()
+        queries["tpch_q14_promo"](spark, SF_DIR).count()
     spark.catalog.clearCache()
 
     per_query: dict[str, float] = {}
