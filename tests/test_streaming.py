@@ -238,3 +238,81 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     ).parquet(str(tmp_path / "out"))
     pairs = {(r["conv_id"], r["click_id"]) for r in got.collect()}
     assert pairs == {(100, 10), (100, 11)}
+
+
+def test_cdc_over_real_tcp_socket(spark, tmp_path):
+    """The CDC pipeline fed by a REAL network source (round 8): a local
+    TCP server streams DDB envelopes line-by-line, Spark's socket source
+    connects as a client, and the same cdc_transform (INSERT filter,
+    typed decode, watermark dedup, event-time dt/hour) that serves the
+    file-landing path decodes live network input. Pins that the transform
+    is source-agnostic — the Kinesis/Kafka swap changes only the reader."""
+    import json
+    import socket
+    import threading
+    import time as _time
+
+    from rxlan_aws_lakehouse_spark.streaming.net import run_cdc_socket
+
+    def envelope(i, name="INSERT"):
+        return json.dumps(
+            {
+                "eventID": f"evt-{i}",
+                "eventName": name,
+                "dynamodb": {
+                    "NewImage": {
+                        "city": {"S": f"City{i % 3}"},
+                        "fetched_at_utc": {
+                            "S": f"2024-01-01T10:{i:02d}:00Z"
+                        },
+                        "temp_c": {"N": str(20.0 + i)},
+                    },
+                    "ApproximateCreationDateTime": 1709287500.0,
+                },
+            }
+        )
+
+    lines = [envelope(i) for i in range(10)]
+    lines.append(envelope(3))              # duplicate (city, ts): deduped
+    lines.append(envelope(99, "MODIFY"))   # filtered
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            stop.wait(60)  # keep the connection open until the test ends
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_cdc_socket(spark, "127.0.0.1", port, out, ckpt)
+    try:
+        deadline = _time.time() + 60
+        got = 0
+        while _time.time() < deadline:
+            try:
+                got = spark.read.parquet(out).count()
+            except Exception:
+                got = 0
+            if got >= 10:
+                break
+            _time.sleep(1)
+        sink = spark.read.parquet(out)
+        rows = {
+            (r["city"], str(r["ts"]), r["dt"], r["hour"])
+            for r in sink.collect()
+        }
+        assert len(rows) == 10  # 10 distinct INSERTs; dup + MODIFY gone
+        assert ("City0", "2024-01-01 10:03:00", "2024-01-01", "10") in rows
+        temps = {r["temp_c"] for r in sink.collect()}
+        assert temps == {20.0 + i for i in range(10)}  # typed-N decode
+    finally:
+        q.stop()
+        stop.set()
+        srv.close()
