@@ -929,6 +929,52 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF (round 8): tf = in-doc
+    term count, idf = ln((N+1)/(df+1)) + 1 over the WHOLE corpus, score =
+    tf * idf — the classic relevance/keyword-extraction primitive a
+    training-data pipeline uses for topic tagging and quality filters.
+
+    Scale shape: one explode -> (doc, term) hash agg (map-side partials
+    carry counts, not text), document frequency as a second agg over the
+    ALREADY-DISTINCT (doc, term) pairs (no re-scan of bodies), corpus N
+    via a single-row broadcast cross join, then one ranking window per
+    doc. Ranking orders on round(score, 6) before the term tiebreak so
+    cross-engine float noise cannot flip ranks; output keeps doc_id < 100
+    while df/N stay corpus-wide."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(dd.tokens(F.col("text"))).alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "t")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("t").asc()
+    )
+    return (
+        scored.filter(F.col("doc_id") < 100)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("t").alias("term"),
+            "tf",
+            "df",
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
 def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL audio codec path (round 8 — second container
     beside BMP, proving the decode seam isn't image-shaped): synthesize a
@@ -1279,6 +1325,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_decode_real": multimodal_decode_real,
     "multimodal_decode_audio": multimodal_decode_audio,
+    "text_tfidf_topterms": text_tfidf_topterms,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_batch_stats": multimodal_batch_stats,
 }
@@ -1509,6 +1556,36 @@ def _build_oracle() -> dict[str, str]:
                    round(CAST(n % 256 AS DOUBLE), 4) AS mean_b
             FROM d JOIN rs ON d.doc_id = rs.doc_id
                    JOIN gs ON d.doc_id = gs.doc_id
+        """,
+        # smoothed TF-IDF: ranks on round(score, 6) before the term
+        # tiebreak, same guard as the Spark side, so 1-ulp ln() noise
+        # between engines cannot flip a rank
+        "text_tfidf_topterms": f"""
+            WITH tf AS (
+              SELECT doc_id, t, count(*) AS tf
+              FROM (SELECT doc_id, unnest({toks}) AS t FROM documents)
+              GROUP BY doc_id, t),
+            df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.t, tf.tf, df.df,
+                     tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+                       AS score
+              FROM tf JOIN df USING (t) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, t, tf, df, score,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round(score, 6) DESC, t) AS rank
+              FROM scored
+              WHERE doc_id < 100)
+            SELECT doc_id, t AS term,
+                   CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   round(score, 4) AS score,
+                   CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank
         """,
         # expected output of the REAL WAV encode->decode round trip,
         # recomputed from the generation rule (nf = 20 + id%13,
