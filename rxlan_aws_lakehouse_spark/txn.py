@@ -713,6 +713,28 @@ class TxnTable:
             v = meta.get("parent")
         return out
 
+    def version_at(self, ts_unix: float) -> str:
+        """Version live AT wall-clock time ``ts_unix`` — the newest
+        PUBLISHED snapshot whose commit time is <= the bound (Delta
+        ``TIMESTAMP AS OF`` / Iceberg snapshot-at-timestamp semantics).
+        Walks ``lineage()`` (published ancestry only: a staged WAP
+        snapshot or lost-race orphan was never readable at ANY time, so
+        it can't be the as-of answer). Raises if the bound predates the
+        oldest retained snapshot — vacuumed history can't be travelled
+        to, same contract as ``read(version=...)`` on a vacuumed id."""
+        for meta in self.lineage():  # newest first
+            if meta.get("committed_at_unix", float("inf")) <= ts_unix:
+                return meta["version"]
+        raise FileNotFoundError(
+            f"no snapshot at or before unix time {ts_unix} "
+            f"(history may be vacuumed) at {self.root}"
+        )
+
+    def read_at(self, spark: SparkSession, ts_unix: float) -> DataFrame:
+        """Snapshot read AS OF a wall-clock timestamp: resolve
+        ``version_at`` once, then the ordinary immutable-directory read."""
+        return self.read(spark, self.version_at(ts_unix))
+
     # -- read -------------------------------------------------------------
     def read(self, spark: SparkSession, version: str | None = None) -> DataFrame:
         """Snapshot read: resolve the pointer ONCE, then scan an immutable

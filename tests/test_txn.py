@@ -1811,3 +1811,29 @@ def test_register_rejects_rowcount_mismatch(spark, tmp_path):
     with pytest.raises(ValueError, match="manifest total"):
         t.register(spark, "cbo_bad_t")
     assert not spark.catalog.tableExists("cbo_bad_t")
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """Delta TIMESTAMP AS OF parity (round 8): read_at resolves the
+    newest PUBLISHED snapshot committed at or before the bound; staged
+    WAP snapshots never answer; pre-history bounds raise."""
+    import time as _time
+
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.range(3).select(F.col("id").alias("k")))
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.range(3, 5).select(F.col("id").alias("k")))
+    t_after_v2 = _time.time()
+    _time.sleep(0.05)
+    # staged (unpublished) snapshot must NOT become an as-of answer
+    t.commit(
+        spark.range(100, 200).select(F.col("id").alias("k")), publish=False
+    )
+    assert t.read_at(spark, t_after_v1).count() == 3
+    assert t.read_at(spark, t_after_v2).count() == 5
+    assert t.read_at(spark, _time.time()).count() == 5
+    with pytest.raises(FileNotFoundError):
+        t.version_at(t_after_v1 - 3600.0)
