@@ -56,6 +56,7 @@ class IncrementalAggregate:
         sum_cols: list[str],
         min_cols: list[str] | None = None,
         max_cols: list[str] | None = None,
+        transform=None,
     ):
         self.source = source
         self.target = TxnTable(target_root)
@@ -67,6 +68,18 @@ class IncrementalAggregate:
         # path or a mergeable sketch.)
         self.min_cols = list(min_cols or [])
         self.max_cols = list(max_cols or [])
+        # Optional Callable[[DataFrame], DataFrame] applied to every
+        # source slice BEFORE aggregation (round 8): must be ROW-LOCAL —
+        # each input row's contribution independent of other rows
+        # (projection, filter, derived columns, broadcast-dim
+        # enrichment), the condition under which transform-then-aggregate
+        # distributes over deltas. This is what makes incremental
+        # JOIN+aggregate views expressible: dView = agg(dFact ⋈ dim)
+        # merged into the rollup, with the dim held fixed between
+        # refreshes (a changed dim = rewrite history -> the
+        # full-recompute path picks it up on the next non-append refresh,
+        # or call refresh after recommitting the source).
+        self.transform = transform
 
     # -- state ------------------------------------------------------------
     def cursor(self) -> str | None:
@@ -86,6 +99,8 @@ class IncrementalAggregate:
         return None
 
     def _aggregate(self, df: DataFrame) -> DataFrame:
+        if self.transform is not None:
+            df = self.transform(df)
         return df.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[F.sum(c).alias(f"sum_{c}") for c in self.sum_cols],

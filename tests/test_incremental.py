@@ -147,3 +147,54 @@ def test_min_max_aggregates_fold_incrementally(spark, tmp_path):
         for r in inc.read(spark).collect()
     }
     assert got == want
+
+
+def test_transform_enables_incremental_join_aggregate(spark, tmp_path):
+    """Round 8: the row-local transform hook makes incremental
+    JOIN+aggregate views expressible — each delta is broadcast-enriched
+    against a fixed dimension before aggregation, and the maintained
+    rollup equals the full recompute of agg(fact ⋈ dim) after every
+    refresh, including the full-recompute fallback path."""
+    dim = spark.createDataFrame(
+        [(str(i), f"region_{i % 2}") for i in range(5)],
+        "grp string, region string",
+    )
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "grp")
+
+    src = TxnTable(str(tmp_path / "src"))
+    src.commit(_batch(spark, 0, 40))
+    inc = IncrementalAggregate(
+        src,
+        str(tmp_path / "agg"),
+        group_cols=["region"],
+        sum_cols=["v"],
+        transform=enrich,
+    )
+    inc.refresh(spark)
+
+    def expected():
+        return {
+            (r["region"], r["n_rows"], r["sum_v"])
+            for r in src.read(spark)
+            .join(F.broadcast(dim), "grp")
+            .groupBy("region")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+            .collect()
+        }
+
+    def got():
+        return {
+            (r["region"], r["n_rows"], r["sum_v"])
+            for r in inc.read(spark).collect()
+        }
+
+    assert got() == expected()
+    src.append(_batch(spark, 40, 25, tag="b"))
+    inc.refresh(spark)
+    assert got() == expected()
+    # non-append history (delete) -> full recompute path, still enriched
+    src.delete_where(spark, F.col("k") < 10)
+    inc.refresh(spark)
+    assert got() == expected()
