@@ -55,6 +55,50 @@ def rank_normalize(df: DataFrame, col: str, bits: int = DEFAULT_BITS) -> Column:
     )
 
 
+APPROX_BITS = 6
+
+
+def quantile_normalize(
+    df: DataFrame,
+    col: str,
+    bits: int = APPROX_BITS,
+    relative_error: float = 0.001,
+) -> Column:
+    """SCALE path for ``rank_normalize``: approxQuantile bucket boundaries
+    (one Greenwald-Khanna pass, deterministic, driver gets 2^bits-1
+    doubles) embedded as an array literal, bucket index via a HOF count
+    of boundaries <= value — no window, no single-reducer global sort.
+    The exact path's ``Window.orderBy`` funnels EVERY row through one
+    task at rank time; this replaces it with a broadcast-free scan-side
+    expression, which is what survives 100 TB.
+
+    ``bits=6`` (64 buckets/dimension) is deliberate: clustering quality
+    needs only ~n_files^(1/d) distinct tiles per dimension, so 64 covers
+    any realistic file count; duplicate boundaries from skewed data
+    collapse to fewer distinct buckets, which is safe (coarser tiles,
+    never wrong ones)."""
+    return quantile_normalize_multi(df, [col], bits, relative_error)[0]
+
+
+def quantile_normalize_multi(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = APPROX_BITS,
+    relative_error: float = 0.001,
+) -> list[Column]:
+    """All dimensions' boundaries from ONE approxQuantile pass (the stat
+    API accepts a column list), so an N-dimension z-order costs a single
+    extra scan regardless of N."""
+    probs = [i / (2**bits) for i in range(1, 2**bits)]
+    all_bounds = df.stat.approxQuantile(list(cols), probs, relative_error)
+    out = []
+    for col, bounds in zip(cols, all_bounds):
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        v = F.col(col).cast("double")
+        out.append(F.size(F.filter(arr, lambda b: b <= v)).cast("long"))
+    return out
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -62,9 +106,18 @@ def zorder_write(
     bits: int = DEFAULT_BITS,
     n_files: int = 8,
     max_records_per_file: int | None = None,
+    approx: bool = False,
 ) -> None:
-    """Write ``df`` clustered by the Morton code of ``cols``."""
-    normed = [rank_normalize(df, c, bits) for c in cols]
+    """Write ``df`` clustered by the Morton code of ``cols``.
+
+    ``approx=True`` normalizes via ``quantile_normalize`` (no global
+    window — the 100 TB path) at ``APPROX_BITS`` per dimension; the
+    default exact path keeps full rank resolution for small data."""
+    if approx:
+        bits = APPROX_BITS
+        normed = quantile_normalize_multi(df, cols, bits)
+    else:
+        normed = [rank_normalize(df, c, bits) for c in cols]
     z = interleave_bits(normed, bits)
     out = (
         df.withColumn("__z", z)

@@ -619,7 +619,10 @@ def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="zorder_live_")
     try:
         e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-        zorder_write(e, f"{work}/z", ["user_id", "value"], n_files=16)
+        # approx=True: quantile_normalize boundaries, no global rank
+        # window — the plan that survives 100 TB (round 8; the exact
+        # path's single-reducer window remains for small data)
+        zorder_write(e, f"{work}/z", ["user_id", "value"], n_files=16, approx=True)
         files = _glob.glob(f"{work}/z/part-*.parquet")
         overlap = 0
         for p in files:

@@ -78,3 +78,28 @@ def test_zorder_preserves_data(spark, tmp_path):
     assert back.count() == 1000
     assert back.agg(F.sum("id")).head()[0] == sum(range(1000))
     assert sorted(back.columns) == ["id", "x", "y"]
+
+
+def test_approx_zorder_skips_without_global_window(spark, tmp_path):
+    """The approx path must deliver the same 2D skipping WITHOUT the
+    exact path's single-reducer global rank window: plan contains no
+    Window at all, and a y-band predicate still prunes most files."""
+    n = 20000
+    data = spark.range(n).select(
+        F.col("id"),
+        F.floor(F.rand(seed=1) * 1000).cast("double").alias("x"),
+        F.floor(F.rand(seed=2) * 1000).cast("double").alias("y"),
+    )
+    from rxlan_aws_lakehouse_spark.ops.zorder import quantile_normalize
+
+    norm = quantile_normalize(data, "y")
+    plan = data.select(norm.alias("b"))._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    zpath = str(tmp_path / "zapprox")
+    zorder_write(data, zpath, ["x", "y"], n_files=32, approx=True)
+    z_read, z_total = _prunable_files(spark, zpath, "y", 400, 450)
+    assert z_read < z_total / 2, f"approx z-order reads {z_read}/{z_total}"
+    zx_read, _ = _prunable_files(spark, zpath, "x", 400, 450)
+    assert zx_read < z_total / 2
+    # layout-only: data round-trips exactly
+    assert spark.read.parquet(zpath).count() == n
