@@ -600,6 +600,70 @@ def txn_cbo_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_deferred_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE under the driver gate (round 8, Delta
+    deletion-vector / Iceberg positional-delete semantics): orders land
+    in a txn table, two deferred deletes suppress slices WITHOUT
+    rewriting a single data file (positions ride a deletion vector the
+    read anti-joins), an append lands new rows (the vector carries
+    forward), then materialize_deletes folds the vector in — and the
+    materialized read must equal the merge-on-read read, both equal to
+    the plain SQL the oracle states. ``dv_invisible`` pins that the
+    final snapshot is vector-free."""
+    work = tempfile.mkdtemp(prefix="txn_dv_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderstatus",
+        ).filter(F.col("o_orderkey") <= 2000)
+        t.commit(orders.repartition(4, "o_orderkey"))
+        t.delete_where_deferred(spark, F.col("o_orderstatus") == "F")
+        t.delete_where_deferred(spark, F.col("o_totalprice") < 10000.0)
+        t.append(
+            orders.filter(F.col("o_orderkey") <= 50).select(
+                (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+                F.lit("Z").alias("o_orderstatus"),
+            )
+        )
+        mor = (
+            t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        mor_rows = {tuple(r) for r in mor.collect()}
+        v = t.materialize_deletes(spark)
+        out = (
+            t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .withColumn(
+                "dv_invisible",
+                F.lit(
+                    not t.has_deletion_vectors(v)
+                    and mor_rows is not None
+                ),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+        # merge-on-read and materialized answers must agree exactly
+        assert mor_rows == {tuple(r)[:3] for r in rows}, (mor_rows, rows)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering under the driver gate (round 8): the
     events table is rewritten clustered on the interleaved (user_id,
@@ -683,10 +747,35 @@ QUERIES = {
     "txn_scd2_history": txn_scd2_history,
     "txn_bloom_point_lookup": txn_bloom_point_lookup,
     "txn_cbo_broadcast_join": txn_cbo_broadcast_join,
+    "txn_deferred_delete": txn_deferred_delete,
     "zorder_box_read": zorder_box_read,
 }
 
 ORACLE = {
+    # deferred (merge-on-read) deletes + append + materialization must
+    # equal plain SQL over the fixture with the deleted slices excluded;
+    # the appended rows shift keys by 1e6 and take status Z
+    "txn_deferred_delete": """
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey <= 2000),
+        kept AS (
+          SELECT * FROM base
+          WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 10000.0)),
+        appended AS (
+          SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+                 o_totalprice, 'Z' AS o_orderstatus
+          FROM base WHERE o_orderkey <= 50),
+        allrows AS (
+          SELECT * FROM kept UNION ALL SELECT * FROM appended)
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               TRUE AS dv_invisible
+        FROM allrows
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     # clustering is layout-only: the box read over the z-ordered rewrite
     # equals the plain fixture filter; zorder_pruned TRUE encodes the
     # files-touched bound the Spark side computed from parquet footers

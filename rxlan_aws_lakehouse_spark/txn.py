@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _VERSIONS = "_versions"
+_DV_DIR = "_dv"  # per-version deletion-vector parquet dir (rel, row_index)
 _LATEST = "_LATEST"
 # commit(expect_parent=...) sentinel: "resolve the head at commit time"
 # (None is a real value meaning "expect an empty table")
@@ -423,6 +424,12 @@ class VacuumProtectionError(RuntimeError):
     """Vacuum would remove snapshots an incremental consumer still needs."""
 
 
+class PendingDeleteVectorsError(RuntimeError):
+    """The operation reads data files directly (file-granular merge/CDC/
+    compaction/point reads) and would resurrect rows a deletion vector
+    suppresses. Call ``materialize_deletes()`` first."""
+
+
 class PointerBackend:
     """The one storage primitive a deployment must supply: an atomic
     COMPARE-AND-SWAP on the table's live-version pointer. Everything else
@@ -735,6 +742,54 @@ class TxnTable:
         ``version_at`` once, then the ordinary immutable-directory read."""
         return self.read(spark, self.version_at(ts_unix))
 
+    # -- deletion vectors (round 8) ---------------------------------------
+    def _dv_dir(self, version: str) -> str:
+        return os.path.join(self.root, _VERSIONS, version, _DV_DIR)
+
+    def has_deletion_vectors(self, version: str | None = None) -> bool:
+        v = version or self.current_version()
+        return v is not None and os.path.isdir(self._dv_dir(v))
+
+    def _require_no_dv(self, version: str, op: str) -> None:
+        if os.path.isdir(self._dv_dir(version)):
+            raise PendingDeleteVectorsError(
+                f"{op} reads data files directly and the snapshot carries "
+                "deletion vectors; run materialize_deletes() first"
+            )
+
+    @staticmethod
+    def _rel_col(version: str):
+        """File-relative path of each scanned row, derived from the hidden
+        ``_metadata.file_path`` — strips everything through the version
+        directory (first occurrence; version ids are ``v%08d``, never a
+        partition value)."""
+        return F.regexp_replace(
+            F.col("_metadata.file_path"), f"^.*?/{version}/", ""
+        )
+
+    def _apply_dv(self, spark: SparkSession, df: DataFrame, version: str) -> DataFrame:
+        """Merge-on-read: anti-join the scan against the snapshot's
+        deletion vector on (file rel path, in-file row index). Costs one
+        join only on DV-carrying snapshots; the DV is usually tiny
+        relative to data (it holds keys of DELETED rows, not data), and
+        AQE broadcasts it while it fits."""
+        dv_dir = self._dv_dir(version)
+        if not os.path.isdir(dv_dir):
+            return df
+        dv = spark.read.parquet(dv_dir)
+        cols = df.columns
+        keyed = df.select(
+            *cols,
+            self._rel_col(version).alias("__dv_rel"),
+            F.col("_metadata.row_index").alias("__dv_ri"),
+        )
+        return keyed.join(
+            dv,
+            (keyed["__dv_rel"] == dv["rel"])
+            & (keyed["__dv_ri"] == dv["row_index"]),
+            "left_anti",
+        ).select(*cols)
+
     # -- read -------------------------------------------------------------
     def read(self, spark: SparkSession, version: str | None = None) -> DataFrame:
         """Snapshot read: resolve the pointer ONCE, then scan an immutable
@@ -745,6 +800,10 @@ class TxnTable:
         schema it was committed with (time travel across schema evolution),
         and files written before a column was added read as typed NULLs for
         it — the additive-evolution contract of Delta's mergeSchema.
+
+        Snapshots carrying deletion vectors (``delete_where_deferred``)
+        apply them here via one anti-join — merge-on-read, Delta DV /
+        Iceberg positional-delete semantics.
         """
         v = version or self.current_version()
         if v is None:
@@ -754,7 +813,7 @@ class TxnTable:
         schema_json = self._meta(v).get("schema")
         if schema_json:
             reader = reader.schema(StructType.fromJson(schema_json))
-        return reader.parquet(data)
+        return self._apply_dv(spark, reader.parquet(data), v)
 
     def register(
         self,
@@ -792,6 +851,9 @@ class TxnTable:
         v = version or self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
+        # an external table scans the raw files: it cannot apply a
+        # pending deletion vector and would expose suppressed rows
+        self._require_no_dv(v, "register")
         entries = self.file_entries(v)
         data = os.path.join(self.root, _VERSIONS, v)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -1035,6 +1097,10 @@ class TxnTable:
             ">": lambda c, x: c > x,
             ">=": lambda c, x: c >= x,
         }
+        if kept:
+            # DV entries for pruned-away files simply never match the
+            # anti-join; pruning stays an IO bound, deletes stay applied
+            df = self._apply_dv(spark, df, v)
         for col, op, lit in predicates:
             df = df.filter(ops[op](F.col(col), F.lit(lit)))
         return df
@@ -1054,6 +1120,9 @@ class TxnTable:
         carry_src: str | None = None,
         bloom_cols: list[str] | None = None,
         expect_parent=_CURRENT,
+        aux_writer=None,
+        carry_dv: bool = True,
+        metadata_only: bool = False,
     ) -> str:
         """Write ``df`` as a new snapshot and atomically publish it.
 
@@ -1138,16 +1207,32 @@ class TxnTable:
         version: str | None = None
         renamed = False
         try:
-            writer.save(staging)
+            if metadata_only:
+                # metadata-only commit (deferred deletes): df supplies the
+                # schema and session; no data files are written — the
+                # snapshot is carried files + auxiliary payloads
+                os.makedirs(staging, exist_ok=True)
+            else:
+                writer.save(staging)
+            # Auxiliary NON-DATA payloads (deletion vectors): written into
+            # an underscore-prefixed subdir, which Spark's reader treats
+            # as hidden and the fresh-file enumeration below skips — the
+            # payload rides the same atomic staging->rename as the data.
+            if aux_writer is not None:
+                aux_writer(staging)
             # Fresh files = what THIS write produced, listed from the
             # staging dir only (IO proportional to the change). Committed
             # snapshot dirs are never walked — their contents come from the
-            # parent manifest.
+            # parent manifest. Underscore-prefixed dirs are payloads, not
+            # data.
             fresh = sorted(
-                os.path.relpath(os.path.join(r, n), staging)
+                rel
                 for r, _d, ns in os.walk(staging)
                 for n in ns
                 if n.endswith(".parquet")
+                and not (
+                    rel := os.path.relpath(os.path.join(r, n), staging)
+                ).split(os.sep)[0].startswith("_")
             )
             if carry_files is None and carry_resolver is not None:
                 carry_files = carry_resolver(staging)
@@ -1156,6 +1241,28 @@ class TxnTable:
                 dst = os.path.join(staging, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.link(src, dst)
+            # Deletion-vector carry-forward: a commit that carries data
+            # files from a DV-bearing snapshot must carry the DV too, or
+            # the deleted rows resurrect (append after a deferred delete).
+            # The caller's own staged _dv (delete_where_deferred unions
+            # the parent's entries itself) takes precedence; operations
+            # that APPLY the DV while rewriting (materialize_deletes,
+            # rewrite_layout via read()) pass carry_dv=False or carry
+            # nothing.
+            if carry_files and carry_dv and aux_writer is None:
+                dv_src = carry_src if carry_src is not None else expect
+                if dv_src is not None:
+                    src_dv = self._dv_dir(dv_src)
+                    if os.path.isdir(src_dv):
+                        dst_dv = os.path.join(staging, _DV_DIR)
+                        os.makedirs(dst_dv, exist_ok=True)
+                        for n in os.listdir(src_dv):
+                            if n.startswith("."):
+                                continue
+                            os.link(
+                                os.path.join(src_dv, n),
+                                os.path.join(dst_dv, n),
+                            )
             version = self._next_version()
             # Per-file column stats (Iceberg manifest / Delta stats-JSON
             # analogue): fresh files cost one footer read each — serial for
@@ -1475,6 +1582,8 @@ class TxnTable:
 
         def attempt() -> str:
             expect = self.current_version()
+            if expect is not None:
+                self._require_no_dv(expect, "merge_upsert")
             if expect is None:
                 raise FileNotFoundError(f"no committed version at {self.root}")
             data_root = os.path.join(self.root, _VERSIONS, expect)
@@ -1707,6 +1816,8 @@ class TxnTable:
 
         def attempt() -> str:
             expect = self.current_version()
+            if expect is not None:
+                self._require_no_dv(expect, "delete_where")
             if expect is None:
                 raise FileNotFoundError(f"no committed version at {self.root}")
             data_root = os.path.join(self.root, _VERSIONS, expect)
@@ -1755,6 +1866,136 @@ class TxnTable:
 
         return self._with_retries(attempt, max_retries)
 
+    def delete_where_deferred(
+        self,
+        spark: SparkSession,
+        condition,
+        prune: list | None = None,
+        max_retries: int = 2,
+        extra_meta: dict | None = None,
+    ) -> str:
+        """Merge-on-read DELETE (Delta deletion vectors / Iceberg
+        positional deletes): instead of rewriting every touched file, the
+        matching rows' positions — ``(file rel path, in-file row index)``
+        via the hidden ``_metadata`` columns — are written as a deletion
+        vector beside the carried data files, and every read applies them
+        with one anti-join. Write cost: O(matches) + manifest carry,
+        regardless of how many multi-GB files the matches scatter across;
+        the rewrite is deferred to ``materialize_deletes`` (or any full
+        rewrite, e.g. ``rewrite_layout``), which batches it.
+
+        Same three-valued semantics as ``delete_where``: rows where the
+        condition is TRUE are suppressed; NULL-evaluating rows stay.
+        Successive deferred deletes union their vectors. Manifest row
+        counts and column stats intentionally keep counting suppressed
+        rows (conservative for pruning — a file is never skipped because
+        of rows it still physically holds). File-granular writers
+        (merge/CDC/compact/point reads) refuse while a vector is pending.
+        """
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            target_schema = StructType.fromJson(self._meta(expect)["schema"])
+            candidates, _total = self.pruned_files(prune or [], expect)
+            pred = F.coalesce(condition.cast("boolean"), F.lit(False))
+            old_dv = self._dv_dir(expect)
+            fresh_matches = None
+            if candidates:
+                scan = (
+                    spark.read.option("basePath", data_root)
+                    .schema(target_schema)
+                    .parquet(
+                        *(os.path.join(data_root, rel) for rel in candidates)
+                    )
+                )
+                fresh_matches = scan.filter(pred).select(
+                    self._rel_col(expect).alias("rel"),
+                    F.col("_metadata.row_index").alias("row_index"),
+                )
+                if fresh_matches.limit(1).count() == 0:
+                    fresh_matches = None
+            if fresh_matches is None:
+                return expect  # nothing matched: the table is unchanged
+            dv = fresh_matches
+            if os.path.isdir(old_dv):
+                dv = dv.unionByName(spark.read.parquet(old_dv))
+            dv = dv.distinct()
+
+            def aux(staging: str) -> None:
+                dv.coalesce(1).write.parquet(os.path.join(staging, _DV_DIR))
+
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in self.files(expect)
+            }
+            empty = spark.createDataFrame([], target_schema)
+            return self.commit(
+                empty,
+                metadata_only=True,
+                operation="delete_dv",
+                carry_files=carry,
+                carry_src=expect,
+                expect_parent=expect,
+                extra_meta=extra_meta,
+                aux_writer=aux,
+            )
+
+        return self._with_retries(attempt, max_retries)
+
+    def materialize_deletes(
+        self, spark: SparkSession, max_retries: int = 2
+    ) -> str:
+        """Fold pending deletion vectors into the data: rewrite ONLY the
+        files the vector references (each keeps its surviving rows; a
+        fully-deleted file drops from the snapshot), carry every other
+        file by reference, clear the vector. After this, file-granular
+        writers are legal again. No-op when no vector is pending."""
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            dv_dir = self._dv_dir(expect)
+            if not os.path.isdir(dv_dir):
+                return expect
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            target_schema = StructType.fromJson(self._meta(expect)["schema"])
+            current_files = set(self.files(expect))
+            touched = sorted(
+                r["rel"]
+                for r in spark.read.parquet(dv_dir).select("rel").distinct().collect()
+                if r["rel"] in current_files
+            )
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in current_files
+                if rel not in set(touched)
+            }
+            if touched:
+                kept_scan = (
+                    spark.read.option("basePath", data_root)
+                    .schema(target_schema)
+                    .parquet(
+                        *(os.path.join(data_root, rel) for rel in touched)
+                    )
+                )
+                kept = self._apply_dv(spark, kept_scan, expect)
+            else:
+                kept = spark.createDataFrame([], target_schema)
+            return self.commit(
+                kept,
+                operation="materialize_deletes",
+                carry_files=carry,
+                carry_src=expect,
+                expect_parent=expect,
+                carry_dv=False,  # the whole point: the vector is folded in
+            )
+
+        return self._with_retries(attempt, max_retries)
+
     def apply_cdc(
         self,
         spark: SparkSession,
@@ -1786,6 +2027,8 @@ class TxnTable:
 
         def attempt() -> str:
             expect = self.current_version()
+            if expect is not None:
+                self._require_no_dv(expect, "apply_cdc")
             if expect is None:
                 raise FileNotFoundError(f"no committed version at {self.root}")
             data_root = os.path.join(self.root, _VERSIONS, expect)
@@ -2059,6 +2302,8 @@ class TxnTable:
         (as Delta's OPTIMIZE does), which this layout maps onto directly.
         """
         expect = self.current_version()
+        if expect is not None:
+            self._require_no_dv(expect, "compact")
         if expect is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         if small_file_bytes is None:

@@ -1837,3 +1837,101 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     assert t.read_at(spark, _time.time()).count() == 5
     with pytest.raises(FileNotFoundError):
         t.version_at(t_after_v1 - 3600.0)
+
+
+# -- deletion vectors (round 8) -------------------------------------------
+
+
+def _dv_table(spark, tmp_path, n=100):
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("seg"),
+        (F.col("id") * 2.0).alias("v"),
+    ).repartition(4, "k")
+    t.commit(df)
+    return t
+
+
+def test_deferred_delete_merge_on_read(spark, tmp_path):
+    """delete_where_deferred suppresses rows WITHOUT rewriting any data
+    file (all carried by reference), read() applies the vector, deletes
+    union across deferred commits, and NULL-evaluating rows stay (3VL)."""
+    t = _dv_table(spark, tmp_path)
+    v1 = t.current_version()
+    files_v1 = set(t.files(v1))
+    v2 = t.delete_where_deferred(spark, F.col("k") < 10)
+    assert t.has_deletion_vectors(v2)
+    assert set(t.files(v2)) == files_v1  # zero data files rewritten
+    assert t.read(spark).count() == 90
+    assert t.read(spark).filter(F.col("k") < 10).count() == 0
+    # time travel: v1 still shows everything
+    assert t.read(spark, v1).count() == 100
+    # second deferred delete unions
+    t.delete_where_deferred(spark, F.col("k") >= 95)
+    assert t.read(spark).count() == 85
+    # no-match deferred delete is a no-op commit-wise
+    head = t.current_version()
+    assert t.delete_where_deferred(spark, F.col("k") < 0) == head
+    # pruned reads apply the vector too
+    got = t.read_pruned(spark, [("k", "<", 20)])
+    assert got.count() == 10 and got.filter(F.col("k") < 10).count() == 0
+
+
+def test_dv_carries_through_append_and_materializes(spark, tmp_path):
+    """An append after a deferred delete must not resurrect deleted rows
+    (DV carry-forward); materialize_deletes rewrites ONLY DV-referenced
+    files, clears the vector, and re-enables file-granular writers."""
+    from rxlan_aws_lakehouse_spark.txn import PendingDeleteVectorsError
+
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_deferred(spark, F.col("k") < 10)
+    t.append(
+        spark.createDataFrame(
+            [(1000, "x", 1.0), (1001, "x", 2.0)], "k long, seg string, v double"
+        )
+    )
+    assert t.read(spark).count() == 92  # 90 surviving + 2 appended
+    assert t.read(spark).filter(F.col("k") < 10).count() == 0
+    # file-granular writers refuse while the vector is pending
+    with pytest.raises(PendingDeleteVectorsError):
+        t.merge_upsert(
+            spark,
+            spark.createDataFrame([(50, "m", 0.0)], "k long, seg string, v double"),
+            keys=["k"],
+        )
+    with pytest.raises(PendingDeleteVectorsError):
+        t.delete_where(spark, F.col("k") == 50)
+    with pytest.raises(PendingDeleteVectorsError):
+        t.register(spark, "dv_reg_refused")
+    before = t.file_entries()
+    v = t.materialize_deletes(spark)
+    assert not t.has_deletion_vectors(v)
+    assert t.read(spark).count() == 92
+    # only DV-referenced files were rewritten: the appended file carried
+    after = set(t.files(v))
+    carried = set(before) & after
+    assert carried  # at least the appended / untouched files survive
+    # writers work again
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(50, "m", 0.0)], "k long, seg string, v double"),
+        keys=["k"],
+    )
+    assert t.read(spark).filter(F.col("seg") == "m").count() == 1
+    # idempotent: materialize with no vector is a no-op
+    assert t.materialize_deletes(spark) == t.current_version()
+
+
+def test_dv_rewrite_layout_naturally_materializes(spark, tmp_path):
+    """rewrite_layout reads through read() (vector applied) and carries
+    nothing, so the rewritten snapshot is vector-free with deletes baked
+    in — full rewrites double as materialization."""
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_deferred(spark, F.col("k") % 2 == 0)
+    v = t.rewrite_layout(spark, n_files=2)
+    assert not t.has_deletion_vectors(v)
+    assert t.read(spark).count() == 50
+    assert t.read(spark).filter(F.col("k") % 2 == 0).count() == 0
