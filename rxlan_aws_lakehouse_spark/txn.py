@@ -2406,6 +2406,15 @@ class TxnTable:
         idempotently (the standard file-grain CDC contract). ``compact`` in
         particular adds no new rows, only re-homes them.
 
+        Deletions are NOT in the feed: ``delete_where`` re-exposes
+        surviving rows of rewritten files (same file-grain contract as
+        merge), while ``delete_where_deferred`` writes no fresh files at
+        all — its ``delete_dv`` operation breaks the append-only check
+        downstream consumers use (``ops.incremental._range_is_append_only``),
+        forcing their full-recompute path, which reads the DV-applied
+        snapshot. Consumers tailing this feed directly must do the same on
+        any non-append operation.
+
         Reads resolve snapshot directories that ``vacuum`` may later
         remove — consume changes before vacuuming past them.
         """
