@@ -144,6 +144,60 @@ def txn_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized JOIN+aggregate (round 8): same change-feed
+    maintenance as ``txn_incremental_agg``, but each delta is
+    broadcast-enriched against the customer dimension BEFORE aggregation
+    via the row-local ``transform`` hook (``ops/incremental.py``) — the
+    maintained rollup is revenue per customer market segment, i.e.
+    agg(orders ⋈ customer), refreshed from appends only. The oracle is
+    the full join+aggregate recompute."""
+    from ..ops.incremental import IncrementalAggregate
+
+    work = tempfile.mkdtemp(prefix="txn_incj_")
+    try:
+        src = TxnTable(f"{work}/src")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        dim = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+
+        def enrich(df: DataFrame) -> DataFrame:
+            return df.join(F.broadcast(dim), "o_custkey")
+
+        src.commit(orders.filter(F.col("o_year") < "1995"))
+        inc = IncrementalAggregate(
+            src,
+            f"{work}/agg",
+            ["segment"],
+            ["o_totalprice"],
+            transform=enrich,
+        )
+        inc.refresh(spark)
+        src.append(orders.filter(F.col("o_year") == "1995"))
+        src.append(orders.filter(F.col("o_year") == "1996"))
+        inc.refresh(spark)
+        out = (
+            inc.read(spark)
+            .select(
+                "segment",
+                "n_rows",
+                F.round("sum_o_totalprice", 2).alias("total_price"),
+            )
+            .orderBy("segment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def txn_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest data skipping under the oracle gate: commit a range-
     clustered orders snapshot, then ``read_pruned`` an order-key band. The
@@ -738,6 +792,7 @@ QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
     "txn_incremental_agg": txn_incremental_agg,
+    "txn_incremental_join_agg": txn_incremental_join_agg,
     "txn_pruned_read": txn_pruned_read,
     "txn_delete_where": txn_delete_where,
     "txn_apply_cdc": txn_apply_cdc,
@@ -752,6 +807,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    # incrementally-maintained agg(orders JOIN customer) must equal the
+    # full recompute over every committed slice (years < 1997)
+    "txn_incremental_join_agg": """
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE year(o_orderdate) < 1997
+        GROUP BY 1
+        ORDER BY 1
+    """,
     # deferred (merge-on-read) deletes + append + materialization must
     # equal plain SQL over the fixture with the deleted slices excluded;
     # the appended rows shift keys by 1e6 and take status Z

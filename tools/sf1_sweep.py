@@ -130,11 +130,32 @@ def txn_scale_probe(spark, sf_dir):
         got = t.read(spark).count()
         read_wall = time.perf_counter() - t0
         assert got == n, (got, n)
+        # deletion-vector vs rewrite DELETE, same predicate (~10% of rows
+        # scattered across every file — the rewrite worst case)
+        t0 = time.perf_counter()
+        t.delete_where_deferred(spark, F.col("c_custkey") % 10 == 3)
+        dv_delete_wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        got_dv = t.read(spark).count()
+        dv_read_wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        t.materialize_deletes(spark)
+        materialize_wall = time.perf_counter() - t0
+        t2 = TxnTable(f"{work}/t2")
+        t2.commit(cust, partition_by=["c_mktsegment"])
+        t0 = time.perf_counter()
+        t2.delete_where(spark, F.col("c_custkey") % 10 == 3)
+        rewrite_delete_wall = time.perf_counter() - t0
+        assert got_dv == t2.read(spark).count()
         return {
             "n_rows": n,
             "commit_wall": round(commit_wall, 2),
             "merge_wall": round(merge_wall, 2),
             "read_wall": round(read_wall, 2),
+            "dv_delete_wall": round(dv_delete_wall, 2),
+            "dv_read_wall": round(dv_read_wall, 2),
+            "materialize_wall": round(materialize_wall, 2),
+            "rewrite_delete_wall": round(rewrite_delete_wall, 2),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
