@@ -61,6 +61,7 @@ HEADLINE = [
     "join_skew_salted",     # Zipf fact through salted join + two-phase agg
     "txn_cbo_broadcast_join",  # stat-registered txn dim, CBO-planned join
     "zorder_box_read",      # Morton-clustered rewrite + 2D box read
+    "txn_deferred_delete",  # deletion-vector merge-on-read + materialize
 ]
 
 # The original 13-query set (rounds 1-5): summed separately so
