@@ -2209,6 +2209,21 @@ class TxnTable:
             rel: os.path.join(src_root, rel) for rel in src_entries
         }
         schema = StructType.fromJson(meta_v["schema"])
+        # a DV-bearing source clones WITH its deletion vector (Delta
+        # clones carry DVs): commit's automatic carry-forward can't see
+        # across table roots, so link it explicitly — without this the
+        # clone would resurrect the suppressed rows
+        aux = None
+        src_dv = self._dv_dir(v)
+        if os.path.isdir(src_dv):
+
+            def aux(staging: str, _src: str = src_dv) -> None:
+                dst = os.path.join(staging, _DV_DIR)
+                os.makedirs(dst, exist_ok=True)
+                for n in os.listdir(_src):
+                    if not n.startswith("."):
+                        os.link(os.path.join(_src, n), os.path.join(dst, n))
+
         dest.commit(
             spark.createDataFrame([], schema),
             # [] passes through verbatim (commit only inherits on None):
@@ -2221,6 +2236,7 @@ class TxnTable:
             # stats travel from the source manifest - no footer re-reads
             carry_entries=src_entries,
             extra_meta={"cloned_from": f"{self.root}@{v}"},
+            aux_writer=aux,
         )
         return dest
 

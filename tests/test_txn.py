@@ -1935,3 +1935,24 @@ def test_dv_rewrite_layout_naturally_materializes(spark, tmp_path):
     assert not t.has_deletion_vectors(v)
     assert t.read(spark).count() == 50
     assert t.read(spark).filter(F.col("k") % 2 == 0).count() == 0
+
+
+def test_dv_travels_through_clone_and_restore(spark, tmp_path):
+    """A DV-bearing snapshot clones WITH its vector (cross-root link) and
+    restores WITH it (same-root carry-forward) — neither resurrects
+    suppressed rows."""
+    t = _dv_table(spark, tmp_path)
+    v_dv = t.delete_where_deferred(spark, F.col("k") < 10)
+    clone = t.clone_to(spark, str(tmp_path / "dev"))
+    assert clone.has_deletion_vectors()
+    assert clone.read(spark).count() == 90
+    assert clone.read(spark).filter(F.col("k") < 10).count() == 0
+    # source evolves past the DV; restore brings the vector back
+    t.materialize_deletes(spark)
+    t.append(
+        spark.createDataFrame([(500, "x", 0.0)], "k long, seg string, v double")
+    )
+    assert t.read(spark).count() == 91
+    t.restore(spark, v_dv)
+    assert t.has_deletion_vectors()
+    assert t.read(spark).count() == 90
