@@ -1040,7 +1040,13 @@ class TxnTable:
         shape. Range stats apply per value; per-file blooms (when the
         table records ``bloom_cols``) prune even when every file's
         [min, max] spans the key space, which is exactly the unclustered-
-        key case where range stats are useless. Pure metadata."""
+        key case where range stats are useless. Pure metadata.
+
+        Callers that READ the returned files directly (instead of going
+        through ``read``/``read_pruned``, which apply deletion vectors)
+        must first check ``has_deletion_vectors()`` — a raw per-file read
+        under a pending vector re-exposes suppressed rows (the same
+        reason the file-granular writers refuse)."""
         v = version or self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
