@@ -1956,3 +1956,40 @@ def test_dv_travels_through_clone_and_restore(spark, tmp_path):
     t.restore(spark, v_dv)
     assert t.has_deletion_vectors()
     assert t.read(spark).count() == 90
+
+
+def test_dv_survives_partition_overwrite(spark, tmp_path):
+    """overwrite_partitions under a pending vector: replaced partitions
+    take the new rows verbatim (their old DV entries go inert — the
+    files they referenced left the snapshot), carried partitions keep
+    their deletes applied."""
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 50, "a").otherwise("b").alias("part"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t.commit(df, partition_by=["part"])
+    # defer-delete 10 rows in EACH partition
+    t.delete_where_deferred(spark, (F.col("k") % 5 == 0))
+    assert t.read(spark).count() == 80
+    # overwrite partition b with 10 fresh rows (keys 200..209)
+    t.overwrite_partitions(
+        spark,
+        spark.range(200, 210).select(
+            F.col("id").alias("k"),
+            F.lit("b").alias("part"),
+            F.lit(0.0).alias("v"),
+        ),
+    )
+    got = t.read(spark)
+    # partition a: 50 rows minus its 10 deferred deletes; b: the 10 new
+    assert got.filter(F.col("part") == "a").count() == 40
+    assert got.filter(F.col("part") == "b").count() == 10
+    assert got.filter((F.col("part") == "a") & (F.col("k") % 5 == 0)).count() == 0
+    assert t.has_deletion_vectors()  # a's vector still pending
+    v = t.materialize_deletes(spark)
+    assert not t.has_deletion_vectors(v)
+    assert t.read(spark).count() == 50
