@@ -654,6 +654,69 @@ def txn_cbo_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join under the driver gate (round 8): orders
+    and customer land as managed tables bucketed 8-ways on the join key
+    (``warehouse.create_bucketed_table`` — the pay-the-shuffle-once
+    100 TB strategy for repeated joins), then join bucket-to-bucket. The
+    ``no_exchange`` flag pins the plan property that makes bucketing
+    worth it: the JOIN subtree contains ZERO shuffle exchanges (both
+    sides scan pre-hashed buckets), previously asserted only in pytest.
+    Values must equal the plain fixture join the oracle states."""
+    from ..warehouse import create_bucketed_table
+
+    o_tbl, c_tbl = "bjns_orders", "bjns_customer"
+    # at fixture scale the dim side fits the broadcast threshold and
+    # Catalyst rightly prefers BHJ; the bucket path is FOR joins where
+    # neither side broadcasts (fact-fact at 100 TB) — model that regime
+    # explicitly for the plan inspection
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        create_bucketed_table(
+            spark,
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            o_tbl,
+            "o_custkey",
+            n_buckets=8,
+        )
+        create_bucketed_table(
+            spark,
+            load(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            c_tbl,
+            "c_custkey",
+            n_buckets=8,
+        )
+        o = spark.table(o_tbl)
+        c = spark.table(c_tbl)
+        joined = o.join(c, o.o_custkey == c.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        no_exchange = (
+            "Exchange" not in plan
+            and "SortMergeJoin" in plan
+            and "Bucketed: true" in plan
+        )
+        out = (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .withColumn("no_exchange", F.lit(no_exchange))
+            .orderBy("c_mktsegment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {c_tbl}")
+
+
 def txn_deferred_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE under the driver gate (round 8, Delta
     deletion-vector / Iceberg positional-delete semantics): orders land
@@ -804,9 +867,21 @@ QUERIES = {
     "txn_cbo_broadcast_join": txn_cbo_broadcast_join,
     "txn_deferred_delete": txn_deferred_delete,
     "zorder_box_read": zorder_box_read,
+    "bucketed_join_no_shuffle": bucketed_join_no_shuffle,
 }
 
 ORACLE = {
+    # bucketed co-located join: values equal the plain join; no_exchange
+    # TRUE encodes the exchange-free join plan the Spark side inspected
+    "bucketed_join_no_shuffle": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               TRUE AS no_exchange
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     # incrementally-maintained agg(orders JOIN customer) must equal the
     # full recompute over every committed slice (years < 1997)
     "txn_incremental_join_agg": """
