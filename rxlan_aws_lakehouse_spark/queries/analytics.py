@@ -221,7 +221,91 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup (round 8): per-day HLL sketches
+    of ``user_id`` are built once (``ops/sketches.py``), persisted to
+    parquet as binary columns, read back, and every later answer comes
+    from the STORED sketches — per-day estimates, a weekly re-rollup at
+    a coarser grain, and the 30-day merged union — never a second scan
+    of the event rows. At 100 TB this is the only sane shape for
+    distinct-over-range: sketch bytes scale with partition count, not
+    row count, and new days merge into old unions without touching
+    history. Correctness is pinned exactly where an approximate
+    structure can be: per-day estimate within 5% of the per-day exact
+    (``sketch_ok``), weekly rollup within 5% of the weekly exact
+    (``week_rollup_ok``), merged union within 5% of the overall exact
+    (``merged_ok``) — booleans the oracle states as TRUE, so estimator
+    drift past tolerance hash-fails the gate."""
+    import shutil
+    import tempfile
+
+    from ..ops import sketches
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    work = tempfile.mkdtemp(prefix="hll_rollup_")
+    try:
+        sketches.partition_sketches(e, "user_id", ["day"]).write.mode(
+            "overwrite"
+        ).parquet(work)
+        stored = spark.read.parquet(work)
+        est = sketches.rollup_estimates(stored, ["day"]).select(
+            "day", F.col("estimate").alias("est_users")
+        )
+        merged_est = sketches.merged_estimate(stored).collect()[0][
+            "estimate"
+        ]
+        overall_exact = e.agg(
+            F.countDistinct("user_id").alias("n")
+        ).collect()[0]["n"]
+        merged_ok = abs(merged_est - overall_exact) <= 0.05 * overall_exact
+        # coarser-grain re-rollup from the SAME stored daily sketches:
+        # weekly distincts without revisiting raw rows
+        week = F.weekofyear(F.to_date("day"))
+        wk_est = sketches.rollup_estimates(
+            stored.withColumn("week", week), ["week"]
+        ).select("week", F.col("estimate").alias("est"))
+        wk_exact = e.groupBy(
+            F.weekofyear(F.to_date("day")).alias("week")
+        ).agg(F.countDistinct("user_id").alias("exact"))
+        week_rollup_ok = (
+            wk_exact.join(wk_est, "week")
+            .select(
+                F.min(
+                    F.abs(F.col("est") - F.col("exact"))
+                    <= 0.05 * F.col("exact")
+                ).alias("ok")
+            )
+            .collect()[0]["ok"]
+        )
+        exact = e.groupBy("day").agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        out = (
+            exact.join(est, "day")
+            .select(
+                "day",
+                "exact_users",
+                "n_events",
+                (
+                    F.abs(F.col("est_users") - F.col("exact_users"))
+                    <= 0.05 * F.col("exact_users")
+                ).alias("sketch_ok"),
+                F.lit(bool(week_rollup_ok)).alias("week_rollup_ok"),
+                F.lit(bool(merged_ok)).alias("merged_ok"),
+            )
+            .orderBy("day")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
+    "sketch_hll_rollup": sketch_hll_rollup,
     "events_funnel": events_funnel,
     "retention_cohorts": retention_cohorts,
     "running_distinct_users": running_distinct_users,
@@ -232,6 +316,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    # per-month exact distincts; the TRUE flags state the tolerance
+    # contract the Spark side verified against its stored-sketch
+    # estimates (per-month and merged-union within 5% of exact)
+    "sketch_hll_rollup": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS exact_users,
+               count(*) AS n_events,
+               TRUE AS sketch_ok,
+               TRUE AS week_rollup_ok,
+               TRUE AS merged_ok
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "events_gapfill_hourly": """
         WITH e AS (
           SELECT date_trunc('hour', ts) AS h, event_type FROM events),
