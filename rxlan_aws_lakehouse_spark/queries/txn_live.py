@@ -851,6 +851,119 @@ def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints under the driver gate (round 8, Delta ``ALTER
+    TABLE ADD CONSTRAINT`` semantics): customers land in a txn table, two
+    CHECK constraints are added (each validates existing data once, then
+    rides every commit as a table property), a violating append is
+    rejected ATOMICALLY — enforcement runs as observe() counters on the
+    write job itself, one pass, and the staged files are discarded before
+    publish — then a clean append lands. The final read must equal plain
+    SQL over the fixture with ONLY the base + clean slices present;
+    ``bad_batch_rejected`` pins that the poisoned batch raised and left
+    the table untouched. The reference delegates constraint enforcement
+    to Redshift DDL (/root/reference/init.sql); here it is native to the
+    snapshot layer."""
+    from ..txn import ConstraintViolationError
+
+    work = tempfile.mkdtemp(prefix="txn_chk_")
+    try:
+        t = TxnTable(f"{work}/t")
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        base = cust.filter(F.col("c_custkey") <= 200)
+        t.commit(base)
+        # fixture keys start at 0, so non-negative is the tight invariant
+        t.add_check_constraint(spark, "custkey_nonneg", "c_custkey >= 0")
+        t.add_check_constraint(
+            spark, "acctbal_floor", "c_acctbal >= -1000.0"
+        )
+        # poisoned batch: negated keys violate custkey_nonneg -> atomically
+        # rejected, table unchanged (no partial rows, no version bump)
+        head = t.current_version()
+        rejected = False
+        try:
+            t.append(
+                base.filter(F.col("c_custkey").between(1, 25)).select(
+                    (-F.col("c_custkey")).alias("c_custkey"),
+                    "c_acctbal",
+                    "c_mktsegment",
+                )
+            )
+        except ConstraintViolationError:
+            rejected = t.current_version() == head
+        t.append(
+            cust.filter(
+                (F.col("c_custkey") > 200) & (F.col("c_custkey") <= 300)
+            )
+        )
+        out = (
+            t.read(spark)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_cust"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+                F.min("c_custkey").alias("min_key"),
+            )
+            .withColumn(
+                "bad_batch_rejected",
+                F.lit(rejected and len(t.constraints()) == 2),
+            )
+            .orderBy("segment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def txn_row_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED under the driver gate (round 8, Delta
+    CDF / ``table_changes`` semantics): a CDF-enabled table takes a base
+    commit, one mixed merge (updates every 10th customer, inserts
+    201-210), and a DELETE of the BUILDING segment; the feed since the
+    base must contain EXACTLY the update pre/post images, the derived
+    inserts, and the delete rows at their post-merge values — rewritten-
+    but-unchanged rows (which share files with every change) must never
+    appear, the property file-grain feeds cannot give. Payloads are
+    written once by the op that already holds the rows (IO ∝ touched
+    files); appends/insert-only commits derive inserts from fresh data
+    files at read time (zero write amplification)."""
+    work = tempfile.mkdtemp(prefix="txn_cdf_")
+    try:
+        t = TxnTable(f"{work}/t")
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        base = cust.filter(F.col("c_custkey") <= 200)
+        v1 = t.commit(base, cdf=True)
+        updates = (
+            base.filter(F.col("c_custkey") % 10 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0))
+            .unionByName(
+                cust.filter(F.col("c_custkey").between(201, 210))
+            )
+        )
+        t.merge_upsert(spark, updates, keys=["c_custkey"])
+        t.delete_where(spark, F.col("c_mktsegment") == "BUILDING")
+        out = (
+            t.read_row_changes(spark, since=v1)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+                F.min("c_custkey").alias("min_key"),
+                F.max("c_custkey").alias("max_key"),
+            )
+            .orderBy("change_type")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -866,11 +979,66 @@ QUERIES = {
     "txn_bloom_point_lookup": txn_bloom_point_lookup,
     "txn_cbo_broadcast_join": txn_cbo_broadcast_join,
     "txn_deferred_delete": txn_deferred_delete,
+    "txn_check_constraint": txn_check_constraint,
+    "txn_row_change_feed": txn_row_change_feed,
     "zorder_box_read": zorder_box_read,
     "bucketed_join_no_shuffle": bucketed_join_no_shuffle,
 }
 
 ORACLE = {
+    # CHECK-constrained table: the rejected batch leaves no trace, so the
+    # final contents are exactly base (<=200) + clean append (201..300);
+    # bad_batch_rejected TRUE encodes the atomic rejection the Spark side
+    # observed (violation raised AND head version unchanged)
+    "txn_check_constraint": """
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               round(sum(c_acctbal), 2) AS total_bal,
+               min(c_custkey) AS min_key,
+               TRUE AS bad_batch_rejected
+        FROM customer
+        WHERE c_custkey <= 300
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    # the row-level feed since the base commit: pre-images at base
+    # values, post-images at +1000, derived inserts 201-210, deletes at
+    # POST-MERGE values for the BUILDING segment — and nothing else
+    # (rewritten-but-unchanged rows never reach the feed)
+    "txn_row_change_feed": """
+        WITH base AS (
+          SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+          WHERE c_custkey <= 200),
+        matched AS (SELECT * FROM base WHERE c_custkey % 10 = 0),
+        post AS (
+          SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+          FROM matched),
+        ins AS (
+          SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+          WHERE c_custkey BETWEEN 201 AND 210),
+        merged AS (
+          SELECT * FROM base WHERE c_custkey % 10 <> 0
+          UNION ALL SELECT * FROM post
+          UNION ALL SELECT * FROM ins),
+        events AS (
+          SELECT 'update_preimage' AS change_type, c_custkey, c_acctbal
+          FROM matched
+          UNION ALL
+          SELECT 'update_postimage', c_custkey, c_acctbal FROM post
+          UNION ALL
+          SELECT 'insert', c_custkey, c_acctbal FROM ins
+          UNION ALL
+          SELECT 'delete', c_custkey, c_acctbal FROM merged
+          WHERE c_mktsegment = 'BUILDING')
+        SELECT change_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(c_acctbal), 2) AS total_bal,
+               min(c_custkey) AS min_key,
+               max(c_custkey) AS max_key
+        FROM events
+        GROUP BY change_type
+        ORDER BY change_type
+    """,
     # bucketed co-located join: values equal the plain join; no_exchange
     # TRUE encodes the exchange-free join plan the Spark side inspected
     "bucketed_join_no_shuffle": """

@@ -52,12 +52,15 @@ import time
 from urllib.parse import unquote, urlparse
 
 import pyarrow.parquet as _pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _VERSIONS = "_versions"
 _DV_DIR = "_dv"  # per-version deletion-vector parquet dir (rel, row_index)
+_CDF_DIR = "_cdf"  # per-version row-level change payload (Delta CDF shape)
+_CHANGE_TYPE = "_change_type"  # insert | update_preimage | update_postimage | delete
+_COMMIT_VERSION = "_commit_version"
 _LATEST = "_LATEST"
 # commit(expect_parent=...) sentinel: "resolve the head at commit time"
 # (None is a real value meaning "expect an empty table")
@@ -424,6 +427,19 @@ class VacuumProtectionError(RuntimeError):
     """Vacuum would remove snapshots an incremental consumer still needs."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """Incoming rows violate a table CHECK constraint; the staged write
+    was discarded before publish — the table is unchanged."""
+
+
+class ChangeFeedUnavailableError(RuntimeError):
+    """The requested version range contains a commit whose exact
+    row-level changes were not recorded (the change feed was disabled
+    when it ran, or the operation — overwrite/restore — rewrites
+    arbitrary rows and records no change payload). The file-level
+    ``read_changes`` feed remains available for the range."""
+
+
 class PendingDeleteVectorsError(RuntimeError):
     """The operation reads data files directly (file-granular merge/CDC/
     compaction/point reads) and would resurrect rows a deletion vector
@@ -745,6 +761,248 @@ class TxnTable:
     # -- deletion vectors (round 8) ---------------------------------------
     def _dv_dir(self, version: str) -> str:
         return os.path.join(self.root, _VERSIONS, version, _DV_DIR)
+
+    # -- CHECK constraints ------------------------------------------------
+    def constraints(self, version: str | None = None) -> dict[str, str]:
+        """name -> SQL boolean expression recorded on the snapshot."""
+        v = version or self.current_version()
+        if v is None:
+            return {}
+        return dict(self._meta(v).get("constraints") or {})
+
+    def add_check_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        expr: str,
+        max_retries: int = 2,
+    ) -> str:
+        """Record a CHECK constraint as a table property (Delta
+        ``ALTER TABLE ADD CONSTRAINT`` semantics): EXISTING data is
+        validated first — one scan, the same one-time cost Delta pays —
+        and every subsequent write is then enforced in-flight by
+        ``commit``'s observe() counters at zero extra passes. The
+        constraint lands as a metadata-only commit (files carried by
+        reference), so it is itself transactional, versioned, and
+        revertible via ``restore``. ANSI semantics: NULL passes."""
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            cur = self.constraints(expect)
+            if cur.get(name) == expr:
+                return expect  # idempotent re-add
+            pred = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            bad = self.read(spark, expect).filter(~pred).limit(1).count()
+            if bad:
+                raise ConstraintViolationError(
+                    f"existing rows violate CHECK {name} ({expr!r}); "
+                    "constraint not added"
+                )
+            cur[name] = expr
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in self.files(expect)
+            }
+            empty = spark.createDataFrame(
+                [], StructType.fromJson(self._meta(expect)["schema"])
+            )
+            return self.commit(
+                empty,
+                metadata_only=True,
+                operation="set_constraint",
+                carry_files=carry,
+                carry_src=expect,
+                expect_parent=expect,
+                constraints=cur,
+                extra_meta={"constraint_added": name},
+            )
+
+        return self._with_retries(attempt, max_retries)
+
+    def drop_constraint(
+        self, spark: SparkSession, name: str, max_retries: int = 2
+    ) -> str:
+        """Remove a CHECK constraint via a metadata-only commit."""
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            cur = self.constraints(expect)
+            if name not in cur:
+                return expect
+            del cur[name]
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in self.files(expect)
+            }
+            empty = spark.createDataFrame(
+                [], StructType.fromJson(self._meta(expect)["schema"])
+            )
+            return self.commit(
+                empty,
+                metadata_only=True,
+                operation="set_constraint",
+                carry_files=carry,
+                carry_src=expect,
+                expect_parent=expect,
+                constraints=cur,
+                extra_meta={"constraint_dropped": name},
+            )
+
+        return self._with_retries(attempt, max_retries)
+
+    # -- row-level change data feed (Delta CDF semantics) -----------------
+    def _cdf_dir(self, version: str) -> str:
+        return os.path.join(self.root, _VERSIONS, version, _CDF_DIR)
+
+    def cdf_enabled(self, version: str | None = None) -> bool:
+        v = version or self.current_version()
+        return v is not None and bool(self._meta(v).get("cdf", False))
+
+    def set_change_feed(
+        self, spark: SparkSession, enabled: bool = True, max_retries: int = 2
+    ) -> str:
+        """Toggle the row-level change feed as a table property (Delta's
+        ``delta.enableChangeDataFeed``): a metadata-only commit, files
+        carried by reference. Once enabled, every merge/delete commit
+        writes its EXACT row-level changes — pre/post images and deletes —
+        as a ``_cdf`` payload beside the data; appends and initial commits
+        record nothing (their inserts are derived from the fresh data
+        files at read time, Delta's own zero-write-amplification
+        contract). ``read_row_changes`` consumes the feed."""
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            if bool(self._meta(expect).get("cdf", False)) == enabled:
+                return expect  # idempotent
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in self.files(expect)
+            }
+            empty = spark.createDataFrame(
+                [], StructType.fromJson(self._meta(expect)["schema"])
+            )
+            return self.commit(
+                empty,
+                metadata_only=True,
+                operation="set_cdf",
+                carry_files=carry,
+                carry_src=expect,
+                expect_parent=expect,
+                cdf=enabled,
+            )
+
+        return self._with_retries(attempt, max_retries)
+
+    def read_row_changes(
+        self, spark: SparkSession, since: str | None, until: str | None = None
+    ) -> DataFrame:
+        """EXACT row-level changes between two snapshots (Delta
+        ``table_changes`` shape): each row carries ``_change_type`` in
+        {insert, update_preimage, update_postimage, delete} and
+        ``_commit_version``. Unlike the file-grain ``read_changes``,
+        rewritten-but-unchanged rows never appear and deletes DO — the
+        feed a downstream CDC consumer can replay verbatim.
+
+        IO is proportional to the CHANGE, never the table: merge/delete
+        commits read their recorded ``_cdf`` payload (written once, by
+        the job that already had the rows in hand — no second scan);
+        appends derive inserts from their fresh data files (zero write
+        amplification, Delta's insert-only contract); the initial
+        snapshot reads as one batch of inserts; compaction /
+        materialization / metadata commits contribute nothing (physical
+        re-homes, no logical change). A changeful commit in the range
+        that recorded no payload (feed disabled at the time, or an
+        overwrite/restore, which rewrites arbitrary rows) raises
+        ``ChangeFeedUnavailableError`` rather than guessing.
+
+        Same vacuum contract as ``read_changes``: consume before
+        vacuuming past the range.
+        """
+        until = until or self.current_version()
+        if until is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        lo = int(since[1:]) if since else 0
+        hi = int(until[1:])
+        branches: list[DataFrame] = []
+        for meta in self.history():
+            v = meta["version"]
+            if not (lo < int(v[1:]) <= hi):
+                continue
+            op = meta.get("operation")
+            root = os.path.join(self.root, _VERSIONS, v)
+            cdf_dir = os.path.join(root, _CDF_DIR)
+            if os.path.isdir(cdf_dir):
+                b = spark.read.parquet(cdf_dir)
+            elif op in (
+                "compact",
+                "materialize_deletes",
+                "rewrite_layout",
+                "set_constraint",
+                "set_cdf",
+            ):
+                continue  # physical/metadata only: no logical change
+            elif meta.get("parent") is None:
+                # first snapshot (initial commit or clone): the whole
+                # logical content, DV-applied, is one insert batch
+                b = self.read(spark, v).withColumn(
+                    _CHANGE_TYPE, F.lit("insert")
+                )
+            elif op == "append" or (
+                # insert-only merge/CDC batch under an ENABLED feed: a
+                # touching merge always writes a payload, so its absence
+                # proves every fresh file holds only inserts — derive them
+                bool(meta.get("cdf"))
+                and op in ("merge_upsert", "apply_cdc")
+            ):
+                fresh = [
+                    os.path.join(root, rel)
+                    for info in meta["shards"].values()
+                    for rel in info["fresh"]
+                ]
+                if not fresh:
+                    continue
+                b = (
+                    spark.read.option("basePath", root)
+                    .schema(StructType.fromJson(meta["schema"]))
+                    .parquet(*fresh)
+                    .withColumn(_CHANGE_TYPE, F.lit("insert"))
+                )
+            else:
+                raise ChangeFeedUnavailableError(
+                    f"{v} ({op}) recorded no row-level change payload; "
+                    "enable the feed with set_change_feed() before such "
+                    "commits, or consume the file-level read_changes feed"
+                )
+            branches.append(b.withColumn(_COMMIT_VERSION, F.lit(v)))
+        if not branches:
+            schema = (
+                self.read(spark, until)
+                .withColumn(_CHANGE_TYPE, F.lit(""))
+                .withColumn(_COMMIT_VERSION, F.lit(""))
+                .schema
+            )
+            return spark.createDataFrame([], schema)
+        df = branches[0]
+        for b in branches[1:]:
+            # schema evolution across the range: earlier commits surface
+            # later-added columns as typed NULLs
+            df = df.unionByName(b, allowMissingColumns=True)
+        return df
 
     def has_deletion_vectors(self, version: str | None = None) -> bool:
         v = version or self.current_version()
@@ -1129,6 +1387,8 @@ class TxnTable:
         aux_writer=None,
         carry_dv: bool = True,
         metadata_only: bool = False,
+        constraints: dict[str, str] | None = None,
+        cdf: bool | None = None,
     ) -> str:
         """Write ``df`` as a new snapshot and atomically publish it.
 
@@ -1194,6 +1454,15 @@ class TxnTable:
         # theirs through the manifest fragments.
         if bloom_cols is None:
             bloom_cols = parent_meta.get("bloom_cols") or []
+        # constraints is a TABLE PROPERTY like bloom_cols: set by
+        # add_check_constraint (or the first commit), inherited by every
+        # later commit unless explicitly replaced ({} passes verbatim)
+        if constraints is None:
+            constraints = parent_meta.get("constraints") or {}
+        # change-data-feed flag is a table property too (Delta's
+        # delta.enableChangeDataFeed): inherited unless explicitly set
+        if cdf is None:
+            cdf = bool(parent_meta.get("cdf", False))
         # Watermark fold-forward (see _WATERMARK_KEYS): interleaved
         # commits that don't set their own value inherit the parent's, so
         # the newest epoch/cursor always rides the LIVE snapshot — O(1) to
@@ -1207,6 +1476,31 @@ class TxnTable:
             self.root, _VERSIONS, f".tmp-{os.getpid()}-{time.time_ns()}"
         )
         out = df.sortWithinPartitions(*sort_within) if sort_within else df
+        # CHECK-constraint enforcement in ONE pass (Delta invariant-check
+        # analogue): per-constraint violation counters ride the write job
+        # itself as observe() metrics — no second evaluation of df's plan,
+        # no extra scan at any scale. A violation is detected AFTER the
+        # parquet lands in the staging dir but BEFORE the rename/publish,
+        # so the staged write is simply discarded: enforcement is
+        # transactional by construction. ANSI CHECK semantics: a NULL
+        # constraint result passes (only definite FALSE counts).
+        obs: Observation | None = None
+        if constraints and not metadata_only:
+            obs = Observation(f"chk-{time.time_ns()}")
+            out = out.observe(
+                obs,
+                *(
+                    F.sum(
+                        F.when(
+                            ~F.coalesce(
+                                F.expr(e).cast("boolean"), F.lit(True)
+                            ),
+                            F.lit(1),
+                        ).otherwise(F.lit(0))
+                    ).alias(n)
+                    for n, e in sorted(constraints.items())
+                ),
+            )
         writer = out.write.mode("error").format("parquet")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -1220,6 +1514,19 @@ class TxnTable:
                 os.makedirs(staging, exist_ok=True)
             else:
                 writer.save(staging)
+                if obs is not None:
+                    viol = {
+                        n: int(c) for n, c in obs.get.items() if c
+                    }
+                    if viol:
+                        raise ConstraintViolationError(
+                            "CHECK constraint(s) violated by incoming "
+                            f"rows (staged write discarded): "
+                            + ", ".join(
+                                f"{n} ({constraints[n]!r}): {c} row(s)"
+                                for n, c in sorted(viol.items())
+                            )
+                        )
             # Auxiliary NON-DATA payloads (deletion vectors): written into
             # an underscore-prefixed subdir, which Spark's reader treats
             # as hidden and the fresh-file enumeration below skips — the
@@ -1410,6 +1717,8 @@ class TxnTable:
                 # the NEXT commit keys carried files with this
                 "split_shards": sorted(split),
                 "bloom_cols": list(bloom_cols),
+                "constraints": dict(constraints),
+                "cdf": bool(cdf),
             }
             with open(os.path.join(staging, "_meta.json"), "w") as f:
                 json.dump(meta, f)
@@ -1652,10 +1961,51 @@ class TxnTable:
             else:
                 # pure insert: nothing matched, carry every existing file
                 merged = updates.select(*out_cols)
+            # Row-level change feed payload (Delta CDF): built from data
+            # the merge already has in hand — preimages re-read ONLY the
+            # touched files (the same set the kept-scan reads), post/insert
+            # split the persisted update set. IO ∝ touched files, never
+            # the table. A pure-insert merge writes no payload at all:
+            # its fresh files ARE the inserts, derived at read time.
+            aux = None
+            if self._meta(expect).get("cdf") and touched:
+                pre = (
+                    spark.read.option("basePath", data_root)
+                    .schema(target_schema)
+                    .parquet(
+                        *(os.path.join(data_root, rel) for rel in touched)
+                    )
+                    .join(update_keys, keys, "leftsemi")
+                )
+                for f in extra_fields:
+                    pre = pre.withColumn(f.name, F.lit(None).cast(f.dataType))
+                pre = pre.select(*out_cols)
+                matched_keys = pre.select(*keys).distinct()
+                post = updates.select(*out_cols).join(
+                    matched_keys, keys, "leftsemi"
+                )
+                ins = updates.select(*out_cols).join(
+                    matched_keys, keys, "left_anti"
+                )
+                chg = (
+                    pre.withColumn(_CHANGE_TYPE, F.lit("update_preimage"))
+                    .unionByName(
+                        post.withColumn(
+                            _CHANGE_TYPE, F.lit("update_postimage")
+                        )
+                    )
+                    .unionByName(
+                        ins.withColumn(_CHANGE_TYPE, F.lit("insert"))
+                    )
+                )
+
+                def aux(staging: str) -> None:
+                    chg.write.parquet(os.path.join(staging, _CDF_DIR))
+
             return self.commit(
                 merged, operation="merge_upsert", carry_files=carry,
                 extra_meta=extra_meta, carry_src=expect,
-                expect_parent=expect,
+                expect_parent=expect, aux_writer=aux,
             )
 
         try:
@@ -1864,10 +2214,27 @@ class TxnTable:
                 .parquet(*(os.path.join(data_root, rel) for rel in touched))
                 .filter(~F.coalesce(condition.cast("boolean"), F.lit(False)))
             )
+            # CDF payload: the deleted rows, read from the same touched
+            # files the kept-scan reads — IO ∝ touched, written once
+            aux = None
+            if self._meta(expect).get("cdf"):
+                deleted = (
+                    spark.read.option("basePath", data_root)
+                    .schema(target_schema)
+                    .parquet(
+                        *(os.path.join(data_root, rel) for rel in touched)
+                    )
+                    .filter(F.coalesce(condition.cast("boolean"), F.lit(False)))
+                    .withColumn(_CHANGE_TYPE, F.lit("delete"))
+                )
+
+                def aux(staging: str) -> None:
+                    deleted.write.parquet(os.path.join(staging, _CDF_DIR))
+
             return self.commit(
                 kept, operation="delete", carry_files=carry,
                 extra_meta=extra_meta, carry_src=expect,
-                expect_parent=expect,
+                expect_parent=expect, aux_writer=aux,
             )
 
         return self._with_retries(attempt, max_retries)
@@ -1929,9 +2296,33 @@ class TxnTable:
             if os.path.isdir(old_dv):
                 dv = dv.unionByName(spark.read.parquet(old_dv))
             dv = dv.distinct()
+            # CDF payload: the rows this commit NEWLY suppresses. The raw
+            # scan sees rows an earlier vector already deleted (DV is
+            # applied at read, not here), so an overlapping predicate
+            # would re-emit them — the anti-join against the OLD vector
+            # keeps the feed exactly-once per logical delete.
+            chg = None
+            if self._meta(expect).get("cdf"):
+                rows = scan.filter(pred).withColumns(
+                    {
+                        "rel": self._rel_col(expect),
+                        "row_index": F.col("_metadata.row_index"),
+                    }
+                )
+                if os.path.isdir(old_dv):
+                    rows = rows.join(
+                        spark.read.parquet(old_dv),
+                        ["rel", "row_index"],
+                        "left_anti",
+                    )
+                chg = rows.drop("rel", "row_index").withColumn(
+                    _CHANGE_TYPE, F.lit("delete")
+                )
 
             def aux(staging: str) -> None:
                 dv.coalesce(1).write.parquet(os.path.join(staging, _DV_DIR))
+                if chg is not None:
+                    chg.write.parquet(os.path.join(staging, _CDF_DIR))
 
             carry = {
                 rel: os.path.join(data_root, rel)
@@ -2095,23 +2486,62 @@ class TxnTable:
                 for rel in self.files(expect)
                 if rel not in touched_set
             }
+            aux = None
             if touched:
-                kept = (
+                old_scan = (
                     spark.read.option("basePath", data_root)
                     .schema(target_schema)
                     .parquet(
                         *(os.path.join(data_root, rel) for rel in touched)
                     )
-                    .join(affected_keys, keys, "left_anti")
                 )
+                kept = old_scan.join(affected_keys, keys, "left_anti")
                 merged = kept.unionByName(upserts)
+                # CDF payload from data already in hand (same touched-file
+                # scan the kept-path reads): matched upserts -> pre/post
+                # images, unmatched -> inserts, matched D-rows -> deletes
+                # (a D matching nothing is a no-op, no event)
+                if self._meta(expect).get("cdf"):
+                    upsert_keys = upserts.select(*keys).distinct()
+                    delete_keys = (
+                        latest.filter(F.col(op_col) == "D")
+                        .select(*keys)
+                        .distinct()
+                    )
+                    pre = old_scan.join(upsert_keys, keys, "leftsemi")
+                    matched_keys = pre.select(*keys).distinct()
+                    post = upserts.join(matched_keys, keys, "leftsemi")
+                    ins = upserts.join(matched_keys, keys, "left_anti")
+                    del_rows = old_scan.join(delete_keys, keys, "leftsemi")
+                    chg = (
+                        pre.withColumn(
+                            _CHANGE_TYPE, F.lit("update_preimage")
+                        )
+                        .unionByName(
+                            post.withColumn(
+                                _CHANGE_TYPE, F.lit("update_postimage")
+                            )
+                        )
+                        .unionByName(
+                            ins.withColumn(_CHANGE_TYPE, F.lit("insert"))
+                        )
+                        .unionByName(
+                            del_rows.withColumn(
+                                _CHANGE_TYPE, F.lit("delete")
+                            )
+                        )
+                    )
+
+                    def aux(staging: str) -> None:
+                        chg.write.parquet(os.path.join(staging, _CDF_DIR))
+
             else:
                 merged = upserts
             try:
                 return self.commit(
                     merged, operation="apply_cdc", carry_files=carry,
                     extra_meta=extra_meta, carry_src=expect,
-                    expect_parent=expect,
+                    expect_parent=expect, aux_writer=aux,
                 )
             finally:
                 latest.unpersist()
@@ -2237,6 +2667,8 @@ class TxnTable:
             partition_by=list(meta_v.get("partition_by") or []),
             # table properties travel with the clone
             bloom_cols=list(meta_v.get("bloom_cols") or []),
+            constraints=dict(meta_v.get("constraints") or {}),
+            cdf=bool(meta_v.get("cdf", False)),
             operation="clone",
             carry_files=carry,
             # stats travel from the source manifest - no footer re-reads
@@ -2282,6 +2714,8 @@ class TxnTable:
                 partition_by=list(meta_v.get("partition_by") or []),
                 # restore reinstates table PROPERTIES too, not just files
                 bloom_cols=list(meta_v.get("bloom_cols") or []),
+                constraints=dict(meta_v.get("constraints") or {}),
+                cdf=bool(meta_v.get("cdf", False)),
                 operation="restore",
                 carry_files=carry,
                 # stats travel from the RESTORED snapshot's manifest —
