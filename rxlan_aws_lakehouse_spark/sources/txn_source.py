@@ -1,0 +1,408 @@
+"""Transactional snapshot tables as a first-class Spark data source.
+
+The PySpark 4 Python DataSource API (`pyspark.sql.datasource`) is the
+public seam for exposing a custom table format to every Spark surface —
+``spark.read.format("txn")``, SQL via a registered view, and
+``spark.readStream.format("txn")`` — the way Delta/Iceberg plug in their
+own relations. This module puts the ``txn.py`` snapshot store behind
+that seam, so a txn table stops being a library call and becomes a
+format:
+
+    spark.dataSource.register(TxnDataSource)
+    df  = spark.read.format("txn").load(table_root)            # snapshot
+    st  = (spark.readStream.format("txn")
+                .option("startingVersion", "earliest")
+                .load(table_root))                             # tail it
+
+Designed for the 100 TB cluster case, not just the API checkbox:
+
+* **Planning is manifest-only.** ``schema()`` reads the snapshot's
+  recorded schema from ``_meta.json``; ``partitions()`` derives the file
+  list from the sharded manifest. No directory listing, no parquet
+  footer reads, no Spark job at plan time.
+* **Filter pushdown prunes FILES, not just rows — as an opt-in.** With
+  ``option("pushdown", "true")``, ``pushFilters`` translates Spark's
+  pushed predicates (=, <, <=, >, >=, IN on top-level columns) into the
+  manifest grammar: range stats prune by min/max, per-file bloom
+  filters prune point lookups even when every file's range spans the
+  key space, and partition-path predicates skip whole manifest
+  fragments unread. Every filter is also returned as unhandled, so
+  Spark re-applies it row-level — pruning is an IO bound, never the
+  correctness boundary (same contract as ``read_pruned``, txn.py).
+  Pruning is NOT the default because of a Spark 4.1 relation-level
+  cache that replays a filtered plan for filterless reuse of the same
+  ``load()`` — see `TxnSnapshotReader`.
+* **One InputPartition per data file**, carrying only strings — the
+  executor side reads its file with pyarrow, reattaches
+  ``key=value`` partition-path columns as typed constants, applies any
+  pending deletion vector for that file (position anti-set), and yields
+  Arrow record batches. Parallelism = file count, memory = one row
+  group at a time.
+* **The streaming reader tails the commit log.** Offsets are published
+  version numbers (tiny JSON ints); each micro-batch emits the files
+  FRESHLY WRITTEN in ``(start, end]`` straight off each commit's shard
+  index — IO proportional to the change, Delta-streaming-source
+  semantics: appends stream through; a changeful commit
+  (merge/delete/overwrite) fails the stream unless ``ignoreDeletes``
+  (skip delete commits) or ``ignoreChanges`` (re-emit rewritten files)
+  says otherwise.
+
+Reference parity: the reference's only "source" abstraction is the Glue
+catalog table its Redshift COPY reads (/root/reference/glue/
+bronze_to_silver_openweather.py:36-57); this replaces that seam with a
+native Spark one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from ..txn import _CDF_DIR, _DV_DIR, _VERSIONS, TxnTable
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """One data file of one snapshot. Strings only — pickled to executors."""
+
+    file_path: str  # absolute path of the parquet file
+    rel: str  # manifest-relative path (carries key=value partition dirs)
+    dv_dir: str | None  # deletion-vector dir to anti-apply, if pending
+
+
+def _resolve_version(table: TxnTable, options) -> str:
+    v = options.get("version")
+    if v is not None:
+        v = v if str(v).startswith("v") else f"v{int(v):08d}"
+        if not os.path.isfile(
+            os.path.join(table.root, _VERSIONS, v, "_meta.json")
+        ):
+            raise FileNotFoundError(f"version {v} not found at {table.root}")
+        return v
+    ts = options.get("timestamp")
+    if ts is not None:
+        return table.version_at(float(ts))
+    cur = table.current_version()
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {table.root}")
+    return cur
+
+
+def _partition_values(rel: str) -> dict[str, str | None]:
+    """Hive-style ``key=value`` dirs along the file's relative path."""
+    out: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, raw = seg.partition("=")
+            out[k] = None if raw == _HIVE_NULL else unquote(raw)
+    return out
+
+
+def _read_file_batches(
+    part: _FilePartition, schema: StructType
+) -> Iterator:
+    """Executor-side read of one file: parquet via pyarrow, partition-path
+    columns reattached as typed constants, deletion vector anti-applied,
+    batches cast to the table's exact Arrow schema."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    tbl = pq.read_table(part.file_path)
+    pvals = _partition_values(part.rel)
+    n = tbl.num_rows
+    if part.dv_dir is not None and os.path.isdir(part.dv_dir):
+        dv = pq.read_table(
+            part.dv_dir, filters=[("rel", "=", part.rel)]
+        )
+        if dv.num_rows:
+            dead = pa.array(
+                sorted(set(dv.column("row_index").to_pylist())),
+                type=pa.int64(),
+            )
+            idx = pa.array(range(n), type=pa.int64())
+            tbl = tbl.filter(
+                pc.invert(pc.is_in(idx, value_set=dead))
+            )
+    cols = []
+    for field in target:
+        if field.name in tbl.column_names:
+            cols.append(tbl.column(field.name).cast(field.type))
+        elif field.name in pvals:
+            v = pvals[field.name]
+            scalar = pa.scalar(v, type=pa.string()).cast(field.type)
+            cols.append(
+                pa.array([scalar.as_py()] * tbl.num_rows, type=field.type)
+            )
+        else:
+            # additive schema evolution: files written before the column
+            # existed read it as typed NULLs, same as TxnTable.read
+            cols.append(pa.nulls(tbl.num_rows, field.type))
+    out = pa.table(cols, schema=target)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _filter_triples(filters: list[Filter]):
+    """Spark pushed filters -> (conjunctive range triples, point-lookup
+    (col, values) pairs) in the manifest-pruning grammar. Unsupported
+    shapes are simply not translated (the caller returns every filter as
+    unhandled anyway, so Spark re-applies all of them row-level)."""
+    triples: list[tuple] = []
+    points: list[tuple[str, list]] = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            continue
+        col = attr[0]
+        v = getattr(f, "value", None)
+        if isinstance(f, (EqualTo, EqualNullSafe)) and v is not None:
+            triples.append((col, "=", v))
+            points.append((col, [v]))
+        elif isinstance(f, GreaterThan):
+            triples.append((col, ">", v))
+        elif isinstance(f, GreaterThanOrEqual):
+            triples.append((col, ">=", v))
+        elif isinstance(f, LessThan):
+            triples.append((col, "<", v))
+        elif isinstance(f, LessThanOrEqual):
+            triples.append((col, "<=", v))
+        elif isinstance(f, In) and v:
+            points.append((col, list(v)))
+    return triples, points
+
+
+class TxnSnapshotReader(DataSourceReader):
+    """Batch reader over one pinned snapshot — every file, every query.
+
+    This default reader deliberately does NOT implement ``pushFilters``:
+    in Spark 4.1 the JVM side (`PythonDataSourceV2`) caches the last
+    planned read info per ``load()`` relation and reuses it for scans
+    that carry NO pushable filters WITHOUT re-calling Python — so a
+    pruning reader poisons the shared relation: after
+    ``df.filter(id == 500).count()``, a plain ``df.count()`` on the same
+    ``df`` silently reuses the single-file pruned partition list
+    (measured: 25 of 1000 rows). Filtered scans always re-plan and stay
+    correct; only filterless reuse under-reads, and no Python-side hook
+    runs on that path to intercept it. Correctness therefore demands a
+    query-independent plan by default; file skipping is an explicit
+    opt-in via ``option("pushdown", "true")`` (`TxnPruningReader`).
+    """
+
+    def __init__(self, options, schema: StructType):
+        self._schema = schema
+        self._table = TxnTable(options["path"])
+        self._version = _resolve_version(self._table, options)
+
+    def _partitions_for(
+        self,
+        triples: list[tuple],
+        points: list[tuple[str, list]],
+    ) -> Sequence[InputPartition]:
+        kept, _total = self._table.pruned_files(triples, self._version)
+        kept_set = set(kept)
+        # point lookups additionally consult per-file blooms — the case
+        # where every file's [min,max] spans the key space and range
+        # stats prune nothing (txn.py pruned_files_in)
+        for col, vals in points:
+            kept_set &= set(
+                self._table.pruned_files_in(col, vals, self._version)[0]
+            )
+        data_root = os.path.join(self._table.root, _VERSIONS, self._version)
+        dv = os.path.join(data_root, _DV_DIR)
+        dv_dir = dv if os.path.isdir(dv) else None
+        return [
+            _FilePartition(
+                file_path=os.path.join(data_root, rel),
+                rel=rel,
+                dv_dir=dv_dir,
+            )
+            for rel in sorted(kept_set)
+        ]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return self._partitions_for([], [])
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _read_file_batches(partition, self._schema)
+
+
+class TxnPruningReader(TxnSnapshotReader):
+    """Opt-in reader (``option("pushdown", "true")``) whose partition
+    list is manifest-pruned by the pushed predicates: range stats prune
+    by min/max, per-file blooms prune point lookups, partition-path
+    predicates skip whole manifest fragments unread. Every filter is
+    reported unhandled, so Spark re-applies it row-level — pruning is an
+    IO bound, never the correctness boundary (same contract as
+    ``read_pruned``, txn.py).
+
+    Caveat (why this is not the default): reuse a pruned relation ONLY
+    for queries that keep their filters — see `TxnSnapshotReader` for
+    the Spark 4.1 filterless-reuse caching hazard. ETL reads of the
+    shape ``spark.read.format("txn").option("pushdown", "true")
+    .load(root).filter(...)`` — one relation, one query — get Delta-
+    style file skipping with none of the hazard.
+    """
+
+    def __init__(self, options, schema: StructType):
+        super().__init__(options, schema)
+        self._triples: list[tuple] = []
+        self._points: list[tuple[str, list]] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        self._triples, self._points = _filter_triples(filters)
+        # Manifest pruning is IO-only: report every filter unhandled so
+        # Spark keeps them as row-level predicates above the scan.
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return self._partitions_for(self._triples, self._points)
+
+
+class TxnStreamReader(DataSourceStreamReader):
+    """Streaming reader tailing the commit log: one micro-batch per
+    offset range of published versions, files straight off each commit's
+    shard index."""
+
+    def __init__(self, options, schema: StructType):
+        self._schema = schema
+        self._table = TxnTable(options["path"])
+        self._ignore_deletes = str(
+            options.get("ignoreDeletes", "false")
+        ).lower() == "true"
+        self._ignore_changes = str(
+            options.get("ignoreChanges", "false")
+        ).lower() == "true"
+        start = str(options.get("startingVersion", "latest")).lower()
+        if start == "earliest":
+            self._start = 0
+        elif start == "latest":
+            cur = self._table.current_version()
+            self._start = int(cur[1:]) if cur else 0
+        else:
+            self._start = int(start.lstrip("v"))
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        cur = self._table.current_version()
+        return {"version": int(cur[1:]) if cur else 0}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["version"], end["version"]
+        parts: list[InputPartition] = []
+        vdir = os.path.join(self._table.root, _VERSIONS)
+        for n in range(lo + 1, hi + 1):
+            v = f"v{n:08d}"
+            meta_path = os.path.join(vdir, v, "_meta.json")
+            if not os.path.isfile(meta_path):
+                continue  # vacuumed or never-published slot
+            with open(meta_path) as f:
+                meta = json.load(f)
+            op = meta.get("operation")
+            first = meta.get("parent") is None
+            # The initial snapshot replays its FULL logical content (a
+            # clone's files are all carried, not fresh — emitting fresh
+            # alone would silently skip them), DV anti-applied; every
+            # later version emits only its freshly written files.
+            fresh = (
+                self._table.files(v)
+                if first
+                else [
+                    rel
+                    for info in meta["shards"].values()
+                    for rel in info["fresh"]
+                ]
+            )
+            append_like = op in ("append", "compact") or first
+            if not append_like:
+                if op in ("delete", "delete_dv", "materialize_deletes"):
+                    if not (self._ignore_deletes or self._ignore_changes):
+                        raise RuntimeError(
+                            f"streaming source hit a {op} commit at {v}; "
+                            "set ignoreDeletes=true (skip them) or "
+                            "ignoreChanges=true (re-emit rewritten files)"
+                        )
+                    if not self._ignore_changes:
+                        continue  # ignoreDeletes: suppress, don't re-emit
+                elif op in ("set_constraint", "set_cdf"):
+                    pass  # metadata-only: no fresh files anyway
+                elif not self._ignore_changes:
+                    raise RuntimeError(
+                        f"streaming source hit a {op} commit at {v}; set "
+                        "ignoreChanges=true to re-emit its rewritten files "
+                        "(downstream must dedup by key, Delta semantics)"
+                    )
+            if op == "compact":
+                continue  # physical re-home: rows already streamed
+            root = os.path.join(vdir, v)
+            dv = os.path.join(root, _DV_DIR)
+            dv_dir = dv if first and os.path.isdir(dv) else None
+            parts.extend(
+                _FilePartition(
+                    file_path=os.path.join(root, rel), rel=rel, dv_dir=dv_dir
+                )
+                for rel in fresh
+            )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _read_file_batches(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class TxnDataSource(DataSource):
+    """``format("txn")``: txn snapshot tables for batch and streaming."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txn"
+
+    def schema(self) -> StructType:
+        table = TxnTable(self.options["path"])
+        v = _resolve_version(table, self.options)
+        return StructType.fromJson(table._meta(v)["schema"])
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return TxnPruningReader(self.options, schema)
+        return TxnSnapshotReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return TxnStreamReader(self.options, schema)
+
+
+def register_txn_source(spark) -> None:
+    # Python-source filter pushdown is gated off by default; without it
+    # Spark refuses any reader that implements pushFilters.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TxnDataSource)

@@ -54,7 +54,7 @@ from urllib.parse import unquote, urlparse
 import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _VERSIONS = "_versions"
 _DV_DIR = "_dv"  # per-version deletion-vector parquet dir (rel, row_index)
@@ -417,6 +417,26 @@ def _evolved_columns(
             " evolve the table schema additively"
         )
     return [f.name for f in parent.fields] + extra
+
+
+def _relax_added(schema: StructType, parent: StructType) -> StructType:
+    """Relax columns ADDED relative to ``parent`` to nullable in the
+    RECORDED schema, regardless of the df's own nullability (e.g. a
+    lit() default is non-null): a carrying commit's old files read an
+    added column as NULL — that is the additive-evolution contract — and
+    a reader that honors the recorded schema verbatim
+    (sources/txn_source.py) would otherwise emit NULLs under a
+    non-nullable field, a codegen NullPointerException. Metadata-only:
+    the fresh parquet files keep their tight nullability."""
+    have = {f.name for f in parent.fields}
+    return StructType(
+        [
+            f
+            if f.name in have
+            else StructField(f.name, f.dataType, True, f.metadata)
+            for f in schema.fields
+        ]
+    )
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -1698,13 +1718,25 @@ class TxnTable:
                     )
                 with open(dst, "w") as f:
                     json.dump({"files": entries}, f)
+            # A carrying commit records columns ABSENT from the parent
+            # schema as nullable (_relax_added): carried files read them
+            # as NULL, whatever the fresh data's own nullability says.
+            # Induction makes one parent hop sufficient — files carried
+            # from deeper ancestors lack only columns the intermediate
+            # commits already relaxed.
+            recorded = df.schema
+            if carry_files and expect is not None:
+                recorded = _relax_added(
+                    recorded,
+                    StructType.fromJson(self._meta(expect)["schema"]),
+                )
             meta = {
                 "version": version,
                 "parent": expect,
                 "operation": operation,
                 "extra": extra,
                 "partition_by": partition_by or [],
-                "schema": df.schema.jsonValue(),
+                "schema": recorded.jsonValue(),
                 "committed_at_unix": time.time(),
                 "n_files": len(fresh) + len(carry_files),
                 "n_files_carried": len(carry_files),

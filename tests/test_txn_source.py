@@ -1,0 +1,336 @@
+"""txn tables as a Spark DataSource: ``spark.read.format("txn")`` and
+``spark.readStream.format("txn")`` (sources/txn_source.py).
+
+What must hold:
+
+* batch reads through the format are row-identical to ``TxnTable.read``
+  (same snapshot resolution, DV application, schema-evolution NULLs);
+* pushed filters prune FILES at plan time (range stats, blooms,
+  partition dirs) while Spark still re-applies them row-level;
+* time travel rides ``version`` / ``timestamp`` options;
+* the streaming reader tails the commit log with Delta-source
+  semantics: appends stream through exactly once across restarts,
+  non-append commits fail loudly unless ignoreDeletes/ignoreChanges.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, In
+from pyspark.sql.types import StructType
+
+from rxlan_aws_lakehouse_spark.txn import TxnTable
+from rxlan_aws_lakehouse_spark.sources.txn_source import (
+    TxnPruningReader,
+    TxnSnapshotReader,
+    register_txn_source,
+)
+
+
+def _mk_table(spark, root, n=1000, bloom=False):
+    tbl = TxnTable(os.path.join(root, "t"))
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("part"),
+        (F.col("id") * 2).alias("val"),
+    )
+    tbl.commit(
+        df,
+        partition_by=["part"],
+        bloom_cols=["id"] if bloom else None,
+    )
+    return tbl
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_txn_source(spark)
+
+
+def _rows(df):
+    return sorted(df.collect(), key=lambda r: (r["id"],))
+
+
+class TestBatchRead:
+    def test_matches_library_read(self, spark, tmp_path):
+        tbl = _mk_table(spark, str(tmp_path))
+        via_fmt = spark.read.format("txn").load(tbl.root)
+        lib = tbl.read(spark)
+        # the format keeps the partition column in its RECORDED schema
+        # position; the library's hive-partitioned scan appends it last —
+        # same columns and rows, possibly different order
+        cols = sorted(via_fmt.columns)
+        assert _rows(via_fmt.select(*cols)) == _rows(lib.select(*cols))
+        assert {(f.name, f.dataType) for f in via_fmt.schema} == {
+            (f.name, f.dataType) for f in lib.schema
+        }
+
+    def test_row_filter_correct_under_pruning(self, spark, tmp_path):
+        tbl = _mk_table(spark, str(tmp_path))
+        out = (
+            spark.read.format("txn")
+            .load(tbl.root)
+            .filter((F.col("part") == 3) & (F.col("id") < 100))
+        )
+        got = sorted(r["id"] for r in out.collect())
+        assert got == [i for i in range(100) if i % 10 == 3]
+
+    def test_partition_predicate_prunes_files(self, spark, tmp_path):
+        tbl = _mk_table(spark, str(tmp_path))
+        schema = StructType.fromJson(tbl._meta(tbl.current_version())["schema"])
+        rd = TxnPruningReader({"path": tbl.root}, schema)
+        total = len(rd.partitions())
+        rd2 = TxnPruningReader({"path": tbl.root}, schema)
+        kept = rd2.pushFilters([EqualTo(("part",), 3)])
+        # every filter is reported unhandled: Spark re-applies row-level
+        assert list(kept) == [EqualTo(("part",), 3)]
+        pruned = len(rd2.partitions())
+        assert 0 < pruned < total
+
+    def test_range_predicate_prunes_files(self, spark, tmp_path):
+        tbl = TxnTable(os.path.join(str(tmp_path), "t"))
+        df = spark.range(0, 1000).select(
+            F.col("id"), (F.col("id") * 3).alias("val")
+        )
+        # sort_within gives each file a tight, disjoint id range
+        tbl.commit(df.repartitionByRange(8, "id"), sort_within=["id"])
+        schema = StructType.fromJson(tbl._meta(tbl.current_version())["schema"])
+        rd = TxnPruningReader({"path": tbl.root}, schema)
+        rd.pushFilters([GreaterThan(("id",), 990)])
+        assert len(rd.partitions()) < len(tbl.files())
+        out = (
+            spark.read.format("txn")
+            .option("pushdown", "true")
+            .load(tbl.root)
+            .filter(F.col("id") > 990)
+        )
+        assert out.count() == 9
+
+    def test_bloom_point_lookup_prunes(self, spark, tmp_path):
+        # ids hash-scattered across files: every file's [min,max] spans the
+        # key space, so ONLY the bloom can prune — the unclustered case.
+        tbl = TxnTable(os.path.join(str(tmp_path), "t"))
+        df = spark.range(0, 4000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+        tbl.commit(df.repartition(8, "id"), bloom_cols=["id"])
+        schema = StructType.fromJson(tbl._meta(tbl.current_version())["schema"])
+        rd = TxnPruningReader({"path": tbl.root}, schema)
+        rd.pushFilters([EqualTo(("id",), 1234)])
+        assert len(rd.partitions()) < len(tbl.files())
+        got = (
+            spark.read.format("txn")
+            .option("pushdown", "true")
+            .load(tbl.root)
+            .filter(F.col("id") == 1234)
+        ).collect()
+        assert got == [Row(id=1234, v=1234 % 7)]
+
+    def test_in_list_pruning_and_result(self, spark, tmp_path):
+        tbl = TxnTable(os.path.join(str(tmp_path), "t"))
+        df = spark.range(0, 4000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+        tbl.commit(df.repartition(8, "id"), bloom_cols=["id"])
+        schema = StructType.fromJson(tbl._meta(tbl.current_version())["schema"])
+        rd = TxnPruningReader({"path": tbl.root}, schema)
+        rd.pushFilters([In(("id",), (5, 17))])
+        assert len(rd.partitions()) < len(tbl.files())
+        got = sorted(
+            r["id"]
+            for r in spark.read.format("txn")
+            .option("pushdown", "true")
+            .load(tbl.root)
+            .filter(F.col("id").isin(5, 17))
+            .collect()
+        )
+        assert got == [5, 17]
+
+    def test_deletion_vector_applied(self, spark, tmp_path):
+        tbl = _mk_table(spark, str(tmp_path))
+        tbl.delete_where_deferred(spark, F.col("id") % 100 == 0)
+        assert tbl.has_deletion_vectors()
+        via_fmt = spark.read.format("txn").load(tbl.root)
+        cols = sorted(via_fmt.columns)
+        assert _rows(via_fmt.select(*cols)) == _rows(
+            tbl.read(spark).select(*cols)
+        )
+        assert via_fmt.filter(F.col("id") == 500).count() == 0
+        assert via_fmt.count() == 990
+
+    def test_time_travel_version_and_timestamp(self, spark, tmp_path):
+        tbl = _mk_table(spark, str(tmp_path), n=100)
+        t_after_v1 = time.time()
+        time.sleep(0.05)
+        tbl.append(
+            spark.range(100, 150).select(
+                F.col("id"),
+                (F.col("id") % 10).alias("part"),
+                (F.col("id") * 2).alias("val"),
+            )
+        )
+        v1 = spark.read.format("txn").option("version", 1).load(tbl.root)
+        assert v1.count() == 100
+        at = (
+            spark.read.format("txn")
+            .option("timestamp", t_after_v1)
+            .load(tbl.root)
+        )
+        assert at.count() == 100
+        cur = spark.read.format("txn").load(tbl.root)
+        assert cur.count() == 150
+
+    def test_schema_evolution_typed_nulls(self, spark, tmp_path):
+        tbl = TxnTable(os.path.join(str(tmp_path), "t"))
+        tbl.commit(spark.range(0, 10).select(F.col("id")))
+        tbl.append(
+            spark.range(10, 20).select(
+                F.col("id"), F.lit("fresh").alias("tag")
+            ),
+            merge_schema=True,
+        )
+        out = spark.read.format("txn").load(tbl.root)
+        lib = tbl.read(spark)
+        # nullability may differ (the format keeps the recorded schema
+        # verbatim; a parquet scan relaxes everything to nullable)
+        assert [(f.name, f.dataType) for f in out.schema] == [
+            (f.name, f.dataType) for f in lib.schema
+        ]
+        rows = _rows(out)
+        assert [r["tag"] for r in rows[:10]] == [None] * 10
+        assert all(r["tag"] == "fresh" for r in rows[10:])
+
+    def test_no_pruning_state_leak_across_queries(self, spark, tmp_path):
+        # Spark reuses the reader instance across queries on one load()
+        # relation but only calls pushFilters on queries WITH filters; a
+        # filterless re-count must not inherit the filtered query's file
+        # pruning (regression: returned 25/1000 before the consume-reset)
+        tbl = _mk_table(spark, str(tmp_path))
+        out = spark.read.format("txn").load(tbl.root)
+        assert out.count() == 1000
+        assert out.filter(F.col("id") == 500).count() == 1
+        assert out.count() == 1000
+
+    def test_missing_version_raises(self, spark, tmp_path):
+        tbl = _mk_table(spark, str(tmp_path), n=10)
+        with pytest.raises(Exception, match="version v00000099 not found"):
+            spark.read.format("txn").option("version", 99).load(
+                tbl.root
+            ).collect()
+
+
+def _run_available_now(spark, tbl_root, ckpt, out_dir, **opts):
+    """One availableNow run into a parquet sink (the memory sink cannot
+    recover from a checkpoint, which the restart tests need). Returns
+    the CUMULATIVE sink contents — re-runs append only fresh batches."""
+    reader = spark.readStream.format("txn")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(tbl_root)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:  # zero batches ever written -> empty result
+        return spark.range(0).select(F.col("id"))
+
+
+class TestStreamRead:
+    def test_earliest_replays_everything(self, spark, tmp_path):
+        tbl = _mk_table(spark, str(tmp_path), n=200)
+        out = _run_available_now(
+            spark,
+            tbl.root,
+            str(tmp_path / "ck1"),
+            str(tmp_path / "out_ck1"),
+            startingVersion="earliest",
+        )
+        assert out.count() == 200
+
+    def test_incremental_across_restarts_exactly_once(self, spark, tmp_path):
+        tbl = _mk_table(spark, str(tmp_path), n=100)
+        ckpt = str(tmp_path / "ck2")
+        out = _run_available_now(
+            spark, tbl.root, ckpt, str(tmp_path / "out_ck2"), startingVersion="earliest"
+        )
+        assert out.count() == 100
+        tbl.append(
+            spark.range(100, 130).select(
+                F.col("id"),
+                (F.col("id") % 10).alias("part"),
+                (F.col("id") * 2).alias("val"),
+            )
+        )
+        out = _run_available_now(
+            spark, tbl.root, ckpt, str(tmp_path / "out_ck2"), startingVersion="earliest"
+        )
+        # the parquet sink is cumulative; the checkpointed offset means
+        # the second run appends ONLY the fresh commit — no replay, no loss
+        got = sorted(r["id"] for r in out.collect())
+        assert got == list(range(130))
+
+    def test_delete_commit_fails_stream(self, spark, tmp_path):
+        tbl = _mk_table(spark, str(tmp_path), n=50)
+        tbl.delete_where_deferred(spark, F.col("id") < 5)
+        with pytest.raises(Exception, match="delete_dv"):
+            _run_available_now(
+                spark,
+                tbl.root,
+                str(tmp_path / "ck3"),
+                str(tmp_path / "out_ck3"),
+                startingVersion="earliest",
+            )
+
+    def test_ignore_deletes_skips_delete_commit(self, spark, tmp_path):
+        tbl = _mk_table(spark, str(tmp_path), n=50)
+        tbl.delete_where_deferred(spark, F.col("id") < 5)
+        tbl.append(
+            spark.range(50, 60).select(
+                F.col("id"),
+                (F.col("id") % 10).alias("part"),
+                (F.col("id") * 2).alias("val"),
+            )
+        )
+        out = _run_available_now(
+            spark,
+            tbl.root,
+            str(tmp_path / "ck4"),
+            str(tmp_path / "out_ck4"),
+            startingVersion="earliest",
+            ignoreDeletes="true",
+        )
+        # v1 replays in full (the DV belongs to v2, which is suppressed);
+        # the append streams through
+        assert out.count() == 60
+
+    def test_latest_skips_history(self, spark, tmp_path):
+        tbl = _mk_table(spark, str(tmp_path), n=80)
+        out = _run_available_now(
+            spark,
+            tbl.root,
+            str(tmp_path / "ck5"),
+            str(tmp_path / "out_ck5"),
+            startingVersion="latest",
+        )
+        assert out.count() == 0
+        tbl.append(
+            spark.range(80, 90).select(
+                F.col("id"),
+                (F.col("id") % 10).alias("part"),
+                (F.col("id") * 2).alias("val"),
+            )
+        )
+        out = _run_available_now(
+            spark,
+            tbl.root,
+            str(tmp_path / "ck5"),
+            str(tmp_path / "out_ck5"),
+            startingVersion="latest",
+        )
+        assert out.count() == 10
