@@ -964,6 +964,105 @@ def txn_row_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read THROUGH the registered ``format("txn")`` data source
+    (sources/txn_source.py): orders land in a txn table partitioned by
+    priority, a deferred DELETE leaves a deletion vector, and the query
+    reads back one priority through ``spark.read.format("txn")`` with
+    ``pushdown`` enabled — partition-dir pruning at plan time, the DV
+    anti-applied executor-side, filters re-applied row-level. The
+    pruning-effect claim rides the result: the pruned plan must touch
+    fewer files than the snapshot holds. DuckDB recomputes the expected
+    aggregate from the fixture directly."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType as _St
+
+    from ..sources.txn_source import TxnPruningReader, register_txn_source
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="txn_src_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        t.commit(orders, partition_by=["o_orderpriority"])
+        t.delete_where_deferred(spark, F.col("o_orderkey") % 97 == 0)
+        df = (
+            spark.read.format("txn")
+            .option("pushdown", "true")
+            .load(t.root)
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        # plan-level pruning evidence, via the same reader the scan uses
+        rd = TxnPruningReader(
+            {"path": t.root},
+            _St.fromJson(t._meta(t.current_version())["schema"]),
+        )
+        rd.pushFilters([EqualTo(("o_orderpriority",), "1-URGENT")])
+        planned = len(rd.partitions())
+        total = len(t.files())
+        out = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.lit(0 < planned < total).alias("files_pruned"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def txn_source_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tail THROUGH ``spark.readStream.format("txn")``: three
+    append commits (orders split by year) drain in one AvailableNow run
+    into a parquet sink; the per-year aggregate of what the STREAM
+    delivered must equal DuckDB's closed form over the fixture — the
+    commit-log offsets delivered every appended file exactly once."""
+    from ..sources.txn_source import register_txn_source
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="txn_srcstream_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        t.commit(orders.filter(F.col("o_year") < "1995"))
+        t.append(orders.filter(F.col("o_year") == "1995"))
+        t.append(orders.filter(F.col("o_year") == "1996"))
+        sink = f"{work}/sink"
+        q = (
+            spark.readStream.format("txn")
+            .option("startingVersion", "earliest")
+            .load(t.root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .filter(F.col("o_year") <= "1996")
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .orderBy("o_year")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -983,9 +1082,35 @@ QUERIES = {
     "txn_row_change_feed": txn_row_change_feed,
     "zorder_box_read": zorder_box_read,
     "bucketed_join_no_shuffle": bucketed_join_no_shuffle,
+    "txn_source_read": txn_source_read,
+    "txn_source_stream_counts": txn_source_stream_counts,
 }
 
 ORACLE = {
+    # format("txn") batch read: the URGENT partition after the deferred
+    # delete (o_orderkey % 97 == 0 rows suppressed by the deletion
+    # vector); files_pruned TRUE encodes the plan-level pruning effect
+    # the Spark side measured (partition predicate -> fewer files)
+    "txn_source_read": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(o_totalprice), 2) AS total_price,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               TRUE AS files_pruned
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+    """,
+    # format("txn") streaming tail: three append commits delivered
+    # exactly once = the fixture's own per-year aggregate
+    "txn_source_stream_counts": """
+        SELECT strftime(o_orderdate, '%Y') AS o_year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y') <= '1996'
+        GROUP BY 1
+        ORDER BY 1
+    """,
     # CHECK-constrained table: the rejected batch leaves no trace, so the
     # final contents are exactly base (<=200) + clean append (201..300);
     # bad_batch_rejected TRUE encodes the atomic rejection the Spark side

@@ -334,3 +334,69 @@ class TestStreamRead:
             startingVersion="latest",
         )
         assert out.count() == 10
+
+    def _six_version_table(self, spark, root):
+        tbl = TxnTable(os.path.join(root, "t"))
+        tbl.commit(spark.range(0, 10).select(F.col("id")))
+        for i in range(1, 6):
+            tbl.append(spark.range(i * 10, i * 10 + 10).select(F.col("id")))
+        return tbl
+
+    def test_max_versions_per_trigger_bounds_first_run(self, spark, tmp_path):
+        # a FRESH capped availableNow run advances at most maxVersions
+        # versions (latestOffset is called once per run) — the bounded
+        # catch-up contract, Delta's maxFilesPerTrigger analogue
+        tbl = self._six_version_table(spark, str(tmp_path))
+        out = _run_available_now(
+            spark,
+            tbl.root,
+            str(tmp_path / "ck6"),
+            str(tmp_path / "out_ck6"),
+            startingVersion="earliest",
+            maxVersionsPerTrigger="2",
+        )
+        assert out.count() == 20  # versions 1..2 only
+
+    def test_max_versions_per_trigger_long_lived_drains_bounded(
+        self, spark, tmp_path
+    ):
+        # a LONG-LIVED capped query drains the whole backlog in bounded
+        # micro-batches: each offset jump <= cap, union of batches = all
+        import glob
+        import json as _json
+
+        tbl = self._six_version_table(spark, str(tmp_path))
+        ckpt = str(tmp_path / "ck7")
+        out_dir = str(tmp_path / "out_ck7")
+        q = (
+            spark.readStream.format("txn")
+            .option("startingVersion", "earliest")
+            .option("maxVersionsPerTrigger", "2")
+            .load(tbl.root)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out_dir).count() == 60:
+                        break
+                except Exception:
+                    pass
+                time.sleep(1)
+        finally:
+            q.stop()
+        assert spark.read.parquet(out_dir).count() == 60
+        versions = []
+        for p in sorted(glob.glob(os.path.join(ckpt, "offsets", "*"))):
+            if os.path.basename(p).isdigit():
+                last = open(p).read().strip().splitlines()[-1]
+                versions.append(_json.loads(last)["version"])
+        assert versions[-1] == 6
+        jumps = [b - a for a, b in zip([0] + versions, versions)]
+        assert all(j <= 2 for j in jumps), jumps
+        assert len(versions) >= 3  # the backlog took multiple batches
