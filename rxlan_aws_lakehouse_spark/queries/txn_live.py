@@ -1063,6 +1063,90 @@ def txn_source_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_replicate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-to-table INCREMENTAL REPLICATION through the full stack:
+    ``spark.readStream.format("txn")`` tails a source table with
+    ``maxVersionsPerTrigger=1`` (one source commit per micro-batch, commit
+    order = merge order) and ``txn_merge_sink`` MERGE-upserts each batch
+    into a target table exactly once (epoch-in-manifest guard). Source
+    history: base orders (rev 0), then two revision commits re-pricing
+    every 10th / every 100th key (rev 1 / rev 2). The converged target —
+    latest row per key — must equal DuckDB's closed form over the
+    fixture. At 100 TB this is mirror-maintenance at delta cost: each
+    batch merges one commit's files, never re-copying the table."""
+    import time as _time
+
+    from ..sources.txn_source import register_txn_source
+    from ..streaming.txn_sink import txn_merge_sink
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="txn_repl_")
+    try:
+        src = TxnTable(f"{work}/src")
+        dst = TxnTable(f"{work}/dst")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        # rev shifts are +1000*rev: binary-exact on both engines (no
+        # per-row rounding, which Spark and DuckDB tie-break differently)
+        src.commit(
+            orders.withColumn("price", F.col("o_totalprice")).withColumn(
+                "rev", F.lit(0)
+            )
+        )
+        src.append(
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("price", F.col("o_totalprice") + 1000.0)
+            .withColumn("rev", F.lit(1))
+        )
+        src.append(
+            orders.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("price", F.col("o_totalprice") + 2000.0)
+            .withColumn("rev", F.lit(2))
+        )
+        q = (
+            spark.readStream.format("txn")
+            .option("startingVersion", "earliest")
+            .option("maxVersionsPerTrigger", "1")
+            .load(src.root)
+            .writeStream.foreachBatch(
+                txn_merge_sink(dst, keys=["o_orderkey"])
+            )
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            n_src = orders.count()
+            while _time.time() < deadline:
+                cur = dst.current_version()
+                if cur is not None:
+                    snap = dst.read(spark)
+                    if (
+                        snap.count() == n_src
+                        and snap.agg(F.max("rev")).collect()[0][0] == 2
+                    ):
+                        break
+                _time.sleep(0.3)
+        finally:
+            q.stop()
+        out = (
+            dst.read(spark)
+            .groupBy("rev")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("price"), 2).alias("total_price"),
+                F.min("o_orderkey").alias("min_key"),
+            )
+            .orderBy("rev")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -1084,6 +1168,7 @@ QUERIES = {
     "bucketed_join_no_shuffle": bucketed_join_no_shuffle,
     "txn_source_read": txn_source_read,
     "txn_source_stream_counts": txn_source_stream_counts,
+    "txn_replicate_stream": txn_replicate_stream,
 }
 
 ORACLE = {
@@ -1110,6 +1195,26 @@ ORACLE = {
         WHERE strftime(o_orderdate, '%Y') <= '1996'
         GROUP BY 1
         ORDER BY 1
+    """,
+    # streamed table-to-table replication: the converged target is
+    # "latest row per key" over the source's three commits — rev 2 for
+    # every 100th key, rev 1 for every remaining 10th, rev 0 otherwise,
+    # each rev shifting price by +1000*rev (binary-exact)
+    "txn_replicate_stream": """
+        WITH latest AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 100 = 0 THEN 2
+                      WHEN o_orderkey % 10 = 0 THEN 1
+                      ELSE 0 END AS rev,
+                 o_totalprice + 1000.0 * (
+                   CASE WHEN o_orderkey % 100 = 0 THEN 2
+                        WHEN o_orderkey % 10 = 0 THEN 1
+                        ELSE 0 END) AS price
+          FROM orders)
+        SELECT rev, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(price), 2) AS total_price,
+               min(o_orderkey) AS min_key
+        FROM latest GROUP BY rev ORDER BY rev
     """,
     # CHECK-constrained table: the rejected batch leaves no trace, so the
     # final contents are exactly base (<=200) + clean append (201..300);

@@ -76,6 +76,80 @@ def txn_append_sink(table: TxnTable, partition_by: list[str] | None = None):
     return sink
 
 
+def txn_merge_sink(
+    table: TxnTable,
+    keys: list[str],
+    order_col: str | None = None,
+):
+    """``foreachBatch`` function MERGE-upserting each micro-batch exactly
+    once — the table-to-table replication pattern: stream-tail a source
+    table (``readStream.format("txn")``), keep a target table converged
+    to "latest row per key" without ever rewriting more than the touched
+    files. Delta calls this the foreachBatch-MERGE idiom; it is how a
+    100 TB mirror follows a source at delta cost instead of copy cost.
+
+    Exactly-once by the same epoch-in-manifest trick as the append sink:
+    the epoch id rides the merge commit's own pointer swap, so a
+    crash-replayed epoch is recognized in the target lineage and dropped
+    before it can double-apply.
+
+    MERGE needs at most ONE row per key per batch to be deterministic.
+    Either bound each micro-batch to one source commit
+    (``option("maxVersionsPerTrigger", "1")`` on the txn stream — commit
+    order becomes merge order), or pass ``order_col``: the sink then
+    keeps only the highest-``order_col`` row per key within the batch
+    (ties broken by the remaining columns' string form, deterministic),
+    which is the standard in-batch dedupe for multi-version catch-up
+    batches.
+
+    The first non-empty batch on a versionless target CREATES the table
+    (plain commit, same epoch stamp); every later batch merges.
+
+    Usage::
+
+        q = (spark.readStream.format("txn")
+             .option("startingVersion", "earliest")
+             .option("maxVersionsPerTrigger", "1")
+             .load(src.root)
+             .writeStream
+             .foreachBatch(txn_merge_sink(dst, keys=["pk"]))
+             .option("checkpointLocation", ckpt)
+             .start())
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_epoch(table)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed epoch: already merged, drop it
+        if not batch_df.take(1):
+            return  # empty batch: no commit, no epoch burn
+        df = batch_df
+        if order_col is not None:
+            others = [
+                c for c in df.columns if c not in keys and c != order_col
+            ]
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(order_col).desc(),
+                *[F.col(c).cast("string").desc_nulls_last() for c in others],
+            )
+            df = (
+                df.withColumn("_mrn", F.row_number().over(w))
+                .filter(F.col("_mrn") == 1)
+                .drop("_mrn")
+            )
+        meta = {_EPOCH_KEY: int(batch_id)}
+        if table.current_version() is None:
+            table.commit(df, extra_meta=meta)
+        else:
+            table.merge_upsert(
+                df.sparkSession, df, keys=keys, extra_meta=meta
+            )
+
+    return sink
+
+
 def txn_cdc_apply_sink(
     table: TxnTable,
     keys: list[str],

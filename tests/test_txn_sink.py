@@ -193,3 +193,70 @@ def test_last_epoch_ignores_staged_and_orphaned_snapshots(spark, tmp_path):
     assert t.read(spark).count() == 10
     assert last_epoch(t) == 1
     assert t.read(spark).filter(F.col("tag") == "e1-staged").count() == 0
+
+
+def test_merge_sink_creates_then_merges_exactly_once(spark, tmp_path):
+    """txn_merge_sink: first non-empty epoch CREATES the target, later
+    epochs MERGE (latest row per key); a crash-replayed epoch is dropped
+    before it can double-apply."""
+    from rxlan_aws_lakehouse_spark.streaming.txn_sink import txn_merge_sink
+
+    t = TxnTable(str(tmp_path / "dst"))
+    sink = txn_merge_sink(t, keys=["k"])
+    sink(_batch(spark, 0, 10, "base"), 0)  # creates
+    assert t.read(spark).count() == 10
+    sink(_batch(spark, 5, 10, "rev1"), 1)  # 5 updates + 5 inserts
+    snap = t.read(spark)
+    assert snap.count() == 15
+    assert snap.filter(F.col("tag") == "rev1").count() == 10
+    # crash-replay of epoch 1: no change
+    sink(_batch(spark, 5, 10, "rev1-replay"), 1)
+    assert t.read(spark).filter(F.col("tag") == "rev1-replay").count() == 0
+    assert t.read(spark).count() == 15
+    # empty epoch burns nothing
+    sink(_batch(spark, 0, 10, "x").filter(F.lit(False)), 2)
+    assert last_epoch(t) == 1
+
+
+def test_merge_sink_order_col_dedupes_multi_version_batch(spark, tmp_path):
+    """A catch-up batch holding several source versions of the same key is
+    deduped to the highest order_col row before the merge."""
+    from rxlan_aws_lakehouse_spark.streaming.txn_sink import txn_merge_sink
+
+    t = TxnTable(str(tmp_path / "dst"))
+    sink = txn_merge_sink(t, keys=["k"], order_col="rev")
+    multi = (
+        _batch(spark, 0, 6, "v0").withColumn("rev", F.lit(0))
+        .unionByName(
+            _batch(spark, 0, 3, "v1").withColumn("rev", F.lit(1))
+        )
+        .unionByName(
+            _batch(spark, 0, 1, "v2").withColumn("rev", F.lit(2))
+        )
+    )
+    sink(multi, 0)
+    snap = t.read(spark)
+    assert snap.count() == 6
+    got = {r["k"]: r["tag"] for r in snap.collect()}
+    assert got[0] == "v2" and got[1] == "v1" and got[2] == "v1"
+    assert got[3] == "v0" and got[5] == "v0"
+
+
+def test_replicate_stream_lane_matches_closed_form(spark, tmp_path):
+    """End-to-end: readStream.format(\"txn\") + maxVersionsPerTrigger=1 +
+    txn_merge_sink converges the target to latest-row-per-key in commit
+    order (the registry lane, sf0.001)."""
+    from rxlan_aws_lakehouse_spark.queries.txn_live import (
+        txn_replicate_stream,
+    )
+
+    out = txn_replicate_stream(spark, "/root/testdata/sf0.001").collect()
+    by_rev = {r["rev"]: r for r in out}
+    assert set(by_rev) == {0, 1, 2}
+    # every 100th key is rev 2, every remaining 10th rev 1
+    assert by_rev[2]["min_key"] % 100 == 0
+    assert by_rev[1]["min_key"] % 10 == 0
+    total = sum(r["n_rows"] for r in out)
+    assert total == spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).count()
