@@ -90,3 +90,155 @@ def merge_new_partition(
     set to the stored one. Union-by-name of the tiny sketch tables —
     historical partitions are neither read nor rewritten."""
     return stored.unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram sketches: quantiles-over-range from stored
+# per-partition state. Unlike GK/KLL (what approx_percentile uses
+# internally), a dense equi-width histogram is DETERMINISTIC — the estimate
+# is a pure function of the bin counts — so an independent engine (the
+# DuckDB oracle) reproduces it bit-for-bit, and merging is an element-wise
+# integer sum, associative and commutative regardless of arrival order.
+# Cost model at 100 TB: one array<bigint> of n_bins per ingest partition
+# (256 bins = 2 KB), merges touch sketch rows only — the same
+# bytes-per-partition-not-per-row contract as the HLL rollup above. Error
+# is bounded by bin width (values clamp into [lo, hi)); callers pick the
+# range from domain knowledge, exactly like a monitoring histogram.
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketches(
+    df: DataFrame,
+    value_col: str,
+    part_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """One row per partition: the partition columns, a DENSE equi-width
+    histogram of ``value_col`` over ``[lo, hi)`` (``array<bigint>`` of
+    ``n_bins`` counts; out-of-range values clamp to the edge bins), and
+    the partition's exact row count. Build = one partial-agg shuffle of
+    (partition, bin) pairs; the dense array is assembled per group with
+    built-in HOFs (map lookup over a static bin sequence) — JVM-side
+    throughout."""
+    width = (hi - lo) / n_bins
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    sparse = (
+        df.select(*part_cols, bin_col.alias("_bin"))
+        .groupBy(*part_cols, "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        sparse.groupBy(*part_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_bin", "_c"))
+            ).alias("_m"),
+            F.sum("_c").alias("n_rows"),
+        )
+        .select(
+            *part_cols,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bins - 1)),
+                # _m is a MAP keyed by bin id: element_at is key lookup
+                # here (1-based positional indexing applies to arrays)
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                ),
+            ).alias("hist"),
+            "n_rows",
+        )
+    )
+
+
+def merge_histograms(
+    sketch_df: DataFrame,
+    group_cols: list[str],
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Re-aggregate stored partition histograms to a coarser grain (or
+    pass ``group_cols=[]``-style constant for a global merge): element-
+    wise sum of the count arrays via ``aggregate``/``zip_with`` — sketch
+    rows in, one sketch row per group out, raw data never touched."""
+    merged = F.aggregate(
+        F.collect_list(F.col(hist_col)),
+        F.lit(None).cast("array<bigint>"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.zip_with(acc, x, lambda a, b: a + b)
+        ),
+    )
+    return sketch_df.groupBy(*group_cols).agg(
+        merged.alias(hist_col), F.sum("n_rows").alias("n_rows")
+    )
+
+
+def histogram_quantile(
+    hist_col: str,
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+):
+    """Interpolated quantile read off a (merged) histogram — a Column.
+
+    The estimate is the classic Prometheus/HDR read: walk bins until the
+    cumulative count reaches ``q * n``, then interpolate linearly inside
+    the crossing bin::
+
+        est = lo + width * (bin + (target - cum_before) / c_bin)
+
+    Implemented as ONE ``aggregate`` fold over the bin array (struct
+    accumulator carrying cum count + found estimate) — no explode, no
+    shuffle, pure integer/double arithmetic an oracle reproduces exactly.
+    The crossing bin always has ``c_bin >= 1`` (cum stays short of the
+    target until a non-empty bin crosses it), so the division is safe."""
+    width = (hi - lo) / n_bins
+    h = F.col(hist_col)
+    total = F.aggregate(
+        h, F.lit(0).cast("bigint"), lambda a, x: a + x
+    ).cast("double")
+    target = F.lit(float(q)) * total
+    entries = F.zip_with(
+        h,
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("cum"),
+        F.lit(None).cast("double").alias("est"),
+    )
+    fold = F.aggregate(
+        entries,
+        init,
+        lambda acc, e: F.when(acc["est"].isNotNull(), acc).otherwise(
+            F.when(
+                (acc["cum"] + e["c"]).cast("double") >= target,
+                F.struct(
+                    (acc["cum"] + e["c"]).alias("cum"),
+                    (
+                        F.lit(lo)
+                        + F.lit(width)
+                        * (
+                            e["i"].cast("double")
+                            + (target - acc["cum"].cast("double"))
+                            / e["c"].cast("double")
+                        )
+                    ).alias("est"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["cum"] + e["c"]).alias("cum"),
+                    F.lit(None).cast("double").alias("est"),
+                )
+            )
+        ),
+    )
+    return fold["est"]

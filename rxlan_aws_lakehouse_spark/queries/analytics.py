@@ -304,8 +304,62 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch rollup (the distribution twin of
+    ``sketch_hll_rollup``): per-day dense equi-width histograms of
+    ``l_extendedprice`` (256 bins over [0, 120000) — array<bigint>, 2 KB
+    per partition) are built once, persisted to parquet, read back, and
+    the monthly p50/p95/p99 are read off MERGED stored sketches
+    (element-wise bin sums) — the raw rows are scanned exactly once, at
+    build time. Unlike GK/KLL, the equi-width estimate is a pure
+    function of the bin counts, so the oracle reproduces the interpolated
+    values EXACTLY (no tolerance flags): walk to the bin where the
+    cumulative count crosses q*n, interpolate linearly inside it. At
+    100 TB this answers percentile-over-arbitrary-range from KBs of
+    stored state per partition instead of a quantile re-scan."""
+    import shutil
+    import tempfile
+
+    from ..ops import sketches
+
+    lo, hi, n_bins = 0.0, 120000.0, 256
+    li = load(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        "l_extendedprice",
+    )
+    work = tempfile.mkdtemp(prefix="hist_rollup_")
+    try:
+        sketches.histogram_sketches(
+            li, "l_extendedprice", ["day", "month"], lo=lo, hi=hi,
+            n_bins=n_bins,
+        ).write.mode("overwrite").parquet(work)
+        stored = spark.read.parquet(work)
+        merged = sketches.merge_histograms(stored, ["month"])
+        out = merged.select(
+            "month",
+            "n_rows",
+            # NO rounding: the estimates are exact binary fractions
+            # (multiples of width/2^k), so round(x, 4) lands on .xxxx5
+            # ties that Spark (half-even on doubles) and DuckDB
+            # (half-away) break differently — while the raw interpolated
+            # doubles are bit-identical IEEE arithmetic on both engines
+            *[
+                sketches.histogram_quantile(
+                    "hist", q, lo=lo, hi=hi, n_bins=n_bins
+                ).alias(f"est_p{int(q * 100)}")
+                for q in (0.50, 0.95, 0.99)
+            ],
+        ).orderBy("month")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "sketch_hll_rollup": sketch_hll_rollup,
+    "sketch_quantile_rollup": sketch_quantile_rollup,
     "events_funnel": events_funnel,
     "retention_cohorts": retention_cohorts,
     "running_distinct_users": running_distinct_users,
@@ -316,6 +370,40 @@ QUERIES = {
 }
 
 ORACLE = {
+    # mergeable histogram quantiles, reproduced EXACTLY: same 256-bin
+    # equi-width histogram over [0, 120000), same crossing-bin linear
+    # interpolation (min_by picks the first bin whose cumulative count
+    # reaches q*n) — merging per-day sketches to months is associative
+    # integer addition, so going straight from rows to monthly bins is
+    # the same histogram the Spark side read from stored state
+    "sketch_quantile_rollup": """
+        WITH b AS (
+          SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                 least(255, greatest(0, CAST(floor(l_extendedprice / 468.75) AS INT))) AS bin
+          FROM lineitem),
+        h AS (SELECT month, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        cum AS (
+          SELECT month, bin, c,
+                 sum(c) OVER (PARTITION BY month ORDER BY bin) AS cum,
+                 sum(c) OVER (PARTITION BY month) AS n
+          FROM h),
+        q50 AS (SELECT month, min_by(468.75 * (bin + (CAST(0.50 AS DOUBLE) * n - (cum - c)) / c), bin) AS est
+                FROM cum WHERE cum >= CAST(0.50 AS DOUBLE) * n GROUP BY month),
+        q95 AS (SELECT month, min_by(468.75 * (bin + (CAST(0.95 AS DOUBLE) * n - (cum - c)) / c), bin) AS est
+                FROM cum WHERE cum >= CAST(0.95 AS DOUBLE) * n GROUP BY month),
+        q99 AS (SELECT month, min_by(468.75 * (bin + (CAST(0.99 AS DOUBLE) * n - (cum - c)) / c), bin) AS est
+                FROM cum WHERE cum >= CAST(0.99 AS DOUBLE) * n GROUP BY month),
+        nn AS (SELECT month, CAST(sum(c) AS BIGINT) AS n_rows FROM h GROUP BY month)
+        SELECT nn.month, nn.n_rows,
+               q50.est AS est_p50,
+               q95.est AS est_p95,
+               q99.est AS est_p99
+        FROM nn
+        JOIN q50 ON nn.month = q50.month
+        JOIN q95 ON nn.month = q95.month
+        JOIN q99 ON nn.month = q99.month
+        ORDER BY nn.month
+    """,
     # per-month exact distincts; the TRUE flags state the tolerance
     # contract the Spark side verified against its stored-sketch
     # estimates (per-month and merged-union within 5% of exact)

@@ -105,3 +105,84 @@ def test_build_plan_is_one_partial_agg_shuffle(spark, keyed):
     )
     assert plan.count("Exchange") == 1
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+class TestHistogramSketches:
+    LO, HI, NB = 0.0, 100.0, 10
+
+    def _df(self, spark):
+        # values 0..99, two partitions by parity of value
+        return spark.range(0, 100).select(
+            (F.col("id") % 2).cast("string").alias("part"),
+            F.col("id").cast("double").alias("v"),
+        )
+
+    def test_dense_histogram_and_clamping(self, spark):
+        df = self._df(spark).unionByName(
+            spark.createDataFrame(
+                [("0", -5.0), ("0", 1e9)], "part string, v double"
+            )
+        )
+        sk = sketches.histogram_sketches(
+            df, "v", ["part"], self.LO, self.HI, self.NB
+        )
+        rows = {r["part"]: r for r in sk.collect()}
+        assert rows["0"]["n_rows"] == 52
+        h0 = rows["0"]["hist"]
+        assert len(h0) == self.NB
+        # each width-10 bin holds 5 even values; edges absorb the clamps
+        assert h0[0] == 6 and h0[-1] == 6 and all(c == 5 for c in h0[1:-1])
+        assert sum(rows["1"]["hist"]) == rows["1"]["n_rows"] == 50
+
+    def test_merge_equals_direct_build_after_roundtrip(self, spark, tmp_path):
+        df = self._df(spark)
+        sk = sketches.histogram_sketches(
+            df, "v", ["part"], self.LO, self.HI, self.NB
+        )
+        p = str(tmp_path / "hist")
+        sk.write.parquet(p)
+        stored = spark.read.parquet(p).withColumn("all", F.lit("x"))
+        merged = sketches.merge_histograms(stored, ["all"]).collect()[0]
+        direct = sketches.histogram_sketches(
+            df.withColumn("all", F.lit("x")), "v", ["all"],
+            self.LO, self.HI, self.NB,
+        ).collect()[0]
+        assert list(merged["hist"]) == list(direct["hist"])
+        assert merged["n_rows"] == direct["n_rows"] == 100
+
+    def test_quantile_interpolation_exact_values(self, spark):
+        # uniform 0..99 in width-10 bins: est(q) = q * 100 exactly
+        df = self._df(spark).withColumn("all", F.lit("x"))
+        sk = sketches.histogram_sketches(
+            df, "v", ["all"], self.LO, self.HI, self.NB
+        )
+        got = sk.select(
+            *[
+                sketches.histogram_quantile(
+                    "hist", q, self.LO, self.HI, self.NB
+                ).alias(f"q{i}")
+                for i, q in enumerate((0.1, 0.5, 0.95))
+            ]
+        ).collect()[0]
+        assert got["q0"] == 10.0 and got["q1"] == 50.0 and got["q2"] == 95.0
+
+    def test_quantile_skips_empty_bins(self, spark):
+        # all mass in bins 0 and 9: p50 must cross inside bin 0 (no /0)
+        df = spark.createDataFrame(
+            [("x", 1.0)] * 30 + [("x", 99.0)] * 10, "all string, v double"
+        )
+        sk = sketches.histogram_sketches(
+            df, "v", ["all"], self.LO, self.HI, self.NB
+        )
+        got = sk.select(
+            sketches.histogram_quantile(
+                "hist", 0.5, self.LO, self.HI, self.NB
+            ).alias("p50"),
+            sketches.histogram_quantile(
+                "hist", 0.99, self.LO, self.HI, self.NB
+            ).alias("p99"),
+        ).collect()[0]
+        # p50: target 20 of 30-in-bin0 -> 10 * (20/30)
+        assert abs(got["p50"] - 10.0 * (20.0 / 30.0)) < 1e-12
+        # p99: target 39.6 crosses in bin 9: 90 + 10*(9.6/10)
+        assert abs(got["p99"] - (90.0 + 9.6)) < 1e-12
