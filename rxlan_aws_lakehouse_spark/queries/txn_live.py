@@ -1147,6 +1147,72 @@ def txn_replicate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause MERGE sync (``WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT / WHEN NOT MATCHED BY SOURCE DELETE``): orders land partitioned
+    by priority, then ``sync_full`` converges the table to a new full
+    extract — every 97th URGENT key gone, every 5th URGENT key re-priced,
+    a small '9-SYNC' batch added, everything else byte-identical. The
+    change detector is an exact null-safe full-outer diff, so the four
+    untouched priority partitions must CARRY by reference (the
+    ``files_carried`` flag rides the result): rewrite cost ∝ changed
+    files, the property a periodic 100 TB full-extract feed depends on."""
+    work = tempfile.mkdtemp(prefix="txn_sync_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        t.commit(
+            orders.repartition("o_orderpriority"),
+            partition_by=["o_orderpriority"],
+        )
+        urgent = F.col("o_orderpriority") == "1-URGENT"
+        source = (
+            orders.filter(~(urgent & (F.col("o_orderkey") % 97 == 0)))
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    urgent & (F.col("o_orderkey") % 5 == 0),
+                    F.col("o_totalprice") + 5000.0,
+                ).otherwise(F.col("o_totalprice")),
+            )
+            .unionByName(
+                orders.filter(F.col("o_orderkey") <= 40).select(
+                    (F.col("o_orderkey") + 3_000_000).alias("o_orderkey"),
+                    "o_custkey",
+                    "o_totalprice",
+                    F.lit("9-SYNC").alias("o_orderpriority"),
+                )
+            )
+        )
+        v1 = t.sync_full(spark, source, keys=["o_orderkey"])
+        meta = t._meta(v1)
+        fresh = {
+            rel
+            for info in meta["shards"].values()
+            for rel in info["fresh"]
+        }
+        carried = [rel for rel in t.files(v1) if rel not in fresh]
+        untouched_ok = bool(carried) and all(
+            "1-URGENT" not in rel and "9-SYNC" not in rel for rel in carried
+        )
+        out = (
+            t.read(spark)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .withColumn("files_carried", F.lit(bool(untouched_ok)))
+            .orderBy("o_orderpriority")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -1169,6 +1235,7 @@ QUERIES = {
     "txn_source_read": txn_source_read,
     "txn_source_stream_counts": txn_source_stream_counts,
     "txn_replicate_stream": txn_replicate_stream,
+    "txn_full_sync": txn_full_sync,
 }
 
 ORACLE = {
@@ -1195,6 +1262,29 @@ ORACLE = {
         WHERE strftime(o_orderdate, '%Y') <= '1996'
         GROUP BY 1
         ORDER BY 1
+    """,
+    # full-snapshot MERGE sync: the table must equal the source extract
+    # exactly (deletes applied, updates applied, inserts present);
+    # files_carried TRUE encodes the file-granularity claim the Spark
+    # side verified (untouched priority partitions carried by reference)
+    "txn_full_sync": """
+        WITH synced AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderpriority = '1-URGENT'
+                           AND o_orderkey % 5 = 0
+                      THEN o_totalprice + 5000.0
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderpriority
+          FROM orders
+          WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0)
+          UNION ALL
+          SELECT o_orderkey + 3000000, o_custkey, o_totalprice, '9-SYNC'
+          FROM orders WHERE o_orderkey <= 40)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               TRUE AS files_carried
+        FROM synced GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     # streamed table-to-table replication: the converged target is
     # "latest row per key" over the source's three commits — rev 2 for

@@ -987,7 +987,7 @@ class TxnTable:
                 # touching merge always writes a payload, so its absence
                 # proves every fresh file holds only inserts — derive them
                 bool(meta.get("cdf"))
-                and op in ("merge_upsert", "apply_cdc")
+                and op in ("merge_upsert", "apply_cdc", "sync_full")
             ):
                 fresh = [
                     os.path.join(root, rel)
@@ -2048,6 +2048,183 @@ class TxnTable:
             return self._with_retries(attempt, max_retries)
         finally:
             updates.unpersist()
+
+    def sync_full(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        max_retries: int = 2,
+        extra_meta: dict | None = None,
+        validate_keys: bool = True,
+    ) -> str:
+        """Full-snapshot MERGE sync — the three-clause SQL MERGE
+        (``WHEN MATCHED [AND changed] UPDATE / WHEN NOT MATCHED INSERT /
+        WHEN NOT MATCHED BY SOURCE DELETE``): converge the table to be
+        exactly ``source``, rewriting ONLY the files that hold a real
+        change. ``merge_upsert`` can never remove a row; this is the
+        operator a periodic full-extract feed needs (the reference's
+        staged-COPY full reload, Glue script → Redshift, replaced here
+        at delta cost instead of full-rewrite cost).
+
+        One co-partitioned FULL OUTER join on the merge keys classifies
+        every row in a single pass — unchanged (null-safe struct
+        equality of the non-key columns), update, insert, delete — so
+        change detection is EXACT (no content-hash collisions) at the
+        cost of one key-shuffle of each side: the honest lower bound for
+        full-snapshot diffing, and the same exchange Delta's MERGE pays
+        to evaluate its match conditions. Everything downstream is
+        file-granular: touched files = files holding an updated or
+        deleted row (read off the join's ``input_file_name``, no second
+        discovery scan); unchanged files — including files whose every
+        row matched identically — carry by hard link; rewritten bytes ∝
+        changed files, never table size. A no-change sync rewrites
+        nothing. Row-level CDF, when enabled, falls out of the same join
+        (update pre/post images, inserts, deletes) with zero extra IO.
+
+        Schema must match the table exactly (``_evolved_columns`` guard,
+        no evolution here — a full extract with a new column should
+        evolve via ``merge_upsert(merge_schema=True)`` first)."""
+        source = source.persist()
+
+        def validate() -> None:
+            dup = (
+                source.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"source contains duplicate merge keys, e.g. "
+                    f"{[dup[0][k] for k in keys]}; dedupe the source "
+                    "or pass validate_keys=False"
+                )
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            self._require_no_dv(expect, "sync_full")
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            target_schema = StructType.fromJson(self._meta(expect)["schema"])
+            out_cols = _evolved_columns(
+                target_schema, source, False, "sync_full"
+            )
+            val_cols = [c for c in out_cols if c not in keys]
+            src = source.select(
+                *keys,
+                F.struct(*[F.col(c) for c in val_cols]).alias("_sv"),
+                F.lit(True).alias("_sp"),
+            )
+            tgt = (
+                spark.read.option("basePath", data_root)
+                .schema(target_schema)
+                .parquet(*(os.path.join(data_root, rel) for rel in self.files(expect)))
+                .select(
+                    *keys,
+                    F.struct(*[F.col(c) for c in val_cols]).alias("_tv"),
+                    F.lit(True).alias("_tp"),
+                    F.input_file_name().alias("_f"),
+                )
+            )
+            j = src.join(tgt, keys, "full_outer").withColumn(
+                "_cls",
+                F.when(F.col("_sp").isNull(), F.lit("delete"))
+                .when(F.col("_tp").isNull(), F.lit("insert"))
+                .when(F.col("_sv").eqNullSafe(F.col("_tv")), F.lit("same"))
+                .otherwise(F.lit("update")),
+            ).persist()
+            try:
+                touched = sorted(
+                    {
+                        os.path.relpath(_local_path(r["_f"]), data_root)
+                        for r in j.filter(
+                            F.col("_cls").isin("update", "delete")
+                        )
+                        .select("_f")
+                        .distinct()
+                        .collect()
+                    }
+                )
+                touched_set = set(touched)
+                carry = {
+                    rel: os.path.join(data_root, rel)
+                    for rel in self.files(expect)
+                    if rel not in touched_set
+                }
+                affected = j.filter(
+                    F.col("_cls").isin("update", "delete")
+                ).select(*keys)
+                if touched:
+                    kept = (
+                        spark.read.option("basePath", data_root)
+                        .schema(target_schema)
+                        .parquet(
+                            *(os.path.join(data_root, rel) for rel in touched)
+                        )
+                        .join(affected, keys, "left_anti")
+                        .select(*out_cols)
+                    )
+                else:
+                    kept = None
+                fresh = j.filter(F.col("_cls").isin("update", "insert")).select(
+                    *keys, *[F.col(f"_sv.{c}").alias(c) for c in val_cols]
+                ).select(*out_cols)
+                merged = kept.unionByName(fresh) if kept is not None else fresh
+                aux = None
+                # a NO-change sync writes no payload (and no fresh files):
+                # an empty parquet dir would break the feed read, and the
+                # feed's fresh-file derivation already yields nothing
+                if self._meta(expect).get("cdf") and j.filter(
+                    F.col("_cls") != "same"
+                ).take(1):
+                    pre = j.filter(F.col("_cls") == "update").select(
+                        *keys,
+                        *[F.col(f"_tv.{c}").alias(c) for c in val_cols],
+                    ).select(*out_cols).withColumn(
+                        _CHANGE_TYPE, F.lit("update_preimage")
+                    )
+                    post = j.filter(F.col("_cls") == "update").select(
+                        *keys,
+                        *[F.col(f"_sv.{c}").alias(c) for c in val_cols],
+                    ).select(*out_cols).withColumn(
+                        _CHANGE_TYPE, F.lit("update_postimage")
+                    )
+                    ins = j.filter(F.col("_cls") == "insert").select(
+                        *keys,
+                        *[F.col(f"_sv.{c}").alias(c) for c in val_cols],
+                    ).select(*out_cols).withColumn(
+                        _CHANGE_TYPE, F.lit("insert")
+                    )
+                    dels = j.filter(F.col("_cls") == "delete").select(
+                        *keys,
+                        *[F.col(f"_tv.{c}").alias(c) for c in val_cols],
+                    ).select(*out_cols).withColumn(
+                        _CHANGE_TYPE, F.lit("delete")
+                    )
+                    chg = pre.unionByName(post).unionByName(ins).unionByName(
+                        dels
+                    )
+
+                    def aux(staging: str) -> None:
+                        chg.write.parquet(os.path.join(staging, _CDF_DIR))
+
+                return self.commit(
+                    merged, operation="sync_full", carry_files=carry,
+                    extra_meta=extra_meta, carry_src=expect,
+                    expect_parent=expect, aux_writer=aux,
+                )
+            finally:
+                j.unpersist()
+
+        try:
+            if validate_keys:
+                validate()
+            return self._with_retries(attempt, max_retries)
+        finally:
+            source.unpersist()
 
     def overwrite_partitions(
         self,

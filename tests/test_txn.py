@@ -1993,3 +1993,140 @@ def test_dv_survives_partition_overwrite(spark, tmp_path):
     v = t.materialize_deletes(spark)
     assert not t.has_deletion_vectors(v)
     assert t.read(spark).count() == 50
+
+
+class TestSyncFull:
+    """Full-snapshot MERGE sync: WHEN MATCHED UPDATE / NOT MATCHED INSERT /
+    NOT MATCHED BY SOURCE DELETE, file-granular."""
+
+    def _base(self, spark, tmp_path, cdf=False):
+        t = TxnTable(str(tmp_path / "t"))
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("part"),
+            (F.col("id") * 10).cast("double").alias("v"),
+        )
+        t.commit(df.repartition("part"), partition_by=["part"])
+        if cdf:
+            t.set_change_feed(spark, True)
+        return t, df
+
+    def _source(self, spark, df):
+        # delete k>=90, update v for k%10==0 (kept ones), insert 200..204
+        return (
+            df.filter(F.col("k") < 90)
+            .withColumn(
+                "v",
+                F.when(F.col("k") % 10 == 0, F.col("v") + 1.0).otherwise(
+                    F.col("v")
+                ),
+            )
+            .unionByName(
+                spark.range(200, 205).select(
+                    F.col("id").alias("k"),
+                    F.lit("new").alias("part"),
+                    F.lit(0.0).alias("v"),
+                )
+            )
+        )
+
+    def test_converges_to_source_exactly(self, spark, tmp_path):
+        t, df = self._base(spark, tmp_path)
+        src = self._source(spark, df)
+        t.sync_full(spark, src, keys=["k"])
+        got = sorted(
+            tuple(r) for r in t.read(spark).select("k", "part", "v").collect()
+        )
+        want = sorted(
+            tuple(r) for r in src.select("k", "part", "v").collect()
+        )
+        assert got == want
+
+    def test_rewrites_only_changed_files(self, spark, tmp_path):
+        t, df = self._base(spark, tmp_path)
+        v0 = t.current_version()
+        n_files = len(t.files())
+        # change ONE partition's rows + insert a new partition; parts
+        # 1,2,3 are byte-identical in the source
+        src = df.withColumn(
+            "v",
+            F.when(F.col("part") == "0", F.col("v") + 1.0).otherwise(
+                F.col("v")
+            ),
+        ).unionByName(
+            spark.range(300, 302).select(
+                F.col("id").alias("k"),
+                F.lit("new").alias("part"),
+                F.lit(0.0).alias("v"),
+            )
+        )
+        v1 = t.sync_full(spark, src, keys=["k"])
+        meta = t._meta(v1)
+        fresh = [
+            rel
+            for info in meta["shards"].values()
+            for rel in info["fresh"]
+        ]
+        carried = [rel for rel in t.files(v1) if rel not in set(fresh)]
+        assert carried, "unchanged partitions must carry by reference"
+        # every untouched partition file carried; only part=0 rewritten
+        # (+ the new-partition inserts)
+        assert all("part=0" not in rel and "part=new" not in rel
+                   for rel in carried)
+        assert len(carried) == sum(
+            1 for rel in t.files(v0) if "part=0" not in rel
+        )
+        got = sorted(
+            tuple(r) for r in t.read(spark).select("k", "part", "v").collect()
+        )
+        want = sorted(
+            tuple(r) for r in src.select("k", "part", "v").collect()
+        )
+        assert got == want
+
+    def test_no_change_sync_writes_nothing(self, spark, tmp_path):
+        t, df = self._base(spark, tmp_path)
+        v1 = t.sync_full(spark, df, keys=["k"])
+        meta = t._meta(v1)
+        fresh = [
+            rel
+            for info in meta["shards"].values()
+            for rel in info["fresh"]
+        ]
+        assert fresh == []
+        assert t.read(spark).count() == 100
+
+    def test_cdf_payload_classifies_all_changes(self, spark, tmp_path):
+        t, df = self._base(spark, tmp_path, cdf=True)
+        v0 = t.current_version()
+        src = self._source(spark, df)
+        t.sync_full(spark, src, keys=["k"])
+        chg = t.read_row_changes(spark, since=v0)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in chg.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        # deletes: k in 90..99; updates: k%10==0 and k<90 (9 keys);
+        # inserts: 200..204
+        assert by_type["delete"] == 10
+        assert by_type["update_preimage"] == 9
+        assert by_type["update_postimage"] == 9
+        assert by_type["insert"] == 5
+        post = chg.filter(
+            (F.col("_change_type") == "update_postimage") & (F.col("k") == 0)
+        ).collect()[0]
+        assert post["v"] == 1.0
+
+    def test_duplicate_source_keys_rejected(self, spark, tmp_path):
+        t, df = self._base(spark, tmp_path)
+        with pytest.raises(ValueError, match="duplicate merge keys"):
+            t.sync_full(spark, df.unionByName(df.limit(1)), keys=["k"])
+
+    def test_time_travel_sees_pre_sync_state(self, spark, tmp_path):
+        t, df = self._base(spark, tmp_path)
+        v0 = t.current_version()
+        t.sync_full(spark, self._source(spark, df), keys=["k"])
+        assert t.read(spark, v0).count() == 100
+        assert t.read(spark).count() == 95
