@@ -1213,6 +1213,67 @@ def txn_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION (Iceberg spec evolution, Hive-style):
+    pre-1998 orders land partitioned by priority; the table then evolves
+    to year partitioning and the 1998+ orders append under the new
+    spec — history keeps its layout, zero files rewritten. The per-year
+    aggregate over the MIXED snapshot must equal the fixture closed form
+    (old files supply o_year from data, new files from their dirs), and
+    a year-predicate pruned read must skip files in BOTH layouts (new
+    ones by partition dir, old ones by column stats) — ``specs_mixed``
+    and ``pruned_fewer`` carry those claims. At 100 TB this is
+    re-layouting a table as a metadata commit instead of a rewrite."""
+    work = tempfile.mkdtemp(prefix="txn_evo_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        t.commit(
+            orders.filter(F.col("o_year") < "1998").repartition(
+                "o_orderpriority"
+            ),
+            partition_by=["o_orderpriority"],
+        )
+        t.append(
+            orders.filter(F.col("o_year") >= "1998").repartition("o_year"),
+            partition_by=["o_year"],
+        )
+        sigs = {TxnTable._spec_sig(r) for r in t.files()}
+        kept, total = t.pruned_files([("o_year", "=", "1996")])
+        pruned_read_n = t.read_pruned(
+            spark, [("o_year", "=", "1996")]
+        ).count()
+        exact_n = (
+            t.read(spark).filter(F.col("o_year") == "1996").count()
+        )
+        out = (
+            t.read(spark)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .withColumn(
+                "specs_mixed",
+                F.lit(sigs == {("o_orderpriority",), ("o_year",)}),
+            )
+            .withColumn(
+                "pruned_fewer",
+                F.lit(0 < len(kept) < total and pruned_read_n == exact_n),
+            )
+            .orderBy("o_year")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -1236,6 +1297,7 @@ QUERIES = {
     "txn_source_stream_counts": txn_source_stream_counts,
     "txn_replicate_stream": txn_replicate_stream,
     "txn_full_sync": txn_full_sync,
+    "txn_partition_evolution": txn_partition_evolution,
 }
 
 ORACLE = {
@@ -1262,6 +1324,19 @@ ORACLE = {
         WHERE strftime(o_orderdate, '%Y') <= '1996'
         GROUP BY 1
         ORDER BY 1
+    """,
+    # partition evolution: the mixed-layout snapshot's per-year rollup is
+    # exactly the fixture's; the TRUE flags carry the Spark-side claims
+    # (both specs physically present; the year-pruned read skipped files
+    # yet returned the exact row count)
+    "txn_partition_evolution": """
+        SELECT strftime(o_orderdate, '%Y') AS o_year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               TRUE AS specs_mixed,
+               TRUE AS pruned_fewer
+        FROM orders
+        GROUP BY 1 ORDER BY 1
     """,
     # full-snapshot MERGE sync: the table must equal the source extract
     # exactly (deletes applied, updates applied, inserts present);

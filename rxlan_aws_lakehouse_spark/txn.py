@@ -1087,11 +1087,116 @@ class TxnTable:
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         data = os.path.join(self.root, _VERSIONS, v)
-        reader = spark.read.option("basePath", data)
         schema_json = self._meta(v).get("schema")
-        if schema_json:
-            reader = reader.schema(StructType.fromJson(schema_json))
-        return self._apply_dv(spark, reader.parquet(data), v)
+        schema = StructType.fromJson(schema_json) if schema_json else None
+
+        # PARTITION EVOLUTION (Iceberg's spec-evolution, Hive-style): a
+        # commit may change partition_by going forward; carried files keep
+        # their old directory layout, so a snapshot can hold several
+        # specs. Single-spec snapshots keep the whole-dir fast path;
+        # mixed ones go through the grouped scan (see ``_scan_rels``).
+        if len(self._spec_groups(v)) <= 1:
+            reader = spark.read.option("basePath", data)
+            if schema is not None:
+                reader = reader.schema(schema)
+            return self._apply_dv(spark, reader.parquet(data), v)
+        return self._scan_rels(spark, v, self.files(v), schema)
+
+    @staticmethod
+    def _spec_sig(rel: str) -> tuple[str, ...]:
+        """Partition-spec signature of a data file: the ordered column
+        names encoded in its directory path (empty for unpartitioned)."""
+        return tuple(
+            part.split("=", 1)[0]
+            for part in rel.split("/")[:-1]
+            if "=" in part
+        )
+
+    def _spec_groups(
+        self, version: str
+    ) -> dict[tuple[str, ...], list[str]]:
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for rel in self.files(version):
+            groups.setdefault(self._spec_sig(rel), []).append(rel)
+        return groups
+
+    def _scan_files(
+        self,
+        spark: SparkSession,
+        version: str,
+        rels: list[str],
+        schema: StructType | None,
+        file_col: str | None = None,
+        meta_cols: bool = False,
+    ) -> DataFrame:
+        """Spec-evolution-safe RAW scan of an explicit file list: one scan
+        per partition-spec group (that group's partition columns come from
+        the path; every other column is in the data — the write path only
+        ever omits a file's OWN spec columns from its data), unioned by
+        name under the recorded schema. Grouping costs zero IO — it reads
+        the manifest rel paths already in hand; single-spec lists collapse
+        to one ordinary scan. No deletion-vector application (writers
+        manage deletes themselves; readers use ``_scan_rels``).
+
+        ``file_col``: bind ``input_file_name()`` under that alias.
+        ``meta_cols``: bind ``__rel`` (file-relative path) and ``__ri``
+        (in-file row index) from ``_metadata``. Both are bound INSIDE each
+        group scan — ``_metadata`` is a per-scan pseudo-column that does
+        not survive a union."""
+        data = os.path.join(self.root, _VERSIONS, version)
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for rel in rels:
+            groups.setdefault(self._spec_sig(rel), []).append(rel)
+        base_cols = list(schema.fieldNames()) if schema is not None else None
+        scans = []
+        for grels in groups.values():
+            reader = spark.read.option("basePath", data)
+            if schema is not None:
+                reader = reader.schema(schema)
+            scan = reader.parquet(*(os.path.join(data, r) for r in grels))
+            extra = []
+            if file_col:
+                extra.append(F.input_file_name().alias(file_col))
+            if meta_cols:
+                extra.append(self._rel_col(version).alias("__rel"))
+                extra.append(F.col("_metadata.row_index").alias("__ri"))
+            if base_cols is not None:
+                scan = scan.select(*base_cols, *extra)
+            elif extra:
+                scan = scan.select("*", *extra)
+            scans.append(scan)
+        out = scans[0]
+        for s in scans[1:]:
+            out = out.unionByName(s)
+        return out
+
+    def _scan_rels(
+        self,
+        spark: SparkSession,
+        version: str,
+        rels: list[str],
+        schema: StructType | None,
+    ) -> DataFrame:
+        """Reader-side grouped scan: ``_scan_files`` plus the snapshot's
+        deletion vector, anti-joined ONCE post-union on the per-group
+        ``__rel``/``__ri`` bindings. This is what makes spec evolution a
+        metadata-only commit at 100 TB: history keeps its layout, new
+        data gets the new one, and predicates on a new spec column still
+        prune old files through their column stats."""
+        dv_dir = self._dv_dir(version)
+        has_dv = os.path.isdir(dv_dir)
+        df = self._scan_files(
+            spark, version, rels, schema, meta_cols=has_dv
+        )
+        if not has_dv:
+            return df
+        dv = spark.read.parquet(dv_dir)
+        cols = [c for c in df.columns if c not in ("__rel", "__ri")]
+        return df.join(
+            dv,
+            (df["__rel"] == dv["rel"]) & (df["__ri"] == dv["row_index"]),
+            "left_anti",
+        ).select(*cols)
 
     def register(
         self,
@@ -1132,6 +1237,16 @@ class TxnTable:
         # an external table scans the raw files: it cannot apply a
         # pending deletion vector and would expose suppressed rows
         self._require_no_dv(v, "register")
+        if len(self._spec_groups(v)) > 1:
+            # Hive partition discovery over one directory cannot mix
+            # layouts; every other path (read/read_pruned/merge/delete/
+            # format("txn")) handles evolved snapshots natively
+            raise ValueError(
+                "register() needs a single partition spec; the snapshot "
+                "mixes specs after partition evolution — run compact() or "
+                "rewrite_layout() to migrate history, or query via "
+                "read()/format('txn')"
+            )
         entries = self.file_entries(v)
         data = os.path.join(self.root, _VERSIONS, v)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -1368,12 +1483,11 @@ class TxnTable:
                 [], schema if schema else self.read(spark, v).schema
             )
         else:
-            reader = spark.read.option("basePath", data)
-            if schema:
-                reader = reader.schema(schema)
-            df = reader.parquet(
-                *(os.path.join(data, rel) for rel in kept)
-            )
+            # grouped scan: kept files may span partition specs after an
+            # evolution; DV entries for pruned-away files simply never
+            # match the anti-join — pruning stays an IO bound, deletes
+            # stay applied
+            df = self._scan_rels(spark, v, kept, schema)
         ops = {
             "=": lambda c, x: c == x,
             "<": lambda c, x: c < x,
@@ -1381,10 +1495,6 @@ class TxnTable:
             ">": lambda c, x: c > x,
             ">=": lambda c, x: c >= x,
         }
-        if kept:
-            # DV entries for pruned-away files simply never match the
-            # anti-join; pruning stays an IO bound, deletes stay applied
-            df = self._apply_dv(spark, df, v)
         for col, op, lit in predicates:
             df = df.filter(ops[op](F.col(col), F.lit(lit)))
         return df
@@ -1942,17 +2052,12 @@ class TxnTable:
             update_keys = updates.select(*keys).distinct()
             candidates = self._merge_candidates(expect, updates, keys)
             if candidates:
-                cand_scan = (
-                    spark.read.option("basePath", data_root)
-                    .schema(target_schema)
-                    .parquet(
-                        *(os.path.join(data_root, rel) for rel in candidates)
-                    )
+                cand_scan = self._scan_files(
+                    spark, expect, candidates, target_schema, file_col="_f"
                 )
                 touched = sorted(
                     os.path.relpath(_local_path(r["_f"]), data_root)
-                    for r in cand_scan.withColumn("_f", F.input_file_name())
-                    .join(update_keys, keys, "leftsemi")
+                    for r in cand_scan.join(update_keys, keys, "leftsemi")
                     .select("_f")
                     .distinct()
                     .collect()
@@ -1977,12 +2082,9 @@ class TxnTable:
                 f for f in updates.schema.fields if f.name not in have
             ]
             if touched:
-                kept = (
-                    spark.read.option("basePath", data_root)
-                    .schema(target_schema)
-                    .parquet(*(os.path.join(data_root, rel) for rel in touched))
-                    .join(update_keys, keys, "left_anti")
-                )
+                kept = self._scan_files(
+                    spark, expect, touched, target_schema
+                ).join(update_keys, keys, "left_anti")
                 for f in extra_fields:
                     kept = kept.withColumn(
                         f.name, F.lit(None).cast(f.dataType)
@@ -2001,14 +2103,9 @@ class TxnTable:
             # its fresh files ARE the inserts, derived at read time.
             aux = None
             if self._meta(expect).get("cdf") and touched:
-                pre = (
-                    spark.read.option("basePath", data_root)
-                    .schema(target_schema)
-                    .parquet(
-                        *(os.path.join(data_root, rel) for rel in touched)
-                    )
-                    .join(update_keys, keys, "leftsemi")
-                )
+                pre = self._scan_files(
+                    spark, expect, touched, target_schema
+                ).join(update_keys, keys, "leftsemi")
                 for f in extra_fields:
                     pre = pre.withColumn(f.name, F.lit(None).cast(f.dataType))
                 pre = pre.select(*out_cols)
@@ -2118,16 +2215,14 @@ class TxnTable:
                 F.struct(*[F.col(c) for c in val_cols]).alias("_sv"),
                 F.lit(True).alias("_sp"),
             )
-            tgt = (
-                spark.read.option("basePath", data_root)
-                .schema(target_schema)
-                .parquet(*(os.path.join(data_root, rel) for rel in self.files(expect)))
-                .select(
-                    *keys,
-                    F.struct(*[F.col(c) for c in val_cols]).alias("_tv"),
-                    F.lit(True).alias("_tp"),
-                    F.input_file_name().alias("_f"),
-                )
+            tgt = self._scan_files(
+                spark, expect, self.files(expect), target_schema,
+                file_col="_f",
+            ).select(
+                *keys,
+                F.struct(*[F.col(c) for c in val_cols]).alias("_tv"),
+                F.lit(True).alias("_tp"),
+                "_f",
             )
             j = src.join(tgt, keys, "full_outer").withColumn(
                 "_cls",
@@ -2159,11 +2254,7 @@ class TxnTable:
                 ).select(*keys)
                 if touched:
                     kept = (
-                        spark.read.option("basePath", data_root)
-                        .schema(target_schema)
-                        .parquet(
-                            *(os.path.join(data_root, rel) for rel in touched)
-                        )
+                        self._scan_files(spark, expect, touched, target_schema)
                         .join(affected, keys, "left_anti")
                         .select(*out_cols)
                     )
@@ -2390,15 +2481,12 @@ class TxnTable:
             candidates, _total = self.pruned_files(prune or [], expect)
             if not candidates:
                 return expect
-            cand_scan = (
-                spark.read.option("basePath", data_root)
-                .schema(target_schema)
-                .parquet(*(os.path.join(data_root, rel) for rel in candidates))
+            cand_scan = self._scan_files(
+                spark, expect, candidates, target_schema, file_col="_f"
             )
             touched = sorted(
                 os.path.relpath(_local_path(r["_f"]), data_root)
-                for r in cand_scan.withColumn("_f", F.input_file_name())
-                .filter(condition)
+                for r in cand_scan.filter(condition)
                 .select("_f")
                 .distinct()
                 .collect()
@@ -2417,22 +2505,15 @@ class TxnTable:
             # data loss on any nullable predicate column. Keep = NOT
             # coalesce(condition, FALSE), the SQL-standard three-valued
             # reading Delta's DELETE implements.
-            kept = (
-                spark.read.option("basePath", data_root)
-                .schema(target_schema)
-                .parquet(*(os.path.join(data_root, rel) for rel in touched))
-                .filter(~F.coalesce(condition.cast("boolean"), F.lit(False)))
-            )
+            kept = self._scan_files(
+                spark, expect, touched, target_schema
+            ).filter(~F.coalesce(condition.cast("boolean"), F.lit(False)))
             # CDF payload: the deleted rows, read from the same touched
             # files the kept-scan reads — IO ∝ touched, written once
             aux = None
             if self._meta(expect).get("cdf"):
                 deleted = (
-                    spark.read.option("basePath", data_root)
-                    .schema(target_schema)
-                    .parquet(
-                        *(os.path.join(data_root, rel) for rel in touched)
-                    )
+                    self._scan_files(spark, expect, touched, target_schema)
                     .filter(F.coalesce(condition.cast("boolean"), F.lit(False)))
                     .withColumn(_CHANGE_TYPE, F.lit("delete"))
                 )
@@ -2486,16 +2567,15 @@ class TxnTable:
             old_dv = self._dv_dir(expect)
             fresh_matches = None
             if candidates:
-                scan = (
-                    spark.read.option("basePath", data_root)
-                    .schema(target_schema)
-                    .parquet(
-                        *(os.path.join(data_root, rel) for rel in candidates)
-                    )
+                # meta_cols binds __rel/__ri inside each spec-group scan
+                # (_metadata does not survive the evolution union)
+                scan = self._scan_files(
+                    spark, expect, candidates, target_schema,
+                    meta_cols=True,
                 )
                 fresh_matches = scan.filter(pred).select(
-                    self._rel_col(expect).alias("rel"),
-                    F.col("_metadata.row_index").alias("row_index"),
+                    F.col("__rel").alias("rel"),
+                    F.col("__ri").alias("row_index"),
                 )
                 if fresh_matches.limit(1).count() == 0:
                     fresh_matches = None
@@ -2514,10 +2594,10 @@ class TxnTable:
             if self._meta(expect).get("cdf"):
                 rows = scan.filter(pred).withColumns(
                     {
-                        "rel": self._rel_col(expect),
-                        "row_index": F.col("_metadata.row_index"),
+                        "rel": F.col("__rel"),
+                        "row_index": F.col("__ri"),
                     }
-                )
+                ).drop("__rel", "__ri")
                 if os.path.isdir(old_dv):
                     rows = rows.join(
                         spark.read.parquet(old_dv),
@@ -2581,14 +2661,7 @@ class TxnTable:
                 if rel not in set(touched)
             }
             if touched:
-                kept_scan = (
-                    spark.read.option("basePath", data_root)
-                    .schema(target_schema)
-                    .parquet(
-                        *(os.path.join(data_root, rel) for rel in touched)
-                    )
-                )
-                kept = self._apply_dv(spark, kept_scan, expect)
+                kept = self._scan_rels(spark, expect, touched, target_schema)
             else:
                 kept = spark.createDataFrame([], target_schema)
             return self.commit(
@@ -2672,17 +2745,12 @@ class TxnTable:
             affected_keys = latest.select(*keys).distinct()
             candidates = self._merge_candidates(expect, affected_keys, keys)
             if candidates:
-                cand_scan = (
-                    spark.read.option("basePath", data_root)
-                    .schema(target_schema)
-                    .parquet(
-                        *(os.path.join(data_root, rel) for rel in candidates)
-                    )
+                cand_scan = self._scan_files(
+                    spark, expect, candidates, target_schema, file_col="_f"
                 )
                 touched = sorted(
                     os.path.relpath(_local_path(r["_f"]), data_root)
-                    for r in cand_scan.withColumn("_f", F.input_file_name())
-                    .join(affected_keys, keys, "leftsemi")
+                    for r in cand_scan.join(affected_keys, keys, "leftsemi")
                     .select("_f")
                     .distinct()
                     .collect()
@@ -2697,12 +2765,8 @@ class TxnTable:
             }
             aux = None
             if touched:
-                old_scan = (
-                    spark.read.option("basePath", data_root)
-                    .schema(target_schema)
-                    .parquet(
-                        *(os.path.join(data_root, rel) for rel in touched)
-                    )
+                old_scan = self._scan_files(
+                    spark, expect, touched, target_schema
                 )
                 kept = old_scan.join(affected_keys, keys, "left_anti")
                 merged = kept.unionByName(upserts)

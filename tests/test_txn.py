@@ -2130,3 +2130,102 @@ class TestSyncFull:
         t.sync_full(spark, self._source(spark, df), keys=["k"])
         assert t.read(spark, v0).count() == 100
         assert t.read(spark).count() == 95
+
+
+class TestPartitionEvolution:
+    """Iceberg-style partition-spec evolution: a commit changes
+    partition_by going forward; history keeps its layout (metadata-only
+    migration), every reader and file-granular writer handles the mixed
+    snapshot, compact()/rewrite_layout() migrate physically."""
+
+    def _mk(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("part"),
+            (F.col("id") % 3).cast("string").alias("yr"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+
+    def _evolved(self, spark, tmp_path):
+        t = TxnTable(str(tmp_path / "t"))
+        t.commit(self._mk(spark, 0, 100), partition_by=["part"])
+        t.append(self._mk(spark, 100, 150), partition_by=["yr"])
+        return t
+
+    def test_mixed_read_and_column_values(self, spark, tmp_path):
+        t = self._evolved(spark, tmp_path)
+        snap = t.read(spark)
+        assert snap.count() == 150
+        # path-derived and data-derived columns agree for every row
+        bad = snap.filter(
+            (F.col("part") != (F.col("k") % 4).cast("string"))
+            | (F.col("yr") != (F.col("k") % 3).cast("string"))
+        )
+        assert bad.count() == 0
+
+    def test_pruning_on_new_spec_column(self, spark, tmp_path):
+        t = self._evolved(spark, tmp_path)
+        kept, total = t.pruned_files([("yr", "=", "0")])
+        assert 0 < len(kept) < total
+        assert t.read_pruned(spark, [("yr", "=", "0")]).count() == 50
+
+    def test_writers_over_mixed_specs(self, spark, tmp_path):
+        t = self._evolved(spark, tmp_path)
+        t.merge_upsert(
+            spark,
+            self._mk(spark, 40, 60).withColumn("v", F.lit(-1.0)),
+            keys=["k"],
+        )
+        assert t.read(spark).filter(F.col("v") == -1.0).count() == 20
+        t.delete_where(spark, F.col("k") % 7 == 0)
+        exp = sum(1 for i in range(150) if i % 7 != 0)
+        assert t.read(spark).count() == exp
+        t.delete_where_deferred(spark, F.col("k") % 11 == 0)
+        exp2 = sum(1 for i in range(150) if i % 7 != 0 and i % 11 != 0)
+        assert t.read(spark).count() == exp2
+        t.materialize_deletes(spark)
+        assert t.read(spark).count() == exp2
+
+    def test_sync_full_over_mixed_specs(self, spark, tmp_path):
+        t = self._evolved(spark, tmp_path)
+        src = self._mk(spark, 0, 140).withColumn(
+            "v", F.when(F.col("k") < 10, 9.9).otherwise(F.col("v"))
+        )
+        t.sync_full(spark, src, keys=["k"])
+        got = sorted(
+            tuple(r)
+            for r in t.read(spark).select("k", "part", "yr", "v").collect()
+        )
+        want = sorted(
+            tuple(r) for r in src.select("k", "part", "yr", "v").collect()
+        )
+        assert got == want
+
+    def test_compact_migrates_to_live_spec(self, spark, tmp_path):
+        t = self._evolved(spark, tmp_path)
+        t.compact(
+            spark, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+        )
+        sigs = {TxnTable._spec_sig(r) for r in t.files()}
+        assert sigs == {("yr",)}
+        assert t.read(spark).count() == 150
+        # history unchanged: the pre-compact version still reads mixed
+        assert t.read(spark, "v00000002").count() == 150
+
+    def test_register_refuses_mixed_specs(self, spark, tmp_path):
+        t = self._evolved(spark, tmp_path)
+        with pytest.raises(ValueError, match="single partition spec"):
+            t.register(spark, "evo_reject")
+
+    def test_datasource_over_mixed_specs(self, spark, tmp_path):
+        from rxlan_aws_lakehouse_spark.sources.txn_source import (
+            register_txn_source,
+        )
+
+        t = self._evolved(spark, tmp_path)
+        register_txn_source(spark)
+        ds = spark.read.format("txn").load(t.root)
+        assert ds.count() == 150
+        assert (
+            ds.agg(F.sum("k")).collect()[0][0] == sum(range(150))
+        )
