@@ -1274,6 +1274,71 @@ def txn_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_source_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change-data-feed (Delta's ``readChangeFeed``): orders
+    land with the feed enabled, a MERGE re-prices every 10th key and
+    inserts a small batch, a DELETE drops every 97th — then ONE
+    AvailableNow run of ``readStream.format("txn")`` with
+    ``readChangeFeed=true`` drains the row-level history (inserts,
+    update pre/post images, deletes, each stamped with its commit
+    version) into a parquet sink. The per-(version, change-type)
+    aggregate of what the STREAM delivered must equal DuckDB's closed
+    form — commit ids are deterministic (v1 base, v2 set_cdf, v3 merge,
+    v4 delete). At 100 TB this is the incremental-consumer contract:
+    downstream reads exactly the changes, never the table."""
+    from ..sources.txn_source import register_txn_source
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="txn_scdf_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).filter(F.col("o_orderkey") <= 2000)
+        t.commit(orders.repartition(4, "o_orderkey"))
+        t.set_change_feed(spark, True)
+        t.merge_upsert(
+            spark,
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+            .unionByName(
+                orders.filter(F.col("o_orderkey") <= 30).select(
+                    (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+                    "o_custkey",
+                    "o_totalprice",
+                )
+            ),
+            keys=["o_orderkey"],
+        )
+        t.delete_where(spark, F.col("o_orderkey") % 97 == 0)
+        sink = f"{work}/sink"
+        q = (
+            spark.readStream.format("txn")
+            .option("startingVersion", "earliest")
+            .option("readChangeFeed", "true")
+            .load(t.root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .orderBy("_commit_version", "_change_type")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -1298,6 +1363,7 @@ QUERIES = {
     "txn_replicate_stream": txn_replicate_stream,
     "txn_full_sync": txn_full_sync,
     "txn_partition_evolution": txn_partition_evolution,
+    "txn_source_stream_cdf": txn_source_stream_cdf,
 }
 
 ORACLE = {
@@ -1324,6 +1390,43 @@ ORACLE = {
         WHERE strftime(o_orderdate, '%Y') <= '1996'
         GROUP BY 1
         ORDER BY 1
+    """,
+    # streaming change feed: what the stream delivered, per (commit,
+    # change type), equals the history's closed form — commit ids are
+    # deterministic (v1 base, v2 set_cdf metadata, v3 merge, v4 delete);
+    # the merge updates every 10th base key (+1000) and inserts 1M-offset
+    # copies of keys <= 30; the delete drops every 97th post-merge key
+    "txn_source_stream_cdf": """
+        WITH base AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey <= 2000),
+        feed AS (
+          SELECT 'v00000001' AS _commit_version, 'insert' AS _change_type,
+                 o_totalprice
+          FROM base
+          UNION ALL
+          SELECT 'v00000003', 'update_preimage', o_totalprice
+          FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT 'v00000003', 'update_postimage', o_totalprice + 1000.0
+          FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT 'v00000003', 'insert', o_totalprice
+          FROM base WHERE o_orderkey <= 30
+          UNION ALL
+          SELECT 'v00000004', 'delete',
+                 CASE WHEN o_orderkey % 10 = 0
+                      THEN o_totalprice + 1000.0
+                      ELSE o_totalprice END
+          FROM base WHERE o_orderkey % 97 = 0
+          UNION ALL
+          SELECT 'v00000004', 'delete', o_totalprice
+          FROM base
+          WHERE o_orderkey <= 30 AND (o_orderkey + 1000000) % 97 = 0)
+        SELECT _commit_version, _change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM feed GROUP BY 1, 2 ORDER BY 1, 2
     """,
     # partition evolution: the mixed-layout snapshot's per-year rollup is
     # exactly the fixture's; the TRUE flags carry the Spark-side claims

@@ -89,6 +89,10 @@ class _FilePartition(InputPartition):
     file_path: str  # absolute path of the parquet file
     rel: str  # manifest-relative path (carries key=value partition dirs)
     dv_dir: str | None  # deletion-vector dir to anti-apply, if pending
+    # constant columns bound per partition (change-feed streaming: the
+    # derived _change_type / _commit_version of this file's rows); cast
+    # to the target schema exactly like partition-path values
+    consts: tuple = ()
 
 
 def _resolve_version(table: TxnTable, options) -> str:
@@ -134,6 +138,7 @@ def _read_file_batches(
     target = to_arrow_schema(schema)
     tbl = pq.read_table(part.file_path)
     pvals = _partition_values(part.rel)
+    pvals.update(dict(part.consts))
     n = tbl.num_rows
     if part.dv_dir is not None and os.path.isdir(part.dv_dir):
         dv = pq.read_table(
@@ -311,6 +316,14 @@ class TxnStreamReader(DataSourceStreamReader):
         mv = int(options.get("maxVersionsPerTrigger", 0))
         self._max_versions = mv if mv > 0 else None
         self._watermark = self._start
+        # Delta's streaming CDF: emit row-level CHANGES (_change_type /
+        # _commit_version) instead of table rows. Commits with a recorded
+        # _cdf payload stream it verbatim; append-like commits derive
+        # inserts from their fresh files; changeful commits WITHOUT a
+        # payload (feed was off) fail loudly — never silently wrong.
+        self._cdf = str(
+            options.get("readChangeFeed", "false")
+        ).lower() == "true"
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -364,6 +377,69 @@ class TxnStreamReader(DataSourceStreamReader):
                     for rel in info["fresh"]
                 ]
             )
+            if self._cdf:
+                root = os.path.join(vdir, v)
+                cdf_dir = os.path.join(root, _CDF_DIR)
+                cv = (("_commit_version", v),)
+                if os.path.isdir(cdf_dir):
+                    # recorded payload: exact row-level changes, streamed
+                    # verbatim (_change_type is a data column there)
+                    parts.extend(
+                        _FilePartition(
+                            file_path=os.path.join(cdf_dir, fn),
+                            rel=fn,
+                            dv_dir=None,
+                            consts=cv,
+                        )
+                        for fn in sorted(os.listdir(cdf_dir))
+                        if fn.endswith(".parquet")
+                    )
+                    continue
+                if op in (
+                    "compact",
+                    "materialize_deletes",
+                    "rewrite_layout",
+                    "set_constraint",
+                    "set_cdf",
+                ):
+                    continue  # physical/metadata only: no logical change
+                ins = (("_change_type", "insert"),) + cv
+                if first:
+                    # initial snapshot: full logical content (carried
+                    # files included, DV applied) as one insert batch
+                    dv = os.path.join(root, _DV_DIR)
+                    parts.extend(
+                        _FilePartition(
+                            file_path=os.path.join(root, rel),
+                            rel=rel,
+                            dv_dir=dv if os.path.isdir(dv) else None,
+                            consts=ins,
+                        )
+                        for rel in self._table.files(v)
+                    )
+                    continue
+                if op == "append" or (
+                    # insert-only merge under an ENABLED feed: a touching
+                    # merge always writes a payload, so its absence proves
+                    # every fresh file holds only inserts
+                    bool(meta.get("cdf"))
+                    and op in ("merge_upsert", "apply_cdc", "sync_full")
+                ):
+                    parts.extend(
+                        _FilePartition(
+                            file_path=os.path.join(root, rel),
+                            rel=rel,
+                            dv_dir=None,
+                            consts=ins,
+                        )
+                        for rel in fresh
+                    )
+                    continue
+                raise RuntimeError(
+                    f"streaming change feed hit {v} ({op}) with no "
+                    "row-level change payload; enable it with "
+                    "set_change_feed() before such commits"
+                )
             append_like = op in ("append", "compact") or first
             if not append_like:
                 if op in ("delete", "delete_dv", "materialize_deletes"):
@@ -419,7 +495,21 @@ class TxnDataSource(DataSource):
     def schema(self) -> StructType:
         table = TxnTable(self.options["path"])
         v = _resolve_version(table, self.options)
-        return StructType.fromJson(table._meta(v)["schema"])
+        schema = StructType.fromJson(table._meta(v)["schema"])
+        if str(
+            self.options.get("readChangeFeed", "false")
+        ).lower() == "true":
+            # Delta's CDF shape: data columns + change metadata
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType(
+                schema.fields
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", StringType()),
+                ]
+            )
+        return schema
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if str(self.options.get("pushdown", "false")).lower() == "true":

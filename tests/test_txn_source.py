@@ -400,3 +400,103 @@ class TestStreamRead:
         jumps = [b - a for a, b in zip([0] + versions, versions)]
         assert all(j <= 2 for j in jumps), jumps
         assert len(versions) >= 3  # the backlog took multiple batches
+
+
+class TestStreamChangeFeed:
+    """readChangeFeed=true: the streaming source emits row-level changes
+    (_change_type/_commit_version), Delta streaming-CDF semantics."""
+
+    def _table(self, spark, root):
+        t = TxnTable(os.path.join(root, "t"))
+        base = spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit("base").alias("tag")
+        )
+        t.commit(base)
+        t.set_change_feed(spark, True)
+        t.merge_upsert(
+            spark,
+            spark.range(5, 12).select(
+                F.col("id").alias("k"), F.lit("rev").alias("tag")
+            ),
+            keys=["k"],
+        )
+        t.delete_where(spark, F.col("k") < 2)
+        return t
+
+    def _stream(self, spark, t, root, **opts):
+        sink = os.path.join(root, "sink")
+        reader = (
+            spark.readStream.format("txn")
+            .option("startingVersion", "earliest")
+            .option("readChangeFeed", "true")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(t.root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    def test_change_counts_and_reconstruction(self, spark, tmp_path):
+        t = self._table(spark, str(tmp_path))
+        out = self._stream(spark, t, str(tmp_path))
+        by = {
+            r["_change_type"]: r["count"]
+            for r in out.groupBy("_change_type").count().collect()
+        }
+        assert by == {
+            "insert": 12,  # 10 base + 2 merge inserts
+            "update_preimage": 5,
+            "update_postimage": 5,
+            "delete": 2,
+        }
+        # replaying the feed reproduces the live table exactly
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("k").orderBy(
+            F.col("_commit_version").desc()
+        )
+        last = (
+            out.filter(F.col("_change_type") != "update_preimage")
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .filter(F.col("_change_type") != "delete")
+        )
+        got = sorted((r["k"], r["tag"]) for r in last.collect())
+        want = sorted(
+            (r["k"], r["tag"]) for r in t.read(spark).collect()
+        )
+        assert got == want
+
+    def test_physical_ops_emit_nothing(self, spark, tmp_path):
+        t = self._table(spark, str(tmp_path))
+        before = self._stream(spark, t, str(tmp_path)).count()
+        t.compact(spark)
+        out = self._stream(
+            spark, t, str(tmp_path / "again")
+        )
+        assert out.count() == before  # compact added no change rows
+
+    def test_changeful_commit_without_payload_fails(self, spark, tmp_path):
+        t = TxnTable(os.path.join(str(tmp_path), "t2"))
+        t.commit(
+            spark.range(0, 10).select(
+                F.col("id").alias("k"), F.lit("x").alias("tag")
+            )
+        )
+        # feed NOT enabled: a merge records no payload
+        t.merge_upsert(
+            spark,
+            spark.range(0, 3).select(
+                F.col("id").alias("k"), F.lit("y").alias("tag")
+            ),
+            keys=["k"],
+        )
+        with pytest.raises(Exception, match="no.*row-level change payload"):
+            self._stream(spark, t, str(tmp_path))
