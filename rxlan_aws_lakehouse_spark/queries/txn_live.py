@@ -1339,6 +1339,44 @@ def txn_source_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning via GENERATED columns (Iceberg transforms /
+    Delta generated columns): events commit with ``dt`` DERIVED as
+    day(ts) — callers never materialize it — and the query filters the
+    raw ``ts`` column only. The engine derives the matching ``dt``
+    partition predicate at plan time (``_derive_generated_preds``), so
+    the scan skips whole day directories the query never mentioned:
+    ``pruned_fewer`` carries that claim, and the per-day rollup of the
+    PRUNED read must equal the fixture closed form. At 100 TB this is
+    the contract that makes time-partitioned tables usable without every
+    analyst knowing the layout."""
+    import datetime as _dt
+
+    work = tempfile.mkdtemp(prefix="txn_hidden_")
+    try:
+        t = TxnTable(f"{work}/t")
+        events = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        t.commit(events, generated={"dt": ("day", "ts")})
+        lit = _dt.datetime(2024, 1, 20, 12, 0, 0)
+        kept, total = t.pruned_files([("ts", ">=", lit)])
+        out = (
+            t.read_pruned(spark, [("ts", ">=", lit)])
+            .groupBy("dt")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .withColumn("pruned_fewer", F.lit(0 < len(kept) < total))
+            .orderBy("dt")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -1364,6 +1402,7 @@ QUERIES = {
     "txn_full_sync": txn_full_sync,
     "txn_partition_evolution": txn_partition_evolution,
     "txn_source_stream_cdf": txn_source_stream_cdf,
+    "txn_hidden_partitioning": txn_hidden_partitioning,
 }
 
 ORACLE = {
@@ -1390,6 +1429,18 @@ ORACLE = {
         WHERE strftime(o_orderdate, '%Y') <= '1996'
         GROUP BY 1
         ORDER BY 1
+    """,
+    # hidden partitioning: the per-day rollup of the ts-filtered PRUNED
+    # read equals the closed form; pruned_fewer TRUE encodes that the
+    # ts predicate skipped day directories the query never mentioned
+    "txn_hidden_partitioning": """
+        SELECT strftime(ts, '%Y-%m-%d') AS dt,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum("value"), 2) AS total_value,
+               TRUE AS pruned_fewer
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-20 12:00:00'
+        GROUP BY 1 ORDER BY 1
     """,
     # streaming change feed: what the stream delivered, per (commit,
     # change type), equals the history's closed form — commit ids are

@@ -385,15 +385,25 @@ def _entries_for(
 
 
 def _evolved_columns(
-    parent: StructType, df: DataFrame, merge_schema: bool, op: str
+    parent: StructType, df: DataFrame, merge_schema: bool, op: str,
+    generated: dict | None = None,
 ) -> list[str]:
     """Schema guard for operations that CARRY existing files: the snapshot
     schema a commit records is what every reader resolves, so a df missing
     a table column would silently hide that column for carried rows too.
     Validates df against the recorded table schema and returns the output
-    column order (table columns first, then additive extras)."""
+    column order (table columns first, then additive extras).
+
+    GENERATED partition columns are exempt from the missing check —
+    ``commit`` always re-derives them from their source column, so a
+    caller supplying only the source is complete."""
     by_name = {f.name: f for f in df.schema.fields}
-    missing = [f.name for f in parent.fields if f.name not in by_name]
+    gen = set(generated or ())
+    missing = [
+        f.name
+        for f in parent.fields
+        if f.name not in by_name and f.name not in gen
+    ]
     if missing:
         raise ValueError(
             f"{op} is missing table columns {missing}; carried rows would"
@@ -402,7 +412,7 @@ def _evolved_columns(
     changed = [
         f.name
         for f in parent.fields
-        if by_name[f.name].dataType != f.dataType
+        if f.name in by_name and by_name[f.name].dataType != f.dataType
     ]
     if changed:
         raise ValueError(
@@ -416,7 +426,14 @@ def _evolved_columns(
             f"{op} has new columns {extra}; pass merge_schema=True to"
             " evolve the table schema additively"
         )
-    return [f.name for f in parent.fields] + extra
+    # absent generated columns stay absent from the output order — commit
+    # re-derives them for EVERY row, so carrying a stale copy from one
+    # input branch while another lacks it would only invite divergence
+    return [
+        f.name
+        for f in parent.fields
+        if f.name in by_name or f.name not in gen
+    ] + extra
 
 
 def _relax_added(schema: StructType, parent: StructType) -> StructType:
@@ -437,6 +454,91 @@ def _relax_added(schema: StructType, parent: StructType) -> StructType:
             for f in schema.fields
         ]
     )
+
+
+# ---------------------------------------------------------------------
+# Generated partition columns (Delta generated columns / Iceberg hidden-
+# partitioning transforms): a partition column DERIVED from a data column
+# at write time, with predicate derivation at prune time so queries that
+# filter the SOURCE column skip partitions without ever mentioning the
+# derived one. Kinds: "day" / "month" (ISO strings — lexical order equals
+# time order), "truncate[N]" (string prefix, monotonic), "bucket[N]"
+# (crc32(str(v)) % N — equality-only). Both the write-side expression and
+# the prune-side literal transform are implemented from the same spec, in
+# Spark SQL and plain Python respectively, and pinned equal in tests.
+
+
+def _gen_expr(kind: str, src: str):
+    if kind == "day":
+        return F.date_format(F.col(src), "yyyy-MM-dd")
+    if kind == "month":
+        return F.date_format(F.col(src), "yyyy-MM")
+    if kind.startswith("truncate[") and kind.endswith("]"):
+        n = int(kind[9:-1])
+        return F.substring(F.col(src).cast("string"), 1, n)
+    if kind.startswith("bucket[") and kind.endswith("]"):
+        n = int(kind[7:-1])
+        return F.pmod(
+            F.crc32(F.col(src).cast("string")), F.lit(n)
+        ).cast("string")
+    raise ValueError(f"unknown generated-partition kind: {kind}")
+
+
+def _gen_literal(kind: str, lit):
+    """The prune-side twin of ``_gen_expr``: transform a predicate
+    literal on the SOURCE column into the derived column's path-string
+    domain. Returns None when the literal can't be transformed safely
+    (conservative: no derived predicate, no pruning lost rows)."""
+    import datetime as _dt
+    import zlib
+
+    if kind in ("day", "month"):
+        width = 10 if kind == "day" else 7
+        if isinstance(lit, (_dt.datetime, _dt.date)):
+            s = lit.isoformat()
+        elif isinstance(lit, str):
+            s = lit
+        else:
+            return None
+        s = s[:width]
+        # must be a full ISO prefix for lexical order to equal time order
+        return s if len(s) == width else None
+    if kind.startswith("truncate[") and kind.endswith("]"):
+        n = int(kind[9:-1])
+        return str(lit)[:n] if isinstance(lit, (str, int)) else None
+    if kind.startswith("bucket[") and kind.endswith("]"):
+        n = int(kind[7:-1])
+        if isinstance(lit, (str, int)) and not isinstance(lit, bool):
+            return str(zlib.crc32(str(lit).encode("utf-8")) % n)
+        return None
+    return None
+
+
+def _derive_generated_preds(generated: dict, predicates) -> list:
+    """Expand a conjunctive triple list with the partition predicates the
+    generated-column specs imply. day/month/truncate are monotonic
+    (non-strict), so ranges carry with <,> RELAXED to <=,>= (two source
+    values in one bucket straddle the strict bound); bucket carries
+    equality only."""
+    extra = []
+    for name, spec in (generated or {}).items():
+        kind, src = spec[0], spec[1]
+        mono = kind in ("day", "month") or kind.startswith("truncate[")
+        for col, op, lit in predicates:
+            if col != src:
+                continue
+            if kind.startswith("bucket[") and op != "=":
+                continue
+            g = _gen_literal(kind, lit)
+            if g is None:
+                continue
+            gop = op
+            if mono and op == "<":
+                gop = "<="
+            elif mono and op == ">":
+                gop = ">="
+            extra.append((name, gop, g))
+    return list(predicates) + extra
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -1405,6 +1507,12 @@ class TxnTable:
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         meta = self._meta(v)
+        # hidden-partitioning derivation: predicates on a generated
+        # column's SOURCE imply partition predicates on the column itself
+        # — a ts range prunes dt dirs the query never mentioned
+        predicates = _derive_generated_preds(
+            meta.get("generated"), predicates
+        )
         kept: list[str] = []
         for key, info in meta["shards"].items():
             # Shard-level pruning: a partition predicate that proves the
@@ -1519,6 +1627,7 @@ class TxnTable:
         metadata_only: bool = False,
         constraints: dict[str, str] | None = None,
         cdf: bool | None = None,
+        generated: dict[str, tuple[str, str]] | None = None,
     ) -> str:
         """Write ``df`` as a new snapshot and atomically publish it.
 
@@ -1578,6 +1687,25 @@ class TxnTable:
         parent_meta = self._meta(expect) if expect is not None else {}
         if partition_by is None and expect is not None:
             partition_by = parent_meta.get("partition_by") or None
+        # Generated partition columns are a TABLE PROPERTY (Delta
+        # generated columns): set on the defining commit, inherited by
+        # every later one, ALWAYS re-derived from the source column —
+        # the write cannot disagree with the prune-side literal
+        # transform, and callers never materialize the column themselves.
+        if generated is None:
+            generated = parent_meta.get("generated") or {}
+        if generated and not metadata_only:
+            for gname, gspec in generated.items():
+                gkind, gsrc = gspec[0], gspec[1]
+                if gsrc in df.columns:
+                    df = df.withColumn(gname, _gen_expr(gkind, gsrc))
+            if partition_by is None:
+                partition_by = list(generated)
+            missing = [g for g in generated if g not in partition_by]
+            if missing:
+                raise ValueError(
+                    f"generated columns {missing} must be in partition_by"
+                )
         # bloom_cols is a TABLE PROPERTY: set once (first commit or an
         # explicit pass), inherited by every later commit like the
         # partition spec — fresh files get blooms, carried files keep
@@ -1846,6 +1974,9 @@ class TxnTable:
                 "operation": operation,
                 "extra": extra,
                 "partition_by": partition_by or [],
+                "generated": {
+                    k: list(v) for k, v in (generated or {}).items()
+                },
                 "schema": recorded.jsonValue(),
                 "committed_at_unix": time.time(),
                 "n_files": len(fresh) + len(carry_files),
@@ -2075,7 +2206,8 @@ class TxnTable:
             # the table; a missing table column would hide it for carried
             # rows; a changed type is never allowed.
             out_cols = _evolved_columns(
-                target_schema, updates, merge_schema, "merge_upsert"
+                target_schema, updates, merge_schema, "merge_upsert",
+                generated=self._meta(expect).get("generated"),
             )
             have = set(target_schema.fieldNames())
             extra_fields = [
@@ -2207,7 +2339,8 @@ class TxnTable:
             data_root = os.path.join(self.root, _VERSIONS, expect)
             target_schema = StructType.fromJson(self._meta(expect)["schema"])
             out_cols = _evolved_columns(
-                target_schema, source, False, "sync_full"
+                target_schema, source, False, "sync_full",
+                generated=self._meta(expect).get("generated"),
             )
             val_cols = [c for c in out_cols if c not in keys]
             src = source.select(
@@ -2366,7 +2499,8 @@ class TxnTable:
             parent_schema = StructType.fromJson(self._meta(expect)["schema"])
             out = df.select(
                 *_evolved_columns(
-                    parent_schema, df, merge_schema, "overwrite_partitions"
+                    parent_schema, df, merge_schema, "overwrite_partitions",
+                    generated=self._meta(expect).get("generated"),
                 )
             )
 
@@ -2428,7 +2562,10 @@ class TxnTable:
                 )
             parent = StructType.fromJson(self._meta(expect)["schema"])
             out = df.select(
-                *_evolved_columns(parent, df, merge_schema, "append")
+                *_evolved_columns(
+                    parent, df, merge_schema, "append",
+                    generated=self._meta(expect).get("generated"),
+                )
             )
             data_root = os.path.join(self.root, _VERSIONS, expect)
             carry = {

@@ -2229,3 +2229,116 @@ class TestPartitionEvolution:
         assert (
             ds.agg(F.sum("k")).collect()[0][0] == sum(range(150))
         )
+
+
+class TestGeneratedPartitions:
+    """Generated partition columns (Delta generated columns / Iceberg
+    hidden partitioning): derived at write, re-derived on every commit,
+    and predicates on the SOURCE column prune the derived dirs."""
+
+    def _day_table(self, spark, tmp_path):
+        t = TxnTable(str(tmp_path / "t"))
+        df = spark.range(0, 96).select(
+            F.col("id").alias("k"),
+            (
+                F.lit("2024-03-01 00:00:00").cast("timestamp")
+                + F.make_interval(hours=F.col("id") * 2)
+            ).alias("ts"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        t.commit(df, generated={"dt": ("day", "ts")})
+        return t
+
+    def test_day_transform_write_and_inheritance(self, spark, tmp_path):
+        import datetime
+
+        t = self._day_table(spark, tmp_path)
+        assert all(r.startswith("dt=2024-03-") for r in t.files())
+        # append WITHOUT the generated column: inherited + re-derived
+        t.append(
+            spark.range(96, 120).select(
+                F.col("id").alias("k"),
+                (
+                    F.lit("2024-03-09 00:00:00").cast("timestamp")
+                    + F.make_interval(hours=(F.col("id") - 96) * 2)
+                ).alias("ts"),
+                (F.col("id") * 1.0).alias("v"),
+            )
+        )
+        snap = t.read(spark)
+        assert snap.count() == 120
+        assert (
+            snap.filter(
+                F.col("dt") != F.date_format("ts", "yyyy-MM-dd")
+            ).count()
+            == 0
+        )
+        # hidden pruning: a ts range never mentioning dt skips dirs
+        lit = datetime.datetime(2024, 3, 9, 0, 0)
+        kept, total = t.pruned_files([("ts", ">=", lit)])
+        assert 0 < len(kept) < total
+        got = t.read_pruned(spark, [("ts", ">=", lit)]).count()
+        assert got == snap.filter(F.col("ts") >= F.lit(lit)).count()
+
+    def test_merge_rederives_generated(self, spark, tmp_path):
+        t = self._day_table(spark, tmp_path)
+        # updates supply only the SOURCE column — dt re-derived
+        t.merge_upsert(
+            spark,
+            spark.range(0, 5).select(
+                F.col("id").alias("k"),
+                F.lit("2024-03-05 00:00:00").cast("timestamp").alias("ts"),
+                F.lit(-1.0).alias("v"),
+            ),
+            keys=["k"],
+        )
+        snap = t.read(spark)
+        moved = snap.filter(F.col("v") == -1.0)
+        assert moved.count() == 5
+        assert (
+            moved.filter(F.col("dt") != "2024-03-05").count() == 0
+        ), "merge must re-derive the generated column from the new ts"
+
+    def test_bucket_transform_point_prune(self, spark, tmp_path):
+        t = TxnTable(str(tmp_path / "tb"))
+        t.commit(
+            spark.range(0, 100).select(
+                F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+            ),
+            generated={"kb": ("bucket[8]", "k")},
+        )
+        kept, total = t.pruned_files([("k", "=", 42)])
+        assert len(kept) < total
+        got = t.read_pruned(spark, [("k", "=", 42)]).collect()
+        assert len(got) == 1 and got[0]["v"] == 84.0
+
+    def test_prune_side_literal_matches_write_side(self, spark, tmp_path):
+        # the crc32-bucket literal transform must agree with the Spark
+        # expression for strings too
+        import zlib
+
+        t = TxnTable(str(tmp_path / "ts"))
+        t.commit(
+            spark.createDataFrame(
+                [("alpha", 1), ("beta", 2), ("gamma", 3)], "name string, n int"
+            ),
+            generated={"nb": ("bucket[4]", "name")},
+        )
+        for name in ("alpha", "beta", "gamma"):
+            expect_dir = f"nb={zlib.crc32(name.encode()) % 4}"
+            kept, _ = t.pruned_files([("name", "=", name)])
+            assert all(r.startswith(expect_dir) for r in kept), (name, kept)
+            assert t.read_pruned(
+                spark, [("name", "=", name)]
+            ).count() == 1
+
+    def test_strict_range_relaxed_not_dropped(self, spark, tmp_path):
+        import datetime
+
+        t = self._day_table(spark, tmp_path)
+        # ts > midnight of day X must NOT prune day X itself (other rows
+        # of that day still match): strict op relaxes to >=
+        lit = datetime.datetime(2024, 3, 3, 0, 0)
+        got = t.read_pruned(spark, [("ts", ">", lit)]).count()
+        want = t.read(spark).filter(F.col("ts") > F.lit(lit)).count()
+        assert got == want
