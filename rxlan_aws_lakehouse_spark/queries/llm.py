@@ -837,10 +837,14 @@ def emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_components(
+    spark: SparkSession, sf_dir: str, with_pairs: bool = False
+):
     """Shared stage: MinHash-LSH candidates -> exact-Jaccard verify (>= 0.5)
     -> connected components. Returns (node, comp) for every doc in a dup
-    cluster; singletons are absent (their cluster is themselves)."""
+    cluster; singletons are absent (their cluster is themselves).
+    ``with_pairs=True`` additionally returns the verified (a, b) pair set
+    the components were built from (for leakage audits)."""
     from ..ops.iterative import connected_components
 
     d = load(spark, sf_dir, "documents")
@@ -862,7 +866,10 @@ def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dd.jaccard(F.col("sha"), F.col("shb")) >= 0.5)
         .select("a", "b")
     )
-    return connected_components(verified, src="a", dst="b")
+    comps = connected_components(verified, src="a", dst="b")
+    if with_pairs:
+        return comps, verified
+    return comps
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,6 +888,75 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+def sample_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-AWARE train/val/test split: near-dup clusters (MinHash-LSH
+    -> exact-Jaccard verify -> connected components) are assigned to a
+    split ATOMICALLY — the split key is the cluster id, not the doc id —
+    so no near-duplicate pair can straddle train and test. This is the
+    contamination control a training-data pipeline actually needs: a
+    doc-keyed split puts ~(1 - Σp²) of every dup cluster's pairs across
+    split boundaries, silently leaking eval content into training. The
+    result reports per-split doc counts plus BOTH leakage counters:
+    ``leaked_cluster`` (this split: exactly 0 by construction, verified
+    against the real pair set, not assumed) and ``leaked_naive`` (what
+    the doc-keyed split would have leaked on the same corpus)."""
+    from .sampling import SPLIT_CUTS, _uniform
+
+    comps, pairs = _dup_components(spark, sf_dir, with_pairs=True)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    labeled = d.join(
+        comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).withColumn("cluster", F.coalesce("comp", "doc_id"))
+
+    def split_of(key: F.Column, salt: str) -> F.Column:
+        u = _uniform(key, salt)
+        return (
+            F.when(u < SPLIT_CUTS["train"], F.lit("train"))
+            .when(u < SPLIT_CUTS["val"], F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    assigned = labeled.select(
+        "doc_id",
+        split_of(F.col("cluster"), "csplit:").alias("split"),
+        split_of(F.col("doc_id"), "split:").alias("naive_split"),
+    ).persist()
+    assigned.count()
+    by_a = assigned.select(
+        F.col("doc_id").alias("a"),
+        F.col("split").alias("sa"),
+        F.col("naive_split").alias("na"),
+    )
+    by_b = assigned.select(
+        F.col("doc_id").alias("b"),
+        F.col("split").alias("sb"),
+        F.col("naive_split").alias("nb"),
+    )
+    audit = (
+        pairs.join(by_a, "a")
+        .join(by_b, "b")
+        .agg(
+            F.sum(
+                F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)
+            ).alias("leaked_cluster"),
+            F.sum(
+                F.when(F.col("na") != F.col("nb"), 1).otherwise(0)
+            ).alias("leaked_naive"),
+        )
+        .collect()[0]
+    )
+    out = (
+        assigned.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("leaked_cluster", F.lit(int(audit["leaked_cluster"])))
+        .withColumn("leaked_naive", F.lit(int(audit["leaked_naive"])))
+        .orderBy("split")
+    )
+    rows = out.collect()
+    assigned.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1366,6 +1442,7 @@ QUERIES = {
     "emb_kmeans_profile": emb_kmeans_profile,
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_keep_best": dedup_cluster_keep_best,
+    "sample_split_leakage_free": sample_split_leakage_free,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_decode_real": multimodal_decode_real,
@@ -1435,6 +1512,7 @@ _ROT_PLANES = sim.rademacher_planes()
 
 
 def _build_oracle() -> dict[str, str]:
+    from . import sampling as _sampling_mod
     toks = tx.SQL_TOKENS.format(c="text")
     sh = dd.SQL_SHINGLE_HASHES.format(c="text")
     mh = dd.sql_minhash_exprs("text")
@@ -1661,6 +1739,45 @@ def _build_oracle() -> dict[str, str]:
                    round(sqrt(avg(CAST(amp AS DOUBLE) * amp)), 4) AS rms
             FROM tc
             GROUP BY doc_id, sr, nc, nf
+        """,
+        # cluster-keyed split: same recursive-CTE components as
+        # dedup_clusters, split = md5 uniform keyed on the CLUSTER id
+        # (singletons: the doc id); leakage audited against the real
+        # verified pair set — 0 for the cluster split by construction,
+        # while the doc-keyed naive split leaks on the same corpus
+        "sample_split_leakage_free": f"""{lsh_verified_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
+            dup AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+            edges AS (SELECT a, b FROM dup UNION SELECT b AS a, a AS b FROM dup),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+            docs AS (
+              SELECT doc_id, coalesce(l.comp, doc_id) AS cluster
+              FROM documents LEFT JOIN labels l ON doc_id = l.node),
+            asg AS (
+              SELECT doc_id,
+                CASE WHEN {_sampling_mod._SQL_UNIFORM.format(salt="csplit:", key="cluster")} < {_sampling_mod.SPLIT_CUTS["train"]} THEN 'train'
+                     WHEN {_sampling_mod._SQL_UNIFORM.format(salt="csplit:", key="cluster")} < {_sampling_mod.SPLIT_CUTS["val"]} THEN 'val'
+                     ELSE 'test' END AS split,
+                CASE WHEN {_sampling_mod._SQL_UNIFORM.format(salt="split:", key="doc_id")} < {_sampling_mod.SPLIT_CUTS["train"]} THEN 'train'
+                     WHEN {_sampling_mod._SQL_UNIFORM.format(salt="split:", key="doc_id")} < {_sampling_mod.SPLIT_CUTS["val"]} THEN 'val'
+                     ELSE 'test' END AS naive_split
+              FROM docs),
+            audit AS (
+              SELECT
+                CAST(coalesce(sum(CASE WHEN a1.split <> a2.split THEN 1 ELSE 0 END), 0) AS INTEGER) AS leaked_cluster,
+                CAST(coalesce(sum(CASE WHEN a1.naive_split <> a2.naive_split THEN 1 ELSE 0 END), 0) AS INTEGER) AS leaked_naive
+              FROM dup
+              JOIN asg a1 ON dup.a = a1.doc_id
+              JOIN asg a2 ON dup.b = a2.doc_id)
+            SELECT asg.split, CAST(count(*) AS BIGINT) AS n_docs,
+                   audit.leaked_cluster, audit.leaked_naive
+            FROM asg CROSS JOIN audit
+            GROUP BY asg.split, audit.leaked_cluster, audit.leaked_naive
+            ORDER BY asg.split
         """,
         "dedup_clusters": f"""{lsh_verified_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
             dup AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
