@@ -62,6 +62,11 @@ HEADLINE = [
     "txn_cbo_broadcast_join",  # stat-registered txn dim, CBO-planned join
     "zorder_box_read",      # Morton-clustered rewrite + 2D box read
     "txn_deferred_delete",  # deletion-vector merge-on-read + materialize
+    # round-8 late lanes (the newest capability families):
+    "sketch_quantile_rollup",  # mergeable histogram sketches -> p50/95/99
+    "txn_full_sync",        # three-clause MERGE full-extract sync
+    "txn_hidden_partitioning",  # generated dt=day(ts) + derived pruning
+    "emb_index_incremental",    # stored ANN index refreshed at delta cost
 ]
 
 # The original 13-query set (rounds 1-5): summed separately so

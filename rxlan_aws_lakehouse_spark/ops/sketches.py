@@ -199,46 +199,64 @@ def histogram_quantile(
     accumulator carrying cum count + found estimate) — no explode, no
     shuffle, pure integer/double arithmetic an oracle reproduces exactly.
     The crossing bin always has ``c_bin >= 1`` (cum stays short of the
-    target until a non-empty bin crosses it), so the division is safe."""
+    target until a non-empty bin crosses it), so the division is safe.
+
+    Evaluation-cost note: the entry array and the q*n target are PACKED
+    into a one-element array and consumed through a ``transform`` lambda,
+    making them lambda VARIABLES inside the fold. Captured outer
+    expressions in a higher-order function are re-evaluated per element
+    (and project-collapse inlines any staging columns right back), so a
+    naively captured target — itself a fold over the array — turns the
+    walk O(n_bins²) interpreted; as a lambda variable it is evaluated
+    once per row."""
     width = (hi - lo) / n_bins
     h = F.col(hist_col)
     total = F.aggregate(
         h, F.lit(0).cast("bigint"), lambda a, x: a + x
     ).cast("double")
-    target = F.lit(float(q)) * total
     entries = F.zip_with(
         h,
         F.sequence(F.lit(0), F.lit(n_bins - 1)),
         lambda c, i: F.struct(c.alias("c"), i.alias("i")),
     )
-    init = F.struct(
-        F.lit(0).cast("bigint").alias("cum"),
-        F.lit(None).cast("double").alias("est"),
+    packed = F.array(
+        F.struct(
+            entries.alias("en"),
+            (F.lit(float(q)) * total).alias("tg"),
+        )
     )
-    fold = F.aggregate(
-        entries,
-        init,
-        lambda acc, e: F.when(acc["est"].isNotNull(), acc).otherwise(
-            F.when(
-                (acc["cum"] + e["c"]).cast("double") >= target,
-                F.struct(
-                    (acc["cum"] + e["c"]).alias("cum"),
-                    (
-                        F.lit(lo)
-                        + F.lit(width)
-                        * (
-                            e["i"].cast("double")
-                            + (target - acc["cum"].cast("double"))
-                            / e["c"].cast("double")
-                        )
-                    ).alias("est"),
-                ),
-            ).otherwise(
-                F.struct(
-                    (acc["cum"] + e["c"]).alias("cum"),
-                    F.lit(None).cast("double").alias("est"),
+
+    def walk(x):
+        init = F.struct(
+            F.lit(0).cast("bigint").alias("cum"),
+            F.lit(None).cast("double").alias("est"),
+        )
+        fold = F.aggregate(
+            x["en"],
+            init,
+            lambda acc, e: F.when(acc["est"].isNotNull(), acc).otherwise(
+                F.when(
+                    (acc["cum"] + e["c"]).cast("double") >= x["tg"],
+                    F.struct(
+                        (acc["cum"] + e["c"]).alias("cum"),
+                        (
+                            F.lit(lo)
+                            + F.lit(width)
+                            * (
+                                e["i"].cast("double")
+                                + (x["tg"] - acc["cum"].cast("double"))
+                                / e["c"].cast("double")
+                            )
+                        ).alias("est"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        (acc["cum"] + e["c"]).alias("cum"),
+                        F.lit(None).cast("double").alias("est"),
+                    )
                 )
-            )
-        ),
-    )
-    return fold["est"]
+            ),
+        )
+        return fold["est"]
+
+    return F.transform(packed, walk)[0]
