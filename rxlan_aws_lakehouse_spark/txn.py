@@ -2581,6 +2581,117 @@ class TxnTable:
 
         return self._with_retries(attempt, max_retries)
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        set: dict,
+        prune: list | None = None,
+        max_retries: int = 2,
+        extra_meta: dict | None = None,
+    ) -> str:
+        """Row-level UPDATE, file-granular (Delta UPDATE semantics —
+        ``UPDATE t SET col = expr WHERE cond``): rewrite ONLY the files
+        that contain a matching row, applying each ``set`` expression to
+        the matching rows and keeping the rest byte-identical; every
+        untouched file carries by reference. The DML verb the table was
+        missing between ``delete_where`` and ``merge_upsert`` — an upsert
+        needs the new rows in hand, UPDATE computes them in place from a
+        predicate + column expressions.
+
+        ``set`` maps EXISTING column names to pyspark Column expressions
+        (evaluated against the pre-update row; new columns are schema
+        evolution, use ``merge_upsert(merge_schema=True)``). ``prune``
+        optionally bounds the touched-file discovery with manifest
+        triples, exactly as in ``delete_where`` — on a key-clustered
+        100 TB table a keyed update rewrites only the files it hits.
+
+        ANSI三-valued WHERE: only rows where the condition is definitely
+        TRUE update (NULL keeps the row unchanged). Row-level CDF, when
+        enabled, records update pre/post images from the same touched
+        scan. Returns the new version (or the current one unchanged when
+        nothing matched — no empty commit)."""
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            self._require_no_dv(expect, "update_where")
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            target_schema = StructType.fromJson(self._meta(expect)["schema"])
+            known = set_ = dict(set)
+            bad = [c for c in known if c not in target_schema.fieldNames()]
+            if bad:
+                raise ValueError(
+                    f"update_where sets unknown columns {bad}; UPDATE "
+                    "cannot add columns — use merge_upsert(merge_schema"
+                    "=True) for additive evolution"
+                )
+            candidates, _total = self.pruned_files(prune or [], expect)
+            if not candidates:
+                return expect
+            cand_scan = self._scan_files(
+                spark, expect, candidates, target_schema, file_col="_f"
+            )
+            touched = sorted(
+                os.path.relpath(_local_path(r["_f"]), data_root)
+                for r in cand_scan.filter(condition)
+                .select("_f")
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return expect  # nothing matched: the table is unchanged
+            touched_set = set(touched)
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in self.files(expect)
+                if rel not in touched_set
+            }
+            hit = F.coalesce(condition.cast("boolean"), F.lit(False))
+            scan = self._scan_files(spark, expect, touched, target_schema)
+            updated = scan.select(
+                *[
+                    (
+                        F.when(hit, set_[c]).otherwise(F.col(c)).alias(c)
+                        if c in set_
+                        else F.col(c)
+                    )
+                    for c in target_schema.fieldNames()
+                ]
+            )
+            aux = None
+            if self._meta(expect).get("cdf"):
+                pre = scan.filter(hit).withColumn(
+                    _CHANGE_TYPE, F.lit("update_preimage")
+                )
+                post = (
+                    scan.filter(hit)
+                    .select(
+                        *[
+                            (
+                                set_[c].alias(c)
+                                if c in set_
+                                else F.col(c)
+                            )
+                            for c in target_schema.fieldNames()
+                        ]
+                    )
+                    .withColumn(_CHANGE_TYPE, F.lit("update_postimage"))
+                )
+                chg = pre.unionByName(post)
+
+                def aux(staging: str) -> None:
+                    chg.write.parquet(os.path.join(staging, _CDF_DIR))
+
+            return self.commit(
+                updated, operation="update", carry_files=carry,
+                extra_meta=extra_meta, carry_src=expect,
+                expect_parent=expect, aux_writer=aux,
+            )
+
+        return self._with_retries(attempt, max_retries)
+
     def delete_where(
         self,
         spark: SparkSession,
