@@ -121,7 +121,15 @@ def histogram_sketches(
     the partition's exact row count. Build = one partial-agg shuffle of
     (partition, bin) pairs; the dense array is assembled per group with
     built-in HOFs (map lookup over a static bin sequence) — JVM-side
-    throughout."""
+    throughout.
+
+    Clamp observability: edge-bin clamping silently skews tail quantiles
+    when the caller-supplied range misses real mass, so each sketch row
+    also carries ``clamped_low`` / ``clamped_high`` — how many values
+    fell below ``lo`` / at-or-above ``hi``. A monitoring check of
+    ``clamped_* / n_rows`` makes a mis-sized range an observable signal
+    instead of a silent estimate bias; ``merge_histograms`` sums the
+    counts through every rollup."""
     width = (hi - lo) / n_bins
     bin_col = F.least(
         F.lit(n_bins - 1),
@@ -131,9 +139,18 @@ def histogram_sketches(
         ),
     )
     sparse = (
-        df.select(*part_cols, bin_col.alias("_bin"))
+        df.select(
+            *part_cols,
+            bin_col.alias("_bin"),
+            (F.col(value_col) < F.lit(lo)).cast("bigint").alias("_cl"),
+            (F.col(value_col) >= F.lit(hi)).cast("bigint").alias("_ch"),
+        )
         .groupBy(*part_cols, "_bin")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum("_cl").alias("_cl"),
+            F.sum("_ch").alias("_ch"),
+        )
     )
     return (
         sparse.groupBy(*part_cols)
@@ -142,6 +159,8 @@ def histogram_sketches(
                 F.collect_list(F.struct("_bin", "_c"))
             ).alias("_m"),
             F.sum("_c").alias("n_rows"),
+            F.sum("_cl").alias("clamped_low"),
+            F.sum("_ch").alias("clamped_high"),
         )
         .select(
             *part_cols,
@@ -155,6 +174,8 @@ def histogram_sketches(
                 ),
             ).alias("hist"),
             "n_rows",
+            "clamped_low",
+            "clamped_high",
         )
     )
 
@@ -167,7 +188,9 @@ def merge_histograms(
     """Re-aggregate stored partition histograms to a coarser grain (or
     pass ``group_cols=[]``-style constant for a global merge): element-
     wise sum of the count arrays via ``aggregate``/``zip_with`` — sketch
-    rows in, one sketch row per group out, raw data never touched."""
+    rows in, one sketch row per group out, raw data never touched.
+    ``clamped_low`` / ``clamped_high`` counts sum through the merge when
+    present (sketch tables stored before they existed still merge)."""
     merged = F.aggregate(
         F.collect_list(F.col(hist_col)),
         F.lit(None).cast("array<bigint>"),
@@ -175,9 +198,11 @@ def merge_histograms(
             F.zip_with(acc, x, lambda a, b: a + b)
         ),
     )
-    return sketch_df.groupBy(*group_cols).agg(
-        merged.alias(hist_col), F.sum("n_rows").alias("n_rows")
-    )
+    aggs = [merged.alias(hist_col), F.sum("n_rows").alias("n_rows")]
+    for c in ("clamped_low", "clamped_high"):
+        if c in sketch_df.columns:
+            aggs.append(F.sum(c).alias(c))
+    return sketch_df.groupBy(*group_cols).agg(*aggs)
 
 
 def histogram_quantile(

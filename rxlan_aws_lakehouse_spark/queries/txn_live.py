@@ -1377,6 +1377,72 @@ def txn_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE under the driver gate (round 9, Delta's
+    deletion-vector-enabled MERGE): a scattered every-10th-key upsert —
+    the copy-on-write worst case SCALING.md's r8 probe measured touching
+    EVERY file — runs through ``merge_upsert_dv``, which appends the
+    update set and suppresses the matched rows' positions via the
+    deletion vector instead of rewriting the touched files. Two pinned
+    claims ride the hash: ``mor_equals_cow`` (the same merge through
+    copy-on-write ``merge_upsert`` on an identical table yields the
+    exact same logical rows) and ``files_all_carried`` (every parent
+    data file survives into the MoR snapshot by reference — write cost
+    bounded by the delta). A final ``materialize_deletes`` must fold the
+    vector in without changing the answer."""
+    work = tempfile.mkdtemp(prefix="txn_mdv_")
+    try:
+        base = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        ).filter(F.col("o_orderkey") <= 2000)
+        updates = base.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit(99999.99).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        ).unionByName(
+            base.filter(F.col("o_orderkey") <= 50).select(
+                (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit(1.0).alias("o_totalprice"),
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+        mor = TxnTable(f"{work}/mor")
+        cow = TxnTable(f"{work}/cow")
+        mor.commit(base.repartition(4, "o_orderkey"))
+        cow.commit(base.repartition(4, "o_orderkey"))
+        parent_files = set(mor.files())
+        v = mor.merge_upsert_dv(spark, updates, keys=["o_orderkey"])
+        cow.merge_upsert(spark, updates, keys=["o_orderkey"])
+        carried = parent_files <= set(mor.files(v))
+        dv_pending = mor.has_deletion_vectors(v)
+        mor_rows = {tuple(r) for r in mor.read(spark).collect()}
+        cow_rows = {tuple(r) for r in cow.read(spark).collect()}
+        v2 = mor.materialize_deletes(spark)
+        mat_rows = {tuple(r) for r in mor.read(spark).collect()}
+        # MoR == CoW == materialized, and the vector is gone after folding
+        assert mor_rows == cow_rows == mat_rows, (
+            len(mor_rows), len(cow_rows), len(mat_rows)
+        )
+        assert dv_pending and not mor.has_deletion_vectors(v2)
+        out = (
+            mor.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .withColumn("mor_equals_cow", F.lit(mor_rows == cow_rows))
+            .withColumn("files_all_carried", F.lit(bool(carried)))
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -1403,6 +1469,7 @@ QUERIES = {
     "txn_partition_evolution": txn_partition_evolution,
     "txn_source_stream_cdf": txn_source_stream_cdf,
     "txn_hidden_partitioning": txn_hidden_partitioning,
+    "txn_merge_dv": txn_merge_dv,
 }
 
 ORACLE = {
@@ -1631,6 +1698,35 @@ ORACLE = {
                round(sum(o_totalprice), 2) AS total_price,
                TRUE AS dv_invisible
         FROM allrows
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    # merge-on-read MERGE: the merged table is base with every 10th key
+    # replaced and the +1M keys appended; mor_equals_cow / files_all_carried
+    # TRUE encode the cross-strategy equality and the zero-rewrite claim
+    # the Spark side asserted before aggregating
+    "txn_merge_dv": """
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey <= 2000),
+        upd AS (
+          SELECT o_orderkey, o_custkey,
+                 99999.99 AS o_totalprice, 'U' AS o_orderstatus
+          FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+                 1.0 AS o_totalprice, 'N' AS o_orderstatus
+          FROM base WHERE o_orderkey <= 50),
+        merged AS (
+          SELECT * FROM base
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+          UNION ALL SELECT * FROM upd)
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               TRUE AS mor_equals_cow,
+               TRUE AS files_all_carried
+        FROM merged
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,

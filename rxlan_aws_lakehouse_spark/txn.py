@@ -1089,7 +1089,10 @@ class TxnTable:
                 # touching merge always writes a payload, so its absence
                 # proves every fresh file holds only inserts — derive them
                 bool(meta.get("cdf"))
-                and op in ("merge_upsert", "apply_cdc", "sync_full")
+                and op in (
+                    "merge_upsert", "merge_upsert_dv", "apply_cdc",
+                    "sync_full",
+                )
             ):
                 fresh = [
                     os.path.join(root, rel)
@@ -2272,6 +2275,179 @@ class TxnTable:
         try:
             # validation runs INSIDE the unpersist guard: a rejected batch
             # must not leak its cached blocks for the session's lifetime
+            if validate_keys:
+                validate()
+            return self._with_retries(attempt, max_retries)
+        finally:
+            updates.unpersist()
+
+    def merge_upsert_dv(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        merge_schema: bool = False,
+        max_retries: int = 2,
+        extra_meta: dict | None = None,
+        validate_keys: bool = True,
+    ) -> str:
+        """Merge-on-read MERGE (Delta's deletion-vector-enabled MERGE):
+        same SCD1 semantics as ``merge_upsert``, but instead of REWRITING
+        every file that holds a matched key, the matched rows' positions
+        are appended to the snapshot's deletion vector and the update set
+        lands as fresh files. Write cost is bounded by the DELTA —
+        O(|updates|) data bytes + O(|matched positions|) vector bytes —
+        regardless of how many multi-GB files the matches scatter across.
+
+        This is the fix for the copy-on-write pathology SCALING.md's r8
+        txn probe measured: a 10% every-10th-key upsert touches EVERY
+        file (the worst-case rewrite set, slope 2.43), so ``merge_upsert``
+        rewrites the whole table to change 10% of its rows. Here the same
+        upsert writes 10% data + a positions file, and reads pay one
+        anti-join until ``materialize_deletes`` (or any full rewrite)
+        folds the vector in — the standard MoR write/read trade.
+
+        Composes with a PENDING vector (unlike the copy-on-write writers,
+        which ``_require_no_dv``): matched-position discovery anti-joins
+        the existing vector first, so a key whose only physical row is
+        already deleted counts as an INSERT (and the CDF preimage never
+        resurrects dead rows); the committed vector is the union. Repeat
+        merges on the same key keep working because the previous merge's
+        appended file is a manifest data file — discovery scans it like
+        any other candidate and suppresses the stale copy.
+
+        Result-identical to ``merge_upsert`` on the same input (pinned by
+        the ``txn_merge_dv`` registry lane and pytest); chooses between
+        them by workload: scattered keys / wide files -> DV, clustered
+        keys on few files -> copy-on-write stays cheaper to read.
+        """
+        updates = updates.persist()
+
+        def validate() -> None:
+            dup = (
+                updates.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"updates contain duplicate merge keys, e.g. "
+                    f"{[dup[0][k] for k in keys]}; dedupe the update set "
+                    "or pass validate_keys=False"
+                )
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            target_schema = StructType.fromJson(self._meta(expect)["schema"])
+            out_cols = _evolved_columns(
+                target_schema, updates, merge_schema, "merge_upsert_dv",
+                generated=self._meta(expect).get("generated"),
+            )
+            update_keys = updates.select(*keys).distinct()
+            candidates = self._merge_candidates(expect, updates, keys)
+            old_dv_dir = self._dv_dir(expect)
+            has_old_dv = os.path.isdir(old_dv_dir)
+            matched = None
+            if candidates:
+                # Same file-skipping discovery as merge_upsert, but the
+                # scan keeps per-row positions (__rel/__ri) — the LIVE
+                # matched rows, post-existing-vector, become new vector
+                # entries instead of a rewrite set.
+                scan = self._scan_files(
+                    spark, expect, candidates, target_schema,
+                    meta_cols=True,
+                )
+                if has_old_dv:
+                    old = spark.read.parquet(old_dv_dir)
+                    scan = scan.join(
+                        old,
+                        (scan["__rel"] == old["rel"])
+                        & (scan["__ri"] == old["row_index"]),
+                        "left_anti",
+                    )
+                matched = scan.join(update_keys, keys, "leftsemi").persist()
+                if matched.limit(1).count() == 0:
+                    matched.unpersist()
+                    matched = None
+            try:
+                aux = None
+                if matched is not None:
+                    fresh_dv = matched.select(
+                        F.col("__rel").alias("rel"),
+                        F.col("__ri").alias("row_index"),
+                    )
+                    dv = fresh_dv
+                    if has_old_dv:
+                        dv = dv.unionByName(
+                            spark.read.parquet(old_dv_dir)
+                        ).distinct()
+                    # Row-level CDF, mirroring merge_upsert exactly: a
+                    # pure-insert merge writes no payload (fresh files ARE
+                    # the inserts); a matching one writes pre/post/insert
+                    # from frames already in hand.
+                    chg = None
+                    if self._meta(expect).get("cdf"):
+                        have = set(target_schema.fieldNames())
+                        pre = matched.drop("__rel", "__ri")
+                        for f in updates.schema.fields:
+                            if f.name not in have:
+                                pre = pre.withColumn(
+                                    f.name, F.lit(None).cast(f.dataType)
+                                )
+                        pre = pre.select(*out_cols)
+                        matched_keys = pre.select(*keys).distinct()
+                        post = updates.select(*out_cols).join(
+                            matched_keys, keys, "leftsemi"
+                        )
+                        ins = updates.select(*out_cols).join(
+                            matched_keys, keys, "left_anti"
+                        )
+                        chg = (
+                            pre.withColumn(
+                                _CHANGE_TYPE, F.lit("update_preimage")
+                            )
+                            .unionByName(
+                                post.withColumn(
+                                    _CHANGE_TYPE, F.lit("update_postimage")
+                                )
+                            )
+                            .unionByName(
+                                ins.withColumn(_CHANGE_TYPE, F.lit("insert"))
+                            )
+                        )
+
+                    def aux(staging: str, dv=dv, chg=chg) -> None:
+                        dv.coalesce(1).write.parquet(
+                            os.path.join(staging, _DV_DIR)
+                        )
+                        if chg is not None:
+                            chg.write.parquet(os.path.join(staging, _CDF_DIR))
+
+                # Nothing matched: plain append; commit's default DV
+                # carry-forward keeps any pending vector (aux is None).
+                carry = {
+                    rel: os.path.join(data_root, rel)
+                    for rel in self.files(expect)
+                }
+                return self.commit(
+                    updates.select(*out_cols),
+                    operation="merge_upsert_dv",
+                    carry_files=carry,
+                    carry_src=expect,
+                    expect_parent=expect,
+                    extra_meta=extra_meta,
+                    aux_writer=aux,
+                )
+            finally:
+                if matched is not None:
+                    matched.unpersist()
+
+        try:
             if validate_keys:
                 validate()
             return self._with_retries(attempt, max_retries)

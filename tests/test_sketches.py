@@ -133,6 +133,30 @@ class TestHistogramSketches:
         # each width-10 bin holds 5 even values; edges absorb the clamps
         assert h0[0] == 6 and h0[-1] == 6 and all(c == 5 for c in h0[1:-1])
         assert sum(rows["1"]["hist"]) == rows["1"]["n_rows"] == 50
+        # clamp observability (round 9): out-of-range mass is COUNTED,
+        # not silently folded into the edge bins alone
+        assert rows["0"]["clamped_low"] == 1
+        assert rows["0"]["clamped_high"] == 1
+        assert rows["1"]["clamped_low"] == rows["1"]["clamped_high"] == 0
+
+    def test_clamp_counts_sum_through_merge(self, spark):
+        df = self._df(spark).unionByName(
+            spark.createDataFrame(
+                [("0", -5.0), ("1", -6.0), ("0", 1e9), ("0", 100.0)],
+                "part string, v double",
+            )
+        ).withColumn("all", F.lit("x"))
+        sk = sketches.histogram_sketches(
+            df, "v", ["part", "all"], self.LO, self.HI, self.NB
+        )
+        merged = sketches.merge_histograms(sk, ["all"]).collect()[0]
+        assert merged["clamped_low"] == 2
+        assert merged["clamped_high"] == 2  # 1e9 and hi itself (range is [lo, hi))
+        assert merged["n_rows"] == 104
+        # legacy sketch tables without the clamp columns still merge
+        legacy = sk.drop("clamped_low", "clamped_high")
+        m2 = sketches.merge_histograms(legacy, ["all"]).collect()[0]
+        assert m2["n_rows"] == 104 and "clamped_low" not in m2.asDict()
 
     def test_merge_equals_direct_build_after_roundtrip(self, spark, tmp_path):
         df = self._df(spark)

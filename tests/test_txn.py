@@ -2342,3 +2342,178 @@ class TestGeneratedPartitions:
         got = t.read_pruned(spark, [("ts", ">", lit)]).count()
         want = t.read(spark).filter(F.col("ts") > F.lit(lit)).count()
         assert got == want
+
+
+# -- merge-on-read MERGE (deletion-vector-suppressed, round 9) ------------
+
+
+def test_merge_upsert_dv_equals_cow_and_rewrites_nothing(spark, tmp_path):
+    """merge_upsert_dv must produce the exact logical table merge_upsert
+    does on the same input, while carrying EVERY parent data file by
+    reference — write cost bounded by the delta, not the touch set."""
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    def base(path):
+        t = TxnTable(str(tmp_path / path))
+        t.commit(
+            spark.range(100).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 4).cast("string").alias("seg"),
+                (F.col("id") * 2.0).alias("v"),
+            ).repartition(4, "k")
+        )
+        return t
+
+    # every-10th-key scatter: the COW worst case (touches every file)
+    updates = spark.range(0, 120, 10).select(
+        F.col("id").alias("k"),
+        F.lit("upd").alias("seg"),
+        F.lit(-1.0).alias("v"),
+    )
+    cow, mor = base("cow"), base("mor")
+    parent_files = set(mor.files())
+    cow.merge_upsert(spark, updates, keys=["k"])
+    v = mor.merge_upsert_dv(spark, updates, keys=["k"])
+
+    want = {tuple(r) for r in cow.read(spark).collect()}
+    got = {tuple(r) for r in mor.read(spark).collect()}
+    assert got == want
+    # 100 originals - 10 matched + 12 updates = 102
+    assert len(got) == 102
+    # zero parent files rewritten: all carried into the new snapshot
+    assert parent_files <= set(mor.files(v))
+    assert mor.has_deletion_vectors(v)
+    # materialization folds the vector in without changing the answer
+    v2 = mor.materialize_deletes(spark)
+    assert not mor.has_deletion_vectors(v2)
+    assert {tuple(r) for r in mor.read(spark).collect()} == want
+
+
+def test_merge_upsert_dv_repeat_merges_latest_wins(spark, tmp_path):
+    """Successive DV-merges on the same key: discovery must suppress the
+    PREVIOUS merge's appended copy (it is a manifest data file like any
+    other), so exactly one physical live row per key survives."""
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(50).select(
+            F.col("id").alias("k"),
+            F.lit("base").alias("seg"),
+        ).repartition(4, "k")
+    )
+    for tag in ("one", "two", "three"):
+        t.merge_upsert_dv(
+            spark,
+            spark.createDataFrame([(7, tag)], "k long, seg string"),
+            keys=["k"],
+        )
+    got = t.read(spark).filter(F.col("k") == 7).collect()
+    assert [(r["k"], r["seg"]) for r in got] == [(7, "three")]
+    assert t.read(spark).count() == 50
+
+
+def test_merge_upsert_dv_composes_with_pending_vector(spark, tmp_path):
+    """A DV-merge on a table with a pending deferred-delete vector: the
+    deleted key counts as an INSERT (its only physical row is dead), the
+    other deletes stay applied, and nothing resurrects."""
+    t = _dv_table(spark, tmp_path)  # k in 0..99
+    t.delete_where_deferred(spark, F.col("k") < 10)
+    assert t.read(spark).count() == 90
+    t.merge_upsert_dv(
+        spark,
+        spark.createDataFrame(
+            [(5, "back", 0.0), (50, "upd", 0.0)],
+            "k long, seg string, v double",
+        ),
+        keys=["k"],
+    )
+    got = t.read(spark)
+    assert got.count() == 91  # 90 survivors - 1 replaced + 2 update rows
+    assert got.filter((F.col("k") == 5) & (F.col("seg") == "back")).count() == 1
+    assert got.filter((F.col("k") == 50) & (F.col("seg") == "upd")).count() == 1
+    assert got.filter((F.col("k") < 10) & (F.col("k") != 5)).count() == 0
+
+
+def test_merge_upsert_dv_pure_insert_carries_pending_vector(spark, tmp_path):
+    """No key matches: the merge degrades to an append and a pending
+    vector must carry forward (commit's default DV carry, aux is None)."""
+    t = _dv_table(spark, tmp_path)
+    t.delete_where_deferred(spark, F.col("k") < 10)
+    v = t.merge_upsert_dv(
+        spark,
+        spark.createDataFrame([(1000, "new", 0.0)], "k long, seg string, v double"),
+        keys=["k"],
+    )
+    assert t.has_deletion_vectors(v)
+    assert t.read(spark).count() == 91
+    assert t.read(spark).filter(F.col("k") < 10).count() == 0
+
+
+def test_merge_upsert_dv_schema_evolution(spark, tmp_path):
+    """merge_schema=True through the MoR path: carried files read the new
+    column as typed NULLs, fresh rows carry their values, earlier
+    snapshots keep the old schema."""
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(20).select(
+            F.col("id").alias("k"), F.lit("a").alias("seg")
+        ).repartition(2, "k")
+    )
+    v1 = t.current_version()
+    t.merge_upsert_dv(
+        spark,
+        spark.createDataFrame(
+            [(3, "upd", 9), (100, "new", 7)], "k long, seg string, extra int"
+        ),
+        keys=["k"],
+        merge_schema=True,
+    )
+    got = t.read(spark)
+    assert got.count() == 21
+    assert got.schema["extra"].dataType.simpleString() == "int"
+    assert got.filter(F.col("extra").isNotNull()).count() == 2
+    assert got.filter((F.col("k") == 3) & (F.col("extra") == 9)).count() == 1
+    assert "extra" not in t.read(spark, v1).columns
+
+
+def test_merge_upsert_dv_cdf_payload(spark, tmp_path):
+    """Row-level CDF parity with merge_upsert: matched keys emit
+    update_preimage/update_postimage, unmatched emit insert, and a row
+    whose only copy was already DV-deleted emits insert (never a
+    preimage of a dead row)."""
+    t = _dv_table(spark, tmp_path)
+    t.set_change_feed(spark, True)
+    t.delete_where_deferred(spark, F.col("k") == 5)
+    since = t.current_version()
+    t.merge_upsert_dv(
+        spark,
+        spark.createDataFrame(
+            [(5, "back", 0.0), (50, "upd", 0.0), (1000, "new", 0.0)],
+            "k long, seg string, v double",
+        ),
+        keys=["k"],
+    )
+    chg = t.read_row_changes(spark, since)
+    by_type = {
+        (r["k"], r["_change_type"]) for r in chg.collect()
+    }
+    assert (50, "update_preimage") in by_type
+    assert (50, "update_postimage") in by_type
+    assert (5, "insert") in by_type
+    assert (1000, "insert") in by_type
+    assert (5, "update_preimage") not in by_type
+
+
+def test_merge_upsert_dv_duplicate_keys_rejected(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge_upsert_dv(
+            spark,
+            spark.createDataFrame(
+                [(1, "a", 0.0), (1, "b", 0.0)], "k long, seg string, v double"
+            ),
+            keys=["k"],
+        )
