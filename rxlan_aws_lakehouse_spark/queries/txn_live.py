@@ -968,8 +968,9 @@ def txn_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch read THROUGH the registered ``format("txn")`` data source
     (sources/txn_source.py): orders land in a txn table partitioned by
     priority, a deferred DELETE leaves a deletion vector, and the query
-    reads back one priority through ``spark.read.format("txn")`` with
-    ``pushdown`` enabled — partition-dir pruning at plan time, the DV
+    reads back one priority through ``spark.read.format("txn")`` on the
+    DEFAULT path — pruning is on by default since round 9 (guarded by
+    ``pushdown_guard.py``): partition-dir pruning at plan time, the DV
     anti-applied executor-side, filters re-applied row-level. The
     pruning-effect claim rides the result: the pruned plan must touch
     fewer files than the snapshot holds. DuckDB recomputes the expected
@@ -990,7 +991,6 @@ def txn_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.delete_where_deferred(spark, F.col("o_orderkey") % 97 == 0)
         df = (
             spark.read.format("txn")
-            .option("pushdown", "true")
             .load(t.root)
             .filter(F.col("o_orderpriority") == "1-URGENT")
         )

@@ -20,18 +20,22 @@ Designed for the 100 TB cluster case, not just the API checkbox:
   recorded schema from ``_meta.json``; ``partitions()`` derives the file
   list from the sharded manifest. No directory listing, no parquet
   footer reads, no Spark job at plan time.
-* **Filter pushdown prunes FILES, not just rows — as an opt-in.** With
-  ``option("pushdown", "true")``, ``pushFilters`` translates Spark's
-  pushed predicates (=, <, <=, >, >=, IN on top-level columns) into the
-  manifest grammar: range stats prune by min/max, per-file bloom
-  filters prune point lookups even when every file's range spans the
-  key space, and partition-path predicates skip whole manifest
-  fragments unread. Every filter is also returned as unhandled, so
-  Spark re-applies it row-level — pruning is an IO bound, never the
-  correctness boundary (same contract as ``read_pruned``, txn.py).
-  Pruning is NOT the default because of a Spark 4.1 relation-level
-  cache that replays a filtered plan for filterless reuse of the same
-  ``load()`` — see `TxnSnapshotReader`.
+* **Filter pushdown prunes FILES, not just rows — ON BY DEFAULT.**
+  ``pushFilters`` translates Spark's pushed predicates (=, <, <=, >,
+  >=, IN on top-level columns) into the manifest grammar: range stats
+  prune by min/max, per-file bloom filters prune point lookups even
+  when every file's range spans the key space, and partition-path
+  predicates skip whole manifest fragments unread. Every filter is
+  also returned as unhandled, so Spark re-applies it row-level —
+  pruning is an IO bound, never the correctness boundary (same
+  contract as ``read_pruned``, txn.py). Spark 4.1's Python-source
+  relation cache has two measured wrong-answer modes (filtered-plan
+  replay on filterless reuse; intra-query aliasing when one relation
+  backs several scans) — ``register_txn_source`` installs the
+  driver-side guard (``pushdown_guard.py``) that defeats both, which
+  is what lets pruning default on (round 8 shipped it opt-in).
+  ``option("pushdown", "false")`` opts out to the query-independent
+  full-list reader.
 * **One InputPartition per data file**, carrying only strings — the
   executor side reads its file with pyarrow, reattaches
   ``key=value`` partition-path columns as typed constants, applies any
@@ -201,20 +205,15 @@ def _filter_triples(filters: list[Filter]):
 
 
 class TxnSnapshotReader(DataSourceReader):
-    """Batch reader over one pinned snapshot — every file, every query.
+    """Opt-out batch reader (``option("pushdown", "false")``) over one
+    pinned snapshot — every file, every query.
 
-    This default reader deliberately does NOT implement ``pushFilters``:
-    in Spark 4.1 the JVM side (`PythonDataSourceV2`) caches the last
-    planned read info per ``load()`` relation and reuses it for scans
-    that carry NO pushable filters WITHOUT re-calling Python — so a
-    pruning reader poisons the shared relation: after
-    ``df.filter(id == 500).count()``, a plain ``df.count()`` on the same
-    ``df`` silently reuses the single-file pruned partition list
-    (measured: 25 of 1000 rows). Filtered scans always re-plan and stay
-    correct; only filterless reuse under-reads, and no Python-side hook
-    runs on that path to intercept it. Correctness therefore demands a
-    query-independent plan by default; file skipping is an explicit
-    opt-in via ``option("pushdown", "true")`` (`TxnPruningReader`).
+    Deliberately does NOT implement ``pushFilters``: its plan is a pure
+    function of the snapshot, immune by construction to the Spark 4.1
+    relation-cache hazards (`pushdown_guard.py` for the catalogue). The
+    escape hatch for callers who bypass the guarded action surface
+    (raw ``_jdf`` calls, ``df.rdd``) or drive actions concurrently from
+    several threads over one shared relation with mixed filters.
     """
 
     def __init__(self, options, schema: StructType):
@@ -256,20 +255,21 @@ class TxnSnapshotReader(DataSourceReader):
 
 
 class TxnPruningReader(TxnSnapshotReader):
-    """Opt-in reader (``option("pushdown", "true")``) whose partition
-    list is manifest-pruned by the pushed predicates: range stats prune
-    by min/max, per-file blooms prune point lookups, partition-path
+    """DEFAULT reader (since round 9) whose partition list is
+    manifest-pruned by the pushed predicates: range stats prune by
+    min/max, per-file blooms prune point lookups, partition-path
     predicates skip whole manifest fragments unread. Every filter is
     reported unhandled, so Spark re-applies it row-level — pruning is an
     IO bound, never the correctness boundary (same contract as
     ``read_pruned``, txn.py).
 
-    Caveat (why this is not the default): reuse a pruned relation ONLY
-    for queries that keep their filters — see `TxnSnapshotReader` for
-    the Spark 4.1 filterless-reuse caching hazard. ETL reads of the
-    shape ``spark.read.format("txn").option("pushdown", "true")
-    .load(root).filter(...)`` — one relation, one query — get Delta-
-    style file skipping with none of the hazard.
+    Safe as the default ONLY together with the driver-side pushdown
+    guard ``register_txn_source`` installs: Spark 4.1 caches one read
+    info per relation, overwritten by every ``pushFilters`` and replayed
+    without calling Python for filterless scans — the guard resets that
+    cache before each wrapped action and disables pushdown for the one
+    action when a single relation backs several scans
+    (``pushdown_guard.py`` documents both measured failure modes).
     """
 
     def __init__(self, options, schema: StructType):
@@ -512,9 +512,14 @@ class TxnDataSource(DataSource):
         return schema
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        if str(self.options.get("pushdown", "false")).lower() == "true":
-            return TxnPruningReader(self.options, schema)
-        return TxnSnapshotReader(self.options, schema)
+        # Pruning is the DEFAULT since round 9: the driver-side pushdown
+        # guard installed by register_txn_source() (pushdown_guard.py)
+        # defeats the two Spark 4.1 relation-cache wrong-answer modes
+        # that forced round 8 to ship it opt-in. option("pushdown",
+        # "false") restores the query-independent full-list reader.
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return TxnSnapshotReader(self.options, schema)
+        return TxnPruningReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return TxnStreamReader(self.options, schema)
@@ -524,4 +529,12 @@ def register_txn_source(spark) -> None:
     # Python-source filter pushdown is gated off by default; without it
     # Spark refuses any reader that implements pushFilters.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # The guard is what makes default-on pruning safe: it resets the
+    # JVM-side per-relation read-info cache before every wrapped action
+    # (defeating filtered-plan replay on filterless reuse) and disables
+    # pushdown for the single action when one relation backs multiple
+    # scans (defeating intra-query cache aliasing). See pushdown_guard.py.
+    from .pushdown_guard import install_pushdown_guard
+
+    install_pushdown_guard()
     spark.dataSource.register(TxnDataSource)

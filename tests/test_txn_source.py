@@ -201,10 +201,13 @@ class TestBatchRead:
         assert all(r["tag"] == "fresh" for r in rows[10:])
 
     def test_no_pruning_state_leak_across_queries(self, spark, tmp_path):
-        # Spark reuses the reader instance across queries on one load()
-        # relation but only calls pushFilters on queries WITH filters; a
+        # THE default-pruning gate (round 9): Spark 4.1 caches the last
+        # planned read info per load() relation, overwrites it on every
+        # pushFilters, and replays it WITHOUT calling Python for scans
+        # with no pushable filters — so with pruning on by default, a
         # filterless re-count must not inherit the filtered query's file
-        # pruning (regression: returned 25/1000 before the consume-reset)
+        # pruning. The pushdown guard's per-action cache reset is what
+        # keeps this green (returned 125/1000 without it).
         tbl = _mk_table(spark, str(tmp_path))
         out = spark.read.format("txn").load(tbl.root)
         assert out.count() == 1000
@@ -500,3 +503,96 @@ class TestStreamChangeFeed:
         )
         with pytest.raises(Exception, match="no.*row-level change payload"):
             self._stream(spark, t, str(tmp_path))
+
+
+class TestPushdownGuard:
+    """Driver-side guard (sources/pushdown_guard.py) that makes
+    default-on pruning safe against Spark 4.1's Python-source
+    relation-cache wrong-answer modes. The raw-bug reproductions bypass
+    the guarded action surface via direct ``_jdf`` calls — the wrapped
+    methods never run there, so they document the underlying Spark
+    behavior the guard exists for, independent of install state."""
+
+    def _range_table(self, spark, tmp_path):
+        tbl = TxnTable(os.path.join(str(tmp_path), "t"))
+        df = spark.range(0, 1000).select(
+            F.col("id"), (F.col("id") * 3).alias("val")
+        )
+        # tight disjoint per-file id ranges -> range stats prune hard
+        tbl.commit(df.repartitionByRange(8, "id"), sort_within=["id"])
+        return tbl
+
+    def test_raw_spark_bug_filterless_reuse_bypassing_guard(
+        self, spark, tmp_path
+    ):
+        tbl = self._range_table(spark, tmp_path)
+        df = spark.read.format("txn").load(tbl.root)
+        assert df._jdf.count() == 1000
+        assert df.filter(F.col("id") > 990)._jdf.count() == 9
+        # the JVM replays the filtered query's pruned read info for the
+        # filterless scan without calling Python: the under-read is the
+        # Spark 4.1 bug itself (getOrCreateReadInfo caches, pushFilters
+        # overwrites). If a future Spark fixes it, this assert flips and
+        # the guard can be retired.
+        assert df._jdf.count() < 1000
+
+    def test_guarded_filterless_reuse_is_correct(self, spark, tmp_path):
+        tbl = self._range_table(spark, tmp_path)
+        df = spark.read.format("txn").load(tbl.root)  # pruning DEFAULT
+        assert df.count() == 1000
+        assert df.filter(F.col("id") > 990).count() == 9
+        assert df.count() == 1000  # guard reset defeats the replay
+        assert df.filter(F.col("id") < 10).count() == 10
+        assert len(df.collect()) == 1000
+
+    def test_guarded_intra_query_aliasing_union_and_join(
+        self, spark, tmp_path
+    ):
+        # one relation, two differently-filtered scans in ONE query: the
+        # shared cache slot would serve the last pushed plan to both
+        # batches (measured raw: union 9/19, join 0/10); the guard
+        # detects the duplicated relation and disables pushdown for just
+        # that action
+        tbl = self._range_table(spark, tmp_path)
+        df = spark.read.format("txn").load(tbl.root)
+        u = df.filter(F.col("id") < 10).unionAll(
+            df.filter(F.col("id") > 990)
+        )
+        assert u.count() == 19
+        assert len(u.collect()) == 19
+        a = df.filter(F.col("id") < 10).select(
+            (F.col("id") + 990).alias("k")
+        )
+        b = df.filter(F.col("id") > 989).select(F.col("id").alias("k"))
+        assert a.join(b, "k").count() == 10
+        # pushdown conf restored after the guarded action
+        assert (
+            spark.conf.get("spark.sql.python.filterPushdown.enabled")
+            == "true"
+        )
+
+    def test_guarded_write_path(self, spark, tmp_path):
+        tbl = self._range_table(spark, tmp_path)
+        df = spark.read.format("txn").load(tbl.root)
+        u = df.filter(F.col("id") < 10).unionAll(
+            df.filter(F.col("id") > 990)
+        )
+        out = str(tmp_path / "out")
+        u.write.parquet(out)  # DataFrameWriter surface is guarded too
+        assert spark.read.parquet(out).count() == 19
+
+    def test_default_reader_is_pruning(self, spark, tmp_path):
+        from rxlan_aws_lakehouse_spark.sources.txn_source import (
+            TxnDataSource,
+            TxnPruningReader,
+        )
+
+        tbl = self._range_table(spark, tmp_path)
+        ds = TxnDataSource({"path": tbl.root})
+        rd = ds.reader(ds.schema())
+        assert isinstance(rd, TxnPruningReader)
+        rd.pushFilters([GreaterThan(("id",), 990)])
+        assert len(rd.partitions()) < len(tbl.files())
+        # explicit opt-out restores the full-list reader
+        ds2 = TxnDataSource({"path": tbl.root, "pushdown": "false"})
+        assert not isinstance(ds2.reader(ds2.schema()), TxnPruningReader)
