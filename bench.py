@@ -67,6 +67,9 @@ HEADLINE = [
     "txn_full_sync",        # three-clause MERGE full-extract sync
     "txn_hidden_partitioning",  # generated dt=day(ts) + derived pruning
     "emb_index_incremental",    # stored ANN index refreshed at delta cost
+    # round-9 lanes:
+    "txn_merge_dv",          # deletion-vector merge-on-read MERGE
+    "streaming_replay_counts",  # replayable shard-log stream, 2-run drain
 ]
 
 # The original 13-query set (rounds 1-5): summed separately so

@@ -95,13 +95,35 @@ def autobits_probe(spark, sf_dir):
     }
 
 
+def _commit_write_cost(t, v) -> tuple[int, int]:
+    """(files_written, bytes_written) of one commit: its FRESH data files
+    plus any freshly-staged aux payload (_dv) — carried (hard-linked)
+    files cost nothing, which is the whole point being measured."""
+    meta = t._meta(v)
+    root = os.path.join(t.root, "_versions", v)
+    files, size = 0, 0
+    for info in meta["shards"].values():
+        for rel in info["fresh"]:
+            files += 1
+            size += os.path.getsize(os.path.join(root, rel))
+    dv = os.path.join(root, "_dv")
+    if os.path.isdir(dv):
+        for nme in os.listdir(dv):
+            p = os.path.join(dv, nme)
+            if os.path.isfile(p):
+                size += os.path.getsize(p)
+    return files, size
+
+
 def txn_scale_probe(spark, sf_dir):
     """The registry txn lanes pin small working sets (oracle determinism),
     so their flat sweep slopes prove overhead, not scaling. This probe
     runs the same OPERATIONS on the full customer table at each scale:
-    commit (partitioned), 10% merge_upsert, incremental change-feed agg
-    refresh over an append — the walls that must stay ~linear in table
-    size for the 100 TB claim."""
+    commit (partitioned), 10% merge_upsert (copy-on-write AND the round-9
+    deletion-vector merge-on-read path, with bytes-written for each — the
+    write-amplification evidence), incremental change-feed agg refresh
+    over an append — the walls that must stay ~linear in table size for
+    the 100 TB claim."""
     import shutil
     import tempfile
 
@@ -118,14 +140,29 @@ def txn_scale_probe(spark, sf_dir):
         n = cust.count()
         t = TxnTable(f"{work}/t")
         t0 = time.perf_counter()
-        t.commit(cust, partition_by=["c_mktsegment"])
+        base_v = t.commit(cust, partition_by=["c_mktsegment"])
         commit_wall = time.perf_counter() - t0
+        _, table_bytes = _commit_write_cost(t, base_v)
         updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
             "c_acctbal", F.col("c_acctbal") + F.lit(1.0)
         )
         t0 = time.perf_counter()
-        t.merge_upsert(spark, updates, keys=["c_custkey"])
+        cow_v = t.merge_upsert(spark, updates, keys=["c_custkey"])
         merge_wall = time.perf_counter() - t0
+        cow_files, cow_bytes = _commit_write_cost(t, cow_v)
+        # merge-on-read twin: same base, same scattered updates, write
+        # cost must be ∝ the delta (update rows + positions), not the
+        # touch set (which here is EVERY file)
+        t3 = TxnTable(f"{work}/t3")
+        t3.commit(cust, partition_by=["c_mktsegment"])
+        t0 = time.perf_counter()
+        mor_v = t3.merge_upsert_dv(spark, updates, keys=["c_custkey"])
+        merge_dv_wall = time.perf_counter() - t0
+        mor_files, mor_bytes = _commit_write_cost(t3, mor_v)
+        t0 = time.perf_counter()
+        mor_n = t3.read(spark).count()
+        merge_dv_read_wall = time.perf_counter() - t0
+        assert mor_n == n, (mor_n, n)
         t0 = time.perf_counter()
         got = t.read(spark).count()
         read_wall = time.perf_counter() - t0
@@ -149,8 +186,15 @@ def txn_scale_probe(spark, sf_dir):
         assert got_dv == t2.read(spark).count()
         return {
             "n_rows": n,
+            "table_mb": round(table_bytes / 1e6, 2),
             "commit_wall": round(commit_wall, 2),
             "merge_wall": round(merge_wall, 2),
+            "merge_files_written": cow_files,
+            "merge_mb_written": round(cow_bytes / 1e6, 2),
+            "merge_dv_wall": round(merge_dv_wall, 2),
+            "merge_dv_files_written": mor_files,
+            "merge_dv_mb_written": round(mor_bytes / 1e6, 2),
+            "merge_dv_read_wall": round(merge_dv_read_wall, 2),
             "read_wall": round(read_wall, 2),
             "dv_delete_wall": round(dv_delete_wall, 2),
             "dv_read_wall": round(dv_read_wall, 2),
@@ -161,13 +205,42 @@ def txn_scale_probe(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _ensure_sf10_customer(spark, sf1: str) -> str:
+    """Materialize a customer-only sf10 tier (1.5M rows) by replicating
+    the sf1 customer ten times with key shifts — the same bijection
+    make_sf1.py uses, scoped to the one table the txn probe needs. The
+    third decade of txn-op scaling evidence (r8 verdict task 6)."""
+    out = "/root/repo/.scratch/sf10cust"
+    dst = os.path.join(out, "customer.parquet")
+    if os.path.isdir(dst) or os.path.isfile(dst):
+        return out
+    from pyspark.sql import functions as F
+
+    from rxlan_aws_lakehouse_spark.catalog import load
+
+    os.makedirs(out, exist_ok=True)
+    cust = load(spark, sf1, "customer")
+    stride = cust.agg(F.max("c_custkey")).first()[0] + 1
+    copies = None
+    for i in range(10):
+        c = cust.withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(i * stride)
+        )
+        copies = c if copies is None else copies.unionByName(c)
+    copies.repartition(32).write.mode("overwrite").parquet(dst)
+    return out
+
+
 def main() -> None:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
     lanes = sys.argv[2:] or DEFAULT_LANES
     spark = get_spark("sf1-sweep")
     queries = entrymod.queries()
-    if lanes == ["txn_probe"]:
-        for sf_dir, tag in ((SF01, "sf0.1"), (sf1, "sf1")):
+    if lanes in (["txn_probe"], ["txn_probe10"]):
+        tiers = [(SF01, "sf0.1"), (sf1, "sf1")]
+        if lanes == ["txn_probe10"]:
+            tiers.append((_ensure_sf10_customer(spark, sf1), "sf10"))
+        for sf_dir, tag in tiers:
             print(
                 json.dumps({"txn_scale_" + tag: txn_scale_probe(spark, sf_dir)}),
                 flush=True,
