@@ -1443,6 +1443,94 @@ def txn_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_metadata_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables THROUGH the format (round 9): ``format("txn")``
+    with ``option("metadata", "history")`` — Delta DESCRIBE HISTORY /
+    Iceberg snapshots-table analogue, served manifest-only (no data file
+    opened; inspecting a 100 TB table costs KBs). Three commits with a
+    DETERMINISTIC layout (repartition by the partition column -> exactly
+    one file per partition directory per commit), so version ids,
+    operations, file counts and row counts all have a closed form DuckDB
+    recomputes from the fixture."""
+    from ..sources.txn_source import register_txn_source
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="txn_meta_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        base = orders.filter(F.col("o_orderkey") <= 2000)
+        app = orders.filter(
+            (F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 2400)
+        )
+        t.commit(
+            base.repartition("o_orderpriority"),
+            partition_by=["o_orderpriority"],
+        )
+        t.append(app.repartition("o_orderpriority"))
+        t.append(
+            app.select(
+                (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("9-SYNTH").alias("o_orderpriority"),
+            ).repartition("o_orderpriority")
+        )
+        out = (
+            spark.read.format("txn")
+            .option("metadata", "history")
+            .load(t.root)
+            .select(
+                "version", "operation", "n_files", "n_files_written",
+                "n_rows",
+            )
+            .orderBy("version")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def txn_metadata_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``option("metadata", "partitions")`` — Iceberg partitions-table
+    analogue: per-partition file counts and row counts rolled up from the
+    manifest alone. Same deterministic one-file-per-partition-per-commit
+    layout as the history lane; DuckDB recomputes the rollup from the
+    fixture."""
+    from ..sources.txn_source import register_txn_source
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="txn_metap_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        t.commit(
+            orders.filter(F.col("o_orderkey") <= 2000)
+            .repartition("o_orderpriority"),
+            partition_by=["o_orderpriority"],
+        )
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") > 2000)
+                & (F.col("o_orderkey") <= 2400)
+            ).repartition("o_orderpriority")
+        )
+        out = (
+            spark.read.format("txn")
+            .option("metadata", "partitions")
+            .load(t.root)
+            .orderBy("partition")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -1470,6 +1558,8 @@ QUERIES = {
     "txn_source_stream_cdf": txn_source_stream_cdf,
     "txn_hidden_partitioning": txn_hidden_partitioning,
     "txn_merge_dv": txn_merge_dv,
+    "txn_metadata_history": txn_metadata_history,
+    "txn_metadata_partitions": txn_metadata_partitions,
 }
 
 ORACLE = {
@@ -1700,6 +1790,48 @@ ORACLE = {
         FROM allrows
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
+    """,
+    # metadata tables: the deterministic one-file-per-partition-per-commit
+    # layout makes version ids, ops, file and row counts closed forms
+    "txn_metadata_history": """
+        WITH base AS (
+          SELECT o_orderpriority FROM orders WHERE o_orderkey <= 2000),
+        app AS (
+          SELECT o_orderpriority FROM orders
+          WHERE o_orderkey > 2000 AND o_orderkey <= 2400),
+        b AS (SELECT CAST(count(DISTINCT o_orderpriority) AS INT) AS f,
+                     count(*) AS n FROM base),
+        a AS (SELECT CAST(count(DISTINCT o_orderpriority) AS INT) AS f,
+                     count(*) AS n FROM app)
+        SELECT * FROM (
+          SELECT 'v00000001' AS version, 'overwrite' AS operation,
+                 b.f AS n_files, b.f AS n_files_written,
+                 CAST(b.n AS BIGINT) AS n_rows
+          FROM b
+          UNION ALL
+          SELECT 'v00000002', 'append', b.f + a.f, a.f,
+                 CAST(b.n + a.n AS BIGINT)
+          FROM b, a
+          UNION ALL
+          SELECT 'v00000003', 'append', b.f + a.f + 1, 1,
+                 CAST(b.n + 2 * a.n AS BIGINT)
+          FROM b, a
+        ) ORDER BY version
+    """,
+    "txn_metadata_partitions": """
+        WITH pres AS (
+          SELECT o_orderpriority AS p,
+                 max(CASE WHEN o_orderkey <= 2000 THEN 1 ELSE 0 END)
+                   AS in_base,
+                 max(CASE WHEN o_orderkey > 2000 AND o_orderkey <= 2400
+                     THEN 1 ELSE 0 END) AS in_app,
+                 count(*) AS rows_all
+          FROM orders WHERE o_orderkey <= 2400
+          GROUP BY 1)
+        SELECT 'o_orderpriority=' || p AS "partition",
+               CAST(in_base + in_app AS BIGINT) AS n_files,
+               CAST(rows_all AS BIGINT) AS "rows"
+        FROM pres ORDER BY "partition"
     """,
     # merge-on-read MERGE: the merged table is base with every 10th key
     # replaced and the +1M keys appended; mor_equals_cow / files_all_carried

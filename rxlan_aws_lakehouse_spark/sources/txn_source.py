@@ -485,6 +485,97 @@ class TxnStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _MetaPartition(InputPartition):
+    """Metadata-table read: everything resolves from the manifest on the
+    executor — rows are never data-file reads."""
+
+    root: str
+    version: str
+    kind: str  # history | files | partitions
+
+
+_META_SCHEMAS = {
+    # Delta DESCRIBE HISTORY / Iceberg snapshots-table analogue, from the
+    # published lineage (what a reader could ever have observed)
+    "history": (
+        "version string, parent string, operation string, "
+        "n_files int, n_files_written int, n_rows bigint"
+    ),
+    # Iceberg files-table analogue: one row per data file of the snapshot
+    "files": "rel string, bytes bigint, rows bigint, partition string",
+    # Iceberg partitions-table analogue: manifest rollup per partition dir
+    "partitions": "partition string, n_files bigint, rows bigint",
+}
+
+
+def _meta_rows(part: _MetaPartition):
+    t = TxnTable(part.root)
+
+    def part_of(rel: str) -> str:
+        return os.sep.join(
+            seg for seg in rel.split(os.sep)[:-1] if "=" in seg
+        )
+
+    if part.kind == "history":
+        for meta in reversed(t.lineage()):  # oldest first
+            entries = t.file_entries(meta["version"])
+            yield (
+                meta["version"],
+                meta.get("parent"),
+                meta.get("operation"),
+                int(meta.get("n_files", len(entries))),
+                int(meta.get("n_files_written", 0)),
+                sum(int(e.get("rows", 0)) for e in entries.values()),
+            )
+    elif part.kind == "files":
+        for rel, e in sorted(t.file_entries(part.version).items()):
+            yield (
+                rel,
+                int(e.get("bytes", 0)),
+                int(e.get("rows", 0)),
+                part_of(rel),
+            )
+    else:  # partitions
+        agg: dict[str, list[int]] = {}
+        for rel, e in t.file_entries(part.version).items():
+            a = agg.setdefault(part_of(rel), [0, 0])
+            a[0] += 1
+            a[1] += int(e.get("rows", 0))
+        for p in sorted(agg):
+            yield (p, agg[p][0], agg[p][1])
+
+
+class TxnMetadataReader(DataSourceReader):
+    """``option("metadata", "history"|"files"|"partitions")``: the table's
+    own metadata AS a DataFrame (Delta DESCRIBE HISTORY / Iceberg
+    metadata-table analogue), served manifest-only — no data file is ever
+    opened, so inspecting a 100 TB table costs KBs of manifest IO. Note
+    row counts intentionally count DV-suppressed rows (they are physically
+    present; the manifest is conservative for pruning — same contract as
+    ``delete_where_deferred``)."""
+
+    def __init__(self, options):
+        self._root = options["path"]
+        self._kind = str(options["metadata"]).lower()
+        if self._kind not in _META_SCHEMAS:
+            raise ValueError(
+                f"metadata must be one of {sorted(_META_SCHEMAS)}, "
+                f"got {self._kind!r}"
+            )
+        self._version = _resolve_version(TxnTable(self._root), options)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _MetaPartition(
+                root=self._root, version=self._version, kind=self._kind
+            )
+        ]
+
+    def read(self, partition: _MetaPartition):
+        yield from _meta_rows(partition)
+
+
 class TxnDataSource(DataSource):
     """``format("txn")``: txn snapshot tables for batch and streaming."""
 
@@ -493,6 +584,17 @@ class TxnDataSource(DataSource):
         return "txn"
 
     def schema(self) -> StructType:
+        meta_kind = self.options.get("metadata")
+        if meta_kind is not None:
+            kind = str(meta_kind).lower()
+            if kind not in _META_SCHEMAS:
+                raise ValueError(
+                    f"metadata must be one of {sorted(_META_SCHEMAS)}, "
+                    f"got {kind!r}"
+                )
+            # a DDL string — schema() runs in a worker with no active
+            # SparkContext, so it cannot parse to StructType itself
+            return _META_SCHEMAS[kind]
         table = TxnTable(self.options["path"])
         v = _resolve_version(table, self.options)
         schema = StructType.fromJson(table._meta(v)["schema"])
@@ -512,6 +614,8 @@ class TxnDataSource(DataSource):
         return schema
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self.options.get("metadata") is not None:
+            return TxnMetadataReader(self.options)
         # Pruning is the DEFAULT since round 9: the driver-side pushdown
         # guard installed by register_txn_source() (pushdown_guard.py)
         # defeats the two Spark 4.1 relation-cache wrong-answer modes

@@ -596,3 +596,72 @@ class TestPushdownGuard:
         # explicit opt-out restores the full-list reader
         ds2 = TxnDataSource({"path": tbl.root, "pushdown": "false"})
         assert not isinstance(ds2.reader(ds2.schema()), TxnPruningReader)
+
+
+class TestMetadataTables:
+    """option("metadata", ...) — table metadata AS DataFrames, served
+    manifest-only (Delta DESCRIBE HISTORY / Iceberg metadata tables)."""
+
+    def _tbl(self, spark, tmp_path):
+        tbl = TxnTable(os.path.join(str(tmp_path), "t"))
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 4).cast("string").alias("part")
+        )
+        tbl.commit(df.repartition("part"), partition_by=["part"])
+        tbl.append(
+            spark.range(100, 120).select(
+                F.col("id"), F.lit("9").alias("part")
+            ).repartition("part")
+        )
+        return tbl
+
+    def test_history(self, spark, tmp_path):
+        tbl = self._tbl(spark, tmp_path)
+        h = (
+            spark.read.format("txn")
+            .option("metadata", "history")
+            .load(tbl.root)
+            .orderBy("version")
+            .collect()
+        )
+        assert [(r["version"], r["operation"], r["n_rows"]) for r in h] == [
+            ("v00000001", "overwrite", 100),
+            ("v00000002", "append", 120),
+        ]
+        assert h[1]["n_files_written"] == 1  # one fresh partition dir
+
+    def test_files_and_partitions(self, spark, tmp_path):
+        tbl = self._tbl(spark, tmp_path)
+        f = (
+            spark.read.format("txn")
+            .option("metadata", "files")
+            .load(tbl.root)
+        )
+        assert f.agg(F.sum("rows")).first()[0] == 120
+        assert f.count() == len(tbl.files())
+        assert f.filter(F.col("bytes") <= 0).count() == 0
+        p = (
+            spark.read.format("txn")
+            .option("metadata", "partitions")
+            .load(tbl.root)
+            .orderBy("partition")
+            .collect()
+        )
+        assert [r["partition"] for r in p] == [
+            f"part={i}" for i in (0, 1, 2, 3, 9)
+        ]
+        assert sum(r["rows"] for r in p) == 120
+
+    def test_version_pinning_and_bad_kind(self, spark, tmp_path):
+        tbl = self._tbl(spark, tmp_path)
+        f1 = (
+            spark.read.format("txn")
+            .option("metadata", "files")
+            .option("version", 1)
+            .load(tbl.root)
+        )
+        assert f1.agg(F.sum("rows")).first()[0] == 100
+        with pytest.raises(Exception, match="metadata must be one of"):
+            spark.read.format("txn").option(
+                "metadata", "nope"
+            ).load(tbl.root).collect()
