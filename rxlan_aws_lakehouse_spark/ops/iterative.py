@@ -134,3 +134,53 @@ def connected_components(
             "(graph diameter exceeds the budget); raise max_iter"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table; returns
+    (node, rank). The simplified textbook recurrence
+    ``r' = (1-d)/N + d * Σ r(in-neighbor)/outdeg(in-neighbor)`` —
+    dangling-node mass is dropped, not redistributed (feed symmetric
+    edges if every node should keep out-degree), which keeps the
+    per-iteration step a pure join+aggregate an independent engine can
+    reproduce exactly (the oracle unrolls the same K iterations in SQL).
+
+    Scale shape: the rank vector and degree table stay DISTRIBUTED,
+    keyed by node; each iteration is one join-shuffle + one aggregate
+    shuffle on node id (the same exchange pattern GraphX's Pregel uses),
+    with lineage truncated per round — K iterations cost K bounded
+    rounds, no driver-side state beyond the node count scalar."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(outdeg, src)
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)  # O(1) plan depth
+    return ranks

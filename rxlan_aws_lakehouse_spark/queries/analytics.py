@@ -357,6 +357,45 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer–supplier trade graph (round 9,
+    ``ops/iterative.py:pagerank``): distinct (customer, supplier) pairs
+    from orders⋈lineitem become SYMMETRIC edges (so no dangling mass),
+    then three fixed Pregel-shaped iterations — each one join-shuffle +
+    one aggregate shuffle on node id, lineage truncated per round. The
+    oracle UNROLLS the same three iterations in SQL, so this is that
+    rare thing: an iterative distributed algorithm under an exact
+    value-hash gate (supplier ranks, rounded past summation-order
+    noise)."""
+    from ..ops.iterative import pagerank
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iters=3)
+    return (
+        pr.filter(F.col("node").startswith("s"))
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
+
+
 QUERIES = {
     "sketch_hll_rollup": sketch_hll_rollup,
     "sketch_quantile_rollup": sketch_quantile_rollup,
@@ -367,9 +406,52 @@ QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "events_trend_regr": events_trend_regr,
     "events_gapfill_hourly": events_gapfill_hourly,
+    "graph_pagerank": graph_pagerank,
 }
 
 ORACLE = {
+
+    # three PageRank iterations unrolled: identical recurrence, identical
+    # symmetric edge set; round(., 6) absorbs summation-order noise
+    "graph_pagerank": """
+        WITH raw AS (
+          SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderkey <= 2000),
+        e AS (SELECT src, dst FROM raw
+              UNION ALL SELECT dst, src FROM raw),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        s1 AS (SELECT e.dst AS node, sum(r0.rank / deg.deg) AS s
+               FROM e JOIN r0 ON e.src = r0.node
+                      JOIN deg ON e.src = deg.src
+               GROUP BY 1),
+        r1 AS (SELECT nodes.node,
+                      0.15 / (SELECT n FROM nn)
+                      + 0.85 * coalesce(s1.s, 0) AS rank
+               FROM nodes LEFT JOIN s1 USING (node)),
+        s2 AS (SELECT e.dst AS node, sum(r1.rank / deg.deg) AS s
+               FROM e JOIN r1 ON e.src = r1.node
+                      JOIN deg ON e.src = deg.src
+               GROUP BY 1),
+        r2 AS (SELECT nodes.node,
+                      0.15 / (SELECT n FROM nn)
+                      + 0.85 * coalesce(s2.s, 0) AS rank
+               FROM nodes LEFT JOIN s2 USING (node)),
+        s3 AS (SELECT e.dst AS node, sum(r2.rank / deg.deg) AS s
+               FROM e JOIN r2 ON e.src = r2.node
+                      JOIN deg ON e.src = deg.src
+               GROUP BY 1),
+        r3 AS (SELECT nodes.node,
+                      0.15 / (SELECT n FROM nn)
+                      + 0.85 * coalesce(s3.s, 0) AS rank
+               FROM nodes LEFT JOIN s3 USING (node))
+        SELECT node, round(rank, 6) AS rank
+        FROM r3 WHERE node LIKE 's%' ORDER BY node
+    """,
     # mergeable histogram quantiles, reproduced EXACTLY: same 256-bin
     # equi-width histogram over [0, 120000), same crossing-bin linear
     # interpolation (min_by picks the first bin whose cumulative count

@@ -578,6 +578,61 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model quality score (the KenLM-
+    style fluency gate of a training-data pipeline, with no external
+    model): add-one-smoothed bigram probabilities are TRAINED on the full
+    corpus — one explode + two hash aggregates, shuffling (w1, w2) pairs,
+    never documents — and each document is scored by the mean
+    ``P(w2 | w1) = (c(w1,w2) + 1) / (c(w1·) + V)`` over its bigrams.
+    Degenerate/templated text scores high, token-salad scores near 1/V.
+
+    Scale shape: counts live in two aggregate tables ∝ vocabulary (not
+    corpus) size; the scoring join is a key shuffle AQE converts to
+    broadcast while the model fits — at 100 TB you'd cap the bigram
+    table to the top-M frequent entries (the standard KenLM prune) and
+    the plan is unchanged. Probabilities stay RATIONAL (no log), so the
+    DuckDB oracle reproduces the arithmetic exactly up to summation
+    order, absorbed by round(·, 4). Output restricted to doc_id < 300
+    for a bounded result; training always uses the whole corpus."""
+    d = load(spark, sf_dir, "documents")
+    dt = d.select("doc_id", dd.tokens(F.col("text")).alias("ts"))
+    big = dt.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(ts, 1, greatest(size(ts) - 1, 0))"),
+                F.expr("slice(ts, 2, greatest(size(ts) - 1, 0))"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cw = cb.groupBy("w1").agg(F.sum("c").alias("cc"))
+    v = (
+        d.select(F.explode(dd.tokens(F.col("text"))).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    return (
+        big.join(cb, ["w1", "w2"])
+        .join(cw, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    (F.col("c") + F.lit(1.0))
+                    / (F.col("cc") + F.col("v"))
+                ),
+                4,
+            ).alias("lm_score"),
+        )
+        .filter(F.col("doc_id") < 300)
+        .orderBy("doc_id")
+    )
+
+
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination detection — the canonical pretraining
     hygiene job: find held-out documents (doc_id % 5 == 0 stands in for the
@@ -1421,6 +1476,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_bpe_tokens": text_bpe_tokens,
     "text_repetition": text_repetition,
+    "text_ngram_lm_score": text_ngram_lm_score,
     "text_oov_rate": text_oov_rate,
     "text_pii_scan": text_pii_scan,
     "text_pii_redact": text_pii_redact,
@@ -2300,6 +2356,28 @@ def _build_oracle() -> dict[str, str]:
                         THEN round(1 - CAST(n_uniq_shingles AS DOUBLE) / n_shingles, 4)
                         ELSE 0.0 END AS shingle_rep_ratio
             FROM tok_stats t JOIN sh USING (doc_id)
+        """,
+        "text_ngram_lm_score": f"""
+            WITH dt AS (SELECT doc_id, {toks} AS ts FROM documents),
+            big AS (
+              SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+              FROM dt, UNNEST(range(1, length(ts))) AS r(i)
+            ),
+            cb AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+            cw AS (SELECT w1, sum(c) AS cc FROM cb GROUP BY 1),
+            v AS (
+              SELECT count(DISTINCT t) AS v
+              FROM (SELECT unnest({toks}) AS t FROM documents)
+            ),
+            scored AS (
+              SELECT b.doc_id,
+                     avg((cb.c + 1.0) / (cw.cc + v.v)) AS s,
+                     count(*) AS nb
+              FROM big b JOIN cb USING (w1, w2) JOIN cw USING (w1), v
+              GROUP BY 1)
+            SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+                   round(s, 4) AS lm_score
+            FROM scored WHERE doc_id < 300 ORDER BY doc_id
         """,
         "text_oov_rate": f"""
             WITH toks AS (

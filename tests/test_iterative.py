@@ -83,3 +83,39 @@ def test_kmeans_assignments_match_returned_centroids(spark):
     for vid, lbl in labels.items():
         d = [sum((a - b) ** 2 for a, b in zip(vecs[vid], c)) for c in centroids]
         assert d[lbl] == min(d), (vid, lbl, d)
+
+
+def test_pagerank_known_graph(spark):
+    """Star graph, symmetric edges: hub 1 <-> leaves 2,3,4. Closed form
+    after convergence-ish iterations: hub rank ≈ 3x a leaf's. With d=0.85,
+    N=4: leaf sends all rank to hub, hub splits over 3 leaves. Verify the
+    exact 2-iteration recurrence by hand."""
+    from rxlan_aws_lakehouse_spark.ops.iterative import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 1)],
+        "src int, dst int",
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iters=2).collect()}
+    # iter1: hub = 0.15/4 + 0.85*(3 * 0.25/1) = 0.675; leaf = 0.0375 + 0.85*(0.25/3)
+    leaf1 = 0.15 / 4 + 0.85 * (0.25 / 3)
+    hub1 = 0.15 / 4 + 0.85 * (3 * 0.25)
+    # iter2: hub gets all three leaves' rank; each leaf gets hub1/3
+    hub2 = 0.15 / 4 + 0.85 * (3 * leaf1)
+    leaf2 = 0.15 / 4 + 0.85 * (hub1 / 3)
+    assert abs(pr[1] - hub2) < 1e-12
+    for n in (2, 3, 4):
+        assert abs(pr[n] - leaf2) < 1e-12
+    # total mass conserved on a symmetric (dangling-free) graph
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_drops_mass(spark):
+    """Documented semantics: a node with no out-edges drops its mass
+    (simplified recurrence) — total rank < 1 on an asymmetric chain."""
+    from rxlan_aws_lakehouse_spark.ops.iterative import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert sum(pr.values()) < 1.0
+    assert pr[3] > pr[2] > 0  # downstream accumulates
