@@ -1461,9 +1461,11 @@ def txn_metadata_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = load(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice", "o_orderpriority"
         )
-        base = orders.filter(F.col("o_orderkey") <= 2000)
+        # bounds chosen non-empty at EVERY shipped sf (keys are dense
+        # from 1, so sf0.001's 1500 orders still populate both slices)
+        base = orders.filter(F.col("o_orderkey") <= 1000)
         app = orders.filter(
-            (F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 2400)
+            (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1400)
         )
         t.commit(
             base.repartition("o_orderpriority"),
@@ -1531,6 +1533,55 @@ def txn_metadata_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes THROUGH ``df.write.format("txn")`` (round 9): a partitioned
+    table is CREATED by the DSv2 batch writer (executors stage Arrow
+    batches, the driver-side commit assembles the manifest with no
+    SparkSession — ``TxnTable.commit_staged``), an append lands through
+    the same path, and the read-back — also through the format — must
+    equal the plain fixture SQL. ``ops_ok`` pins that the commit log
+    recorded exactly [overwrite, append] with fresh files on both."""
+    from ..sources.txn_source import register_txn_source
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="txn_writer_")
+    try:
+        root = f"{work}/t"
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        orders.filter(F.col("o_orderkey") <= 1000).repartition(
+            "o_orderpriority"
+        ).write.format("txn").option(
+            "partitionBy", "o_orderpriority"
+        ).mode("overwrite").save(root)
+        # slice non-empty at every shipped sf (dense keys from 1)
+        orders.filter(
+            (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1400)
+        ).repartition("o_orderpriority").write.format("txn").mode(
+            "append"
+        ).save(root)
+        hist = TxnTable(root).history()
+        ops_ok = [m["operation"] for m in hist] == [
+            "overwrite", "append",
+        ] and all(m["n_files_written"] > 0 for m in hist)
+        out = (
+            spark.read.format("txn")
+            .load(root)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .withColumn("ops_ok", F.lit(bool(ops_ok)))
+            .orderBy("o_orderpriority")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -1560,9 +1611,23 @@ QUERIES = {
     "txn_merge_dv": txn_merge_dv,
     "txn_metadata_history": txn_metadata_history,
     "txn_metadata_partitions": txn_metadata_partitions,
+    "txn_writer_roundtrip": txn_writer_roundtrip,
 }
 
 ORACLE = {
+    # DSv2 writer roundtrip: created + appended through the format, so
+    # the final table is simply the o_orderkey <= 2400 slice; ops_ok TRUE
+    # encodes the commit-log shape the Spark side asserted
+    "txn_writer_roundtrip": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               TRUE AS ops_ok
+        FROM orders
+        WHERE o_orderkey <= 1400
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     # format("txn") batch read: the URGENT partition after the deferred
     # delete (o_orderkey % 97 == 0 rows suppressed by the deletion
     # vector); files_pruned TRUE encodes the plan-level pruning effect
@@ -1795,10 +1860,10 @@ ORACLE = {
     # layout makes version ids, ops, file and row counts closed forms
     "txn_metadata_history": """
         WITH base AS (
-          SELECT o_orderpriority FROM orders WHERE o_orderkey <= 2000),
+          SELECT o_orderpriority FROM orders WHERE o_orderkey <= 1000),
         app AS (
           SELECT o_orderpriority FROM orders
-          WHERE o_orderkey > 2000 AND o_orderkey <= 2400),
+          WHERE o_orderkey > 1000 AND o_orderkey <= 1400),
         b AS (SELECT CAST(count(DISTINCT o_orderpriority) AS INT) AS f,
                      count(*) AS n FROM base),
         a AS (SELECT CAST(count(DISTINCT o_orderpriority) AS INT) AS f,

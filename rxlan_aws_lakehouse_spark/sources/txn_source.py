@@ -61,12 +61,14 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualNullSafe,
@@ -78,6 +80,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -576,6 +579,163 @@ class TxnMetadataReader(DataSourceReader):
         yield from _meta_rows(partition)
 
 
+@dataclass
+class _TxnWriteResult(WriterCommitMessage):
+    task_dir: str
+    n_rows: int
+
+
+class TxnBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("txn").mode("append"|"overwrite").save(root)``:
+    exactly-once distributed writes through the format.
+
+    The DSv2 write protocol maps one-to-one onto the txn store's
+    staging+rename design: each executor task streams its Arrow batches
+    into its OWN staging subdir (``write``), and the single driver-side
+    ``commit`` merges the task outputs by hard link and publishes them
+    through ``TxnTable.commit_staged`` — per-file stats, sharded
+    manifest, carry-by-reference of every parent file on append, CAS
+    pointer swap with optimistic retry. A failed job never publishes:
+    ``abort`` discards the staging tree, and a crash between rename and
+    pointer swap leaves an unreferenced slot, the same crash contract as
+    the library writers.
+
+    Partitioned tables write their spec's hive layout via pyarrow's
+    ``write_to_dataset`` (one file per partition value per task); a new
+    table takes ``option("partitionBy", "a,b")``. Tables with CHECK
+    constraints or generated partition columns are refused AT PLAN TIME
+    (enforcement needs a session — use the library API); appends
+    validate the incoming schema against the recorded one, also at plan
+    time."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self._root = options["path"]
+        self._overwrite = overwrite
+        self._schema = schema
+        t = TxnTable(self._root)
+        cur = t.current_version()
+        if cur is not None:
+            meta = t._meta(cur)
+            self._partition_by = list(meta.get("partition_by") or [])
+            if meta.get("constraints"):
+                raise ValueError(
+                    "format('txn') writes cannot enforce CHECK "
+                    "constraints; use the library write path"
+                )
+            if meta.get("generated"):
+                raise ValueError(
+                    "format('txn') writes cannot derive generated "
+                    "partition columns; use the library write path"
+                )
+            if not overwrite:
+                recorded = StructType.fromJson(meta["schema"])
+                mine = {
+                    (f.name, f.dataType.simpleString())
+                    for f in schema.fields
+                }
+                theirs = {
+                    (f.name, f.dataType.simpleString())
+                    for f in recorded.fields
+                }
+                if mine != theirs:
+                    raise ValueError(
+                        f"append schema mismatch: incoming {sorted(mine)} "
+                        f"vs table {sorted(theirs)}"
+                    )
+        else:
+            pb = str(options.get("partitionBy", "") or "")
+            self._partition_by = [c for c in pb.split(",") if c]
+        missing = [
+            c for c in self._partition_by if c not in schema.fieldNames()
+        ]
+        if missing:
+            raise ValueError(
+                f"partition columns {missing} absent from the written "
+                "dataframe"
+            )
+        # Orphan sweep: a JOB-level failure can skip abort() (observed:
+        # the Python DSv2 abort hook does not fire on task failures), so
+        # a dead write may leave its dot-prefixed staging tree behind —
+        # invisible to every reader (underscore/dot dirs are skipped),
+        # but litter. Each new writer sweeps stages old enough that no
+        # live write can own them.
+        import shutil
+        import time as _time
+
+        try:
+            for d in os.listdir(self._root):
+                if not d.startswith(".wstage-"):
+                    continue
+                p = os.path.join(self._root, d)
+                if _time.time() - os.path.getmtime(p) > 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+        self._stage = os.path.join(
+            self._root, f".wstage-{uuid.uuid4().hex}"
+        )
+
+    def write(self, iterator) -> _TxnWriteResult:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        task = uuid.uuid4().hex
+        tdir = os.path.join(self._stage, f"task-{task}")
+        os.makedirs(tdir, exist_ok=True)
+        batches = list(iterator)
+        n = sum(b.num_rows for b in batches)
+        if n == 0:
+            return _TxnWriteResult(task_dir=tdir, n_rows=0)
+        tbl = pa.Table.from_batches(batches)
+        if self._partition_by:
+            pq.write_to_dataset(
+                tbl,
+                tdir,
+                partition_cols=self._partition_by,
+                basename_template=f"part-{task}-{{i}}.parquet",
+            )
+        else:
+            pq.write_table(
+                tbl, os.path.join(tdir, f"part-{task}.parquet")
+            )
+        return _TxnWriteResult(task_dir=tdir, n_rows=n)
+
+    def commit(self, messages) -> None:
+        merged = os.path.join(self._stage, "_merged")
+        os.makedirs(merged, exist_ok=True)
+        try:
+            for msg in messages:
+                if msg is None:
+                    continue
+                tdir = msg.task_dir
+                if not os.path.isdir(tdir):
+                    continue
+                for r, _d, ns in os.walk(tdir):
+                    for nme in ns:
+                        if not nme.endswith(".parquet"):
+                            continue
+                        src = os.path.join(r, nme)
+                        rel = os.path.relpath(src, tdir)
+                        dst = os.path.join(merged, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.link(src, dst)
+            TxnTable(self._root).commit_staged(
+                merged,
+                overwrite=self._overwrite,
+                schema=self._schema,
+                partition_by=self._partition_by or None,
+            )
+        finally:
+            import shutil
+
+            shutil.rmtree(self._stage, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._stage, ignore_errors=True)
+
+
 class TxnDataSource(DataSource):
     """``format("txn")``: txn snapshot tables for batch and streaming."""
 
@@ -624,6 +784,9 @@ class TxnDataSource(DataSource):
         if str(self.options.get("pushdown", "true")).lower() == "false":
             return TxnSnapshotReader(self.options, schema)
         return TxnPruningReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return TxnBatchWriter(self.options, schema, overwrite)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return TxnStreamReader(self.options, schema)

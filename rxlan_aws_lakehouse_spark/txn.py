@@ -1765,8 +1765,6 @@ class TxnTable:
         writer = out.write.mode("error").format("parquet")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        version: str | None = None
-        renamed = False
         try:
             if metadata_only:
                 # metadata-only commit (deferred deletes): df supplies the
@@ -1794,6 +1792,68 @@ class TxnTable:
             # payload rides the same atomic staging->rename as the data.
             if aux_writer is not None:
                 aux_writer(staging)
+            return self._publish_staging(
+                staging,
+                carry_files=carry_files,
+                carry_resolver=carry_resolver,
+                carry_entries=carry_entries,
+                carry_src=carry_src,
+                expect=expect,
+                parent_meta=parent_meta,
+                operation=operation,
+                partition_by=partition_by,
+                bloom_cols=bloom_cols,
+                constraints=constraints,
+                cdf=cdf,
+                generated=generated,
+                extra=extra,
+                publish=publish,
+                schema=df.schema,
+                spark=df.sparkSession,
+                carry_dv=carry_dv,
+                aux_written=aux_writer is not None,
+            )
+        except Exception:
+            # a failure BEFORE the publish helper took over (staged write,
+            # constraint check, aux payload): discard our own staging dir
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+
+
+    def _publish_staging(
+        self,
+        staging: str,
+        *,
+        carry_files: dict[str, str] | None,
+        carry_resolver,
+        carry_entries: dict[str, dict] | None,
+        carry_src: str | None,
+        expect: str | None,
+        parent_meta: dict,
+        operation: str,
+        partition_by: list[str] | None,
+        bloom_cols: list[str],
+        constraints: dict[str, str],
+        cdf: bool,
+        generated: dict | None,
+        extra: dict,
+        publish: bool,
+        schema: StructType,
+        spark: SparkSession | None,
+        carry_dv: bool,
+        aux_written: bool,
+    ) -> str:
+        """Assemble and atomically publish a STAGED directory as a new
+        snapshot: enumerate the fresh files it holds, hard-link the carry
+        set, build per-file stats (a Spark job when a session is at hand
+        and the commit is large, serial pyarrow otherwise — which is what
+        lets the format("txn") batch writer commit from a plain Python
+        worker with NO SparkSession), write the sharded manifest, rename
+        into the version slot, swap the pointer. Extracted verbatim from
+        ``commit`` (round 9); every write path funnels through here."""
+        version: str | None = None
+        renamed = False
+        try:
             # Fresh files = what THIS write produced, listed from the
             # staging dir only (IO proportional to the change). Committed
             # snapshot dirs are never walked — their contents come from the
@@ -1823,7 +1883,7 @@ class TxnTable:
             # that APPLY the DV while rewriting (materialize_deletes,
             # rewrite_layout via read()) pass carry_dv=False or carry
             # nothing.
-            if carry_files and carry_dv and aux_writer is None:
+            if carry_files and carry_dv and not aux_written:
                 dv_src = carry_src if carry_src is not None else expect
                 if dv_src is not None:
                     src_dv = self._dv_dir(dv_src)
@@ -1847,7 +1907,7 @@ class TxnTable:
             # hard link — zero loads, zero rewrites.
             abs_fresh = [os.path.join(staging, rel) for rel in fresh]
             by_path = _entries_for(
-                abs_fresh, df.sparkSession, tuple(bloom_cols)
+                abs_fresh, spark, tuple(bloom_cols)
             )
             fresh_entries = {
                 rel: by_path[p] for rel, p in zip(fresh, abs_fresh)
@@ -1965,7 +2025,7 @@ class TxnTable:
             # Induction makes one parent hop sufficient — files carried
             # from deeper ancestors lack only columns the intermediate
             # commits already relaxed.
-            recorded = df.schema
+            recorded = schema
             if carry_files and expect is not None:
                 recorded = _relax_added(
                     recorded,
@@ -2012,8 +2072,8 @@ class TxnTable:
                 self._swap_pointer(version, expect)
         except Exception:
             # Losing paths each clean up ONLY what this commit created:
-            # the staging dir (no-op once renamed), and — if the rename
-            # landed but the pointer swap lost — our still-unreferenced
+            # the staging dir (no-op once renamed), and - if the rename
+            # landed but the pointer swap lost - our still-unreferenced
             # version slot. Never a slot the pointer names.
             shutil.rmtree(staging, ignore_errors=True)
             if renamed and version and self.current_version() != version:
@@ -3422,6 +3482,143 @@ class TxnTable:
                 extra_meta={
                     "restored_from": version, **(extra_meta or {})
                 },
+            )
+
+        return self._with_retries(attempt, max_retries)
+
+    def commit_staged(
+        self,
+        source: str,
+        overwrite: bool = False,
+        schema: StructType | None = None,
+        partition_by: list[str] | None = None,
+        operation: str | None = None,
+        max_retries: int = 2,
+    ) -> str:
+        """Publish EXTERNALLY-STAGED parquet files as a new snapshot —
+        with NO SparkSession. This is the driver-side commit of the
+        ``df.write.format("txn")`` batch writer (sources/txn_source.py):
+        executors stage their task outputs, and this call assembles the
+        manifest (per-file stats via serial pyarrow), hard-links the
+        staged files plus — for append — every parent file, and
+        atomically renames + CAS-publishes, through the same
+        ``_publish_staging`` core every library write uses. The source
+        dir is left untouched (hard-linked per attempt), so optimistic
+        retries against a moved head re-link from it; the caller owns its
+        cleanup.
+
+        Refuses tables with CHECK constraints or generated partition
+        columns: both require evaluating expressions over the incoming
+        rows, which without a session would mean silently skipping
+        enforcement — write through the library API (``commit`` /
+        ``append``) for those tables. ``schema`` (the writer's Spark
+        schema, partition columns included) is required when the table
+        does not exist yet; existing tables record their own.
+        """
+        rels = sorted(
+            os.path.relpath(os.path.join(r, n), source)
+            for r, _d, ns in os.walk(source)
+            for n in ns
+            if n.endswith(".parquet")
+        )
+
+        def attempt() -> str:
+            expect = self.current_version()
+            parent_meta = self._meta(expect) if expect is not None else {}
+            if parent_meta.get("constraints"):
+                raise ValueError(
+                    "commit_staged cannot enforce CHECK constraints "
+                    "(no session to evaluate them); use the library "
+                    "write path for constrained tables"
+                )
+            if parent_meta.get("generated"):
+                raise ValueError(
+                    "commit_staged cannot derive generated partition "
+                    "columns; use the library write path"
+                )
+            if expect is not None:
+                recorded = StructType.fromJson(parent_meta["schema"])
+                pb = parent_meta.get("partition_by") or []
+                if schema is not None and not overwrite:
+                    mine = {
+                        (f.name, f.dataType.simpleString())
+                        for f in schema.fields
+                    }
+                    theirs = {
+                        (f.name, f.dataType.simpleString())
+                        for f in recorded.fields
+                    }
+                    if mine != theirs:
+                        raise ValueError(
+                            "staged append schema mismatch: "
+                            f"incoming {sorted(mine)} vs table "
+                            f"{sorted(theirs)} — evolve via "
+                            "merge_upsert(merge_schema=True)"
+                        )
+                if overwrite and schema is not None:
+                    recorded = schema
+                    pb = (
+                        partition_by
+                        if partition_by is not None
+                        else pb
+                    )
+            else:
+                if schema is None:
+                    raise ValueError(
+                        "schema is required to create a table via "
+                        "commit_staged"
+                    )
+                recorded = schema
+                pb = partition_by or []
+            if not rels:
+                if expect is not None and not overwrite:
+                    return expect  # empty append: the table is unchanged
+                raise ValueError(f"no parquet files staged at {source}")
+            staging = os.path.join(
+                self.root, _VERSIONS, f".tmp-{os.getpid()}-{time.time_ns()}"
+            )
+            os.makedirs(staging, exist_ok=True)
+            try:
+                for rel in rels:
+                    dst = os.path.join(staging, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.link(os.path.join(source, rel), dst)
+            except Exception:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            carry: dict[str, str] = {}
+            if expect is not None and not overwrite:
+                data_root = os.path.join(self.root, _VERSIONS, expect)
+                carry = {
+                    rel: os.path.join(data_root, rel)
+                    for rel in self.files(expect)
+                }
+            # watermark fold-forward, same as commit()
+            extra: dict = {}
+            for wk in _WATERMARK_KEYS:
+                if wk in parent_meta.get("extra", {}):
+                    extra[wk] = parent_meta["extra"][wk]
+            return self._publish_staging(
+                staging,
+                carry_files=carry,
+                carry_resolver=None,
+                carry_entries=None,
+                carry_src=expect,
+                expect=expect,
+                parent_meta=parent_meta,
+                operation=operation
+                or ("overwrite" if overwrite else "append"),
+                partition_by=pb or None,
+                bloom_cols=parent_meta.get("bloom_cols") or [],
+                constraints={},
+                cdf=bool(parent_meta.get("cdf", False)),
+                generated={},
+                extra=extra,
+                publish=True,
+                schema=recorded,
+                spark=None,
+                carry_dv=True,
+                aux_written=False,
             )
 
         return self._with_retries(attempt, max_retries)

@@ -665,3 +665,119 @@ class TestMetadataTables:
             spark.read.format("txn").option(
                 "metadata", "nope"
             ).load(tbl.root).collect()
+
+
+class TestBatchWriter:
+    """df.write.format("txn") — the DSv2 batch writer (executors stage
+    Arrow batches, the driver-side commit publishes via commit_staged,
+    with no SparkSession)."""
+
+    def test_create_append_overwrite_roundtrip(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 4).cast("string").alias("part")
+        )
+        df.write.format("txn").option("partitionBy", "part").mode(
+            "overwrite"
+        ).save(root)
+        t = TxnTable(root)
+        assert t.read(spark).count() == 100
+        assert t._meta(t.current_version())["partition_by"] == ["part"]
+        spark.range(100, 130).select(
+            F.col("id"), F.lit("9").alias("part")
+        ).write.format("txn").mode("append").save(root)
+        got = spark.read.format("txn").load(root)
+        assert got.count() == 130
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, t.read(spark).select(got.columns).collect())
+        )
+        # library writers compose with writer-created tables
+        t.delete_where(spark, F.col("id") < 10)
+        assert t.read(spark).count() == 120
+        spark.range(3).select(
+            F.col("id"), F.lit("z").alias("part")
+        ).write.format("txn").mode("overwrite").save(root)
+        assert t.read(spark).count() == 3
+        assert [m["operation"] for m in t.history()] == [
+            "overwrite", "append", "delete", "overwrite",
+        ]
+
+    def test_append_schema_mismatch_refused(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        spark.range(10).select(F.col("id")).write.format("txn").mode(
+            "append"
+        ).save(root)
+        with pytest.raises(Exception, match="append schema mismatch"):
+            spark.range(5).select(
+                F.col("id").cast("int").alias("id")
+            ).write.format("txn").mode("append").save(root)
+        with pytest.raises(Exception, match="append schema mismatch"):
+            spark.range(5).select(
+                F.col("id"), F.lit("x").alias("extra")
+            ).write.format("txn").mode("append").save(root)
+
+    def test_constrained_table_refused(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        t = TxnTable(root)
+        t.commit(spark.range(10).select(F.col("id")))
+        t.add_check_constraint(spark, "pos", "id >= 0")
+        with pytest.raises(Exception, match="CHECK constraints"):
+            spark.range(5).select(F.col("id")).write.format("txn").mode(
+                "append"
+            ).save(root)
+
+    def test_failed_write_publishes_nothing(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        spark.range(10).select(F.col("id")).write.format("txn").mode(
+            "append"
+        ).save(root)
+        t = TxnTable(root)
+        v = t.current_version()
+
+        from pyspark.sql.functions import udf
+
+        @udf("long")
+        def boom(x):
+            raise RuntimeError("task failure")
+
+        with pytest.raises(Exception):
+            spark.range(5).select(boom(F.col("id")).alias("id")).write.format(
+                "txn"
+            ).mode("append").save(root)
+        assert t.current_version() == v  # nothing published
+        assert t.read(spark).count() == 10
+        # job-level failures can skip the abort hook (observed), so the
+        # dead write's staging tree may linger — dot-prefixed, invisible
+        # to every reader; the next writer sweeps stages past the age
+        # where a live write could own them
+        litter = [
+            d for d in os.listdir(root) if d.startswith(".wstage-")
+        ]
+        for d in litter:
+            p = os.path.join(root, d)
+            os.utime(p, (os.path.getmtime(p) - 7200,) * 2)
+        spark.range(10, 12).select(F.col("id")).write.format("txn").mode(
+            "append"
+        ).save(root)
+        left = [d for d in os.listdir(root) if d.startswith(".wstage-")]
+        assert not left, left
+        assert t.read(spark).count() == 12
+
+    def test_writer_table_streams_and_time_travels(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        spark.range(50).select(F.col("id")).write.format("txn").mode(
+            "append"
+        ).save(root)
+        spark.range(50, 80).select(F.col("id")).write.format("txn").mode(
+            "append"
+        ).save(root)
+        v1 = spark.read.format("txn").option("version", 1).load(root)
+        assert v1.count() == 50
+        out = _run_available_now(
+            spark,
+            root,
+            str(tmp_path / "ck"),
+            str(tmp_path / "out"),
+            startingVersion="earliest",
+        )
+        assert out.count() == 80
