@@ -1582,6 +1582,54 @@ def txn_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL over txn tables (round 9): two txn tables load through
+    ``format("txn")``, register as temp views, and a plain
+    ``spark.sql`` join+aggregate runs against them — the analyst
+    surface: nobody writes DataFrame code in a BI tool. The txn relation
+    behaves as a first-class SQL table (pruning, DV application and
+    snapshot pinning all ride the same reader underneath)."""
+    from ..sources.txn_source import register_txn_source
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="txn_sql_")
+    try:
+        co = TxnTable(f"{work}/cust")
+        od = TxnTable(f"{work}/ord")
+        co.commit(
+            load(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            )
+        )
+        od.commit(
+            load(spark, sf_dir, "orders").select(
+                "o_custkey", "o_totalprice", "o_orderstatus"
+            ).filter(F.col("o_orderkey") <= 5000)
+        )
+        spark.read.format("txn").load(co.root).createOrReplaceTempView(
+            "txn_customer"
+        )
+        spark.read.format("txn").load(od.root).createOrReplaceTempView(
+            "txn_orders"
+        )
+        out = spark.sql(
+            """
+            SELECT c.c_mktsegment,
+                   o.o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS total_price
+            FROM txn_orders o
+            JOIN txn_customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_orderstatus
+            ORDER BY c.c_mktsegment, o.o_orderstatus
+            """
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -1612,9 +1660,22 @@ QUERIES = {
     "txn_metadata_history": txn_metadata_history,
     "txn_metadata_partitions": txn_metadata_partitions,
     "txn_writer_roundtrip": txn_writer_roundtrip,
+    "txn_sql_surface": txn_sql_surface,
 }
 
 ORACLE = {
+    # the SQL surface is just another reader: closed form over fixtures
+    "txn_sql_surface": """
+        SELECT c.c_mktsegment,
+               o.o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey <= 5000
+        GROUP BY c.c_mktsegment, o.o_orderstatus
+        ORDER BY c.c_mktsegment, o.o_orderstatus
+    """,
     # DSv2 writer roundtrip: created + appended through the format, so
     # the final table is simply the o_orderkey <= 2400 slice; ops_ok TRUE
     # encodes the commit-log shape the Spark side asserted

@@ -3486,6 +3486,85 @@ class TxnTable:
 
         return self._with_retries(attempt, max_retries)
 
+    def maintain(
+        self,
+        spark: SparkSession,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_ratio: float = 0.5,
+        min_files: int = 8,
+        dv_row_ratio: float = 0.1,
+        vacuum_keep: int | None = None,
+        retain_hours: float | None = None,
+    ) -> dict:
+        """One-call maintenance policy (the auto-OPTIMIZE loop a managed
+        lakehouse runs): decide from the MANIFEST ALONE — no data IO, no
+        directory listing — which of the three maintenance operations the
+        table currently needs, run them in dependency order, and report
+        what happened. Idempotent: a healthy table is a metadata read and
+        three skips, so a scheduler can call this every few minutes.
+
+        Policy, in the order the ops compose:
+
+        1. **materialize_deletes** when the pending deletion vector
+           suppresses more than ``dv_row_ratio`` of the manifest's rows —
+           below that, the read-side anti-join stays cheaper than the
+           rewrite (the MoR trade measured in SCALING.md r9); also
+           unblocks compaction, which refuses under a pending vector.
+        2. **compact** when more than ``small_file_ratio`` of the
+           snapshot's files are smaller than half ``target_file_bytes``
+           and the table has at least ``min_files`` files — rewrite IO is
+           proportional to the small-file bytes only.
+        3. **vacuum** when ``vacuum_keep`` is given — age-guarded by
+           ``retain_hours`` exactly like calling it directly.
+
+        Returns ``{"materialized": bool, "compacted": bool,
+        "vacuumed": [versions], "version": head}``.
+        """
+        out: dict = {
+            "materialized": False,
+            "compacted": False,
+            "vacuumed": [],
+        }
+        head = self.current_version()
+        if head is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        # 1. deletion-vector pressure, measured from manifest row counts
+        #    and the vector's own (tiny) parquet footprint
+        if self.has_deletion_vectors(head):
+            entries = self.file_entries(head)
+            total_rows = sum(int(e.get("rows", 0)) for e in entries.values())
+            dv_dir = self._dv_dir(head)
+            dv_rows = sum(
+                _pq.ParquetFile(os.path.join(dv_dir, n)).metadata.num_rows
+                for n in os.listdir(dv_dir)
+                if n.endswith(".parquet")
+            )
+            if total_rows and dv_rows / total_rows > dv_row_ratio:
+                self.materialize_deletes(spark)
+                out["materialized"] = True
+                head = self.current_version()
+        # 2. small-file pressure, from the manifest's recorded bytes
+        if not self.has_deletion_vectors(head):
+            entries = self.file_entries(head)
+            small_cut = target_file_bytes // 2
+            n_small = sum(
+                1 for e in entries.values() if int(e.get("bytes", 0)) < small_cut
+            )
+            if (
+                len(entries) >= min_files
+                and n_small / max(len(entries), 1) > small_file_ratio
+            ):
+                v = self.compact(spark, target_file_bytes=target_file_bytes)
+                out["compacted"] = v != head
+                head = self.current_version()
+        if vacuum_keep is not None:
+            out["vacuumed"] = self.vacuum(
+                keep=vacuum_keep, retain_hours=retain_hours
+            )
+        out["version"] = self.current_version()
+        return out
+
     def commit_staged(
         self,
         source: str,

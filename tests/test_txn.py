@@ -2517,3 +2517,68 @@ def test_merge_upsert_dv_duplicate_keys_rejected(spark, tmp_path):
             ),
             keys=["k"],
         )
+
+
+# -- maintain(): one-call maintenance policy (round 9) ---------------------
+
+
+def test_maintain_healthy_table_is_noop(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.range(1000).select(F.col("id")).coalesce(2))
+    v = t.current_version()
+    out = t.maintain(spark)
+    assert out == {
+        "materialized": False,
+        "compacted": False,
+        "vacuumed": [],
+        "version": v,
+    }
+
+
+def test_maintain_materializes_heavy_dv_then_compacts(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(1000).select(F.col("id")).repartition(16)
+    )  # 16 tiny files
+    t.delete_where_deferred(spark, F.col("id") % 3 == 0)  # ~33% > 10%
+    out = t.maintain(spark)
+    assert out["materialized"] is True
+    assert out["compacted"] is True  # tiny files bin-packed after fold-in
+    assert not t.has_deletion_vectors()
+    got = t.read(spark)
+    assert got.count() == 666
+    assert got.filter(F.col("id") % 3 == 0).count() == 0
+    assert len(t.files()) < 16
+    # second call: nothing left to do
+    again = t.maintain(spark)
+    assert not again["materialized"] and not again["compacted"]
+
+
+def test_maintain_light_dv_left_pending(spark, tmp_path):
+    """Below the dv_row_ratio threshold the read-side anti-join stays
+    cheaper than the rewrite: the vector survives maintenance (and
+    compaction is therefore skipped — it refuses under a pending DV)."""
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.range(1000).select(F.col("id")).repartition(16))
+    t.delete_where_deferred(spark, F.col("id") < 50)  # 5% < 10%
+    out = t.maintain(spark)
+    assert out["materialized"] is False and out["compacted"] is False
+    assert t.has_deletion_vectors()
+    assert t.read(spark).count() == 950
+
+
+def test_maintain_vacuum_policy(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.commit(spark.range(10 + i).select(F.col("id")).coalesce(1))
+    out = t.maintain(spark, vacuum_keep=2)
+    assert len(out["vacuumed"]) == 3
+    assert t.read(spark).count() == 14
