@@ -578,6 +578,85 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by EXACT n-gram collision (the GPT-3 /
+    PaLM recipe, distinct from the LSH near-dup `contamination_check`):
+    every 5-gram of the held-out eval split (doc_id % 97 == 0) goes into
+    a collision set, and each TRAIN document reports how many of its own
+    distinct 5-grams hit it. Flagging threshold and n are policy; the
+    operator computes the evidence. Scale shape: the eval set is tiny
+    relative to the corpus, so its distinct-shingle set broadcasts (AQE)
+    under the semi-shaped join; train-side shingles never shuffle as
+    strings — both sides hash to longs first. Output: contaminated train
+    docs only, with collision counts and the contaminated fraction."""
+    n = 5
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", dd.tokens(F.col("text")).alias("ts"), "text"
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    dd.word_shingles_from(F.col("ts"), n),
+                    lambda s: dd.md5_long(s) % dd.MINHASH_P,
+                )
+            )
+        ).alias("g"),
+    )
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    per_doc = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams")
+    )
+    hits = (
+        train.join(ev, "g", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+    return (
+        hits.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_collisions",
+            "n_ngrams",
+            F.round(
+                F.col("n_collisions") / F.col("n_ngrams"), 4
+            ).alias("contaminated_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sample_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix sampling weights (the data-mixture step before
+    training): measure each source's share of corpus TOKENS, then emit
+    the per-source sampling weight that converges the mixture to a
+    uniform target across sources — weight = target_share /
+    actual_share, i.e. how many epochs of a source one epoch of the
+    target mixture consumes. Two aggregates over one explode-free pass
+    (token counts come from array sizes, never exploded tokens); at
+    100 TB the whole state is |sources| rows."""
+    d = load(spark, sf_dir, "documents")
+    per_source = d.select(
+        "source", F.size(dd.tokens(F.col("text"))).alias("n_tok")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens"),
+    )
+    w = Window.partitionBy()
+    n_sources = F.count(F.lit(1)).over(w)
+    share = F.col("tokens") / F.sum("tokens").over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((1.0 / n_sources) / share, 4).alias("sample_weight"),
+    ).orderBy("source")
+
+
 def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram language-model quality score (the KenLM-
     style fluency gate of a training-data pipeline, with no external
@@ -1476,6 +1555,8 @@ QUERIES = {
     "text_langid": text_langid,
     "text_bpe_tokens": text_bpe_tokens,
     "text_repetition": text_repetition,
+    "decontaminate_ngram": decontaminate_ngram,
+    "sample_mix_weights": sample_mix_weights,
     "text_ngram_lm_score": text_ngram_lm_score,
     "text_oov_rate": text_oov_rate,
     "text_pii_scan": text_pii_scan,
@@ -1570,6 +1651,20 @@ _ROT_PLANES = sim.rademacher_planes()
 def _build_oracle() -> dict[str, str]:
     from . import sampling as _sampling_mod
     toks = tx.SQL_TOKENS.format(c="text")
+    # exact 5-gram collision set for decontaminate_ngram: same hashing as
+    # the Spark side (md5 -> long % MINHASH_P), distinct per document
+    _g5_grams = (
+        r"list_transform(generate_series(1, greatest(len(regexp_extract_all(text, '\S+')) - 4, 0)), "
+        "i -> concat_ws(' ', "
+        + ", ".join(
+            f"regexp_extract_all(text, '\\S+')[i + {j}]" for j in range(5)
+        )
+        + "))"
+    )
+    g5 = (
+        "list_distinct(list_transform(" + _g5_grams + ", s -> "
+        + dd.SQL_MD5_LONG.format(c="s") + f" % {dd.MINHASH_P}))"
+    )
     sh = dd.SQL_SHINGLE_HASHES.format(c="text")
     mh = dd.sql_minhash_exprs("text")
     bands = [
@@ -2356,6 +2451,45 @@ def _build_oracle() -> dict[str, str]:
                         THEN round(1 - CAST(n_uniq_shingles AS DOUBLE) / n_shingles, 4)
                         ELSE 0.0 END AS shingle_rep_ratio
             FROM tok_stats t JOIN sh USING (doc_id)
+        """,
+        "decontaminate_ngram": f"""
+            WITH grams AS (
+              SELECT doc_id, unnest({g5}) AS g FROM documents
+            ), ev AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            ), train AS (
+              SELECT * FROM grams WHERE doc_id % 97 <> 0
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS n_ngrams FROM train GROUP BY 1
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_collisions
+              FROM train WHERE g IN (SELECT g FROM ev)
+              GROUP BY 1
+            )
+            SELECT h.doc_id,
+                   CAST(h.n_collisions AS BIGINT) AS n_collisions,
+                   CAST(p.n_ngrams AS BIGINT) AS n_ngrams,
+                   round(CAST(h.n_collisions AS DOUBLE) / p.n_ngrams, 4)
+                     AS contaminated_frac
+            FROM hits h JOIN per_doc p USING (doc_id)
+            ORDER BY h.doc_id
+        """,
+        "sample_mix_weights": f"""
+            WITH per_source AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len({toks})) AS BIGINT) AS tokens
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT CAST(sum(tokens) AS DOUBLE) AS t,
+                     CAST(count(*) AS DOUBLE) AS ns
+              FROM per_source
+            )
+            SELECT source, n_docs, tokens,
+                   round(tokens / tot.t, 6) AS token_share,
+                   round((1.0 / tot.ns) / (tokens / tot.t), 4)
+                     AS sample_weight
+            FROM per_source, tot ORDER BY source
         """,
         "text_ngram_lm_score": f"""
             WITH dt AS (SELECT doc_id, {toks} AS ts FROM documents),
