@@ -422,6 +422,111 @@ def streaming_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(work, ignore_errors=True)
 
 
+def streaming_session_window_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE ``session_window`` aggregation as a MULTI-BATCH streaming
+    run (round 9; the built-in merging-session-state twin of the
+    ``applyInPandasWithState`` sessionizer already gated as
+    ``streaming_sessionize_counts``): per-day landing files drain one
+    per micro-batch (``maxFilesPerTrigger=1``), so the watermark
+    advances between batches and sessions merge/close across batch
+    boundaries, not inside one. A final sentinel file (one far-future
+    event per city) pushes the watermark past every real session, so
+    ALL of them emit; the sentinel's own sessions stay open in state and
+    never reach the sink. The oracle recomputes the sessions with the
+    plain gaps-and-islands SQL (new session when the gap >= 30 minutes —
+    Spark's boundary semantics: an event at exactly session_end starts a
+    new session)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from ..streaming.windows import session_windows
+
+    work = tempfile.mkdtemp(prefix="sesswin_")
+    landing, out_dir, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
+    _os.makedirs(landing)
+    try:
+        e = load(spark, sf_dir, "events").filter(
+            (F.col("event_id") < _N_EVENTS)
+            & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+        )
+        base = e.select(
+            F.concat(
+                F.lit("City"), (F.col("user_id") % 25).cast("string")
+            ).alias("city"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+            F.dayofmonth("ts").alias("day"),
+        )
+        rows = F.to_json(F.struct("city", F.col("iso_ts").alias("ts")))
+        days = sorted(
+            r["day"] for r in base.select("day").distinct().collect()
+        )
+        for i, d in enumerate(days):
+            tmp = f"{work}/tmp{d}"
+            base.filter(F.col("day") == d).select(rows.alias("value")) \
+                .coalesce(1).write.mode("overwrite").text(tmp)
+            part = _glob.glob(f"{tmp}/part-*")[0]
+            dst = f"{landing}/b{d:02d}.json"
+            _shutil.move(part, dst)
+            _os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        # sentinel: one far-future row per city -> watermark passes every
+        # real session; the sentinel sessions themselves never close
+        base.select("city").distinct().select(
+            F.to_json(
+                F.struct(
+                    "city", F.lit("2024-02-01T00:00:00").alias("ts")
+                )
+            ).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(f"{work}/tmpz")
+        dst = f"{landing}/zz_sentinel.json"
+        _shutil.move(_glob.glob(f"{work}/tmpz/part-*")[0], dst)
+        _os.utime(dst, (1_700_000_000 + 100 * 60,) * 2)
+        raw = (
+            spark.readStream.format("json")
+            .schema("city string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .load(landing)
+        )
+        sess = session_windows(
+            raw, gap="30 minutes", watermark_delay="1 hour"
+        )
+        q = (
+            sess.select(
+                "city", "session_start", "session_end", "n_events",
+                "first_ts", "last_ts",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink = spark.read.schema(
+            "city string, session_start timestamp, session_end timestamp, "
+            "n_events long, first_ts timestamp, last_ts timestamp"
+        ).parquet(out_dir)
+        out = (
+            sink.groupBy("city")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+                F.max(
+                    F.unix_timestamp("last_ts")
+                    - F.unix_timestamp("first_ts")
+                ).alias("max_session_sec"),
+            )
+            .orderBy("city")
+        )
+        final = out.collect()
+        return spark.createDataFrame(final, out.schema)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "streaming_cdc_counts": streaming_cdc_counts,
     "streaming_sessionize_counts": streaming_sessionize_counts,
@@ -429,6 +534,7 @@ QUERIES = {
     "streaming_stream_join_counts": streaming_stream_join_counts,
     "streaming_watermark_dedup_counts": streaming_watermark_dedup_counts,
     "streaming_replay_counts": streaming_replay_counts,
+    "streaming_session_window_counts": streaming_session_window_counts,
 }
 
 # Batch-equivalent oracles: both runs drain DETERMINISTIC synthesized
@@ -583,4 +689,49 @@ ORACLE["streaming_replay_counts"] = """
     WHERE event_id < 3000
     GROUP BY 1
     ORDER BY 1
+"""
+
+# Native session_window closed form (gaps and islands): new session when
+# the gap since the previous event of the same city is >= 30 minutes —
+# Spark's boundary semantics ([start, last+gap): an event AT last+gap
+# starts a new session). Session length is measured between first and
+# last EVENT (not the gap-padded window end). Sentinel rows never emit.
+ORACLE["streaming_session_window_counts"] = """
+    WITH rows_in AS (
+      SELECT 'City' || CAST(user_id % 25 AS VARCHAR) AS city,
+             date_trunc('second', CAST(ts AS TIMESTAMP)) AS tss
+      FROM events
+      WHERE event_id < 2000
+        AND ts < TIMESTAMP '2024-01-04 00:00:00'
+    ),
+    flagged AS (
+      SELECT city, tss,
+             CASE WHEN lag(tss) OVER w IS NULL
+                       OR tss - lag(tss) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM rows_in
+      WINDOW w AS (PARTITION BY city ORDER BY tss)
+    ),
+    sid AS (
+      SELECT city, tss,
+             sum(new_s) OVER (
+               PARTITION BY city ORDER BY tss
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT city, s,
+             count(*) AS n_events,
+             min(tss) AS first_ts,
+             max(tss) AS last_ts
+      FROM sid GROUP BY city, s
+    )
+    SELECT city,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(epoch(last_ts) - epoch(first_ts)) AS BIGINT)
+             AS max_session_sec
+    FROM sessions
+    GROUP BY city
+    ORDER BY city
 """
