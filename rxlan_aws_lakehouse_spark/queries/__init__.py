@@ -18,6 +18,7 @@ import os
 from . import (
     analytics,
     llm,
+    quality,
     reference,
     relational,
     relational2,
@@ -30,7 +31,7 @@ from . import (
 
 _MODULES = (
     reference, relational, relational2, relational3, relational4, analytics,
-    llm, sampling, streaming_live, txn_live,
+    llm, quality, sampling, streaming_live, txn_live,
 )
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
