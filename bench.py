@@ -70,6 +70,8 @@ HEADLINE = [
     # round-9 lanes:
     "txn_merge_dv",          # deletion-vector merge-on-read MERGE
     "streaming_replay_counts",  # replayable shard-log stream, 2-run drain
+    "txn_writer_roundtrip",  # DSv2 Arrow writer + session-free commit
+    "text_ngram_lm_score",   # corpus bigram LM train + score
 ]
 
 # The original 13-query set (rounds 1-5): summed separately so

@@ -129,12 +129,24 @@ def test_forced_midstream_restart_no_loss_no_dup(spark, tmp_path):
         time.sleep(0.2)
     q.stop()  # forced mid-stream death with backlog remaining
     assert 0 < partial < 90, partial
-    out = _drain(
-        spark, log.root, ckpt, sink,
-        startingPosition="earliest", maxSeqsPerTrigger=1000,
-    )
+    # Python-source availableNow falls back to SINGLE-batch execution,
+    # and a restart with the killed run's batch still pending re-runs
+    # exactly that pending batch (its offsets were fixed at plan time)
+    # and stops — so recovery is a sequence of restarts, each one batch.
+    # Drain to stability: every extra run is just another forced
+    # restart, which is the property under test.
+    n = 0
+    for _ in range(12):
+        out = _drain(
+            spark, log.root, ckpt, sink,
+            startingPosition="earliest", maxSeqsPerTrigger=1000,
+        )
+        prev, n = n, out.count()
+        if n == 90:
+            break
+        assert n >= prev  # monotone: restarts never lose sink rows
     rows = out.select("shard", "seq").collect()
-    assert len(rows) == 90  # no loss
+    assert len(rows) == 90  # no loss, eventually drained
     assert len({(r["shard"], r["seq"]) for r in rows}) == 90  # no dups
 
 
