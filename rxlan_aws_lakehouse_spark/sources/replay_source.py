@@ -141,13 +141,13 @@ class ReplayLog:
     def put_many(self, records: list[tuple[str, str]]) -> None:
         """(partition_key, data) pairs -> shards by key hash, one batch
         file per touched shard, preserving within-key arrival order."""
+        import zlib
+
         shards = self.shards
         if not shards:
             raise ValueError(f"no shards at {self.root}")
         by_shard: dict[str, list[str]] = {}
         for key, data in records:
-            import zlib
-
             s = shards[zlib.crc32(str(key).encode()) % len(shards)]
             by_shard.setdefault(s, []).append(data)
         for s, datas in by_shard.items():
