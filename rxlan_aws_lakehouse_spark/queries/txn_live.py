@@ -1630,6 +1630,93 @@ def txn_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE streaming sink (round 9): events flow from the replayable
+    shard-log source through ``writeStream.format("txn")`` — the DSv2
+    stream writer with the epoch-in-manifest exactly-once guarantee —
+    across TWO checkpointed runs with a second tranche landing between
+    them. The read-back per-day aggregate must equal the fixture closed
+    form: a lost batch or a double-applied epoch breaks the hash. The
+    full native pair in one lane: format("replaylog") source,
+    format("txn") sink, no foreachBatch anywhere."""
+    import json as _json
+    import os as _os
+
+    from ..sources.replay_source import ReplayLog, register_replay_source
+    from ..sources.txn_source import register_txn_source
+
+    register_txn_source(spark)
+    register_replay_source(spark)
+    work = tempfile.mkdtemp(prefix="txn_swsink_")
+    try:
+        root = f"{work}/log"
+        _os.makedirs(root)
+        log = ReplayLog(root, n_shards=4)
+        rows = (
+            load(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 3000)
+            .select(
+                "user_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("t"),
+                "value",
+            )
+            .collect()
+        )
+        recs = [
+            (
+                r["user_id"],
+                _json.dumps(
+                    {"u": r["user_id"], "t": r["t"], "v": r["value"]}
+                ),
+            )
+            for r in rows
+        ]
+        early = [x for x in recs if _json.loads(x[1])["t"] < "2024-01-15"]
+        late = [x for x in recs if _json.loads(x[1])["t"] >= "2024-01-15"]
+        log.put_many(early)
+        troot, ckpt = f"{work}/t", f"{work}/ckpt"
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("replaylog")
+                .option("startingPosition", "earliest")
+                .load(root)
+                .writeStream.format("txn")
+                .option("path", troot)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        log.put_many(late)
+        drain()
+        parsed = (
+            TxnTable(troot)
+            .read(spark)
+            .select(
+                F.from_json(
+                    "data", "u bigint, t timestamp, v double"
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        out = (
+            parsed.groupBy(F.date_format("t", "yyyy-MM-dd").alias("dt"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("u").alias("n_users"),
+                F.round(F.sum("v"), 2).alias("total_value"),
+            )
+            .orderBy("dt")
+        )
+        final = out.collect()
+        return spark.createDataFrame(final, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -1661,9 +1748,22 @@ QUERIES = {
     "txn_metadata_partitions": txn_metadata_partitions,
     "txn_writer_roundtrip": txn_writer_roundtrip,
     "txn_sql_surface": txn_sql_surface,
+    "txn_stream_writer_sink": txn_stream_writer_sink,
 }
 
 ORACLE = {
+    # native stream-writer sink: the table is exactly the record set the
+    # shard log carried (event_id < 3000), exactly once across both runs
+    "txn_stream_writer_sink": """
+        SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(sum(value), 2) AS total_value
+        FROM events
+        WHERE event_id < 3000
+        GROUP BY 1
+        ORDER BY 1
+    """,
     # the SQL surface is just another reader: closed form over fixtures
     "txn_sql_surface": """
         SELECT c.c_mktsegment,

@@ -69,6 +69,7 @@ from urllib.parse import unquote
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualNullSafe,
@@ -676,49 +677,13 @@ class TxnBatchWriter(DataSourceArrowWriter):
         )
 
     def write(self, iterator) -> _TxnWriteResult:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        task = uuid.uuid4().hex
-        tdir = os.path.join(self._stage, f"task-{task}")
-        os.makedirs(tdir, exist_ok=True)
-        batches = list(iterator)
-        n = sum(b.num_rows for b in batches)
-        if n == 0:
-            return _TxnWriteResult(task_dir=tdir, n_rows=0)
-        tbl = pa.Table.from_batches(batches)
-        if self._partition_by:
-            pq.write_to_dataset(
-                tbl,
-                tdir,
-                partition_cols=self._partition_by,
-                basename_template=f"part-{task}-{{i}}.parquet",
-            )
-        else:
-            pq.write_table(
-                tbl, os.path.join(tdir, f"part-{task}.parquet")
-            )
-        return _TxnWriteResult(task_dir=tdir, n_rows=n)
+        return _stage_task_batches(
+            self._stage, self._partition_by, iterator
+        )
 
     def commit(self, messages) -> None:
-        merged = os.path.join(self._stage, "_merged")
-        os.makedirs(merged, exist_ok=True)
         try:
-            for msg in messages:
-                if msg is None:
-                    continue
-                tdir = msg.task_dir
-                if not os.path.isdir(tdir):
-                    continue
-                for r, _d, ns in os.walk(tdir):
-                    for nme in ns:
-                        if not nme.endswith(".parquet"):
-                            continue
-                        src = os.path.join(r, nme)
-                        rel = os.path.relpath(src, tdir)
-                        dst = os.path.join(merged, rel)
-                        os.makedirs(os.path.dirname(dst), exist_ok=True)
-                        os.link(src, dst)
+            merged = _merge_task_dirs(self._stage, messages, "_merged")
             TxnTable(self._root).commit_staged(
                 merged,
                 overwrite=self._overwrite,
@@ -734,6 +699,130 @@ class TxnBatchWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(self._stage, ignore_errors=True)
+
+
+def _stage_task_batches(stage, partition_by, iterator) -> _TxnWriteResult:
+    """Executor-side: one task's Arrow batches into its OWN staging
+    subdir (partitioned layout via pyarrow when the table has a spec).
+    Task-retry safe: a failed attempt's dir is simply never referenced
+    by a commit message."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    task = uuid.uuid4().hex
+    tdir = os.path.join(stage, f"task-{task}")
+    os.makedirs(tdir, exist_ok=True)
+    batches = list(iterator)
+    n = sum(b.num_rows for b in batches)
+    if n == 0:
+        return _TxnWriteResult(task_dir=tdir, n_rows=0)
+    tbl = pa.Table.from_batches(batches)
+    if partition_by:
+        pq.write_to_dataset(
+            tbl,
+            tdir,
+            partition_cols=list(partition_by),
+            basename_template=f"part-{task}-{{i}}.parquet",
+        )
+    else:
+        pq.write_table(tbl, os.path.join(tdir, f"part-{task}.parquet"))
+    return _TxnWriteResult(task_dir=tdir, n_rows=n)
+
+
+def _merge_task_dirs(stage, messages, name) -> str:
+    """Driver-side: hard-link the SUCCEEDED tasks' files (only dirs named
+    by commit messages — a retried task's dead attempt is ignored) into
+    one staged layout, uniquified by task id in the file names."""
+    merged = os.path.join(stage, name)
+    os.makedirs(merged, exist_ok=True)
+    for msg in messages:
+        if msg is None:
+            continue
+        tdir = msg.task_dir
+        if not os.path.isdir(tdir):
+            continue
+        for r, _d, ns in os.walk(tdir):
+            for nme in ns:
+                if not nme.endswith(".parquet"):
+                    continue
+                src = os.path.join(r, nme)
+                rel = os.path.relpath(src, tdir)
+                dst = os.path.join(merged, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(src, dst)
+    return merged
+
+
+class TxnStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("txn")``: exactly-once streaming appends
+    into a txn table through the native DSv2 stream-writer seam — the
+    same guarantee the ``foreachBatch`` sinks (streaming/txn_sink.py)
+    give, without leaving the declarative write path.
+
+    Exactly-once: each micro-batch commits with its epoch id riding the
+    snapshot manifest ATOMICALLY (``extra_meta`` → the
+    ``streaming_epoch_id`` watermark key every later commit folds
+    forward), and a REPLAYED epoch — Spark re-running a batch whose
+    sink commit landed but whose checkpoint advance did not — is
+    detected by one manifest read and skipped. Tasks stage their Arrow
+    batches like the batch writer; the per-batch commit merges only the
+    dirs named by that batch's messages, so batches never mix and a
+    retried task's dead attempt is ignored."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        # reuse the batch writer's plan-time validation (table props,
+        # schema compat, partition spec, orphan sweep)
+        self._inner = TxnBatchWriter(options, schema, overwrite)
+        if overwrite:
+            raise ValueError(
+                "format('txn') streaming supports append output mode "
+                "only (per-batch overwrite would replace the table "
+                "every trigger)"
+            )
+
+    def write(self, iterator) -> _TxnWriteResult:
+        return _stage_task_batches(
+            self._inner._stage, self._inner._partition_by, iterator
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        from ..streaming.txn_sink import last_epoch
+
+        inner = self._inner
+        t = TxnTable(inner._root)
+        try:
+            if t.current_version() is not None:
+                last = last_epoch(t)
+                if last is not None and last >= batchId:
+                    return  # replayed epoch: already committed atomically
+            merged = _merge_task_dirs(
+                inner._stage, messages, f"_merged-{batchId}"
+            )
+            t.commit_staged(
+                merged,
+                schema=inner._schema,
+                partition_by=inner._partition_by or None,
+                extra_meta={"streaming_epoch_id": int(batchId)},
+            )
+        finally:
+            # per-batch cleanup: this batch's task dirs + merge dir only
+            # (the shared stage root lives for the query's lifetime)
+            for msg in messages:
+                if msg is not None and os.path.isdir(msg.task_dir):
+                    shutil.rmtree(msg.task_dir, ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(inner._stage, f"_merged-{batchId}"),
+                ignore_errors=True,
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        for msg in messages:
+            if msg is not None and os.path.isdir(msg.task_dir):
+                shutil.rmtree(msg.task_dir, ignore_errors=True)
 
 
 class TxnDataSource(DataSource):
@@ -787,6 +876,9 @@ class TxnDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return TxnBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return TxnStreamWriter(self.options, schema, overwrite)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return TxnStreamReader(self.options, schema)

@@ -3572,6 +3572,7 @@ class TxnTable:
         schema: StructType | None = None,
         partition_by: list[str] | None = None,
         operation: str | None = None,
+        extra_meta: dict | None = None,
         max_retries: int = 2,
     ) -> str:
         """Publish EXTERNALLY-STAGED parquet files as a new snapshot —
@@ -3672,11 +3673,13 @@ class TxnTable:
                     rel: os.path.join(data_root, rel)
                     for rel in self.files(expect)
                 }
-            # watermark fold-forward, same as commit()
+            # watermark fold-forward, same as commit(); the caller's own
+            # extra_meta (e.g. the streaming sink's epoch id) wins
             extra: dict = {}
             for wk in _WATERMARK_KEYS:
                 if wk in parent_meta.get("extra", {}):
                     extra[wk] = parent_meta["extra"][wk]
+            extra.update(extra_meta or {})
             return self._publish_staging(
                 staging,
                 carry_files=carry,

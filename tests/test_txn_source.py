@@ -781,3 +781,90 @@ class TestBatchWriter:
             startingVersion="earliest",
         )
         assert out.count() == 80
+
+
+class TestStreamWriter:
+    """writeStream.format("txn") — native DSv2 streaming sink with the
+    epoch-in-manifest exactly-once guarantee."""
+
+    def _log(self, spark, tmp_path, n=40, shards=2):
+        import json
+
+        from rxlan_aws_lakehouse_spark.sources.replay_source import (
+            ReplayLog,
+            register_replay_source,
+        )
+
+        register_replay_source(spark)
+        root = str(tmp_path / "log")
+        os.makedirs(root)
+        log = ReplayLog(root, n_shards=shards)
+        log.put_many(
+            [(i, json.dumps({"k": i})) for i in range(n)]
+        )
+        return log
+
+    def _run(self, spark, log_root, troot, ckpt):
+        q = (
+            spark.readStream.format("replaylog")
+            .option("startingPosition", "earliest")
+            .load(log_root)
+            .writeStream.format("txn")
+            .option("path", troot)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_exactly_once_across_runs(self, spark, tmp_path):
+        import json
+
+        log = self._log(spark, tmp_path)
+        troot, ckpt = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._run(spark, log.root, troot, ckpt)
+        t = TxnTable(troot)
+        assert t.read(spark).count() == 40
+        assert (
+            t.lineage()[0]["extra"]["streaming_epoch_id"] == 0
+        )
+        log.put_many([(i, json.dumps({"k": i})) for i in range(40, 55)])
+        self._run(spark, log.root, troot, ckpt)
+        got = t.read(spark)
+        assert got.count() == 55
+        assert got.select("shard", "seq").distinct().count() == 55
+
+    def test_replayed_epoch_skipped(self, spark, tmp_path):
+        """Blow away the checkpoint so Spark replays batch 0 from
+        scratch: the sink detects the already-recorded epoch in the
+        manifest and appends nothing — exactly-once survives checkpoint
+        loss as long as the TABLE survives."""
+        import shutil
+
+        log = self._log(spark, tmp_path)
+        troot, ckpt = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._run(spark, log.root, troot, ckpt)
+        t = TxnTable(troot)
+        v = t.current_version()
+        shutil.rmtree(ckpt)
+        self._run(spark, log.root, troot, ckpt)  # batch 0 replayed
+        assert t.current_version() == v  # no new commit
+        assert t.read(spark).count() == 40
+
+    def test_complete_mode_refused(self, spark, tmp_path):
+        log = self._log(spark, tmp_path, n=10)
+        with pytest.raises(Exception, match="append output mode"):
+            q = (
+                spark.readStream.format("replaylog")
+                .option("startingPosition", "earliest")
+                .load(log.root)
+                .groupBy("shard")
+                .count()
+                .writeStream.format("txn")
+                .option("path", str(tmp_path / "t"))
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
