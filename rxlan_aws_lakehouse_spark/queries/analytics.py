@@ -396,6 +396,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spatial self-join (round 9, ``ops/geo.py``): customers
+    get deterministic modular-arithmetic coordinates, and the grid join
+    finds every pair within eps = 2.0 units — candidates only from 3x3
+    cell neighborhoods, exact squared-distance predicate, a pair matched
+    exactly once. The ORACLE runs the brute-force O(n²) self-join over
+    the same coordinates, so the hash gate proves the grid method is
+    COMPLETE (no pair missed at cell boundaries), not just fast. Planar
+    rational arithmetic throughout — both engines compute bit-identical
+    doubles. Output: pair counts and mean d² per 60-unit longitude band
+    of the lower-id point."""
+    from ..ops.geo import grid_self_join
+
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (
+            (F.col("c_custkey") * 7919 % 18000).cast("double") / 100.0
+            - 90.0
+        ).alias("lat"),
+        (
+            (F.col("c_custkey") * 104729 % 36000).cast("double") / 100.0
+            - 180.0
+        ).alias("lon"),
+    )
+    pairs = grid_self_join(pts, eps=2.0)
+    lon_of = pts.select(
+        F.col("id").alias("i"), F.col("lon").alias("lon_i")
+    )
+    return (
+        pairs.join(lon_of, "i")
+        .groupBy(
+            F.floor(F.col("lon_i") / 60.0).cast("int").alias("lon_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("d2"), 6).alias("avg_d2"),
+        )
+        .orderBy("lon_band")
+    )
+
+
 QUERIES = {
     "sketch_hll_rollup": sketch_hll_rollup,
     "sketch_quantile_rollup": sketch_quantile_rollup,
@@ -407,9 +449,35 @@ QUERIES = {
     "events_trend_regr": events_trend_regr,
     "events_gapfill_hourly": events_gapfill_hourly,
     "graph_pagerank": graph_pagerank,
+    "geo_grid_join": geo_grid_join,
 }
 
 ORACLE = {
+
+    # brute-force O(n^2) spatial self-join: the grid join must find the
+    # exact same pair set (completeness at cell boundaries) — planar
+    # rational arithmetic, bit-identical doubles on both engines
+    "geo_grid_join": """
+        WITH p AS (
+          SELECT c_custkey AS id,
+                 CAST(c_custkey * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0
+                   AS lat,
+                 CAST(c_custkey * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0
+                   AS lon
+          FROM customer),
+        pairs AS (
+          SELECT a.id AS i, a.lon AS lon_i,
+                 (a.lat - b.lat) * (a.lat - b.lat)
+                 + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+          FROM p a JOIN p b ON a.id < b.id
+          WHERE (a.lat - b.lat) * (a.lat - b.lat)
+                + (a.lon - b.lon) * (a.lon - b.lon) <= 4.0)
+        SELECT CAST(floor(lon_i / 60.0) AS INT) AS lon_band,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(d2), 6) AS avg_d2
+        FROM pairs
+        GROUP BY 1 ORDER BY 1
+    """,
 
     # three PageRank iterations unrolled: identical recurrence, identical
     # symmetric edge set; round(., 6) absorbs summation-order noise

@@ -295,3 +295,32 @@ def test_wav_rejects_bad_payloads():
     struct.pack_into("<I", misaligned, 40, 6)  # data size 8 -> 6
     with _pytest.raises(ValueError):
         mm.decode_wav(bytes(misaligned))
+
+
+def test_grid_self_join_boundary_completeness(spark):
+    """Pairs straddling cell boundaries must not be missed: points sit
+    exactly on and around multiples of eps. Verify against brute force."""
+    from rxlan_aws_lakehouse_spark.ops.geo import grid_self_join
+
+    pts = [
+        (1, 0.0, 0.0),
+        (2, 1.0, 0.0),    # same cell band, d=1
+        (3, 1.05, 0.0),   # adjacent cell (eps=1), d=1.05 from p1 -> out
+        (4, -0.95, 0.0),  # adjacent negative cell, d=0.95 -> in
+        (5, 0.0, 1.0),    # d=1 vertically -> in (<= eps)
+        (6, 0.7, 0.7),    # diagonal, d=0.99 -> in
+        (7, 5.0, 5.0),    # far away
+    ]
+    df = spark.createDataFrame(pts, "id int, lon double, lat double")
+    got = {
+        (r["i"], r["j"])
+        for r in grid_self_join(df, eps=1.0).collect()
+    }
+    import itertools
+
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 1.0
+    }
+    assert got == want and (1, 2) in got and (1, 3) not in got
