@@ -285,3 +285,92 @@ def histogram_quantile(
         return fold["est"]
 
     return F.transform(packed, walk)[0]
+
+
+# ---------------------------------------------------------------------------
+# Mergeable count-min sketches: heavy-hitter frequency estimates over range
+# from stored per-partition state. Same contract as the histogram sketches:
+# DETERMINISTIC (cell values are plain bucket sums under md5-derived hash
+# functions, so an independent engine reproduces the estimate exactly, and
+# the classic CM guarantee est >= true / est <= true + eps*N is checkable),
+# MERGEABLE (element-wise integer sum — merge_histograms works verbatim on
+# the flattened cell array), and bytes ∝ partitions (d*w longs each, 32 KB
+# at the 4x1024 default), never rows.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _cm_bucket(key_col, j: int, w: int):
+    """Hash row j's bucket for a key: md5-derived, engine-reproducible
+    (ops/text.SQL_MD5_LONG mirrors md5_long exactly)."""
+    from .text import md5_long
+
+    return md5_long(
+        F.concat(key_col.cast("string"), F.lit(f"#{j}"))
+    ) % F.lit(w)
+
+
+def countmin_sketches(
+    df: DataFrame,
+    key_col: str,
+    part_cols: list[str],
+    d: int = CM_DEPTH,
+    w: int = CM_WIDTH,
+) -> DataFrame:
+    """One row per partition: the partition columns, a flattened
+    ``array<bigint>`` of ``d*w`` count-min cells (row j occupies
+    ``[j*w, (j+1)*w)``), and the exact row count. Build = one
+    partial-agg shuffle of (partition, cell) pairs — d rows per input
+    row, then the same dense-array assembly as the histogram build."""
+    ks = F.col(key_col)
+    cell = F.explode(
+        F.array(
+            *[
+                (F.lit(j * w) + _cm_bucket(ks, j, w)).cast("int")
+                for j in range(d)
+            ]
+        )
+    )
+    sparse = (
+        df.select(*part_cols, cell.alias("_cell"))
+        .groupBy(*part_cols, "_cell")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        sparse.groupBy(*part_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_cell", "_c"))
+            ).alias("_m"),
+            (F.sum("_c") / F.lit(d)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            *part_cols,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d * w - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                ),
+            ).alias("cm"),
+            "n_rows",
+        )
+    )
+
+
+def countmin_estimate(
+    cm_col: str, key_col, d: int = CM_DEPTH, w: int = CM_WIDTH
+):
+    """Frequency estimate for ``key_col`` read off a (merged) count-min
+    row: min over hash rows of the key's cell — a Column. Classic CM
+    guarantee: never under the true count."""
+    h = F.col(cm_col)
+    ests = [
+        F.element_at(
+            h, (F.lit(j * w) + _cm_bucket(key_col, j, w)).cast("int") + 1
+        )
+        for j in range(d)
+    ]
+    return F.least(*ests)

@@ -357,6 +357,57 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable COUNT-MIN heavy hitters (round 9, ``ops/sketches.py``):
+    per-month count-min sketches (4x1024 cells, md5-derived hash rows)
+    over lineitem part keys persist to storage, merge back globally with
+    the same element-wise sum the histogram sketches use, and the true
+    top-20 keys' frequencies are estimated off the 32 KB merged state
+    instead of the rows. The estimate is a PURE FUNCTION of bucket sums,
+    so the oracle reproduces it exactly — including the classic CM
+    guarantee (``never_under``: estimates bound the true count from
+    above)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..ops import sketches
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        "l_partkey",
+    )
+    work = _tempfile.mkdtemp(prefix="cm_topk_")
+    try:
+        sketches.countmin_sketches(
+            li, "l_partkey", ["month"]
+        ).write.mode("overwrite").parquet(work)
+        stored = spark.read.parquet(work).withColumn("g", F.lit(1))
+        merged = sketches.merge_histograms(
+            stored, ["g"], hist_col="cm"
+        ).drop("g")
+        topk = (
+            li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("exact_count"))
+            .orderBy(F.col("exact_count").desc(), "l_partkey")
+            .limit(20)
+        )
+        est = sketches.countmin_estimate("cm", F.col("l_partkey"))
+        out = (
+            topk.crossJoin(F.broadcast(merged))
+            .select(
+                "l_partkey",
+                "exact_count",
+                est.alias("est_count"),
+                (est >= F.col("exact_count")).alias("never_under"),
+            )
+            .orderBy("l_partkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer–supplier trade graph (round 9,
     ``ops/iterative.py:pagerank``): distinct (customer, supplier) pairs
@@ -450,9 +501,33 @@ QUERIES = {
     "events_gapfill_hourly": events_gapfill_hourly,
     "graph_pagerank": graph_pagerank,
     "geo_grid_join": geo_grid_join,
+    "sketch_countmin_topk": sketch_countmin_topk,
 }
 
 ORACLE = {
+
+    # count-min estimates are pure bucket sums under md5 hash rows:
+    # recompute the 4 bucket-sum tables and take the per-key minimum
+    "sketch_countmin_topk": """
+        WITH counts AS (
+          SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        topk AS (
+          SELECT k, c FROM counts ORDER BY c DESC, k LIMIT 20),
+        b0 AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#0'), 1, 15)) AS BIGINT) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1),
+        b1 AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#1'), 1, 15)) AS BIGINT) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1),
+        b2 AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#2'), 1, 15)) AS BIGINT) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1),
+        b3 AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#3'), 1, 15)) AS BIGINT) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1)
+        SELECT t.k AS l_partkey,
+               CAST(t.c AS BIGINT) AS exact_count,
+               CAST(least(e0.s, e1.s, e2.s, e3.s) AS BIGINT) AS est_count,
+               least(e0.s, e1.s, e2.s, e3.s) >= t.c AS never_under
+        FROM topk t
+        JOIN b0 e0 ON e0.b = CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR) || '#0'), 1, 15)) AS BIGINT) % 1024
+        JOIN b1 e1 ON e1.b = CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR) || '#1'), 1, 15)) AS BIGINT) % 1024
+        JOIN b2 e2 ON e2.b = CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR) || '#2'), 1, 15)) AS BIGINT) % 1024
+        JOIN b3 e3 ON e3.b = CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR) || '#3'), 1, 15)) AS BIGINT) % 1024
+        ORDER BY l_partkey
+    """,
 
     # brute-force O(n^2) spatial self-join: the grid join must find the
     # exact same pair set (completeness at cell boundaries) — planar

@@ -210,3 +210,48 @@ class TestHistogramSketches:
         assert abs(got["p50"] - 10.0 * (20.0 / 30.0)) < 1e-12
         # p99: target 39.6 crosses in bin 9: 90 + 10*(9.6/10)
         assert abs(got["p99"] - (90.0 + 9.6)) < 1e-12
+
+
+class TestCountMin:
+    def _df(self, spark):
+        # zipf-ish: key k appears ~100//k times
+        rows = [(k, i) for k in range(1, 40) for i in range(100 // k)]
+        return spark.createDataFrame(rows, "k int, i int").withColumn(
+            "part", (F.col("i") % 3).cast("string")
+        )
+
+    def test_never_underestimates_and_exact_for_isolated(self, spark):
+        df = self._df(spark)
+        sk = sketches.countmin_sketches(df, "k", ["part"], d=4, w=64)
+        merged = sketches.merge_histograms(
+            sk.withColumn("g", F.lit(1)), ["g"], hist_col="cm"
+        )
+        keys = spark.createDataFrame(
+            [(k,) for k in range(1, 40)], "k int"
+        )
+        exact = df.groupBy("k").count()
+        got = (
+            keys.crossJoin(merged)
+            .select(
+                "k",
+                sketches.countmin_estimate("cm", F.col("k"), d=4, w=64)
+                .alias("est"),
+            )
+            .join(exact, "k")
+            .collect()
+        )
+        assert all(r["est"] >= r["count"] for r in got)
+        # with 39 keys in 4x64 cells, most mins are collision-free
+        assert sum(1 for r in got if r["est"] == r["count"]) > 20
+
+    def test_merge_equals_direct_build(self, spark):
+        df = self._df(spark)
+        per_part = sketches.countmin_sketches(df, "k", ["part"], d=4, w=64)
+        merged = sketches.merge_histograms(
+            per_part.withColumn("g", F.lit(1)), ["g"], hist_col="cm"
+        ).collect()[0]
+        direct = sketches.countmin_sketches(
+            df.withColumn("g", F.lit(1)), "k", ["g"], d=4, w=64
+        ).collect()[0]
+        assert list(merged["cm"]) == list(direct["cm"])
+        assert merged["n_rows"] == direct["n_rows"]
