@@ -72,6 +72,10 @@ HEADLINE = [
     "streaming_replay_counts",  # replayable shard-log stream, 2-run drain
     "txn_writer_roundtrip",  # DSv2 Arrow writer + session-free commit
     "text_ngram_lm_score",   # corpus bigram LM train + score
+    # round-9 late lanes:
+    "geo_grid_join",         # eps-grid spatial self-join vs brute oracle
+    "sketch_countmin_topk",  # mergeable count-min heavy hitters
+    "txn_stream_writer_sink",  # native replaylog -> txn streaming pair
 ]
 
 # The original 13-query set (rounds 1-5): summed separately so

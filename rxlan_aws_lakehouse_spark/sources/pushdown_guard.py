@@ -184,8 +184,15 @@ def install_pushdown_guard() -> None:
     global _INSTALLED
     if _INSTALLED:
         return
-    from pyspark.sql.classic.dataframe import DataFrame as _CDF
-    from pyspark.sql.readwriter import DataFrameWriter as _CW
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+        from pyspark.sql.readwriter import DataFrameWriter as _CW
+    except ImportError:
+        # Spark Connect has no classic action surface (and no local
+        # relation cache to poison — plans replay through the server);
+        # nothing to guard here.
+        _INSTALLED = True
+        return
 
     for name in _DF_ACTIONS:
         orig = getattr(_CDF, name, None)
