@@ -338,25 +338,42 @@ def countmin_sketches(
         .groupBy(*part_cols, "_cell")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    return (
-        sparse.groupBy(*part_cols)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("_cell", "_c"))
-            ).alias("_m"),
-            (F.sum("_c") / F.lit(d)).cast("bigint").alias("n_rows"),
-        )
+    # Dense assembly via a cell SPINE + sort, NOT a per-element map
+    # lookup: element_at on a map is a linear scan in interpreted HOFs,
+    # so the histogram-style map assembly is O(cells²) per sketch row —
+    # at 4096 cells that was measured at ~40 s for an sf0.1 build (the
+    # same pathology class as the r8 histogram_quantile capture bug).
+    # Here: explode the full cell range once per partition (d*w rows,
+    # metadata-scale), left-join the sparse counts, and collect sorted —
+    # O(cells log cells) per row, one extra key shuffle of spine rows.
+    spine = (
+        df.select(*part_cols)
+        .distinct()
         .select(
             *part_cols,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(d * w - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("_m"), i).cast("bigint"),
-                    F.lit(0).cast("bigint"),
-                ),
-            ).alias("cm"),
-            "n_rows",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(d * w - 1))
+            ).alias("_cell"),
         )
+    )
+    dense = spine.join(sparse, [*part_cols, "_cell"], "left")
+    return dense.groupBy(*part_cols).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "_cell",
+                        F.coalesce(F.col("_c"), F.lit(0))
+                        .cast("bigint")
+                        .alias("_c"),
+                    )
+                )
+            ),
+            lambda s: s["_c"],
+        ).alias("cm"),
+        (
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))) / F.lit(d)
+        ).cast("bigint").alias("n_rows"),
     )
 
 
