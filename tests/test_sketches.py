@@ -255,3 +255,19 @@ class TestCountMin:
         ).collect()[0]
         assert list(merged["cm"]) == list(direct["cm"])
         assert merged["n_rows"] == direct["n_rows"]
+
+
+def test_histogram_wide_bins_uses_spine_and_matches_narrow(spark):
+    """Both dense-assembly strategies (map-lookup <= 512 bins, spine-join
+    above) must produce identical histograms: build at 1024 bins and
+    check against per-value closed form."""
+    df = spark.range(0, 2048).select(
+        F.lit("x").alias("p"), (F.col("id") % 1024).cast("double").alias("v")
+    )
+    sk = sketches.histogram_sketches(
+        df, "v", ["p"], lo=0.0, hi=1024.0, n_bins=1024
+    ).collect()[0]
+    assert len(sk["hist"]) == 1024
+    assert all(c == 2 for c in sk["hist"])  # each bin holds exactly 2
+    assert sk["n_rows"] == 2048
+    assert sk["clamped_low"] == sk["clamped_high"] == 0
