@@ -513,19 +513,19 @@ ORACLE = {
           SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
         topk AS (
           SELECT k, c FROM counts ORDER BY c DESC, k LIMIT 20),
-        b0 AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#0'), 1, 15)) AS BIGINT) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1),
-        b1 AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#1'), 1, 15)) AS BIGINT) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1),
-        b2 AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#2'), 1, 15)) AS BIGINT) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1),
-        b3 AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#3'), 1, 15)) AS BIGINT) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1)
+        b0 AS (SELECT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) + 0 * CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 17, 15)) AS BIGINT)) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1),
+        b1 AS (SELECT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) + 1 * CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 17, 15)) AS BIGINT)) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1),
+        b2 AS (SELECT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) + 2 * CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 17, 15)) AS BIGINT)) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1),
+        b3 AS (SELECT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) + 3 * CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 17, 15)) AS BIGINT)) % 1024 AS b, sum(c) AS s FROM counts GROUP BY 1)
         SELECT t.k AS l_partkey,
                CAST(t.c AS BIGINT) AS exact_count,
                CAST(least(e0.s, e1.s, e2.s, e3.s) AS BIGINT) AS est_count,
                least(e0.s, e1.s, e2.s, e3.s) >= t.c AS never_under
         FROM topk t
-        JOIN b0 e0 ON e0.b = CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR) || '#0'), 1, 15)) AS BIGINT) % 1024
-        JOIN b1 e1 ON e1.b = CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR) || '#1'), 1, 15)) AS BIGINT) % 1024
-        JOIN b2 e2 ON e2.b = CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR) || '#2'), 1, 15)) AS BIGINT) % 1024
-        JOIN b3 e3 ON e3.b = CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR) || '#3'), 1, 15)) AS BIGINT) % 1024
+        JOIN b0 e0 ON e0.b = (CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR)), 1, 15)) AS BIGINT) + 0 * CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR)), 17, 15)) AS BIGINT)) % 1024
+        JOIN b1 e1 ON e1.b = (CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR)), 1, 15)) AS BIGINT) + 1 * CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR)), 17, 15)) AS BIGINT)) % 1024
+        JOIN b2 e2 ON e2.b = (CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR)), 1, 15)) AS BIGINT) + 2 * CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR)), 17, 15)) AS BIGINT)) % 1024
+        JOIN b3 e3 ON e3.b = (CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR)), 1, 15)) AS BIGINT) + 3 * CAST(('0x' || substr(md5(CAST(t.k AS VARCHAR)), 17, 15)) AS BIGINT)) % 1024
         ORDER BY l_partkey
     """,
 
