@@ -357,6 +357,37 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day (the WAU curve): COUNT
+    (DISTINCT) over a sliding window, which no engine supports as a
+    window function. Scale shape: contribution expansion — each distinct
+    (user, day) row contributes to the seven windows it falls in (one
+    explode, 7x fanout of already-deduped rows), then one distinct-agg
+    per window day. No self-join, no per-day rescan; at 100 TB the
+    fanout input is |distinct user-days|, not |events|. Window days past
+    the observed range are dropped so every reported day aggregates a
+    full (possibly clipped at the start) window."""
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    max_d = days.agg(F.max("d").alias("m"))
+    out = (
+        days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(6))
+            ).alias("i"),
+            "d",
+        )
+        .select("user_id", F.date_add(F.col("d"), F.col("i")).alias("wd"))
+        .crossJoin(F.broadcast(max_d))
+        .filter(F.col("wd") <= F.col("m"))
+        .groupBy(F.col("wd").cast("string").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .orderBy("day")
+    )
+    return out
+
+
 def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable COUNT-MIN heavy hitters (round 9, ``ops/sketches.py``):
     per-month count-min sketches (4x1024 cells, md5-derived hash rows)
@@ -502,9 +533,27 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "geo_grid_join": geo_grid_join,
     "sketch_countmin_topk": sketch_countmin_topk,
+    "rolling_wau": rolling_wau,
 }
 
 ORACLE = {
+
+    # sliding distinct via contribution expansion: each (user, day)
+    # lands in its 7 trailing windows; clip windows past the data edge
+    "rolling_wau": """
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        m AS (SELECT max(d) AS m FROM days),
+        contrib AS (
+          SELECT user_id, d + CAST(r.i AS INTEGER) AS wd
+          FROM days, UNNEST(range(0, 7)) AS r(i))
+        SELECT CAST(wd AS VARCHAR) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib, m
+        WHERE wd <= m.m
+        GROUP BY wd
+        ORDER BY day
+    """,
 
     # count-min estimates are pure bucket sums under md5 hash rows:
     # recompute the 4 bucket-sum tables and take the per-key minimum
