@@ -868,3 +868,61 @@ class TestStreamWriter:
                 .start()
             )
             q.awaitTermination(120)
+
+
+def test_stream_sink_then_maintain_lifecycle(spark, tmp_path):
+    """Operational lifecycle: a capped stream drips many tiny appends
+    into a txn table (one commit per micro-batch), then maintain() folds
+    the small files away — the read is unchanged, the file count drops,
+    and streaming can RESUME onto the compacted table (compact commits
+    contribute nothing to the reader's offsets; epochs keep advancing)."""
+    import json
+
+    from rxlan_aws_lakehouse_spark.sources.replay_source import (
+        ReplayLog,
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    root = str(tmp_path / "log")
+    os.makedirs(root)
+    log = ReplayLog(root, n_shards=2)
+    log.put_many([(i, json.dumps({"k": i})) for i in range(60)])
+    troot, ckpt = str(tmp_path / "t"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("replaylog")
+            .option("startingPosition", "earliest")
+            .option("maxSeqsPerTrigger", 10)
+            .load(root)
+            .writeStream.format("txn")
+            .option("path", troot)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # capped availableNow advances one batch per run: several runs =
+    # several commits = lots of tiny files
+    for _ in range(4):
+        drain()
+    t = TxnTable(troot)
+    n_before = t.read(spark).count()
+    files_before = len(t.files())
+    assert n_before > 0 and files_before >= 4
+    out = t.maintain(
+        spark, target_file_bytes=64 * 1024 * 1024, min_files=4
+    )
+    assert out["compacted"] is True
+    assert t.read(spark).count() == n_before
+    assert len(t.files()) < files_before
+    # stream resumes cleanly onto the compacted table
+    log.put_many([(i, json.dumps({"k": i})) for i in range(60, 70)])
+    for _ in range(3):
+        drain()
+    got = t.read(spark)
+    total = got.count()
+    assert got.select("shard", "seq").distinct().count() == total
+    assert [m["operation"] for m in t.history()].count("compact") == 1
