@@ -357,6 +357,38 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the financial/metrics resample): per type and
+    hour bucket — open (first value), high, low, close (last value),
+    volume. First/last are defined under the TOTAL order (ts, event_id)
+    so ties at the same second are deterministic on both engines:
+    ``min(struct(ts, event_id, value)).value`` is the open — one hash
+    aggregate, no window pass over the raw stream, exactly the shape
+    that holds when the bucket count is millions and the stream is
+    billions of rows."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        & (F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+    )
+    key = F.struct("ts", "event_id", F.col("value").alias("v"))
+    return (
+        e.groupBy(
+            "event_type",
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"
+            ).alias("bucket"),
+        )
+        .agg(
+            F.round(F.min(key)["v"], 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(key)["v"], 2).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
 def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day distinct users per day (the WAU curve): COUNT
     (DISTINCT) over a sliding window, which no engine supports as a
@@ -534,9 +566,41 @@ QUERIES = {
     "geo_grid_join": geo_grid_join,
     "sketch_countmin_topk": sketch_countmin_topk,
     "rolling_wau": rolling_wau,
+    "events_ohlc_hourly": events_ohlc_hourly,
 }
 
 ORACLE = {
+
+    # OHLC via the same (ts, event_id) total order: arg_min/arg_max on a
+    # ROW ordering key reproduce Spark's struct min/max deterministically
+    "events_ohlc_hourly": """
+        WITH e AS (
+          SELECT event_type, event_id, value,
+                 CAST(ts AS TIMESTAMP) AS tss
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+            AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+        r AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', tss)
+                   ORDER BY tss, event_id) AS rn_a,
+                 row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', tss)
+                   ORDER BY tss DESC, event_id DESC) AS rn_d
+          FROM e)
+        SELECT event_type,
+               strftime(date_trunc('hour', tss), '%Y-%m-%d %H:00')
+                 AS bucket,
+               round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+               round(max(value), 2) AS high,
+               round(min(value), 2) AS low,
+               round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+               CAST(count(*) AS BIGINT) AS volume
+        FROM r
+        GROUP BY 1, 2
+        ORDER BY event_type, bucket
+    """,
 
     # sliding distinct via contribution expansion: each (user, day)
     # lands in its 7 trailing windows; clip windows past the data edge
