@@ -102,3 +102,51 @@ def test_bucket_pairs_complete(spark, ids):
     assert len(rows) == n * (n - 1) // 2
     assert all(r["a"] < r["b"] for r in rows)
     assert len({(r["a"], r["b"]) for r in rows}) == len(rows)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base_keys=st.sets(st.integers(0, 30), min_size=1, max_size=20),
+    upd_keys=st.sets(st.integers(0, 40), min_size=1, max_size=10),
+    pre_delete=st.sets(st.integers(0, 30), max_size=5),
+)
+def test_merge_dv_equals_cow_on_arbitrary_inputs(
+    spark, tmp_path_factory, base_keys, upd_keys, pre_delete
+):
+    """PROPERTY: for any base table, update set, and (optional) pending
+    deferred-delete set, merge-on-read (merge_upsert_dv) and
+    copy-on-write (merge_upsert, run after materializing the deletes)
+    produce the exact same logical table — and materializing the MoR
+    result changes nothing. The naive reference: dict-apply in Python."""
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    work = tmp_path_factory.mktemp("mdvprop")
+    base = [(k, f"b{k}") for k in sorted(base_keys)]
+    upd = [(k, f"u{k}") for k in sorted(upd_keys)]
+
+    # python reference: delete, then last-writer-wins upsert
+    ref = {k: v for k, v in base if k not in pre_delete}
+    for k, v in upd:
+        ref[k] = v
+
+    t = TxnTable(str(work / "mor"))
+    t.commit(
+        spark.createDataFrame(base, "k long, v string").repartition(3, "k")
+    )
+    if pre_delete:
+        t.delete_where_deferred(
+            spark, F.col("k").isin(*[int(k) for k in pre_delete])
+        )
+    t.merge_upsert_dv(
+        spark,
+        spark.createDataFrame(upd, "k long, v string"),
+        keys=["k"],
+    )
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == ref
+    t.materialize_deletes(spark)
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()} == ref
