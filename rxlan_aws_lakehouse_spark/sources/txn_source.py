@@ -613,6 +613,9 @@ class TxnBatchWriter(DataSourceArrowWriter):
         self._root = options["path"]
         self._overwrite = overwrite
         self._schema = schema
+        self._merge_schema = (
+            str(options.get("mergeSchema", "false")).lower() == "true"
+        )
         t = TxnTable(self._root)
         cur = t.current_version()
         if cur is not None:
@@ -630,18 +633,28 @@ class TxnBatchWriter(DataSourceArrowWriter):
                 )
             if not overwrite:
                 recorded = StructType.fromJson(meta["schema"])
-                mine = {
-                    (f.name, f.dataType.simpleString())
-                    for f in schema.fields
-                }
-                theirs = {
-                    (f.name, f.dataType.simpleString())
+                by_name = {f.name: f for f in schema.fields}
+                rec_names = {f.name for f in recorded.fields}
+                missing = [
+                    f.name for f in recorded.fields if f.name not in by_name
+                ]
+                changed = [
+                    f.name
                     for f in recorded.fields
-                }
-                if mine != theirs:
+                    if f.name in by_name
+                    and by_name[f.name].dataType != f.dataType
+                ]
+                extras = [
+                    f.name for f in schema.fields if f.name not in rec_names
+                ]
+                if missing or changed or (
+                    extras and not self._merge_schema
+                ):
                     raise ValueError(
-                        f"append schema mismatch: incoming {sorted(mine)} "
-                        f"vs table {sorted(theirs)}"
+                        f"append schema mismatch (missing={missing}, "
+                        f"type-changed={changed}, new={extras}): only "
+                        "additive evolution is supported, via "
+                        "option('mergeSchema', 'true')"
                     )
         else:
             pb = str(options.get("partitionBy", "") or "")
@@ -689,6 +702,7 @@ class TxnBatchWriter(DataSourceArrowWriter):
                 overwrite=self._overwrite,
                 schema=self._schema,
                 partition_by=self._partition_by or None,
+                merge_schema=self._merge_schema,
             )
         finally:
             import shutil

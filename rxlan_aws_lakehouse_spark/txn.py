@@ -3573,6 +3573,7 @@ class TxnTable:
         partition_by: list[str] | None = None,
         operation: str | None = None,
         extra_meta: dict | None = None,
+        merge_schema: bool = False,
         max_retries: int = 2,
     ) -> str:
         """Publish EXTERNALLY-STAGED parquet files as a new snapshot —
@@ -3620,20 +3621,36 @@ class TxnTable:
                 recorded = StructType.fromJson(parent_meta["schema"])
                 pb = parent_meta.get("partition_by") or []
                 if schema is not None and not overwrite:
-                    mine = {
-                        (f.name, f.dataType.simpleString())
-                        for f in schema.fields
-                    }
-                    theirs = {
-                        (f.name, f.dataType.simpleString())
+                    by_name = {f.name: f for f in schema.fields}
+                    rec_names = {f.name for f in recorded.fields}
+                    missing = [
+                        f.name
                         for f in recorded.fields
-                    }
-                    if mine != theirs:
+                        if f.name not in by_name
+                    ]
+                    changed = [
+                        f.name
+                        for f in recorded.fields
+                        if f.name in by_name
+                        and by_name[f.name].dataType != f.dataType
+                    ]
+                    extras = [
+                        f for f in schema.fields if f.name not in rec_names
+                    ]
+                    if missing or changed or (extras and not merge_schema):
                         raise ValueError(
-                            "staged append schema mismatch: "
-                            f"incoming {sorted(mine)} vs table "
-                            f"{sorted(theirs)} — evolve via "
-                            "merge_upsert(merge_schema=True)"
+                            "staged append schema mismatch "
+                            f"(missing={missing}, type-changed={changed}, "
+                            f"new={[f.name for f in extras]}): only "
+                            "additive evolution is supported, via "
+                            "merge_schema=True / option('mergeSchema')"
+                        )
+                    if extras:
+                        # additive evolution: recorded schema grows; the
+                        # carried files read the new columns as typed
+                        # NULLs (_relax_added in _publish_staging)
+                        recorded = StructType(
+                            list(recorded.fields) + extras
                         )
                 if overwrite and schema is not None:
                     recorded = schema

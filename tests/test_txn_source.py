@@ -926,3 +926,39 @@ def test_stream_sink_then_maintain_lifecycle(spark, tmp_path):
     total = got.count()
     assert got.select("shard", "seq").distinct().count() == total
     assert [m["operation"] for m in t.history()].count("compact") == 1
+
+
+def test_batch_writer_merge_schema_evolution(spark, tmp_path):
+    """option('mergeSchema','true'): an append with a NEW column evolves
+    the table additively through the format — carried files read the
+    column as typed NULLs, the recorded schema grows, earlier snapshots
+    keep their own schema; without the option the same write refuses."""
+    root = str(tmp_path / "t")
+    spark.range(10).select(F.col("id")).write.format("txn").mode(
+        "append"
+    ).save(root)
+    with pytest.raises(Exception, match="append schema mismatch"):
+        spark.range(10, 12).select(
+            F.col("id"), F.lit("x").alias("tag")
+        ).write.format("txn").mode("append").save(root)
+    spark.range(10, 12).select(
+        F.col("id"), F.lit("x").alias("tag")
+    ).write.format("txn").option("mergeSchema", "true").mode(
+        "append"
+    ).save(root)
+    t = TxnTable(root)
+    got = t.read(spark).orderBy("id")
+    assert got.columns == ["id", "tag"]
+    rows = got.collect()
+    assert [r["tag"] for r in rows[:10]] == [None] * 10
+    assert [r["tag"] for r in rows[10:]] == ["x", "x"]
+    # the format reader honors the evolved recorded schema too
+    assert spark.read.format("txn").load(root).count() == 12
+    assert "tag" not in (
+        spark.read.format("txn").option("version", 1).load(root).columns
+    )
+    # dropping a table column is still refused even under mergeSchema
+    with pytest.raises(Exception, match="append schema mismatch"):
+        spark.range(3).select(F.col("id").alias("tag")).write.format(
+            "txn"
+        ).option("mergeSchema", "true").mode("append").save(root)
