@@ -749,19 +749,29 @@ class TestBatchWriter:
         # job-level failures can skip the abort hook (observed), so the
         # dead write's staging tree may linger — dot-prefixed, invisible
         # to every reader; the next writer sweeps stages past the age
-        # where a live write could own them
-        litter = [
-            d for d in os.listdir(root) if d.startswith(".wstage-")
-        ]
-        for d in litter:
-            p = os.path.join(root, d)
-            os.utime(p, (os.path.getmtime(p) - 7200,) * 2)
-        spark.range(10, 12).select(F.col("id")).write.format("txn").mode(
-            "append"
-        ).save(root)
+        # where a live write could own them. Straggler tasks of the
+        # CANCELLED job may re-create their task dirs asynchronously
+        # (with fresh mtimes) even after a sweep, so the invariant is
+        # "no AGED stage survives a new write" — retry until the
+        # cancellation settles.
+        lo = 10
+        for _ in range(4):
+            for d in os.listdir(root):
+                if d.startswith(".wstage-"):
+                    p = os.path.join(root, d)
+                    os.utime(p, (os.path.getmtime(p) - 7200,) * 2)
+            spark.range(lo, lo + 1).select(F.col("id")).write.format(
+                "txn"
+            ).mode("append").save(root)
+            lo += 1
+            if not [
+                d for d in os.listdir(root) if d.startswith(".wstage-")
+            ]:
+                break
+            time.sleep(1.0)  # let the cancelled job's stragglers settle
         left = [d for d in os.listdir(root) if d.startswith(".wstage-")]
         assert not left, left
-        assert t.read(spark).count() == 12
+        assert t.read(spark).count() == 10 + (lo - 10)
 
     def test_writer_table_streams_and_time_travels(self, spark, tmp_path):
         root = str(tmp_path / "t")
