@@ -1480,7 +1480,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = freq.agg(F.sum("c").alias("tot"))
     return (
         toks.join(freq, "t")
-        .crossJoin(tot)
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -26,14 +26,20 @@ correct** — filters our readers report as unhandled are re-applied
 row-level above the scan, so pruning is only ever an IO bound.
 
 The guard wraps the classic ``DataFrame`` / ``DataFrameWriter`` action
-entry points. Before delegating, it walks the acted-on frame's ANALYZED
-plan leaves (a handful of py4j calls) and collects every Python-
-DataSource relation:
+entry points, plus ``DataFrameWriterV2`` terminals
+(``df.writeTo(...).append()`` …), ``MergeIntoWriter.merge`` and
+``DataStreamWriter.start``/``toTable``. Before delegating, it walks the
+acted-on frame's ANALYZED plan leaves (a handful of py4j calls) and
+collects every Python-DataSource relation:
 
 * **Always**: reset each relation's cached read info (public
-  ``setReadInfo(null)``). The action then plans its own pushdown from
-  clean state — filtered queries still prune; a following filterless
-  action resets again and re-plans the full list. Kills mode 1.
+  ``setReadInfo(null)``) BEFORE the action, and again AFTER it in a
+  ``finally`` — a filtered plan never outlives the action that planned
+  it, so even paths outside the wrapped surface (``df.rdd``, direct
+  ``_jdf`` calls, a micro-batch replanning a stream-static join) can at
+  worst observe an empty cache and plan fresh, never a stale pruned
+  list. The action itself plans its own pushdown from clean state —
+  filtered queries still prune. Kills mode 1.
 * **When one relation instance backs two or more scans** (mode 2):
   pre-seed every Python relation in the plan with its FULL-list read
   info (public ``getOrCreateReadInfo`` — the same worker path a
@@ -57,8 +63,11 @@ concurrent thread whose action lands entirely inside another thread's
 mode-2 conf-off window may fail loudly with DATA_SOURCE_PUSHDOWN_DISABLED
 (an error, never silent wrong data). Serialize mixed-filter actions on a
 shared relation or load per thread. Actions that bypass the wrapped
-surface (``df.rdd``, direct ``_jdf`` calls) are likewise unguarded —
-``option("pushdown", "false")`` gives those a query-independent plan.
+surface (``df.rdd``, direct ``_jdf`` calls) plan from a clean cache as
+long as they don't run concurrently inside another thread's wrapped
+filtered action (the post-action reset covers the sequential case);
+``option("pushdown", "false")`` gives those a query-independent plan
+unconditionally.
 
 The reflection (``PythonTable.ds`` / ``PythonDataSourceV2.name`` are
 private, read via ``getDeclaredField``) stays legal under JDK 17 because
@@ -100,6 +109,22 @@ _WRITER_ACTIONS = (
     "csv",
     "jdbc",
 )
+# DataFrameWriterV2 terminal methods (df.writeTo(...).append() etc.)
+_WRITER_V2_ACTIONS = (
+    "create",
+    "replace",
+    "createOrReplace",
+    "append",
+    "overwrite",
+    "overwritePartitions",
+)
+# DataStreamWriter: start/toTable plan the query (incl. any txn batch
+# relation on the static side of a stream-static join). The guard resets
+# before planning and again after, so the stream's initial plan is fresh
+# and nothing filtered is left behind; a micro-batch replanning
+# concurrently with ANOTHER thread's wrapped filtered action remains a
+# documented race (same class as the existing thread caveats above).
+_STREAM_WRITER_ACTIONS = ("start", "toTable")
 
 
 def _reflect(obj, field: str):
@@ -126,52 +151,70 @@ def _python_relations(df):
 
 def reset_python_scan_caches(df) -> list:
     """Null the cached read info of every Python-DataSource relation in
-    ``df``'s analyzed plan. Returns the (relation, ds) pairs found ONLY
-    when one ds instance backs two or more scans (the intra-query
-    aliasing case); an empty list otherwise. Never raises — the guard
+    ``df``'s analyzed plan. Returns ALL (relation, ds) pairs found (the
+    caller decides what to do with duplicates). Never raises — the guard
     must not break an action it cannot help."""
     try:
         rels = _python_relations(df)
-        seen: set[int] = set()
-        dup = False
         for _rel, ds in rels:
-            h = ds.hashCode()  # identity hash: not overridden
-            if h in seen:
-                dup = True
-            seen.add(h)
             ds.setReadInfo(None)
-        return rels if dup else []
+        return rels
     except Exception:  # noqa: BLE001
         return []
+
+
+def _has_dup(rels) -> bool:
+    seen: set[int] = set()
+    for _rel, ds in rels:
+        h = ds.hashCode()  # identity hash: not overridden
+        if h in seen:
+            return True
+        seen.add(h)
+    return False
 
 
 def _guard(orig, get_df):
     @functools.wraps(orig)
     def wrapper(self, *args, **kwargs):
-        df = get_df(self)
-        dups = reset_python_scan_caches(df)
-        if not dups:
-            return orig(self, *args, **kwargs)
-        sess = df.sparkSession
-        old = sess.conf.get(_CONF_KEY, "true")
         try:
-            # pre-seed EVERY python relation in this plan with the
-            # full-list read info while pushdown is still on (the worker
-            # refuses creation once it is off), then freeze the seeds by
-            # turning pushdown off for the span of the action
-            for rel, ds in dups:
-                ds.setReadInfo(None)
-                ds.getOrCreateReadInfo(
-                    _reflect(ds, "name"), rel.options(), rel.schema(), False
-                )
-            sess.conf.set(_CONF_KEY, "false")
+            df = get_df(self)
+        except Exception:  # noqa: BLE001
             return orig(self, *args, **kwargs)
-        except Exception:
-            raise
+        rels = reset_python_scan_caches(df)
+        if not rels:
+            return orig(self, *args, **kwargs)
+        try:
+            if not _has_dup(rels):
+                return orig(self, *args, **kwargs)
+            sess = df.sparkSession
+            old = sess.conf.get(_CONF_KEY, "true")
+            try:
+                # pre-seed EVERY python relation in this plan with the
+                # full-list read info while pushdown is still on (the
+                # worker refuses creation once it is off), then freeze
+                # the seeds by turning pushdown off for the action span
+                for rel, ds in rels:
+                    ds.setReadInfo(None)
+                    ds.getOrCreateReadInfo(
+                        _reflect(ds, "name"),
+                        rel.options(),
+                        rel.schema(),
+                        False,
+                    )
+                sess.conf.set(_CONF_KEY, "false")
+                return orig(self, *args, **kwargs)
+            finally:
+                sess.conf.set(_CONF_KEY, old)
         finally:
-            sess.conf.set(_CONF_KEY, old)
-            for _rel, ds in dups:
-                ds.setReadInfo(None)
+            # a filtered plan must never outlive the action that planned
+            # it: paths outside the wrapped surface (df.rdd, _jdf, a
+            # micro-batch replanning a stream-static join) would
+            # otherwise replay this action's pruned read list
+            try:
+                for _rel, ds in rels:
+                    ds.setReadInfo(None)
+            except Exception:  # noqa: BLE001
+                pass
 
     wrapper.__pushdown_guard__ = True
     return wrapper
@@ -206,4 +249,56 @@ def install_pushdown_guard() -> None:
             orig, "__pushdown_guard__", False
         ):
             setattr(_CW, name, _guard(orig, lambda self: self._df))
+
+    try:
+        from pyspark.sql.readwriter import DataFrameWriterV2 as _CW2
+
+        for name in _WRITER_V2_ACTIONS:
+            orig = getattr(_CW2, name, None)
+            if orig is not None and not getattr(
+                orig, "__pushdown_guard__", False
+            ):
+                setattr(_CW2, name, _guard(orig, lambda self: self._df))
+    except ImportError:
+        pass
+
+    try:
+        # MergeIntoWriter does not retain the source DataFrame; stash it
+        # at construction so merge() (the action, possibly much later)
+        # can re-walk the CURRENT plan leaves.
+        from pyspark.sql.merge import MergeIntoWriter as _MIW
+
+        if not getattr(_MIW.__init__, "__pushdown_guard__", False):
+            _orig_init = _MIW.__init__
+
+            @functools.wraps(_orig_init)
+            def _init(self, df, *a, **kw):
+                self._pushdown_guard_df = df
+                _orig_init(self, df, *a, **kw)
+
+            _init.__pushdown_guard__ = True
+            _MIW.__init__ = _init
+        orig = getattr(_MIW, "merge", None)
+        if orig is not None and not getattr(
+            orig, "__pushdown_guard__", False
+        ):
+            _MIW.merge = _guard(
+                orig, lambda self: self._pushdown_guard_df
+            )
+    except ImportError:
+        pass
+
+    try:
+        from pyspark.sql.streaming.readwriter import (
+            DataStreamWriter as _DSW,
+        )
+
+        for name in _STREAM_WRITER_ACTIONS:
+            orig = getattr(_DSW, name, None)
+            if orig is not None and not getattr(
+                orig, "__pushdown_guard__", False
+            ):
+                setattr(_DSW, name, _guard(orig, lambda self: self._df))
+    except ImportError:
+        pass
     _INSTALLED = True

@@ -255,6 +255,11 @@ class TxnSnapshotReader(DataSourceReader):
         return self._partitions_for([], [])
 
     def read(self, partition: _FilePartition) -> Iterator:
+        if partition is None:
+            # an EMPTY snapshot (e.g. overwrite by an empty DataFrame)
+            # has zero file partitions; Spark then feeds one None
+            # partition through a single task
+            return
         yield from _read_file_batches(partition, self._schema)
 
 
@@ -726,6 +731,14 @@ def _stage_task_batches(stage, partition_by, iterator) -> _TxnWriteResult:
     task = uuid.uuid4().hex
     tdir = os.path.join(stage, f"task-{task}")
     os.makedirs(tdir, exist_ok=True)
+    try:
+        # keep the shared stage root's mtime fresh while tasks are
+        # running so a concurrent writer's 1h orphan sweep never
+        # reclaims a LIVE stage (the driver-side loud-loss guard in
+        # _merge_task_dirs backstops the remaining window)
+        os.utime(stage)
+    except OSError:
+        pass
     batches = list(iterator)
     n = sum(b.num_rows for b in batches)
     if n == 0:
@@ -746,24 +759,42 @@ def _stage_task_batches(stage, partition_by, iterator) -> _TxnWriteResult:
 def _merge_task_dirs(stage, messages, name) -> str:
     """Driver-side: hard-link the SUCCEEDED tasks' files (only dirs named
     by commit messages — a retried task's dead attempt is ignored) into
-    one staged layout, uniquified by task id in the file names."""
+    one staged layout, uniquified by task id in the file names.
+
+    Loud-loss guard: a commit message reporting ``n_rows > 0`` whose
+    task dir is missing or holds no parquet files means the staged data
+    vanished between task success and driver commit (e.g. a concurrent
+    writer's orphan sweep reclaimed a >1h-old stage of a slow job).
+    Silently committing nothing would report job success while dropping
+    rows, so that is a hard error here."""
     merged = os.path.join(stage, name)
     os.makedirs(merged, exist_ok=True)
+    lost = []
     for msg in messages:
         if msg is None:
             continue
         tdir = msg.task_dir
-        if not os.path.isdir(tdir):
-            continue
-        for r, _d, ns in os.walk(tdir):
-            for nme in ns:
-                if not nme.endswith(".parquet"):
-                    continue
-                src = os.path.join(r, nme)
-                rel = os.path.relpath(src, tdir)
-                dst = os.path.join(merged, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.link(src, dst)
+        linked = 0
+        if os.path.isdir(tdir):
+            for r, _d, ns in os.walk(tdir):
+                for nme in ns:
+                    if not nme.endswith(".parquet"):
+                        continue
+                    src = os.path.join(r, nme)
+                    rel = os.path.relpath(src, tdir)
+                    dst = os.path.join(merged, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.link(src, dst)
+                    linked += 1
+        if getattr(msg, "n_rows", 0) > 0 and linked == 0:
+            lost.append(tdir)
+    if lost:
+        raise RuntimeError(
+            f"staged task output vanished before commit: {lost} "
+            "(reported rows but no parquet files remain — a concurrent "
+            "writer's orphan sweep may have reclaimed a long-running "
+            "job's stage). Nothing was committed."
+        )
     return merged
 
 
@@ -781,7 +812,16 @@ class TxnStreamWriter(DataSourceStreamArrowWriter):
     detected by one manifest read and skipped. Tasks stage their Arrow
     batches like the batch writer; the per-batch commit merges only the
     dirs named by that batch's messages, so batches never mix and a
-    retried task's dead attempt is ignored."""
+    retried task's dead attempt is ignored.
+
+    Operational rule (pinned in ``test_raw_availablenow_fallback_skips_
+    batch_failed_at_sink_plan``): Python stream sources cannot implement
+    Trigger.AvailableNow, so Spark's single-batch fallback does NOT
+    re-execute a batch whose offsets were logged but whose SINK plan
+    failed (e.g. a schema-mismatch refusal here) — restarting that
+    checkpoint skips the range. Retry plan-time failures under a fresh
+    checkpoint; failures after planning (task/commit errors) recover
+    normally."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
         # reuse the batch writer's plan-time validation (table props,
@@ -818,6 +858,7 @@ class TxnStreamWriter(DataSourceStreamArrowWriter):
                 merged,
                 schema=inner._schema,
                 partition_by=inner._partition_by or None,
+                merge_schema=inner._merge_schema,
                 extra_meta={"streaming_epoch_id": int(batchId)},
             )
         finally:

@@ -2878,7 +2878,8 @@ class TxnTable:
             )
             if not touched:
                 return expect  # nothing matched: the table is unchanged
-            touched_set = set(touched)
+            # NB: the public `set` parameter shadows the builtin here
+            touched_set = frozenset(touched)
             carry = {
                 rel: os.path.join(data_root, rel)
                 for rel in self.files(expect)
@@ -3670,7 +3671,16 @@ class TxnTable:
             if not rels:
                 if expect is not None and not overwrite:
                     return expect  # empty append: the table is unchanged
-                raise ValueError(f"no parquet files staged at {source}")
+                if not overwrite:
+                    raise ValueError(
+                        f"no parquet files staged at {source}"
+                    )
+                # overwrite with zero staged files publishes an EMPTY
+                # snapshot (Spark native writer semantics: overwriting
+                # with an empty DataFrame truncates, it doesn't error).
+                # `recorded` is always bound here: either the writer
+                # passed a schema, the existing table recorded one, or
+                # the schema-required error above already fired.
             staging = os.path.join(
                 self.root, _VERSIONS, f".tmp-{os.getpid()}-{time.time_ns()}"
             )

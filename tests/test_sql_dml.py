@@ -1,0 +1,267 @@
+"""SQL DML router (sql_dml.py): MERGE / UPDATE / DELETE / INSERT typed
+as SQL strings must produce byte-identical tables to the TxnTable
+primitives they dispatch to — and unsupported syntax must refuse
+loudly, never partially apply."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter, _tokenize, _render
+from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+
+def _mk(spark, tmp_path, name="t", n=100):
+    t = TxnTable(os.path.join(str(tmp_path), name))
+    t.commit(
+        spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).cast("long").alias("v"),
+            F.concat(F.lit("row-"), F.col("id")).alias("tag"),
+        )
+    )
+    return t
+
+
+def _state(spark, t):
+    return sorted(
+        tuple(r) for r in t.read(spark).select("k", "v", "tag").collect()
+    )
+
+
+def test_tokenize_render_roundtrip():
+    sql = "MERGE INTO a t USING (SELECT x, 'it''s' FROM b) s ON t.k = s.k"
+    assert "t.k = s.k" in _render(_tokenize(sql))
+
+
+class TestMerge:
+    def test_sql_merge_equals_merge_upsert(self, spark, tmp_path):
+        """The verdict's done-bar: SQL MERGE's resulting table equals
+        merge_upsert on the same input."""
+        t_sql = _mk(spark, tmp_path, "sql")
+        t_api = _mk(spark, tmp_path, "api")
+        updates = spark.range(90, 110).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 100).cast("long").alias("v"),
+            F.lit("upd").alias("tag"),
+        )
+        updates.createOrReplaceTempView("updates_src")
+        r = TxnSqlRouter(spark)
+        r.register("target", t_sql)
+        res = r.sql(
+            "MERGE INTO target t USING updates_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).collect()[0]
+        assert res["operation"] == "merge_upsert"
+        t_api.merge_upsert(spark, updates, keys=["k"])
+        assert _state(spark, t_sql) == _state(spark, t_api)
+        # the registered view sees the NEW snapshot
+        assert spark.table("target").count() == 110
+
+    def test_dv_strategy_matches_cow(self, spark, tmp_path):
+        t_cow = _mk(spark, tmp_path, "cow")
+        t_dv = _mk(spark, tmp_path, "dv")
+        spark.range(50, 120).select(
+            F.col("id").alias("k"),
+            F.lit(7).cast("long").alias("v"),
+            F.lit("x").alias("tag"),
+        ).createOrReplaceTempView("updates_src")
+        for name, t, strat in (("c", t_cow, "cow"), ("d", t_dv, "dv")):
+            r = TxnSqlRouter(spark, strategy=strat)
+            r.register(name, t)
+            r.sql(
+                f"MERGE INTO {name} t USING updates_src s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        assert t_dv.has_deletion_vectors()
+        assert _state(spark, t_cow) == _state(spark, t_dv)
+
+    def test_explicit_sets_conditions_and_insert_values(
+        self, spark, tmp_path
+    ):
+        """Conditional WHEN clauses, explicit SET expressions mixing
+        both aliases, explicit INSERT column lists — checked against a
+        hand-built expected state."""
+        t = _mk(spark, tmp_path, n=10)
+        spark.createDataFrame(
+            [(5, 1), (7, 2), (12, 3), (14, 4)], "k long, bump long"
+        ).createOrReplaceTempView("src")
+        r = TxnSqlRouter(spark)
+        r.register("tgt", t)
+        r.sql(
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED AND s.bump > 1 THEN "
+            "  UPDATE SET v = t.v + s.bump, tag = 'bumped' "
+            "WHEN NOT MATCHED AND s.bump > 3 THEN "
+            "  INSERT (k, v, tag) VALUES (s.k, s.bump * 1000, 'fresh')"
+        )
+        got = dict(
+            (r2["k"], (r2["v"], r2["tag"]))
+            for r2 in t.read(spark).collect()
+        )
+        assert got[5] == (50, "row-5")  # matched, cond false: untouched
+        assert got[7] == (72, "bumped")  # 70 + 2
+        assert 12 not in got  # unmatched, cond false: not inserted
+        assert got[14] == (4000, "fresh")
+        assert len(got) == 11
+
+    def test_subquery_source_and_update_star_first_match_wins(
+        self, spark, tmp_path
+    ):
+        t = _mk(spark, tmp_path, n=6)
+        spark.createDataFrame(
+            [(2, 5, "a"), (3, 6, "b")], "k long, v long, tag string"
+        ).createOrReplaceTempView("raw_src")
+        r = TxnSqlRouter(spark)
+        r.register("tgt", t)
+        r.sql(
+            "MERGE INTO tgt t USING "
+            "(SELECT k, v * 2 AS v, tag FROM raw_src) s ON t.k = s.k "
+            "WHEN MATCHED AND s.v > 10 THEN UPDATE SET tag = 'big' "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+        got = dict(
+            (r2["k"], (r2["v"], r2["tag"]))
+            for r2 in t.read(spark).collect()
+        )
+        assert got[2] == (10, "a")  # second clause: full replace
+        assert got[3] == (30, "big")  # first clause wins: tag only
+        assert len(got) == 6
+
+    def test_duplicate_source_keys_refused(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, "b")], "k long, v long, tag string"
+        ).createOrReplaceTempView("dup_src")
+        r = TxnSqlRouter(spark)
+        r.register("tgt", t)
+        with pytest.raises(Exception, match="duplicate merge keys"):
+            r.sql(
+                "MERGE INTO tgt t USING dup_src s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET *"
+            )
+
+    def test_unsupported_shapes_fail_loudly(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        spark.range(3).select(
+            F.col("id").alias("k")
+        ).createOrReplaceTempView("s3")
+        r = TxnSqlRouter(spark)
+        r.register("tgt", t)
+        before = t.current_version()
+        cases = [
+            (
+                "MERGE INTO tgt t USING s3 s ON t.k = s.k "
+                "WHEN MATCHED THEN DELETE",
+                "THEN DELETE is not supported",
+            ),
+            (
+                "MERGE INTO tgt t USING s3 s ON t.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0",
+                "BY SOURCE is not supported",
+            ),
+            (
+                "MERGE INTO tgt t USING s3 s ON t.k > s.k "
+                "WHEN MATCHED THEN UPDATE SET *",
+                "conjunction of qualified equalities",
+            ),
+            (
+                "MERGE INTO tgt t USING s3 s ON t.k = s.k",
+                "at least one WHEN clause",
+            ),
+            (
+                "MERGE INTO tgt t USING s3 s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET nosuch = 1",
+                "unknown target columns",
+            ),
+            (
+                "MERGE INTO nope t USING s3 s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET *",
+                "not a registered txn table",
+            ),
+        ]
+        for stmt, msg in cases:
+            with pytest.raises(ValueError, match=msg):
+                r.sql(stmt)
+        assert t.current_version() == before  # nothing applied
+
+
+class TestUpdateDeleteInsert:
+    def test_update_matches_update_where(self, spark, tmp_path):
+        t_sql = _mk(spark, tmp_path, "sql")
+        t_api = _mk(spark, tmp_path, "api")
+        r = TxnSqlRouter(spark)
+        r.register("tgt", t_sql)
+        res = r.sql(
+            "UPDATE tgt SET v = v * 2, tag = concat(tag, '!') "
+            "WHERE k % 10 = 3"
+        ).collect()[0]
+        assert res["operation"] == "update_where"
+        t_api.update_where(
+            spark,
+            F.col("k") % 10 == 3,
+            {
+                "v": F.col("v") * 2,
+                "tag": F.concat(F.col("tag"), F.lit("!")),
+            },
+        )
+        assert _state(spark, t_sql) == _state(spark, t_api)
+
+    def test_update_with_alias_qualifiers(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, n=5)
+        r = TxnSqlRouter(spark)
+        r.register("tgt", t)
+        r.sql("UPDATE tgt u SET u.v = u.v + 1 WHERE u.k = 2")
+        got = dict((x["k"], x["v"]) for x in t.read(spark).collect())
+        assert got[2] == 21 and got[3] == 30
+
+    def test_delete_cow_and_dv(self, spark, tmp_path):
+        for strat in ("cow", "dv"):
+            t = _mk(spark, tmp_path, f"d_{strat}")
+            r = TxnSqlRouter(spark, strategy=strat)
+            r.register("tgt", t)
+            res = r.sql("DELETE FROM tgt WHERE k >= 90").collect()[0]
+            assert res["operation"] == (
+                "delete_where" if strat == "cow" else "delete_where_deferred"
+            )
+            assert t.read(spark).count() == 90
+            assert spark.table("tgt").count() == 90
+
+    def test_insert_values_select_and_overwrite(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, n=3)
+        r = TxnSqlRouter(spark)
+        r.register("tgt", t)
+        r.sql("INSERT INTO tgt VALUES (100, 1, 'a'), (101, 2, 'b')")
+        assert t.read(spark).count() == 5
+        # column-list insert: missing column -> NULL
+        r.sql("INSERT INTO tgt (k, tag) VALUES (102, 'c')")
+        got = dict(
+            (x["k"], (x["v"], x["tag"])) for x in t.read(spark).collect()
+        )
+        assert got[102] == (None, "c")
+        # INSERT ... SELECT reads the (fresh) view of another table
+        t2 = _mk(spark, tmp_path, "other", n=2)
+        r.register("other", t2)
+        r.sql(
+            "INSERT INTO tgt SELECT k + 500, v, tag FROM other"
+        )
+        assert t.read(spark).count() == 8
+        r.sql("INSERT OVERWRITE tgt SELECT * FROM other")
+        assert t.read(spark).count() == 2
+        with pytest.raises(ValueError, match="unknown columns"):
+            r.sql("INSERT INTO tgt (k, nosuch) VALUES (1, 2)")
+        with pytest.raises(ValueError, match="supplies 2 columns"):
+            r.sql("INSERT INTO tgt VALUES (1, 2)")
+
+    def test_select_passthrough(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, n=4)
+        r = TxnSqlRouter(spark)
+        r.register("tgt", t)
+        assert (
+            r.sql("SELECT sum(v) AS s FROM tgt").collect()[0]["s"] == 60
+        )
