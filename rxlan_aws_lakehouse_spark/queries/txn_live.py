@@ -1630,6 +1630,129 @@ def txn_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML router (round 10, ``sql_dml.py``): the analyst WRITE
+    surface. A txn customer table takes a four-statement SQL script —
+    a MERGE with conditional WHEN clauses (explicit SET expressions,
+    column-list INSERT), an UPDATE, a DELETE and a literal INSERT —
+    each string dispatched to the TxnTable primitive with identical
+    semantics. Parity proof rides in-lane: a twin table runs the SAME
+    logic through the Python API (merge_upsert / update_where /
+    delete_where / append) and ``sql_equals_api`` must come back true;
+    the DuckDB oracle recomputes the final state from the fixtures as
+    pure SQL. Closes the r9 verdict's top gap: the reference's whole
+    analyst workflow is SQL (/root/reference/init.sql:19-55), so a
+    warehouse whose MERGE can't be typed as SQL is half a warehouse.
+
+    Float discipline: the order totals round to 2dp BEFORE any
+    threshold compare and the UPDATE uses an exact double increment
+    (a per-row round(x*11/10, 2) measurably diverged between engines
+    on .005 boundaries), so both engines branch on identical doubles."""
+    from ..sql_dml import TxnSqlRouter
+
+    work = tempfile.mkdtemp(prefix="txn_sqldml_")
+    try:
+        tgt_df = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 1000)
+            .select(
+                "c_custkey",
+                F.round("c_acctbal", 2).alias("c_acctbal"),
+                "c_mktsegment",
+            )
+        )
+        src_df = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_custkey") <= 1200)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("tot"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        src_df.createOrReplaceTempView("ordsum")
+
+        router = TxnSqlRouter(spark)
+        sql_tbl = TxnTable(f"{work}/sql")
+        sql_tbl.commit(tgt_df)
+        router.register("cust", sql_tbl)
+        script = [
+            "MERGE INTO cust t USING ordsum s ON t.c_custkey = s.k "
+            "WHEN MATCHED AND s.n > 8 THEN UPDATE SET "
+            "  c_acctbal = t.c_acctbal + s.tot, c_mktsegment = 'VIP' "
+            "WHEN MATCHED THEN UPDATE SET "
+            "  c_acctbal = t.c_acctbal + s.tot "
+            "WHEN NOT MATCHED THEN INSERT "
+            "  (c_custkey, c_acctbal, c_mktsegment) "
+            "  VALUES (s.k, s.tot, 'NEW')",
+            "UPDATE cust SET c_acctbal = c_acctbal + 2500 "
+            "WHERE c_mktsegment = 'VIP'",
+            "DELETE FROM cust WHERE c_acctbal < 1000",
+            "INSERT INTO cust VALUES "
+            "  (999001, 500000.0, 'MANUAL'), (999002, 250000.25, 'MANUAL')",
+        ]
+        for stmt in script:
+            router.sql(stmt)
+
+        # twin: the SAME logic through the Python API
+        api_tbl = TxnTable(f"{work}/api")
+        api_tbl.commit(tgt_df)
+        t, s = tgt_df.alias("t"), src_df.alias("s")
+        on = F.col("t.c_custkey") == F.col("s.k")
+        matched = s.join(t, on, "inner").select(
+            F.col("t.c_custkey").alias("c_custkey"),
+            (F.col("t.c_acctbal") + F.col("s.tot")).alias("c_acctbal"),
+            F.when(F.col("s.n") > 8, F.lit("VIP"))
+            .otherwise(F.col("t.c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        fresh = s.join(t, on, "left_anti").select(
+            F.col("k").alias("c_custkey"),
+            F.col("tot").alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+        api_tbl.merge_upsert(
+            spark, matched.unionByName(fresh), keys=["c_custkey"]
+        )
+        api_tbl.update_where(
+            spark,
+            F.col("c_mktsegment") == "VIP",
+            {"c_acctbal": F.col("c_acctbal") + 2500},
+        )
+        api_tbl.delete_where(spark, F.col("c_acctbal") < 1000)
+        api_tbl.append(
+            spark.createDataFrame(
+                [(999001, 500000.0, "MANUAL"), (999002, 250000.25, "MANUAL")],
+                api_tbl.read(spark).schema,
+            )
+        )
+        key = ["c_custkey", "c_acctbal", "c_mktsegment"]
+        sql_rows = sorted(
+            tuple(r) for r in sql_tbl.read(spark).select(key).collect()
+        )
+        api_rows = sorted(
+            tuple(r) for r in api_tbl.read(spark).select(key).collect()
+        )
+        parity = sql_rows == api_rows
+
+        out = (
+            spark.table("cust")  # router refreshed the view after DML
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_cust"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+                F.min("c_custkey").cast("long").alias("min_k"),
+                F.max("c_custkey").cast("long").alias("max_k"),
+            )
+            .withColumn("sql_equals_api", F.lit(bool(parity)))
+            .orderBy("c_mktsegment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def txn_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATIVE streaming sink (round 9): events flow from the replayable
     shard-log source through ``writeStream.format("txn")`` — the DSv2
@@ -1748,6 +1871,7 @@ QUERIES = {
     "txn_metadata_partitions": txn_metadata_partitions,
     "txn_writer_roundtrip": txn_writer_roundtrip,
     "txn_sql_surface": txn_sql_surface,
+    "txn_sql_dml": txn_sql_dml,
     "txn_stream_writer_sink": txn_stream_writer_sink,
 }
 
@@ -1765,6 +1889,60 @@ ORACLE = {
         ORDER BY 1
     """,
     # the SQL surface is just another reader: closed form over fixtures
+    # SQL DML router: the four-statement script's final state, replayed
+    # as pure SQL over the same fixtures (merge -> update -> delete ->
+    # insert as chained CTEs); sql_equals_api is the in-lane parity bit
+    "txn_sql_dml": """
+        WITH tgt AS (
+            SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal,
+                   c_mktsegment
+            FROM customer WHERE c_custkey <= 1000
+        ),
+        src AS (
+            SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS tot,
+                   count(*) AS n
+            FROM orders WHERE o_custkey <= 1200 GROUP BY o_custkey
+        ),
+        m AS (
+            SELECT t.c_custkey,
+                   CASE WHEN s.k IS NOT NULL
+                        THEN t.c_acctbal + s.tot
+                        ELSE t.c_acctbal END AS c_acctbal,
+                   CASE WHEN s.k IS NOT NULL AND s.n > 8 THEN 'VIP'
+                        ELSE t.c_mktsegment END AS c_mktsegment
+            FROM tgt t LEFT JOIN src s ON t.c_custkey = s.k
+            UNION ALL
+            SELECT s.k, s.tot, 'NEW'
+            FROM src s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM tgt t WHERE t.c_custkey = s.k
+            )
+        ),
+        u AS (
+            SELECT c_custkey,
+                   CASE WHEN c_mktsegment = 'VIP'
+                        THEN c_acctbal + 2500
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+            FROM m
+        ),
+        d AS (SELECT * FROM u WHERE NOT (c_acctbal < 1000)),
+        f AS (
+            SELECT * FROM d
+            UNION ALL
+            SELECT * FROM (VALUES
+                (999001, 500000.0, 'MANUAL'),
+                (999002, 250000.25, 'MANUAL')
+            ) v(c_custkey, c_acctbal, c_mktsegment)
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               round(sum(c_acctbal), 2) AS total_bal,
+               CAST(min(c_custkey) AS BIGINT) AS min_k,
+               CAST(max(c_custkey) AS BIGINT) AS max_k,
+               TRUE AS sql_equals_api
+        FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     "txn_sql_surface": """
         SELECT c.c_mktsegment,
                o.o_orderstatus,
