@@ -125,6 +125,48 @@ def infer_sf(sf_dir: str) -> float:
 
 N_RUNS = 3  # measured passes per query (after the warmup pass)
 
+# ---------------------------------------------------------------------------
+# In-suite noise calibration (round 10, r9 verdict task 2). Three rounds
+# (r3, r8, r9) burned builder+judge effort adjudicating 15-50% bench
+# drift that post-hoc A/Bs kept attributing to ambient co-tenant host
+# load. The fix: a fixed CPU-bound lane — no IO, no shuffle beyond the
+# final 32-partial reduce, pinned synthetic data (spark.range), result
+# checked for bit-exactness — run FIRST and LAST, so every BENCH_rN
+# carries its own measurement of how loaded the host was. Round-over-
+# round comparisons should use the *_norm numbers (raw / noise_factor);
+# a noise_factor near 1.0 says the raw numbers are trustworthy, 1.2
+# says the host was ~20% oversubscribed and raw drift is not ours.
+CALIB_N = 4_000_000_000  # ~1.7 s hot on an idle local[32]
+# Reference wall: the idle-host floor observed across repeated
+# median-of-3 hot passes at the r10 HEAD (local[32], 128 GiB; best
+# medians 1.49-1.56 s under light load). The absolute value only anchors
+# the scale — normalization divides by (measured / ref), so any stable
+# constant yields consistent round-over-round comparisons.
+CALIB_REF = 1.50
+_CALIB_EXPECT = (112953131017, -4824579097456148233)  # sum, xor at CALIB_N
+
+
+def run_calibration(spark) -> float:
+    """Median-of-3 hot wall of the fixed CPU lane (1 discarded warmup).
+    Deterministic result doubles as a correctness check — a wrong sum
+    means the calibration itself can't be trusted."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        df = spark.range(0, CALIB_N, 1, 32).select(
+            F.sum(F.xxhash64("id") % 1000003).alias("h"),
+            F.bit_xor(F.xxhash64("id", "id")).alias("x"),
+        )
+        t0 = time.perf_counter()
+        row = df.collect()[0]
+        dt = time.perf_counter() - t0
+        assert (row["h"], row["x"]) == _CALIB_EXPECT, "calibration result drifted"
+        return dt
+
+    once()  # warmup: codegen for this exact plan
+    times = sorted(once() for _ in range(3))
+    return round(times[1], 4)
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -159,6 +201,8 @@ def main() -> None:
         queries["tpch_q14_promo"](spark, SF_DIR).count()
     spark.catalog.clearCache()
 
+    calib_first = run_calibration(spark)
+
     per_query: dict[str, float] = {}
     per_query_min: dict[str, float] = {}
     for name in HEADLINE:
@@ -175,7 +219,16 @@ def main() -> None:
         per_query_min[name] = round(times[0], 4)
     spark.catalog.clearCache()
 
+    calib_last = run_calibration(spark)
+    noise = round(((calib_first + calib_last) / 2) / CALIB_REF, 4)
+
+    def norm(x: float) -> float:
+        return round(x / noise, 4)
+
     total = round(sum(per_query.values()), 4)
+    h13 = round(
+        sum(per_query[n] for n in HEADLINE_13 if n in per_query), 4
+    )
     print(
         json.dumps(
             {
@@ -185,9 +238,18 @@ def main() -> None:
                 "queries": per_query,
                 "queries_min": per_query_min,
                 "min_total": round(sum(per_query_min.values()), 4),
-                "headline_13_subtotal": round(
-                    sum(per_query[n] for n in HEADLINE_13), 4
-                ),
+                "headline_13_subtotal": h13,
+                # noise calibration (r9 verdict task 2): compare the
+                # *_norm numbers round-over-round, not the raw walls
+                "calib_first": calib_first,
+                "calib_last": calib_last,
+                "calib_ref": CALIB_REF,
+                "noise_factor": noise,
+                "value_norm": norm(total),
+                "headline_13_subtotal_norm": norm(h13),
+                "queries_norm": {
+                    k: norm(v) for k, v in per_query.items()
+                },
                 "runs_per_query": N_RUNS,
                 "sf": infer_sf(SF_DIR),
             }
