@@ -1168,3 +1168,36 @@ def test_raw_availablenow_fallback_skips_batch_failed_at_sink_plan(
         run({})  # batch 0 fails at sink plan; offsets 0 already logged
     run({"mergeSchema": "true"})  # SAME checkpoint: batch is skipped
     assert TxnTable(troot).read(spark).count() == 1  # rows 0-19 LOST
+
+
+def test_guard_overhead_bounded_and_cached(spark, tmp_path):
+    """The guard's per-action cost on NON-txn frames is one analyzed-plan
+    leaf walk, cached per DataFrame object (pushdown_guard.py documents
+    the measured numbers: ~0.4 ms/leaf first call, ~0 after). Regression
+    bound: the walk must stay well under 50 ms on a 1-leaf plan and the
+    cached path under 5 ms — generous enough for CI noise, tight enough
+    to catch an accidental O(plan) py4j blowup."""
+    import time as _time
+
+    from rxlan_aws_lakehouse_spark.sources.pushdown_guard import (
+        _cached_relations,
+    )
+
+    p = str(tmp_path / "plain")
+    spark.range(1000).write.parquet(p)
+    df = spark.read.parquet(p)
+    df.count()  # analyze + warm the action path
+    df.__dict__.pop("_pdg_rels", None)
+    t0 = _time.perf_counter()
+    rels = _cached_relations(df)
+    first = _time.perf_counter() - t0
+    assert rels == []  # no python relations in a parquet scan
+    assert "_pdg_rels" in df.__dict__  # negative result cached
+    t0 = _time.perf_counter()
+    for _ in range(10):
+        _cached_relations(df)
+    cached = (_time.perf_counter() - t0) / 10
+    assert first < 0.050, f"first walk {first * 1000:.1f} ms"
+    assert cached < 0.005, f"cached walk {cached * 1000:.2f} ms"
+    # and the guarded action is still correct
+    assert df.count() == 1000
