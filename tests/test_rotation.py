@@ -114,3 +114,66 @@ def test_live_registry_front_of_queue_is_current():
     )
     late = [(n, names.index(n)) for n in cohort if names.index(n) >= 50]
     assert not late, f"stale cohort outside the 50-row driver window: {late}"
+
+
+def test_window_pressure_cohort_drains_in_ceil_n_over_50_rounds(
+    monkeypatch,
+):
+    """r9 verdict task 8: at registry size ~200, a mass invalidation
+    (N > 50 queries rewritten in one round) exceeds the driver's ~50-row
+    window. Simulating the driver loop — each round checks the FIRST 50
+    of all_queries() and records rows — the invalidated cohort must
+    drain in exactly ceil(N/50) rounds (each window slot consumed by a
+    not-yet-revalidated query, none wasted on fresh rows), while the
+    untouched stale tail keeps its oldest-evidence-first order behind
+    the cohort."""
+    import math
+
+    N_REGISTRY, N_INVALID, WINDOW, NOW = 230, 120, 50, 11
+
+    class _Mod:
+        QUERIES = {
+            f"q{i:03d}": (lambda s, d: None) for i in range(N_REGISTRY)
+        }
+        ORACLE = {n: "SELECT 1" for n in QUERIES}
+
+    monkeypatch.setattr(qmod, "_MODULES", (_Mod,))
+    # every query has old green evidence, spread over rounds 1..10
+    checked = {
+        f"q{i:03d}": (1 + (i % 10), True) for i in range(N_REGISTRY)
+    }
+    # a mass rewrite in round NOW invalidates the first N_INVALID
+    invalid = {f"q{i:03d}" for i in range(N_INVALID)}
+    since = {n: NOW for n in invalid}
+    monkeypatch.setattr(qmod, "_content_since_rounds", lambda: dict(since))
+    monkeypatch.setattr(
+        qmod, "_last_checked_rounds", lambda: dict(checked)
+    )
+
+    rounds_needed = math.ceil(N_INVALID / WINDOW)
+    remaining = set(invalid)
+    for rnd in range(NOW, NOW + rounds_needed):
+        order = list(qmod.all_queries())
+        window = order[:WINDOW]
+        # while the cohort overfills the window, EVERY slot goes to a
+        # not-yet-revalidated query (no slot wasted on fresh rows)
+        if len(remaining) >= WINDOW:
+            assert set(window) <= remaining, (
+                "window wasted on already-fresh rows while the cohort "
+                f"overfills it: {sorted(set(window) - remaining)[:5]}"
+            )
+        took = remaining & set(window)
+        assert len(took) == min(WINDOW, len(remaining))
+        remaining -= took
+        for n in window:  # driver records green rows for the window
+            checked[n] = (rnd, True)
+    assert not remaining, (
+        f"cohort did not drain in {rounds_needed} rounds: "
+        f"{sorted(remaining)[:5]}"
+    )
+    # after the drain, the front of the queue is the untouched stale
+    # tail, oldest driver evidence first
+    order = list(qmod.all_queries())
+    tail = [n for n in order if n not in invalid][: WINDOW]
+    ranks = [checked[n][0] for n in tail]
+    assert ranks == sorted(ranks), "stale tail not oldest-first"
