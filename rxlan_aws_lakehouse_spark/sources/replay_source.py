@@ -41,6 +41,21 @@ SHAPE as Kinesis, served over a durable file-backed shard log:
   tailing, drain backlogs uncapped or over several runs.
 * New shards appearing after the stream started (Kinesis resharding) are
   picked up at the next ``latestOffset`` and read from sequence 0.
+* **Shard split/merge (round 10)** models Kinesis resharding proper:
+  every shard owns a partition-key HASH RANGE (``_shard.json``:
+  ``{"range": [lo, hi), "parents": {name: close_seq}, "closed_at"}``).
+  ``split_shard`` closes the parent at its current frontier and opens
+  two children owning the halves of its range; ``merge_shards`` closes
+  two adjacent shards and opens one child owning the union. Producers
+  route by ``crc32(key)`` into the OPEN shard owning the hash (closed
+  shards refuse appends), so a key's records live in the parent up to
+  the close sequence and in exactly one child after — Kinesis's
+  key-range contract. The stream reader enforces the KCL ordering rule:
+  a child shard is HELD (its offset does not advance) until every
+  parent's consumed watermark reaches its close sequence, so parent
+  records always land in an earlier micro-batch than any child record —
+  per-key order survives the reshard. Lineage metadata is immutable
+  once written and cached on the driver; planning stays ∝ shard count.
 
 At 100 TB scale the design holds because nothing ever scans the log to
 plan: planning cost ∝ shard count, batch IO ∝ the record range consumed,
@@ -101,6 +116,28 @@ def _shard_frontier(shard_dir: str) -> int:
     return hi
 
 
+_META = "_shard.json"
+_HASH_SPAN = 1 << 32  # crc32 key space
+
+
+def _shard_meta(shard_dir: str) -> dict | None:
+    """Reshard lineage metadata, or None for a legacy (pre-r10) shard.
+    ``range``/``parents`` are immutable once written; ``closed_at``
+    flips null -> int exactly once (write-then-rename)."""
+    try:
+        with open(os.path.join(shard_dir, _META)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _write_meta(shard_dir: str, meta: dict) -> None:
+    tmp = os.path.join(shard_dir, f".tmp-meta-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, os.path.join(shard_dir, _META))
+
+
 class ReplayLog:
     """Producer/admin handle for a file-backed shard log.
 
@@ -112,13 +149,35 @@ class ReplayLog:
         self.root = root
         if n_shards is not None:
             for i in range(n_shards):
-                os.makedirs(
-                    os.path.join(root, f"shard={i:02d}"), exist_ok=True
-                )
+                sdir = os.path.join(root, f"shard={i:02d}")
+                fresh = not os.path.isdir(sdir)
+                os.makedirs(sdir, exist_ok=True)
+                if fresh and _shard_meta(sdir) is None:
+                    # even slice of the crc32 key space (Kinesis's
+                    # explicit-hash-range model)
+                    lo = i * _HASH_SPAN // n_shards
+                    hi = (i + 1) * _HASH_SPAN // n_shards
+                    _write_meta(
+                        sdir,
+                        {
+                            "range": [lo, hi],
+                            "parents": {},
+                            "closed_at": None,
+                        },
+                    )
 
     @property
     def shards(self) -> list[str]:
         return _shard_dirs(self.root)
+
+    def open_shards(self) -> list[str]:
+        """Shards accepting appends: no meta (legacy) or not closed."""
+        out = []
+        for s in self.shards:
+            meta = _shard_meta(os.path.join(self.root, s))
+            if meta is None or meta.get("closed_at") is None:
+                out.append(s)
+        return out
 
     def put_batch(self, shard: str, datas: list[str]) -> tuple[int, int]:
         """Append ``datas`` to one shard as ONE immutable file; returns
@@ -127,6 +186,12 @@ class ReplayLog:
         if not datas:
             raise ValueError("empty batch")
         sdir = os.path.join(self.root, shard)
+        meta = _shard_meta(sdir)
+        if meta is not None and meta.get("closed_at") is not None:
+            raise ValueError(
+                f"{shard} is closed at seq {meta['closed_at']} "
+                "(resharded); route by key via put_many"
+            )
         first = _shard_frontier(sdir) + 1
         last = first + len(datas) - 1
         tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
@@ -139,17 +204,38 @@ class ReplayLog:
         return first, last
 
     def put_many(self, records: list[tuple[str, str]]) -> None:
-        """(partition_key, data) pairs -> shards by key hash, one batch
-        file per touched shard, preserving within-key arrival order."""
+        """(partition_key, data) pairs -> OPEN shards by key hash, one
+        batch file per touched shard, preserving within-key arrival
+        order. When every open shard carries a hash range (any log
+        created since r10), a key routes to the shard OWNING
+        ``crc32(key)`` — stable across resharding, so a key's records
+        move parent -> one child at the split point; legacy range-less
+        logs keep the modulo routing."""
         import zlib
 
-        shards = self.shards
+        shards = self.open_shards()
         if not shards:
-            raise ValueError(f"no shards at {self.root}")
+            raise ValueError(f"no open shards at {self.root}")
+        ranges = {
+            s: (_shard_meta(os.path.join(self.root, s)) or {}).get("range")
+            for s in shards
+        }
+        by_range = all(r is not None for r in ranges.values())
+
+        def route(key) -> str:
+            h = zlib.crc32(str(key).encode())
+            if not by_range:
+                return shards[h % len(shards)]
+            for s, (lo, hi) in ranges.items():
+                if lo <= h < hi:
+                    return s
+            raise ValueError(
+                f"no open shard owns hash {h} (ranges: {ranges})"
+            )
+
         by_shard: dict[str, list[str]] = {}
         for key, data in records:
-            s = shards[zlib.crc32(str(key).encode()) % len(shards)]
-            by_shard.setdefault(s, []).append(data)
+            by_shard.setdefault(route(key), []).append(data)
         for s, datas in by_shard.items():
             self.put_batch(s, datas)
 
@@ -158,6 +244,78 @@ class ReplayLog:
             s: _shard_frontier(os.path.join(self.root, s))
             for s in self.shards
         }
+
+    def _close(self, shard: str) -> tuple[dict, int]:
+        sdir = os.path.join(self.root, shard)
+        meta = _shard_meta(sdir)
+        if meta is None or meta.get("range") is None:
+            raise ValueError(
+                f"{shard} has no hash-range metadata (legacy log); "
+                "resharding needs a log created with n_shards"
+            )
+        if meta.get("closed_at") is not None:
+            raise ValueError(f"{shard} is already closed")
+        close_at = _shard_frontier(sdir)
+        meta["closed_at"] = close_at
+        _write_meta(sdir, meta)
+        return meta, close_at
+
+    def _new_shard(
+        self, rng: list[int], parents: dict[str, int]
+    ) -> str:
+        nxt = (
+            max(
+                (int(s.split("=")[1]) for s in self.shards),
+                default=-1,
+            )
+            + 1
+        )
+        name = f"shard={nxt:02d}"
+        sdir = os.path.join(self.root, name)
+        os.makedirs(sdir)
+        _write_meta(
+            sdir, {"range": rng, "parents": parents, "closed_at": None}
+        )
+        return name
+
+    def split_shard(self, shard: str) -> tuple[str, str]:
+        """Kinesis SplitShard: close ``shard`` at its current frontier
+        and open two children owning the halves of its hash range.
+        Returns the child names. Readers drain the parent to the close
+        sequence before either child advances."""
+        meta, close_at = self._close(shard)
+        lo, hi = meta["range"]
+        mid = (lo + hi) // 2
+        if not (lo < mid < hi):
+            raise ValueError(f"{shard} range {meta['range']} too narrow")
+        parents = {shard: close_at}
+        return (
+            self._new_shard([lo, mid], dict(parents)),
+            self._new_shard([mid, hi], dict(parents)),
+        )
+
+    def merge_shards(self, a: str, b: str) -> str:
+        """Kinesis MergeShards: close two ADJACENT shards at their
+        frontiers and open one child owning the union of their ranges.
+        Readers drain BOTH parents before the child advances."""
+        ma = _shard_meta(os.path.join(self.root, a))
+        mb = _shard_meta(os.path.join(self.root, b))
+        for n, m in ((a, ma), (b, mb)):
+            if m is None or m.get("range") is None:
+                raise ValueError(f"{n} has no hash-range metadata")
+        (alo, ahi), (blo, bhi) = ma["range"], mb["range"]
+        if ahi == blo:
+            rng = [alo, bhi]
+        elif bhi == alo:
+            rng = [blo, ahi]
+        else:
+            raise ValueError(
+                f"{a} {ma['range']} and {b} {mb['range']} are not "
+                "adjacent"
+            )
+        _, ca = self._close(a)
+        _, cb = self._close(b)
+        return self._new_shard(rng, {a: ca, b: cb})
 
 
 @dataclass
@@ -198,9 +356,20 @@ class ReplayLogStreamReader(DataSourceStreamReader):
             )
         cap = int(options.get("maxSeqsPerTrigger", 0))
         self._cap = cap if cap > 0 else None
+        # shard -> {parent: close_seq}; lineage is immutable once a
+        # child exists, so one read per shard per reader lifetime
+        self._parents: dict[str, dict[str, int]] = {}
 
     def initialOffset(self) -> dict:
         return dict(self._initial)
+
+    def _parents_of(self, s: str) -> dict[str, int]:
+        got = self._parents.get(s)
+        if got is None:
+            meta = _shard_meta(os.path.join(self._root, s))
+            got = dict((meta or {}).get("parents") or {})
+            self._parents[s] = got
+        return got
 
     def latestOffset(self) -> dict:
         # self._initial doubles as the consumed watermark for capping;
@@ -209,6 +378,19 @@ class ReplayLogStreamReader(DataSourceStreamReader):
         for s in _shard_dirs(self._root):
             head = _shard_frontier(os.path.join(self._root, s))
             low = self._initial.get(s, 0)
+            # KCL ordering rule: a reshard child is HELD until every
+            # parent is consumed through its close sequence, so parent
+            # records always land in an EARLIER micro-batch than any
+            # child record (per-key order across the handoff). Parents
+            # the stream never consumed (startingPosition=latest took
+            # effect after the reshard) don't hold their children.
+            for p, close_seq in self._parents_of(s).items():
+                started = self._initial.get(p, 0)
+                if started < close_seq and os.path.isdir(
+                    os.path.join(self._root, p)
+                ):
+                    head = low
+                    break
             if self._cap is not None:
                 head = min(head, low + self._cap)
             out[s] = max(head, low)
