@@ -1201,3 +1201,59 @@ def test_guard_overhead_bounded_and_cached(spark, tmp_path):
     assert cached < 0.005, f"cached walk {cached * 1000:.2f} ms"
     # and the guarded action is still correct
     assert df.count() == 1000
+
+
+def test_stream_static_join_with_txn_static_side(spark, tmp_path):
+    """A txn batch relation as the STATIC side of a stream-static join:
+    the guard now wraps DataStreamWriter.start, so the stream's initial
+    plan sees a clean relation cache even right after a wrapped filtered
+    action on the same frame (ADVICE r9 medium). Every streamed record
+    must find its dimension row."""
+    import json
+
+    from rxlan_aws_lakehouse_spark.sources.replay_source import (
+        ReplayLog,
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    dim_root = str(tmp_path / "dim")
+    dim_tbl = TxnTable(dim_root)
+    dim_tbl.commit(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("name-"), F.col("id")).alias("name"),
+        ).repartitionByRange(4, "k"),
+        sort_within=["k"],
+    )
+    dim = spark.read.format("txn").load(dim_root)
+    # poison attempt: a wrapped filtered action right before start()
+    assert dim.filter(F.col("k") > 90).count() == 9
+
+    lroot = str(tmp_path / "log")
+    os.makedirs(lroot)
+    log = ReplayLog(lroot, n_shards=2)
+    log.put_many(
+        [(i, json.dumps({"k": i % 100})) for i in range(500)]
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("replaylog")
+        .option("startingPosition", "earliest")
+        .load(lroot)
+        .select(
+            F.from_json("data", "k long").alias("r")
+        )
+        .select("r.k")
+        .join(dim, "k", "left")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 500
+    # a stale filtered dim cache would leave most names NULL
+    assert got.filter(F.col("name").isNull()).count() == 0
