@@ -1633,8 +1633,9 @@ def txn_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL DML router (round 10, ``sql_dml.py``): the analyst WRITE
     surface. A txn customer table takes a four-statement SQL script —
-    a MERGE with conditional WHEN clauses (explicit SET expressions,
-    column-list INSERT), an UPDATE, a DELETE and a literal INSERT —
+    a four-clause MERGE (a conditional MATCHED DELETE, two conditional
+    UPDATE clauses with explicit SET expressions, a column-list
+    INSERT), an UPDATE, a DELETE and a literal INSERT —
     each string dispatched to the TxnTable primitive with identical
     semantics. Parity proof rides in-lane: a twin table runs the SAME
     logic through the Python API (merge_upsert / update_where /
@@ -1678,6 +1679,7 @@ def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         router.register("cust", sql_tbl)
         script = [
             "MERGE INTO cust t USING ordsum s ON t.c_custkey = s.k "
+            "WHEN MATCHED AND s.n <= 2 THEN DELETE "
             "WHEN MATCHED AND s.n > 8 THEN UPDATE SET "
             "  c_acctbal = t.c_acctbal + s.tot, c_mktsegment = 'VIP' "
             "WHEN MATCHED THEN UPDATE SET "
@@ -1699,7 +1701,11 @@ def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         api_tbl.commit(tgt_df)
         t, s = tgt_df.alias("t"), src_df.alias("s")
         on = F.col("t.c_custkey") == F.col("s.k")
-        matched = s.join(t, on, "inner").select(
+        joined = s.join(t, on, "inner")
+        dels = joined.filter(F.col("s.n") <= 2).select(
+            F.col("t.c_custkey").alias("c_custkey")
+        )
+        matched = joined.filter(F.col("s.n") > 2).select(
             F.col("t.c_custkey").alias("c_custkey"),
             (F.col("t.c_acctbal") + F.col("s.tot")).alias("c_acctbal"),
             F.when(F.col("s.n") > 8, F.lit("VIP"))
@@ -1712,7 +1718,10 @@ def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("NEW").alias("c_mktsegment"),
         )
         api_tbl.merge_upsert(
-            spark, matched.unionByName(fresh), keys=["c_custkey"]
+            spark,
+            matched.unionByName(fresh),
+            keys=["c_custkey"],
+            delete_keys=dels,
         )
         api_tbl.update_where(
             spark,
@@ -1911,6 +1920,7 @@ ORACLE = {
                    CASE WHEN s.k IS NOT NULL AND s.n > 8 THEN 'VIP'
                         ELSE t.c_mktsegment END AS c_mktsegment
             FROM tgt t LEFT JOIN src s ON t.c_custkey = s.k
+            WHERE NOT (s.k IS NOT NULL AND s.n <= 2)
             UNION ALL
             SELECT s.k, s.tot, 'NEW'
             FROM src s

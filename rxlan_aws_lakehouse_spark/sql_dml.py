@@ -37,9 +37,14 @@ and the Python API can never drift):
   the combined row set to ``merge_upsert``, whose duplicate-key
   validation doubles as the ANSI "multiple source rows match one
   target row" error.
-* ``WHEN MATCHED THEN DELETE`` / ``WHEN NOT MATCHED BY SOURCE`` are
-  REFUSED loudly (no primitive expresses them in one atomic commit;
-  a quiet two-commit emulation would break snapshot atomicity).
+* ``WHEN MATCHED THEN DELETE`` rides ``merge_upsert``'s
+  ``delete_keys`` (round 10): the first-matching clause decides each
+  row's action, delete-matched keys drop in the SAME atomic commit.
+* ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` maps to ``sync_full``
+  when the statement is the canonical three-clause full-sync shape
+  (unconditional UPDATE SET * / INSERT * / DELETE); other BY SOURCE
+  forms are refused loudly — no single-commit primitive expresses
+  them, and a quiet two-commit emulation would break atomicity.
 * Registered views are re-registered after every DML so a following
   SELECT sees the new snapshot (a txn DataFrame pins its snapshot at
   read-planning time, by design).
@@ -197,6 +202,7 @@ def _strip_qualifier(tokens: list[str], names: set[str]) -> list[str]:
 class _MatchedClause:
     cond: str | None  # AND-condition SQL, or None (unconditional)
     sets: dict[str, str] | None  # col -> expr SQL; None = UPDATE SET *
+    delete: bool = False  # WHEN MATCHED ... THEN DELETE
 
 
 @dataclass
@@ -215,6 +221,8 @@ class _Merge:
     on: list[tuple[str, str]]  # (target_col, source_col) equi-keys
     matched: list[_MatchedClause] = field(default_factory=list)
     not_matched: list[_NotMatchedClause] = field(default_factory=list)
+    # WHEN NOT MATCHED BY SOURCE THEN DELETE -> the full-sync shape
+    nm_by_source_delete: bool = False
 
 
 def _parse_on_keys(
@@ -320,11 +328,14 @@ def _parse_merge(c: _Cursor) -> _Merge:
         c.expect("WHEN")
         if c.accept("NOT", "MATCHED"):
             if c.accept("BY", "SOURCE"):
-                raise ValueError(
-                    "WHEN NOT MATCHED BY SOURCE is not supported (no "
-                    "single-commit primitive; use DELETE FROM / "
-                    "update_where on the anti-join instead)"
-                )
+                if not c.accept("THEN", "DELETE"):
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports only THEN "
+                        "DELETE (the sync_full shape); conditional or "
+                        "UPDATE forms have no single-commit primitive"
+                    )
+                m.nm_by_source_delete = True
+                continue
             c.accept("BY", "TARGET")
             cond = None
             if c.accept("AND"):
@@ -362,12 +373,8 @@ def _parse_merge(c: _Cursor) -> _Merge:
                 cond = _render(c.take_until((("THEN",),)))
             c.expect("THEN")
             if c.accept("DELETE"):
-                raise ValueError(
-                    "WHEN MATCHED THEN DELETE is not supported by the "
-                    "merge primitives (one atomic commit cannot mix "
-                    "upsert and delete); run DELETE FROM ... WHERE "
-                    "key IN (SELECT ...) as its own statement"
-                )
+                m.matched.append(_MatchedClause(cond, None, delete=True))
+                continue
             c.expect("UPDATE", "SET")
             if c.accept("*"):
                 m.matched.append(_MatchedClause(cond, None))
@@ -510,33 +517,57 @@ class TxnSqlRouter:
                 raise ValueError(
                     f"UPDATE SET names unknown target columns {bad}"
                 )
+        if m.nm_by_source_delete:
+            return self._exec_sync_full(m, name, t, schema, src)
         branches = []
+        delete_frame = None
         if m.matched:
             joined = src.join(tgt, cond, "inner")
             conds = [
                 F.expr(cl.cond) if cl.cond is not None else F.lit(True)
                 for cl in m.matched
             ]
-            any_cond = conds[0]
-            for x in conds[1:]:
-                any_cond = any_cond | x
-            out_cols = []
-            for col in tcols:
-                base = _qualify(m.t_alias, col)
-                expr = base
-                # first-match-wins: build the CASE chain in reverse
-                for cl, cc in zip(
-                    reversed(m.matched), reversed(conds)
-                ):
-                    if cl.sets is None:  # UPDATE SET *
-                        val = _qualify(m.s_alias, col)
-                    elif col in cl.sets:
-                        val = F.expr(cl.sets[col])
-                    else:
-                        val = base
-                    expr = F.when(cc, val).otherwise(expr)
-                out_cols.append(expr.alias(col))
-            branches.append(joined.filter(any_cond).select(out_cols))
+            # first-match-wins: one decision index per matched row;
+            # rows matching no clause stay untouched (excluded)
+            decision = F.lit(-1)
+            for i, cc in reversed(list(enumerate(conds))):
+                decision = F.when(cc, F.lit(i)).otherwise(decision)
+            joined = joined.withColumn("__clause", decision)
+            upd_idx = [
+                i for i, cl in enumerate(m.matched) if not cl.delete
+            ]
+            del_idx = [i for i, cl in enumerate(m.matched) if cl.delete]
+            if del_idx:
+                delete_frame = joined.filter(
+                    F.col("__clause").isin(del_idx)
+                ).select(
+                    [
+                        _qualify(m.t_alias, tk).alias(tk)
+                        for tk, _sk in m.on
+                    ]
+                )
+            if upd_idx:
+                out_cols = []
+                for col in tcols:
+                    base = _qualify(m.t_alias, col)
+                    expr = base
+                    for i in reversed(upd_idx):
+                        cl = m.matched[i]
+                        if cl.sets is None:  # UPDATE SET *
+                            val = _qualify(m.s_alias, col)
+                        elif col in cl.sets:
+                            val = F.expr(cl.sets[col])
+                        else:
+                            val = base
+                        expr = F.when(
+                            F.col("__clause") == i, val
+                        ).otherwise(expr)
+                    out_cols.append(expr.alias(col))
+                branches.append(
+                    joined.filter(
+                        F.col("__clause").isin(upd_idx)
+                    ).select(out_cols)
+                )
         if m.not_matched:
             anti = src.join(tgt, cond, "left_anti")
             conds = [
@@ -575,9 +606,13 @@ class TxnSqlRouter:
                 out_cols.append(expr.cast(f.dataType).alias(f.name))
             branches.append(anti.filter(any_cond).select(out_cols))
 
-        updates = branches[0]
-        for b in branches[1:]:
-            updates = updates.unionByName(b)
+        if branches:
+            updates = branches[0]
+            for b in branches[1:]:
+                updates = updates.unionByName(b)
+        else:
+            # delete-only merge: an empty, correctly-typed update set
+            updates = self._spark.createDataFrame([], schema)
         # cast to the exact target schema so the commit never widens
         updates = updates.select(
             [
@@ -586,8 +621,52 @@ class TxnSqlRouter:
             ]
         )
         op = "merge_upsert" if strat == "cow" else "merge_upsert_dv"
-        version = getattr(t, op)(self._spark, updates, keys=keys)
+        version = getattr(t, op)(
+            self._spark, updates, keys=keys, delete_keys=delete_frame
+        )
         return self._result(name, op, version)
+
+    def _exec_sync_full(self, m: _Merge, name, t, schema, src):
+        """The canonical three-clause MERGE (UPDATE SET * / INSERT * /
+        NOT MATCHED BY SOURCE DELETE) IS a full-snapshot sync — dispatch
+        to ``sync_full``, which rewrites only the files holding a real
+        change. Any other BY SOURCE combination is refused."""
+        shape_ok = (
+            len(m.matched) == 1
+            and m.matched[0].cond is None
+            and m.matched[0].sets is None
+            and not m.matched[0].delete
+            and len(m.not_matched) == 1
+            and m.not_matched[0].cond is None
+            and m.not_matched[0].cols is None
+        )
+        if not shape_ok:
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE THEN DELETE is supported "
+                "only in the full-sync shape: unconditional WHEN "
+                "MATCHED THEN UPDATE SET * + WHEN NOT MATCHED THEN "
+                "INSERT * (sync_full semantics)"
+            )
+        for tk, sk in m.on:
+            if tk != sk:
+                src = src.withColumnRenamed(sk, tk)
+        missing = [
+            f.name for f in schema.fields if f.name not in src.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"full-sync source is missing target columns {missing}"
+            )
+        aligned = src.select(
+            [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        version = t.sync_full(
+            self._spark, aligned, keys=[tk for tk, _ in m.on]
+        )
+        return self._result(name, "sync_full", version)
 
     def _exec_update(self, c: _Cursor):
         c.expect("UPDATE")

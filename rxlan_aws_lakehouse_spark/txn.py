@@ -2169,6 +2169,7 @@ class TxnTable:
         max_retries: int = 2,
         extra_meta: dict | None = None,
         validate_keys: bool = True,
+        delete_keys: DataFrame | None = None,
     ) -> str:
         """SCD1 MERGE, file-granular: rewrite ONLY the files that contain a
         matched key; every other file carries into the new snapshot by
@@ -2201,6 +2202,13 @@ class TxnTable:
         instead of the whole table. Readers see the pre-merge snapshot
         until the pointer swap, then the post-merge one — never a mixture.
 
+        ``delete_keys`` (round 10) extends the merge to the full ANSI
+        clause set: rows whose key appears in it are REMOVED in the same
+        atomic commit (``WHEN MATCHED THEN DELETE``) — their files join
+        the rewrite set, the kept-scan anti-joins the union of update
+        and delete keys, and no replacement row lands. A key in both
+        sets is ambiguous and raises, mirroring the duplicate-key guard.
+
         ``updates`` is persisted for the duration of the merge: its plan
         feeds THREE jobs (key bounds, touched-file discovery, the commit
         write — four with validation), and callers often hand in a
@@ -2210,6 +2218,11 @@ class TxnTable:
         surfaced on ``txn_incremental_agg``.
         """
         updates = updates.persist()
+        dels = (
+            delete_keys.select(*keys).distinct().persist()
+            if delete_keys is not None
+            else None
+        )
 
         def validate() -> None:
             # Ambiguous-merge guard (Delta raises the same way): two update
@@ -2230,6 +2243,19 @@ class TxnTable:
                     f"{[dup[0][k] for k in keys]}; dedupe the update set "
                     "or pass validate_keys=False"
                 )
+            if dels is not None:
+                both = (
+                    updates.select(*keys)
+                    .join(dels, keys, "leftsemi")
+                    .limit(1)
+                    .collect()
+                )
+                if both:
+                    raise ValueError(
+                        f"key {[both[0][k] for k in keys]} appears in "
+                        "both updates and delete_keys; MERGE clauses "
+                        "must decide one action per row"
+                    )
 
         def attempt() -> str:
             expect = self.current_version()
@@ -2244,14 +2270,19 @@ class TxnTable:
             # driver listing) just to learn a schema the commit recorded.
             target_schema = StructType.fromJson(self._meta(expect)["schema"])
             update_keys = updates.select(*keys).distinct()
-            candidates = self._merge_candidates(expect, updates, keys)
+            all_keys = (
+                update_keys.unionByName(dels).distinct()
+                if dels is not None
+                else update_keys
+            )
+            candidates = self._merge_candidates(expect, all_keys, keys)
             if candidates:
                 cand_scan = self._scan_files(
                     spark, expect, candidates, target_schema, file_col="_f"
                 )
                 touched = sorted(
                     os.path.relpath(_local_path(r["_f"]), data_root)
-                    for r in cand_scan.join(update_keys, keys, "leftsemi")
+                    for r in cand_scan.join(all_keys, keys, "leftsemi")
                     .select("_f")
                     .distinct()
                     .collect()
@@ -2279,7 +2310,7 @@ class TxnTable:
             if touched:
                 kept = self._scan_files(
                     spark, expect, touched, target_schema
-                ).join(update_keys, keys, "left_anti")
+                ).join(all_keys, keys, "left_anti")
                 for f in extra_fields:
                     kept = kept.withColumn(
                         f.name, F.lit(None).cast(f.dataType)
@@ -2322,6 +2353,19 @@ class TxnTable:
                         ins.withColumn(_CHANGE_TYPE, F.lit("insert"))
                     )
                 )
+                if dels is not None:
+                    gone = self._scan_files(
+                        spark, expect, touched, target_schema
+                    ).join(dels, keys, "leftsemi")
+                    for f in extra_fields:
+                        gone = gone.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                    chg = chg.unionByName(
+                        gone.select(*out_cols).withColumn(
+                            _CHANGE_TYPE, F.lit("delete")
+                        )
+                    )
 
                 def aux(staging: str) -> None:
                     chg.write.parquet(os.path.join(staging, _CDF_DIR))
@@ -2340,6 +2384,8 @@ class TxnTable:
             return self._with_retries(attempt, max_retries)
         finally:
             updates.unpersist()
+            if dels is not None:
+                dels.unpersist()
 
     def merge_upsert_dv(
         self,
@@ -2350,6 +2396,7 @@ class TxnTable:
         max_retries: int = 2,
         extra_meta: dict | None = None,
         validate_keys: bool = True,
+        delete_keys: DataFrame | None = None,
     ) -> str:
         """Merge-on-read MERGE (Delta's deletion-vector-enabled MERGE):
         same SCD1 semantics as ``merge_upsert``, but instead of REWRITING
@@ -2380,8 +2427,17 @@ class TxnTable:
         the ``txn_merge_dv`` registry lane and pytest); chooses between
         them by workload: scattered keys / wide files -> DV, clustered
         keys on few files -> copy-on-write stays cheaper to read.
+
+        ``delete_keys`` mirrors ``merge_upsert``'s: matched rows whose
+        key appears in it become vector entries with NO replacement row
+        — ``WHEN MATCHED THEN DELETE`` at delta write cost.
         """
         updates = updates.persist()
+        dels = (
+            delete_keys.select(*keys).distinct().persist()
+            if delete_keys is not None
+            else None
+        )
 
         def validate() -> None:
             dup = (
@@ -2397,6 +2453,19 @@ class TxnTable:
                     f"{[dup[0][k] for k in keys]}; dedupe the update set "
                     "or pass validate_keys=False"
                 )
+            if dels is not None:
+                both = (
+                    updates.select(*keys)
+                    .join(dels, keys, "leftsemi")
+                    .limit(1)
+                    .collect()
+                )
+                if both:
+                    raise ValueError(
+                        f"key {[both[0][k] for k in keys]} appears in "
+                        "both updates and delete_keys; MERGE clauses "
+                        "must decide one action per row"
+                    )
 
         def attempt() -> str:
             expect = self.current_version()
@@ -2409,7 +2478,12 @@ class TxnTable:
                 generated=self._meta(expect).get("generated"),
             )
             update_keys = updates.select(*keys).distinct()
-            candidates = self._merge_candidates(expect, updates, keys)
+            all_keys = (
+                update_keys.unionByName(dels).distinct()
+                if dels is not None
+                else update_keys
+            )
+            candidates = self._merge_candidates(expect, all_keys, keys)
             old_dv_dir = self._dv_dir(expect)
             has_old_dv = os.path.isdir(old_dv_dir)
             matched = None
@@ -2430,7 +2504,7 @@ class TxnTable:
                         & (scan["__ri"] == old["row_index"]),
                         "left_anti",
                     )
-                matched = scan.join(update_keys, keys, "leftsemi").persist()
+                matched = scan.join(all_keys, keys, "leftsemi").persist()
                 if matched.limit(1).count() == 0:
                     matched.unpersist()
                     matched = None
@@ -2454,6 +2528,9 @@ class TxnTable:
                     if self._meta(expect).get("cdf"):
                         have = set(target_schema.fieldNames())
                         pre = matched.drop("__rel", "__ri")
+                        if dels is not None:
+                            gone = pre.join(dels, keys, "leftsemi")
+                            pre = pre.join(dels, keys, "left_anti")
                         for f in updates.schema.fields:
                             if f.name not in have:
                                 pre = pre.withColumn(
@@ -2480,6 +2557,18 @@ class TxnTable:
                                 ins.withColumn(_CHANGE_TYPE, F.lit("insert"))
                             )
                         )
+                        if dels is not None:
+                            for f in updates.schema.fields:
+                                if f.name not in have:
+                                    gone = gone.withColumn(
+                                        f.name,
+                                        F.lit(None).cast(f.dataType),
+                                    )
+                            chg = chg.unionByName(
+                                gone.select(*out_cols).withColumn(
+                                    _CHANGE_TYPE, F.lit("delete")
+                                )
+                            )
 
                     def aux(staging: str, dv=dv, chg=chg) -> None:
                         dv.coalesce(1).write.parquet(
@@ -2513,6 +2602,8 @@ class TxnTable:
             return self._with_retries(attempt, max_retries)
         finally:
             updates.unpersist()
+            if dels is not None:
+                dels.unpersist()
 
     def sync_full(
         self,

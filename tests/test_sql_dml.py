@@ -157,13 +157,15 @@ class TestMerge:
         cases = [
             (
                 "MERGE INTO tgt t USING s3 s ON t.k = s.k "
-                "WHEN MATCHED THEN DELETE",
-                "THEN DELETE is not supported",
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0",
+                "BY SOURCE supports only THEN DELETE",
             ),
             (
+                # BY SOURCE DELETE outside the full-sync shape
                 "MERGE INTO tgt t USING s3 s ON t.k = s.k "
-                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0",
-                "BY SOURCE is not supported",
+                "WHEN MATCHED THEN UPDATE SET v = 0 "
+                "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+                "only in the full-sync shape",
             ),
             (
                 "MERGE INTO tgt t USING s3 s ON t.k > s.k "
@@ -265,3 +267,72 @@ class TestUpdateDeleteInsert:
         assert (
             r.sql("SELECT sum(v) AS s FROM tgt").collect()[0]["s"] == 60
         )
+
+
+class TestMergeDelete:
+    def test_matched_delete_clause_first_match_wins(self, spark, tmp_path):
+        """WHEN MATCHED ... THEN DELETE in the same atomic commit as
+        updates and inserts (merge_upsert's delete_keys, round 10)."""
+        t = _mk(spark, tmp_path, n=10)
+        spark.createDataFrame(
+            [(2, "drop"), (4, "keep"), (6, "drop"), (12, "new")],
+            "k long, action string",
+        ).createOrReplaceTempView("src")
+        r = TxnSqlRouter(spark)
+        r.register("tgt", t)
+        res = r.sql(
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED AND s.action = 'drop' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET tag = s.action "
+            "WHEN NOT MATCHED AND s.action = 'new' THEN "
+            "  INSERT (k, v, tag) VALUES (s.k, 0, s.action)"
+        ).collect()[0]
+        assert res["operation"] == "merge_upsert"
+        got = dict(
+            (x["k"], (x["v"], x["tag"])) for x in t.read(spark).collect()
+        )
+        assert 2 not in got and 6 not in got
+        assert got[4] == (40, "keep")
+        assert got[12] == (0, "new")
+        assert len(got) == 9  # 10 - 2 deleted + 1 inserted
+        # ONE commit did all of it
+        assert [m["operation"] for m in t.history()][-1] == "merge_upsert"
+
+    def test_delete_only_merge_and_dv_parity(self, spark, tmp_path):
+        for strat in ("cow", "dv"):
+            t = _mk(spark, tmp_path, f"m_{strat}", n=20)
+            spark.range(5, 9).select(
+                F.col("id").alias("k")
+            ).createOrReplaceTempView("src")
+            r = TxnSqlRouter(spark, strategy=strat)
+            r.register("tgt", t)
+            r.sql(
+                "MERGE INTO tgt t USING src s ON t.k = s.k "
+                "WHEN MATCHED THEN DELETE"
+            )
+            got = sorted(x["k"] for x in t.read(spark).collect())
+            assert got == [k for k in range(20) if not (5 <= k < 9)]
+        assert TxnTable(
+            os.path.join(str(tmp_path), "m_dv")
+        ).has_deletion_vectors()
+
+    def test_three_clause_full_sync_shape(self, spark, tmp_path):
+        """UPDATE SET * / INSERT * / NOT MATCHED BY SOURCE DELETE is the
+        full-sync MERGE -> sync_full: the table converges to exactly the
+        source."""
+        t = _mk(spark, tmp_path, n=10)
+        src = spark.createDataFrame(
+            [(3, 999, "s3"), (11, 111, "s11")], "k long, v long, tag string"
+        )
+        src.createOrReplaceTempView("src")
+        r = TxnSqlRouter(spark)
+        r.register("tgt", t)
+        res = r.sql(
+            "MERGE INTO tgt t USING src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        ).collect()[0]
+        assert res["operation"] == "sync_full"
+        got = sorted(tuple(x) for x in t.read(spark).collect())
+        assert got == [(3, 999, "s3"), (11, 111, "s11")]

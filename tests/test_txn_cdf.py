@@ -216,3 +216,43 @@ def test_property_travels_and_schema_evolution(spark, table, tmp_path):
         (2, "update_postimage", "vip"),
     }
     assert v1 and v2
+
+
+@pytest.mark.parametrize("op", ["merge_upsert", "merge_upsert_dv"])
+def test_merge_with_delete_keys_emits_delete_images(spark, table, op):
+    """round 10: merge_upsert(delete_keys=...) — the WHEN MATCHED THEN
+    DELETE primitive — must emit 'delete' preimages for the dropped
+    rows alongside the usual pre/post/insert, in ONE commit, on both
+    the copy-on-write and deletion-vector paths."""
+    v1 = table.current_version()
+    updates = spark.createDataFrame(
+        [(2, 200.0), (5, 50.0)], "k INT, amount DOUBLE"
+    )
+    dels = spark.createDataFrame([(3,), (4,)], "k INT")
+    v2 = getattr(table, op)(
+        spark, updates, keys=["k"], delete_keys=dels
+    )
+    assert v2 != v1
+    chg = table.read_row_changes(spark, since=v1)
+    assert _rows(chg) == {
+        (2, 20.0, "update_preimage", v2),
+        (2, 200.0, "update_postimage", v2),
+        (5, 50.0, "insert", v2),
+        (3, 30.0, "delete", v2),
+        (4, 40.0, "delete", v2),
+    }
+    got = sorted(tuple(r) for r in table.read(spark).collect())
+    assert got == [(1, 10.0), (2, 200.0), (5, 50.0)]
+    # one atomic commit did updates + inserts + deletes
+    assert [m["operation"] for m in table.history()][-1] == op
+
+
+def test_merge_delete_key_overlap_refused(spark, table):
+    updates = spark.createDataFrame([(2, 1.0)], "k INT, amount DOUBLE")
+    dels = spark.createDataFrame([(2,)], "k INT")
+    with pytest.raises(ValueError, match="both updates and delete_keys"):
+        table.merge_upsert(spark, updates, keys=["k"], delete_keys=dels)
+    with pytest.raises(ValueError, match="both updates and delete_keys"):
+        table.merge_upsert_dv(
+            spark, updates, keys=["k"], delete_keys=dels
+        )
