@@ -405,6 +405,69 @@ def _qualify(alias: str, col: str):
     return F.col(f"{alias}.{col}")
 
 
+_PRUNE_OPS = {"=", "<", "<=", ">", ">="}
+_FLIP = {"=": "=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+
+def _literal_value(tok: str):
+    """Python value of a SQL literal token, or a no-value sentinel."""
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1].replace("''", "'")
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return _literal_value  # sentinel: not a literal
+
+
+def prune_triples_from_where(tokens: list[str]) -> list[tuple]:
+    """Conjunctive ``(col, op, literal)`` triples OVER-APPROXIMATING a
+    WHERE clause, in the ``pruned_files`` grammar — so a SQL
+    ``UPDATE``/``DELETE`` gets manifest file skipping without the
+    caller hand-writing prune hints. Safety: pruning is an IO bound
+    only (row filters decide correctness), and an over-approximation
+    needs every kept file to be a superset — so we only emit triples
+    for top-level AND conjuncts of the simple comparison shape, emit
+    nothing when a top-level OR exists, and silently skip conjuncts we
+    can't express (fewer constraints = MORE files kept = safe)."""
+    depth = 0
+    for t in tokens:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.upper() == "OR":
+            return []
+    conjs: list[list[str]] = [[]]
+    depth = 0
+    for t in tokens:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and t.upper() == "AND":
+            conjs.append([])
+        else:
+            conjs[-1].append(t)
+    out = []
+    for c in conjs:
+        if len(c) != 3 or c[1] not in _PRUNE_OPS:
+            continue
+        a, op, b = c
+        if _IDENT_RE.match(a) and not _IDENT_RE.match(b):
+            v = _literal_value(b)
+            if v is not _literal_value:
+                out.append((a.strip("`"), op, v))
+        elif _IDENT_RE.match(b) and not _IDENT_RE.match(a):
+            v = _literal_value(a)
+            if v is not _literal_value:
+                out.append((b.strip("`"), _FLIP[op], v))
+    return out
+
+
 class TxnSqlRouter:
     """The analyst write surface: register txn tables under SQL names,
     then type DML against them.
@@ -698,17 +761,21 @@ class TxnSqlRouter:
             if not c.accept(","):
                 break
         cond = F.lit(True)
+        prune: list[tuple] = []
         if c.accept("WHERE"):
-            cond = F.expr(
-                _render(_strip_qualifier(c.take_until(()), quals))
-            )
+            where = _strip_qualifier(c.take_until(()), quals)
+            cond = F.expr(_render(where))
+            prune = prune_triples_from_where(where)
         if not c.done():
             raise ValueError(
                 f"unexpected trailing tokens: "
                 f"{_render(c.toks[c.i:])!r}"
             )
         version = t.update_where(
-            self._spark, cond, {k: F.expr(v) for k, v in sets.items()}
+            self._spark,
+            cond,
+            {k: F.expr(v) for k, v in sets.items()},
+            prune=prune or None,
         )
         return self._result(name, "update_where", version)
 
@@ -723,17 +790,18 @@ class TxnSqlRouter:
         name, t = self._resolve(target)
         quals = {target, alias}
         cond = F.lit(True)
+        prune: list[tuple] = []
         if c.accept("WHERE"):
-            cond = F.expr(
-                _render(_strip_qualifier(c.take_until(()), quals))
-            )
+            where = _strip_qualifier(c.take_until(()), quals)
+            cond = F.expr(_render(where))
+            prune = prune_triples_from_where(where)
         if not c.done():
             raise ValueError(
                 f"unexpected trailing tokens: "
                 f"{_render(c.toks[c.i:])!r}"
             )
         op = "delete_where" if strat == "cow" else "delete_where_deferred"
-        version = getattr(t, op)(self._spark, cond)
+        version = getattr(t, op)(self._spark, cond, prune=prune or None)
         return self._result(name, op, version)
 
     def _exec_insert(self, c: _Cursor):

@@ -336,3 +336,44 @@ class TestMergeDelete:
         assert res["operation"] == "sync_full"
         got = sorted(tuple(x) for x in t.read(spark).collect())
         assert got == [(3, 999, "s3"), (11, 111, "s11")]
+
+
+class TestAutoPrune:
+    def test_prune_triples_derivation(self):
+        from rxlan_aws_lakehouse_spark.sql_dml import (
+            _tokenize,
+            prune_triples_from_where,
+        )
+
+        t = prune_triples_from_where(
+            _tokenize("k >= 10 AND region = 'asia' AND f(x) < 3 AND 5 > j")
+        )
+        assert t == [("k", ">=", 10), ("region", "=", "asia"), ("j", "<", 5)]
+        # any top-level OR disables pruning wholesale (over-approx rule)
+        assert prune_triples_from_where(_tokenize("k > 1 OR j < 2")) == []
+        # inexpressible conjuncts are skipped, expressible ones kept
+        assert prune_triples_from_where(
+            _tokenize("v * 2 > 10 AND (a = 1 OR b = 2) AND dt = '2024-01-01'")
+        ) == [("dt", "=", "2024-01-01")]
+
+    def test_sql_delete_prunes_files_and_stays_correct(
+        self, spark, tmp_path
+    ):
+        """A keyed SQL DELETE on a range-clustered table must touch only
+        the files its WHERE can hit (manifest triples derived from the
+        parse) — and produce the same rows as the unpruned delete."""
+        t = TxnTable(os.path.join(str(tmp_path), "t"))
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        t.commit(df.repartitionByRange(8, "k"), sort_within=["k"])
+        # the derived triple prunes to a strict subset of files
+        kept, total = t.pruned_files([("k", ">=", 990)])
+        assert 0 < len(kept) < total
+        r = TxnSqlRouter(spark)
+        r.register("tgt", t)
+        r.sql("DELETE FROM tgt WHERE k >= 990")
+        assert t.read(spark).count() == 990
+        r.sql("UPDATE tgt SET v = 0 WHERE k >= 980 AND k < 985")
+        got = dict((x["k"], x["v"]) for x in t.read(spark).collect())
+        assert got[980] == 0 and got[984] == 0 and got[985] == 1970
