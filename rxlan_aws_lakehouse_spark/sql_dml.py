@@ -25,6 +25,12 @@ equi-condition) that leaves every scalar EXPRESSION to Spark itself
                                       delete_where_deferred ("dv")
     INSERT INTO t ...                 append
     INSERT OVERWRITE t ...            commit (spec-preserving overwrite)
+    CREATE TABLE t (...) LOCATION     empty-snapshot create + register
+    DROP TABLE t                      unregister (data stays; external)
+    DESCRIBE HISTORY t                metadata table as a DataFrame
+    OPTIMIZE t                        compact (bin-packed small files)
+    VACUUM t [RETAIN n HOURS]         vacuum (snapshot retention)
+    RESTORE t TO VERSION AS OF n      restore (rollback as new commit)
     anything else                     spark.sql (reads: temp views)
     ===============================  =================================
 
@@ -541,6 +547,24 @@ class TxnSqlRouter:
             return self._exec_delete(_Cursor(toks), strat)
         if verb == "INSERT":
             return self._exec_insert(_Cursor(toks))
+        if verb == "DESCRIBE" and len(toks) >= 2 and (
+            toks[1].upper() == "HISTORY"
+        ):
+            return self._exec_describe_history(_Cursor(toks))
+        if verb == "OPTIMIZE":
+            return self._exec_optimize(_Cursor(toks))
+        if verb == "VACUUM":
+            return self._exec_vacuum(_Cursor(toks))
+        if verb == "CREATE" and len(toks) >= 2 and (
+            toks[1].upper() == "TABLE"
+        ):
+            return self._exec_create(_Cursor(toks))
+        if verb == "DROP" and len(toks) >= 2 and (
+            toks[1].upper() == "TABLE"
+        ):
+            return self._exec_drop(_Cursor(toks))
+        if verb == "RESTORE":
+            return self._exec_restore(_Cursor(toks))
         return self._spark.sql(statement)
 
     # ------------------------------------------------------------------
@@ -803,6 +827,118 @@ class TxnSqlRouter:
         op = "delete_where" if strat == "cow" else "delete_where_deferred"
         version = getattr(t, op)(self._spark, cond, prune=prune or None)
         return self._result(name, op, version)
+
+    # -- utility statements (Delta's SQL maintenance surface) ----------
+    def _exec_describe_history(self, c: _Cursor):
+        c.expect("DESCRIBE", "HISTORY")
+        name, t = self._resolve(c.ident("table"))
+        return self._spark.read.format("txn").option(
+            "metadata", "history"
+        ).load(t.root)
+
+    def _exec_optimize(self, c: _Cursor):
+        c.expect("OPTIMIZE")
+        name, t = self._resolve(c.ident("table"))
+        version = t.compact(self._spark)
+        return self._result(name, "compact", version)
+
+    def _exec_vacuum(self, c: _Cursor):
+        c.expect("VACUUM")
+        name, t = self._resolve(c.ident("table"))
+        retain = None
+        keep = 2
+        while not c.done():
+            if c.accept("RETAIN"):
+                retain = float(c.peek())
+                c.i += 1
+                c.expect("HOURS")
+            elif c.accept("KEEP"):
+                keep = int(c.peek())
+                c.i += 1
+            else:
+                raise ValueError(
+                    f"unexpected VACUUM clause at {c.peek()!r}"
+                )
+        dropped = t.vacuum(keep=keep, retain_hours=retain)
+        self._refresh_view(name)
+        return self._spark.createDataFrame(
+            [("vacuum", f"dropped={len(dropped)}")],
+            "operation string, version string",
+        )
+
+    def _exec_create(self, c: _Cursor):
+        c.expect("CREATE", "TABLE")
+        if_not_exists = c.accept("IF", "NOT", "EXISTS")
+        name = c.ident("table")
+        c.expect("(")
+        ddl = _render(c.take_until(((")",),)))
+        c.expect(")")
+        c.accept("USING", "TXN")
+        partition_by: list[str] = []
+        if c.accept("PARTITIONED", "BY"):
+            c.expect("(")
+            while True:
+                partition_by.append(c.ident("partition column"))
+                if not c.accept(","):
+                    break
+            c.expect(")")
+        if not c.accept("LOCATION"):
+            raise ValueError(
+                "CREATE TABLE needs LOCATION '<path>' (txn tables are "
+                "path-addressed)"
+            )
+        loc_tok = c.peek()
+        if loc_tok is None or not loc_tok.startswith("'"):
+            raise ValueError("LOCATION expects a quoted path")
+        c.i += 1
+        root = loc_tok[1:-1].replace("''", "'")
+        schema = StructType.fromDDL(ddl)
+        t = TxnTable(root)
+        if t.current_version() is not None:
+            if if_not_exists:
+                self.register(name, t)
+                return self._result(name, "create_noop", t.current_version())
+            raise ValueError(f"table already exists at {root}")
+        import tempfile as _tempfile
+
+        empty = _tempfile.mkdtemp(prefix="txn_create_")
+        try:
+            version = t.commit_staged(
+                empty,
+                overwrite=True,
+                schema=schema,
+                partition_by=partition_by or None,
+            )
+        finally:
+            import shutil as _shutil
+
+            _shutil.rmtree(empty, ignore_errors=True)
+        self.register(name, t)
+        return self._result(name, "create", version)
+
+    def _exec_drop(self, c: _Cursor):
+        c.expect("DROP", "TABLE")
+        name = c.ident("table")
+        self._resolve(name)
+        del self._tables[name.lower()]
+        self._spark.catalog.dropTempView(name)
+        return self._spark.createDataFrame(
+            [("drop", name)], "operation string, version string"
+        )
+
+    def _exec_restore(self, c: _Cursor):
+        c.expect("RESTORE")
+        c.accept("TABLE")
+        name, t = self._resolve(c.ident("table"))
+        c.expect("TO", "VERSION", "AS", "OF")
+        v = c.peek()
+        if v is None:
+            raise ValueError("RESTORE needs a version")
+        c.i += 1
+        version = t.restore(
+            self._spark, v if v.startswith("v") else f"v{int(v):08d}"
+        )
+        return self._result(name, "restore", version)
 
     def _exec_insert(self, c: _Cursor):
         c.expect("INSERT")

@@ -377,3 +377,54 @@ class TestAutoPrune:
         r.sql("UPDATE tgt SET v = 0 WHERE k >= 980 AND k < 985")
         got = dict((x["k"], x["v"]) for x in t.read(spark).collect())
         assert got[980] == 0 and got[984] == 0 and got[985] == 1970
+
+
+class TestUtilityStatements:
+    def test_create_insert_describe_optimize_vacuum_restore_drop(
+        self, spark, tmp_path
+    ):
+        r = TxnSqlRouter(spark)
+        root = str(tmp_path / "t")
+        res = r.sql(
+            "CREATE TABLE metrics (k BIGINT, v DOUBLE, tag STRING) "
+            f"USING txn PARTITIONED BY (tag) LOCATION '{root}'"
+        ).collect()[0]
+        assert res["operation"] == "create"
+        assert spark.table("metrics").count() == 0
+        # IF NOT EXISTS on an existing table is a no-op
+        assert (
+            r.sql(
+                "CREATE TABLE IF NOT EXISTS metrics (k BIGINT) "
+                f"LOCATION '{root}'"
+            ).collect()[0]["operation"]
+            == "create_noop"
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            r.sql(f"CREATE TABLE metrics (k BIGINT) LOCATION '{root}'")
+        for i in range(4):
+            r.sql(
+                f"INSERT INTO metrics VALUES ({i}, {i}.5, 'a'), "
+                f"({i + 100}, 0.25, 'b')"
+            )
+        assert spark.table("metrics").count() == 8
+        t = TxnTable(root)
+        assert t._meta(t.current_version())["partition_by"] == ["tag"]
+        hist = r.sql("DESCRIBE HISTORY metrics")
+        ops = [x["operation"] for x in hist.collect()]
+        assert ops.count("append") == 4 and "overwrite" in ops
+        n_files = len(t.files())
+        res = r.sql("OPTIMIZE metrics").collect()[0]
+        assert res["operation"] == "compact"
+        assert len(t.files()) < n_files
+        assert spark.table("metrics").count() == 8
+        # roll back past the compact+appends to the 2-row state
+        r.sql("RESTORE metrics TO VERSION AS OF 2")
+        assert spark.table("metrics").count() == 2
+        res = r.sql("VACUUM metrics KEEP 1").collect()[0]
+        assert res["operation"] == "vacuum"
+        assert spark.table("metrics").count() == 2
+        r.sql("DROP TABLE metrics")
+        with pytest.raises(ValueError, match="not a registered"):
+            r.sql("OPTIMIZE metrics")
+        # data survives the drop (external-table semantics)
+        assert TxnTable(root).read(spark).count() == 2
