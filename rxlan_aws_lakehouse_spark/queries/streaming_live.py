@@ -526,6 +526,111 @@ def streaming_session_window_counts(
     finally:
         _shutil.rmtree(work, ignore_errors=True)
 
+def streaming_reshard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kinesis resharding end-to-end under the driver gate (round 10):
+    a 2-shard replay log takes a capped first drain (backlog left on
+    both shards), then a SPLIT of shard 0 (closed at its frontier, two
+    children owning the hash-range halves) with a second tranche routed
+    by key range, then — after the split drains — a MERGE of the two
+    children with a third tranche landing in the merged shard. Five
+    checkpointed AvailableNow runs drain it all; the reader's
+    parent-drain rule orders every handoff (children held until the
+    closed parent is consumed through its close sequence). The per-day
+    aggregate of the SINK must equal DuckDB's closed form over the
+    fixture slice: a record lost at either reshard boundary, or
+    redelivered past a committed offset, breaks the hash."""
+    import json as _json
+    import os as _os
+
+    from ..sources.replay_source import ReplayLog, register_replay_source
+
+    register_replay_source(spark)
+    work = tempfile.mkdtemp(prefix="reshard_")
+    try:
+        root = f"{work}/log"
+        _os.makedirs(root)
+        log = ReplayLog(root, n_shards=2)
+        rows = (
+            load(spark, sf_dir, "events")
+            .filter(
+                (F.col("event_id") >= 3000) & (F.col("event_id") < 5000)
+            )
+            .select(
+                "user_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("t"),
+                "value",
+            )
+            .collect()
+        )
+        recs = [
+            (
+                r["user_id"],
+                _json.dumps(
+                    {"u": r["user_id"], "t": r["t"], "v": r["value"]}
+                ),
+            )
+            for r in rows
+        ]
+        t1 = [x for x in recs if _json.loads(x[1])["t"] < "2024-01-10"]
+        t2 = [
+            x
+            for x in recs
+            if "2024-01-10" <= _json.loads(x[1])["t"] < "2024-01-20"
+        ]
+        t3 = [x for x in recs if _json.loads(x[1])["t"] >= "2024-01-20"]
+        log.put_many(t1)
+        sink, ckpt = f"{work}/sink", f"{work}/ckpt"
+
+        def drain(**opts) -> None:
+            reader = spark.readStream.format("replaylog").option(
+                "startingPosition", "earliest"
+            )
+            for k, v in opts.items():
+                reader = reader.option(k, str(v))
+            q = (
+                reader.load(root)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain(maxSeqsPerTrigger=40)  # capped: backlog outstanding
+        c1, c2 = log.split_shard(log.shards[0])
+        log.put_many(t2)  # hash-range routed: children + shard 1
+        drain()  # parents drain; children HELD
+        drain()  # children released
+        merged = log.merge_shards(c1, c2)
+        log.put_many(t3)  # all t3 keys owned by the merged child
+        drain()  # children drain to close; merged HELD
+        drain()  # merged released
+        parsed = (
+            spark.read.parquet(sink)
+            .select(
+                F.from_json(
+                    "data", "u bigint, t timestamp, v double"
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        out = (
+            parsed.groupBy(F.date_format("t", "yyyy-MM-dd").alias("dt"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("u").alias("n_users"),
+                F.round(F.sum("v"), 2).alias("total_value"),
+            )
+            .orderBy("dt")
+        )
+        final = out.collect()
+        return spark.createDataFrame(final, out.schema)
+    finally:
+        import shutil as _shutil
+
+        _shutil.rmtree(work, ignore_errors=True)
+
 
 QUERIES = {
     "streaming_cdc_counts": streaming_cdc_counts,
@@ -534,6 +639,7 @@ QUERIES = {
     "streaming_stream_join_counts": streaming_stream_join_counts,
     "streaming_watermark_dedup_counts": streaming_watermark_dedup_counts,
     "streaming_replay_counts": streaming_replay_counts,
+    "streaming_reshard_counts": streaming_reshard_counts,
     "streaming_session_window_counts": streaming_session_window_counts,
 }
 
@@ -680,6 +786,20 @@ ORACLE["streaming_watermark_dedup_counts"] = """
 # and the two-run checkpointed consumption must deliver exactly that set
 # — any loss or redelivery past a committed offset changes a count or a
 # sum. Timestamps ride as second-floored ISO strings (dt unaffected).
+# Reshard closed form: splits and merges move WHERE records live, never
+# WHICH records exist — the five checkpointed drains must deliver the
+# fixture slice exactly once through both reshard boundaries.
+ORACLE["streaming_reshard_counts"] = """
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_id >= 3000 AND event_id < 5000
+    GROUP BY 1
+    ORDER BY 1
+"""
+
 ORACLE["streaming_replay_counts"] = """
     SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt,
            CAST(count(*) AS BIGINT) AS n_events,
