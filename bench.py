@@ -76,6 +76,9 @@ HEADLINE = [
     "geo_grid_join",         # eps-grid spatial self-join vs brute oracle
     "sketch_countmin_topk",  # mergeable count-min heavy hitters
     "txn_stream_writer_sink",  # native replaylog -> txn streaming pair
+    # round-10 lanes:
+    "txn_sql_dml",           # SQL MERGE/UPDATE/DELETE/INSERT router script
+    "streaming_reshard_counts",  # shard split+merge mid-stream, 5 drains
 ]
 
 # The original 13-query set (rounds 1-5): summed separately so

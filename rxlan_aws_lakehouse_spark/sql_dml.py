@@ -20,7 +20,8 @@ equi-condition) that leaves every scalar EXPRESSION to Spark itself
     MERGE INTO t USING s ON ...
       WHEN [NOT] MATCHED ...          merge_upsert (strategy="cow")
                                       merge_upsert_dv (strategy="dv")
-    UPDATE t SET ... [WHERE ...]      update_where
+    UPDATE t SET ... [WHERE ...]      update_where (strategy="cow")
+                                      update_where_dv ("dv")
     DELETE FROM t [WHERE ...]         delete_where (strategy="cow")
                                       delete_where_deferred ("dv")
     INSERT INTO t ...                 append
@@ -542,7 +543,7 @@ class TxnSqlRouter:
         if verb == "MERGE":
             return self._exec_merge(_parse_merge(_Cursor(toks)), strat)
         if verb == "UPDATE":
-            return self._exec_update(_Cursor(toks))
+            return self._exec_update(_Cursor(toks), strat)
         if verb == "DELETE":
             return self._exec_delete(_Cursor(toks), strat)
         if verb == "INSERT":
@@ -755,7 +756,7 @@ class TxnSqlRouter:
         )
         return self._result(name, "sync_full", version)
 
-    def _exec_update(self, c: _Cursor):
+    def _exec_update(self, c: _Cursor, strat: str = "cow"):
         c.expect("UPDATE")
         target = c.ident("table")
         alias = target
@@ -795,13 +796,14 @@ class TxnSqlRouter:
                 f"unexpected trailing tokens: "
                 f"{_render(c.toks[c.i:])!r}"
             )
-        version = t.update_where(
+        op = "update_where" if strat == "cow" else "update_where_dv"
+        version = getattr(t, op)(
             self._spark,
             cond,
             {k: F.expr(v) for k, v in sets.items()},
             prune=prune or None,
         )
-        return self._result(name, "update_where", version)
+        return self._result(name, op, version)
 
     def _exec_delete(self, c: _Cursor, strat: str):
         c.expect("DELETE", "FROM")

@@ -2998,7 +2998,9 @@ class TxnTable:
                     .select(
                         *[
                             (
-                                set_[c].alias(c)
+                                set_[c]
+                                .cast(target_schema[c].dataType)
+                                .alias(c)
                                 if c in set_
                                 else F.col(c)
                             )
@@ -3017,6 +3019,122 @@ class TxnTable:
                 extra_meta=extra_meta, carry_src=expect,
                 expect_parent=expect, aux_writer=aux,
             )
+
+        return self._with_retries(attempt, max_retries)
+
+    def update_where_dv(
+        self,
+        spark: SparkSession,
+        condition,
+        set: dict,
+        prune: list | None = None,
+        max_retries: int = 2,
+        extra_meta: dict | None = None,
+    ) -> str:
+        """Merge-on-read UPDATE (round 10): the deletion-vector twin of
+        ``update_where``, completing the DV strategy family
+        (``delete_where_deferred`` / ``merge_upsert_dv`` already exist).
+        Matching rows' positions join the snapshot's deletion vector and
+        their UPDATED copies land as fresh files — write cost
+        O(matches), regardless of how many multi-GB files the matches
+        scatter across, and legal while a vector is already pending
+        (the copy-on-write writers ``_require_no_dv``, so without this a
+        DV-strategy table could DELETE but never UPDATE until a
+        ``materialize_deletes`` rewrite).
+
+        Same three-valued WHERE as ``update_where`` (only
+        definitely-TRUE rows update), same ``set``/``prune`` contract,
+        same row-level CDF images (pre/post from the matched scan).
+        Returns the current version unchanged when nothing matches."""
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            target_schema = StructType.fromJson(self._meta(expect)["schema"])
+            set_ = dict(set)
+            bad = [
+                c for c in set_ if c not in target_schema.fieldNames()
+            ]
+            if bad:
+                raise ValueError(
+                    f"update_where_dv sets unknown columns {bad}; "
+                    "UPDATE cannot add columns — use merge_upsert("
+                    "merge_schema=True) for additive evolution"
+                )
+            candidates, _total = self.pruned_files(prune or [], expect)
+            if not candidates:
+                return expect
+            scan = self._scan_files(
+                spark, expect, candidates, target_schema, meta_cols=True
+            )
+            old_dv_dir = self._dv_dir(expect)
+            has_old_dv = os.path.isdir(old_dv_dir)
+            if has_old_dv:
+                old = spark.read.parquet(old_dv_dir)
+                scan = scan.join(
+                    old,
+                    (scan["__rel"] == old["rel"])
+                    & (scan["__ri"] == old["row_index"]),
+                    "left_anti",
+                )
+            hit = F.coalesce(condition.cast("boolean"), F.lit(False))
+            matched = scan.filter(hit).persist()
+            try:
+                if matched.limit(1).count() == 0:
+                    return expect
+                dv = matched.select(
+                    F.col("__rel").alias("rel"),
+                    F.col("__ri").alias("row_index"),
+                )
+                if has_old_dv:
+                    dv = dv.unionByName(
+                        spark.read.parquet(old_dv_dir)
+                    ).distinct()
+                pre = matched.drop("__rel", "__ri")
+                updated = pre.select(
+                    *[
+                        (
+                            set_[c].cast(target_schema[c].dataType).alias(c)
+                            if c in set_
+                            else F.col(c)
+                        )
+                        for c in target_schema.fieldNames()
+                    ]
+                )
+                chg = None
+                if self._meta(expect).get("cdf"):
+                    chg = pre.withColumn(
+                        _CHANGE_TYPE, F.lit("update_preimage")
+                    ).unionByName(
+                        updated.withColumn(
+                            _CHANGE_TYPE, F.lit("update_postimage")
+                        )
+                    )
+
+                def aux(staging: str, dv=dv, chg=chg) -> None:
+                    dv.coalesce(1).write.parquet(
+                        os.path.join(staging, _DV_DIR)
+                    )
+                    if chg is not None:
+                        chg.write.parquet(os.path.join(staging, _CDF_DIR))
+
+                carry = {
+                    rel: os.path.join(data_root, rel)
+                    for rel in self.files(expect)
+                }
+                return self.commit(
+                    updated,
+                    operation="update_where_dv",
+                    carry_files=carry,
+                    carry_src=expect,
+                    expect_parent=expect,
+                    extra_meta=extra_meta,
+                    aux_writer=aux,
+                )
+            finally:
+                matched.unpersist()
 
         return self._with_retries(attempt, max_retries)
 

@@ -428,3 +428,18 @@ class TestUtilityStatements:
             r.sql("OPTIMIZE metrics")
         # data survives the drop (external-table semantics)
         assert TxnTable(root).read(spark).count() == 2
+
+
+def test_sql_update_dv_strategy(spark, tmp_path):
+    """strategy='dv' routes UPDATE through update_where_dv — works even
+    while a deferred-delete vector is pending."""
+    t = _mk(spark, tmp_path, n=30)
+    r = TxnSqlRouter(spark, strategy="dv")
+    r.register("tgt", t)
+    r.sql("DELETE FROM tgt WHERE k < 5")
+    assert t.has_deletion_vectors()
+    res = r.sql("UPDATE tgt SET v = v + 1 WHERE k >= 28").collect()[0]
+    assert res["operation"] == "update_where_dv"
+    got = dict((x["k"], x["v"]) for x in spark.table("tgt").collect())
+    assert len(got) == 25
+    assert got[28] == 281 and got[29] == 291 and got[27] == 270

@@ -2582,3 +2582,70 @@ def test_maintain_vacuum_policy(spark, tmp_path):
     out = t.maintain(spark, vacuum_keep=2)
     assert len(out["vacuumed"]) == 3
     assert t.read(spark).count() == 14
+
+
+class TestUpdateWhereDv:
+    """Merge-on-read UPDATE (round 10): DV positions + fresh updated
+    copies in one commit; composes with pending vectors; CDF images."""
+
+    def _tbl(self, spark, tmp_path, cdf=False):
+        t = TxnTable(str(tmp_path / "t"))
+        t.commit(
+            spark.range(100).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).repartitionByRange(4, "k"),
+            cdf=cdf,
+        )
+        return t
+
+    def test_matches_cow_semantics(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        v = t.update_where_dv(
+            spark, F.col("k") % 10 == 3, {"v": F.col("v") + 1000}
+        )
+        assert v != "v00000001"
+        assert t.has_deletion_vectors()
+        got = dict((r["k"], r["v"]) for r in t.read(spark).collect())
+        assert len(got) == 100
+        assert got[3] == 1006 and got[13] == 1026 and got[4] == 8
+        # repeat update hits the FRESH copy, not the DV'd original
+        t.update_where_dv(spark, F.col("k") == 3, {"v": F.lit(0)})
+        got = dict((r["k"], r["v"]) for r in t.read(spark).collect())
+        assert got[3] == 0 and len(got) == 100
+
+    def test_composes_with_pending_delete_vector(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path)
+        t.delete_where_deferred(spark, F.col("k") < 10)
+        # CoW update refuses; DV update proceeds
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="deletion vectors"):
+            t.update_where(spark, F.col("k") == 50, {"v": F.lit(1)})
+        t.update_where_dv(spark, F.col("k") >= 95, {"v": F.lit(-1)})
+        got = dict((r["k"], r["v"]) for r in t.read(spark).collect())
+        assert len(got) == 90  # deletes still applied
+        assert all(got[k] == -1 for k in range(95, 100))
+        # materialize folds everything; reads unchanged
+        t.materialize_deletes(spark)
+        assert not t.has_deletion_vectors()
+        got2 = dict((r["k"], r["v"]) for r in t.read(spark).collect())
+        assert got2 == got
+
+    def test_no_match_is_noop_and_cdf_images(self, spark, tmp_path):
+        t = self._tbl(spark, tmp_path, cdf=True)
+        v1 = t.current_version()
+        assert t.update_where_dv(
+            spark, F.col("k") > 1000, {"v": F.lit(0)}
+        ) == v1
+        v2 = t.update_where_dv(
+            spark, F.col("k") == 7, {"v": F.lit(777)}
+        )
+        chg = t.read_row_changes(spark, since=v1)
+        rows = {
+            (r["k"], r["v"], r["_change_type"]) for r in chg.collect()
+        }
+        assert rows == {
+            (7, 14, "update_preimage"),
+            (7, 777, "update_postimage"),
+        }
+        assert v2 != v1
