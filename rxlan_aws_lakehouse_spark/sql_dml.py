@@ -30,8 +30,11 @@ equi-condition) that leaves every scalar EXPRESSION to Spark itself
     DROP TABLE t                      unregister (data stays; external)
     DESCRIBE HISTORY t                metadata table as a DataFrame
     OPTIMIZE t                        compact (bin-packed small files)
+    OPTIMIZE t ZORDER BY (a, b)       zorder_by (Morton clustering)
     VACUUM t [RETAIN n HOURS]         vacuum (snapshot retention)
     RESTORE t TO VERSION AS OF n      restore (rollback as new commit)
+    COPY INTO t FROM '<path>'         bulk file import as one append
+    SELECT ... t VERSION AS OF n      time travel (pinned view rewrite)
     anything else                     spark.sql (reads: temp views)
     ===============================  =================================
 
@@ -566,6 +569,12 @@ class TxnSqlRouter:
             return self._exec_drop(_Cursor(toks))
         if verb == "RESTORE":
             return self._exec_restore(_Cursor(toks))
+        if verb == "COPY":
+            return self._exec_copy(_Cursor(toks))
+        if any(t.upper() == "VERSION" or t.upper() == "TIMESTAMP" for t in toks):
+            rewritten = self._rewrite_time_travel(toks)
+            if rewritten is not None:
+                return self._spark.sql(rewritten)
         return self._spark.sql(statement)
 
     # ------------------------------------------------------------------
@@ -841,6 +850,16 @@ class TxnSqlRouter:
     def _exec_optimize(self, c: _Cursor):
         c.expect("OPTIMIZE")
         name, t = self._resolve(c.ident("table"))
+        if c.accept("ZORDER", "BY"):
+            c.expect("(")
+            cols = []
+            while True:
+                cols.append(c.ident("zorder column"))
+                if not c.accept(","):
+                    break
+            c.expect(")")
+            version = t.zorder_by(self._spark, cols)
+            return self._result(name, "zorder", version)
         version = t.compact(self._spark)
         return self._result(name, "compact", version)
 
@@ -941,6 +960,86 @@ class TxnSqlRouter:
             self._spark, v if v.startswith("v") else f"v{int(v):08d}"
         )
         return self._result(name, "restore", version)
+
+    def _exec_copy(self, c: _Cursor):
+        """``COPY INTO t FROM '<path>' FILEFORMAT = PARQUET|JSON|CSV``:
+        bulk file import as one atomic append, schema-aligned."""
+        c.expect("COPY", "INTO")
+        name, t = self._resolve(c.ident("table"))
+        schema = self._target_schema(t)
+        c.expect("FROM")
+        src_tok = c.peek()
+        if src_tok is None or not src_tok.startswith("'"):
+            raise ValueError("COPY INTO expects FROM '<path>'")
+        c.i += 1
+        path = src_tok[1:-1].replace("''", "'")
+        fmt = "parquet"
+        if c.accept("FILEFORMAT"):
+            c.expect("=")
+            fmt = c.ident("file format").lower()
+        if fmt not in ("parquet", "json", "csv"):
+            raise ValueError(f"unsupported FILEFORMAT {fmt!r}")
+        reader = self._spark.read
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        if fmt in ("json", "csv"):
+            # land with the TARGET schema so types line up
+            reader = reader.schema(schema)
+        df = getattr(reader, fmt)(path)
+        missing = [
+            f.name for f in schema.fields if f.name not in df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"COPY source is missing target columns {missing}"
+            )
+        out = df.select(
+            [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        version = t.append(out)
+        return self._result(name, "copy_into", version)
+
+    def _rewrite_time_travel(self, toks: list[str]) -> str | None:
+        """Rewrite ``<table> VERSION AS OF n`` / ``<table> TIMESTAMP AS
+        OF x`` references to pinned temp views, Delta's SQL time-travel
+        syntax. Returns the rewritten statement, or None when no
+        registered table is time-traveled (the statement passes through
+        verbatim — no re-rendering risk for unrelated SQL)."""
+        out: list[str] = []
+        i = 0
+        hit = False
+        while i < len(toks):
+            t = toks[i]
+            if (
+                t.lower().strip("`") in self._tables
+                and i + 4 < len(toks)
+                and toks[i + 1].upper() in ("VERSION", "TIMESTAMP")
+                and toks[i + 2].upper() == "AS"
+                and toks[i + 3].upper() == "OF"
+            ):
+                kind = toks[i + 1].lower()
+                val = toks[i + 4]
+                if val.startswith("'"):
+                    val = val[1:-1].replace("''", "'")
+                name = t.lower().strip("`")
+                tbl = self._tables[name]
+                vname = (
+                    f"{name}__tt_{kind}_"
+                    + re.sub(r"[^A-Za-z0-9]", "_", str(val))
+                )
+                self._spark.read.format("txn").option(kind, val).load(
+                    tbl.root
+                ).createOrReplaceTempView(vname)
+                out.append(vname)
+                i += 5
+                hit = True
+            else:
+                out.append(t)
+                i += 1
+        return _render(out) if hit else None
 
     def _exec_insert(self, c: _Cursor):
         c.expect("INSERT")

@@ -3563,6 +3563,62 @@ class TxnTable:
 
         return self._with_retries(attempt, max_retries)
 
+    def zorder_by(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        n_files: int = 16,
+        max_retries: int = 2,
+    ) -> str:
+        """Multi-dimensional clustering rewrite (Delta ``OPTIMIZE ...
+        ZORDER BY`` semantics): same rows, new files ordered by the
+        Morton interleave of the columns' approximate quantile ranks
+        (``ops/zorder.py`` — the no-global-window normalization, the
+        plan that survives 100 TB), committed atomically. Each written
+        file then covers a tight hyper-rectangle of the key space, so
+        the manifest's per-file min/max stats prune BOX predicates on
+        every z-ordered dimension — which a single-column sort can only
+        give for its leading column.
+
+        Unpartitioned tables only (a partitioned rewrite would need
+        per-partition clustering — use ``rewrite_layout`` to flatten
+        first, as Delta restricts ZORDER columns to non-partition
+        columns for the same reason)."""
+        from .ops.zorder import (
+            APPROX_BITS,
+            interleave_bits,
+            quantile_normalize_multi,
+        )
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            if self._meta(expect).get("partition_by"):
+                raise ValueError(
+                    "zorder_by supports unpartitioned tables; "
+                    "rewrite_layout(partition_by=[]) first"
+                )
+            df = self.read(spark, expect)
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise ValueError(f"zorder columns {missing} not in table")
+            normed = quantile_normalize_multi(df, list(cols), APPROX_BITS)
+            z = interleave_bits(normed, APPROX_BITS)
+            out = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            return self.commit(
+                out,
+                operation="zorder",
+                expect_parent=expect,
+            )
+
+        return self._with_retries(attempt, max_retries)
+
     def publish(self, version: str) -> str:
         """Write-audit-publish, step 3: make a STAGED snapshot (written
         with ``commit(..., publish=False)``) the live table.

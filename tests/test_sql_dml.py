@@ -443,3 +443,67 @@ def test_sql_update_dv_strategy(spark, tmp_path):
     got = dict((x["k"], x["v"]) for x in spark.table("tgt").collect())
     assert len(got) == 25
     assert got[28] == 281 and got[29] == 291 and got[27] == 270
+
+
+def test_optimize_zorder_by_prunes_boxes(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY: after the clustered rewrite, a 2D box
+    predicate prunes files through the MANIFEST stats — and the rows
+    are unchanged."""
+    t = TxnTable(os.path.join(str(tmp_path), "t"))
+    df = spark.range(20000).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 149).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.commit(df.repartition(16))
+    r = TxnSqlRouter(spark)
+    r.register("tgt", t)
+    before = sorted(
+        tuple(x) for x in t.read(spark).select("x", "y", "payload").collect()
+    )
+    res = r.sql("OPTIMIZE tgt ZORDER BY (x, y)").collect()[0]
+    assert res["operation"] == "zorder"
+    after = sorted(
+        tuple(x) for x in t.read(spark).select("x", "y", "payload").collect()
+    )
+    assert before == after
+    kept, total = t.pruned_files(
+        [("x", ">=", 10), ("x", "<", 40), ("y", ">=", 10), ("y", "<", 40)]
+    )
+    assert total >= 8 and len(kept) * 2 <= total  # box touches <= half
+    with pytest.raises(ValueError, match="not in table"):
+        r.sql("OPTIMIZE tgt ZORDER BY (nosuch)")
+
+
+def test_copy_into_and_select_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=4)
+    r = TxnSqlRouter(spark)
+    r.register("tgt", t)
+    # stage a parquet drop-folder and COPY it in
+    inbound = str(tmp_path / "inbound")
+    spark.range(100, 103).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("long").alias("v"),
+        F.lit("copied").alias("tag"),
+    ).write.parquet(inbound)
+    res = r.sql(
+        f"COPY INTO tgt FROM '{inbound}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert res["operation"] == "copy_into"
+    assert spark.table("tgt").count() == 7
+    # time travel back to the pre-copy snapshot inside plain SQL
+    n0 = r.sql(
+        "SELECT count(*) AS n FROM tgt VERSION AS OF 1"
+    ).collect()[0]["n"]
+    assert n0 == 4
+    # json with target schema
+    inbound2 = str(tmp_path / "inbound2")
+    spark.range(200, 202).select(
+        F.col("id").alias("k"),
+        F.lit(2).cast("long").alias("v"),
+        F.lit("j").alias("tag"),
+    ).write.json(inbound2)
+    r.sql(f"COPY INTO tgt FROM '{inbound2}' FILEFORMAT = JSON")
+    assert spark.table("tgt").count() == 9
+    with pytest.raises(ValueError, match="unsupported FILEFORMAT"):
+        r.sql(f"COPY INTO tgt FROM '{inbound}' FILEFORMAT = AVRO")
