@@ -1762,6 +1762,97 @@ def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The router's UTILITY SQL surface (round 10) as one lifecycle
+    script: CREATE TABLE (empty snapshot) -> COPY INTO (bulk parquet
+    import) -> INSERT INTO ... SELECT -> OPTIMIZE (compact) -> SELECT
+    time travel (VERSION AS OF the pre-optimize snapshot) -> VACUUM ->
+    DESCRIBE HISTORY. The final aggregate must equal DuckDB's closed
+    form over the same fixture slice, and the boolean flags pin the
+    operational facts (compaction reduced files, vacuum dropped
+    snapshots, time travel reached the pre-compact state) that would
+    silently regress otherwise."""
+    import glob as _glob
+
+    from ..sql_dml import TxnSqlRouter
+
+    work = tempfile.mkdtemp(prefix="txn_sqllife_")
+    try:
+        li = (
+            load(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") <= 2000)
+            .select(
+                "l_orderkey",
+                "l_partkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_returnflag",
+            )
+        )
+        inbound = f"{work}/inbound"
+        li.filter(F.col("l_orderkey") <= 1000).repartition(8).write.parquet(
+            inbound
+        )
+        li.filter(F.col("l_orderkey") > 1000).createOrReplaceTempView(
+            "sql_life_rest"
+        )
+        router = TxnSqlRouter(spark)
+        root = f"{work}/t"
+        router.sql(
+            "CREATE TABLE fact (l_orderkey BIGINT, l_partkey BIGINT, "
+            "l_quantity DOUBLE, l_extendedprice DOUBLE, "
+            f"l_returnflag STRING) USING txn LOCATION '{root}'"
+        )
+        router.sql(f"COPY INTO fact FROM '{inbound}' FILEFORMAT = PARQUET")
+        pre_insert_version = 2  # create=1, copy=2
+        router.sql("INSERT INTO fact SELECT * FROM sql_life_rest")
+        t = TxnTable(root)
+        files_before = len(t.files())
+        router.sql("OPTIMIZE fact")
+        compacted = len(t.files()) < files_before
+        travel_n = router.sql(
+            "SELECT count(*) AS n FROM fact VERSION AS OF "
+            f"{pre_insert_version}"
+        ).collect()[0]["n"]
+        copy_n = li.filter(F.col("l_orderkey") <= 1000).count()
+        hist_ops = [
+            x["operation"]
+            for x in router.sql("DESCRIBE HISTORY fact").collect()
+        ]
+        versions_before = len(
+            _glob.glob(f"{root}/_versions/v*")
+        )
+        router.sql("VACUUM fact KEEP 1")
+        vacuumed = len(_glob.glob(f"{root}/_versions/v*")) < versions_before
+        out = (
+            spark.table("fact")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+                F.round(F.sum("l_quantity"), 1).alias("qty"),
+            )
+            .withColumn("compacted", F.lit(bool(compacted)))
+            .withColumn("vacuumed", F.lit(bool(vacuumed)))
+            .withColumn(
+                "travel_ok", F.lit(bool(travel_n == copy_n))
+            )
+            .withColumn(
+                "history_ok",
+                F.lit(
+                    hist_ops.count("append") == 2
+                    and "compact" in hist_ops
+                    and hist_ops.count("overwrite") == 1
+                ),
+            )
+            .orderBy("l_returnflag")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def txn_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATIVE streaming sink (round 9): events flow from the replayable
     shard-log source through ``writeStream.format("txn")`` — the DSv2
@@ -1881,6 +1972,7 @@ QUERIES = {
     "txn_writer_roundtrip": txn_writer_roundtrip,
     "txn_sql_surface": txn_sql_surface,
     "txn_sql_dml": txn_sql_dml,
+    "txn_sql_lifecycle": txn_sql_lifecycle,
     "txn_stream_writer_sink": txn_stream_writer_sink,
 }
 
@@ -1952,6 +2044,21 @@ ORACLE = {
                CAST(max(c_custkey) AS BIGINT) AS max_k,
                TRUE AS sql_equals_api
         FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # utility-SQL lifecycle: the final table is exactly the fixture
+    # slice (copy half + insert half), whatever the maintenance ops did
+    "txn_sql_lifecycle": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice), 2) AS revenue,
+               round(sum(l_quantity), 1) AS qty,
+               TRUE AS compacted,
+               TRUE AS vacuumed,
+               TRUE AS travel_ok,
+               TRUE AS history_ok
+        FROM lineitem
+        WHERE l_orderkey <= 2000
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "txn_sql_surface": """
         SELECT c.c_mktsegment,
