@@ -536,7 +536,15 @@ class TxnSqlRouter:
     def sql(self, statement: str, strategy: str | None = None):
         """Execute one SQL statement. DML verbs dispatch to TxnTable;
         everything else goes straight to ``spark.sql``."""
-        toks = _tokenize(statement)
+        try:
+            toks = _tokenize(statement)
+        except ValueError:
+            # the skeleton tokenizer doesn't know every SQL lexeme
+            # (comments, exotic operators); anything it can't read is
+            # not one of our DML verbs in supported form, so hand the
+            # statement to Spark verbatim (correct for reads, and DML
+            # fails there with Spark's own unsupported-statement error)
+            return self._spark.sql(statement)
         if not toks:
             raise ValueError("empty statement")
         verb = toks[0].upper()
