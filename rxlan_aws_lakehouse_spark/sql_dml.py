@@ -570,6 +570,14 @@ class TxnSqlRouter:
         if verb == "CREATE" and len(toks) >= 2 and (
             toks[1].upper() == "TABLE"
         ):
+            # only claim txn DDL: an explicit USING <other-format>
+            # belongs to Spark's own catalog surface
+            ups = [t.upper() for t in toks]
+            if "USING" in ups and (
+                ups[ups.index("USING") + 1 : ups.index("USING") + 2]
+                != ["TXN"]
+            ):
+                return self._spark.sql(statement)
             return self._exec_create(_Cursor(toks))
         if verb == "DROP" and len(toks) >= 2 and (
             toks[1].upper() == "TABLE"
@@ -1032,6 +1040,16 @@ class TxnSqlRouter:
                 val = toks[i + 4]
                 if val.startswith("'"):
                     val = val[1:-1].replace("''", "'")
+                if kind == "timestamp":
+                    try:
+                        val = float(val)
+                    except ValueError:
+                        from datetime import datetime, timezone
+
+                        dt = datetime.fromisoformat(val)
+                        if dt.tzinfo is None:
+                            dt = dt.replace(tzinfo=timezone.utc)
+                        val = dt.timestamp()
                 name = t.lower().strip("`")
                 tbl = self._tables[name]
                 vname = (

@@ -507,3 +507,32 @@ def test_copy_into_and_select_time_travel(spark, tmp_path):
     assert spark.table("tgt").count() == 9
     with pytest.raises(ValueError, match="unsupported FILEFORMAT"):
         r.sql(f"COPY INTO tgt FROM '{inbound}' FILEFORMAT = AVRO")
+
+
+def test_non_txn_create_table_passes_through(spark, tmp_path):
+    r = TxnSqlRouter(spark)
+    # Spark's own catalog DDL is not hijacked by the router
+    r.sql("CREATE TABLE IF NOT EXISTS plain_cat_tbl (a INT) USING parquet")
+    try:
+        assert spark.table("plain_cat_tbl").count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plain_cat_tbl")
+
+
+def test_timestamp_as_of_iso_string(spark, tmp_path):
+    import time as _time
+
+    t = _mk(spark, tmp_path, n=3)
+    r = TxnSqlRouter(spark)
+    r.register("tgt", t)
+    _time.sleep(0.05)
+    from datetime import datetime, timezone
+
+    cut = datetime.now(timezone.utc).isoformat()
+    _time.sleep(0.05)
+    r.sql("INSERT INTO tgt VALUES (100, 1, 'x')")
+    n = r.sql(
+        f"SELECT count(*) AS n FROM tgt TIMESTAMP AS OF '{cut}'"
+    ).collect()[0]["n"]
+    assert n == 3
+    assert spark.table("tgt").count() == 4
