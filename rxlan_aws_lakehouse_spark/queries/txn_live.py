@@ -1670,6 +1670,7 @@ def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("o_totalprice"), 2).alias("tot"),
                 F.count(F.lit(1)).alias("n"),
             )
+            .persist()  # feeds the SQL merge AND the API twin's 3 frames
         )
         src_df.createOrReplaceTempView("ordsum")
 
@@ -1757,6 +1758,7 @@ def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_mktsegment")
         )
         rows = out.collect()
+        src_df.unpersist()
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
