@@ -196,7 +196,68 @@ _STRAT_RATE_SQL = (
     + f" ELSE {_DEFAULT_RATE} END"
 )
 
+
+N_EXPORT_SHARDS = 16
+
+
+def export_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train-shard EXPORT (the dataloader handoff a
+    training pipeline ends with): every document gets a stable shard
+    (``md5(doc_id) % N``) and a deterministic global shuffle position
+    (md5 with a different salt), the corpus is physically written as
+    one sorted parquet file per shard (webdataset-style fixed shards —
+    re-running the export, or running it on more executors, produces
+    byte-identical shard membership and intra-shard order), and the
+    audit aggregate is computed from the EXPORTED artifact, not the
+    plan: per-shard doc/char counts plus the first and last documents
+    in shuffle order. Hash-shard assignment keeps shards balanced
+    without a global sort; the only shuffle is the repartition to
+    shards, each sorted locally — the 100 TB plan.
+    """
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % N_EXPORT_SHARDS
+    ).alias("shard")
+    ordkey = F.md5(
+        F.concat(F.lit("xshuf:"), F.col("doc_id").cast("string"))
+    ).alias("ord")
+    assigned = d.select("doc_id", "n_chars", shard, ordkey)
+    work = _tempfile.mkdtemp(prefix="shards_")
+    try:
+        (
+            assigned.repartition(N_EXPORT_SHARDS, F.col("shard"))
+            .sortWithinPartitions("shard", "ord")
+            .write.partitionBy("shard")
+            .parquet(f"{work}/out")
+        )
+        n_dirs = len(_glob.glob(f"{work}/out/shard=*"))
+        back = spark.read.parquet(f"{work}/out")
+        out = (
+            back.groupBy(F.col("shard").cast("long").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("n_chars"),
+                F.min_by("doc_id", "ord").alias("first_doc"),
+                F.max_by("doc_id", "ord").alias("last_doc"),
+            )
+            .withColumn(
+                "all_shards_written",
+                F.lit(bool(n_dirs == N_EXPORT_SHARDS)),
+            )
+            .orderBy("shard")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
 QUERIES = {
+    "export_train_shards": export_train_shards,
     "sample_stratified": sample_stratified,
     "sample_quota": sample_quota,
     "sample_mixture_weights": sample_mixture_weights,
@@ -205,6 +266,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "export_train_shards": """
+        WITH assigned AS (
+            SELECT doc_id, n_chars,
+                   CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS shard,
+                   md5('xshuf:' || CAST(doc_id AS VARCHAR)) AS ord
+            FROM documents
+        )
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               arg_min(doc_id, ord) AS first_doc,
+               arg_max(doc_id, ord) AS last_doc,
+               TRUE AS all_shards_written
+        FROM assigned GROUP BY 1 ORDER BY 1
+    """,
     "sample_stratified": f"""
         SELECT lang, source, count(*) AS n_total,
                CAST(sum(CASE WHEN {_SQL_UNIFORM.format(salt="strat:", key="doc_id")}
