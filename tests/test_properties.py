@@ -150,3 +150,79 @@ def test_merge_dv_equals_cow_on_arbitrary_inputs(
     assert got == ref
     t.materialize_deletes(spark)
     assert {r["k"]: r["v"] for r in t.read(spark).collect()} == ref
+
+
+# ---------------------------------------------------------------------------
+# Auto-prune over-approximation (round 10): for ANY conjunction of
+# simple comparisons, the manifest prune must keep a SUPERSET of the
+# files that contain a matching row — the safety property the SQL
+# router's WHERE-derived triples (sql_dml.prune_triples_from_where)
+# rest on. One table built once; each example is pure metadata + pandas.
+
+_PRUNE_STATE: dict = {}
+
+
+def _prune_table(spark, tmp_path_factory):
+    if _PRUNE_STATE:
+        return _PRUNE_STATE
+    import os
+
+    import pandas as pd
+
+    from rxlan_aws_lakehouse_spark.txn import TxnTable, _VERSIONS
+
+    root = str(tmp_path_factory.mktemp("prune_prop") / "t")
+    t = TxnTable(root)
+    df = spark.range(1100).select(
+        F.col("id").alias("k"),  # clustered: tight per-file ranges
+        ((F.col("id") * 7919) % 1100).alias("v"),  # scattered
+    )
+    t.commit(df.repartitionByRange(8, "k"), sort_within=["k"])
+    v = t.current_version()
+    data_root = os.path.join(root, _VERSIONS, v)
+    rows_by_file = {
+        rel: pd.read_parquet(os.path.join(data_root, rel))
+        for rel in t.files(v)
+    }
+    _PRUNE_STATE.update(table=t, rows=rows_by_file)
+    return _PRUNE_STATE
+
+
+_OPS = {
+    "=": lambda a, b: a == b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+_triple = st.tuples(
+    st.sampled_from(["k", "v"]),
+    st.sampled_from(sorted(_OPS)),
+    st.integers(-5, 1105),
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_triple, min_size=1, max_size=4))
+def test_pruned_files_over_approximate_any_conjunction(
+    spark, tmp_path_factory, triples
+):
+    state = _prune_table(spark, tmp_path_factory)
+    t, rows_by_file = state["table"], state["rows"]
+    kept, _total = t.pruned_files(list(triples))
+    kept_set = set(kept)
+    for rel, pdf in rows_by_file.items():
+        mask = None
+        for col, op, val in triples:
+            m = _OPS[op](pdf[col], val)
+            mask = m if mask is None else (mask & m)
+        if bool(mask.any()):
+            assert rel in kept_set, (
+                f"file {rel} holds a matching row but was pruned "
+                f"under {triples}"
+            )

@@ -376,3 +376,58 @@ def test_merge_requires_adjacent_ranges(tmp_path):
     lo, hi = _shard_meta(os.path.join(root, s[1]))["range"]
     glo, ghi = m["range"]
     assert lo <= glo < ghi <= hi
+
+
+def test_reshard_log_through_native_txn_sink(spark, tmp_path):
+    """Composition: a resharding replay log feeding the NATIVE
+    writeStream.format('txn') sink — split mid-stream, exactly-once
+    into the transactional table across the reshard boundary."""
+    from rxlan_aws_lakehouse_spark.sources.txn_source import (
+        register_txn_source,
+    )
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    register_txn_source(spark)
+    register_replay_source(spark)
+    root = str(tmp_path / "log")
+    os.makedirs(root)
+    log = ReplayLog(root, n_shards=2)
+    log.put_many([(i, json.dumps({"k": i})) for i in range(80)])
+    troot, ckpt = str(tmp_path / "t"), str(tmp_path / "ck")
+
+    def drain(**opts):
+        reader = spark.readStream.format("replaylog").option(
+            "startingPosition", "earliest"
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, str(v))
+        q = (
+            reader.load(root)
+            .writeStream.format("txn")
+            .option("path", troot)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(maxSeqsPerTrigger=25)  # backlog outstanding
+    log.split_shard(log.shards[0])
+    log.put_many([(i, json.dumps({"k": i})) for i in range(80, 120)])
+    for _ in range(3):
+        drain()
+    t = TxnTable(troot)
+    got = t.read(spark)
+    assert got.count() == 120
+    assert got.select("shard", "seq").distinct().count() == 120
+    keys = sorted(json.loads(r["data"])["k"] for r in got.collect())
+    assert keys == list(range(120))
+    # every micro-batch committed exactly once (epochs strictly grow)
+    epochs = [
+        m["extra"]["streaming_epoch_id"]
+        for m in t.history()
+        if "streaming_epoch_id" in m.get("extra", {})
+    ]
+    assert epochs == sorted(set(epochs), reverse=True) or epochs == sorted(
+        set(epochs)
+    )
