@@ -232,32 +232,44 @@ def main() -> None:
     h13 = round(
         sum(per_query[n] for n in HEADLINE_13 if n in per_query), 4
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "queries_min": per_query_min,
-                "min_total": round(sum(per_query_min.values()), 4),
-                "headline_13_subtotal": h13,
-                # noise calibration (r9 verdict task 2): compare the
-                # *_norm numbers round-over-round, not the raw walls
-                "calib_first": calib_first,
-                "calib_last": calib_last,
-                "calib_ref": CALIB_REF,
-                "noise_factor": noise,
-                "value_norm": norm(total),
-                "headline_13_subtotal_norm": norm(h13),
-                "queries_norm": {
-                    k: norm(v) for k, v in per_query.items()
-                },
-                "runs_per_query": N_RUNS,
-                "sf": infer_sf(SF_DIR),
-            }
-        )
+    result = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "queries_min": per_query_min,
+        "min_total": round(sum(per_query_min.values()), 4),
+        "headline_13_subtotal": h13,
+        # noise calibration (r9 verdict task 2): compare the
+        # *_norm numbers round-over-round, not the raw walls
+        "calib_first": calib_first,
+        "calib_last": calib_last,
+        "calib_ref": CALIB_REF,
+        "noise_factor": noise,
+        "value_norm": norm(total),
+        "headline_13_subtotal_norm": norm(h13),
+        "queries_norm": {k: norm(v) for k, v in per_query.items()},
+        "runs_per_query": N_RUNS,
+        "sf": infer_sf(SF_DIR),
+    }
+    # Full result to a known path (r10 verdict, "what's wrong" #2): the
+    # driver's stdout capture keeps only a bounded tail, which truncated
+    # the r9/r10 JSON mid-line. The file is the robust channel; stdout
+    # still carries the complete JSON as its FINAL line (compact
+    # separators, detail dicts moved to the file) for tail-based capture.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
     )
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    sys.stdout.flush()
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k not in ("queries_min", "queries_norm")
+    }
+    compact["result_path"] = out_path
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

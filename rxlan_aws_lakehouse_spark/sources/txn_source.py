@@ -507,9 +507,15 @@ class _MetaPartition(InputPartition):
 _META_SCHEMAS = {
     # Delta DESCRIBE HISTORY / Iceberg snapshots-table analogue, from the
     # published lineage (what a reader could ever have observed)
+    # n_cols / added_columns: per-snapshot SCHEMA history (r10 verdict
+    # task 5) — after additive evolution, which snapshot introduced
+    # which column is a first-class DESCRIBE HISTORY fact (Delta and
+    # Iceberg both surface schema-change history), diffed from the
+    # recorded manifests, not from any side channel
     "history": (
         "version string, parent string, operation string, "
-        "n_files int, n_files_written int, n_rows bigint"
+        "n_files int, n_files_written int, n_rows bigint, "
+        "n_cols int, added_columns string"
     ),
     # Iceberg files-table analogue: one row per data file of the snapshot
     "files": "rel string, bytes bigint, rows bigint, partition string",
@@ -527,8 +533,22 @@ def _meta_rows(part: _MetaPartition):
         )
 
     if part.kind == "history":
+        prev_cols: set[str] | None = None
         for meta in reversed(t.lineage()):  # oldest first
             entries = t.file_entries(meta["version"])
+            cols = [
+                f["name"] for f in (meta.get("schema") or {}).get("fields", [])
+            ]
+            # schema delta vs the PARENT snapshot: the walk's first
+            # retained row has no visible baseline (either the creating
+            # commit, where every column is trivially "added", or a
+            # vacuum-truncated tail) — record "" there, names after
+            added = (
+                ",".join(c for c in cols if c not in prev_cols)
+                if prev_cols is not None
+                else ""
+            )
+            prev_cols = set(cols)
             yield (
                 meta["version"],
                 meta.get("parent"),
@@ -536,6 +556,8 @@ def _meta_rows(part: _MetaPartition):
                 int(meta.get("n_files", len(entries))),
                 int(meta.get("n_files_written", 0)),
                 sum(int(e.get("rows", 0)) for e in entries.values()),
+                len(cols),
+                added,
             )
     elif part.kind == "files":
         for rel, e in sorted(t.file_entries(part.version).items()):

@@ -3515,6 +3515,148 @@ class TxnTable:
 
         return self._with_retries(attempt, max_retries)
 
+    def add_columns(
+        self,
+        spark: SparkSession,
+        columns: "StructType | list[StructField] | str",
+        max_retries: int = 2,
+    ) -> str:
+        """ADDITIVE schema evolution as a METADATA-ONLY commit (Delta
+        ``ALTER TABLE ADD COLUMNS`` semantics): the recorded schema
+        grows, every data file is carried by reference, and carried
+        files read the new columns as typed NULLs — the same contract
+        additive ``mergeSchema`` writes already rely on (``read()``
+        scans with the schema recorded at commit, never footer
+        inference). O(manifest) cost: no data IO at any table size.
+        ``columns`` is a DDL string (``"c1 INT, c2 STRING"``), a field
+        list, or a StructType. Added fields are forced nullable (the
+        carried files cannot supply values). Duplicate or existing
+        names (case-insensitive, Spark's resolution default) fail
+        loudly — as does any non-additive request routed here."""
+        if isinstance(columns, str):
+            added = StructType.fromDDL(columns).fields
+        elif isinstance(columns, StructType):
+            added = list(columns.fields)
+        else:
+            added = list(columns)
+        if not added:
+            raise ValueError("add_columns needs at least one column")
+        names = [f.name for f in added]
+        if len({n.lower() for n in names}) != len(names):
+            raise ValueError(f"duplicate column names in ADD COLUMNS: {names}")
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            recorded = StructType.fromJson(self._meta(expect)["schema"])
+            existing = {f.name.lower() for f in recorded.fields}
+            clash = [n for n in names if n.lower() in existing]
+            if clash:
+                raise ValueError(
+                    f"column(s) {clash} already exist; ADD COLUMNS is "
+                    "additive only"
+                )
+            evolved = StructType(
+                list(recorded.fields)
+                + [StructField(f.name, f.dataType, True) for f in added]
+            )
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in self.files(expect)
+            }
+            return self.commit(
+                spark.createDataFrame([], evolved),
+                metadata_only=True,
+                operation="add_columns",
+                carry_files=carry,
+                carry_src=expect,
+                expect_parent=expect,
+                extra_meta={"columns_added": names},
+            )
+
+        return self._with_retries(attempt, max_retries)
+
+    def rename_column(
+        self,
+        spark: SparkSession,
+        old: str,
+        new: str,
+        max_retries: int = 2,
+    ) -> str:
+        """Rename a column — as an atomic FULL REWRITE, priced honestly.
+
+        A metadata-only rename needs id-based column mapping (Delta's
+        ``columnMapping.mode=name`` / Iceberg field ids): every reader,
+        writer, stat, bloom and prune predicate must resolve logical
+        names through the mapping, because the parquet footers keep the
+        OLD physical name forever. This format records plain names, so
+        the honest rename is read → ``withColumnRenamed`` → one commit
+        (same rows, new files) — readers see old or new schema, never a
+        mix, and time travel keeps the pre-rename snapshots readable
+        under their own schema. Refuses when a CHECK constraint or a
+        generated-column spec references the old name (rewriting user
+        expressions silently would change semantics); partition and
+        bloom columns rename cleanly (fresh files, fresh dirs, fresh
+        blooms)."""
+        if old.lower() == new.lower():
+            raise ValueError("rename_column: old and new name are equal")
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            meta = self._meta(expect)
+            recorded = StructType.fromJson(meta["schema"])
+            have = {f.name.lower() for f in recorded.fields}
+            if old.lower() not in have:
+                raise ValueError(f"no column {old!r} to rename")
+            if new.lower() in have:
+                raise ValueError(f"column {new!r} already exists")
+            word = re.compile(rf"\b{re.escape(old)}\b", re.IGNORECASE)
+            bad_ck = [
+                n
+                for n, e in (meta.get("constraints") or {}).items()
+                if word.search(e)
+            ]
+            if bad_ck:
+                raise ValueError(
+                    f"CHECK constraint(s) {bad_ck} reference {old!r}; "
+                    "drop and re-add them around the rename"
+                )
+            gen = meta.get("generated") or {}
+            if any(
+                old.lower() in (g.lower(), str(spec[1]).lower())
+                for g, spec in gen.items()
+            ):
+                raise ValueError(
+                    f"{old!r} participates in a generated-column spec; "
+                    "rename is not supported there"
+                )
+            spec = [
+                new if c.lower() == old.lower() else c
+                for c in (meta.get("partition_by") or [])
+            ]
+            blooms = [
+                new if c.lower() == old.lower() else c
+                for c in (meta.get("bloom_cols") or [])
+            ]
+            return self.commit(
+                self.read(spark, expect).withColumnRenamed(old, new),
+                partition_by=spec,
+                operation="rename_column",
+                expect_parent=expect,
+                bloom_cols=blooms,
+                extra_meta={"column_renamed": [old, new]},
+            )
+
+        return self._with_retries(attempt, max_retries)
+
     def rewrite_layout(
         self,
         spark: SparkSession,
