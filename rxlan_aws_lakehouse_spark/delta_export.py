@@ -1,0 +1,308 @@
+"""Delta-protocol export: open-format interop for txn tables.
+
+The txn format matches the Delta/Iceberg feature set (snapshots, DVs,
+CDF, Z-order, time travel, stats — txn.py) but, until this module,
+nothing could read a txn table except this repo. ``export_delta``
+writes a SNAPSHOT of a txn table as a conformant Delta Lake table —
+the data files plus a ``_delta_log/00000000000000000000.json`` commit
+holding ``protocol`` / ``metaData`` / ``add`` actions with per-file
+stats — so any Delta reader (Spark+delta, DuckDB's delta extension,
+delta-rs, Trino) can consume it. The Delta transaction-log protocol is
+public: https://github.com/delta-io/delta/blob/master/PROTOCOL.md.
+
+Feature mapping, and why each choice:
+
+* **protocol**: ``minReaderVersion=1, minWriterVersion=2`` — the export
+  uses no reader-gated feature (no column mapping, no DVs-in-log), so
+  the lowest reader version keeps the consumer set maximal.
+* **deletion vectors are MATERIALIZED into the export**: Delta encodes
+  DVs as roaring bitmaps with their own reader feature gate
+  (readerVersion 3); emitting them would shrink the set of engines that
+  can read the export — the opposite of its purpose. Instead, files a
+  vector touches are rewritten WITHOUT the deleted rows (pyarrow,
+  delta-only IO: untouched files are hard-linked, never copied), which
+  is exactly ``materialize_deletes`` (txn.py) applied at the export
+  boundary instead of as a table commit.
+* **schemaString**: the snapshot's recorded Spark schema JSON — Spark's
+  ``StructType.jsonValue()`` IS Delta's schema serialization format.
+* **partitioning**: the txn format lays data out hive-style with
+  partition values in directory names and NOT in the data files —
+  Delta's own physical layout — so ``partitionColumns`` +
+  per-file ``partitionValues`` translate directly from the rel paths.
+* **stats**: each ``add`` carries the Delta stats JSON (``numRecords`` /
+  ``minValues`` / ``maxValues`` / ``nullCount``) translated from the
+  manifest's per-file entries — no data file is opened for a carried
+  file; only DV-rewritten files are re-footered.
+
+Scale shape: O(files) metadata work + IO proportional to DV-touched
+bytes only. A 100 TB table with a 0.1% pending vector exports by
+hard-linking ~99.9% of its files and rewriting the rest.
+
+Reference parity note: the reference's "open format" story is parquet
+on S3 readable by Redshift Spectrum/Athena (README.md:196-211); this
+is the same interop contract upgraded to a transactional format.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from urllib.parse import quote, unquote
+
+import pyarrow as pa
+import pyarrow.parquet as _pq
+
+from .txn import TxnTable, _file_column_stats
+
+_LOG_DIR = "_delta_log"
+
+
+def _delta_table_id(root: str, version: str) -> str:
+    """Deterministic UUID-shaped table id from (root, version): exports
+    are reproducible byte-for-byte modulo file mtimes, which keeps the
+    round-trip tests and the oracle lane stable."""
+    h = hashlib.md5(f"{root}\x00{version}".encode()).hexdigest()
+    return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+
+def _partition_values(rel: str) -> dict[str, str]:
+    """Hive path segments -> Delta partitionValues (decoded strings)."""
+    out: dict[str, str] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = unquote(v)
+    return out
+
+
+def _delta_stats(entry: dict) -> str:
+    """Manifest per-file entry -> Delta ``add.stats`` JSON string.
+
+    Tag translation: ``ts`` stats are stored space-separated ISO in the
+    manifest; Delta writers emit ``T``-separated — cosmetic for data
+    skipping (both order lexically) but emitted spec-shaped anyway.
+    Columns the manifest skipped (unprunable footer) are simply absent,
+    which Delta permits: stats are best-effort per column.
+    """
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for col, st in (entry.get("columns") or {}).items():
+        nulls[col] = int(st.get("nulls", 0))
+        lo, hi, tag = st.get("min"), st.get("max"), st.get("t")
+        if lo is None or hi is None:
+            continue
+        if tag == "ts":
+            lo, hi = str(lo).replace(" ", "T"), str(hi).replace(" ", "T")
+        mins[col] = lo
+        maxs[col] = hi
+    return json.dumps(
+        {
+            "numRecords": int(entry.get("rows", 0)),
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+def _load_dv(table: TxnTable, version: str) -> dict[str, set[int]]:
+    """rel -> set of deleted in-file row indices, from the snapshot's
+    deletion-vector parquet payload (empty when the snapshot has none)."""
+    dv_dir = table._dv_dir(version)
+    if not os.path.isdir(dv_dir):
+        return {}
+    out: dict[str, set[int]] = {}
+    for name in sorted(os.listdir(dv_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        tbl = _pq.read_table(os.path.join(dv_dir, name))
+        for rel, ri in zip(
+            tbl.column("rel").to_pylist(),
+            tbl.column("row_index").to_pylist(),
+        ):
+            out.setdefault(rel, set()).add(int(ri))
+    return out
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
+def export_delta(
+    table: TxnTable,
+    dest: str,
+    version: str | None = None,
+) -> dict:
+    """Export one snapshot of ``table`` as a standalone Delta table at
+    ``dest`` (created; must not already contain a ``_delta_log``).
+
+    Returns a summary dict: ``n_files``, ``n_rows``, ``rewritten``
+    (files the pending deletion vector forced through a rewrite),
+    ``dropped`` (files whose every row the vector suppressed), and
+    ``log_path``. Pure metadata + link work when the snapshot carries
+    no DV; needs no SparkSession in any case (pyarrow rewrites the
+    touched files)."""
+    v = version or table.current_version()
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table.root}")
+    log_dir = os.path.join(dest, _LOG_DIR)
+    if os.path.exists(os.path.join(log_dir, "00000000000000000000.json")):
+        raise FileExistsError(f"{dest} already holds a Delta log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    meta = table._meta(v)
+    entries = table.file_entries(v)
+    dv = _load_dv(table, v)
+    data_root = os.path.join(table.root, "_versions", v)
+
+    adds: list[dict] = []
+    total_rows = 0
+    rewritten: list[str] = []
+    dropped: list[str] = []
+    for rel in sorted(entries):
+        src = os.path.join(data_root, rel)
+        dst = os.path.join(dest, rel)
+        entry = dict(entries[rel])
+        deleted = dv.get(rel)
+        if deleted:
+            tbl = _pq.read_table(src)
+            keep = [i for i in range(tbl.num_rows) if i not in deleted]
+            if not keep:
+                dropped.append(rel)
+                continue
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            _pq.write_table(tbl.take(pa.array(keep, type=pa.int64())), dst)
+            entry = _file_column_stats(dst)
+            entry["bytes"] = os.path.getsize(dst)
+            rewritten.append(rel)
+        else:
+            _link_or_copy(src, dst)
+        st = os.stat(dst)
+        total_rows += int(entry.get("rows", 0))
+        adds.append(
+            {
+                "add": {
+                    # URL-encoded per spec; '/' and the hive '=' stay
+                    # literal (they're path/layout structure, not data)
+                    "path": quote(rel.replace(os.sep, "/"), safe="/="),
+                    "partitionValues": _partition_values(rel),
+                    "size": int(entry.get("bytes", st.st_size)),
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                    "stats": _delta_stats(entry),
+                }
+            }
+        )
+
+    schema_json = meta["schema"]
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(meta.get("committed_at_unix", 0) * 1000),
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "ErrorIfExists",
+                    "partitionBy": json.dumps(meta.get("partition_by") or []),
+                },
+                "engineInfo": "rxlan-aws-lakehouse-spark txn export",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": _delta_table_id(table.root, v),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema_json),
+                "partitionColumns": list(meta.get("partition_by") or []),
+                "configuration": {},
+                "createdTime": int(meta.get("committed_at_unix", 0) * 1000),
+            }
+        },
+        *adds,
+    ]
+    log_path = os.path.join(log_dir, "00000000000000000000.json")
+    tmp = f"{log_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, log_path)
+    return {
+        "n_files": len(adds),
+        "n_rows": total_rows,
+        "rewritten": rewritten,
+        "dropped": dropped,
+        "log_path": log_path,
+    }
+
+
+def replay_delta_log(dest: str) -> dict:
+    """Resolve a Delta table's LIVE state by replaying its JSON log —
+    the reader side of the protocol (checkpoint-less case): apply
+    ``add``/``remove`` actions in commit order, newest ``metaData``
+    wins. Returns ``{"files": [rel], "schema": StructType-json,
+    "partition_columns": [...], "adds": {rel: action}}``. Used by
+    ``read_delta_export`` and the tests; the registry lane replays the
+    log independently in DuckDB SQL so the oracle never trusts this
+    code."""
+    log_dir = os.path.join(dest, _LOG_DIR)
+    commits = sorted(
+        n for n in os.listdir(log_dir) if n.endswith(".json")
+    )
+    if not commits:
+        raise FileNotFoundError(f"no commits under {log_dir}")
+    live: dict[str, dict] = {}
+    schema_json = None
+    part_cols: list[str] = []
+    for name in commits:
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    schema_json = json.loads(
+                        action["metaData"]["schemaString"]
+                    )
+                    part_cols = list(
+                        action["metaData"].get("partitionColumns") or []
+                    )
+                elif "add" in action:
+                    live[unquote(action["add"]["path"])] = action["add"]
+                elif "remove" in action:
+                    live.pop(unquote(action["remove"]["path"]), None)
+    if schema_json is None:
+        raise ValueError(f"no metaData action in {log_dir}")
+    return {
+        "files": sorted(live),
+        "schema": schema_json,
+        "partition_columns": part_cols,
+        "adds": live,
+    }
+
+
+def read_delta_export(spark, dest: str):
+    """Read an exported Delta table back as a DataFrame via log replay
+    — the second-engine check that the export is self-describing (file
+    set and schema resolved from ``_delta_log`` alone; directory
+    contents are never trusted)."""
+    from pyspark.sql.types import StructType
+
+    state = replay_delta_log(dest)
+    schema = StructType.fromJson(state["schema"])
+    paths = [os.path.join(dest, rel) for rel in state["files"]]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .option("basePath", dest)
+        .parquet(*paths)
+    )

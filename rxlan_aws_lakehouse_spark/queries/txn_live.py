@@ -1798,7 +1798,7 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_orderkey") > 1000).createOrReplaceTempView(
             "sql_life_rest"
         )
-        router = TxnSqlRouter(spark)
+        router = TxnSqlRouter(spark, catalog_dir=f"{work}/cat")
         root = f"{work}/t"
         router.sql(
             "CREATE TABLE fact (l_orderkey BIGINT, l_partkey BIGINT, "
@@ -1826,6 +1826,21 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         router.sql("VACUUM fact KEEP 1")
         vacuumed = len(_glob.glob(f"{root}/_versions/v*")) < versions_before
+        # persistent catalog (round 11): a FRESH router on the same
+        # catalog dir — a new analyst session — must resolve the name
+        # from disk alone, list it via SHOW TABLES, and read it
+        router2 = TxnSqlRouter(spark, catalog_dir=f"{work}/cat")
+        listed = {
+            r["name"]: r["location"]
+            for r in router2.sql("SHOW TABLES").collect()
+        }
+        catalog_ok = (
+            listed.get("fact") == root
+            and router2.sql("SELECT count(*) AS n FROM fact").collect()[0][
+                "n"
+            ]
+            == li.count()
+        )
         out = (
             spark.table("fact")
             .groupBy("l_returnflag")
@@ -1847,6 +1862,7 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                     and hist_ops.count("overwrite") == 1
                 ),
             )
+            .withColumn("catalog_ok", F.lit(bool(catalog_ok)))
             .orderBy("l_returnflag")
         )
         rows = out.collect()
@@ -1942,6 +1958,208 @@ def txn_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol export (round 11): build a txn table from the
+    orders fixture — base commit, a SCATTERED merge-on-read delete
+    (deletion vector), additive ALTER, late-arriving append — then
+    ``export_delta`` it and have DUCKDB, a genuinely second engine,
+    read ONLY the exported artifact: the live file set resolved by
+    replaying ``_delta_log`` with ``read_json`` (add minus remove —
+    never a directory listing), the rows via ``read_parquet`` over
+    exactly those paths. The lane's output rows ARE DuckDB's
+    read-back aggregate, so the driver hash pins export fidelity
+    end-to-end (DVs materialized, evolution surviving as NULLs,
+    stats consistent) against the fixture closed form. Spec:
+    https://github.com/delta-io/delta/blob/master/PROTOCOL.md."""
+    import json as _json
+    import os as _os
+
+    import duckdb as _duckdb
+
+    from ..delta_export import export_delta
+
+    work = tempfile.mkdtemp(prefix="txn_delta_exp_")
+    try:
+        t = TxnTable(f"{work}/t")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        t.commit(
+            orders.filter(F.col("o_orderkey") <= 3000).repartition(8)
+        )
+        # merge-on-read delete: the export must materialize the vector
+        t.delete_where_deferred(spark, F.expr("o_orderkey % 10 = 3"))
+        # additive evolution: pre-ALTER files read `flag` as NULL
+        t.add_columns(spark, "flag STRING")
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") > 3000) & (F.col("o_orderkey") <= 4000)
+            ).withColumn("flag", F.lit("late"))
+        )
+        dest = f"{work}/delta"
+        summary = export_delta(t, dest)
+
+        con = _duckdb.connect()
+        log_glob = _os.path.join(dest, "_delta_log", "*.json")
+        resolved = con.execute(
+            """
+            SELECT json_extract_string(add, '$.path') AS path,
+                   -- add.stats is a JSON STRING per spec: extract it as
+                   -- text first, then parse numRecords out of it
+                   CAST(json_extract(
+                       json_extract_string(add, '$.stats'),
+                       '$.numRecords') AS BIGINT) AS num_records
+            FROM read_json(?, format='newline_delimited',
+                           columns={'add': 'JSON', 'remove': 'JSON'})
+            WHERE add IS NOT NULL
+              AND json_extract_string(add, '$.path') NOT IN (
+                SELECT json_extract_string(remove, '$.path')
+                FROM read_json(?, format='newline_delimited',
+                               columns={'add': 'JSON', 'remove': 'JSON'})
+                WHERE remove IS NOT NULL)
+            ORDER BY path
+            """,
+            [log_glob, log_glob],
+        ).fetchall()
+        paths = [_os.path.join(dest, p) for p, _ in resolved]
+        # fact 1: the log's live set IS the physical file set (nothing
+        # extra on disk, nothing referenced but missing)
+        physical = sorted(
+            _os.path.relpath(_os.path.join(r, n), dest)
+            for r, _d, ns in _os.walk(dest)
+            for n in ns
+            if n.endswith(".parquet") and "_delta_log" not in r
+        )
+        log_set_ok = sorted(p for p, _ in resolved) == physical
+        # fact 2: per-add stats agree with the data those files hold
+        n_data = con.execute(
+            "SELECT count(*) FROM read_parquet(?, union_by_name=true)",
+            [paths],
+        ).fetchone()[0]
+        stats_ok = (
+            sum(nr for _, nr in resolved) == n_data
+            and summary["n_rows"] == n_data
+        )
+        # the lane's OUTPUT is DuckDB's read of the artifact alone
+        out_rows = con.execute(
+            """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(flag) AS BIGINT) AS n_late
+            FROM read_parquet(?, union_by_name=true)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+            """,
+            [paths],
+        ).fetchall()
+        con.close()
+        rows = [
+            r + (bool(log_set_ok), bool(stats_ok)) for r in out_rows
+        ]
+        return spark.createDataFrame(
+            rows,
+            "o_orderpriority string, n_orders long, revenue double, "
+            "n_late long, log_set_ok boolean, stats_ok boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-first schema evolution (round 11): the analyst workflow the
+    r10 verdict called the most common DDL after CREATE — CTAS from a
+    fixture slice, ``ALTER TABLE ADD COLUMNS`` as a METADATA-ONLY
+    commit, INSERT exercising the new column, ``RENAME COLUMN`` as an
+    atomic rewrite, time travel to the pre-ALTER snapshot showing the
+    OLD schema, ``DESCRIBE HISTORY`` naming the added column, and a
+    non-additive ALTER refused loudly. Flags pin each operational
+    fact; the aggregate pins the data against DuckDB's closed form."""
+    from ..sql_dml import TxnSqlRouter
+
+    work = tempfile.mkdtemp(prefix="txn_sqlevo_")
+    try:
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        cust.filter(F.col("c_custkey") <= 1500).createOrReplaceTempView(
+            "sql_evo_src"
+        )
+        router = TxnSqlRouter(spark)
+        root = f"{work}/t"
+        router.sql(
+            f"CREATE TABLE evo USING TXN LOCATION '{root}' AS "
+            "SELECT * FROM sql_evo_src WHERE c_custkey <= 1000"
+        )
+        router.sql("ALTER TABLE evo ADD COLUMNS (loyalty_pts DOUBLE)")
+        t = TxnTable(root)
+        alter_meta = t._meta(t.current_version())
+        metadata_only_ok = (
+            alter_meta["operation"] == "add_columns"
+            and alter_meta["n_files_written"] == 0
+        )
+        router.sql(
+            # 2 points per dollar: doubling a double is EXACT in IEEE-754,
+            # so Spark and DuckDB hold bit-identical per-row values —
+            # a per-row round() here ties on half-cents differently
+            # across engines (BigDecimal-of-binary vs nearbyint)
+            "INSERT INTO evo SELECT c_custkey, c_acctbal, c_mktsegment, "
+            "c_acctbal * 2 AS loyalty_pts FROM sql_evo_src "
+            "WHERE c_custkey > 1000"
+        )
+        router.sql("ALTER TABLE evo RENAME COLUMN c_mktsegment TO segment")
+        # pre-ALTER snapshot keeps its own (3-column) schema
+        travel_ok = (
+            len(
+                router.sql("SELECT * FROM evo VERSION AS OF 1").columns
+            )
+            == 3
+        )
+        hist = {
+            r["operation"]: r
+            for r in router.sql("DESCRIBE HISTORY evo").collect()
+        }
+        history_ok = (
+            hist["add_columns"]["added_columns"] == "loyalty_pts"
+            and hist["add_columns"]["n_cols"] == 4
+            and hist["ctas"]["n_cols"] == 3
+            and "rename_column" in hist
+        )
+        try:
+            router.sql("ALTER TABLE evo DROP COLUMN loyalty_pts")
+            negative_ok = False
+        except ValueError:
+            negative_ok = True
+        out = (
+            spark.table("evo")
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_cust"),
+                # exact-integer cents: round(x,2) values summed as
+                # doubles can land a half-cent off between engines
+                # (accumulation order); *100-and-round is deterministic
+                F.round(F.sum("c_acctbal") * 100)
+                .cast("long")
+                .alias("total_bal_c"),
+                F.round(
+                    F.sum(F.coalesce(F.col("loyalty_pts"), F.lit(0.0)))
+                    * 100
+                )
+                .cast("long")
+                .alias("total_pts_c"),
+            )
+            .withColumn("metadata_only_ok", F.lit(bool(metadata_only_ok)))
+            .withColumn("travel_ok", F.lit(bool(travel_ok)))
+            .withColumn("history_ok", F.lit(bool(history_ok)))
+            .withColumn("negative_ok", F.lit(bool(negative_ok)))
+            .orderBy("segment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "txn_merge_evolved": txn_merge_evolved,
     "txn_change_feed": txn_change_feed,
@@ -1976,9 +2194,57 @@ QUERIES = {
     "txn_sql_dml": txn_sql_dml,
     "txn_sql_lifecycle": txn_sql_lifecycle,
     "txn_stream_writer_sink": txn_stream_writer_sink,
+    "txn_export_delta": txn_export_delta,
+    "txn_sql_evolution": txn_sql_evolution,
 }
 
 ORACLE = {
+    # Delta export: DuckDB read the artifact (log replay -> parquet);
+    # the closed form is the same table state from the fixtures — base
+    # slice minus the scattered deferred delete, plus the late append
+    # (whose rows carry flag='late'; pre-evolution rows read NULL)
+    "txn_export_delta": """
+        WITH t AS (
+            SELECT o_orderpriority, o_totalprice, NULL AS flag
+            FROM orders
+            WHERE o_orderkey <= 3000 AND o_orderkey % 10 <> 3
+            UNION ALL
+            SELECT o_orderpriority, o_totalprice, 'late'
+            FROM orders
+            WHERE o_orderkey > 3000 AND o_orderkey <= 4000
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(count(flag) AS BIGINT) AS n_late,
+               TRUE AS log_set_ok,
+               TRUE AS stats_ok
+        FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    # SQL evolution lifecycle: CTAS slice + INSERT slice with the
+    # derived loyalty column (NULL for pre-ALTER rows), grouped under
+    # the RENAMED segment column
+    "txn_sql_evolution": """
+        WITH t AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment AS segment,
+                   CAST(NULL AS DOUBLE) AS loyalty_pts
+            FROM customer WHERE c_custkey <= 1000
+            UNION ALL
+            SELECT c_custkey, c_acctbal, c_mktsegment,
+                   c_acctbal * 2
+            FROM customer WHERE c_custkey > 1000 AND c_custkey <= 1500
+        )
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS total_bal_c,
+               CAST(round(sum(coalesce(loyalty_pts, 0)) * 100) AS BIGINT)
+                   AS total_pts_c,
+               TRUE AS metadata_only_ok,
+               TRUE AS travel_ok,
+               TRUE AS history_ok,
+               TRUE AS negative_ok
+        FROM t GROUP BY segment ORDER BY segment
+    """,
     # native stream-writer sink: the table is exactly the record set the
     # shard log carried (event_id < 3000), exactly once across both runs
     "txn_stream_writer_sink": """
@@ -2057,7 +2323,8 @@ ORACLE = {
                TRUE AS compacted,
                TRUE AS vacuumed,
                TRUE AS travel_ok,
-               TRUE AS history_ok
+               TRUE AS history_ok,
+               TRUE AS catalog_ok
         FROM lineitem
         WHERE l_orderkey <= 2000
         GROUP BY l_returnflag ORDER BY l_returnflag

@@ -1,0 +1,167 @@
+"""TRUE multi-process commit concurrency (round 11, r10 verdict task 3).
+
+Every prior CAS/race test ran its contenders inside ONE Python process
+(threads or injected interleavings) — the actual multi-writer
+deployment shape is separate driver PROCESSES hammering one pointer,
+and OS-level file-lock/rename semantics are exactly where lakehouse
+formats historically break. These tests spawn real ``python``
+subprocesses, each committing through the full ``commit_staged`` path
+(staging, per-file stats, manifest assembly, version-slot rename,
+O_EXCL-lock CAS) with ZERO library-level retries — every
+``ConcurrentCommitError`` is surfaced to the child and counted — and
+then assert the serializability contract: every commit lands exactly
+once, the published lineage is a single chain containing all of them,
+and the final file set holds each writer's rows exactly once.
+
+``commit_staged`` needs no SparkSession (txn.py), so the children are
+plain Python processes — which also makes the probe cheap enough to
+repeat; ``tools/concurrency_probe.py`` runs the same worker at higher
+repetition counts for SCALING.md evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The child: N append commits through commit_staged with max_retries=0,
+# retrying ITSELF on ConcurrentCommitError so the count is observable.
+WORKER = textwrap.dedent(
+    """
+    import json, os, sys, tempfile, time
+    sys.path.insert(0, sys.argv[4])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rxlan_aws_lakehouse_spark.txn import ConcurrentCommitError, TxnTable
+
+    root, wid, n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    t = TxnTable(root)
+    retries = 0
+    for i in range(n):
+        stage = tempfile.mkdtemp(prefix=f"w{wid}-{i}-")
+        pq.write_table(
+            pa.table(
+                {
+                    "writer": pa.array([wid], pa.int64()),
+                    "seq": pa.array([i], pa.int64()),
+                    "key": pa.array([wid * 1000 + i], pa.int64()),
+                }
+            ),
+            os.path.join(stage, f"w{wid}-{i}.parquet"),
+        )
+        while True:
+            try:
+                t.commit_staged(
+                    stage,
+                    operation="append",
+                    max_retries=0,
+                )
+                break
+            except ConcurrentCommitError:
+                retries += 1
+                time.sleep(0.002 * ((retries % 5) + 1))
+    print(json.dumps({"writer": wid, "retries": retries}))
+    """
+)
+
+
+def _seed(root: str) -> TxnTable:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = TxnTable(root)
+    schema = StructType(
+        [
+            StructField("writer", LongType(), True),
+            StructField("seq", LongType(), True),
+            StructField("key", LongType(), True),
+        ]
+    )
+    import tempfile
+
+    empty = tempfile.mkdtemp(prefix="seed_")
+    t.commit_staged(empty, overwrite=True, schema=schema)
+    return t
+
+
+def run_probe(root: str, n_writers: int, n_commits: int) -> dict:
+    """Spawn the writers, wait, verify, return retry stats. Raises on
+    any violated invariant (used by the test AND the standalone tool)."""
+    t = _seed(root)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, root, str(w), str(n_commits), REPO],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in range(n_writers)
+    ]
+    stats = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed: {err[-2000:]}"
+        stats.append(json.loads(out.strip().splitlines()[-1]))
+
+    # 1. every commit landed exactly once: the published lineage is one
+    #    chain of seed + n_writers*n_commits appends
+    lineage = t.lineage()
+    assert len(lineage) == 1 + n_writers * n_commits, (
+        f"expected {1 + n_writers * n_commits} published snapshots, "
+        f"lineage has {len(lineage)}"
+    )
+    ops = [m["operation"] for m in lineage]
+    assert ops.count("append") == n_writers * n_commits
+
+    # 2. the final state equals a serial replay: each writer's keys
+    #    exactly once, nothing else (read via DuckDB — no Spark in the
+    #    commit path, none in the verification either)
+    v = t.current_version()
+    paths = [
+        os.path.join(root, "_versions", v, rel) for rel in t.files(v)
+    ]
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT key, count(*) FROM read_parquet(?) GROUP BY key",
+        [paths],
+    ).fetchall()
+    con.close()
+    got = {k: c for k, c in rows}
+    want = {
+        w * 1000 + i: 1
+        for w in range(n_writers)
+        for i in range(n_commits)
+    }
+    assert got == want, (
+        f"lost/duplicated commits: extra={set(got) - set(want)}, "
+        f"missing={set(want) - set(got)}, "
+        f"dups={[k for k, c in got.items() if c != 1]}"
+    )
+    return {
+        "writers": n_writers,
+        "commits_each": n_commits,
+        "retries": {s["writer"]: s["retries"] for s in stats},
+        "total_retries": sum(s["retries"] for s in stats),
+    }
+
+
+def test_two_driver_processes_interleave_without_loss(tmp_path):
+    out = run_probe(str(tmp_path / "t"), n_writers=2, n_commits=8)
+    # contention must actually have occurred for the test to mean
+    # anything across repetitions in aggregate; a single quiet run is
+    # legal (scheduling), so only sanity-bound the counter here
+    assert out["total_retries"] >= 0
+
+
+def test_three_processes_heavier_interleaving(tmp_path):
+    run_probe(str(tmp_path / "t"), n_writers=3, n_commits=5)
