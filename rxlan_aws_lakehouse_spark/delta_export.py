@@ -49,6 +49,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 from urllib.parse import quote, unquote
 
 import pyarrow as pa
@@ -57,14 +58,30 @@ import pyarrow.parquet as _pq
 from .txn import TxnTable, _file_column_stats
 
 _LOG_DIR = "_delta_log"
+_APP_PREFIX = "rxlan-txn-export"
 
 
-def _delta_table_id(root: str, version: str) -> str:
-    """Deterministic UUID-shaped table id from (root, version): exports
-    are reproducible byte-for-byte modulo file mtimes, which keeps the
-    round-trip tests and the oracle lane stable."""
-    h = hashlib.md5(f"{root}\x00{version}".encode()).hexdigest()
+def _delta_table_id(root: str) -> str:
+    """Deterministic UUID-shaped table id from the SOURCE root: stable
+    across commits of one mirror (Delta's table id is per table, not
+    per snapshot), and reproducible, which keeps the round-trip tests
+    and the oracle lane stable."""
+    h = hashlib.md5(root.encode()).hexdigest()
     return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+
+def _txn_action(root: str, version: str) -> dict:
+    """Delta ``txn`` action (the spec's idempotent-writer transaction
+    identifier): records WHICH txn snapshot a log commit exported, so
+    ``export_delta_sync`` resumes from exactly that version — the same
+    mechanism Delta streaming sinks use for exactly-once."""
+    return {
+        "txn": {
+            "appId": f"{_APP_PREFIX}:{_delta_table_id(root)}",
+            "version": int(version[1:]),
+            "lastUpdated": int(time.time() * 1000),
+        }
+    }
 
 
 def _partition_values(rel: str) -> dict[str, str]:
@@ -215,9 +232,10 @@ def export_delta(
             }
         },
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _txn_action(table.root, v),
         {
             "metaData": {
-                "id": _delta_table_id(table.root, v),
+                "id": _delta_table_id(table.root),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(schema_json),
                 "partitionColumns": list(meta.get("partition_by") or []),
@@ -262,6 +280,7 @@ def replay_delta_log(dest: str) -> dict:
     live: dict[str, dict] = {}
     schema_json = None
     part_cols: list[str] = []
+    txns: dict[str, int] = {}
     for name in commits:
         with open(os.path.join(log_dir, name)) as f:
             for line in f:
@@ -279,6 +298,11 @@ def replay_delta_log(dest: str) -> dict:
                     live[unquote(action["add"]["path"])] = action["add"]
                 elif "remove" in action:
                     live.pop(unquote(action["remove"]["path"]), None)
+                elif "txn" in action:
+                    # latest version per appId wins (spec: SetTransaction)
+                    txns[action["txn"]["appId"]] = int(
+                        action["txn"]["version"]
+                    )
     if schema_json is None:
         raise ValueError(f"no metaData action in {log_dir}")
     return {
@@ -286,6 +310,178 @@ def replay_delta_log(dest: str) -> dict:
         "schema": schema_json,
         "partition_columns": part_cols,
         "adds": live,
+        "txns": txns,
+        "n_commits": len(commits),
+    }
+
+
+def export_delta_sync(
+    table: TxnTable,
+    dest: str,
+    version: str | None = None,
+) -> dict:
+    """Incremental MIRROR sync: bring a previously-exported Delta table
+    at ``dest`` up to the given (default: live) txn snapshot as ONE new
+    log commit of ``add``/``remove`` actions — the Delta-side shape of
+    the manifest's own carry-by-reference economics.
+
+    Resume point: the spec's ``txn`` action (SetTransaction). Each
+    export commit records ``{appId: rxlan-txn-export:<table-id>,
+    version: <txn version int>}``; sync replays the log, reads the
+    latest recorded version, and diffs the two snapshots' MANIFEST file
+    sets — adds are hard-linked, removes become tombstone actions
+    (files stay on disk per Delta vacuum semantics). Rel paths are
+    content-stable in the txn format (fresh writes always mint new
+    names; carries preserve name AND content), so a set diff is an
+    exact file-level change feed. O(changed files) IO, O(files)
+    metadata — a 100 TB mirror syncs at the cost of the day's churn.
+
+    A ``metaData`` action is emitted only when the recorded schema or
+    partition spec changed since the last export (additive evolution
+    flows through; Delta readers pick up the newest metaData).
+
+    Refuses when the target snapshot carries a PENDING deletion vector:
+    a mirror sync must not silently rewrite carried files under their
+    existing rel names (the previous commit's adds reference them).
+    Run ``materialize_deletes`` first — the rewrite then shows up here
+    as ordinary adds+removes. First call on an empty ``dest`` falls
+    through to ``export_delta``.
+    """
+    v = version or table.current_version()
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table.root}")
+    log_dir = os.path.join(dest, _LOG_DIR)
+    if not os.path.isdir(log_dir) or not any(
+        n.endswith(".json") for n in os.listdir(log_dir)
+    ):
+        out = export_delta(table, dest, version=v)
+        out["commit"] = 0
+        out["synced_from"] = None
+        return out
+
+    if table.has_deletion_vectors(v):
+        raise ValueError(
+            "snapshot carries a pending deletion vector; run "
+            "materialize_deletes() before an incremental sync (a "
+            "mirror must not rewrite files the previous commit's adds "
+            "reference)"
+        )
+
+    state = replay_delta_log(dest)
+    app_id = f"{_APP_PREFIX}:{_delta_table_id(table.root)}"
+    if app_id not in state["txns"]:
+        raise ValueError(
+            f"{dest} was not exported from {table.root} (no {app_id} "
+            "txn action in its log)"
+        )
+    last_txn = f"v{state['txns'][app_id]:08d}"
+    if last_txn == v:
+        return {
+            "commit": None,
+            "n_adds": 0,
+            "n_removes": 0,
+            "schema_changed": False,
+            "synced_from": last_txn,
+        }
+
+    try:
+        old_entries = table.file_entries(last_txn)
+        old_meta = table._meta(last_txn)
+    except FileNotFoundError as e:
+        raise FileNotFoundError(
+            f"resume snapshot {last_txn} was vacuumed from "
+            f"{table.root}; re-bootstrap the mirror with export_delta "
+            "into a fresh dest (same rule as any incremental consumer: "
+            "consume changes before vacuuming past them)"
+        ) from e
+    new_entries = table.file_entries(v)
+    added = sorted(set(new_entries) - set(old_entries))
+    removed = sorted(set(old_entries) - set(new_entries))
+    meta = table._meta(v)
+    schema_changed = meta["schema"] != old_meta["schema"] or (
+        meta.get("partition_by") or []
+    ) != (old_meta.get("partition_by") or [])
+
+    data_root = os.path.join(table.root, "_versions", v)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Append"},
+                "engineInfo": "rxlan-aws-lakehouse-spark txn export",
+            }
+        },
+        _txn_action(table.root, v),
+    ]
+    if schema_changed:
+        actions.append(
+            {
+                "metaData": {
+                    "id": _delta_table_id(table.root),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(meta["schema"]),
+                    "partitionColumns": list(
+                        meta.get("partition_by") or []
+                    ),
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    for rel in removed:
+        actions.append(
+            {
+                "remove": {
+                    "path": quote(rel.replace(os.sep, "/"), safe="/="),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    total_rows = 0
+    for rel in added:
+        src = os.path.join(data_root, rel)
+        dst = os.path.join(dest, rel)
+        if not os.path.exists(dst):
+            _link_or_copy(src, dst)
+        entry = new_entries[rel]
+        st = os.stat(dst)
+        total_rows += int(entry.get("rows", 0))
+        actions.append(
+            {
+                "add": {
+                    "path": quote(rel.replace(os.sep, "/"), safe="/="),
+                    "partitionValues": _partition_values(rel),
+                    "size": int(entry.get("bytes", st.st_size)),
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                    "stats": _delta_stats(entry),
+                }
+            }
+        )
+    commit_n = state["n_commits"]
+    log_path = os.path.join(log_dir, f"{commit_n:020d}.json")
+    if os.path.exists(log_path):
+        raise FileExistsError(
+            f"{log_path} already exists (concurrent mirror writer?)"
+        )
+    tmp = f"{log_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, log_path)
+    return {
+        "commit": commit_n,
+        "n_adds": len(added),
+        "n_removes": len(removed),
+        "n_rows_added": total_rows,
+        "schema_changed": schema_changed,
+        "synced_from": last_txn,
+        "log_path": log_path,
     }
 
 

@@ -1962,21 +1962,25 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-protocol export (round 11): build a txn table from the
     orders fixture — base commit, a SCATTERED merge-on-read delete
     (deletion vector), additive ALTER, late-arriving append — then
-    ``export_delta`` it and have DUCKDB, a genuinely second engine,
-    read ONLY the exported artifact: the live file set resolved by
-    replaying ``_delta_log`` with ``read_json`` (add minus remove —
-    never a directory listing), the rows via ``read_parquet`` over
-    exactly those paths. The lane's output rows ARE DuckDB's
-    read-back aggregate, so the driver hash pins export fidelity
-    end-to-end (DVs materialized, evolution surviving as NULLs,
-    stats consistent) against the fixture closed form. Spec:
+    ``export_delta`` it, keep changing the table (a copy-on-write
+    DELETE and a second late append), ``export_delta_sync`` the mirror
+    (ONE incremental commit of add/remove tombstones, resumed from the
+    spec's ``txn`` action) — and have DUCKDB, a genuinely second
+    engine, read ONLY the exported artifact: the live file set
+    resolved by replaying BOTH ``_delta_log`` commits with
+    ``read_json`` (add minus remove — never a directory listing), the
+    rows via ``read_parquet`` over exactly those paths. The lane's
+    output rows ARE DuckDB's read-back aggregate, so the driver hash
+    pins export fidelity end-to-end (DVs materialized, evolution
+    surviving as NULLs, tombstones excluded, stats consistent) against
+    the fixture closed form. Spec:
     https://github.com/delta-io/delta/blob/master/PROTOCOL.md."""
     import json as _json
     import os as _os
 
     import duckdb as _duckdb
 
-    from ..delta_export import export_delta
+    from ..delta_export import export_delta, export_delta_sync
 
     work = tempfile.mkdtemp(prefix="txn_delta_exp_")
     try:
@@ -1997,7 +2001,23 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).withColumn("flag", F.lit("late"))
         )
         dest = f"{work}/delta"
-        summary = export_delta(t, dest)
+        export_delta(t, dest)
+        # mirror keeps syncing: fold the vector into the table (the
+        # file-granular CoW delete refuses under a pending DV), then a
+        # copy-on-write delete (tombstones) + a second append
+        t.materialize_deletes(spark)
+        t.delete_where(spark, F.expr("o_orderkey % 10 = 7"))
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") > 4000) & (F.col("o_orderkey") <= 4500)
+            ).withColumn("flag", F.lit("late2"))
+        )
+        sync = export_delta_sync(t, dest)
+        sync_ok = (
+            sync["commit"] == 1
+            and sync["n_removes"] > 0
+            and sync["n_adds"] > 0
+        )
 
         con = _duckdb.connect()
         log_glob = _os.path.join(dest, "_delta_log", "*.json")
@@ -2022,24 +2042,35 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             [log_glob, log_glob],
         ).fetchall()
         paths = [_os.path.join(dest, p) for p, _ in resolved]
-        # fact 1: the log's live set IS the physical file set (nothing
-        # extra on disk, nothing referenced but missing)
-        physical = sorted(
+        # fact 1: live set == physical files MINUS the tombstoned ones
+        # (removed files stay on disk per Delta vacuum semantics) —
+        # both sides derived from the artifact alone
+        tombstoned = {
+            p
+            for (p,) in con.execute(
+                """
+                SELECT json_extract_string(remove, '$.path')
+                FROM read_json(?, format='newline_delimited',
+                               columns={'add': 'JSON',
+                                        'remove': 'JSON'})
+                WHERE remove IS NOT NULL
+                """,
+                [log_glob],
+            ).fetchall()
+        }
+        physical = {
             _os.path.relpath(_os.path.join(r, n), dest)
             for r, _d, ns in _os.walk(dest)
             for n in ns
             if n.endswith(".parquet") and "_delta_log" not in r
-        )
-        log_set_ok = sorted(p for p, _ in resolved) == physical
+        }
+        log_set_ok = {p for p, _ in resolved} == physical - tombstoned
         # fact 2: per-add stats agree with the data those files hold
         n_data = con.execute(
             "SELECT count(*) FROM read_parquet(?, union_by_name=true)",
             [paths],
         ).fetchone()[0]
-        stats_ok = (
-            sum(nr for _, nr in resolved) == n_data
-            and summary["n_rows"] == n_data
-        )
+        stats_ok = sum(nr for _, nr in resolved) == n_data
         # the lane's OUTPUT is DuckDB's read of the artifact alone
         out_rows = con.execute(
             """
@@ -2055,12 +2086,14 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).fetchall()
         con.close()
         rows = [
-            r + (bool(log_set_ok), bool(stats_ok)) for r in out_rows
+            r + (bool(log_set_ok), bool(stats_ok), bool(sync_ok))
+            for r in out_rows
         ]
         return spark.createDataFrame(
             rows,
             "o_orderpriority string, n_orders long, revenue double, "
-            "n_late long, log_set_ok boolean, stats_ok boolean",
+            "n_late long, log_set_ok boolean, stats_ok boolean, "
+            "sync_ok boolean",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -2207,18 +2240,26 @@ ORACLE = {
         WITH t AS (
             SELECT o_orderpriority, o_totalprice, NULL AS flag
             FROM orders
-            WHERE o_orderkey <= 3000 AND o_orderkey % 10 <> 3
+            WHERE o_orderkey <= 3000
+              AND o_orderkey % 10 <> 3   -- deferred (DV) delete
+              AND o_orderkey % 10 <> 7   -- CoW delete before the sync
             UNION ALL
             SELECT o_orderpriority, o_totalprice, 'late'
             FROM orders
             WHERE o_orderkey > 3000 AND o_orderkey <= 4000
+              AND o_orderkey % 10 <> 7
+            UNION ALL
+            SELECT o_orderpriority, o_totalprice, 'late2'
+            FROM orders
+            WHERE o_orderkey > 4000 AND o_orderkey <= 4500
         )
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_orders,
                round(sum(o_totalprice), 2) AS revenue,
                CAST(count(flag) AS BIGINT) AS n_late,
                TRUE AS log_set_ok,
-               TRUE AS stats_ok
+               TRUE AS stats_ok,
+               TRUE AS sync_ok
         FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     # SQL evolution lifecycle: CTAS slice + INSERT slice with the

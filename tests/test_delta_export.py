@@ -214,3 +214,152 @@ def test_duckdb_replays_the_log_and_reads_only_the_artifact(spark, tmp_path):
     ).collect()[0]
     assert agg == tuple(want)
     con.close()
+
+
+# -- incremental mirror sync (export_delta_sync) ---------------------------
+
+
+def test_sync_appends_only_the_delta(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta_sync
+
+    t = _mk(spark, str(tmp_path / "t"))
+    dest = str(tmp_path / "out")
+    first = export_delta_sync(t, dest)  # bootstraps via full export
+    assert first["commit"] == 0
+    t.append(
+        spark.range(200, 260).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+    )
+    out = export_delta_sync(t, dest)
+    assert out["commit"] == 1
+    assert out["n_removes"] == 0
+    assert out["n_adds"] > 0
+    assert out["n_rows_added"] == 60
+    assert out["synced_from"] == "v00000001"
+    assert not out["schema_changed"]
+    assert _rows(read_delta_export(spark, dest)) == _rows(t.read(spark))
+    # resume point advanced: a third sync with no table change is a no-op
+    noop = export_delta_sync(t, dest)
+    assert noop["commit"] is None
+    assert len(
+        os.listdir(os.path.join(dest, "_delta_log"))
+    ) == 2
+
+
+def test_sync_tombstones_rewritten_files(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta_sync
+
+    t = _mk(spark, str(tmp_path / "t"))
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest)
+    t.delete_where(spark, F.col("id") % 4 == 0)  # copy-on-write rewrite
+    out = export_delta_sync(t, dest)
+    assert out["n_removes"] > 0 and out["n_adds"] > 0
+    got = read_delta_export(spark, dest)
+    assert _rows(got) == _rows(t.read(spark))
+    assert got.filter(F.col("id") % 4 == 0).count() == 0
+    # tombstoned files stay on disk (Delta vacuum semantics) but are
+    # not in the live set
+    state = replay_delta_log(dest)
+    assert len(state["files"]) == len(t.files())
+
+
+def test_sync_emits_metadata_on_schema_change(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta_sync
+
+    t = _mk(spark, str(tmp_path / "t"))
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest)
+    t.add_columns(spark, "tag STRING")
+    t.append(
+        spark.range(200, 220).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.5).alias("x"), F.lit("new").alias("tag"),
+        )
+    )
+    out = export_delta_sync(t, dest)
+    assert out["schema_changed"]
+    state = replay_delta_log(dest)
+    assert [f["name"] for f in state["schema"]["fields"]] == [
+        "id", "g", "x", "tag",
+    ]
+    got = read_delta_export(spark, dest)
+    assert _rows(got) == _rows(t.read(spark))
+    assert got.filter(F.col("tag").isNull()).count() == 200
+
+
+def test_sync_refuses_pending_dv_then_accepts_after_materialize(
+    spark, tmp_path
+):
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta_sync
+
+    t = _mk(spark, str(tmp_path / "t"))
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest)
+    t.delete_where_deferred(spark, F.col("id") < 20)
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        export_delta_sync(t, dest)
+    t.materialize_deletes(spark)
+    out = export_delta_sync(t, dest)
+    assert out["n_removes"] > 0
+    assert _rows(read_delta_export(spark, dest)) == _rows(t.read(spark))
+
+
+def test_sync_rejects_foreign_mirror(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta_sync
+
+    a = _mk(spark, str(tmp_path / "a"))
+    b = _mk(spark, str(tmp_path / "b"))
+    dest = str(tmp_path / "out")
+    export_delta_sync(a, dest)
+    b.append(spark.range(5).select(
+        F.col("id"), (F.col("id") % 7).alias("g"),
+        (F.col("id") * 1.5).alias("x"),
+    ))
+    with pytest.raises(ValueError, match="not exported from"):
+        export_delta_sync(b, dest)
+
+
+def test_duckdb_replays_multi_commit_mirror(spark, tmp_path):
+    """Second-engine check across COMMITS: after full + two syncs (one
+    with removes), DuckDB's add-minus-remove replay over all log files
+    must resolve the same live set and rows."""
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta_sync
+
+    t = _mk(spark, str(tmp_path / "t"), n=300)
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest)
+    t.append(spark.range(300, 360).select(
+        F.col("id"), (F.col("id") % 7).alias("g"),
+        (F.col("id") * 1.5).alias("x"),
+    ))
+    export_delta_sync(t, dest)
+    t.delete_where(spark, F.col("id") >= 330)
+    export_delta_sync(t, dest)
+    con = duckdb.connect()
+    glob = os.path.join(dest, "_delta_log", "*.json")
+    files = con.execute(
+        """
+        SELECT json_extract_string(add, '$.path') AS path
+        FROM read_json(?, format='newline_delimited',
+                       columns={'add': 'JSON', 'remove': 'JSON'})
+        WHERE add IS NOT NULL
+          AND json_extract_string(add, '$.path') NOT IN (
+            SELECT json_extract_string(remove, '$.path')
+            FROM read_json(?, format='newline_delimited',
+                           columns={'add': 'JSON', 'remove': 'JSON'})
+            WHERE remove IS NOT NULL)
+        """,
+        [glob, glob],
+    ).fetchall()
+    paths = [os.path.join(dest, p) for (p,) in files]
+    n, s = con.execute(
+        "SELECT count(*), sum(id) FROM read_parquet(?, "
+        "union_by_name=true)",
+        [paths],
+    ).fetchone()
+    con.close()
+    want = t.read(spark).agg(F.count(F.lit(1)), F.sum("id")).collect()[0]
+    assert (n, s) == tuple(want)
