@@ -35,6 +35,7 @@ equi-condition) that leaves every scalar EXPRESSION to Spark itself
     USE '<dir>'                       attach persistent catalog dir
     DROP TABLE t                      unregister (data stays; external)
     DESCRIBE HISTORY t                metadata table as a DataFrame
+    DESCRIBE DETAIL t                 manifest-only table summary
     OPTIMIZE t                        compact (bin-packed small files)
     OPTIMIZE t ZORDER BY (a, b)       zorder_by (Morton clustering)
     VACUUM t [RETAIN n HOURS]         vacuum (snapshot retention)
@@ -626,6 +627,10 @@ class TxnSqlRouter:
             toks[1].upper() == "HISTORY"
         ):
             return self._exec_describe_history(_Cursor(toks))
+        if verb == "DESCRIBE" and len(toks) >= 2 and (
+            toks[1].upper() == "DETAIL"
+        ):
+            return self._exec_describe_detail(_Cursor(toks))
         if verb == "OPTIMIZE":
             return self._exec_optimize(_Cursor(toks))
         if verb == "VACUUM":
@@ -940,6 +945,41 @@ class TxnSqlRouter:
         return self._spark.read.format("txn").option(
             "metadata", "history"
         ).load(t.root)
+
+    def _exec_describe_detail(self, c: _Cursor):
+        """``DESCRIBE DETAIL t`` (Delta's table-summary statement): one
+        row of table-level facts, ALL from the live snapshot's manifest
+        — no data file opened, no directory listed (KBs to describe a
+        100 TB table, same contract as the metadata tables)."""
+        c.expect("DESCRIBE", "DETAIL")
+        name, t = self._resolve(c.ident("table"))
+        v = t.current_version()
+        if v is None:
+            raise ValueError(f"table at {t.root} has no committed version")
+        meta = t._meta(v)
+        entries = t.file_entries(v)
+        schema = StructType.fromJson(meta["schema"])
+        row = (
+            "txn",
+            t.root,
+            v,
+            len(entries),
+            sum(int(e.get("bytes", 0)) for e in entries.values()),
+            sum(int(e.get("rows", 0)) for e in entries.values()),
+            list(meta.get("partition_by") or []),
+            len(schema.fields),
+            sorted(meta.get("constraints") or {}),
+            bool(meta.get("cdf", False)),
+            t.has_deletion_vectors(v),
+        )
+        return self._spark.createDataFrame(
+            [row],
+            "format string, location string, version string, "
+            "num_files long, size_bytes long, num_rows long, "
+            "partition_columns array<string>, n_cols int, "
+            "check_constraints array<string>, cdf_enabled boolean, "
+            "has_deletion_vectors boolean",
+        )
 
     def _exec_optimize(self, c: _Cursor):
         c.expect("OPTIMIZE")

@@ -238,3 +238,29 @@ def test_torn_catalog_entry_is_skipped(spark, tmp_path):
         f.write('{"name": "broken"')  # torn write: no root, bad JSON
     router = TxnSqlRouter(spark, catalog_dir=cat)
     assert router.sql("SHOW TABLES").count() == 0
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL: one manifest-only summary row (Delta analogue)."""
+    t = TxnTable(str(tmp_path / "d"))
+    t.commit(
+        spark.range(40).select(
+            F.col("id"), (F.col("id") % 2).alias("g")
+        ),
+        partition_by=["g"],
+    )
+    t.add_check_constraint(spark, "id_pos", "id >= 0")
+    t.delete_where_deferred(spark, F.col("id") == 5)
+    router = TxnSqlRouter(spark)
+    router.register("det", t)
+    row = router.sql("DESCRIBE DETAIL det").collect()[0]
+    assert row["format"] == "txn"
+    assert row["location"] == t.root
+    assert row["version"] == t.current_version()
+    assert row["num_files"] == len(t.files())
+    assert row["num_rows"] == 40  # manifest counts keep suppressed rows
+    assert row["partition_columns"] == ["g"]
+    assert row["n_cols"] == 2
+    assert row["check_constraints"] == ["id_pos"]
+    assert row["cdf_enabled"] is False
+    assert row["has_deletion_vectors"] is True
