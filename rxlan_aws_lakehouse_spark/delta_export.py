@@ -263,25 +263,65 @@ def export_delta(
 
 
 def replay_delta_log(dest: str) -> dict:
-    """Resolve a Delta table's LIVE state by replaying its JSON log —
-    the reader side of the protocol (checkpoint-less case): apply
+    """Resolve a Delta table's LIVE state by replaying its log — the
+    reader side of the protocol: seed from the ``_last_checkpoint``-
+    named parquet checkpoint when one exists (reading only the JSON
+    commits AFTER it — O(checkpoint + tail), the property that keeps
+    a 10,000-commit mirror readable), else from commit 0; then apply
     ``add``/``remove`` actions in commit order, newest ``metaData``
     wins. Returns ``{"files": [rel], "schema": StructType-json,
-    "partition_columns": [...], "adds": {rel: action}}``. Used by
-    ``read_delta_export`` and the tests; the registry lane replays the
-    log independently in DuckDB SQL so the oracle never trusts this
-    code."""
+    "partition_columns": [...], "adds": {rel: action}, "removes":
+    {rel: action}, "txns": {appId: version}, "n_commits": next commit
+    number}``. Used by ``read_delta_export`` and the tests; the
+    registry lane replays the log independently in DuckDB SQL so the
+    oracle never trusts this code."""
     log_dir = os.path.join(dest, _LOG_DIR)
-    commits = sorted(
-        n for n in os.listdir(log_dir) if n.endswith(".json")
-    )
-    if not commits:
-        raise FileNotFoundError(f"no commits under {log_dir}")
     live: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
     schema_json = None
     part_cols: list[str] = []
     txns: dict[str, int] = {}
+    after = -1  # replay commits strictly greater than this
+
+    ckpt_file = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(ckpt_file):
+        with open(ckpt_file) as f:
+            ckpt = json.load(f)
+        after = int(ckpt["version"])
+        tbl = _pq.read_table(
+            os.path.join(log_dir, f"{after:020d}.checkpoint.parquet")
+        )
+        for row in tbl.to_pylist():
+            if row.get("metaData") and row["metaData"].get("schemaString"):
+                md = row["metaData"]
+                schema_json = json.loads(md["schemaString"])
+                part_cols = list(md.get("partitionColumns") or [])
+            elif row.get("add") and row["add"].get("path"):
+                a = dict(row["add"])
+                if isinstance(a.get("partitionValues"), list):
+                    # pyarrow maps round-trip as [(k, v), ...] pairs
+                    a["partitionValues"] = dict(a["partitionValues"])
+                live[unquote(a["path"])] = a
+            elif row.get("remove") and row["remove"].get("path"):
+                removes[unquote(row["remove"]["path"])] = dict(
+                    row["remove"]
+                )
+            elif row.get("txn") and row["txn"].get("appId"):
+                txns[row["txn"]["appId"]] = int(row["txn"]["version"])
+
+    commits = sorted(
+        n
+        for n in os.listdir(log_dir)
+        if n.endswith(".json")
+        and n != "_last_checkpoint"
+        and n[:20].isdigit()
+        and int(n[:20]) > after
+    )
+    if not commits and after < 0:
+        raise FileNotFoundError(f"no commits under {log_dir}")
+    last_n = after
     for name in commits:
+        last_n = int(name[:20])
         with open(os.path.join(log_dir, name)) as f:
             for line in f:
                 if not line.strip():
@@ -295,9 +335,13 @@ def replay_delta_log(dest: str) -> dict:
                         action["metaData"].get("partitionColumns") or []
                     )
                 elif "add" in action:
-                    live[unquote(action["add"]["path"])] = action["add"]
+                    rel = unquote(action["add"]["path"])
+                    live[rel] = action["add"]
+                    removes.pop(rel, None)
                 elif "remove" in action:
-                    live.pop(unquote(action["remove"]["path"]), None)
+                    rel = unquote(action["remove"]["path"])
+                    live.pop(rel, None)
+                    removes[rel] = action["remove"]
                 elif "txn" in action:
                     # latest version per appId wins (spec: SetTransaction)
                     txns[action["txn"]["appId"]] = int(
@@ -310,8 +354,9 @@ def replay_delta_log(dest: str) -> dict:
         "schema": schema_json,
         "partition_columns": part_cols,
         "adds": live,
+        "removes": removes,
         "txns": txns,
-        "n_commits": len(commits),
+        "n_commits": last_n + 1,
     }
 
 
@@ -319,6 +364,7 @@ def export_delta_sync(
     table: TxnTable,
     dest: str,
     version: str | None = None,
+    checkpoint_interval: int | None = 10,
 ) -> dict:
     """Incremental MIRROR sync: bring a previously-exported Delta table
     at ``dest`` up to the given (default: live) txn snapshot as ONE new
@@ -474,7 +520,7 @@ def export_delta_sync(
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, log_path)
-    return {
+    out = {
         "commit": commit_n,
         "n_adds": len(added),
         "n_removes": len(removed),
@@ -482,6 +528,210 @@ def export_delta_sync(
         "schema_changed": schema_changed,
         "synced_from": last_txn,
         "log_path": log_path,
+        "checkpointed": False,
+    }
+    # spec-default cadence: a parquet checkpoint every N commits keeps
+    # replay O(checkpoint + tail) for long-lived mirrors
+    if checkpoint_interval and (commit_n + 1) % checkpoint_interval == 0:
+        write_delta_checkpoint(dest)
+        out["checkpointed"] = True
+    return out
+
+
+_CKPT_SCHEMA = pa.schema(
+    [
+        pa.field(
+            "protocol",
+            pa.struct(
+                [
+                    ("minReaderVersion", pa.int32()),
+                    ("minWriterVersion", pa.int32()),
+                ]
+            ),
+        ),
+        pa.field(
+            "metaData",
+            pa.struct(
+                [
+                    ("id", pa.string()),
+                    (
+                        "format",
+                        pa.struct(
+                            [
+                                ("provider", pa.string()),
+                                (
+                                    "options",
+                                    pa.map_(pa.string(), pa.string()),
+                                ),
+                            ]
+                        ),
+                    ),
+                    ("schemaString", pa.string()),
+                    ("partitionColumns", pa.list_(pa.string())),
+                    ("configuration", pa.map_(pa.string(), pa.string())),
+                    ("createdTime", pa.int64()),
+                ]
+            ),
+        ),
+        pa.field(
+            "txn",
+            pa.struct(
+                [
+                    ("appId", pa.string()),
+                    ("version", pa.int64()),
+                    ("lastUpdated", pa.int64()),
+                ]
+            ),
+        ),
+        pa.field(
+            "add",
+            pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("partitionValues", pa.map_(pa.string(), pa.string())),
+                    ("size", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                    ("stats", pa.string()),
+                ]
+            ),
+        ),
+        pa.field(
+            "remove",
+            pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("deletionTimestamp", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def write_delta_checkpoint(dest: str) -> dict:
+    """Write a spec-shaped PARQUET CHECKPOINT of the mirror's current
+    log state plus the ``_last_checkpoint`` pointer file — the
+    protocol's answer to unbounded log replay: a reader seeds from one
+    parquet file (protocol + metaData + every live add + unexpired
+    remove tombstones + txn resume points, one action per row, struct
+    columns) and reads only the JSON commits after it. With a
+    checkpoint in place the older JSON commits become garbage-
+    collectable (Delta's own metadata cleanup), which
+    ``replay_delta_log`` and the tests exercise by deleting them.
+    ``export_delta_sync`` calls this automatically every
+    ``checkpoint_interval`` commits."""
+    state = replay_delta_log(dest)
+    version = state["n_commits"] - 1
+    log_dir = os.path.join(dest, _LOG_DIR)
+
+    # reconstruct protocol + metaData rows from the live replay (the
+    # export writes fixed protocol versions; metaData is the newest)
+    rows: list[dict] = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "txn": None,
+            "add": None,
+            "remove": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": None,  # filled below from the tail commit scan
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(state["schema"]),
+                "partitionColumns": list(state["partition_columns"]),
+                "configuration": {},
+                "createdTime": None,
+            },
+            "txn": None,
+            "add": None,
+            "remove": None,
+        },
+    ]
+    # recover the stable table id from any commit's metaData action
+    for name in sorted(os.listdir(log_dir)):
+        if not (name.endswith(".json") and name[:20].isdigit()):
+            continue
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "metaData" in a:
+                    rows[1]["metaData"]["id"] = a["metaData"]["id"]
+                    rows[1]["metaData"]["createdTime"] = a[
+                        "metaData"
+                    ].get("createdTime")
+                    break
+        if rows[1]["metaData"]["id"] is not None:
+            break
+    if rows[1]["metaData"]["id"] is None:
+        raise ValueError(f"no metaData action found under {log_dir}")
+    for app_id, v in sorted(state["txns"].items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "txn": {"appId": app_id, "version": v, "lastUpdated": None},
+                "add": None,
+                "remove": None,
+            }
+        )
+    for rel in state["files"]:
+        a = state["adds"][rel]
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "txn": None,
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": dict(a.get("partitionValues") or {}),
+                    "size": int(a.get("size", 0)),
+                    "modificationTime": int(a.get("modificationTime", 0)),
+                    "dataChange": bool(a.get("dataChange", True)),
+                    "stats": a.get("stats"),
+                },
+                "remove": None,
+            }
+        )
+    for rel, r in sorted(state["removes"].items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "txn": None,
+                "add": None,
+                "remove": {
+                    "path": r["path"],
+                    "deletionTimestamp": int(
+                        r.get("deletionTimestamp", 0)
+                    ),
+                    "dataChange": bool(r.get("dataChange", True)),
+                },
+            }
+        )
+    tbl = pa.Table.from_pylist(rows, schema=_CKPT_SCHEMA)
+    ckpt_path = os.path.join(
+        log_dir, f"{version:020d}.checkpoint.parquet"
+    )
+    tmp = f"{ckpt_path}.tmp-{os.getpid()}"
+    _pq.write_table(tbl, tmp)
+    os.rename(tmp, ckpt_path)
+    last = os.path.join(log_dir, "_last_checkpoint")
+    tmp = f"{last}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, last)
+    return {
+        "version": version,
+        "n_actions": len(rows),
+        "path": ckpt_path,
     }
 
 

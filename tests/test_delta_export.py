@@ -363,3 +363,148 @@ def test_duckdb_replays_multi_commit_mirror(spark, tmp_path):
     con.close()
     want = t.read(spark).agg(F.count(F.lit(1)), F.sum("id")).collect()[0]
     assert (n, s) == tuple(want)
+
+
+# -- parquet checkpoints ----------------------------------------------------
+
+
+def test_checkpoint_replays_without_early_commits(spark, tmp_path):
+    """The checkpoint must be the COMPLETE replicated state: after
+    writing it, the pre-checkpoint JSON commits are deleted (Delta's
+    metadata cleanup) and replay must still resolve the exact live
+    set, schema, and txn resume point from checkpoint + tail alone."""
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        export_delta_sync,
+        write_delta_checkpoint,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"))
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest, checkpoint_interval=None)
+    t.delete_where(spark, F.col("id") < 50)
+    export_delta_sync(t, dest, checkpoint_interval=None)
+    ck = write_delta_checkpoint(dest)
+    assert ck["version"] == 1
+    # a post-checkpoint tail commit
+    t.append(
+        spark.range(200, 230).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+    )
+    export_delta_sync(t, dest, checkpoint_interval=None)
+    before = _rows(read_delta_export(spark, dest))
+    # metadata cleanup: drop every JSON commit the checkpoint covers
+    log_dir = os.path.join(dest, "_delta_log")
+    for n in ("00000000000000000000.json", "00000000000000000001.json"):
+        os.unlink(os.path.join(log_dir, n))
+    state = replay_delta_log(dest)
+    assert state["n_commits"] == 3
+    assert state["txns"]  # resume point survived the cleanup
+    assert _rows(read_delta_export(spark, dest)) == before
+    assert before == _rows(t.read(spark))
+    # and the sync resume STILL works (txn action came from checkpoint)
+    t.append(
+        spark.range(230, 240).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+    )
+    out = export_delta_sync(t, dest, checkpoint_interval=None)
+    assert out["commit"] == 3
+    assert _rows(read_delta_export(spark, dest)) == _rows(t.read(spark))
+
+
+def test_checkpoint_interval_cadence(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta_sync
+
+    t = _mk(spark, str(tmp_path / "t"), n=50)
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest, checkpoint_interval=2)  # commit 0
+    summaries = []
+    for i in range(3):
+        t.append(
+            spark.range(50 + i * 10, 60 + i * 10).select(
+                F.col("id"), (F.col("id") % 7).alias("g"),
+                (F.col("id") * 1.5).alias("x"),
+            )
+        )
+        summaries.append(
+            export_delta_sync(t, dest, checkpoint_interval=2)
+        )
+    # commits 1, 2, 3 -> checkpoints after 1 and 3 (every 2nd commit)
+    assert [s["checkpointed"] for s in summaries] == [True, False, True]
+    log_dir = os.path.join(dest, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    names = os.listdir(log_dir)
+    assert "00000000000000000001.checkpoint.parquet" in names
+    assert "00000000000000000003.checkpoint.parquet" in names
+    assert _rows(read_delta_export(spark, dest)) == _rows(t.read(spark))
+
+
+def test_duckdb_reads_the_checkpoint_parquet(spark, tmp_path):
+    """Second engine on the CHECKPOINT itself: DuckDB reads the
+    parquet checkpoint, resolves live adds from it plus the tail JSON
+    commit, and reproduces the table."""
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        export_delta_sync,
+        write_delta_checkpoint,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"))
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest, checkpoint_interval=None)
+    t.delete_where(spark, F.col("id") % 5 == 0)
+    export_delta_sync(t, dest, checkpoint_interval=None)
+    write_delta_checkpoint(dest)
+    t.append(
+        spark.range(200, 240).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+    )
+    export_delta_sync(t, dest, checkpoint_interval=None)
+
+    con = duckdb.connect()
+    log_dir = os.path.join(dest, "_delta_log")
+    ckpt = os.path.join(log_dir, "00000000000000000001.checkpoint.parquet")
+    # live = (checkpoint adds + tail adds) - tail removes
+    rows = con.execute(
+        """
+        WITH ck AS (
+            SELECT add.path AS path FROM read_parquet(?)
+            WHERE add IS NOT NULL AND add.path IS NOT NULL
+        ),
+        tail_adds AS (
+            SELECT json_extract_string(add, '$.path') AS path
+            FROM read_json(?, format='newline_delimited',
+                           columns={'add': 'JSON', 'remove': 'JSON'})
+            WHERE add IS NOT NULL
+        ),
+        tail_removes AS (
+            SELECT json_extract_string(remove, '$.path') AS path
+            FROM read_json(?, format='newline_delimited',
+                           columns={'add': 'JSON', 'remove': 'JSON'})
+            WHERE remove IS NOT NULL
+        )
+        SELECT path FROM (
+            SELECT path FROM ck UNION SELECT path FROM tail_adds
+        ) WHERE path NOT IN (SELECT path FROM tail_removes)
+        ORDER BY path
+        """,
+        [
+            ckpt,
+            os.path.join(log_dir, "00000000000000000002.json"),
+            os.path.join(log_dir, "00000000000000000002.json"),
+        ],
+    ).fetchall()
+    paths = [os.path.join(dest, p) for (p,) in rows]
+    assert sorted(p for (p,) in rows) == replay_delta_log(dest)["files"]
+    n, s = con.execute(
+        "SELECT count(*), sum(id) FROM read_parquet(?, "
+        "union_by_name=true)",
+        [paths],
+    ).fetchone()
+    con.close()
+    want = t.read(spark).agg(F.count(F.lit(1)), F.sum("id")).collect()[0]
+    assert (n, s) == tuple(want)

@@ -165,3 +165,91 @@ def test_two_driver_processes_interleave_without_loss(tmp_path):
 
 def test_three_processes_heavier_interleaving(tmp_path):
     run_probe(str(tmp_path / "t"), n_writers=3, n_commits=5)
+
+
+# The verdict's "honest version": each contender is a FULL SPARK DRIVER
+# (own JVM, own session) committing through the library write path
+# (TxnTable.append -> commit -> staged write -> CAS), not just
+# commit_staged. Two JVM startups make this the suite's slowest txn
+# test (~1 min) — kept because OS-level lock semantics under two
+# independent JVMs + Python drivers is exactly the historically-broken
+# deployment shape.
+SPARK_WORKER = textwrap.dedent(
+    """
+    import json, sys, time
+    sys.path.insert(0, sys.argv[4])
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from rxlan_aws_lakehouse_spark.txn import ConcurrentCommitError, TxnTable
+
+    root, wid, n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"mpwriter{wid}")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    t = TxnTable(root)
+    retries = 0
+    for i in range(n):
+        df = spark.createDataFrame(
+            [(wid, i, wid * 1000 + i)], "writer long, seq long, key long"
+        )
+        while True:
+            try:
+                t.append(df, max_retries=0)
+                break
+            except ConcurrentCommitError:
+                retries += 1
+                time.sleep(0.01)
+    print(json.dumps({"writer": wid, "retries": retries}))
+    spark.stop()
+    """
+)
+
+
+def test_two_full_spark_drivers_commit_concurrently(tmp_path):
+    root = str(tmp_path / "t")
+    _seed(root)
+    n_writers, n_commits = 2, 4
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-c",
+                SPARK_WORKER,
+                root,
+                str(w),
+                str(n_commits),
+                REPO,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in range(n_writers)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"spark worker failed: {err[-3000:]}"
+        json.loads(out.strip().splitlines()[-1])  # parses
+
+    t = TxnTable(root)
+    lineage = t.lineage()
+    assert len(lineage) == 1 + n_writers * n_commits
+    v = t.current_version()
+    paths = [
+        os.path.join(root, "_versions", v, rel) for rel in t.files(v)
+    ]
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT key, count(*) FROM read_parquet(?) GROUP BY key",
+        [paths],
+    ).fetchall()
+    con.close()
+    assert {k: c for k, c in rows} == {
+        w * 1000 + i: 1
+        for w in range(n_writers)
+        for i in range(n_commits)
+    }
