@@ -735,6 +735,31 @@ def write_delta_checkpoint(dest: str) -> dict:
     }
 
 
+def cleanup_delta_log(dest: str) -> list[str]:
+    """Delta's METADATA CLEANUP: delete the JSON commits a checkpoint
+    already covers (strictly ≤ the ``_last_checkpoint`` version).
+    Readers are unaffected — replay seeds from the checkpoint — and
+    the log stays bounded for long-lived mirrors. Returns the deleted
+    commit file names; no-op (empty list) when no checkpoint exists."""
+    log_dir = os.path.join(dest, _LOG_DIR)
+    ckpt_file = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(ckpt_file):
+        return []
+    with open(ckpt_file) as f:
+        upto = int(json.load(f)["version"])
+    dropped = []
+    for name in sorted(os.listdir(log_dir)):
+        if (
+            name.endswith(".json")
+            and name != "_last_checkpoint"
+            and name[:20].isdigit()
+            and int(name[:20]) <= upto
+        ):
+            os.unlink(os.path.join(log_dir, name))
+            dropped.append(name)
+    return dropped
+
+
 def read_delta_export(spark, dest: str):
     """Read an exported Delta table back as a DataFrame via log replay
     — the second-engine check that the export is self-describing (file

@@ -41,6 +41,8 @@ equi-condition) that leaves every scalar EXPRESSION to Spark itself
     VACUUM t [RETAIN n HOURS]         vacuum (snapshot retention)
     RESTORE t TO VERSION AS OF n      restore (rollback as new commit)
     COPY INTO t FROM '<path>'         bulk file import as one append
+    EXPORT TABLE t TO DELTA '<p>'     Delta mirror export / incremental
+                                      sync (delta_export.py)
     SELECT ... t VERSION AS OF n      time travel (pinned view rewrite)
     anything else                     spark.sql (reads: temp views)
     ===============================  =================================
@@ -663,6 +665,10 @@ class TxnSqlRouter:
             return self._exec_restore(_Cursor(toks))
         if verb == "COPY":
             return self._exec_copy(_Cursor(toks))
+        if verb == "EXPORT" and len(toks) >= 2 and (
+            toks[1].upper() == "TABLE"
+        ):
+            return self._exec_export(_Cursor(toks))
         if verb == "USE" and len(toks) >= 2 and toks[1].startswith("'"):
             # USE '<catalog dir>': attach/switch the persistent catalog
             loaded = self.use_catalog(toks[1][1:-1].replace("''", "'"))
@@ -945,6 +951,37 @@ class TxnSqlRouter:
         return self._spark.read.format("txn").option(
             "metadata", "history"
         ).load(t.root)
+
+    def _exec_export(self, c: _Cursor):
+        """``EXPORT TABLE t TO DELTA '<path>'``: open-format interop
+        from the analyst surface. First call bootstraps a full Delta
+        export of the live snapshot; later calls incrementally sync
+        the mirror (one add/remove commit, spec ``txn`` resume,
+        checkpoint every 10 commits) — see ``delta_export.py``."""
+        from .delta_export import export_delta_sync
+
+        c.expect("EXPORT", "TABLE")
+        name, t = self._resolve(c.ident("table"))
+        c.expect("TO", "DELTA")
+        path_tok = c.peek()
+        if path_tok is None or not path_tok.startswith("'"):
+            raise ValueError("EXPORT TABLE expects TO DELTA '<path>'")
+        c.i += 1
+        dest = path_tok[1:-1].replace("''", "'")
+        out = export_delta_sync(t, dest)
+        op = (
+            "export_delta"
+            if out.get("synced_from") is None
+            else "export_delta_sync"
+        )
+        detail = (
+            t.current_version()
+            if out.get("commit") is not None
+            else "noop"
+        )
+        return self._spark.createDataFrame(
+            [(op, detail)], "operation string, version string"
+        )
 
     def _exec_describe_detail(self, c: _Cursor):
         """``DESCRIBE DETAIL t`` (Delta's table-summary statement): one

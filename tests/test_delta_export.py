@@ -508,3 +508,48 @@ def test_duckdb_reads_the_checkpoint_parquet(spark, tmp_path):
     con.close()
     want = t.read(spark).agg(F.count(F.lit(1)), F.sum("id")).collect()[0]
     assert (n, s) == tuple(want)
+
+
+def test_cleanup_delta_log_bounded(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        cleanup_delta_log,
+        export_delta_sync,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"), n=60)
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest, checkpoint_interval=2)
+    assert cleanup_delta_log(dest) == []  # no checkpoint yet
+    t.append(spark.range(60, 70).select(
+        F.col("id"), (F.col("id") % 7).alias("g"),
+        (F.col("id") * 1.5).alias("x"),
+    ))
+    out = export_delta_sync(t, dest, checkpoint_interval=2)
+    assert out["checkpointed"]
+    dropped = cleanup_delta_log(dest)
+    assert dropped == [
+        "00000000000000000000.json", "00000000000000000001.json",
+    ]
+    assert _rows(read_delta_export(spark, dest)) == _rows(t.read(spark))
+
+
+def test_router_export_statement(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    t = _mk(spark, str(tmp_path / "t"), n=80)
+    router = TxnSqlRouter(spark)
+    router.register("exp", t)
+    dest = str(tmp_path / "mirror")
+    row = router.sql(f"EXPORT TABLE exp TO DELTA '{dest}'").collect()[0]
+    assert row["operation"] == "export_delta"
+    t.append(spark.range(80, 90).select(
+        F.col("id"), (F.col("id") % 7).alias("g"),
+        (F.col("id") * 1.5).alias("x"),
+    ))
+    row = router.sql(f"EXPORT TABLE exp TO DELTA '{dest}'").collect()[0]
+    assert row["operation"] == "export_delta_sync"
+    assert row["version"] == t.current_version()
+    assert _rows(read_delta_export(spark, dest)) == _rows(t.read(spark))
+    # idempotent: nothing new to sync
+    row = router.sql(f"EXPORT TABLE exp TO DELTA '{dest}'").collect()[0]
+    assert row["version"] == "noop"
