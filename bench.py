@@ -79,6 +79,9 @@ HEADLINE = [
     # round-10 lanes:
     "txn_sql_dml",           # SQL MERGE/UPDATE/DELETE/INSERT router script
     "streaming_reshard_counts",  # shard split+merge mid-stream, 5 drains
+    # round-11 lanes:
+    "txn_export_delta",      # Delta mirror export + sync, DuckDB replay
+    "txn_sql_evolution",     # CTAS -> ALTER ADD/RENAME -> history script
 ]
 
 # The original 13-query set (rounds 1-5): summed separately so
