@@ -144,6 +144,21 @@ def _load_dv(table: TxnTable, version: str) -> dict[str, set[int]]:
     return out
 
 
+def _has_log(log_dir: str) -> bool:
+    """A Delta log exists if the dir holds any JSON commit OR a
+    checkpoint — after metadata cleanup the checkpoint may be the ONLY
+    artifact left, and treating that as "no log" would re-bootstrap a
+    full export over a live mirror."""
+    if not os.path.isdir(log_dir):
+        return False
+    return any(
+        n.endswith(".json")
+        or n.endswith(".checkpoint.parquet")
+        or n == "_last_checkpoint"
+        for n in os.listdir(log_dir)
+    )
+
+
 def _link_or_copy(src: str, dst: str) -> None:
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     try:
@@ -170,7 +185,7 @@ def export_delta(
     if v is None:
         raise FileNotFoundError(f"no committed version at {table.root}")
     log_dir = os.path.join(dest, _LOG_DIR)
-    if os.path.exists(os.path.join(log_dir, "00000000000000000000.json")):
+    if _has_log(log_dir):
         raise FileExistsError(f"{dest} already holds a Delta log")
     os.makedirs(log_dir, exist_ok=True)
 
@@ -281,6 +296,8 @@ def replay_delta_log(dest: str) -> dict:
     schema_json = None
     part_cols: list[str] = []
     txns: dict[str, int] = {}
+    meta_id = None
+    created_time = None
     after = -1  # replay commits strictly greater than this
 
     ckpt_file = os.path.join(log_dir, "_last_checkpoint")
@@ -296,6 +313,8 @@ def replay_delta_log(dest: str) -> dict:
                 md = row["metaData"]
                 schema_json = json.loads(md["schemaString"])
                 part_cols = list(md.get("partitionColumns") or [])
+                meta_id = md.get("id")
+                created_time = md.get("createdTime")
             elif row.get("add") and row["add"].get("path"):
                 a = dict(row["add"])
                 if isinstance(a.get("partitionValues"), list):
@@ -334,6 +353,8 @@ def replay_delta_log(dest: str) -> dict:
                     part_cols = list(
                         action["metaData"].get("partitionColumns") or []
                     )
+                    meta_id = action["metaData"].get("id")
+                    created_time = action["metaData"].get("createdTime")
                 elif "add" in action:
                     rel = unquote(action["add"]["path"])
                     live[rel] = action["add"]
@@ -357,6 +378,8 @@ def replay_delta_log(dest: str) -> dict:
         "removes": removes,
         "txns": txns,
         "n_commits": last_n + 1,
+        "meta_id": meta_id,
+        "created_time": created_time,
     }
 
 
@@ -397,9 +420,7 @@ def export_delta_sync(
     if v is None:
         raise FileNotFoundError(f"no committed version at {table.root}")
     log_dir = os.path.join(dest, _LOG_DIR)
-    if not os.path.isdir(log_dir) or not any(
-        n.endswith(".json") for n in os.listdir(log_dir)
-    ):
+    if not _has_log(log_dir):
         out = export_delta(table, dest, version=v)
         out["commit"] = 0
         out["synced_from"] = None
@@ -639,36 +660,23 @@ def write_delta_checkpoint(dest: str) -> dict:
         {
             "protocol": None,
             "metaData": {
-                "id": None,  # filled below from the tail commit scan
+                # the table id rides the REPLAYED state (JSON metaData
+                # or a prior checkpoint), so a second checkpoint still
+                # resolves it after metadata cleanup deleted the early
+                # commits and no tail commit re-emitted metaData
+                "id": state["meta_id"],
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(state["schema"]),
                 "partitionColumns": list(state["partition_columns"]),
                 "configuration": {},
-                "createdTime": None,
+                "createdTime": state["created_time"],
             },
             "txn": None,
             "add": None,
             "remove": None,
         },
     ]
-    # recover the stable table id from any commit's metaData action
-    for name in sorted(os.listdir(log_dir)):
-        if not (name.endswith(".json") and name[:20].isdigit()):
-            continue
-        with open(os.path.join(log_dir, name)) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "metaData" in a:
-                    rows[1]["metaData"]["id"] = a["metaData"]["id"]
-                    rows[1]["metaData"]["createdTime"] = a[
-                        "metaData"
-                    ].get("createdTime")
-                    break
-        if rows[1]["metaData"]["id"] is not None:
-            break
-    if rows[1]["metaData"]["id"] is None:
+    if state["meta_id"] is None:
         raise ValueError(f"no metaData action found under {log_dir}")
     for app_id, v in sorted(state["txns"].items()):
         rows.append(

@@ -553,3 +553,48 @@ def test_router_export_statement(spark, tmp_path):
     # idempotent: nothing new to sync
     row = router.sql(f"EXPORT TABLE exp TO DELTA '{dest}'").collect()[0]
     assert row["version"] == "noop"
+
+
+def test_second_checkpoint_after_metadata_cleanup(spark, tmp_path):
+    """Regression: after cleanup deletes every commit that carried a
+    metaData action, the NEXT checkpoint must still resolve the table
+    id (from the prior checkpoint via replay, not a JSON rescan)."""
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        cleanup_delta_log,
+        export_delta_sync,
+        write_delta_checkpoint,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"), n=40)
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest, checkpoint_interval=None)  # commit 0
+    ck1 = write_delta_checkpoint(dest)
+    cleanup_delta_log(dest)  # deletes commit 0 — the only metaData
+    # schema-UNCHANGED tail commits: no new metaData action anywhere
+    for lo in (40, 50):
+        t.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id"), (F.col("id") % 7).alias("g"),
+                (F.col("id") * 1.5).alias("x"),
+            )
+        )
+        export_delta_sync(t, dest, checkpoint_interval=None)
+    ck2 = write_delta_checkpoint(dest)
+    assert ck2["version"] == 2
+    state = replay_delta_log(dest)
+    assert state["meta_id"] is not None
+    cleanup_delta_log(dest)
+    assert _rows(read_delta_export(spark, dest)) == _rows(t.read(spark))
+    # both checkpoints carry the SAME stable table id
+    c1 = duckdb.connect()
+    ids = set()
+    for v in (ck1["version"], ck2["version"]):
+        (mid,) = c1.execute(
+            "SELECT metaData.id FROM read_parquet(?) "
+            "WHERE metaData IS NOT NULL AND metaData.id IS NOT NULL",
+            [os.path.join(dest, "_delta_log",
+                          f"{v:020d}.checkpoint.parquet")],
+        ).fetchone()
+        ids.add(mid)
+    c1.close()
+    assert len(ids) == 1
