@@ -29,6 +29,8 @@ equi-condition) that leaves every scalar EXPRESSION to Spark itself
     CREATE TABLE t (...) LOCATION     empty-snapshot create + register
     CREATE TABLE t ... AS SELECT      ctas: plan the SELECT, first commit
     ALTER TABLE t ADD COLUMNS (...)   add_columns (metadata-only commit)
+    ALTER TABLE t ALTER COLUMN c
+      TYPE <wider>                    widen_column_type (metadata-only)
     ALTER TABLE t RENAME COLUMN a
       TO b                            rename_column (atomic rewrite)
     SHOW TABLES                       resolvable names as a DataFrame
@@ -1158,11 +1160,18 @@ class TxnSqlRouter:
             new = c.ident("column")
             version = t.rename_column(self._spark, old, new)
             return self._result(name, "rename_column", version)
+        if c.accept("ALTER", "COLUMN"):
+            col = c.ident("column")
+            c.expect("TYPE")
+            ty = _render(c.take_until(((";",),)))
+            version = t.widen_column_type(self._spark, col, ty)
+            return self._result(name, "widen_type", version)
         raise ValueError(
             "unsupported ALTER TABLE clause "
             f"{_render(c.toks[c.i:c.i + 4])!r}: only additive evolution "
-            "(ADD COLUMNS) and RENAME COLUMN are supported — DROP "
-            "COLUMN / type changes would rewrite history non-additively"
+            "(ADD COLUMNS, ALTER COLUMN ... TYPE widening) and RENAME "
+            "COLUMN are supported — DROP COLUMN / narrowing would "
+            "rewrite history non-additively"
         )
 
     def _exec_show_tables(self):

@@ -3580,6 +3580,102 @@ class TxnTable:
 
         return self._with_retries(attempt, max_retries)
 
+    # Delta's type-widening feature set (conservative subset): every
+    # listed transition is value-preserving for the narrow type's whole
+    # domain under Spark's parquet upcast (int->double is exact for all
+    # int32; long->double is NOT and stays excluded).
+    _WIDENINGS = {
+        "byte": {"short", "integer", "long", "double"},
+        "short": {"integer", "long", "double"},
+        "integer": {"long", "double"},
+        "float": {"double"},
+    }
+
+    def widen_column_type(
+        self,
+        spark: SparkSession,
+        column: str,
+        new_type: str,
+        max_retries: int = 2,
+    ) -> str:
+        """TYPE WIDENING as a METADATA-ONLY commit (Delta's
+        ``typeWidening`` table feature): the recorded schema's column
+        becomes the wider type, every data file is carried by
+        reference, and Spark's parquet reader upcasts the narrow
+        on-disk values per file at scan time (verified for the whole
+        ``_WIDENINGS`` map — byte/short/int up to long/double, float to
+        double). Anything outside that map — narrowing, string casts,
+        long->double (lossy above 2^53) — fails loudly: those need an
+        explicit rewrite the user can see the cost of. Partition and
+        generated columns are refused (their values live in directory
+        names, which don't re-type). Bloom point-lookup pruning on a
+        widened column degrades conservatively (literal canon misses,
+        no file skipped that shouldn't be)."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        want = _parse_datatype_string(new_type)
+
+        def attempt() -> str:
+            expect = self.current_version()
+            if expect is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            meta = self._meta(expect)
+            recorded = StructType.fromJson(meta["schema"])
+            by_lower = {f.name.lower(): f for f in recorded.fields}
+            f = by_lower.get(column.lower())
+            if f is None:
+                raise ValueError(f"no column {column!r} to widen")
+            if column.lower() in {
+                c.lower() for c in (meta.get("partition_by") or [])
+            } or column.lower() in {
+                g.lower() for g in (meta.get("generated") or {})
+            }:
+                raise ValueError(
+                    f"{column!r} is a partition/generated column; its "
+                    "values are encoded in directory names and cannot "
+                    "be re-typed in place"
+                )
+            cur = f.dataType.typeName()
+            tgt = want.typeName()
+            if tgt == cur:
+                return expect  # idempotent
+            if tgt not in self._WIDENINGS.get(cur, set()):
+                raise ValueError(
+                    f"{cur} -> {tgt} is not a supported widening "
+                    f"(allowed from {cur}: "
+                    f"{sorted(self._WIDENINGS.get(cur, set())) or 'none'}); "
+                    "narrowing or lossy casts need an explicit rewrite"
+                )
+            evolved = StructType(
+                [
+                    StructField(
+                        x.name,
+                        want if x.name.lower() == column.lower() else x.dataType,
+                        x.nullable,
+                        x.metadata,
+                    )
+                    for x in recorded.fields
+                ]
+            )
+            data_root = os.path.join(self.root, _VERSIONS, expect)
+            carry = {
+                rel: os.path.join(data_root, rel)
+                for rel in self.files(expect)
+            }
+            return self.commit(
+                spark.createDataFrame([], evolved),
+                metadata_only=True,
+                operation="widen_type",
+                carry_files=carry,
+                carry_src=expect,
+                expect_parent=expect,
+                extra_meta={"type_widened": [column, cur, tgt]},
+            )
+
+        return self._with_retries(attempt, max_retries)
+
     def rename_column(
         self,
         spark: SparkSession,

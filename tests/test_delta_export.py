@@ -598,3 +598,30 @@ def test_second_checkpoint_after_metadata_cleanup(spark, tmp_path):
         ids.add(mid)
     c1.close()
     assert len(ids) == 1
+
+
+def test_export_of_widened_table_round_trips(spark, tmp_path):
+    """Type widening interplay: a mirror of a widened table holds
+    narrow parquet from pre-widen commits and wide parquet after; the
+    exported schemaString is the WIDE type and both engines must read
+    the mix under it."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.range(50).selectExpr("CAST(id AS INT) AS a"))
+    t.widen_column_type(spark, "a", "BIGINT")
+    t.append(spark.range(50, 80).selectExpr("id AS a"))
+    dest = str(tmp_path / "out")
+    export_delta(t, dest)
+    state = replay_delta_log(dest)
+    assert state["schema"]["fields"][0]["type"] == "long"
+    got = read_delta_export(spark, dest)
+    assert dict(got.dtypes) == {"a": "bigint"}
+    assert _rows(got) == _rows(t.read(spark))
+    con = duckdb.connect()
+    paths = [os.path.join(dest, rel) for rel in state["files"]]
+    n, s = con.execute(
+        "SELECT count(*), sum(a) FROM read_parquet(?, "
+        "union_by_name=true)",
+        [paths],
+    ).fetchone()
+    con.close()
+    assert (n, s) == (80, sum(range(80)))

@@ -138,7 +138,7 @@ def test_router_alter_add_and_rename(spark, tmp_path):
     assert spark.table("evo").columns == ["id", "v", "label"]
     with pytest.raises(ValueError, match="only additive"):
         router.sql("ALTER TABLE evo DROP COLUMN label")
-    with pytest.raises(ValueError, match="only additive"):
+    with pytest.raises(ValueError, match="not a supported widening"):
         router.sql("ALTER TABLE evo ALTER COLUMN v TYPE STRING")
 
 
@@ -264,3 +264,70 @@ def test_describe_detail(spark, tmp_path):
     assert row["check_constraints"] == ["id_pos"]
     assert row["cdf_enabled"] is False
     assert row["has_deletion_vectors"] is True
+
+
+# -- type widening ----------------------------------------------------------
+
+
+def test_widen_column_type_is_metadata_only(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "w"))
+    t.commit(
+        spark.range(30).selectExpr(
+            "CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b"
+        )
+    )
+    files_before = t.files()
+    v = t.widen_column_type(spark, "a", "BIGINT")
+    t.widen_column_type(spark, "b", "DOUBLE")
+    assert t.files(v) == files_before
+    meta = t._meta(v)
+    assert meta["n_files_written"] == 0
+    assert meta["operation"] == "widen_type"
+    assert meta["extra"]["type_widened"] == ["a", "integer", "long"]
+    df = t.read(spark)
+    assert dict(df.dtypes) == {"a": "bigint", "b": "double"}
+    # narrow on-disk values upcast exactly
+    assert df.agg(F.sum("a")).collect()[0][0] == sum(range(30))
+    # mixed generations: append WIDE data, both read under one schema
+    t.append(
+        spark.range(30, 40).selectExpr(
+            "id AS a", "CAST(id AS DOUBLE) AS b"
+        )
+    )
+    assert t.read(spark).count() == 40
+    assert t.read(spark).agg(F.sum("b")).collect()[0][0] == sum(
+        float(i) for i in range(40)
+    )
+
+
+def test_widen_refusals_and_idempotence(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "w"))
+    t.commit(
+        spark.range(10).selectExpr(
+            "id AS a", "CAST(id AS INT) AS g"
+        ).repartition("g"),
+        partition_by=["g"],
+    )
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.widen_column_type(spark, "a", "INT")  # narrowing
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.widen_column_type(spark, "a", "DOUBLE")  # long->double lossy
+    with pytest.raises(ValueError, match="partition/generated"):
+        t.widen_column_type(spark, "g", "BIGINT")
+    with pytest.raises(ValueError, match="no column"):
+        t.widen_column_type(spark, "ghost", "BIGINT")
+    v = t.current_version()
+    assert t.widen_column_type(spark, "a", "BIGINT") == v  # idempotent
+
+
+def test_router_widen_and_time_travel(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "w"))
+    t.commit(spark.range(20).selectExpr("CAST(id AS INT) AS a"))
+    pre = t.current_version()
+    router = TxnSqlRouter(spark)
+    router.register("wt", t)
+    row = router.sql("ALTER TABLE wt ALTER COLUMN a TYPE BIGINT").collect()[0]
+    assert row["operation"] == "widen_type"
+    assert dict(spark.table("wt").dtypes) == {"a": "bigint"}
+    # the pre-widen snapshot keeps its narrow schema (time travel)
+    assert dict(t.read(spark, pre).dtypes) == {"a": "int"}
