@@ -2103,11 +2103,13 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-first schema evolution (round 11): the analyst workflow the
     r10 verdict called the most common DDL after CREATE — CTAS from a
     fixture slice, ``ALTER TABLE ADD COLUMNS`` as a METADATA-ONLY
-    commit, INSERT exercising the new column, ``RENAME COLUMN`` as an
-    atomic rewrite, time travel to the pre-ALTER snapshot showing the
-    OLD schema, ``DESCRIBE HISTORY`` naming the added column, and a
-    non-additive ALTER refused loudly. Flags pin each operational
-    fact; the aggregate pins the data against DuckDB's closed form."""
+    commit, INSERT exercising the new columns, ``ALTER COLUMN ...
+    TYPE`` widening (int -> bigint, also metadata-only), ``RENAME
+    COLUMN`` as an atomic rewrite, time travel to the pre-ALTER
+    snapshot showing the OLD schema, ``DESCRIBE HISTORY`` naming the
+    added columns, and a non-additive ALTER refused loudly. Flags pin
+    each operational fact; the aggregate pins the data against
+    DuckDB's closed form."""
     from ..sql_dml import TxnSqlRouter
 
     work = tempfile.mkdtemp(prefix="txn_sqlevo_")
@@ -2124,7 +2126,9 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CREATE TABLE evo USING TXN LOCATION '{root}' AS "
             "SELECT * FROM sql_evo_src WHERE c_custkey <= 1000"
         )
-        router.sql("ALTER TABLE evo ADD COLUMNS (loyalty_pts DOUBLE)")
+        router.sql(
+            "ALTER TABLE evo ADD COLUMNS (loyalty_pts DOUBLE, level INT)"
+        )
         t = TxnTable(root)
         alter_meta = t._meta(t.current_version())
         metadata_only_ok = (
@@ -2137,8 +2141,17 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a per-row round() here ties on half-cents differently
             # across engines (BigDecimal-of-binary vs nearbyint)
             "INSERT INTO evo SELECT c_custkey, c_acctbal, c_mktsegment, "
-            "c_acctbal * 2 AS loyalty_pts FROM sql_evo_src "
+            "c_acctbal * 2 AS loyalty_pts, "
+            "CAST(c_custkey % 5 AS INT) AS level FROM sql_evo_src "
             "WHERE c_custkey > 1000"
+        )
+        # metadata-only type widening: narrow files upcast at scan
+        router.sql("ALTER TABLE evo ALTER COLUMN level TYPE BIGINT")
+        widen_meta = t._meta(t.current_version())
+        widen_ok = (
+            widen_meta["operation"] == "widen_type"
+            and widen_meta["n_files_written"] == 0
+            and dict(spark.table("evo").dtypes)["level"] == "bigint"
         )
         router.sql("ALTER TABLE evo RENAME COLUMN c_mktsegment TO segment")
         # pre-ALTER snapshot keeps its own (3-column) schema
@@ -2153,10 +2166,11 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in router.sql("DESCRIBE HISTORY evo").collect()
         }
         history_ok = (
-            hist["add_columns"]["added_columns"] == "loyalty_pts"
-            and hist["add_columns"]["n_cols"] == 4
+            hist["add_columns"]["added_columns"] == "loyalty_pts,level"
+            and hist["add_columns"]["n_cols"] == 5
             and hist["ctas"]["n_cols"] == 3
             and "rename_column" in hist
+            and "widen_type" in hist
         )
         try:
             router.sql("ALTER TABLE evo DROP COLUMN loyalty_pts")
@@ -2180,8 +2194,12 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .cast("long")
                 .alias("total_pts_c"),
+                F.sum(F.coalesce(F.col("level"), F.lit(0)))
+                .cast("long")
+                .alias("total_level"),
             )
             .withColumn("metadata_only_ok", F.lit(bool(metadata_only_ok)))
+            .withColumn("widen_ok", F.lit(bool(widen_ok)))
             .withColumn("travel_ok", F.lit(bool(travel_ok)))
             .withColumn("history_ok", F.lit(bool(history_ok)))
             .withColumn("negative_ok", F.lit(bool(negative_ok)))
@@ -2268,11 +2286,12 @@ ORACLE = {
     "txn_sql_evolution": """
         WITH t AS (
             SELECT c_custkey, c_acctbal, c_mktsegment AS segment,
-                   CAST(NULL AS DOUBLE) AS loyalty_pts
+                   CAST(NULL AS DOUBLE) AS loyalty_pts,
+                   CAST(NULL AS BIGINT) AS level
             FROM customer WHERE c_custkey <= 1000
             UNION ALL
             SELECT c_custkey, c_acctbal, c_mktsegment,
-                   c_acctbal * 2
+                   c_acctbal * 2, c_custkey % 5
             FROM customer WHERE c_custkey > 1000 AND c_custkey <= 1500
         )
         SELECT segment,
@@ -2280,7 +2299,9 @@ ORACLE = {
                CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS total_bal_c,
                CAST(round(sum(coalesce(loyalty_pts, 0)) * 100) AS BIGINT)
                    AS total_pts_c,
+               CAST(sum(coalesce(level, 0)) AS BIGINT) AS total_level,
                TRUE AS metadata_only_ok,
+               TRUE AS widen_ok,
                TRUE AS travel_ok,
                TRUE AS history_ok,
                TRUE AS negative_ok
