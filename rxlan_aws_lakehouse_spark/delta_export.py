@@ -159,6 +159,26 @@ def _has_log(log_dir: str) -> bool:
     )
 
 
+def _publish_commit(tmp: str, log_path: str) -> None:
+    """ATOMIC create-if-absent publish of a log commit: ``os.link``
+    fails with EEXIST when the slot is taken (POSIX ``os.rename``
+    would silently OVERWRITE a concurrent writer's same-numbered
+    commit — the lost-update race Delta's LogStores exist to close;
+    link is the local-FS conditional PUT)."""
+    try:
+        os.link(tmp, log_path)
+    except FileExistsError as e:
+        raise FileExistsError(
+            f"{log_path} already exists (concurrent mirror writer won "
+            "the slot); re-run the sync to resume from the new state"
+        ) from e
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+
+
 def _link_or_copy(src: str, dst: str) -> None:
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     try:
@@ -267,7 +287,7 @@ def export_delta(
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, log_path)
+    _publish_commit(tmp, log_path)
     return {
         "n_files": len(adds),
         "n_rows": total_rows,
@@ -530,17 +550,13 @@ def export_delta_sync(
         )
     commit_n = state["n_commits"]
     log_path = os.path.join(log_dir, f"{commit_n:020d}.json")
-    if os.path.exists(log_path):
-        raise FileExistsError(
-            f"{log_path} already exists (concurrent mirror writer?)"
-        )
     tmp = f"{log_path}.tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         for a in actions:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, log_path)
+    _publish_commit(tmp, log_path)
     out = {
         "commit": commit_n,
         "n_adds": len(added),

@@ -625,3 +625,33 @@ def test_export_of_widened_table_round_trips(spark, tmp_path):
     ).fetchone()
     con.close()
     assert (n, s) == (80, sum(range(80)))
+
+
+def test_concurrent_sync_loses_loudly_never_overwrites(spark, tmp_path):
+    """Two mirror writers computing the same next commit number: the
+    second publish must fail with EEXIST (atomic create-if-absent via
+    os.link), NEVER silently overwrite the winner's commit — the
+    lost-update race POSIX rename would reintroduce."""
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        _publish_commit,
+        export_delta_sync,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"), n=40)
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest)
+    t.append(spark.range(40, 50).select(
+        F.col("id"), (F.col("id") % 7).alias("g"),
+        (F.col("id") * 1.5).alias("x"),
+    ))
+    out = export_delta_sync(t, dest)
+    log_path = out["log_path"]
+    winner = open(log_path).read()
+    # a losing writer with the same slot computed
+    tmp = f"{log_path}.tmp-loser"
+    with open(tmp, "w") as f:
+        f.write('{"add": {"path": "bogus.parquet"}}\n')
+    with pytest.raises(FileExistsError, match="concurrent mirror"):
+        _publish_commit(tmp, log_path)
+    assert open(log_path).read() == winner  # untouched
+    assert not os.path.exists(tmp)  # loser's temp cleaned up
