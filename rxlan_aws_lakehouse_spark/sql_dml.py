@@ -33,6 +33,10 @@ equi-condition) that leaves every scalar EXPRESSION to Spark itself
       TYPE <wider>                    widen_column_type (metadata-only)
     ALTER TABLE t RENAME COLUMN a
       TO b                            rename_column (atomic rewrite)
+    ALTER TABLE t ADD CONSTRAINT n
+      CHECK (expr)                    add_check_constraint (validates
+                                      existing rows, then in-flight)
+    ALTER TABLE t DROP CONSTRAINT n   drop_constraint (metadata-only)
     SHOW TABLES                       resolvable names as a DataFrame
     USE '<dir>'                       attach persistent catalog dir
     DROP TABLE t                      unregister (data stays; external)
@@ -1166,6 +1170,18 @@ class TxnSqlRouter:
             ty = _render(c.take_until(((";",),)))
             version = t.widen_column_type(self._spark, col, ty)
             return self._result(name, "widen_type", version)
+        if c.accept("ADD", "CONSTRAINT"):
+            cname = c.ident("constraint")
+            c.expect("CHECK")
+            c.expect("(")
+            expr = _render(c.take_until(((")",),)))
+            c.expect(")")
+            version = t.add_check_constraint(self._spark, cname, expr)
+            return self._result(name, "add_constraint", version)
+        if c.accept("DROP", "CONSTRAINT"):
+            cname = c.ident("constraint")
+            version = t.drop_constraint(self._spark, cname)
+            return self._result(name, "drop_constraint", version)
         raise ValueError(
             "unsupported ALTER TABLE clause "
             f"{_render(c.toks[c.i:c.i + 4])!r}: only additive evolution "

@@ -331,3 +331,29 @@ def test_router_widen_and_time_travel(spark, tmp_path):
     assert dict(spark.table("wt").dtypes) == {"a": "bigint"}
     # the pre-widen snapshot keeps its narrow schema (time travel)
     assert dict(t.read(spark, pre).dtypes) == {"a": "int"}
+
+
+def test_router_add_drop_constraint(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.txn import ConstraintViolationError
+
+    t = _fresh(spark, tmp_path)
+    router = TxnSqlRouter(spark)
+    router.register("ck", t)
+    row = router.sql(
+        "ALTER TABLE ck ADD CONSTRAINT v_nonneg CHECK (v >= 0)"
+    ).collect()[0]
+    assert row["operation"] == "add_constraint"
+    assert t.constraints() == {"v_nonneg": "v >= 0"}
+    # the constraint is ENFORCED on the SQL write path
+    spark.createDataFrame(
+        [(999, -5.0)], "id long, v double"
+    ).createOrReplaceTempView("bad_rows")
+    with pytest.raises(ConstraintViolationError):
+        router.sql("INSERT INTO ck SELECT * FROM bad_rows")
+    # existing violations block the add
+    with pytest.raises(ConstraintViolationError):
+        router.sql("ALTER TABLE ck ADD CONSTRAINT v_big CHECK (v > 10)")
+    router.sql("ALTER TABLE ck DROP CONSTRAINT v_nonneg")
+    assert t.constraints() == {}
+    router.sql("INSERT INTO ck SELECT * FROM bad_rows")  # now allowed
+    assert t.read(spark).count() == 51
