@@ -1765,15 +1765,19 @@ def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The router's UTILITY SQL surface (round 10) as one lifecycle
-    script: CREATE TABLE (empty snapshot) -> COPY INTO (bulk parquet
-    import) -> INSERT INTO ... SELECT -> OPTIMIZE (compact) -> SELECT
-    time travel (VERSION AS OF the pre-optimize snapshot) -> VACUUM ->
-    DESCRIBE HISTORY. The final aggregate must equal DuckDB's closed
-    form over the same fixture slice, and the boolean flags pin the
-    operational facts (compaction reduced files, vacuum dropped
-    snapshots, time travel reached the pre-compact state) that would
-    silently regress otherwise."""
+    """The router's UTILITY SQL surface (round 10, extended round 11)
+    as one lifecycle script: CREATE TABLE (empty snapshot) -> ALTER
+    TABLE ADD CONSTRAINT CHECK (enforced in-flight on every later SQL
+    write; a violating INSERT is refused with the staged write
+    discarded) -> COPY INTO (bulk parquet import) -> INSERT INTO ...
+    SELECT -> OPTIMIZE (compact) -> SELECT time travel (VERSION AS OF
+    the pre-optimize snapshot) -> VACUUM -> DESCRIBE HISTORY ->
+    DESCRIBE DETAIL (manifest-only summary row must agree with the
+    table's own manifest) -> SHOW TABLES from a FRESH router on the
+    same persistent catalog dir. The final aggregate must equal
+    DuckDB's closed form over the same fixture slice, and the boolean
+    flags pin the operational facts that would silently regress
+    otherwise."""
     import glob as _glob
 
     from ..sql_dml import TxnSqlRouter
@@ -1805,8 +1809,26 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_quantity DOUBLE, l_extendedprice DOUBLE, "
             f"l_returnflag STRING) USING txn LOCATION '{root}'"
         )
+        router.sql(
+            "ALTER TABLE fact ADD CONSTRAINT qty_pos "
+            "CHECK (l_quantity >= 0)"
+        )
+        # the constraint must REJECT a violating SQL write (staged
+        # write discarded pre-publish) and leave the table untouched
+        spark.createDataFrame(
+            [(1, 1, -5.0, 1.0, "X")],
+            "l_orderkey long, l_partkey long, l_quantity double, "
+            "l_extendedprice double, l_returnflag string",
+        ).createOrReplaceTempView("sql_life_bad")
+        from ..txn import ConstraintViolationError
+
+        try:
+            router.sql("INSERT INTO fact SELECT * FROM sql_life_bad")
+            constraint_ok = False
+        except ConstraintViolationError:
+            constraint_ok = TxnTable(root).read(spark).count() == 0
         router.sql(f"COPY INTO fact FROM '{inbound}' FILEFORMAT = PARQUET")
-        pre_insert_version = 2  # create=1, copy=2
+        pre_insert_version = 3  # create=1, constraint=2, copy=3
         router.sql("INSERT INTO fact SELECT * FROM sql_life_rest")
         t = TxnTable(root)
         files_before = len(t.files())
@@ -1826,6 +1848,17 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         router.sql("VACUUM fact KEEP 1")
         vacuumed = len(_glob.glob(f"{root}/_versions/v*")) < versions_before
+        # DESCRIBE DETAIL: the one-row manifest summary must agree
+        # with the table's own manifest and the fixture row count
+        det = router.sql("DESCRIBE DETAIL fact").collect()[0]
+        detail_ok = (
+            det["format"] == "txn"
+            and det["location"] == root
+            and det["num_files"] == len(t.files())
+            and det["num_rows"] == li.count()
+            and det["check_constraints"] == ["qty_pos"]
+            and det["n_cols"] == 5
+        )
         # persistent catalog (round 11): a FRESH router on the same
         # catalog dir — a new analyst session — must resolve the name
         # from disk alone, list it via SHOW TABLES, and read it
@@ -1863,6 +1896,8 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .withColumn("catalog_ok", F.lit(bool(catalog_ok)))
+            .withColumn("constraint_ok", F.lit(bool(constraint_ok)))
+            .withColumn("detail_ok", F.lit(bool(detail_ok)))
             .orderBy("l_returnflag")
         )
         rows = out.collect()
@@ -2386,7 +2421,9 @@ ORACLE = {
                TRUE AS vacuumed,
                TRUE AS travel_ok,
                TRUE AS history_ok,
-               TRUE AS catalog_ok
+               TRUE AS catalog_ok,
+               TRUE AS constraint_ok,
+               TRUE AS detail_ok
         FROM lineitem
         WHERE l_orderkey <= 2000
         GROUP BY l_returnflag ORDER BY l_returnflag
