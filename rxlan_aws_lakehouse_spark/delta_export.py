@@ -84,13 +84,20 @@ def _txn_action(root: str, version: str) -> dict:
     }
 
 
-def _partition_values(rel: str) -> dict[str, str]:
-    """Hive path segments -> Delta partitionValues (decoded strings)."""
-    out: dict[str, str] = {}
+def _partition_values(rel: str) -> dict[str, str | None]:
+    """Hive path segments -> Delta partitionValues (decoded strings).
+
+    The hive NULL sentinel directory name maps to JSON ``null``: the
+    protocol serializes a null partition value as a null map entry, and
+    external readers (delta-rs, Trino, Spark+delta) materialize the
+    partition column FROM this map — passing the sentinel through as a
+    literal string would read back as that string (or fail the cast for
+    non-string partition columns)."""
+    out: dict[str, str | None] = {}
     for seg in rel.split(os.sep)[:-1]:
         if "=" in seg:
             k, v = seg.split("=", 1)
-            out[k] = unquote(v)
+            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
     return out
 
 
@@ -185,6 +192,82 @@ def _link_or_copy(src: str, dst: str) -> None:
         os.link(src, dst)
     except OSError:
         shutil.copy2(src, dst)
+
+
+def _publish_last_checkpoint(
+    log_dir: str,
+    version: int,
+    size: int,
+    stale_after: float = 10.0,
+    timeout: float = 30.0,
+) -> bool:
+    """Monotonic compare-and-swap publish of ``_last_checkpoint``.
+
+    A plain ``os.rename`` is last-writer-wins: two concurrent
+    checkpointers finishing out of order can REGRESS the pointer to an
+    older checkpoint — harmless for correctness (replay just reads a
+    longer JSON tail) but below the CAS discipline the commit publish
+    already holds (``_publish_commit``). This serializes the swap
+    behind an ``O_EXCL`` lockfile (same recipe as txn.py's
+    LocalFSPointer, stale locks stolen after ``stale_after``), re-reads
+    the current pointer INSIDE the lock, and refuses to move it
+    backward. Returns True when the pointer advanced, False when a
+    newer checkpoint already owned it."""
+    last = os.path.join(log_dir, "_last_checkpoint")
+    lock = f"{last}.lock"
+    tmp = f"{last}.tmp-{os.getpid()}-{time.time_ns()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": size}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    deadline = time.monotonic() + timeout
+    try:
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    held = time.time() - os.stat(lock).st_mtime
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                if held > stale_after:
+                    # crashed holder: move the corpse aside (rename is
+                    # atomic, so exactly one stealer wins) and retry
+                    grave = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
+                    try:
+                        os.rename(lock, grave)
+                        os.unlink(grave)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire {lock} within {timeout}s"
+                    )
+                time.sleep(0.01)
+                continue
+            try:
+                current = -1
+                try:
+                    with open(last) as f:
+                        current = int(json.load(f)["version"])
+                except (FileNotFoundError, ValueError, KeyError):
+                    pass
+                if version > current:
+                    os.rename(tmp, last)
+                    return True
+                return False
+            finally:
+                os.close(fd)
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def export_delta(
@@ -403,6 +486,34 @@ def replay_delta_log(dest: str) -> dict:
     }
 
 
+# Commit operations that only REARRANGE bytes: same logical rows, new
+# physical layout. A sync whose every intervening source commit is one
+# of these emits dataChange=false (the protocol's compaction marker), so
+# Delta STREAMING consumers of the mirror skip the rewritten rows
+# instead of re-processing them as new data.
+_REARRANGE_OPS = frozenset({"compact", "zorder", "rewrite_layout"})
+
+
+def _any_data_change(table: TxnTable, last_txn: str, v: str) -> bool:
+    """Walk the parent chain from ``v`` back to ``last_txn``: False iff
+    EVERY intervening commit is a pure rearrangement. A broken chain
+    (vacuumed intermediate) answers True — the conservative marker."""
+    cur = v
+    for _ in range(100_000):  # chain-length backstop
+        if cur == last_txn:
+            return False
+        try:
+            m = table._meta(cur)
+        except FileNotFoundError:
+            return True
+        if m.get("operation") not in _REARRANGE_OPS:
+            return True
+        cur = m.get("parent")
+        if cur is None:
+            return True
+    return True
+
+
 def export_delta_sync(
     table: TxnTable,
     dest: str,
@@ -470,6 +581,17 @@ def export_delta_sync(
             "schema_changed": False,
             "synced_from": last_txn,
         }
+    if v < last_txn:
+        # the spec's idempotent-writer contract (SetTransaction) assumes
+        # monotonically increasing versions per appId; an explicit older
+        # version would silently rewind the mirror AND record a lower
+        # resume point — refuse instead of emitting a rewind commit
+        raise ValueError(
+            f"sync target {v} is older than the mirror's recorded "
+            f"resume point {last_txn}; a mirror never rewinds — use "
+            "RESTORE on the source table (the rollback then syncs "
+            "forward as an ordinary commit) or re-bootstrap a fresh dest"
+        )
 
     try:
         old_entries = table.file_entries(last_txn)
@@ -488,6 +610,7 @@ def export_delta_sync(
     schema_changed = meta["schema"] != old_meta["schema"] or (
         meta.get("partition_by") or []
     ) != (old_meta.get("partition_by") or [])
+    data_change = _any_data_change(table, last_txn, v)
 
     data_root = os.path.join(table.root, "_versions", v)
     now_ms = int(time.time() * 1000)
@@ -495,7 +618,7 @@ def export_delta_sync(
         {
             "commitInfo": {
                 "timestamp": now_ms,
-                "operation": "WRITE",
+                "operation": "WRITE" if data_change else "OPTIMIZE",
                 "operationParameters": {"mode": "Append"},
                 "engineInfo": "rxlan-aws-lakehouse-spark txn export",
             }
@@ -523,7 +646,7 @@ def export_delta_sync(
                 "remove": {
                     "path": quote(rel.replace(os.sep, "/"), safe="/="),
                     "deletionTimestamp": now_ms,
-                    "dataChange": True,
+                    "dataChange": data_change,
                 }
             }
         )
@@ -543,7 +666,7 @@ def export_delta_sync(
                     "partitionValues": _partition_values(rel),
                     "size": int(entry.get("bytes", st.st_size)),
                     "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True,
+                    "dataChange": data_change,
                     "stats": _delta_stats(entry),
                 }
             }
@@ -565,6 +688,7 @@ def export_delta_sync(
         "schema_changed": schema_changed,
         "synced_from": last_txn,
         "log_path": log_path,
+        "data_change": data_change,
         "checkpointed": False,
     }
     # spec-default cadence: a parquet checkpoint every N commits keeps
@@ -745,17 +869,12 @@ def write_delta_checkpoint(dest: str) -> dict:
     tmp = f"{ckpt_path}.tmp-{os.getpid()}"
     _pq.write_table(tbl, tmp)
     os.rename(tmp, ckpt_path)
-    last = os.path.join(log_dir, "_last_checkpoint")
-    tmp = f"{last}.tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump({"version": version, "size": len(rows)}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, last)
+    advanced = _publish_last_checkpoint(log_dir, version, len(rows))
     return {
         "version": version,
         "n_actions": len(rows),
         "path": ckpt_path,
+        "pointer_advanced": advanced,
     }
 
 

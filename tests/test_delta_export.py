@@ -655,3 +655,155 @@ def test_concurrent_sync_loses_loudly_never_overwrites(spark, tmp_path):
         _publish_commit(tmp, log_path)
     assert open(log_path).read() == winner  # untouched
     assert not os.path.exists(tmp)  # loser's temp cleaned up
+
+
+# -- round 12: CAS pointer, null partitions, rewind, dataChange ---------
+
+
+def test_null_partition_value_exports_as_json_null(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(40).select(
+            F.col("id"),
+            F.when(F.col("id") % 4 == 0, F.lit(None))
+            .otherwise(F.col("id") % 3)
+            .cast("long")
+            .alias("p"),
+        ),
+        partition_by=["p"],
+    )
+    dest = str(tmp_path / "out")
+    export_delta(t, dest)
+    # the log holds JSON null for the null partition, never the hive
+    # sentinel string (external readers materialize the partition
+    # column FROM partitionValues)
+    log = os.path.join(dest, "_delta_log", "00000000000000000000.json")
+    null_adds = 0
+    with open(log) as f:
+        for line in f:
+            a = json.loads(line).get("add")
+            if not a:
+                continue
+            pv = a["partitionValues"]
+            assert "__HIVE_DEFAULT_PARTITION__" not in (pv.get("p"),)
+            if pv.get("p", "x") is None:
+                null_adds += 1
+    assert null_adds > 0
+    got = read_delta_export(spark, dest)
+    assert _rows(got) == _rows(t.read(spark))
+    assert got.filter(F.col("p").isNull()).count() == 10
+    # a checkpoint round-trips the null through the parquet map column
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        cleanup_delta_log,
+        write_delta_checkpoint,
+    )
+
+    write_delta_checkpoint(dest)
+    cleanup_delta_log(dest)
+    assert _rows(read_delta_export(spark, dest)) == _rows(t.read(spark))
+    # DuckDB materializes the null partition from the checkpoint map
+    import duckdb as _dd
+
+    con = _dd.connect()
+    ck = os.path.join(
+        dest, "_delta_log", "00000000000000000000.checkpoint.parquet"
+    )
+    n_null = con.execute(
+        "SELECT count(*) FROM ("
+        "  SELECT unnest(map_entries(add.partitionValues)) AS e"
+        f"  FROM read_parquet('{ck}') WHERE add.path IS NOT NULL"
+        ") WHERE e.value IS NULL"
+    ).fetchone()[0]
+    assert n_null == null_adds
+
+
+def test_last_checkpoint_pointer_never_regresses(spark, tmp_path):
+    """Two interleaved checkpointers (simulated by publishing out of
+    order) can never move the pointer backward — 20 reps."""
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        _publish_last_checkpoint,
+        export_delta_sync,
+        write_delta_checkpoint,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"), n=50)
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest)
+    t.append(
+        spark.range(50, 60).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+    )
+    export_delta_sync(t, dest)
+    out = write_delta_checkpoint(dest)
+    assert out["pointer_advanced"]
+    log_dir = os.path.join(dest, "_delta_log")
+    last = os.path.join(log_dir, "_last_checkpoint")
+    with open(last) as f:
+        head = json.load(f)["version"]
+    for rep in range(20):
+        # a straggler finishing an OLDER checkpoint must lose the swap
+        assert not _publish_last_checkpoint(log_dir, head - 1, 7)
+        with open(last) as f:
+            assert json.load(f)["version"] == head
+        # re-publishing the same version is a no-op too
+        assert not _publish_last_checkpoint(log_dir, head, 7)
+    # a genuinely newer checkpoint still advances
+    assert _publish_last_checkpoint(log_dir, head + 1, 7)
+    with open(last) as f:
+        assert json.load(f)["version"] == head + 1
+    # restore the true pointer for hygiene
+    import os as _os
+
+    _os.unlink(last)
+    assert _publish_last_checkpoint(log_dir, head, out["n_actions"])
+
+
+def test_sync_refuses_explicit_rewind_version(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta_sync
+
+    t = _mk(spark, str(tmp_path / "t"), n=50)
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest)
+    t.append(
+        spark.range(50, 60).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+    )
+    export_delta_sync(t, dest)  # resume point now v00000002
+    with pytest.raises(ValueError, match="never rewinds"):
+        export_delta_sync(t, dest, version="v00000001")
+
+
+def test_compaction_only_sync_is_data_change_false(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta_sync
+
+    t = _mk(spark, str(tmp_path / "t"))
+    dest = str(tmp_path / "out")
+    export_delta_sync(t, dest)
+    t.compact(spark)
+    out = export_delta_sync(t, dest)
+    assert out["data_change"] is False
+    assert out["n_adds"] > 0 and out["n_removes"] > 0
+    with open(out["log_path"]) as f:
+        for line in f:
+            a = json.loads(line)
+            if "add" in a:
+                assert a["add"]["dataChange"] is False
+            if "remove" in a:
+                assert a["remove"]["dataChange"] is False
+            if "commitInfo" in a:
+                assert a["commitInfo"]["operation"] == "OPTIMIZE"
+    # rows unchanged through the rearrangement
+    assert _rows(read_delta_export(spark, dest)) == _rows(t.read(spark))
+    # a real append after the compaction flips the marker back
+    t.append(
+        spark.range(200, 210).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+    )
+    out2 = export_delta_sync(t, dest)
+    assert out2["data_change"] is True
