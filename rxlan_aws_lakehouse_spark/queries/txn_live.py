@@ -1774,10 +1774,13 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pre-optimize snapshot) -> VACUUM -> DESCRIBE HISTORY ->
     DESCRIBE DETAIL (manifest-only summary row must agree with the
     table's own manifest) -> SHOW TABLES from a FRESH router on the
-    same persistent catalog dir. The final aggregate must equal
-    DuckDB's closed form over the same fixture slice, and the boolean
-    flags pin the operational facts that would silently regress
-    otherwise."""
+    same persistent catalog dir -> NAMESPACES (round 12): a same-named
+    table in a second namespace via qualified CTAS, ``USE`` switching
+    bare-name resolution, a cross-namespace join, and ``SHOW TABLES IN
+    ns`` from the fresh router (rescan surfaces tables registered
+    after attach). The final aggregate must equal DuckDB's closed form
+    over the same fixture slice, and the boolean flags pin the
+    operational facts that would silently regress otherwise."""
     import glob as _glob
 
     from ..sql_dml import TxnSqlRouter
@@ -1874,6 +1877,45 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             == li.count()
         )
+        # namespaces (round 12): a SAME-NAMED table in a second
+        # namespace — qualified CTAS, qualified reads, ``USE`` flipping
+        # bare-name resolution, a cross-namespace join in one
+        # statement, and SHOW TABLES IN <ns> from the fresh router
+        # (whose rescan must surface a table registered AFTER it
+        # attached). The flat name->root map of r11 could express none
+        # of this.
+        rest_n = li.filter(F.col("l_orderkey") > 1000).count()
+        router.sql(
+            f"CREATE TABLE archive.fact USING txn LOCATION "
+            f"'{work}/t_arch' AS SELECT * FROM sql_life_rest"
+        )
+        qual_n = router.sql(
+            "SELECT count(*) AS n FROM archive.fact"
+        ).collect()[0]["n"]
+        router.sql("USE archive")
+        bare_arch_n = router.sql(
+            "SELECT count(*) AS n FROM fact"
+        ).collect()[0]["n"]
+        router.sql("USE default")
+        bare_def_n = router.sql(
+            "SELECT count(*) AS n FROM fact"
+        ).collect()[0]["n"]
+        cross_n = router.sql(
+            "SELECT count(*) AS n FROM ("
+            "  SELECT DISTINCT l_orderkey FROM fact) f "
+            "JOIN archive.fact a ON f.l_orderkey = a.l_orderkey"
+        ).collect()[0]["n"]
+        arch_listed = {
+            r["name"]
+            for r in router2.sql("SHOW TABLES IN archive").collect()
+        }
+        namespace_ok = (
+            qual_n == rest_n
+            and bare_arch_n == rest_n
+            and bare_def_n == li.count()
+            and cross_n == rest_n
+            and arch_listed == {"fact"}
+        )
         out = (
             spark.table("fact")
             .groupBy("l_returnflag")
@@ -1898,6 +1940,7 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("catalog_ok", F.lit(bool(catalog_ok)))
             .withColumn("constraint_ok", F.lit(bool(constraint_ok)))
             .withColumn("detail_ok", F.lit(bool(detail_ok)))
+            .withColumn("namespace_ok", F.lit(bool(namespace_ok)))
             .orderBy("l_returnflag")
         )
         rows = out.collect()
@@ -1998,9 +2041,9 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders fixture — base commit, a SCATTERED merge-on-read delete
     (deletion vector), additive ALTER, late-arriving append — then
     ``export_delta`` it, keep changing the table (a copy-on-write
-    DELETE and a second late append), ``export_delta_sync`` the mirror
-    (ONE incremental commit of add/remove tombstones, resumed from the
-    spec's ``txn`` action) — and have DUCKDB, a genuinely second
+    DELETE and a second late append), sync the mirror via the SQL verb
+    ``EXPORT TABLE ... TO DELTA`` (round 12 — ONE incremental commit of
+    add/remove tombstones, resumed from the spec's ``txn`` action) — and have DUCKDB, a genuinely second
     engine, read ONLY the exported artifact: the live file set
     resolved by replaying BOTH ``_delta_log`` commits with
     ``read_json`` (add minus remove — never a directory listing), the
@@ -2015,7 +2058,7 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import duckdb as _duckdb
 
-    from ..delta_export import export_delta, export_delta_sync
+    from ..delta_export import export_delta
 
     work = tempfile.mkdtemp(prefix="txn_delta_exp_")
     try:
@@ -2047,11 +2090,25 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_orderkey") > 4000) & (F.col("o_orderkey") <= 4500)
             ).withColumn("flag", F.lit("late2"))
         )
-        sync = export_delta_sync(t, dest)
+        # the incremental sync goes through the SQL verb (round 12):
+        # EXPORT TABLE ... TO DELTA on an existing mirror dispatches to
+        # export_delta_sync — the analyst-surface route, oracle-checked
+        from ..sql_dml import TxnSqlRouter
+
+        router = TxnSqlRouter(spark)
+        router.register("exp_orders", t)
+        res = router.sql(
+            f"EXPORT TABLE exp_orders TO DELTA '{dest}'"
+        ).collect()[0]
+        sync_commits = sorted(
+            n
+            for n in _os.listdir(_os.path.join(dest, "_delta_log"))
+            if n.endswith(".json")
+        )
         sync_ok = (
-            sync["commit"] == 1
-            and sync["n_removes"] > 0
-            and sync["n_adds"] > 0
+            res["operation"] == "export_delta_sync"
+            and res["version"] == t.current_version()
+            and len(sync_commits) == 2
         )
 
         con = _duckdb.connect()
@@ -2423,7 +2480,8 @@ ORACLE = {
                TRUE AS history_ok,
                TRUE AS catalog_ok,
                TRUE AS constraint_ok,
-               TRUE AS detail_ok
+               TRUE AS detail_ok,
+               TRUE AS namespace_ok
         FROM lineitem
         WHERE l_orderkey <= 2000
         GROUP BY l_returnflag ORDER BY l_returnflag

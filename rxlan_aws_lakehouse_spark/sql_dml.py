@@ -37,8 +37,13 @@ equi-condition) that leaves every scalar EXPRESSION to Spark itself
       CHECK (expr)                    add_check_constraint (validates
                                       existing rows, then in-flight)
     ALTER TABLE t DROP CONSTRAINT n   drop_constraint (metadata-only)
-    SHOW TABLES                       resolvable names as a DataFrame
+    MERGE WITH SCHEMA EVOLUTION
+      INTO t ...                      merge_upsert(merge_schema=True):
+                                      source-only columns evolve the
+                                      target additively
+    SHOW TABLES [IN ns]               namespace's resolvable names
     USE '<dir>'                       attach persistent catalog dir
+    USE ns                            switch the current namespace
     DROP TABLE t                      unregister (data stays; external)
     DESCRIBE HISTORY t                metadata table as a DataFrame
     DESCRIBE DETAIL t                 manifest-only table summary
@@ -50,8 +55,16 @@ equi-condition) that leaves every scalar EXPRESSION to Spark itself
     EXPORT TABLE t TO DELTA '<p>'     Delta mirror export / incremental
                                       sync (delta_export.py)
     SELECT ... t VERSION AS OF n      time travel (pinned view rewrite)
-    anything else                     spark.sql (reads: temp views)
+    anything else                     spark.sql (reads: temp views;
+                                      ns.table refs rewritten)
     ===============================  =================================
+
+Namespaces (round 12): every table name above may be ``ns.table``-
+qualified; bare names resolve through the current namespace (default
+``default``, switched by ``USE ns``). Two namespaces can hold a
+same-named table; the persistent catalog keys entries by qualified
+name, and plain-SQL reads of ``ns.table`` are routed through
+session temp views (single-part names) by the read rewrite.
 
 Semantics notes (all inherited from the primitives, so the SQL surface
 and the Python API can never drift):
@@ -171,6 +184,15 @@ class _Cursor:
         self.i += 1
         return t.strip("`")
 
+    def qident(self, what: str) -> str:
+        """A possibly namespace-qualified name: ``t`` or ``ns.t``."""
+        name = self.ident(what)
+        nxt = self.peek(1)
+        if self.peek() == "." and nxt is not None and _IDENT_RE.match(nxt):
+            self.i += 1
+            name = f"{name}.{self.ident(what)}"
+        return name
+
     def take_until(
         self, stops: tuple[tuple[str, ...], ...], stop_comma: bool = False
     ) -> list[str]:
@@ -251,6 +273,8 @@ class _Merge:
     not_matched: list[_NotMatchedClause] = field(default_factory=list)
     # WHEN NOT MATCHED BY SOURCE THEN DELETE -> the full-sync shape
     nm_by_source_delete: bool = False
+    # MERGE WITH SCHEMA EVOLUTION: source-only columns evolve the target
+    evolve: bool = False
 
 
 def _parse_on_keys(
@@ -311,9 +335,12 @@ _MERGE_STOPS = (("WHEN",),)
 
 
 def _parse_merge(c: _Cursor) -> _Merge:
-    c.expect("MERGE", "INTO")
-    target = c.ident("target table")
-    t_alias = target
+    c.expect("MERGE")
+    # Delta's evolution opt-in syntax: MERGE WITH SCHEMA EVOLUTION INTO
+    evolve = c.accept("WITH", "SCHEMA", "EVOLUTION")
+    c.expect("INTO")
+    target = c.qident("target table")
+    t_alias = target.split(".")[-1]
     if c.accept("AS"):
         t_alias = c.ident("target alias")
     elif c.peek() is not None and c.kw() not in ("USING",):
@@ -335,8 +362,8 @@ def _parse_merge(c: _Cursor) -> _Merge:
                     break
         source_sql = _render(c.toks[start:c.i])
     else:
-        source_sql = c.ident("source table")
-    s_alias = source_sql
+        source_sql = c.qident("source table")
+    s_alias = source_sql.split(".")[-1]
     if c.accept("AS"):
         s_alias = c.ident("source alias")
     elif c.peek() is not None and c.kw() not in ("ON",):
@@ -351,6 +378,7 @@ def _parse_merge(c: _Cursor) -> _Merge:
         source_sql=source_sql,
         s_alias=s_alias,
         on=_parse_on_keys(on_toks, t_alias, s_alias),
+        evolve=evolve,
     )
     while not c.done():
         c.expect("WHEN")
@@ -526,50 +554,95 @@ class TxnSqlRouter:
             raise ValueError("strategy must be 'cow' or 'dv'")
         self._spark = spark
         self._strategy = strategy
-        self._tables: dict[str, TxnTable] = {}
+        self._tables: dict[str, TxnTable] = {}  # "ns.table" -> table
         self._catalog_dir: str | None = None
+        self._namespace = "default"
         from .sources.txn_source import register_txn_source
 
         register_txn_source(spark)
         if catalog_dir is not None:
             self.use_catalog(catalog_dir)
 
-    # -- persistent catalog (round 11) ---------------------------------
-    # One JSON file PER TABLE NAME under the catalog dir, written via
-    # tmp+rename: registration is atomic per name with no read-modify-
-    # write of a shared file, so two sessions registering different
-    # tables never race (same-name races are last-writer-wins, which is
-    # what re-pointing a name means). A fresh session constructed with
-    # the same dir resolves every registered name without touching any
-    # table — real warehouses resolve names from a shared catalog, not
-    # per-session memory (r10 verdict, "what's missing" #4).
+    # -- namespaces (round 12) ------------------------------------------
+    # Every table lives in a NAMESPACE (Spark/Delta's database level):
+    # the registry key is the qualified lowercase "ns.table", bare names
+    # resolve through the current namespace (``USE ns`` switches it),
+    # and SQL accepts qualified references everywhere a table name is
+    # legal — so two namespaces can hold a same-named table without
+    # collision, the thing a flat name->root map cannot express.
+    def _qual(self, name: str) -> tuple[str, str]:
+        """(namespace, bare) of a possibly-qualified name."""
+        name = name.strip("`").lower()
+        if "." in name:
+            ns, bare = name.split(".", 1)
+            return ns, bare
+        return self._namespace, name
+
+    def _key(self, name: str) -> str:
+        ns, bare = self._qual(name)
+        return f"{ns}.{bare}"
+
+    def use_namespace(self, ns: str) -> None:
+        """Switch the CURRENT namespace (SQL: ``USE ns``): bare names
+        resolve there, and its tables' bare temp views are (re)published
+        so plain SELECTs see the switched-to tables."""
+        ns = ns.strip("`").lower()
+        self._namespace = ns
+        for key in sorted(self._tables):
+            if key.split(".", 1)[0] == ns:
+                self._refresh_view(key)
+
+    # -- persistent catalog (round 11; namespaced round 12) -------------
+    # One JSON file PER QUALIFIED NAME under the catalog dir, written
+    # via tmp+rename: registration is atomic per name with no read-
+    # modify-write of a shared file, so two sessions registering
+    # different tables never race (same-name races are last-writer-wins,
+    # which is what re-pointing a name means). A fresh session
+    # constructed with the same dir resolves every registered name
+    # without touching any table; names registered by OTHER sessions
+    # after attach surface via the resolve-miss / SHOW TABLES rescan
+    # (one listdir — the shared-catalog contract).
     def use_catalog(self, catalog_dir: str) -> list[str]:
         """Attach (or switch to) a catalog directory: load its
         name→root mappings, keep persisting registrations there.
-        Returns the loaded names."""
+        Returns the loaded qualified names."""
         os.makedirs(catalog_dir, exist_ok=True)
         self._catalog_dir = catalog_dir
+        return self._rescan_catalog()
+
+    def _rescan_catalog(self) -> list[str]:
+        """Load catalog-dir entries not yet (or re-pointed since) in
+        memory. Cheap — one listdir + a JSON read per entry — and
+        idempotent; called at attach, on a resolve miss, and by SHOW
+        TABLES so another session's registrations become visible."""
+        if self._catalog_dir is None:
+            return []
         loaded = []
-        for fn in sorted(os.listdir(catalog_dir)):
+        for fn in sorted(os.listdir(self._catalog_dir)):
             if not fn.endswith(".json"):
                 continue
             try:
-                with open(os.path.join(catalog_dir, fn)) as f:
+                with open(os.path.join(self._catalog_dir, fn)) as f:
                     ent = json.load(f)
                 name, root = ent["name"], ent["root"]
             except (OSError, json.JSONDecodeError, KeyError):
                 continue  # torn/foreign file: not a catalog entry
+            if "." not in name:  # pre-namespace catalog entry
+                name = f"default.{name}"
+            known = self._tables.get(self._key(name))
+            if known is not None and known.root == root:
+                continue
             self.register(name, root, persist=False)
             loaded.append(name)
         return loaded
 
-    def _persist_entry(self, name: str, t: TxnTable) -> None:
+    def _persist_entry(self, key: str, t: TxnTable) -> None:
         if self._catalog_dir is None:
             return
-        path = os.path.join(self._catalog_dir, f"{name.lower()}.json")
+        path = os.path.join(self._catalog_dir, f"{key}.json")
         tmp = f"{path}.tmp-{os.getpid()}-{time.time_ns()}"
         with open(tmp, "w") as f:
-            json.dump({"name": name.lower(), "root": t.root}, f)
+            json.dump({"name": key, "root": t.root}, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, path)
@@ -582,21 +655,37 @@ class TxnSqlRouter:
         persist: bool = True,
     ) -> TxnTable:
         t = table if isinstance(table, TxnTable) else TxnTable(table)
-        self._tables[name.lower()] = t
+        key = self._key(name)
+        self._tables[key] = t
         if view and t.current_version() is not None:
-            self._refresh_view(name)
+            self._refresh_view(key)
         if persist:
-            self._persist_entry(name, t)
+            self._persist_entry(key, t)
         return t
 
+    @staticmethod
+    def _mangled_view(key: str) -> str:
+        """Session temp-view name for a QUALIFIED reference (temp views
+        are single-part names, so ``ns.t`` rides as ``__ns__ns__t``)."""
+        ns, bare = key.split(".", 1)
+        return f"__ns__{ns}__{bare}"
+
     def _refresh_view(self, name: str) -> None:
-        t = self._tables[name.lower()]
-        self._spark.read.format("txn").load(
-            t.root
-        ).createOrReplaceTempView(name)
+        key = self._key(name)
+        t = self._tables[key]
+        df = self._spark.read.format("txn").load(t.root)
+        ns, bare = key.split(".", 1)
+        if ns == self._namespace:
+            df.createOrReplaceTempView(bare)
+        df.createOrReplaceTempView(self._mangled_view(key))
 
     def _resolve(self, name: str) -> tuple[str, TxnTable]:
-        t = self._tables.get(name.lower())
+        key = self._key(name)
+        t = self._tables.get(key)
+        if t is None and self._catalog_dir is not None:
+            # another session may have registered it since attach
+            self._rescan_catalog()
+            t = self._tables.get(key)
         if t is None:
             raise ValueError(
                 f"{name!r} is not a registered txn table "
@@ -662,7 +751,10 @@ class TxnSqlRouter:
         if verb == "SHOW" and len(toks) >= 2 and (
             toks[1].upper() == "TABLES"
         ):
-            return self._exec_show_tables()
+            ns = None
+            if len(toks) >= 4 and toks[2].upper() == "IN":
+                ns = toks[3]
+            return self._exec_show_tables(ns)
         if verb == "DROP" and len(toks) >= 2 and (
             toks[1].upper() == "TABLE"
         ):
@@ -675,17 +767,26 @@ class TxnSqlRouter:
             toks[1].upper() == "TABLE"
         ):
             return self._exec_export(_Cursor(toks))
-        if verb == "USE" and len(toks) >= 2 and toks[1].startswith("'"):
-            # USE '<catalog dir>': attach/switch the persistent catalog
-            loaded = self.use_catalog(toks[1][1:-1].replace("''", "'"))
+        if verb == "USE" and len(toks) >= 2:
+            if toks[1].startswith("'"):
+                # USE '<catalog dir>': attach/switch the persistent
+                # catalog
+                loaded = self.use_catalog(
+                    toks[1][1:-1].replace("''", "'")
+                )
+                return self._spark.createDataFrame(
+                    [("use_catalog", str(len(loaded)))],
+                    "operation string, version string",
+                )
+            # USE <ns>: switch the current namespace
+            self.use_namespace(toks[1])
             return self._spark.createDataFrame(
-                [("use_catalog", str(len(loaded)))],
+                [("use_namespace", self._namespace)],
                 "operation string, version string",
             )
-        if any(t.upper() == "VERSION" or t.upper() == "TIMESTAMP" for t in toks):
-            rewritten = self._rewrite_time_travel(toks)
-            if rewritten is not None:
-                return self._spark.sql(rewritten)
+        rewritten = self._rewrite_reads(toks)
+        if rewritten is not None:
+            return self._spark.sql(rewritten)
         return self._spark.sql(statement)
 
     # ------------------------------------------------------------------
@@ -704,14 +805,37 @@ class TxnSqlRouter:
     def _exec_merge(self, m: _Merge, strat: str):
         name, t = self._resolve(m.target)
         schema = self._target_schema(t)
-        tcols = schema.fieldNames()
         spark = self._spark
         tgt = spark.read.format("txn").load(t.root).alias(m.t_alias)
         if m.source_sql.startswith("("):
             src = spark.sql(m.source_sql[1:-1].strip())
+        elif self._tables.get(self._key(m.source_sql)) is not None:
+            # a registered txn table (possibly ns-qualified): read the
+            # live snapshot directly, no temp-view indirection
+            src = spark.read.format("txn").load(
+                self._tables[self._key(m.source_sql)].root
+            )
         else:
             src = spark.table(m.source_sql)
         src = src.alias(m.s_alias)
+        if m.evolve:
+            # MERGE WITH SCHEMA EVOLUTION (Delta's opt-in syntax):
+            # source-only columns are appended to the target schema —
+            # nullable, since carried files cannot supply them — and
+            # the commit lands through merge_upsert(merge_schema=True),
+            # which records the evolved schema additively (old
+            # snapshots keep their own schema; time travel is
+            # schema-faithful).
+            have = {f.name.lower() for f in schema.fields}
+            from pyspark.sql.types import StructField
+
+            added = [
+                StructField(f.name, f.dataType, True)
+                for f in src.schema.fields
+                if f.name.lower() not in have
+            ]
+            schema = StructType(list(schema.fields) + added)
+        tcols = schema.fieldNames()
         keys = [k for k, _ in m.on]
         cond = None
         for tk, sk in m.on:
@@ -719,6 +843,7 @@ class TxnSqlRouter:
             cond = eq if cond is None else (cond & eq)
 
         known = set(tcols)
+        target_cols = {f.name for f in self._target_schema(t).fields}
         for cl in m.matched:
             bad = [c for c in (cl.sets or {}) if c not in known]
             if bad:
@@ -757,7 +882,13 @@ class TxnSqlRouter:
             if upd_idx:
                 out_cols = []
                 for col in tcols:
-                    base = _qualify(m.t_alias, col)
+                    # evolved (source-only) columns have no target-side
+                    # value: untouched-by-clause rows read typed NULL
+                    base = (
+                        _qualify(m.t_alias, col)
+                        if col in target_cols
+                        else F.lit(None)
+                    )
                     expr = base
                     for i in reversed(upd_idx):
                         cl = m.matched[i]
@@ -830,7 +961,11 @@ class TxnSqlRouter:
         )
         op = "merge_upsert" if strat == "cow" else "merge_upsert_dv"
         version = getattr(t, op)(
-            self._spark, updates, keys=keys, delete_keys=delete_frame
+            self._spark,
+            updates,
+            keys=keys,
+            delete_keys=delete_frame,
+            merge_schema=m.evolve,
         )
         return self._result(name, op, version)
 
@@ -878,8 +1013,8 @@ class TxnSqlRouter:
 
     def _exec_update(self, c: _Cursor, strat: str = "cow"):
         c.expect("UPDATE")
-        target = c.ident("table")
-        alias = target
+        target = c.qident("table")
+        alias = target.split(".")[-1]
         if c.accept("AS"):
             alias = c.ident("alias")
         elif c.kw() != "SET":
@@ -927,8 +1062,8 @@ class TxnSqlRouter:
 
     def _exec_delete(self, c: _Cursor, strat: str):
         c.expect("DELETE", "FROM")
-        target = c.ident("table")
-        alias = target
+        target = c.qident("table")
+        alias = target.split(".")[-1]
         if c.accept("AS"):
             alias = c.ident("alias")
         elif not c.done() and c.kw() != "WHERE":
@@ -953,7 +1088,7 @@ class TxnSqlRouter:
     # -- utility statements (Delta's SQL maintenance surface) ----------
     def _exec_describe_history(self, c: _Cursor):
         c.expect("DESCRIBE", "HISTORY")
-        name, t = self._resolve(c.ident("table"))
+        name, t = self._resolve(c.qident("table"))
         return self._spark.read.format("txn").option(
             "metadata", "history"
         ).load(t.root)
@@ -967,7 +1102,7 @@ class TxnSqlRouter:
         from .delta_export import export_delta_sync
 
         c.expect("EXPORT", "TABLE")
-        name, t = self._resolve(c.ident("table"))
+        name, t = self._resolve(c.qident("table"))
         c.expect("TO", "DELTA")
         path_tok = c.peek()
         if path_tok is None or not path_tok.startswith("'"):
@@ -995,7 +1130,7 @@ class TxnSqlRouter:
         — no data file opened, no directory listed (KBs to describe a
         100 TB table, same contract as the metadata tables)."""
         c.expect("DESCRIBE", "DETAIL")
-        name, t = self._resolve(c.ident("table"))
+        name, t = self._resolve(c.qident("table"))
         v = t.current_version()
         if v is None:
             raise ValueError(f"table at {t.root} has no committed version")
@@ -1026,7 +1161,7 @@ class TxnSqlRouter:
 
     def _exec_optimize(self, c: _Cursor):
         c.expect("OPTIMIZE")
-        name, t = self._resolve(c.ident("table"))
+        name, t = self._resolve(c.qident("table"))
         if c.accept("ZORDER", "BY"):
             c.expect("(")
             cols = []
@@ -1042,7 +1177,7 @@ class TxnSqlRouter:
 
     def _exec_vacuum(self, c: _Cursor):
         c.expect("VACUUM")
-        name, t = self._resolve(c.ident("table"))
+        name, t = self._resolve(c.qident("table"))
         retain = None
         keep = 2
         while not c.done():
@@ -1073,7 +1208,7 @@ class TxnSqlRouter:
         materialization)."""
         c.expect("CREATE", "TABLE")
         if_not_exists = c.accept("IF", "NOT", "EXISTS")
-        name = c.ident("table")
+        name = c.qident("table")
         ddl = None
         if c.accept("("):
             ddl = _render(c.take_until(((")",),)))
@@ -1151,7 +1286,7 @@ class TxnSqlRouter:
         other ALTER form — DROP COLUMN, type changes — is non-additive
         and fails loudly rather than guessing."""
         c.expect("ALTER", "TABLE")
-        name, t = self._resolve(c.ident("table"))
+        name, t = self._resolve(c.qident("table"))
         if c.accept("ADD", "COLUMNS") or c.accept("ADD", "COLUMN"):
             c.expect("(")
             ddl = _render(c.take_until(((")",),)))
@@ -1190,41 +1325,49 @@ class TxnSqlRouter:
             "rewrite history non-additively"
         )
 
-    def _exec_show_tables(self):
-        """``SHOW TABLES``: every name this router can resolve — the
-        session registrations plus (when a catalog dir is attached)
-        the persisted mappings."""
+    def _exec_show_tables(self, ns: str | None = None):
+        """``SHOW TABLES [IN ns]``: the given (default: current)
+        namespace's resolvable names — session registrations plus the
+        persisted catalog mappings, re-scanned so tables another
+        session registered since attach are included."""
+        self._rescan_catalog()
+        want = (ns or self._namespace).strip("`").lower()
         rows = sorted(
-            (n, t.root, t.current_version() or "")
-            for n, t in self._tables.items()
+            (want, key.split(".", 1)[1], t.root, t.current_version() or "")
+            for key, t in self._tables.items()
+            if key.split(".", 1)[0] == want
         )
         return self._spark.createDataFrame(
-            rows or [], "name string, location string, version string"
+            rows or [],
+            "namespace string, name string, location string, "
+            "version string",
         )
 
     def _exec_drop(self, c: _Cursor):
         c.expect("DROP", "TABLE")
-        name = c.ident("table")
+        name = c.qident("table")
         self._resolve(name)
-        del self._tables[name.lower()]
-        self._spark.catalog.dropTempView(name)
+        key = self._key(name)
+        del self._tables[key]
+        ns, bare = key.split(".", 1)
+        if ns == self._namespace:
+            self._spark.catalog.dropTempView(bare)
+        self._spark.catalog.dropTempView(self._mangled_view(key))
         if self._catalog_dir is not None:
             try:
                 os.unlink(
-                    os.path.join(
-                        self._catalog_dir, f"{name.lower()}.json"
-                    )
+                    os.path.join(self._catalog_dir, f"{key}.json")
                 )
             except FileNotFoundError:
                 pass
         return self._spark.createDataFrame(
-            [("drop", name)], "operation string, version string"
+            [("drop", key)], "operation string, version string"
         )
 
     def _exec_restore(self, c: _Cursor):
         c.expect("RESTORE")
         c.accept("TABLE")
-        name, t = self._resolve(c.ident("table"))
+        name, t = self._resolve(c.qident("table"))
         c.expect("TO", "VERSION", "AS", "OF")
         v = c.peek()
         if v is None:
@@ -1239,7 +1382,7 @@ class TxnSqlRouter:
         """``COPY INTO t FROM '<path>' FILEFORMAT = PARQUET|JSON|CSV``:
         bulk file import as one atomic append, schema-aligned."""
         c.expect("COPY", "INTO")
-        name, t = self._resolve(c.ident("table"))
+        name, t = self._resolve(c.qident("table"))
         schema = self._target_schema(t)
         c.expect("FROM")
         src_tok = c.peek()
@@ -1276,26 +1419,56 @@ class TxnSqlRouter:
         version = t.append(out)
         return self._result(name, "copy_into", version)
 
-    def _rewrite_time_travel(self, toks: list[str]) -> str | None:
-        """Rewrite ``<table> VERSION AS OF n`` / ``<table> TIMESTAMP AS
-        OF x`` references to pinned temp views, Delta's SQL time-travel
-        syntax. Returns the rewritten statement, or None when no
-        registered table is time-traveled (the statement passes through
-        verbatim — no re-rendering risk for unrelated SQL)."""
+    # significant tokens a TABLE REFERENCE can follow in SQL — the gate
+    # that keeps alias.column references (``t.c_acctbal``) from being
+    # mistaken for ``ns.table`` when a namespace shares an alias name
+    _TABLE_REF_PRECEDERS = frozenset({"FROM", "JOIN", ",", "(", None})
+
+    def _rewrite_reads(self, toks: list[str]) -> str | None:
+        """Rewrite registered-table READ references for ``spark.sql``:
+
+        * ``<table> VERSION AS OF n`` / ``TIMESTAMP AS OF x`` (bare or
+          ``ns.``-qualified) -> a pinned temp view — Delta's SQL
+          time-travel syntax;
+        * ``ns.table`` live references in table position -> the
+          qualified table's mangled temp view, refreshed now — temp
+          views are single-part names, so cross-namespace SELECTs
+          can't resolve the dotted form natively.
+
+        Returns the rewritten statement, or None when nothing matched
+        (the statement passes through verbatim — no re-rendering risk
+        for unrelated SQL)."""
         out: list[str] = []
         i = 0
         hit = False
-        while i < len(toks):
+        n = len(toks)
+        while i < n:
             t = toks[i]
-            if (
-                t.lower().strip("`") in self._tables
-                and i + 4 < len(toks)
-                and toks[i + 1].upper() in ("VERSION", "TIMESTAMP")
-                and toks[i + 2].upper() == "AS"
-                and toks[i + 3].upper() == "OF"
+            name = None
+            width = 1
+            if _IDENT_RE.match(t or "") and (i == 0 or toks[i - 1] != "."):
+                prev = toks[i - 1].upper() if i > 0 else None
+                in_table_pos = prev in self._TABLE_REF_PRECEDERS
+                if (
+                    in_table_pos
+                    and i + 2 < n
+                    and toks[i + 1] == "."
+                    and _IDENT_RE.match(toks[i + 2] or "")
+                ):
+                    q = f"{t.strip('`')}.{toks[i + 2].strip('`')}".lower()
+                    if q in self._tables:
+                        name = q
+                        width = 3
+                if name is None and self._key(t) in self._tables:
+                    name = self._key(t)
+            if name is not None and (
+                i + width + 3 < n
+                and toks[i + width].upper() in ("VERSION", "TIMESTAMP")
+                and toks[i + width + 1].upper() == "AS"
+                and toks[i + width + 2].upper() == "OF"
             ):
-                kind = toks[i + 1].lower()
-                val = toks[i + 4]
+                kind = toks[i + width].lower()
+                val = toks[i + width + 3]
                 if val.startswith("'"):
                     val = val[1:-1].replace("''", "'")
                 if kind == "timestamp":
@@ -1308,17 +1481,23 @@ class TxnSqlRouter:
                         if dt.tzinfo is None:
                             dt = dt.replace(tzinfo=timezone.utc)
                         val = dt.timestamp()
-                name = t.lower().strip("`")
                 tbl = self._tables[name]
                 vname = (
-                    f"{name}__tt_{kind}_"
+                    f"{name.replace('.', '__')}__tt_{kind}_"
                     + re.sub(r"[^A-Za-z0-9]", "_", str(val))
                 )
                 self._spark.read.format("txn").option(kind, val).load(
                     tbl.root
                 ).createOrReplaceTempView(vname)
                 out.append(vname)
-                i += 5
+                i += width + 4
+                hit = True
+            elif name is not None and width == 3:
+                # live qualified reference: route through the mangled
+                # view, refreshed to the current snapshot
+                self._refresh_view(name)
+                out.append(self._mangled_view(name))
+                i += width
                 hit = True
             else:
                 out.append(t)
@@ -1331,7 +1510,7 @@ class TxnSqlRouter:
         if not overwrite:
             c.expect("INTO")
         c.accept("TABLE")
-        target = c.ident("table")
+        target = c.qident("table")
         name, t = self._resolve(target)
         schema = self._target_schema(t)
         cols: list[str] | None = None

@@ -536,3 +536,176 @@ def test_timestamp_as_of_iso_string(spark, tmp_path):
     ).collect()[0]["n"]
     assert n == 3
     assert spark.table("tgt").count() == 4
+
+
+# -- round 12: namespaces, catalog rescan, MERGE schema evolution --------
+
+
+class TestNamespaces:
+    def test_same_name_in_two_namespaces(self, spark, tmp_path):
+        r = TxnSqlRouter(spark)
+        a = _mk(spark, tmp_path, "a", n=10)
+        b = _mk(spark, tmp_path, "b", n=25)
+        r.register("sales.fact", a)
+        r.register("ops.fact", b)
+        # qualified reads resolve each table independently
+        assert (
+            r.sql("SELECT count(*) AS n FROM sales.fact").collect()[0]["n"]
+            == 10
+        )
+        assert (
+            r.sql("SELECT count(*) AS n FROM ops.fact").collect()[0]["n"]
+            == 25
+        )
+        # one statement can join across namespaces
+        got = r.sql(
+            "SELECT count(*) AS n FROM sales.fact s "
+            "JOIN ops.fact o ON s.k = o.k"
+        ).collect()[0]["n"]
+        assert got == 10
+
+    def test_use_switches_bare_resolution(self, spark, tmp_path):
+        r = TxnSqlRouter(spark)
+        r.register("sales.fact", _mk(spark, tmp_path, "a", n=10))
+        r.register("ops.fact", _mk(spark, tmp_path, "b", n=25))
+        res = r.sql("USE sales").collect()[0]
+        assert (res["operation"], res["version"]) == (
+            "use_namespace",
+            "sales",
+        )
+        assert r.sql("SELECT count(*) AS n FROM fact").collect()[0]["n"] == 10
+        # bare DML hits the current namespace's table
+        r.sql("DELETE FROM fact WHERE k < 5")
+        assert r.sql("SELECT count(*) AS n FROM fact").collect()[0]["n"] == 5
+        r.sql("USE ops")
+        assert r.sql("SELECT count(*) AS n FROM fact").collect()[0]["n"] == 25
+
+    def test_show_tables_in_namespace(self, spark, tmp_path):
+        r = TxnSqlRouter(spark)
+        r.register("sales.fact", _mk(spark, tmp_path, "a", n=10))
+        r.register("sales.dim", _mk(spark, tmp_path, "b", n=5))
+        r.register("ops.fact", _mk(spark, tmp_path, "c", n=25))
+        rows = r.sql("SHOW TABLES IN sales").collect()
+        assert sorted(x["name"] for x in rows) == ["dim", "fact"]
+        assert all(x["namespace"] == "sales" for x in rows)
+        # bare register lands in the current (default) namespace
+        r.register("solo", _mk(spark, tmp_path, "d", n=3))
+        rows = r.sql("SHOW TABLES").collect()
+        assert [x["name"] for x in rows] == ["solo"]
+
+    def test_qualified_ddl_dml_and_time_travel(self, spark, tmp_path):
+        r = TxnSqlRouter(spark)
+        root = os.path.join(str(tmp_path), "q")
+        r.sql(
+            "CREATE TABLE sales.fact (k BIGINT, v BIGINT) USING txn "
+            f"LOCATION '{root}'"
+        )
+        r.sql("INSERT INTO sales.fact VALUES (1, 10), (2, 20)")
+        r.sql("UPDATE sales.fact SET v = v + 1 WHERE k = 2")
+        got = sorted(
+            tuple(x)
+            for x in r.sql("SELECT k, v FROM sales.fact").collect()
+        )
+        assert got == [(1, 10), (2, 21)]
+        # qualified time travel pins the pre-update snapshot
+        old = sorted(
+            tuple(x)
+            for x in r.sql(
+                "SELECT k, v FROM sales.fact VERSION AS OF 2"
+            ).collect()
+        )
+        assert old == [(1, 10), (2, 20)]
+        r.sql("DROP TABLE sales.fact")
+        with pytest.raises(ValueError, match="not a registered"):
+            r.sql("DELETE FROM sales.fact")
+
+    def test_catalog_persists_qualified_names(self, spark, tmp_path):
+        cat = os.path.join(str(tmp_path), "cat")
+        r1 = TxnSqlRouter(spark, catalog_dir=cat)
+        r1.register("sales.fact", _mk(spark, tmp_path, "a", n=10))
+        r1.register("ops.fact", _mk(spark, tmp_path, "b", n=25))
+        r2 = TxnSqlRouter(spark, catalog_dir=cat)
+        assert (
+            r2.sql("SELECT count(*) AS n FROM ops.fact").collect()[0]["n"]
+            == 25
+        )
+        rows = r2.sql("SHOW TABLES IN sales").collect()
+        assert [x["name"] for x in rows] == ["fact"]
+
+    def test_rescan_resolves_other_sessions_tables(self, spark, tmp_path):
+        """ADVICE r11: a table registered by ANOTHER session after
+        attach must resolve on miss and appear in SHOW TABLES."""
+        cat = os.path.join(str(tmp_path), "cat")
+        r1 = TxnSqlRouter(spark, catalog_dir=cat)  # attach on empty dir
+        r2 = TxnSqlRouter(spark, catalog_dir=cat)
+        r2.register("late", _mk(spark, tmp_path, "a", n=7))
+        # r1 attached BEFORE the registration: resolve-miss rescans
+        assert (
+            r1.sql("DESCRIBE DETAIL late").collect()[0]["num_rows"] == 7
+        )
+        assert "late" in {
+            x["name"] for x in r1.sql("SHOW TABLES").collect()
+        }
+
+
+class TestMergeSchemaEvolution:
+    def test_insert_star_evolves_target(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, "t")
+        r = TxnSqlRouter(spark)
+        r.register("target", t)
+        spark.range(95, 105).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 100).cast("long").alias("v"),
+            F.lit("upd").alias("tag"),
+            F.lit("fresh").alias("src_note"),  # NOT in the target
+        ).createOrReplaceTempView("evo_src")
+        res = r.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO target t USING evo_src s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).collect()[0]
+        assert res["operation"] == "merge_upsert"
+        got = t.read(spark)
+        assert "src_note" in got.columns
+        assert got.filter(F.col("src_note") == "fresh").count() == 10
+        # untouched rows read the evolved column as NULL
+        assert got.filter(F.col("src_note").isNull()).count() == 95
+        # the evolution was metadata-additive: only matched files rewrote
+        meta = t._meta(t.current_version())
+        assert meta["n_files_carried"] > 0
+        # time travel keeps the pre-merge 3-column schema
+        assert len(t.read(spark, "v00000001").columns) == 3
+
+    def test_without_evolution_extra_source_cols_drop(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, "t")
+        r = TxnSqlRouter(spark)
+        r.register("target", t)
+        spark.range(95, 105).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 100).cast("long").alias("v"),
+            F.lit("upd").alias("tag"),
+            F.lit("fresh").alias("src_note"),
+        ).createOrReplaceTempView("evo_src2")
+        r.sql(
+            "MERGE INTO target t USING evo_src2 s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert "src_note" not in t.read(spark).columns
+
+    def test_evolution_set_clause_may_name_new_column(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, "t", n=10)
+        r = TxnSqlRouter(spark)
+        r.register("target", t)
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("bonus")
+        ).createOrReplaceTempView("evo_src3")
+        r.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO target t USING evo_src3 s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET bonus = s.bonus * 5"
+        )
+        got = t.read(spark)
+        assert got.filter(F.col("bonus") == 5).count() == 3
+        assert got.filter(F.col("bonus").isNull()).count() == 7
