@@ -81,7 +81,9 @@ HEADLINE = [
     "streaming_reshard_counts",  # shard split+merge mid-stream, 5 drains
     # round-11 lanes:
     "txn_export_delta",      # Delta mirror export + sync, DuckDB replay
-    "txn_sql_evolution",     # CTAS -> ALTER ADD/RENAME -> history script
+    "txn_sql_evolution",     # CTAS -> ALTER ADD/RENAME/DROP (mapped) script
+    # round-12 lanes:
+    "delta_import_foreign",  # foreign _delta_log checkpoint-seeded import
 ]
 
 # The original 13-query set (rounds 1-5): summed separately so
@@ -214,7 +216,18 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         spark.catalog.clearCache()  # no cross-lane cache residency
-        fn(spark, SF_DIR).count()  # warmup: codegen + lane's index build
+        # warmup: codegen + lane's index build. SUB-SECOND lanes get two
+        # extra unmeasured passes (r11 verdict task 8): at that scale
+        # per-lane fixed costs (C2 compilation of this exact plan,
+        # classloading) dominate the wall, and a single warmup leaves
+        # the first measured pass 20-40% hot-vs-cold noise — the
+        # tpch_q1/q5-class whipsaw three rounds of bench deltas chased.
+        # Extra passes cost <2 s suite-wide and only ever run when cheap.
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        if time.perf_counter() - t0 < 1.0:
+            for _ in range(2):
+                fn(spark, SF_DIR).count()
         times = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()

@@ -55,7 +55,26 @@ from urllib.parse import quote, unquote
 import pyarrow as pa
 import pyarrow.parquet as _pq
 
-from .txn import TxnTable, _file_column_stats
+from .txn import TxnTable, _cm_divergent, _file_column_stats
+
+
+def _refuse_column_mapped(meta: dict, v: str) -> None:
+    """Exporting a snapshot whose id-based column mapping has DIVERGED
+    (a metadata-only rename happened) would need the Delta
+    ``columnMapping`` table feature — physical parquet names differing
+    from the logical schemaString, reader/writer feature flags, per-field
+    ``delta.columnMapping.physicalName`` metadata. This exporter emits
+    plain protocol (1,2) tables; rather than write a log external readers
+    would misread (logical schema over physical footers), refuse loudly
+    and name the escape hatch. Identity mappings (activation or pure
+    drops) export fine — drops already left the recorded schema."""
+    if _cm_divergent(meta.get("column_mapping")):
+        raise ValueError(
+            f"snapshot {v} uses id-based column mapping with renamed "
+            "columns (Delta columnMapping table feature — not emitted "
+            "by this exporter); run rewrite_layout() to materialize "
+            "logical names, then export"
+        )
 
 _LOG_DIR = "_delta_log"
 _APP_PREFIX = "rxlan-txn-export"
@@ -290,9 +309,10 @@ def export_delta(
     log_dir = os.path.join(dest, _LOG_DIR)
     if _has_log(log_dir):
         raise FileExistsError(f"{dest} already holds a Delta log")
-    os.makedirs(log_dir, exist_ok=True)
 
     meta = table._meta(v)
+    _refuse_column_mapped(meta, v)
+    os.makedirs(log_dir, exist_ok=True)
     entries = table.file_entries(v)
     dv = _load_dv(table, v)
     data_root = os.path.join(table.root, "_versions", v)
@@ -380,19 +400,26 @@ def export_delta(
     }
 
 
-def replay_delta_log(dest: str) -> dict:
-    """Resolve a Delta table's LIVE state by replaying its log — the
-    reader side of the protocol: seed from the ``_last_checkpoint``-
-    named parquet checkpoint when one exists (reading only the JSON
-    commits AFTER it — O(checkpoint + tail), the property that keeps
-    a 10,000-commit mirror readable), else from commit 0; then apply
-    ``add``/``remove`` actions in commit order, newest ``metaData``
-    wins. Returns ``{"files": [rel], "schema": StructType-json,
+def replay_delta_log(dest: str, up_to: int | None = None) -> dict:
+    """Resolve a Delta table's state by replaying its log — the reader
+    side of the protocol: seed from the ``_last_checkpoint``-named
+    parquet checkpoint when one exists (single-file or multi-part
+    ``parts`` form; only the JSON commits AFTER it are read —
+    O(checkpoint + tail), the property that keeps a 10,000-commit
+    mirror readable), else from commit 0; then apply ``add``/``remove``
+    actions in commit order, newest ``metaData``/``protocol`` wins.
+
+    ``up_to`` pins time travel: commits beyond it are ignored; when the
+    published checkpoint is NEWER than ``up_to``, replay restarts from
+    commit 0 (and raises if that JSON history was cleaned up).
+
+    Returns ``{"files": [rel], "schema": StructType-json,
     "partition_columns": [...], "adds": {rel: action}, "removes":
     {rel: action}, "txns": {appId: version}, "n_commits": next commit
-    number}``. Used by ``read_delta_export`` and the tests; the
-    registry lane replays the log independently in DuckDB SQL so the
-    oracle never trusts this code."""
+    number, "protocol": {...}, "configuration": {...}}``. Used by
+    ``read_delta_export``/``import_delta`` and the tests; the registry
+    lanes replay the log independently in DuckDB SQL so the oracle
+    never trusts this code."""
     log_dir = os.path.join(dest, _LOG_DIR)
     live: dict[str, dict] = {}
     removes: dict[str, dict] = {}
@@ -401,35 +428,68 @@ def replay_delta_log(dest: str) -> dict:
     txns: dict[str, int] = {}
     meta_id = None
     created_time = None
+    protocol: dict = {}
+    configuration: dict = {}
     after = -1  # replay commits strictly greater than this
 
     ckpt_file = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(ckpt_file):
         with open(ckpt_file) as f:
             ckpt = json.load(f)
-        after = int(ckpt["version"])
-        tbl = _pq.read_table(
-            os.path.join(log_dir, f"{after:020d}.checkpoint.parquet")
-        )
-        for row in tbl.to_pylist():
-            if row.get("metaData") and row["metaData"].get("schemaString"):
-                md = row["metaData"]
-                schema_json = json.loads(md["schemaString"])
-                part_cols = list(md.get("partitionColumns") or [])
-                meta_id = md.get("id")
-                created_time = md.get("createdTime")
-            elif row.get("add") and row["add"].get("path"):
-                a = dict(row["add"])
-                if isinstance(a.get("partitionValues"), list):
-                    # pyarrow maps round-trip as [(k, v), ...] pairs
-                    a["partitionValues"] = dict(a["partitionValues"])
-                live[unquote(a["path"])] = a
-            elif row.get("remove") and row["remove"].get("path"):
-                removes[unquote(row["remove"]["path"])] = dict(
-                    row["remove"]
-                )
-            elif row.get("txn") and row["txn"].get("appId"):
-                txns[row["txn"]["appId"]] = int(row["txn"]["version"])
+        v = int(ckpt["version"])
+        if up_to is None or v <= up_to:
+            after = v
+            parts = int(ckpt.get("parts") or 0)
+            if parts:
+                ckpt_paths = [
+                    os.path.join(
+                        log_dir,
+                        f"{after:020d}.checkpoint."
+                        f"{i + 1:010d}.{parts:010d}.parquet",
+                    )
+                    for i in range(parts)
+                ]
+            else:
+                ckpt_paths = [
+                    os.path.join(log_dir, f"{after:020d}.checkpoint.parquet")
+                ]
+            for cp in ckpt_paths:
+                tbl = _pq.read_table(cp)
+                for row in tbl.to_pylist():
+                    if row.get("metaData") and row["metaData"].get(
+                        "schemaString"
+                    ):
+                        md = row["metaData"]
+                        schema_json = json.loads(md["schemaString"])
+                        part_cols = list(md.get("partitionColumns") or [])
+                        meta_id = md.get("id")
+                        created_time = md.get("createdTime")
+                        cfg = md.get("configuration")
+                        configuration = (
+                            dict(cfg) if isinstance(cfg, dict) else {}
+                        )
+                    elif row.get("protocol") and row["protocol"].get(
+                        "minReaderVersion"
+                    ) is not None:
+                        protocol = {
+                            k: v
+                            for k, v in row["protocol"].items()
+                            if v is not None
+                        }
+                    elif row.get("add") and row["add"].get("path"):
+                        a = dict(row["add"])
+                        if isinstance(a.get("partitionValues"), list):
+                            # pyarrow maps round-trip as [(k, v), ...]
+                            a["partitionValues"] = dict(a["partitionValues"])
+                        live[unquote(a["path"])] = a
+                    elif row.get("remove") and row["remove"].get("path"):
+                        removes[unquote(row["remove"]["path"])] = dict(
+                            row["remove"]
+                        )
+                    elif row.get("txn") and row["txn"].get("appId"):
+                        txns[row["txn"]["appId"]] = int(
+                            row["txn"]["version"]
+                        )
 
     commits = sorted(
         n
@@ -438,7 +498,20 @@ def replay_delta_log(dest: str) -> dict:
         and n != "_last_checkpoint"
         and n[:20].isdigit()
         and int(n[:20]) > after
+        and (up_to is None or int(n[:20]) <= up_to)
     )
+    if up_to is not None:
+        # time travel needs a CONTIGUOUS replay base: commit 0 (or the
+        # seeding checkpoint) through up_to must all be present
+        want = set(range(after + 1, up_to + 1))
+        have = {int(n[:20]) for n in commits}
+        if want - have:
+            raise FileNotFoundError(
+                f"version {up_to} is not reconstructable from {log_dir}: "
+                f"commits {sorted(want - have)} are missing (log cleanup "
+                "passed them and no checkpoint at or before the target "
+                "survives)"
+            )
     if not commits and after < 0:
         raise FileNotFoundError(f"no commits under {log_dir}")
     last_n = after
@@ -458,6 +531,11 @@ def replay_delta_log(dest: str) -> dict:
                     )
                     meta_id = action["metaData"].get("id")
                     created_time = action["metaData"].get("createdTime")
+                    configuration = dict(
+                        action["metaData"].get("configuration") or {}
+                    )
+                elif "protocol" in action:
+                    protocol = dict(action["protocol"])
                 elif "add" in action:
                     rel = unquote(action["add"]["path"])
                     live[rel] = action["add"]
@@ -483,6 +561,8 @@ def replay_delta_log(dest: str) -> dict:
         "n_commits": last_n + 1,
         "meta_id": meta_id,
         "created_time": created_time,
+        "protocol": protocol,
+        "configuration": configuration,
     }
 
 
@@ -550,6 +630,7 @@ def export_delta_sync(
     v = version or table.current_version()
     if v is None:
         raise FileNotFoundError(f"no committed version at {table.root}")
+    _refuse_column_mapped(table._meta(v), v)
     log_dir = os.path.join(dest, _LOG_DIR)
     if not _has_log(log_dir):
         out = export_delta(table, dest, version=v)
@@ -920,3 +1001,183 @@ def read_delta_export(spark, dest: str):
         .option("basePath", dest)
         .parquet(*paths)
     )
+
+
+# Reader features this importer genuinely implements. ``timestampNtz``
+# is a pure type (Spark reads it natively); anything else — deletion
+# vectors, column mapping, v2Checkpoint — changes how the DATA must be
+# interpreted and is refused loudly by name.
+_SUPPORTED_READER_FEATURES = frozenset({"timestampNtz"})
+
+
+def _gate_foreign_protocol(state: dict) -> None:
+    """Refuse a Delta table whose protocol/features this importer cannot
+    honor — loudly, naming the feature (the Delta spec's own contract:
+    a reader MUST NOT read a table whose reader version/features it
+    does not implement; silently misreading DV-bearing files would
+    resurrect deleted rows)."""
+    proto = state.get("protocol") or {}
+    reader_v = int(proto.get("minReaderVersion") or 1)
+    features = set(proto.get("readerFeatures") or [])
+    if reader_v == 2:
+        raise ValueError(
+            "cannot import: protocol minReaderVersion=2 (columnMapping) "
+            "is not supported by this importer"
+        )
+    if reader_v >= 3:
+        unsupported = features - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise ValueError(
+                "cannot import: unsupported Delta reader feature(s) "
+                f"{sorted(unsupported)} (supported: "
+                f"{sorted(_SUPPORTED_READER_FEATURES)})"
+            )
+    cfg = state.get("configuration") or {}
+    cm_mode = str(cfg.get("delta.columnMapping.mode", "none")).lower()
+    if cm_mode not in ("none", ""):
+        raise ValueError(
+            "cannot import: table uses delta.columnMapping.mode="
+            f"{cm_mode!r} (physical parquet names diverge from the "
+            "logical schema); not supported by this importer"
+        )
+    for rel, a in (state.get("adds") or {}).items():
+        if a.get("deletionVector"):
+            raise ValueError(
+                "cannot import: table carries deletion vectors (add "
+                f"action for {rel!r} has a deletionVector); merge-on-read "
+                "DV decoding is not supported by this importer"
+            )
+
+
+def import_delta(spark, path: str, version: int | None = None):
+    """Read an ARBITRARY conformant Delta table the engine did not
+    write (r11 verdict task 2 — interop was one-directional: the
+    exporter round-trips its own logs, but a foreign ``_delta_log``
+    had no reader).
+
+    Protocol-faithful replay: ``_last_checkpoint`` → checkpoint parquet
+    (single-file or multi-part) → JSON tail, add−remove reconciliation,
+    newest metaData wins, ``version=`` time travel (checkpoint past the
+    target falls back to a from-zero replay and raises if that history
+    was cleaned). Tables needing reader features this engine does not
+    implement — deletion vectors, column mapping, v2 checkpoints — are
+    refused LOUDLY by feature name (``_gate_foreign_protocol``), never
+    misread.
+
+    Unlike ``read_delta_export`` (which assumes this engine's own
+    hive-layout exports), the file layout is NOT trusted:
+    ``add.partitionValues`` is the authoritative source of partition
+    column values per the spec (foreign writers may place files
+    anywhere). Scale shape: ONE parquet scan of the live files under
+    the data-only schema, partition columns attached by a BROADCAST
+    join of the driver-side {file -> partitionValues} map against
+    ``_metadata.file_path`` (metadata-sized build side, no per-
+    partition scan fan-out, no shuffle). Files are matched by basename
+    — guaranteed-fresh names in every real Delta writer; a basename
+    collision falls back to per-partition-group scans (exact, used
+    only when groups are few) or refuses."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    state = replay_delta_log(path, up_to=version)
+    _gate_foreign_protocol(state)
+    schema = StructType.fromJson(state["schema"])
+    part_cols = list(state["partition_columns"])
+    bad_parts = [c for c in part_cols if c not in schema.fieldNames()]
+    if bad_parts:
+        raise ValueError(
+            f"partitionColumns {bad_parts} missing from schemaString"
+        )
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+    files = state["files"]
+    if not files:
+        return spark.createDataFrame([], schema)
+    abs_paths = [os.path.join(path, rel) for rel in files]
+
+    def typed_part(col, raw):
+        f = schema[col]
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            return F.lit(None).cast(f.dataType)
+        return F.lit(raw).cast(f.dataType)
+
+    if not part_cols:
+        return spark.read.schema(data_schema).parquet(*abs_paths).select(
+            *(f.name for f in schema.fields)
+        )
+
+    import posixpath
+
+    pv_of = {
+        rel: (state["adds"][rel].get("partitionValues") or {})
+        for rel in files
+    }
+    basenames = [posixpath.basename(rel) for rel in files]
+    if len(set(basenames)) == len(basenames):
+        # the scale path: one scan + broadcast map join on basename
+        pv_rows = [
+            (posixpath.basename(rel),)
+            + tuple(pv_of[rel].get(c) for c in part_cols)
+            for rel in files
+        ]
+        pv_schema = ", ".join(
+            ["__dl_base string"] + [f"__dl_{i} string" for i in range(len(part_cols))]
+        )
+        pv_df = spark.createDataFrame(pv_rows, pv_schema)
+        scan = spark.read.schema(data_schema).parquet(*abs_paths)
+        keyed = scan.withColumn(
+            "__dl_base",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+        joined = keyed.join(F.broadcast(pv_df), "__dl_base", "inner")
+        return joined.select(
+            *(
+                F.col(f.name)
+                if f.name not in part_cols
+                else F.when(
+                    F.col(f"__dl_{part_cols.index(f.name)}").isNull()
+                    | (
+                        F.col(f"__dl_{part_cols.index(f.name)}")
+                        == "__HIVE_DEFAULT_PARTITION__"
+                    ),
+                    F.lit(None),
+                )
+                .otherwise(F.col(f"__dl_{part_cols.index(f.name)}"))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in schema.fields
+            )
+        )
+    # basename collision (no real Delta writer reuses file names, but
+    # the spec does not forbid it): exact per-partition-group scans
+    groups: dict[tuple, list[str]] = {}
+    for rel in files:
+        key = tuple(pv_of[rel].get(c) for c in part_cols)
+        groups.setdefault(key, []).append(rel)
+    if len(groups) > 256:
+        raise ValueError(
+            "cannot import: duplicate data-file basenames across "
+            f"{len(groups)} partition groups — per-group scan fan-out "
+            "would not scale; deduplicate the file layout"
+        )
+    branches = []
+    for key, rels in groups.items():
+        b = spark.read.schema(data_schema).parquet(
+            *(os.path.join(path, r) for r in rels)
+        )
+        branches.append(
+            b.select(
+                *(
+                    F.col(f.name)
+                    if f.name not in part_cols
+                    else typed_part(
+                        f.name, key[part_cols.index(f.name)]
+                    ).alias(f.name)
+                    for f in schema.fields
+                )
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2191,17 +2192,300 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN-Delta import (round 12, r11 verdict task 2): the lane
+    hand-authors a Delta table from the public protocol spec — flat
+    ``data/`` file layout (files carry NO hive dirs, so partition
+    values can only come from the log's ``add.partitionValues``), a
+    JSON commit pair, a hand-written spec-shaped CHECKPOINT parquet
+    (map-typed partitionValues/configuration), and a remove-bearing
+    tail commit. The early JSON commits are then DELETED (log
+    cleanup), so the read can only succeed by seeding from the
+    checkpoint. ``import_delta`` — the engine's reader for tables it
+    did not write (delta_export.py) — resolves the state and reads the
+    rows; a sibling log bearing a deletionVector add must be REFUSED
+    by feature name. Deliberately NOT written via export_delta: this
+    exercises the importer, not the exporter. The oracle is the
+    fixture closed form. Spec:
+    https://github.com/delta-io/delta/blob/master/PROTOCOL.md."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..delta_export import import_delta, replay_delta_log
+
+    work = tempfile.mkdtemp(prefix="delta_imp_")
+    try:
+        root = f"{work}/foreign"
+        log = _os.path.join(root, "_delta_log")
+        _os.makedirs(log)
+        _os.makedirs(_os.path.join(root, "data"))
+        orders = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") <= 3000)
+            .select(
+                "o_orderkey",
+                "o_totalprice",
+                F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+                .otherwise(F.col("o_orderpriority"))
+                .alias("prio"),
+            )
+        )
+        staging = f"{work}/staged"
+        orders.repartition(4).write.partitionBy("prio").parquet(staging)
+        # flatten the hive layout into anonymous data/ file names: the
+        # log's partitionValues become the ONLY source of prio values
+        hive_null = "__HIVE_DEFAULT_PARTITION__"
+        moved: list[tuple[str, str | None]] = []  # (rel, prio value)
+        for r, _d, ns in sorted(
+            (r, d, sorted(ns)) for r, d, ns in _os.walk(staging)
+        ):
+            for n in ns:
+                if not n.endswith(".parquet"):
+                    continue
+                seg = _os.path.basename(r)
+                raw = seg.partition("=")[2] if "=" in seg else None
+                pv = None if raw in (None, hive_null) else unquote(raw)
+                rel = f"data/f{len(moved):04d}.parquet"
+                _os.link(
+                    _os.path.join(r, n), _os.path.join(root, rel)
+                )
+                moved.append((rel, pv))
+        schema_str = _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "o_orderkey", "type": "long",
+                     "nullable": True, "metadata": {}},
+                    {"name": "o_totalprice", "type": "double",
+                     "nullable": True, "metadata": {}},
+                    {"name": "prio", "type": "string",
+                     "nullable": True, "metadata": {}},
+                ],
+            }
+        )
+        meta_action = {
+            "metaData": {
+                "id": "foreign-orders",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": ["prio"],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        }
+
+        def add_action(rel, pv):
+            return {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {"prio": pv},
+                    "size": _os.path.getsize(_os.path.join(root, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+
+        def commit(n, actions):
+            with open(_os.path.join(log, f"{n:020d}.json"), "w") as fh:
+                for a in actions:
+                    fh.write(_json.dumps(a) + "\n")
+
+        low = [(rel, pv) for rel, pv in moved if pv == "5-LOW"]
+        rest = [(rel, pv) for rel, pv in moved if pv != "5-LOW"]
+        commit(
+            0,
+            [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                meta_action,
+            ]
+            + [add_action(rel, pv) for rel, pv in rest],
+        )
+        commit(1, [add_action(rel, pv) for rel, pv in low])
+        # hand-written spec-shaped checkpoint at version 1
+        ckpt_schema = _pa.schema(
+            [
+                (
+                    "add",
+                    _pa.struct(
+                        [
+                            ("path", _pa.string()),
+                            (
+                                "partitionValues",
+                                _pa.map_(_pa.string(), _pa.string()),
+                            ),
+                            ("size", _pa.int64()),
+                            ("modificationTime", _pa.int64()),
+                            ("dataChange", _pa.bool_()),
+                        ]
+                    ),
+                ),
+                (
+                    "remove",
+                    _pa.struct(
+                        [
+                            ("path", _pa.string()),
+                            ("deletionTimestamp", _pa.int64()),
+                            ("dataChange", _pa.bool_()),
+                        ]
+                    ),
+                ),
+                (
+                    "metaData",
+                    _pa.struct(
+                        [
+                            ("id", _pa.string()),
+                            (
+                                "format",
+                                _pa.struct([("provider", _pa.string())]),
+                            ),
+                            ("schemaString", _pa.string()),
+                            ("partitionColumns", _pa.list_(_pa.string())),
+                            (
+                                "configuration",
+                                _pa.map_(_pa.string(), _pa.string()),
+                            ),
+                            ("createdTime", _pa.int64()),
+                        ]
+                    ),
+                ),
+                (
+                    "protocol",
+                    _pa.struct(
+                        [
+                            ("minReaderVersion", _pa.int32()),
+                            ("minWriterVersion", _pa.int32()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        ckpt_rows = [
+            {
+                "metaData": {
+                    "id": "foreign-orders",
+                    "format": {"provider": "parquet"},
+                    "schemaString": schema_str,
+                    "partitionColumns": ["prio"],
+                    "configuration": [],
+                    "createdTime": 0,
+                }
+            },
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        ] + [
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": [("prio", pv)],
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+            for rel, pv in moved
+        ]
+        _pq.write_table(
+            _pa.Table.from_pylist(ckpt_rows, schema=ckpt_schema),
+            _os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+        )
+        with open(_os.path.join(log, "_last_checkpoint"), "w") as fh:
+            _json.dump({"version": 1, "size": len(ckpt_rows)}, fh)
+        # log cleanup: drop the early JSON commits — the read below can
+        # only succeed by seeding from the checkpoint
+        _os.unlink(_os.path.join(log, f"{0:020d}.json"))
+        _os.unlink(_os.path.join(log, f"{1:020d}.json"))
+        # tail commit: tombstone every 1-URGENT file
+        commit(
+            2,
+            [
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": 1,
+                        "dataChange": True,
+                    }
+                }
+                for rel, pv in moved
+                if pv == "1-URGENT"
+            ],
+        )
+        state = replay_delta_log(root)
+        ckpt_seed_ok = (
+            state["n_commits"] == 3
+            and len(state["files"])
+            == len([1 for _rel, pv in moved if pv != "1-URGENT"])
+        )
+        # refusal probe: a sibling log whose add carries a deletion
+        # vector must be refused BY FEATURE NAME, never misread
+        dv_root = f"{work}/dv_table"
+        _os.makedirs(_os.path.join(dv_root, "_delta_log"))
+        bad = add_action("data/f0000.parquet", "x")
+        bad["add"]["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": "zz",
+            "offset": 1,
+            "sizeInBytes": 1,
+            "cardinality": 1,
+        }
+        with open(
+            _os.path.join(dv_root, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 2,
+                        }
+                    }
+                )
+                + "\n"
+            )
+            fh.write(_json.dumps(meta_action) + "\n")
+            fh.write(_json.dumps(bad) + "\n")
+        try:
+            import_delta(spark, dv_root)
+            refuse_dv_ok = False
+        except ValueError as e:
+            refuse_dv_ok = "deletionVector" in str(e)
+        out = (
+            import_delta(spark, root)
+            .groupBy(F.coalesce(F.col("prio"), F.lit("NONE")).alias("prio"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                # exact-integer cents (cross-engine float-sum safe)
+                F.round(F.sum("o_totalprice") * 100)
+                .cast("long")
+                .alias("revenue_c"),
+            )
+            .withColumn("ckpt_seed_ok", F.lit(bool(ckpt_seed_ok)))
+            .withColumn("refuse_dv_ok", F.lit(bool(refuse_dv_ok)))
+            .orderBy("prio")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-first schema evolution (round 11): the analyst workflow the
-    r10 verdict called the most common DDL after CREATE — CTAS from a
-    fixture slice, ``ALTER TABLE ADD COLUMNS`` as a METADATA-ONLY
-    commit, INSERT exercising the new columns, ``ALTER COLUMN ...
-    TYPE`` widening (int -> bigint, also metadata-only), ``RENAME
-    COLUMN`` as an atomic rewrite, time travel to the pre-ALTER
-    snapshot showing the OLD schema, ``DESCRIBE HISTORY`` naming the
-    added columns, and a non-additive ALTER refused loudly. Flags pin
-    each operational fact; the aggregate pins the data against
-    DuckDB's closed form."""
+    """SQL-first schema evolution (round 11, extended round 12 with
+    id-based column mapping): CTAS from a fixture slice, ``ALTER TABLE
+    ADD COLUMNS`` as a METADATA-ONLY commit, INSERT exercising the new
+    columns, ``ALTER COLUMN ... TYPE`` widening (int -> bigint,
+    metadata-only), ``RENAME COLUMN`` as a METADATA-ONLY commit
+    (``rename_meta_ok`` pins ``n_files_written == 0`` — the r11 verdict
+    task-1 criterion; physical parquet names stay frozen and readers
+    resolve the mapping), ``DROP COLUMN`` metadata-only
+    (``drop_meta_ok``), a SAME-NAME re-add that must NOT resurrect the
+    dropped column's values from carried files (``remap_ok`` — the
+    used-physical-names ledger maps the re-add to a fresh physical
+    name), time travel to the pre-ALTER snapshot showing the OLD
+    schema, ``DESCRIBE HISTORY`` naming the added columns, and an
+    invalid rename refused loudly. Flags pin each operational fact;
+    the aggregate pins the data against DuckDB's closed form."""
     from ..sql_dml import TxnSqlRouter
 
     work = tempfile.mkdtemp(prefix="txn_sqlevo_")
@@ -2219,7 +2503,8 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT * FROM sql_evo_src WHERE c_custkey <= 1000"
         )
         router.sql(
-            "ALTER TABLE evo ADD COLUMNS (loyalty_pts DOUBLE, level INT)"
+            "ALTER TABLE evo ADD COLUMNS "
+            "(loyalty_pts DOUBLE, level INT, scratch DOUBLE)"
         )
         t = TxnTable(root)
         alter_meta = t._meta(t.current_version())
@@ -2234,7 +2519,8 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             # across engines (BigDecimal-of-binary vs nearbyint)
             "INSERT INTO evo SELECT c_custkey, c_acctbal, c_mktsegment, "
             "c_acctbal * 2 AS loyalty_pts, "
-            "CAST(c_custkey % 5 AS INT) AS level FROM sql_evo_src "
+            "CAST(c_custkey % 5 AS INT) AS level, "
+            "CAST(c_custkey AS DOUBLE) AS scratch FROM sql_evo_src "
             "WHERE c_custkey > 1000"
         )
         # metadata-only type widening: narrow files upcast at scan
@@ -2245,7 +2531,38 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             and widen_meta["n_files_written"] == 0
             and dict(spark.table("evo").dtypes)["level"] == "bigint"
         )
+        # METADATA-ONLY rename via id-based column mapping: zero files
+        # written, the mapping records segment -> physical c_mktsegment
         router.sql("ALTER TABLE evo RENAME COLUMN c_mktsegment TO segment")
+        ren_meta = t._meta(t.current_version())
+        rename_meta_ok = (
+            ren_meta["operation"] == "rename_column"
+            and ren_meta["n_files_written"] == 0
+            and ren_meta["column_mapping"]["fields"]["segment"]["physical"]
+            == "c_mktsegment"
+        )
+        # METADATA-ONLY drop: the scratch values stay in the carried
+        # files but leave the recorded schema
+        router.sql("ALTER TABLE evo DROP COLUMN scratch")
+        drop_meta = t._meta(t.current_version())
+        drop_meta_ok = (
+            drop_meta["operation"] == "drop_column"
+            and drop_meta["n_files_written"] == 0
+            and "scratch" not in spark.table("evo").columns
+        )
+        # same-name re-add maps to a FRESH physical name: the dropped
+        # column's 500 populated values must NOT resurrect
+        router.sql("ALTER TABLE evo ADD COLUMNS (scratch DOUBLE)")
+        remap_ok = (
+            t._meta(t.current_version())["column_mapping"]["fields"][
+                "scratch"
+            ]["physical"]
+            != "scratch"
+            and spark.table("evo")
+            .filter(F.col("scratch").isNotNull())
+            .count()
+            == 0
+        )
         # pre-ALTER snapshot keeps its own (3-column) schema
         travel_ok = (
             len(
@@ -2253,19 +2570,23 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             == 3
         )
-        hist = {
-            r["operation"]: r
-            for r in router.sql("DESCRIBE HISTORY evo").collect()
-        }
+        hrows = router.sql("DESCRIBE HISTORY evo").collect()
+        ops = {r["operation"] for r in hrows}
         history_ok = (
-            hist["add_columns"]["added_columns"] == "loyalty_pts,level"
-            and hist["add_columns"]["n_cols"] == 5
-            and hist["ctas"]["n_cols"] == 3
-            and "rename_column" in hist
-            and "widen_type" in hist
+            any(
+                r["operation"] == "add_columns"
+                and r["added_columns"] == "loyalty_pts,level,scratch"
+                and r["n_cols"] == 6
+                for r in hrows
+            )
+            and any(
+                r["operation"] == "ctas" and r["n_cols"] == 3
+                for r in hrows
+            )
+            and {"rename_column", "drop_column", "widen_type"} <= ops
         )
         try:
-            router.sql("ALTER TABLE evo DROP COLUMN loyalty_pts")
+            router.sql("ALTER TABLE evo RENAME COLUMN segment TO level")
             negative_ok = False
         except ValueError:
             negative_ok = True
@@ -2292,6 +2613,9 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("metadata_only_ok", F.lit(bool(metadata_only_ok)))
             .withColumn("widen_ok", F.lit(bool(widen_ok)))
+            .withColumn("rename_meta_ok", F.lit(bool(rename_meta_ok)))
+            .withColumn("drop_meta_ok", F.lit(bool(drop_meta_ok)))
+            .withColumn("remap_ok", F.lit(bool(remap_ok)))
             .withColumn("travel_ok", F.lit(bool(travel_ok)))
             .withColumn("history_ok", F.lit(bool(history_ok)))
             .withColumn("negative_ok", F.lit(bool(negative_ok)))
@@ -2338,6 +2662,7 @@ QUERIES = {
     "txn_sql_lifecycle": txn_sql_lifecycle,
     "txn_stream_writer_sink": txn_stream_writer_sink,
     "txn_export_delta": txn_export_delta,
+    "delta_import_foreign": delta_import_foreign,
     "txn_sql_evolution": txn_sql_evolution,
 }
 
@@ -2372,6 +2697,26 @@ ORACLE = {
                TRUE AS sync_ok
         FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    # Foreign-Delta import: the hand-authored log's live state is the
+    # orders slice minus the tombstoned 1-URGENT partition; rows whose
+    # orderkey % 97 == 0 went to the null partition (read back through
+    # add.partitionValues as real NULLs, surfaced as 'NONE')
+    "delta_import_foreign": """
+        WITH t AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_orderpriority END AS p,
+                   o_totalprice
+            FROM orders WHERE o_orderkey <= 3000
+        )
+        SELECT coalesce(p, 'NONE') AS prio,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+               TRUE AS ckpt_seed_ok,
+               TRUE AS refuse_dv_ok
+        FROM t
+        WHERE p IS DISTINCT FROM '1-URGENT'
+        GROUP BY coalesce(p, 'NONE') ORDER BY prio
+    """,
     # SQL evolution lifecycle: CTAS slice + INSERT slice with the
     # derived loyalty column (NULL for pre-ALTER rows), grouped under
     # the RENAMED segment column
@@ -2394,6 +2739,9 @@ ORACLE = {
                CAST(sum(coalesce(level, 0)) AS BIGINT) AS total_level,
                TRUE AS metadata_only_ok,
                TRUE AS widen_ok,
+               TRUE AS rename_meta_ok,
+               TRUE AS drop_meta_ok,
+               TRUE AS remap_ok,
                TRUE AS travel_ok,
                TRUE AS history_ok,
                TRUE AS negative_ok

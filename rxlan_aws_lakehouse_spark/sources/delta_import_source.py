@@ -1,0 +1,224 @@
+"""``spark.read.format("delta_import")`` — foreign Delta tables as a
+first-class Spark source (round 12, r11 verdict task 2's catalog face).
+
+::
+
+    df = (spark.read.format("delta_import")
+          .option("version", 7)          # optional time travel
+          .load("/path/to/delta_table"))
+
+Planning is LOG-ONLY: ``replay_delta_log`` (delta_export.py) resolves
+the live file set from ``_last_checkpoint`` + JSON tail — a directory
+is never listed, exactly the contract the txn source holds. Protocol
+gating happens at plan time (``_gate_foreign_protocol``): deletion
+vectors, column mapping and v2 checkpoints refuse loudly by feature
+name, never a silent misread.
+
+File skipping, the property that makes a foreign 100 TB mirror
+queryable: pushed predicates prune at TWO metadata levels before Spark
+plans a single task —
+
+* ``add.partitionValues`` — authoritative per-spec partition values
+  (the file layout is never trusted); equality and range predicates on
+  partition columns drop whole files. String-typed dirs compare
+  lexically AND numerically (both semantics must prove emptiness,
+  the same conservative rule as txn.py's ``_file_prunable``).
+* ``add.stats`` — the spec's per-file JSON stats (``minValues`` /
+  ``maxValues`` / ``nullCount`` / ``numRecords``), written by every
+  real Delta writer; range predicates on data columns skip files whose
+  recorded range proves them empty.
+
+Every filter is reported unhandled, so Spark re-applies them row-level
+— pruning is an IO bound, never the correctness boundary. The same
+driver-side pushdown guard the txn source uses makes default-on
+pruning safe against Spark 4.1's relation-cache replay modes.
+
+Executor reads reuse the txn source's Arrow path
+(``_read_file_batches``): partition values ride each file's partition
+as typed constants (``consts``), deletion vectors are impossible here
+(gated), and the batch is cast to the table's exact Arrow schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..delta_export import _gate_foreign_protocol, replay_delta_log
+from .txn_source import _FilePartition, _filter_triples, _read_file_batches
+
+
+def _resolve_state(options) -> dict:
+    path = options["path"]
+    v = options.get("version")
+    state = replay_delta_log(
+        path, up_to=int(v) if v is not None else None
+    )
+    _gate_foreign_protocol(state)
+    return state
+
+
+def _cmp_empty(op: str, lo, hi, lit) -> bool:
+    """Range emptiness for one comparison against [lo, hi]."""
+    if op == "=":
+        return lit < lo or lit > hi
+    if op == "<":
+        return lo >= lit
+    if op == "<=":
+        return lo > lit
+    if op == ">":
+        return hi <= lit
+    if op == ">=":
+        return hi < lit
+    return False
+
+
+def _pv_prunable(pv: dict, col: str, op: str, lit) -> bool:
+    """May a file with partition value ``pv[col]`` satisfy the
+    comparison? Prune ONLY when every plausible comparison semantic
+    (lexical for strings, numeric when both sides parse) proves it
+    empty — the txn manifest's conservative partition rule."""
+    if col not in pv:
+        return False
+    raw = pv[col]
+    if raw is None:
+        return True  # null partition: no comparison matches
+    if isinstance(lit, str):
+        verdicts = [_cmp_empty(op, raw, raw, lit)]
+        try:
+            f = float(raw)
+            verdicts.append(_cmp_empty(op, f, f, float(lit)))
+        except (TypeError, ValueError):
+            pass
+        return all(verdicts)
+    if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+        try:
+            f = float(raw)
+        except (TypeError, ValueError):
+            return True  # numeric literal vs non-numeric dir: no match
+        return _cmp_empty(op, f, f, float(lit))
+    return False
+
+
+def _stats_prunable(stats: dict, col: str, op: str, lit) -> bool:
+    """May a file whose add.stats record ``col`` satisfy the
+    comparison? Uses minValues/maxValues (same-typed literals only)
+    and the all-null shortcut. Unknown columns/types never prune."""
+    rows = stats.get("numRecords")
+    nulls = (stats.get("nullCount") or {}).get(col)
+    if rows is not None and nulls is not None and nulls == rows and rows > 0:
+        return True  # all-null file: no comparison matches
+    lo = (stats.get("minValues") or {}).get(col)
+    hi = (stats.get("maxValues") or {}).get(col)
+    if lo is None or hi is None:
+        return False
+    if isinstance(lit, bool) or lit is None:
+        return False
+    if isinstance(lit, str) and isinstance(lo, str) and isinstance(hi, str):
+        return _cmp_empty(op, lo, hi, lit)
+    if isinstance(lit, (int, float)) and isinstance(
+        lo, (int, float)
+    ) and isinstance(hi, (int, float)):
+        return _cmp_empty(op, float(lo), float(hi), float(lit))
+    return False
+
+
+class DeltaImportReader(DataSourceReader):
+    """Batch reader over one replayed foreign snapshot, with
+    add.stats / partitionValues file skipping on pushed filters."""
+
+    def __init__(self, options, schema: StructType):
+        self._schema = schema
+        self._root = options["path"]
+        self._state = _resolve_state(options)
+        self._part_cols = list(self._state["partition_columns"])
+        # physical names aligned to schema fields: identity (column
+        # mapping is gated off), so _read_file_batches binds by name
+        self._triples: list[tuple] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        triples, points = _filter_triples(filters)
+        # point lookups prune as equality triples here (no blooms in a
+        # foreign log; stats ranges still catch them)
+        self._triples = triples + [
+            (col, "=", v) for col, vals in points for v in vals[:1]
+            if len(vals) == 1
+        ]
+        return filters  # all re-applied row-level by Spark
+
+    def _keep(self, add: dict) -> bool:
+        pv = add.get("partitionValues") or {}
+        raw_stats = add.get("stats")
+        try:
+            stats = json.loads(raw_stats) if raw_stats else {}
+        except (TypeError, ValueError):
+            stats = {}
+        for col, op, lit in self._triples:
+            if _pv_prunable(pv, col, op, lit):
+                return False
+            if _stats_prunable(stats, col, op, lit):
+                return False
+        return True
+
+    def partitions(self) -> Sequence[InputPartition]:
+        parts = []
+        for rel in self._state["files"]:
+            add = self._state["adds"][rel]
+            if not self._keep(add):
+                continue
+            pv = add.get("partitionValues") or {}
+            consts = tuple(
+                (c, pv.get(c)) for c in self._part_cols
+            )
+            parts.append(
+                _FilePartition(
+                    file_path=os.path.join(self._root, rel),
+                    # basename only: foreign rel paths may carry hive
+                    # dirs whose values must NOT override the log's
+                    # authoritative partitionValues (consts)
+                    rel=posixpath.basename(rel),
+                    dv_dir=None,
+                    consts=consts,
+                )
+            )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        if partition is None:
+            return  # empty table: zero partitions, one None feed
+        yield from _read_file_batches(partition, self._schema)
+
+
+class DeltaImportDataSource(DataSource):
+    """``format("delta_import")``: read-only foreign Delta tables."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_import"
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(_resolve_state(self.options)["schema"])
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return DeltaImportReader(self.options, schema)
+
+
+def register_delta_import_source(spark) -> None:
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # same driver-side guard as the txn source: resets the per-relation
+    # read-info cache before wrapped actions so pruned plans are never
+    # replayed for filterless reuse (pushdown_guard.py)
+    from .pushdown_guard import install_pushdown_guard
+
+    install_pushdown_guard()
+    spark.dataSource.register(DeltaImportDataSource)

@@ -85,7 +85,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..txn import _CDF_DIR, _DV_DIR, _VERSIONS, TxnTable
+from ..txn import _CDF_DIR, _DV_DIR, _VERSIONS, TxnTable, _cm_phys
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -101,6 +101,12 @@ class _FilePartition(InputPartition):
     # derived _change_type / _commit_version of this file's rows); cast
     # to the target schema exactly like partition-path values
     consts: tuple = ()
+    # physical column names aligned with the target schema's fields —
+    # set when the snapshot carries an id-based column mapping whose
+    # physical names diverge (txn.py rename_column); () = identity.
+    # Rides the partition (not the reader) because change-feed payload
+    # files carry LOGICAL names while data files carry physical ones.
+    phys: tuple = ()
 
 
 def _resolve_version(table: TxnTable, options) -> str:
@@ -119,6 +125,18 @@ def _resolve_version(table: TxnTable, options) -> str:
     if cur is None:
         raise FileNotFoundError(f"no committed version at {table.root}")
     return cur
+
+
+def _phys_names(cm: dict | None, schema: StructType) -> tuple:
+    """Physical names aligned to the schema's fields — () when the
+    snapshot's mapping is absent or pure identity (the common case),
+    keeping the partition pickle and the read loop unchanged."""
+    if not cm:
+        return ()
+    names = tuple(_cm_phys(cm, f.name) for f in schema.fields)
+    if names == tuple(f.name for f in schema.fields):
+        return ()
+    return names
 
 
 def _partition_values(rel: str) -> dict[str, str | None]:
@@ -161,12 +179,17 @@ def _read_file_batches(
             tbl = tbl.filter(
                 pc.invert(pc.is_in(idx, value_set=dead))
             )
+    # column mapping: bind each logical field through its physical name
+    # (identity when part.phys is unset). Partition-path dirs carry
+    # physical spellings too; consts (_change_type/_commit_version) are
+    # never mapped, so their physical == logical.
+    names = part.phys or tuple(f.name for f in target)
     cols = []
-    for field in target:
-        if field.name in tbl.column_names:
-            cols.append(tbl.column(field.name).cast(field.type))
-        elif field.name in pvals:
-            v = pvals[field.name]
+    for field, pname in zip(target, names):
+        if pname in tbl.column_names:
+            cols.append(tbl.column(pname).cast(field.type))
+        elif pname in pvals:
+            v = pvals[pname]
             scalar = pa.scalar(v, type=pa.string()).cast(field.type)
             cols.append(
                 pa.array([scalar.as_py()] * tbl.num_rows, type=field.type)
@@ -242,11 +265,16 @@ class TxnSnapshotReader(DataSourceReader):
         data_root = os.path.join(self._table.root, _VERSIONS, self._version)
         dv = os.path.join(data_root, _DV_DIR)
         dv_dir = dv if os.path.isdir(dv) else None
+        phys = _phys_names(
+            self._table._meta(self._version).get("column_mapping"),
+            self._schema,
+        )
         return [
             _FilePartition(
                 file_path=os.path.join(data_root, rel),
                 rel=rel,
                 dv_dir=dv_dir,
+                phys=phys,
             )
             for rel in sorted(kept_set)
         ]
@@ -373,6 +401,10 @@ class TxnStreamReader(DataSourceStreamReader):
                 meta = json.load(f)
             op = meta.get("operation")
             first = meta.get("parent") is None
+            # physical column names under THIS version's mapping (frozen
+            # once assigned, so mid-stream renames don't disturb files
+            # already planned); CDF payload files keep logical names
+            vphys = _phys_names(meta.get("column_mapping"), self._schema)
             # The initial snapshot replays its FULL logical content (a
             # clone's files are all carried, not fresh — emitting fresh
             # alone would silently skip them), DV anti-applied; every
@@ -423,6 +455,7 @@ class TxnStreamReader(DataSourceStreamReader):
                             rel=rel,
                             dv_dir=dv if os.path.isdir(dv) else None,
                             consts=ins,
+                            phys=vphys,
                         )
                         for rel in self._table.files(v)
                     )
@@ -440,6 +473,7 @@ class TxnStreamReader(DataSourceStreamReader):
                             rel=rel,
                             dv_dir=None,
                             consts=ins,
+                            phys=vphys,
                         )
                         for rel in fresh
                     )
@@ -475,7 +509,10 @@ class TxnStreamReader(DataSourceStreamReader):
             dv_dir = dv if first and os.path.isdir(dv) else None
             parts.extend(
                 _FilePartition(
-                    file_path=os.path.join(root, rel), rel=rel, dv_dir=dv_dir
+                    file_path=os.path.join(root, rel),
+                    rel=rel,
+                    dv_dir=dv_dir,
+                    phys=vphys,
                 )
                 for rel in fresh
             )

@@ -1280,11 +1280,12 @@ class TxnSqlRouter:
 
     def _exec_alter(self, c: _Cursor):
         """``ALTER TABLE t ADD COLUMNS (c TYPE, ...)`` → metadata-only
-        additive evolution; ``ALTER TABLE t RENAME COLUMN a TO b`` →
-        atomic rewrite (see ``TxnTable.rename_column`` for why rename
-        can't be metadata-only without id-based column mapping). Every
-        other ALTER form — DROP COLUMN, type changes — is non-additive
-        and fails loudly rather than guessing."""
+        additive evolution; ``RENAME COLUMN a TO b`` and ``DROP COLUMN
+        c`` → metadata-only via id-based column mapping
+        (``TxnTable.rename_column`` / ``drop_column`` — zero files
+        written, time travel keeps each snapshot's own schema); ``ALTER
+        COLUMN c TYPE t`` → metadata-only widening. Narrowing / lossy
+        type changes still fail loudly rather than guessing."""
         c.expect("ALTER", "TABLE")
         name, t = self._resolve(c.qident("table"))
         if c.accept("ADD", "COLUMNS") or c.accept("ADD", "COLUMN"):
@@ -1317,12 +1318,16 @@ class TxnSqlRouter:
             cname = c.ident("constraint")
             version = t.drop_constraint(self._spark, cname)
             return self._result(name, "drop_constraint", version)
+        if c.accept("DROP", "COLUMN"):
+            col = c.ident("column")
+            version = t.drop_column(self._spark, col)
+            return self._result(name, "drop_column", version)
         raise ValueError(
             "unsupported ALTER TABLE clause "
-            f"{_render(c.toks[c.i:c.i + 4])!r}: only additive evolution "
-            "(ADD COLUMNS, ALTER COLUMN ... TYPE widening) and RENAME "
-            "COLUMN are supported — DROP COLUMN / narrowing would "
-            "rewrite history non-additively"
+            f"{_render(c.toks[c.i:c.i + 4])!r}: supported forms are ADD "
+            "COLUMNS, ALTER COLUMN ... TYPE (widening), RENAME COLUMN, "
+            "DROP COLUMN, ADD/DROP CONSTRAINT — narrowing or lossy type "
+            "changes need an explicit rewrite"
         )
 
     def _exec_show_tables(self, ns: str | None = None):

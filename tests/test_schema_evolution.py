@@ -1,13 +1,15 @@
-"""ALTER TABLE / CTAS / persistent catalog (round 11).
+"""ALTER TABLE / CTAS / persistent catalog (rounds 11-12).
 
-SQL-first schema evolution (r10 verdict task 2): ``ALTER TABLE ADD
-COLUMNS`` must be a METADATA-ONLY commit (the machinery additive
-``mergeSchema`` writes already use, txn.py — carried files read the new
-columns as typed NULLs), ``RENAME COLUMN`` an atomic rewrite (no
-id-based column mapping in this format, so metadata-only rename is
-impossible without lying to the parquet footers), CTAS one planned
-write, and every non-additive ALTER a loud error. Plus the persistent
-catalog (task 4): name→root mappings that survive the session.
+SQL-first schema evolution: ``ALTER TABLE ADD COLUMNS`` is a
+METADATA-ONLY commit (carried files read the new columns as typed
+NULLs), and — since round 12's id-based column mapping (Delta
+``columnMapping.mode=name`` / Iceberg field ids, txn.py) — so are
+``RENAME COLUMN`` and ``DROP COLUMN``: the recorded schema keeps
+logical names, the mapping freezes each field's physical parquet name,
+readers scan physical and alias back, and a re-added name after a drop
+maps to a FRESH physical name so dropped bytes never resurrect. CTAS
+is one planned write; narrowing/lossy ALTERs stay loud errors. Plus
+the persistent catalog: name→root mappings that survive the session.
 """
 
 from __future__ import annotations
@@ -83,18 +85,145 @@ def test_add_columns_then_write_and_time_travel(spark, tmp_path):
 # -- TxnTable.rename_column ----------------------------------------------
 
 
-def test_rename_column_rewrites_atomically(spark, tmp_path):
+def test_rename_column_is_metadata_only(spark, tmp_path):
     t = _fresh(spark, tmp_path, n=30)
     pre = t.current_version()
+    files_before = t.files()
     v = t.rename_column(spark, "v", "doubled")
+    meta = t._meta(v)
+    assert meta["n_files_written"] == 0  # zero data IO
+    assert t.files(v) == files_before  # every file carried by reference
+    # the mapping pins the frozen physical name under the new logical
+    assert meta["column_mapping"]["fields"]["doubled"]["physical"] == "v"
     df = t.read(spark)
     assert df.columns == ["id", "doubled"]
     assert df.agg(F.sum("doubled")).collect()[0][0] == sum(
         i * 2.0 for i in range(30)
     )
-    assert t._meta(v)["extra"]["column_renamed"] == ["v", "doubled"]
+    assert meta["extra"]["column_renamed"] == ["v", "doubled"]
     # pre-rename snapshot still reads under its own schema
     assert t.read(spark, pre).columns == ["id", "v"]
+    # writes after the rename land under the physical name and read back
+    t.append(
+        spark.range(30, 35).select(
+            F.col("id"), (F.col("id") * 2.0).alias("doubled")
+        )
+    )
+    assert t.read(spark).filter(F.col("id") >= 30).agg(
+        F.sum("doubled")
+    ).collect()[0][0] == sum(i * 2.0 for i in range(30, 35))
+
+
+def test_rename_then_prune_and_merge(spark, tmp_path):
+    """Manifest pruning and keyed merges must translate logical
+    predicates through the mapping: stats and blooms stay keyed by the
+    frozen physical name."""
+    t = TxnTable(str(tmp_path / "m"))
+    t.commit(
+        spark.range(64).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).repartitionByRange(4, "k"),
+        sort_within=["k"],
+        bloom_cols=["k"],
+    )
+    t.rename_column(spark, "k", "key")
+    kept, total = t.pruned_files([("key", ">=", 48)])
+    assert total == 4 and len(kept) == 1  # range stats still prune
+    kept2, _ = t.pruned_files_in("key", [3])
+    assert len(kept2) == 1  # bloom still prunes point lookups
+    assert t.read_pruned(spark, [("key", ">=", 48)]).count() == 16
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(3, 99.0)], "key long, v double"),
+        ["key"],
+    )
+    got = t.read(spark).filter(F.col("key") == 3).collect()
+    assert len(got) == 1 and got[0]["v"] == 99.0
+    # merge only rewrote the candidate file(s), not the table
+    assert t._meta(t.current_version())["n_files_carried"] >= 3
+
+
+def test_drop_column_metadata_only_and_no_resurrection(spark, tmp_path):
+    t = _fresh(spark, tmp_path, n=20)
+    files_before = t.files()
+    v = t.drop_column(spark, "v")
+    meta = t._meta(v)
+    assert meta["n_files_written"] == 0
+    assert t.files(v) == files_before
+    assert t.read(spark).columns == ["id"]
+    # re-adding the SAME spelling maps to a fresh physical name: the
+    # dropped column's bytes in carried files must not resurrect
+    t.add_columns(spark, "v DOUBLE")
+    cm = t._meta(t.current_version())["column_mapping"]
+    assert cm["fields"]["v"]["physical"] != "v"
+    assert "v" in cm["used_phys"]
+    df = t.read(spark)
+    assert df.filter(F.col("v").isNotNull()).count() == 0
+    # and the re-added column is writable/readable under its fresh name
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(1, 7.0)], "id long, v double"),
+        ["id"],
+    )
+    assert t.read(spark).filter(F.col("v").isNotNull()).count() == 1
+
+
+def test_drop_column_refusals(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "p"))
+    t.commit(
+        spark.range(12).select(
+            F.col("id"), (F.col("id") % 3).alias("b")
+        ),
+        partition_by=["b"],
+    )
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column(spark, "ghost")
+    with pytest.raises(ValueError, match="partition"):
+        t.drop_column(spark, "b")
+    t.add_check_constraint(spark, "id_pos", "id >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.drop_column(spark, "id")
+    t2 = TxnTable(str(tmp_path / "single"))
+    t2.commit(spark.range(3))
+    with pytest.raises(ValueError, match="only column"):
+        t2.drop_column(spark, "id")
+
+
+def test_mapped_table_gates_and_materialize(spark, tmp_path):
+    """Surfaces that bind raw physical names refuse DIVERGED mappings
+    loudly; rewrite_layout materializes logical names and retires the
+    mapping."""
+    t = _fresh(spark, tmp_path, n=10)
+    t.rename_column(spark, "v", "val")
+    with pytest.raises(ValueError, match="column-mapped"):
+        t.register(spark, "cm_reg_refused")
+    with pytest.raises(ValueError, match="columnMapping"):
+        t.commit_staged(str(tmp_path / "nowhere"))
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta
+
+    with pytest.raises(ValueError, match="columnMapping"):
+        export_delta(t, str(tmp_path / "delta_out"))
+    # the escape hatch: one full rewrite re-aligns physical == logical
+    t.rewrite_layout(spark)
+    assert "column_mapping" not in t._meta(t.current_version())
+    df = t.read(spark)
+    assert df.columns == ["id", "val"]
+    assert df.count() == 10
+    t.register(spark, "cm_reg_ok")  # now representable
+    spark.sql("DROP TABLE IF EXISTS cm_reg_ok")
+
+
+def test_restore_across_mapping_boundary(spark, tmp_path):
+    t = _fresh(spark, tmp_path, n=10)
+    pre = t.current_version()
+    t.rename_column(spark, "v", "val")
+    t.drop_column(spark, "val")
+    # restore to the pre-mapping snapshot: plain-names table again
+    t.restore(spark, pre)
+    meta = t._meta(t.current_version())
+    assert "column_mapping" not in meta
+    assert sorted(t.read(spark).columns) == ["id", "v"]
+    assert t.read(spark).count() == 10
 
 
 def test_rename_column_refusals(spark, tmp_path):
@@ -122,7 +251,20 @@ def test_rename_partition_column_renames_spec(spark, tmp_path):
     assert t._meta(t.current_version())["partition_by"] == ["grp"]
     df = t.read(spark)
     assert df.groupBy("grp").count().count() == 4
-    assert all("grp=" in rel for rel in t.files())
+    # directory layout keeps the FROZEN physical spelling — that is
+    # exactly what makes the rename metadata-only — and later writes
+    # land under the same physical dirs
+    assert all("bucket=" in rel for rel in t.files())
+    t.append(
+        spark.range(40, 44).select(
+            F.col("id"), (F.col("id") % 4).alias("grp")
+        )
+    )
+    assert all("bucket=" in rel for rel in t.files())
+    assert t.read(spark).count() == 44
+    # partition predicates on the LOGICAL name still prune directories
+    kept, total = t.pruned_files([("grp", "=", 2)])
+    assert 0 < len(kept) < total
 
 
 # -- router: ALTER / CTAS / SHOW TABLES ------------------------------------
@@ -136,10 +278,12 @@ def test_router_alter_add_and_rename(spark, tmp_path):
     assert spark.table("evo").columns == ["id", "v", "tag"]
     router.sql("ALTER TABLE evo RENAME COLUMN tag TO label")
     assert spark.table("evo").columns == ["id", "v", "label"]
-    with pytest.raises(ValueError, match="only additive"):
-        router.sql("ALTER TABLE evo DROP COLUMN label")
+    router.sql("ALTER TABLE evo DROP COLUMN label")
+    assert spark.table("evo").columns == ["id", "v"]
     with pytest.raises(ValueError, match="not a supported widening"):
         router.sql("ALTER TABLE evo ALTER COLUMN v TYPE STRING")
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        router.sql("ALTER TABLE evo SET TBLPROPERTIES ('a'='b')")
 
 
 def test_router_ctas(spark, tmp_path):
@@ -187,7 +331,8 @@ def test_catalog_survives_sessions(spark, tmp_path):
     t = _fresh(spark, tmp_path)
     r1 = TxnSqlRouter(spark, catalog_dir=cat)
     r1.register("persisted", t)
-    assert os.path.exists(os.path.join(cat, "persisted.json"))
+    # catalog entries are keyed by QUALIFIED name since namespaces
+    assert os.path.exists(os.path.join(cat, "default.persisted.json"))
 
     # a FRESH router (new session in deployment terms) resolves the name
     # from the catalog dir alone and can run DML against it
@@ -213,7 +358,7 @@ def test_catalog_survives_sessions(spark, tmp_path):
 
     # DROP removes the catalog entry; a third session no longer sees it
     r2.sql("DROP TABLE persisted")
-    assert not os.path.exists(os.path.join(cat, "persisted.json"))
+    assert not os.path.exists(os.path.join(cat, "default.persisted.json"))
     r3 = TxnSqlRouter(spark, catalog_dir=cat)
     with pytest.raises(ValueError, match="not a registered"):
         r3.sql("DELETE FROM persisted WHERE id = 1")
