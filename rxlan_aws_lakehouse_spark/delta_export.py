@@ -55,26 +55,54 @@ from urllib.parse import quote, unquote
 import pyarrow as pa
 import pyarrow.parquet as _pq
 
-from .txn import TxnTable, _cm_divergent, _file_column_stats
+from .txn import TxnTable, _cm_divergent, _cm_fields, _file_column_stats
+
+_PLAIN_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+# columnMapping's legacy protocol gate (readerVersion 2 IS the
+# column-mapping reader contract; writer 5 covers the metadata writes)
+_MAPPED_PROTOCOL = {"minReaderVersion": 2, "minWriterVersion": 5}
 
 
-def _refuse_column_mapped(meta: dict, v: str) -> None:
-    """Exporting a snapshot whose id-based column mapping has DIVERGED
-    (a metadata-only rename happened) would need the Delta
-    ``columnMapping`` table feature — physical parquet names differing
-    from the logical schemaString, reader/writer feature flags, per-field
-    ``delta.columnMapping.physicalName`` metadata. This exporter emits
-    plain protocol (1,2) tables; rather than write a log external readers
-    would misread (logical schema over physical footers), refuse loudly
-    and name the escape hatch. Identity mappings (activation or pure
-    drops) export fine — drops already left the recorded schema."""
-    if _cm_divergent(meta.get("column_mapping")):
-        raise ValueError(
-            f"snapshot {v} uses id-based column mapping with renamed "
-            "columns (Delta columnMapping table feature — not emitted "
-            "by this exporter); run rewrite_layout() to materialize "
-            "logical names, then export"
-        )
+def _delta_table_meta(meta: dict) -> tuple[dict, dict, dict]:
+    """(schemaString json, configuration, protocol) for a snapshot.
+
+    A snapshot whose id-based column mapping has DIVERGED (a
+    metadata-only rename happened) exports as a SPEC-CORRECT
+    ``columnMapping.mode=name`` Delta table: the schemaString keeps
+    logical field names with ``delta.columnMapping.id`` /
+    ``delta.columnMapping.physicalName`` riding each field's metadata,
+    configuration carries the mode + maxColumnId, and the protocol
+    advances to (2, 5) — external readers then resolve the files'
+    physical parquet names through the mapping exactly as this engine
+    does. Nothing about the data files changes: they already carry
+    physical names, so the export stays zero-copy. Per the spec's
+    writer rules, partition values and stats are tracked under
+    PHYSICAL names — which is what the txn manifest already records
+    (directory names and footer stats are physical). Identity-or-
+    absent mappings export as plain protocol (1, 2) tables."""
+    schema_json = meta["schema"]
+    cm = meta.get("column_mapping")
+    if not _cm_divergent(cm):
+        return schema_json, {}, dict(_PLAIN_PROTOCOL)
+    fields = []
+    for f in schema_json.get("fields", []):
+        entry = _cm_fields(cm).get(str(f.get("name", "")).lower())
+        md = dict(f.get("metadata") or {})
+        if entry is not None:
+            md["delta.columnMapping.id"] = int(entry["id"])
+            md["delta.columnMapping.physicalName"] = entry["physical"]
+        fields.append({**f, "metadata": md})
+    cfg = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": str(
+            int(cm.get("max_id", len(fields)))
+        ),
+    }
+    return (
+        {**schema_json, "fields": fields},
+        cfg,
+        dict(_MAPPED_PROTOCOL),
+    )
 
 _LOG_DIR = "_delta_log"
 _APP_PREFIX = "rxlan-txn-export"
@@ -311,7 +339,7 @@ def export_delta(
         raise FileExistsError(f"{dest} already holds a Delta log")
 
     meta = table._meta(v)
-    _refuse_column_mapped(meta, v)
+    schema_json, table_cfg, protocol = _delta_table_meta(meta)
     os.makedirs(log_dir, exist_ok=True)
     entries = table.file_entries(v)
     dv = _load_dv(table, v)
@@ -356,7 +384,6 @@ def export_delta(
             }
         )
 
-    schema_json = meta["schema"]
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -369,7 +396,7 @@ def export_delta(
                 "engineInfo": "rxlan-aws-lakehouse-spark txn export",
             }
         },
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": protocol},
         _txn_action(table.root, v),
         {
             "metaData": {
@@ -377,7 +404,7 @@ def export_delta(
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(schema_json),
                 "partitionColumns": list(meta.get("partition_by") or []),
-                "configuration": {},
+                "configuration": table_cfg,
                 "createdTime": int(meta.get("committed_at_unix", 0) * 1000),
             }
         },
@@ -465,8 +492,12 @@ def replay_delta_log(dest: str, up_to: int | None = None) -> dict:
                         meta_id = md.get("id")
                         created_time = md.get("createdTime")
                         cfg = md.get("configuration")
+                        # pyarrow maps round-trip as [(k, v), ...] pairs
                         configuration = (
-                            dict(cfg) if isinstance(cfg, dict) else {}
+                            dict(cfg)
+                            if isinstance(cfg, (dict, list))
+                            and cfg is not None
+                            else {}
                         )
                     elif row.get("protocol") and row["protocol"].get(
                         "minReaderVersion"
@@ -630,7 +661,6 @@ def export_delta_sync(
     v = version or table.current_version()
     if v is None:
         raise FileNotFoundError(f"no committed version at {table.root}")
-    _refuse_column_mapped(table._meta(v), v)
     log_dir = os.path.join(dest, _LOG_DIR)
     if not _has_log(log_dir):
         out = export_delta(table, dest, version=v)
@@ -688,9 +718,17 @@ def export_delta_sync(
     added = sorted(set(new_entries) - set(old_entries))
     removed = sorted(set(old_entries) - set(new_entries))
     meta = table._meta(v)
-    schema_changed = meta["schema"] != old_meta["schema"] or (
-        meta.get("partition_by") or []
-    ) != (old_meta.get("partition_by") or [])
+    schema_json, table_cfg, protocol = _delta_table_meta(meta)
+    # metaData re-emits when the mapped schemaString OR table config
+    # changes — a metadata-only RENAME/DROP between syncs flows to the
+    # mirror as pure metadata, exactly like the source commit it mirrors
+    old_schema_json, old_cfg, _old_proto = _delta_table_meta(old_meta)
+    schema_changed = (
+        schema_json != old_schema_json
+        or table_cfg != old_cfg
+        or (meta.get("partition_by") or [])
+        != (old_meta.get("partition_by") or [])
+    )
     data_change = _any_data_change(table, last_txn, v)
 
     data_root = os.path.join(table.root, "_versions", v)
@@ -707,16 +745,24 @@ def export_delta_sync(
         _txn_action(table.root, v),
     ]
     if schema_changed:
+        # protocol upgrade rides the same commit when the mapping first
+        # diverges (plain (1,2) mirror -> columnMapping needs (2,5));
+        # never DOWNgrade an already-upgraded mirror
+        cur_proto = state.get("protocol") or dict(_PLAIN_PROTOCOL)
+        if int(protocol["minReaderVersion"]) > int(
+            cur_proto.get("minReaderVersion") or 1
+        ):
+            actions.append({"protocol": protocol})
         actions.append(
             {
                 "metaData": {
                     "id": _delta_table_id(table.root),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": json.dumps(meta["schema"]),
+                    "schemaString": json.dumps(schema_json),
                     "partitionColumns": list(
                         meta.get("partition_by") or []
                     ),
-                    "configuration": {},
+                    "configuration": table_cfg,
                     "createdTime": now_ms,
                 }
             }
@@ -868,11 +914,17 @@ def write_delta_checkpoint(dest: str) -> dict:
     version = state["n_commits"] - 1
     log_dir = os.path.join(dest, _LOG_DIR)
 
-    # reconstruct protocol + metaData rows from the live replay (the
-    # export writes fixed protocol versions; metaData is the newest)
+    # reconstruct protocol + metaData rows from the live replay — BOTH
+    # come from the replayed state, so a columnMapping mirror's (2,5)
+    # protocol and delta.columnMapping.* configuration survive the
+    # checkpoint (a hardcoded (1,2) would silently downgrade it)
+    proto = state.get("protocol") or dict(_PLAIN_PROTOCOL)
     rows: list[dict] = [
         {
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "protocol": {
+                "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+                "minWriterVersion": int(proto.get("minWriterVersion") or 2),
+            },
             "metaData": None,
             "txn": None,
             "add": None,
@@ -889,7 +941,7 @@ def write_delta_checkpoint(dest: str) -> dict:
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(state["schema"]),
                 "partitionColumns": list(state["partition_columns"]),
-                "configuration": {},
+                "configuration": dict(state.get("configuration") or {}),
                 "createdTime": state["created_time"],
             },
             "txn": None,
@@ -1003,11 +1055,13 @@ def read_delta_export(spark, dest: str):
     )
 
 
-# Reader features this importer genuinely implements. ``timestampNtz``
-# is a pure type (Spark reads it natively); anything else — deletion
-# vectors, column mapping, v2Checkpoint — changes how the DATA must be
-# interpreted and is refused loudly by name.
-_SUPPORTED_READER_FEATURES = frozenset({"timestampNtz"})
+# Reader features this importer genuinely implements. ``columnMapping``
+# (NAME mode — physical parquet names resolved through each field's
+# ``delta.columnMapping.physicalName`` metadata) and ``timestampNtz``
+# (a pure type Spark reads natively). Anything else — deletion vectors,
+# v2Checkpoint — changes how the DATA must be interpreted and is
+# refused loudly by name.
+_SUPPORTED_READER_FEATURES = frozenset({"timestampNtz", "columnMapping"})
 
 
 def _gate_foreign_protocol(state: dict) -> None:
@@ -1015,15 +1069,12 @@ def _gate_foreign_protocol(state: dict) -> None:
     honor — loudly, naming the feature (the Delta spec's own contract:
     a reader MUST NOT read a table whose reader version/features it
     does not implement; silently misreading DV-bearing files would
-    resurrect deleted rows)."""
+    resurrect deleted rows). Reader version 2 == column mapping, which
+    this importer implements in NAME mode; ID mode (parquet field-id
+    resolution) is refused."""
     proto = state.get("protocol") or {}
     reader_v = int(proto.get("minReaderVersion") or 1)
     features = set(proto.get("readerFeatures") or [])
-    if reader_v == 2:
-        raise ValueError(
-            "cannot import: protocol minReaderVersion=2 (columnMapping) "
-            "is not supported by this importer"
-        )
     if reader_v >= 3:
         unsupported = features - _SUPPORTED_READER_FEATURES
         if unsupported:
@@ -1034,11 +1085,11 @@ def _gate_foreign_protocol(state: dict) -> None:
             )
     cfg = state.get("configuration") or {}
     cm_mode = str(cfg.get("delta.columnMapping.mode", "none")).lower()
-    if cm_mode not in ("none", ""):
+    if cm_mode not in ("none", "", "name"):
         raise ValueError(
-            "cannot import: table uses delta.columnMapping.mode="
-            f"{cm_mode!r} (physical parquet names diverge from the "
-            "logical schema); not supported by this importer"
+            "cannot import: delta.columnMapping.mode="
+            f"{cm_mode!r} resolves parquet columns by FIELD ID; only "
+            "'name' mode (physicalName resolution) is supported"
         )
     for rel, a in (state.get("adds") or {}).items():
         if a.get("deletionVector"):
@@ -1047,6 +1098,19 @@ def _gate_foreign_protocol(state: dict) -> None:
                 f"action for {rel!r} has a deletionVector); merge-on-read "
                 "DV decoding is not supported by this importer"
             )
+
+
+def _foreign_phys(state: dict) -> dict[str, str]:
+    """logical field name -> physical parquet name, from the
+    schemaString's per-field ``delta.columnMapping.physicalName``
+    metadata (identity when absent — plain tables)."""
+    out: dict[str, str] = {}
+    for f in (state.get("schema") or {}).get("fields", []):
+        md = f.get("metadata") or {}
+        out[f["name"]] = md.get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+    return out
 
 
 def import_delta(spark, path: str, version: int | None = None):
@@ -1059,10 +1123,13 @@ def import_delta(spark, path: str, version: int | None = None):
     (single-file or multi-part) → JSON tail, add−remove reconciliation,
     newest metaData wins, ``version=`` time travel (checkpoint past the
     target falls back to a from-zero replay and raises if that history
-    was cleaned). Tables needing reader features this engine does not
-    implement — deletion vectors, column mapping, v2 checkpoints — are
-    refused LOUDLY by feature name (``_gate_foreign_protocol``), never
-    misread.
+    was cleaned). ``columnMapping.mode=name`` tables read correctly:
+    physical parquet names resolve through each field's
+    ``delta.columnMapping.physicalName`` metadata and partition values
+    /stats are looked up under physical names per the spec's writer
+    rule. Reader features this engine does not implement — deletion
+    vectors, ID-mode column mapping, v2 checkpoints — are refused
+    LOUDLY by feature name (``_gate_foreign_protocol``), never misread.
 
     Unlike ``read_delta_export`` (which assumes this engine's own
     hive-layout exports), the file layout is NOT trusted:
@@ -1079,17 +1146,27 @@ def import_delta(spark, path: str, version: int | None = None):
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    from pyspark.sql.types import StructField
+
     state = replay_delta_log(path, up_to=version)
     _gate_foreign_protocol(state)
     schema = StructType.fromJson(state["schema"])
+    # columnMapping name mode: files/partitionValues/stats carry
+    # PHYSICAL names; resolve per field, identity on plain tables
+    phys = _foreign_phys(state)
     part_cols = list(state["partition_columns"])
     bad_parts = [c for c in part_cols if c not in schema.fieldNames()]
     if bad_parts:
         raise ValueError(
             f"partitionColumns {bad_parts} missing from schemaString"
         )
-    data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = StructType(data_fields)
+    data_schema = StructType(
+        [
+            StructField(phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
+    )
     files = state["files"]
     if not files:
         return spark.createDataFrame([], schema)
@@ -1103,7 +1180,10 @@ def import_delta(spark, path: str, version: int | None = None):
 
     if not part_cols:
         return spark.read.schema(data_schema).parquet(*abs_paths).select(
-            *(f.name for f in schema.fields)
+            *(
+                F.col(phys[f.name]).alias(f.name)
+                for f in schema.fields
+            )
         )
 
     import posixpath
@@ -1115,9 +1195,10 @@ def import_delta(spark, path: str, version: int | None = None):
     basenames = [posixpath.basename(rel) for rel in files]
     if len(set(basenames)) == len(basenames):
         # the scale path: one scan + broadcast map join on basename
+        # (partitionValues keys are physical per the spec's writer rule)
         pv_rows = [
             (posixpath.basename(rel),)
-            + tuple(pv_of[rel].get(c) for c in part_cols)
+            + tuple(pv_of[rel].get(phys[c]) for c in part_cols)
             for rel in files
         ]
         pv_schema = ", ".join(
@@ -1132,7 +1213,7 @@ def import_delta(spark, path: str, version: int | None = None):
         joined = keyed.join(F.broadcast(pv_df), "__dl_base", "inner")
         return joined.select(
             *(
-                F.col(f.name)
+                F.col(phys[f.name]).alias(f.name)
                 if f.name not in part_cols
                 else F.when(
                     F.col(f"__dl_{part_cols.index(f.name)}").isNull()
@@ -1152,7 +1233,7 @@ def import_delta(spark, path: str, version: int | None = None):
     # the spec does not forbid it): exact per-partition-group scans
     groups: dict[tuple, list[str]] = {}
     for rel in files:
-        key = tuple(pv_of[rel].get(c) for c in part_cols)
+        key = tuple(pv_of[rel].get(phys[c]) for c in part_cols)
         groups.setdefault(key, []).append(rel)
     if len(groups) > 256:
         raise ValueError(
@@ -1168,7 +1249,7 @@ def import_delta(spark, path: str, version: int | None = None):
         branches.append(
             b.select(
                 *(
-                    F.col(f.name)
+                    F.col(phys[f.name]).alias(f.name)
                     if f.name not in part_cols
                     else typed_part(
                         f.name, key[part_cols.index(f.name)]

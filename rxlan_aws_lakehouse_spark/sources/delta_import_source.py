@@ -10,9 +10,13 @@ first-class Spark source (round 12, r11 verdict task 2's catalog face).
 Planning is LOG-ONLY: ``replay_delta_log`` (delta_export.py) resolves
 the live file set from ``_last_checkpoint`` + JSON tail — a directory
 is never listed, exactly the contract the txn source holds. Protocol
-gating happens at plan time (``_gate_foreign_protocol``): deletion
-vectors, column mapping and v2 checkpoints refuse loudly by feature
-name, never a silent misread.
+gating happens at plan time (``_gate_foreign_protocol``):
+``columnMapping.mode=name`` tables are SUPPORTED (physical parquet
+names resolve through ``delta.columnMapping.physicalName`` field
+metadata, riding the same per-partition ``phys`` tuple the txn source
+uses for its own mapped tables); deletion vectors, ID-mode column
+mapping and v2 checkpoints refuse loudly by feature name, never a
+silent misread.
 
 File skipping, the property that makes a foreign 100 TB mirror
 queryable: pushed predicates prune at TWO metadata levels before Spark
@@ -54,7 +58,11 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..delta_export import _gate_foreign_protocol, replay_delta_log
+from ..delta_export import (
+    _foreign_phys,
+    _gate_foreign_protocol,
+    replay_delta_log,
+)
 from .txn_source import _FilePartition, _filter_triples, _read_file_batches
 
 
@@ -142,8 +150,24 @@ class DeltaImportReader(DataSourceReader):
         self._root = options["path"]
         self._state = _resolve_state(options)
         self._part_cols = list(self._state["partition_columns"])
-        # physical names aligned to schema fields: identity (column
-        # mapping is gated off), so _read_file_batches binds by name
+        # columnMapping name mode: logical -> physical per field (from
+        # delta.columnMapping.physicalName metadata; identity on plain
+        # tables). Files, partitionValues and stats all bind physical.
+        self._phys_map = _foreign_phys(self._state)
+        phys_tuple = (
+            tuple(
+                self._phys_map.get(f.name, f.name)
+                for f in schema.fields
+            )
+            if schema is not None
+            else ()
+        )
+        self._phys = (
+            phys_tuple
+            if schema is not None
+            and phys_tuple != tuple(f.name for f in schema.fields)
+            else ()
+        )
         self._triples: list[tuple] = []
 
     def pushFilters(self, filters: list[Filter]):
@@ -164,9 +188,12 @@ class DeltaImportReader(DataSourceReader):
         except (TypeError, ValueError):
             stats = {}
         for col, op, lit in self._triples:
-            if _pv_prunable(pv, col, op, lit):
+            # pushed predicates name LOGICAL columns; partitionValues
+            # and stats keys are physical per the spec's writer rule
+            pcol = self._phys_map.get(col, col)
+            if _pv_prunable(pv, pcol, op, lit):
                 return False
-            if _stats_prunable(stats, col, op, lit):
+            if _stats_prunable(stats, pcol, op, lit):
                 return False
         return True
 
@@ -178,7 +205,11 @@ class DeltaImportReader(DataSourceReader):
                 continue
             pv = add.get("partitionValues") or {}
             consts = tuple(
-                (c, pv.get(c)) for c in self._part_cols
+                (
+                    self._phys_map.get(c, c),
+                    pv.get(self._phys_map.get(c, c)),
+                )
+                for c in self._part_cols
             )
             parts.append(
                 _FilePartition(
@@ -189,6 +220,7 @@ class DeltaImportReader(DataSourceReader):
                     rel=posixpath.basename(rel),
                     dv_dir=None,
                     consts=consts,
+                    phys=self._phys,
                 )
             )
         return parts

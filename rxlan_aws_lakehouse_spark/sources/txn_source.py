@@ -332,6 +332,16 @@ class TxnStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema: StructType):
         self._schema = schema
         self._table = TxnTable(options["path"])
+        # PLAN-TIME column mapping: physical names are FROZEN once
+        # assigned, so the mapping of the version the stream planned
+        # against resolves this schema's fields in EVERY later commit's
+        # files — per-version mappings would break after a second
+        # rename (the pinned logical name leaves the newer mapping).
+        cur = self._table.current_version()
+        self._plan_cm = (
+            self._table._meta(cur).get("column_mapping") if cur else None
+        )
+        self._plan_phys = _phys_names(self._plan_cm, schema)
         self._ignore_deletes = str(
             options.get("ignoreDeletes", "false")
         ).lower() == "true"
@@ -401,10 +411,11 @@ class TxnStreamReader(DataSourceStreamReader):
                 meta = json.load(f)
             op = meta.get("operation")
             first = meta.get("parent") is None
-            # physical column names under THIS version's mapping (frozen
-            # once assigned, so mid-stream renames don't disturb files
-            # already planned); CDF payload files keep logical names
-            vphys = _phys_names(meta.get("column_mapping"), self._schema)
+            # data files bind through the PLAN-TIME physical names
+            # (frozen forever); CDF payload files instead carry the
+            # LOGICAL names of their own version — resolve each pinned
+            # field to that version's spelling via physical identity
+            vphys = self._plan_phys
             # The initial snapshot replays its FULL logical content (a
             # clone's files are all carried, not fresh — emitting fresh
             # alone would silently skip them), DV anti-applied; every
@@ -424,13 +435,38 @@ class TxnStreamReader(DataSourceStreamReader):
                 cv = (("_commit_version", v),)
                 if os.path.isdir(cdf_dir):
                     # recorded payload: exact row-level changes, streamed
-                    # verbatim (_change_type is a data column there)
+                    # verbatim (_change_type is a data column there).
+                    # Payload columns carry the LOGICAL names of THIS
+                    # version — after a mid-stream rename those differ
+                    # from the pinned schema, so bind each pinned field
+                    # to the version's spelling via physical identity
+                    vcm = meta.get("column_mapping")
+                    by_phys = {
+                        _cm_phys(vcm, fl["name"]).lower(): fl["name"]
+                        for fl in (meta.get("schema") or {}).get(
+                            "fields", []
+                        )
+                    }
+                    names = tuple(
+                        by_phys.get(
+                            _cm_phys(self._plan_cm, f.name).lower(),
+                            f.name,
+                        )
+                        for f in self._schema.fields
+                    )
+                    cdf_phys = (
+                        names
+                        if names
+                        != tuple(f.name for f in self._schema.fields)
+                        else ()
+                    )
                     parts.extend(
                         _FilePartition(
                             file_path=os.path.join(cdf_dir, fn),
                             rel=fn,
                             dv_dir=None,
                             consts=cv,
+                            phys=cdf_phys,
                         )
                         for fn in sorted(os.listdir(cdf_dir))
                         if fn.endswith(".parquet")
@@ -442,6 +478,11 @@ class TxnStreamReader(DataSourceStreamReader):
                     "rewrite_layout",
                     "set_constraint",
                     "set_cdf",
+                    # schema evolution: metadata-only, zero row changes
+                    "add_columns",
+                    "widen_type",
+                    "rename_column",
+                    "drop_column",
                 ):
                     continue  # physical/metadata only: no logical change
                 ins = (("_change_type", "insert"),) + cv
@@ -494,7 +535,14 @@ class TxnStreamReader(DataSourceStreamReader):
                         )
                     if not self._ignore_changes:
                         continue  # ignoreDeletes: suppress, don't re-emit
-                elif op in ("set_constraint", "set_cdf"):
+                elif op in (
+                    "set_constraint",
+                    "set_cdf",
+                    "add_columns",
+                    "widen_type",
+                    "rename_column",
+                    "drop_column",
+                ):
                     pass  # metadata-only: no fresh files anyway
                 elif not self._ignore_changes:
                     raise RuntimeError(

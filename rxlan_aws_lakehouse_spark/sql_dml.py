@@ -555,6 +555,9 @@ class TxnSqlRouter:
         self._spark = spark
         self._strategy = strategy
         self._tables: dict[str, TxnTable] = {}  # "ns.table" -> table
+        # read-only foreign-Delta attachments ("ns.table" -> path):
+        # session views over format("delta_import"), never persisted
+        self._foreign: dict[str, str] = {}
         self._catalog_dir: str | None = None
         self._namespace = "default"
         from .sources.txn_source import register_txn_source
@@ -736,13 +739,15 @@ class TxnSqlRouter:
             toks[1].upper() == "TABLE"
         ):
             # only claim txn DDL: an explicit USING <other-format>
-            # belongs to Spark's own catalog surface
+            # belongs to Spark's own catalog surface — except
+            # DELTA_IMPORT, the read-only foreign-Delta attachment
             ups = [t.upper() for t in toks]
-            if "USING" in ups and (
-                ups[ups.index("USING") + 1 : ups.index("USING") + 2]
-                != ["TXN"]
-            ):
-                return self._spark.sql(statement)
+            if "USING" in ups:
+                nxt = ups[ups.index("USING") + 1 : ups.index("USING") + 2]
+                if nxt == ["DELTA_IMPORT"]:
+                    return self._exec_create_delta_import(_Cursor(toks))
+                if nxt != ["TXN"]:
+                    return self._spark.sql(statement)
             return self._exec_create(_Cursor(toks))
         if verb == "ALTER" and len(toks) >= 2 and (
             toks[1].upper() == "TABLE"
@@ -1348,9 +1353,72 @@ class TxnSqlRouter:
             "version string",
         )
 
+    def _exec_create_delta_import(self, c: _Cursor):
+        """``CREATE TABLE name USING DELTA_IMPORT LOCATION '<path>'
+        [VERSION AS OF n]`` — attach a FOREIGN Delta table (one this
+        engine did not write) as a read-only session view over
+        ``format("delta_import")`` (sources/delta_import_source.py):
+        checkpoint-seeded log replay, authoritative partitionValues,
+        columnMapping=name resolution, add.stats file skipping. The
+        attachment is session-scoped (nothing is persisted — the
+        foreign log is the source of truth); DML against it fails as
+        it would against any non-txn view."""
+        from .sources.delta_import_source import (
+            register_delta_import_source,
+        )
+
+        c.expect("CREATE", "TABLE")
+        c.accept("IF", "NOT", "EXISTS")
+        name = c.qident("table")
+        c.expect("USING", "DELTA_IMPORT")
+        if not c.accept("LOCATION"):
+            raise ValueError(
+                "CREATE TABLE ... USING DELTA_IMPORT needs "
+                "LOCATION '<path>'"
+            )
+        loc_tok = c.peek()
+        if loc_tok is None or not loc_tok.startswith("'"):
+            raise ValueError("LOCATION expects a quoted path")
+        c.i += 1
+        path = loc_tok[1:-1].replace("''", "'")
+        version = None
+        if c.accept("VERSION", "AS", "OF"):
+            vt = c.peek()
+            if vt is None:
+                raise ValueError("VERSION AS OF needs a version number")
+            c.i += 1
+            version = int(vt)
+        register_delta_import_source(self._spark)
+        reader = self._spark.read.format("delta_import")
+        if version is not None:
+            reader = reader.option("version", version)
+        df = reader.load(path)
+        key = self._key(name)
+        ns, bare = key.split(".", 1)
+        if ns == self._namespace:
+            df.createOrReplaceTempView(bare)
+        df.createOrReplaceTempView(self._mangled_view(key))
+        self._foreign[key] = path
+        return self._spark.createDataFrame(
+            [("attach_delta_import", path)],
+            "operation string, version string",
+        )
+
     def _exec_drop(self, c: _Cursor):
         c.expect("DROP", "TABLE")
         name = c.qident("table")
+        key_f = self._key(name)
+        if key_f in self._foreign:
+            # read-only foreign attachment: just drop the views
+            del self._foreign[key_f]
+            ns, bare = key_f.split(".", 1)
+            if ns == self._namespace:
+                self._spark.catalog.dropTempView(bare)
+            self._spark.catalog.dropTempView(self._mangled_view(key_f))
+            return self._spark.createDataFrame(
+                [("detach_delta_import", key_f)],
+                "operation string, version string",
+            )
         self._resolve(name)
         key = self._key(name)
         del self._tables[key]

@@ -1167,6 +1167,16 @@ class TxnTable:
         overwrite/restore, which rewrites arbitrary rows) raises
         ``ChangeFeedUnavailableError`` rather than guessing.
 
+        SCHEMA EVOLUTION across the range reads under the RANGE-END
+        version's schema (Delta CDF's contract): additive columns
+        null-fill for earlier commits; a metadata-only RENAME between
+        commits is resolved through the column mapping's PHYSICAL
+        identity, so a payload written under the old logical name
+        surfaces under the new one; columns dropped by the end version
+        disappear from the feed. The schema-evolution commits
+        themselves (add/rename/drop/widen) contribute no rows — no
+        logical row changed.
+
         Same vacuum contract as ``read_changes``: consume before
         vacuuming past the range.
         """
@@ -1175,6 +1185,51 @@ class TxnTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         lo = int(since[1:]) if since else 0
         hi = int(until[1:])
+        end_meta = self._meta(until)
+        end_cm = end_meta.get("column_mapping")
+        end_schema = (
+            StructType.fromJson(end_meta["schema"])
+            if end_meta.get("schema")
+            else None
+        )
+        phys_to_end = {
+            _cm_phys(end_cm, f.name).lower(): f.name
+            for f in (end_schema.fields if end_schema else [])
+        }
+
+        def to_end_names(b: DataFrame, vmeta: dict) -> DataFrame:
+            """Normalize one branch to the RANGE-END schema: columns
+            remap to the end logical names via physical identity,
+            columns the end version dropped leave the feed, columns it
+            added later null-fill — so the feed's shape is always
+            end-schema + change metadata (identity projection when the
+            schema never evolved — unchanged plans for ordinary
+            tables)."""
+            if end_schema is None:
+                return b
+            vcm = vmeta.get("column_mapping")
+            have = {
+                phys_to_end[p]: c
+                for c in b.columns
+                if c != _CHANGE_TYPE
+                and (p := _cm_phys(vcm, c).lower()) in phys_to_end
+            }
+            if (
+                len(have) == len(end_schema.fields)
+                and set(have) == set(b.columns) - {_CHANGE_TYPE}
+                and all(k == v for k, v in have.items())
+            ):
+                return b  # nothing renamed/dropped/added
+            cols = [
+                F.col(have[f.name]).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in end_schema.fields
+            ]
+            if _CHANGE_TYPE in b.columns:
+                cols.append(F.col(_CHANGE_TYPE))
+            return b.select(*cols)
+
         branches: list[DataFrame] = []
         for meta in self.history():
             v = meta["version"]
@@ -1184,20 +1239,28 @@ class TxnTable:
             root = os.path.join(self.root, _VERSIONS, v)
             cdf_dir = os.path.join(root, _CDF_DIR)
             if os.path.isdir(cdf_dir):
-                b = spark.read.parquet(cdf_dir)
+                b = to_end_names(spark.read.parquet(cdf_dir), meta)
             elif op in (
                 "compact",
                 "materialize_deletes",
                 "rewrite_layout",
                 "set_constraint",
                 "set_cdf",
+                # schema evolution: metadata-only, no logical row change
+                "add_columns",
+                "widen_type",
+                "rename_column",
+                "drop_column",
             ):
                 continue  # physical/metadata only: no logical change
             elif meta.get("parent") is None:
                 # first snapshot (initial commit or clone): the whole
                 # logical content, DV-applied, is one insert batch
-                b = self.read(spark, v).withColumn(
-                    _CHANGE_TYPE, F.lit("insert")
+                b = to_end_names(
+                    self.read(spark, v).withColumn(
+                        _CHANGE_TYPE, F.lit("insert")
+                    ),
+                    meta,
                 )
             elif op == "append" or (
                 # insert-only merge/CDC batch under an ENABLED feed: a
@@ -1218,13 +1281,16 @@ class TxnTable:
                     continue
                 vschema = StructType.fromJson(meta["schema"])
                 vcm = meta.get("column_mapping")
-                b = _cm_to_logical(
-                    spark.read.option("basePath", root)
-                    .schema(_cm_phys_schema(vschema, vcm))
-                    .parquet(*fresh),
-                    vschema,
-                    vcm,
-                ).withColumn(_CHANGE_TYPE, F.lit("insert"))
+                b = to_end_names(
+                    _cm_to_logical(
+                        spark.read.option("basePath", root)
+                        .schema(_cm_phys_schema(vschema, vcm))
+                        .parquet(*fresh),
+                        vschema,
+                        vcm,
+                    ).withColumn(_CHANGE_TYPE, F.lit("insert")),
+                    meta,
+                )
             else:
                 raise ChangeFeedUnavailableError(
                     f"{v} ({op}) recorded no row-level change payload; "

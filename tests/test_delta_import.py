@@ -4,9 +4,10 @@
 engine did not write: checkpoint parquet (single or multi-part) + JSON
 tail, add−remove reconciliation, authoritative ``partitionValues``
 (files deliberately NOT laid out hive-style here, so nothing can leak
-from path inference), time travel, and LOUD refusals for reader
-features the engine does not implement (deletion vectors, column
-mapping, v2 checkpoints). The logs in these tests are hand-authored
+from path inference), time travel, ``columnMapping.mode=name``
+resolution (physicalName field metadata), and LOUD refusals for reader
+features the engine does not implement (deletion vectors, ID-mode
+column mapping, v2 checkpoints). The logs in these tests are hand-authored
 from the public protocol spec — never produced by ``export_delta`` —
 so they exercise the importer, not the exporter.
 """
@@ -279,17 +280,12 @@ def test_import_refusals_by_feature_name(spark, foreign):
     foreign.commit(3, [a])
     with pytest.raises(ValueError, match="deletionVector"):
         import_delta(spark, foreign.root)
-    # column mapping via table configuration
+    # ID-mode column mapping (parquet field-id resolution) is refused;
+    # name mode is supported (test_import_column_mapping_name_mode)
     md = _meta_action()
-    md["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    md["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
     foreign.commit(4, [md])
     with pytest.raises(ValueError, match="columnMapping"):
-        import_delta(spark, foreign.root)
-    # reader version 2 == column mapping
-    foreign.commit(
-        5, [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}]
-    )
-    with pytest.raises(ValueError, match="minReaderVersion=2"):
         import_delta(spark, foreign.root)
     # reader features beyond what the importer implements
     foreign.commit(
@@ -487,4 +483,195 @@ def test_delta_import_stats_skipping(spark, tmp_path):
         .filter(F.col("k") >= 50)
         .count()
         == 2
+    )
+
+
+def test_import_column_mapping_name_mode(spark, tmp_path):
+    """A hand-authored columnMapping.mode=name table (protocol (2,5),
+    physicalName field metadata, PHYSICAL partitionValues keys) reads
+    with logical names — and stats/partition skipping translates."""
+    from rxlan_aws_lakehouse_spark.sources.delta_import_source import (
+        DeltaImportReader,
+        register_delta_import_source,
+    )
+
+    f = Foreign(str(tmp_path / "cm"))
+    # physical on-disk names differ from the logical schema
+    p1 = f.write_file("m1.parquet", [1, 2])   # columns k, v (physical)
+    p2 = f.write_file("m2.parquet", [50, 51])
+    mapped_schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "key", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "k"}},
+            {"name": "val", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "v"}},
+            {"name": "category", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "cat"}},
+        ],
+    }
+
+    def add_cm(p, pv_phys, kmin, kmax, n):
+        return {
+            "add": {
+                "path": p,
+                "partitionValues": pv_phys,  # PHYSICAL keys per spec
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": json.dumps(
+                    {
+                        "numRecords": n,
+                        "minValues": {"k": kmin},   # physical keys
+                        "maxValues": {"k": kmax},
+                        "nullCount": {"k": 0},
+                    }
+                ),
+            }
+        }
+
+    f.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cm-1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(mapped_schema),
+                    "partitionColumns": ["category"],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                    "createdTime": 0,
+                }
+            },
+            add_cm(p1, {"cat": "a"}, 1, 2, 2),
+            add_cm(p2, {"cat": "b"}, 50, 51, 2),
+        ],
+    )
+    df = import_delta(spark, f.root)
+    assert df.columns == ["key", "val", "category"]
+    got = {(r["key"], r["category"]) for r in df.collect()}
+    assert got == {(1, "a"), (2, "a"), (50, "b"), (51, "b")}
+    # through the format, with logical-name filters
+    register_delta_import_source(spark)
+    sdf = spark.read.format("delta_import").load(f.root)
+    assert sdf.columns == ["key", "val", "category"]
+    assert sdf.filter(F.col("category") == "b").count() == 2
+    assert sdf.filter(F.col("key") >= 50).count() == 2
+    # plan-time skipping translates logical predicates to physical keys
+    from pyspark.sql.types import StructType
+
+    logical = StructType.fromJson(mapped_schema)
+    r = DeltaImportReader({"path": f.root}, logical)
+    r._triples = [("key", ">=", 40)]
+    assert len(r.partitions()) == 1
+    r2 = DeltaImportReader({"path": f.root}, logical)
+    r2._triples = [("category", "=", "a")]
+    assert len(r2.partitions()) == 1
+
+
+def test_mapped_export_round_trips(spark, tmp_path):
+    """A txn table with a DIVERGED column mapping exports as a
+    spec-correct columnMapping=name Delta table — zero-copy (files
+    already carry physical names) — and the importer reads it back
+    identical to TxnTable.read; a mirror sync carries a metadata-only
+    rename as pure metadata + protocol upgrade."""
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        export_delta_sync,
+        write_delta_checkpoint,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(40).select(
+            F.col("id"),
+            (F.col("id") % 4).cast("string").alias("g"),
+            (F.col("id") * 2.0).alias("x"),
+        ),
+        partition_by=["g"],
+    )
+    dest = str(tmp_path / "mirror")
+    export_delta_sync(t, dest)  # bootstrap: plain (1,2) table
+    state0 = replay_delta_log(dest)
+    assert (state0["protocol"] or {}).get("minReaderVersion", 1) == 1
+    # metadata-only rename on the source, then sync: the mirror gains
+    # a protocol upgrade + mapped metaData, NO data files move
+    t.rename_column(spark, "x", "score")
+    out = export_delta_sync(t, dest)
+    assert out["schema_changed"] is True
+    assert out["n_adds"] == 0 and out["n_removes"] == 0
+    state1 = replay_delta_log(dest)
+    assert state1["protocol"]["minReaderVersion"] == 2
+    cfg = state1["configuration"]
+    assert cfg["delta.columnMapping.mode"] == "name"
+    fields = {f["name"]: f for f in state1["schema"]["fields"]}
+    assert (
+        fields["score"]["metadata"]["delta.columnMapping.physicalName"]
+        == "x"
+    )
+    imp = import_delta(spark, dest)
+    assert sorted(imp.columns) == ["g", "id", "score"]
+    a = sorted(tuple(r) for r in imp.select("id", "g", "score").collect())
+    b = sorted(
+        tuple(r)
+        for r in t.read(spark).select("id", "g", "score").collect()
+    )
+    assert a == b
+    # a checkpoint must preserve the upgraded protocol + configuration
+    write_delta_checkpoint(dest)
+    for n in os.listdir(os.path.join(dest, "_delta_log")):
+        if n.endswith(".json"):
+            os.unlink(os.path.join(dest, "_delta_log", n))
+    state2 = replay_delta_log(dest)
+    assert state2["protocol"]["minReaderVersion"] == 2
+    assert (
+        state2["configuration"]["delta.columnMapping.mode"] == "name"
+    )
+    imp2 = import_delta(spark, dest)
+    assert imp2.count() == 40
+    # a FRESH export of a mapped table is mapped from commit 0 too
+    dest2 = str(tmp_path / "mirror2")
+    export_delta(t, dest2)
+    st = replay_delta_log(dest2)
+    assert st["protocol"]["minReaderVersion"] == 2
+    assert import_delta(spark, dest2).count() == 40
+
+
+def test_router_attach_delta_import(spark, foreign):
+    """CREATE TABLE ... USING DELTA_IMPORT attaches a foreign Delta
+    table as a read-only SQL view; VERSION AS OF pins time travel;
+    DROP TABLE detaches without touching the foreign log."""
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    router = TxnSqlRouter(spark)
+    router.sql(
+        "CREATE TABLE fdelta USING DELTA_IMPORT "
+        f"LOCATION '{foreign.root}'"
+    )
+    got = {
+        (r["k"], r["cat"])
+        for r in router.sql("SELECT k, cat FROM fdelta").collect()
+    }
+    assert got == {
+        (1, "x"), (2, "x"), (3, "x"), (6, None), (7, "y"), (8, "y")
+    }
+    router.sql(
+        "CREATE TABLE fdelta_v1 USING DELTA_IMPORT "
+        f"LOCATION '{foreign.root}' VERSION AS OF 1"
+    )
+    assert (
+        router.sql("SELECT count(*) AS n FROM fdelta_v1").collect()[0]["n"]
+        == 6
+    )
+    router.sql("DROP TABLE fdelta")
+    router.sql("DROP TABLE fdelta_v1")
+    # the foreign log is untouched by the detach
+    assert os.path.exists(
+        os.path.join(foreign.log, f"{2:020d}.json")
     )

@@ -191,7 +191,9 @@ def test_drop_column_refusals(spark, tmp_path):
 
 def test_mapped_table_gates_and_materialize(spark, tmp_path):
     """Surfaces that bind raw physical names refuse DIVERGED mappings
-    loudly; rewrite_layout materializes logical names and retires the
+    loudly (the Delta exporter instead emits a spec-correct
+    columnMapping=name table — test_delta_import covers the round
+    trip); rewrite_layout materializes logical names and retires the
     mapping."""
     t = _fresh(spark, tmp_path, n=10)
     t.rename_column(spark, "v", "val")
@@ -199,10 +201,6 @@ def test_mapped_table_gates_and_materialize(spark, tmp_path):
         t.register(spark, "cm_reg_refused")
     with pytest.raises(ValueError, match="columnMapping"):
         t.commit_staged(str(tmp_path / "nowhere"))
-    from rxlan_aws_lakehouse_spark.delta_export import export_delta
-
-    with pytest.raises(ValueError, match="columnMapping"):
-        export_delta(t, str(tmp_path / "delta_out"))
     # the escape hatch: one full rewrite re-aligns physical == logical
     t.rewrite_layout(spark)
     assert "column_mapping" not in t._meta(t.current_version())

@@ -256,3 +256,73 @@ def test_merge_delete_key_overlap_refused(spark, table):
         table.merge_upsert_dv(
             spark, updates, keys=["k"], delete_keys=dels
         )
+
+
+def test_feed_resolves_renames_via_physical_identity(spark, table):
+    """A metadata-only RENAME between commits: payloads written under
+    the OLD logical name surface under the range-end name (physical-
+    identity remap, Delta CDF's read-under-latest-schema contract);
+    the evolution commits themselves contribute zero rows; a column
+    DROPPED by the end version leaves the feed."""
+    v1 = table.current_version()
+    table.delete_where(spark, F.col("k") == 3)  # payload: (k, amount)
+    table.rename_column(spark, "amount", "amt")  # metadata-only
+    table.delete_where(spark, F.col("k") == 4)  # payload: (k, amt)
+    df = table.read_row_changes(spark, since=v1)
+    assert sorted(df.columns) == [
+        "_change_type", "_commit_version", "amt", "k"
+    ]
+    got = {
+        (r["k"], r["amt"], r["_change_type"]) for r in df.collect()
+    }
+    assert got == {(3, 30.0, "delete"), (4, 40.0, "delete")}
+    # drop the renamed column: it disappears from the whole feed
+    table.add_columns(spark, "tag STRING")
+    table.drop_column(spark, "amt")
+    df2 = table.read_row_changes(spark, since=v1)
+    assert sorted(df2.columns) == [
+        "_change_type", "_commit_version", "k", "tag"
+    ]
+    assert {r["k"] for r in df2.collect()} == {3, 4}
+
+
+def test_streaming_cdf_across_rename(spark, table, tmp_path):
+    """format("txn") readChangeFeed keeps binding correctly when the
+    table is renamed mid-history: data-file partitions bind through
+    the frozen physical names, payload partitions through the payload
+    version's own logical spelling."""
+    from rxlan_aws_lakehouse_spark.sources.txn_source import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    table.delete_where(spark, F.col("k") == 2)
+    table.rename_column(spark, "amount", "amt")
+    table.append(
+        spark.createDataFrame([(9, 90.0)], "k INT, amt DOUBLE")
+    )
+    # plan AFTER the rename: pinned schema uses the new logical name;
+    # startingVersion=earliest replays pre-rename payloads too
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txn")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "earliest")
+        .load(table.root)
+        .writeStream.format("memory")
+        .queryName("cdf_rename_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("cdf_rename_stream").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], set()).add(
+            (r["k"], r["amt"])
+        )
+    # initial snapshot inserts + the appended row, all under 'amt'
+    assert by_type["insert"] >= {(1, 10.0), (3, 30.0), (4, 40.0), (9, 90.0)}
+    # the pre-rename delete payload binds its old column to 'amt'
+    assert by_type["delete"] == {(2, 20.0)}
