@@ -49,10 +49,12 @@ import json
 import os
 import posixpath
 from typing import Iterator, Sequence
+from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     Filter,
     InputPartition,
 )
@@ -231,6 +233,175 @@ class DeltaImportReader(DataSourceReader):
         yield from _read_file_batches(partition, self._schema)
 
 
+class DeltaImportStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("delta_import")`` — tail a FOREIGN
+    Delta table's commit log as a stream, the Delta streaming-source
+    contract re-expressed over the importer's replay machinery:
+
+    * one micro-batch per offset range of commit versions; each
+      commit's ``dataChange=true`` adds become file partitions (the
+      compaction marker ``dataChange=false`` is SKIPPED — OPTIMIZE
+      rewrites are never re-emitted, the exact reason the exporter
+      emits it);
+    * ``remove`` actions with ``dataChange=true`` raise unless
+      ``ignoreDeletes``/``ignoreChanges`` (Delta's own semantics:
+      a streaming source cannot retract rows);
+    * a mid-stream ``metaData`` whose schemaString differs from the
+      plan-time schema raises — restart the stream to pick up the new
+      schema (Delta fails the same way); a protocol upgrade re-gates
+      and refuses unsupported features loudly;
+    * ``startingVersion``: ``latest`` (default — only new commits),
+      ``earliest``, or a number. Commits whose JSON was cleaned up
+      past a checkpoint cannot be streamed individually and raise a
+      reconstructable error. ``maxVersionsPerTrigger`` bounds catch-up
+      batches exactly like the txn source's cap.
+
+    Partition values and physical column names resolve exactly as the
+    batch reader's: ``consts`` + the plan-time ``phys`` tuple (frozen
+    physical names — a rename between plan and read cannot break the
+    binding)."""
+
+    def __init__(self, options, schema: StructType):
+        self._schema = schema
+        self._root = options["path"]
+        self._log = os.path.join(self._root, "_delta_log")
+        state = _resolve_state(options)
+        self._plan_schema_str = json.dumps(state["schema"], sort_keys=True)
+        self._part_cols = list(state["partition_columns"])
+        self._phys_map = _foreign_phys(state)
+        names = tuple(
+            self._phys_map.get(f.name, f.name) for f in schema.fields
+        )
+        self._phys = (
+            names
+            if names != tuple(f.name for f in schema.fields)
+            else ()
+        )
+        self._ignore_deletes = str(
+            options.get("ignoreDeletes", "false")
+        ).lower() == "true"
+        self._ignore_changes = str(
+            options.get("ignoreChanges", "false")
+        ).lower() == "true"
+        start = str(options.get("startingVersion", "latest")).lower()
+        if start == "earliest":
+            self._start = -1
+        elif start == "latest":
+            self._start = state["n_commits"] - 1
+        else:
+            self._start = int(start) - 1
+        mv = int(options.get("maxVersionsPerTrigger", 0))
+        self._max_versions = mv if mv > 0 else None
+        self._watermark = self._start
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def _head(self) -> int:
+        head = -1
+        for n in os.listdir(self._log):
+            if n.endswith(".json") and n[:20].isdigit():
+                head = max(head, int(n[:20]))
+        ckpt = os.path.join(self._log, "_last_checkpoint")
+        if os.path.exists(ckpt):
+            try:
+                with open(ckpt) as f:
+                    head = max(head, int(json.load(f)["version"]))
+            except (ValueError, KeyError):
+                pass
+        return head
+
+    def latestOffset(self) -> dict:
+        head = self._head()
+        if self._max_versions is not None:
+            head = min(head, self._watermark + self._max_versions)
+            self._watermark = max(self._watermark, head)
+        return {"version": head}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["version"], end["version"]
+        if hi > self._watermark:
+            self._watermark = hi
+        parts: list[InputPartition] = []
+        for n in range(lo + 1, hi + 1):
+            commit_path = os.path.join(self._log, f"{n:020d}.json")
+            if not os.path.isfile(commit_path):
+                raise RuntimeError(
+                    f"commit {n} of {self._root} has no JSON file — log "
+                    "cleanup passed it (only the checkpoint survives); "
+                    "individual commits beyond a checkpoint cannot be "
+                    "streamed — restart from a later startingVersion"
+                )
+            with open(commit_path) as f:
+                actions = [
+                    json.loads(line)
+                    for line in f
+                    if line.strip()
+                ]
+            for a in actions:
+                if "metaData" in a:
+                    got = json.dumps(
+                        json.loads(a["metaData"]["schemaString"]),
+                        sort_keys=True,
+                    )
+                    if got != self._plan_schema_str:
+                        raise RuntimeError(
+                            f"schema change at commit {n} of "
+                            f"{self._root}; restart the stream to pick "
+                            "up the new schema (Delta streaming-source "
+                            "semantics)"
+                        )
+                elif "protocol" in a:
+                    _gate_foreign_protocol(
+                        {"protocol": a["protocol"], "adds": {}}
+                    )
+                elif "remove" in a:
+                    if bool(a["remove"].get("dataChange", True)) and not (
+                        self._ignore_deletes or self._ignore_changes
+                    ):
+                        raise RuntimeError(
+                            f"streaming source hit a remove at commit "
+                            f"{n} of {self._root}; set ignoreDeletes="
+                            "true or ignoreChanges=true (Delta "
+                            "semantics: a stream cannot retract rows)"
+                        )
+                elif "add" in a:
+                    add = a["add"]
+                    if not bool(add.get("dataChange", True)):
+                        continue  # compaction rewrite: rows already seen
+                    rel = unquote(add["path"])
+                    pv = add.get("partitionValues") or {}
+                    if isinstance(pv, list):
+                        pv = dict(pv)
+                    consts = tuple(
+                        (
+                            self._phys_map.get(c, c),
+                            pv.get(self._phys_map.get(c, c)),
+                        )
+                        for c in self._part_cols
+                    )
+                    parts.append(
+                        _FilePartition(
+                            file_path=os.path.join(self._root, rel),
+                            rel=posixpath.basename(rel),
+                            dv_dir=None,
+                            consts=consts,
+                            phys=self._phys,
+                        )
+                    )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _read_file_batches(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        if end.get("version", -1) > self._watermark:
+            self._watermark = end["version"]
+
+    def stop(self) -> None:
+        pass
+
+
 class DeltaImportDataSource(DataSource):
     """``format("delta_import")``: read-only foreign Delta tables."""
 
@@ -243,6 +414,9 @@ class DeltaImportDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return DeltaImportReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return DeltaImportStreamReader(self.options, schema)
 
 
 def register_delta_import_source(spark) -> None:

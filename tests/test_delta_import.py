@@ -675,3 +675,145 @@ def test_router_attach_delta_import(spark, foreign):
     assert os.path.exists(
         os.path.join(foreign.log, f"{2:020d}.json")
     )
+
+
+def test_streaming_foreign_delta(spark, tmp_path):
+    """readStream.format("delta_import"): tail a foreign commit log —
+    dataChange=false compaction rewrites are never re-emitted,
+    restarts resume exactly-once from the checkpoint, removes refuse
+    without ignoreDeletes, and a mid-stream schema change fails
+    loudly (Delta streaming-source semantics)."""
+    from rxlan_aws_lakehouse_spark.sources.delta_import_source import (
+        register_delta_import_source,
+    )
+
+    register_delta_import_source(spark)
+    f = Foreign(str(tmp_path / "ft"))
+    meta = _meta_action()
+
+    def dc_add(p, pv, dc=True):
+        a = _add(p, pv)
+        a["add"]["dataChange"] = dc
+        return a
+
+    f.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta,
+            dc_add(f.write_file("a.parquet", [1, 2]), {"cat": "x"}),
+        ],
+    )
+    f.commit(1, [dc_add(f.write_file("b.parquet", [3]), {"cat": "y"})])
+    # compaction rewrite: same rows, dataChange=false — must be skipped
+    f.commit(
+        2,
+        [dc_add(f.write_file("c.parquet", [1, 2, 3]), {"cat": "x"}, False)],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_import")
+            .option("startingVersion", "earliest")
+            .load(f.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["k"], r["cat"]) for r in spark.read.parquet(out).collect()
+        }
+
+    assert drain() == {(1, "x"), (2, "x"), (3, "y")}
+    # new commit + restart: exactly-once, only the new rows land
+    f.commit(3, [dc_add(f.write_file("d.parquet", [9]), {"cat": None})])
+    assert drain() == {(1, "x"), (2, "x"), (3, "y"), (9, None)}
+
+    # a remove fails the stream unless ignoreDeletes
+    f.commit(
+        4,
+        [
+            {
+                "remove": {
+                    "path": "data/b.parquet",
+                    "deletionTimestamp": 1,
+                    "dataChange": True,
+                }
+            }
+        ],
+    )
+    q = (
+        spark.readStream.format("delta_import")
+        .option("startingVersion", "earliest")
+        .load(f.root)
+        .writeStream.format("memory")
+        .queryName("fdel_stream_err")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_err"))
+        .start()
+    )
+    with pytest.raises(Exception, match="ignoreDeletes"):
+        q.awaitTermination(120)
+    q2 = (
+        spark.readStream.format("delta_import")
+        .option("startingVersion", "earliest")
+        .option("ignoreDeletes", "true")
+        .load(f.root)
+        .writeStream.format("memory")
+        .queryName("fdel_stream_ok")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ok"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.table("fdel_stream_ok").count() == 4
+
+    # a schema change MID-STREAM (after the reader planned) fails
+    # loudly: the plan pinned the old schema, the tail commit carries a
+    # new schemaString — restart to pick it up (Delta's own semantics)
+    import time as _time
+
+    q3 = (
+        spark.readStream.format("delta_import")
+        .option("startingVersion", "latest")
+        .option("ignoreDeletes", "true")
+        .load(f.root)
+        .writeStream.format("memory")
+        .queryName("fdel_stream_schema")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ckpt_schema"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while q3.lastProgress is None and _time.time() < deadline:
+            _time.sleep(0.2)  # reader planned, stream live
+        schema2 = {
+            "type": "struct",
+            "fields": SCHEMA["fields"]
+            + [
+                {
+                    "name": "extra",
+                    "type": "double",
+                    "nullable": True,
+                    "metadata": {},
+                }
+            ],
+        }
+        meta2 = {
+            "metaData": {
+                **meta["metaData"], "schemaString": json.dumps(schema2)
+            }
+        }
+        f.commit(5, [meta2])
+        while q3.exception() is None and _time.time() < deadline:
+            _time.sleep(0.2)
+        exc = q3.exception()
+        assert exc is not None and "schema change" in str(exc)
+    finally:
+        q3.stop()
