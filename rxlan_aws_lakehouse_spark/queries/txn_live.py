@@ -2450,6 +2450,24 @@ def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
             refuse_dv_ok = False
         except ValueError as e:
             refuse_dv_ok = "deletionVector" in str(e)
+        # zero-copy CONVERT (round 12): the same foreign log adopts as
+        # a txn table — files by hard link, stats from add.stats, zero
+        # data IO — and must agree with the import row-for-row
+        from ..delta_export import convert_from_delta
+
+        conv = convert_from_delta(spark, root, f"{work}/converted")
+        conv_meta = conv._meta(conv.current_version())
+        convert_ok = (
+            conv_meta["operation"] == "convert_from_delta"
+            and conv_meta["n_files_written"] == 0
+            and conv.read(spark).count()
+            == import_delta(spark, root).count()
+            # adopted add.stats prune a partition predicate without
+            # any data IO having ever happened
+            and 0
+            < len(conv.pruned_files([("prio", "=", "5-LOW")])[0])
+            < conv_meta["n_files"]
+        )
         out = (
             import_delta(spark, root)
             .groupBy(F.coalesce(F.col("prio"), F.lit("NONE")).alias("prio"))
@@ -2462,6 +2480,7 @@ def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("ckpt_seed_ok", F.lit(bool(ckpt_seed_ok)))
             .withColumn("refuse_dv_ok", F.lit(bool(refuse_dv_ok)))
+            .withColumn("convert_ok", F.lit(bool(convert_ok)))
             .orderBy("prio")
         )
         rows = out.collect()
@@ -2712,7 +2731,8 @@ ORACLE = {
                CAST(count(*) AS BIGINT) AS n_orders,
                CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
                TRUE AS ckpt_seed_ok,
-               TRUE AS refuse_dv_ok
+               TRUE AS refuse_dv_ok,
+               TRUE AS convert_ok
         FROM t
         WHERE p IS DISTINCT FROM '1-URGENT'
         GROUP BY coalesce(p, 'NONE') ORDER BY prio

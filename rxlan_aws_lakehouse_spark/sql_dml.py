@@ -1238,18 +1238,37 @@ class TxnSqlRouter:
         c.i += 1
         root = loc_tok[1:-1].replace("''", "'")
         select_sql = None
+        from_delta = None
         if c.accept("AS"):
             rest = c.take_until(((";",),))
             if not rest or rest[0].upper() != "SELECT":
                 raise ValueError("CREATE TABLE ... AS expects a SELECT")
             select_sql = _render(rest)
-        if ddl is None and select_sql is None:
+        elif c.accept("FROM", "DELTA"):
+            # zero-copy CONVERT: adopt a foreign Delta table's files by
+            # hard link with stats from its log (delta_export.py
+            # convert_from_delta — the reverse of Delta's CONVERT TO
+            # DELTA); the partition spec comes from the log, not the
+            # statement
+            src_tok = c.peek()
+            if src_tok is None or not src_tok.startswith("'"):
+                raise ValueError("FROM DELTA expects a quoted path")
+            c.i += 1
+            from_delta = src_tok[1:-1].replace("''", "'")
+            if partition_by:
+                raise ValueError(
+                    "FROM DELTA derives the partition spec from the "
+                    "Delta log; drop PARTITIONED BY"
+                )
+        if ddl is None and select_sql is None and from_delta is None:
             raise ValueError(
-                "CREATE TABLE needs a column list or AS SELECT"
+                "CREATE TABLE needs a column list, AS SELECT, or "
+                "FROM DELTA '<path>'"
             )
-        if ddl is not None and select_sql is not None:
+        if ddl is not None and (select_sql or from_delta) is not None:
             raise ValueError(
-                "CREATE TABLE takes a column list OR AS SELECT, not both"
+                "CREATE TABLE takes a column list OR AS SELECT / "
+                "FROM DELTA, not both"
             )
         t = TxnTable(root)
         if t.current_version() is not None:
@@ -1257,6 +1276,14 @@ class TxnSqlRouter:
                 self.register(name, t)
                 return self._result(name, "create_noop", t.current_version())
             raise ValueError(f"table already exists at {root}")
+        if from_delta is not None:
+            from .delta_export import convert_from_delta
+
+            t = convert_from_delta(self._spark, from_delta, root)
+            self.register(name, t)
+            return self._result(
+                name, "convert_from_delta", t.current_version()
+            )
         if select_sql is not None:
             version = t.commit(
                 self._spark.sql(select_sql),

@@ -1605,6 +1605,12 @@ class TxnTable:
         conjunction. Conservative: unknown columns/types never prune."""
         cols = entry.get("columns", {})
         rows = entry.get("rows", 0)
+        if predicates and entry.get("rows") == 0:
+            # empty file (writer artifact): no predicate can match.
+            # Keyed on the RECORDED rows being exactly 0 — the shard-
+            # level probe passes {} (no stats at all) and must never
+            # prune on absence alone.
+            return True
         parts = dict(
             seg.split("=", 1) for seg in rel.split(os.sep)[:-1] if "=" in seg
         )

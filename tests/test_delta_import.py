@@ -817,3 +817,123 @@ def test_streaming_foreign_delta(spark, tmp_path):
         assert exc is not None and "schema change" in str(exc)
     finally:
         q3.stop()
+
+
+def test_convert_from_delta_zero_copy(spark, foreign, tmp_path):
+    """convert_from_delta adopts a foreign table's files by hard link
+    under a hive layout derived from the log's partitionValues, with
+    stats translated from add.stats — and the converted table is a
+    full txn citizen (reads, prunes, merges, time-travels)."""
+    from rxlan_aws_lakehouse_spark.delta_export import convert_from_delta
+
+    t = convert_from_delta(spark, foreign.root, str(tmp_path / "conv"))
+    meta = t._meta(t.current_version())
+    assert meta["operation"] == "convert_from_delta"
+    assert meta["n_files_written"] == 0  # zero-copy: links only
+    assert meta["partition_by"] == ["cat"]
+    df = t.read(spark)
+    got = {(r["k"], r["cat"]) for r in df.collect()}
+    assert got == {
+        (1, "x"), (2, "x"), (3, "x"), (6, None), (7, "y"), (8, "y")
+    }
+    # the adopted files are the SAME inodes as the source's
+    src_inode = os.stat(
+        os.path.join(foreign.root, "data", "part-aaa.parquet")
+    ).st_ino
+    assert src_inode in {
+        os.stat(os.path.join(t.root, "_versions", t.current_version(), r)).st_ino
+        for r in t.files()
+    }
+    # partition pruning off the adopted layout
+    kept, total = t.pruned_files([("cat", "=", "y")])
+    assert 0 < len(kept) < total
+    # null partition round-trips through the hive sentinel
+    assert df.filter(F.col("cat").isNull()).count() == 1
+    # the converted table takes ordinary txn writes
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 999.0, "x")], "k long, v double, cat string"
+        ),
+        ["k"],
+    )
+    assert t.read(spark).filter(F.col("k") == 1).first()["v"] == 999.0
+
+
+def test_convert_mapped_delta_full_fidelity(spark, tmp_path):
+    """A columnMapping=name source converts at full fidelity: its
+    physical names and field ids become the txn column_mapping, so the
+    logical schema reads without touching a single file — and a
+    re-export round-trips the mapping."""
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        convert_from_delta,
+        export_delta,
+        import_delta,
+        replay_delta_log,
+    )
+
+    # build a mapped source the honest way: a txn table with a
+    # metadata-only rename, exported as columnMapping=name
+    src = TxnTable(str(tmp_path / "src"))
+    src.commit(
+        spark.range(30).select(
+            F.col("id"), (F.col("id") * 3.0).alias("x")
+        )
+    )
+    src.rename_column(spark, "x", "score")
+    mirror = str(tmp_path / "mirror")
+    export_delta(src, mirror)
+    assert replay_delta_log(mirror)["protocol"]["minReaderVersion"] == 2
+
+    t = convert_from_delta(spark, mirror, str(tmp_path / "conv"))
+    meta = t._meta(t.current_version())
+    assert meta["n_files_written"] == 0
+    cm = meta["column_mapping"]
+    assert cm["fields"]["score"]["physical"] == "x"
+    df = t.read(spark)
+    assert df.columns == ["id", "score"]
+    assert df.agg(F.sum("score")).collect()[0][0] == sum(
+        i * 3.0 for i in range(30)
+    )
+    # stats came from add.stats: range pruning works without a rescan
+    kept, total = t.pruned_files([("score", ">", 10_000.0)])
+    assert kept == [] and total > 0
+    # and the converted table re-exports as a mapped Delta table that
+    # the importer reads back identically
+    mirror2 = str(tmp_path / "mirror2")
+    export_delta(t, mirror2)
+    imp = import_delta(spark, mirror2)
+    assert sorted(tuple(r) for r in imp.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_router_create_from_delta(spark, foreign, tmp_path):
+    """CREATE TABLE ... USING TXN LOCATION ... FROM DELTA '<src>':
+    the zero-copy conversion through the SQL surface, immediately
+    queryable and DML-able as a txn table."""
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    router = TxnSqlRouter(spark)
+    root = str(tmp_path / "conv_sql")
+    res = router.sql(
+        f"CREATE TABLE conv USING TXN LOCATION '{root}' "
+        f"FROM DELTA '{foreign.root}'"
+    ).collect()[0]
+    assert res["operation"] == "convert_from_delta"
+    got = {
+        (r["k"], r["cat"])
+        for r in router.sql("SELECT k, cat FROM conv").collect()
+    }
+    assert got == {
+        (1, "x"), (2, "x"), (3, "x"), (6, None), (7, "y"), (8, "y")
+    }
+    router.sql("DELETE FROM conv WHERE k = 7")
+    assert (
+        router.sql("SELECT count(*) AS n FROM conv").collect()[0]["n"] == 5
+    )
+    with pytest.raises(ValueError, match="PARTITIONED BY"):
+        router.sql(
+            f"CREATE TABLE conv2 USING TXN PARTITIONED BY (cat) "
+            f"LOCATION '{root}2' FROM DELTA '{foreign.root}'"
+        )
