@@ -324,6 +324,176 @@ class TxnPruningReader(TxnSnapshotReader):
         return self._partitions_for(self._triples, self._points)
 
 
+def _cdf_version_partitions(
+    table: TxnTable,
+    v: str,
+    meta: dict,
+    schema: StructType,
+    plan_cm: dict | None,
+    plan_phys: tuple,
+) -> list[_FilePartition]:
+    """ONE commit's row-level change-feed file partitions (the Delta
+    CDF derivation, shared by the streaming reader and the batch
+    ``readChangeFeed`` reader): a recorded ``_cdf`` payload streams
+    verbatim (``_change_type`` is a data column there, payload columns
+    bound to each pinned field via physical identity — renames between
+    the payload's version and the plan cannot break the binding);
+    append-like commits derive inserts from their fresh files; the
+    initial snapshot replays its full DV-applied content as inserts;
+    physical/metadata-only commits contribute nothing; a changeful
+    commit with no payload RAISES rather than guessing."""
+    op = meta.get("operation")
+    first = meta.get("parent") is None
+    root = os.path.join(table.root, _VERSIONS, v)
+    cdf_dir = os.path.join(root, _CDF_DIR)
+    cv = (("_commit_version", v),)
+    if os.path.isdir(cdf_dir):
+        vcm = meta.get("column_mapping")
+        by_phys = {
+            _cm_phys(vcm, fl["name"]).lower(): fl["name"]
+            for fl in (meta.get("schema") or {}).get("fields", [])
+        }
+        names = tuple(
+            by_phys.get(_cm_phys(plan_cm, f.name).lower(), f.name)
+            for f in schema.fields
+        )
+        cdf_phys = (
+            names
+            if names != tuple(f.name for f in schema.fields)
+            else ()
+        )
+        return [
+            _FilePartition(
+                file_path=os.path.join(cdf_dir, fn),
+                rel=fn,
+                dv_dir=None,
+                consts=cv,
+                phys=cdf_phys,
+            )
+            for fn in sorted(os.listdir(cdf_dir))
+            if fn.endswith(".parquet")
+        ]
+    if op in (
+        "compact",
+        "materialize_deletes",
+        "rewrite_layout",
+        "set_constraint",
+        "set_cdf",
+        # schema evolution: metadata-only, zero row changes
+        "add_columns",
+        "widen_type",
+        "rename_column",
+        "drop_column",
+    ):
+        return []  # physical/metadata only: no logical change
+    ins = (("_change_type", "insert"),) + cv
+    if first:
+        # initial snapshot: full logical content (carried files
+        # included, DV applied) as one insert batch
+        dv = os.path.join(root, _DV_DIR)
+        return [
+            _FilePartition(
+                file_path=os.path.join(root, rel),
+                rel=rel,
+                dv_dir=dv if os.path.isdir(dv) else None,
+                consts=ins,
+                phys=plan_phys,
+            )
+            for rel in table.files(v)
+        ]
+    if op == "append" or (
+        # insert-only merge under an ENABLED feed: a touching merge
+        # always writes a payload, so its absence proves every fresh
+        # file holds only inserts
+        bool(meta.get("cdf"))
+        and op in ("merge_upsert", "apply_cdc", "sync_full")
+    ):
+        return [
+            _FilePartition(
+                file_path=os.path.join(root, rel),
+                rel=rel,
+                dv_dir=None,
+                consts=ins,
+                phys=plan_phys,
+            )
+            for rel in (
+                rel
+                for info in meta["shards"].values()
+                for rel in info["fresh"]
+            )
+        ]
+    raise RuntimeError(
+        f"change feed hit {v} ({op}) with no row-level change "
+        "payload; enable it with set_change_feed() before such "
+        "commits"
+    )
+
+
+class TxnChangeFeedReader(DataSourceReader):
+    """BATCH row-level change feed (Delta's batch CDF read shape):
+
+    ::
+
+        (spark.read.format("txn")
+         .option("readChangeFeed", "true")
+         .option("startingVersion", 2)      # or "earliest"
+         .option("endingVersion", 5)        # optional, default: head
+         .load(root))
+
+    One file partition per payload/fresh file of each commit in the
+    range — the same per-version derivation the streaming CDF reader
+    uses (``_cdf_version_partitions``), so batch and stream agree row
+    for row. Before this reader existed, a batch ``readChangeFeed``
+    load silently fell through to the snapshot reader and returned
+    table rows with NULL change columns — silent wrong output."""
+
+    def __init__(self, options, schema: StructType):
+        self._schema = schema
+        self._table = TxnTable(options["path"])
+        head = self._table.current_version()
+        if head is None:
+            raise FileNotFoundError(
+                f"no committed version at {self._table.root}"
+            )
+        ev = options.get("endingVersion")
+        self._hi = (
+            int(str(ev).lstrip("v")) if ev is not None else int(head[1:])
+        )
+        sv = str(options.get("startingVersion", "earliest")).lower()
+        self._lo = 0 if sv == "earliest" else int(sv.lstrip("v")) - 1
+        end_v = f"v{self._hi:08d}"
+        end_meta = self._table._meta(end_v)  # raises if vacuumed
+        self._plan_cm = end_meta.get("column_mapping")
+        self._plan_phys = _phys_names(self._plan_cm, schema)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        parts: list[InputPartition] = []
+        vdir = os.path.join(self._table.root, _VERSIONS)
+        for n in range(self._lo + 1, self._hi + 1):
+            v = f"v{n:08d}"
+            meta_path = os.path.join(vdir, v, "_meta.json")
+            if not os.path.isfile(meta_path):
+                continue  # vacuumed or never-published slot
+            with open(meta_path) as f:
+                meta = json.load(f)
+            parts.extend(
+                _cdf_version_partitions(
+                    self._table,
+                    v,
+                    meta,
+                    self._schema,
+                    self._plan_cm,
+                    self._plan_phys,
+                )
+            )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        if partition is None:
+            return  # empty range: zero partitions, one None feed
+        yield from _read_file_batches(partition, self._schema)
+
+
 class TxnStreamReader(DataSourceStreamReader):
     """Streaming reader tailing the commit log: one micro-batch per
     offset range of published versions, files straight off each commit's
@@ -430,100 +600,21 @@ class TxnStreamReader(DataSourceStreamReader):
                 ]
             )
             if self._cdf:
-                root = os.path.join(vdir, v)
-                cdf_dir = os.path.join(root, _CDF_DIR)
-                cv = (("_commit_version", v),)
-                if os.path.isdir(cdf_dir):
-                    # recorded payload: exact row-level changes, streamed
-                    # verbatim (_change_type is a data column there).
-                    # Payload columns carry the LOGICAL names of THIS
-                    # version — after a mid-stream rename those differ
-                    # from the pinned schema, so bind each pinned field
-                    # to the version's spelling via physical identity
-                    vcm = meta.get("column_mapping")
-                    by_phys = {
-                        _cm_phys(vcm, fl["name"]).lower(): fl["name"]
-                        for fl in (meta.get("schema") or {}).get(
-                            "fields", []
-                        )
-                    }
-                    names = tuple(
-                        by_phys.get(
-                            _cm_phys(self._plan_cm, f.name).lower(),
-                            f.name,
-                        )
-                        for f in self._schema.fields
+                # shared per-version CDF derivation (also the batch
+                # readChangeFeed reader's core) — payload verbatim,
+                # derived inserts, initial-snapshot replay, loud error
+                # on changeful commits without a payload
+                parts.extend(
+                    _cdf_version_partitions(
+                        self._table,
+                        v,
+                        meta,
+                        self._schema,
+                        self._plan_cm,
+                        self._plan_phys,
                     )
-                    cdf_phys = (
-                        names
-                        if names
-                        != tuple(f.name for f in self._schema.fields)
-                        else ()
-                    )
-                    parts.extend(
-                        _FilePartition(
-                            file_path=os.path.join(cdf_dir, fn),
-                            rel=fn,
-                            dv_dir=None,
-                            consts=cv,
-                            phys=cdf_phys,
-                        )
-                        for fn in sorted(os.listdir(cdf_dir))
-                        if fn.endswith(".parquet")
-                    )
-                    continue
-                if op in (
-                    "compact",
-                    "materialize_deletes",
-                    "rewrite_layout",
-                    "set_constraint",
-                    "set_cdf",
-                    # schema evolution: metadata-only, zero row changes
-                    "add_columns",
-                    "widen_type",
-                    "rename_column",
-                    "drop_column",
-                ):
-                    continue  # physical/metadata only: no logical change
-                ins = (("_change_type", "insert"),) + cv
-                if first:
-                    # initial snapshot: full logical content (carried
-                    # files included, DV applied) as one insert batch
-                    dv = os.path.join(root, _DV_DIR)
-                    parts.extend(
-                        _FilePartition(
-                            file_path=os.path.join(root, rel),
-                            rel=rel,
-                            dv_dir=dv if os.path.isdir(dv) else None,
-                            consts=ins,
-                            phys=vphys,
-                        )
-                        for rel in self._table.files(v)
-                    )
-                    continue
-                if op == "append" or (
-                    # insert-only merge under an ENABLED feed: a touching
-                    # merge always writes a payload, so its absence proves
-                    # every fresh file holds only inserts
-                    bool(meta.get("cdf"))
-                    and op in ("merge_upsert", "apply_cdc", "sync_full")
-                ):
-                    parts.extend(
-                        _FilePartition(
-                            file_path=os.path.join(root, rel),
-                            rel=rel,
-                            dv_dir=None,
-                            consts=ins,
-                            phys=vphys,
-                        )
-                        for rel in fresh
-                    )
-                    continue
-                raise RuntimeError(
-                    f"streaming change feed hit {v} ({op}) with no "
-                    "row-level change payload; enable it with "
-                    "set_change_feed() before such commits"
                 )
+                continue
             append_like = op in ("append", "compact") or first
             if not append_like:
                 if op in ("delete", "delete_dv", "materialize_deletes"):
@@ -1007,11 +1098,18 @@ class TxnDataSource(DataSource):
             # SparkContext, so it cannot parse to StructType itself
             return _META_SCHEMAS[kind]
         table = TxnTable(self.options["path"])
-        v = _resolve_version(table, self.options)
-        schema = StructType.fromJson(table._meta(v)["schema"])
-        if str(
+        cdf = str(
             self.options.get("readChangeFeed", "false")
-        ).lower() == "true":
+        ).lower() == "true"
+        ev = self.options.get("endingVersion")
+        if cdf and ev is not None and self.options.get("version") is None:
+            # batch CDF pinned to a range: the feed's shape is the
+            # RANGE-END version's schema (read_row_changes contract)
+            v = f"v{int(str(ev).lstrip('v')):08d}"
+        else:
+            v = _resolve_version(table, self.options)
+        schema = StructType.fromJson(table._meta(v)["schema"])
+        if cdf:
             # Delta's CDF shape: data columns + change metadata
             from pyspark.sql.types import StringType, StructField
 
@@ -1027,6 +1125,13 @@ class TxnDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         if self.options.get("metadata") is not None:
             return TxnMetadataReader(self.options)
+        if str(
+            self.options.get("readChangeFeed", "false")
+        ).lower() == "true":
+            # batch CDF (Delta's table_changes shape); without this the
+            # snapshot readers would return table rows with NULL change
+            # columns — silent wrong output
+            return TxnChangeFeedReader(self.options, schema)
         # Pruning is the DEFAULT since round 9: the driver-side pushdown
         # guard installed by register_txn_source() (pushdown_guard.py)
         # defeats the two Spark 4.1 relation-cache wrong-answer modes

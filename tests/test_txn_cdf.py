@@ -326,3 +326,80 @@ def test_streaming_cdf_across_rename(spark, table, tmp_path):
     assert by_type["insert"] >= {(1, 10.0), (3, 30.0), (4, 40.0), (9, 90.0)}
     # the pre-rename delete payload binds its old column to 'amt'
     assert by_type["delete"] == {(2, 20.0)}
+
+
+def test_batch_read_change_feed_through_format(spark, table):
+    """Batch readChangeFeed (Delta table_changes shape): the full
+    history as exact changes — before this reader existed the snapshot
+    reader silently returned table rows with NULL change columns."""
+    from rxlan_aws_lakehouse_spark.sources.txn_source import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    table.delete_where(spark, F.col("k") == 2)
+    table.merge_upsert(
+        spark,
+        spark.createDataFrame([(1, 99.0)], "k INT, amount DOUBLE"),
+        ["k"],
+    )
+    df = (
+        spark.read.format("txn")
+        .option("readChangeFeed", "true")
+        .load(table.root)
+    )
+    assert sorted(df.columns) == [
+        "_change_type", "_commit_version", "amount", "k"
+    ]
+    got = {
+        (r["k"], r["amount"], r["_change_type"]) for r in df.collect()
+    }
+    assert (1, 10.0, "insert") in got  # initial snapshot replay
+    assert (2, 20.0, "delete") in got
+    assert (1, 10.0, "update_preimage") in got
+    assert (1, 99.0, "update_postimage") in got
+    # range-pinned: only the delete commit
+    ranged = (
+        spark.read.format("txn")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)
+        .option("endingVersion", 2)
+        .load(table.root)
+    )
+    assert {
+        (r["k"], r["_change_type"]) for r in ranged.collect()
+    } == {(2, "delete")}
+    # batch format agrees with the library API over the same range
+    api = {
+        (r["k"], r["amount"], r["_change_type"], r["_commit_version"])
+        for r in table.read_row_changes(spark, since=None).collect()
+    }
+    fmt = {
+        (r["k"], r["amount"], r["_change_type"], r["_commit_version"])
+        for r in df.collect()
+    }
+    assert api == fmt
+
+
+def test_batch_change_feed_across_rename(spark, table):
+    """Batch readChangeFeed binds pre-rename payloads to the range-end
+    logical names via physical identity, like read_row_changes."""
+    from rxlan_aws_lakehouse_spark.sources.txn_source import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    table.delete_where(spark, F.col("k") == 3)  # payload: (k, amount)
+    table.rename_column(spark, "amount", "amt")
+    table.delete_where(spark, F.col("k") == 4)  # payload: (k, amt)
+    df = (
+        spark.read.format("txn")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)
+        .load(table.root)
+    )
+    assert sorted(df.columns) == [
+        "_change_type", "_commit_version", "amt", "k"
+    ]
+    got = {(r["k"], r["amt"], r["_change_type"]) for r in df.collect()}
+    assert got == {(3, 30.0, "delete"), (4, 40.0, "delete")}
