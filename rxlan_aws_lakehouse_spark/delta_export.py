@@ -49,8 +49,10 @@ import hashlib
 import json
 import os
 import posixpath
+import re
 import shutil
 import time
+from datetime import datetime as _datetime, timezone as _timezone
 from urllib.parse import quote, unquote
 
 import pyarrow as pa
@@ -208,7 +210,7 @@ def _has_log(log_dir: str) -> bool:
         return False
     return any(
         n.endswith(".json")
-        or n.endswith(".checkpoint.parquet")
+        or ".checkpoint." in n  # classic, multi-part AND v2 UUID-named
         or n == "_last_checkpoint"
         for n in os.listdir(log_dir)
     )
@@ -431,9 +433,12 @@ def export_delta(
 def replay_delta_log(dest: str, up_to: int | None = None) -> dict:
     """Resolve a Delta table's state by replaying its log — the reader
     side of the protocol: seed from the ``_last_checkpoint``-named
-    parquet checkpoint when one exists (single-file or multi-part
-    ``parts`` form; only the JSON commits AFTER it are read —
-    O(checkpoint + tail), the property that keeps a 10,000-commit
+    parquet checkpoint when one exists (single-file, multi-part
+    ``parts`` form, or — round 13 — a V2 SPEC CHECKPOINT: UUID-named
+    ``<v>.checkpoint.<uniqueId>.{parquet,json}`` whose add/remove
+    actions may live in ``sidecar``-referenced parquet files under
+    ``_delta_log/_sidecars/``; only the JSON commits AFTER it are read
+    — O(checkpoint + tail), the property that keeps a 10,000-commit
     mirror readable), else from commit 0; then apply ``add``/``remove``
     actions in commit order, newest ``metaData``/``protocol`` wins.
 
@@ -460,6 +465,57 @@ def replay_delta_log(dest: str, up_to: int | None = None) -> dict:
     configuration: dict = {}
     after = -1  # replay commits strictly greater than this
 
+    def seed(row: dict) -> dict | None:
+        """Apply one CHECKPOINT row (classic part, v2 top-level, or
+        sidecar).  Returns the ``sidecar`` action when the row is one
+        (the caller collects them); None otherwise."""
+        nonlocal schema_json, part_cols, meta_id, created_time
+        nonlocal configuration, protocol
+        if row.get("metaData") and row["metaData"].get("schemaString"):
+            md = row["metaData"]
+            schema_json = json.loads(md["schemaString"])
+            part_cols = list(md.get("partitionColumns") or [])
+            meta_id = md.get("id")
+            created_time = md.get("createdTime")
+            cfg = md.get("configuration")
+            # pyarrow maps round-trip as [(k, v), ...] pairs
+            configuration = (
+                dict(cfg)
+                if isinstance(cfg, (dict, list)) and cfg is not None
+                else {}
+            )
+        elif row.get("protocol") and row["protocol"].get(
+            "minReaderVersion"
+        ) is not None:
+            protocol = {
+                k: v
+                for k, v in row["protocol"].items()
+                if v is not None
+            }
+        elif row.get("add") and row["add"].get("path"):
+            a = dict(row["add"])
+            if isinstance(a.get("partitionValues"), list):
+                # pyarrow maps round-trip as [(k, v), ...]
+                a["partitionValues"] = dict(a["partitionValues"])
+            live[unquote(a["path"])] = a
+        elif row.get("remove") and row["remove"].get("path"):
+            removes[unquote(row["remove"]["path"])] = dict(
+                row["remove"]
+            )
+        elif row.get("txn") and row["txn"].get("appId"):
+            txns[row["txn"]["appId"]] = int(row["txn"]["version"])
+        elif row.get("sidecar") and row["sidecar"].get("path"):
+            return dict(row["sidecar"])
+        return None
+
+    def ckpt_rows(path: str):
+        """Rows of one checkpoint artifact — parquet or (v2-permitted)
+        newline-JSON, same action shapes either way."""
+        if path.endswith(".json"):
+            with open(path) as f:
+                return [json.loads(ln) for ln in f if ln.strip()]
+        return _pq.read_table(path).to_pylist()
+
     ckpt_file = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(ckpt_file):
         with open(ckpt_file) as f:
@@ -478,49 +534,52 @@ def replay_delta_log(dest: str, up_to: int | None = None) -> dict:
                     for i in range(parts)
                 ]
             else:
-                ckpt_paths = [
-                    os.path.join(log_dir, f"{after:020d}.checkpoint.parquet")
-                ]
+                classic = os.path.join(
+                    log_dir, f"{after:020d}.checkpoint.parquet"
+                )
+                if os.path.exists(classic):
+                    ckpt_paths = [classic]
+                else:
+                    # V2 spec checkpoint: UUID-named
+                    # <version>.checkpoint.<uniqueId>.{parquet,json} —
+                    # any one unique id is a complete checkpoint, so
+                    # take the lexically first
+                    prefix = f"{after:020d}.checkpoint."
+                    cands = sorted(
+                        n
+                        for n in os.listdir(log_dir)
+                        if n.startswith(prefix)
+                        and (
+                            n.endswith(".parquet")
+                            or n.endswith(".json")
+                        )
+                    )
+                    if not cands:
+                        raise FileNotFoundError(
+                            f"_last_checkpoint names version {after} "
+                            f"but no checkpoint file exists in {log_dir}"
+                        )
+                    ckpt_paths = [os.path.join(log_dir, cands[0])]
+            sidecars: list[dict] = []
             for cp in ckpt_paths:
-                tbl = _pq.read_table(cp)
-                for row in tbl.to_pylist():
-                    if row.get("metaData") and row["metaData"].get(
-                        "schemaString"
-                    ):
-                        md = row["metaData"]
-                        schema_json = json.loads(md["schemaString"])
-                        part_cols = list(md.get("partitionColumns") or [])
-                        meta_id = md.get("id")
-                        created_time = md.get("createdTime")
-                        cfg = md.get("configuration")
-                        # pyarrow maps round-trip as [(k, v), ...] pairs
-                        configuration = (
-                            dict(cfg)
-                            if isinstance(cfg, (dict, list))
-                            and cfg is not None
-                            else {}
-                        )
-                    elif row.get("protocol") and row["protocol"].get(
-                        "minReaderVersion"
-                    ) is not None:
-                        protocol = {
-                            k: v
-                            for k, v in row["protocol"].items()
-                            if v is not None
-                        }
-                    elif row.get("add") and row["add"].get("path"):
-                        a = dict(row["add"])
-                        if isinstance(a.get("partitionValues"), list):
-                            # pyarrow maps round-trip as [(k, v), ...]
-                            a["partitionValues"] = dict(a["partitionValues"])
-                        live[unquote(a["path"])] = a
-                    elif row.get("remove") and row["remove"].get("path"):
-                        removes[unquote(row["remove"]["path"])] = dict(
-                            row["remove"]
-                        )
-                    elif row.get("txn") and row["txn"].get("appId"):
-                        txns[row["txn"]["appId"]] = int(
-                            row["txn"]["version"]
+                for row in ckpt_rows(cp):
+                    sc = seed(row)
+                    if sc is not None:
+                        sidecars.append(sc)
+            # V2 sidecars: the add/remove actions live in parquet files
+            # under _delta_log/_sidecars/, referenced by ``sidecar``
+            # actions in the top-level checkpoint — read each in order
+            for sc in sidecars:
+                sc_path = sc["path"]
+                if not os.path.isabs(sc_path):
+                    sc_path = os.path.join(
+                        log_dir, "_sidecars", sc_path
+                    )
+                for row in ckpt_rows(sc_path):
+                    if seed(row) is not None:
+                        raise ValueError(
+                            f"nested sidecar action in {sc_path} — "
+                            "not permitted by the v2 checkpoint spec"
                         )
 
     commits = sorted(
@@ -1057,22 +1116,37 @@ def read_delta_export(spark, dest: str):
 
 
 # Reader features this importer genuinely implements. ``columnMapping``
-# (NAME mode — physical parquet names resolved through each field's
-# ``delta.columnMapping.physicalName`` metadata) and ``timestampNtz``
-# (a pure type Spark reads natively). Anything else — deletion vectors,
-# v2Checkpoint — changes how the DATA must be interpreted and is
-# refused loudly by name.
-_SUPPORTED_READER_FEATURES = frozenset({"timestampNtz", "columnMapping"})
+# (name mode via ``delta.columnMapping.physicalName`` metadata, id mode
+# via parquet field-id resolution), ``timestampNtz`` (a pure type Spark
+# reads natively), ``deletionVectors`` (roaring-bitmap row masks
+# decoded per the spec — delta_dv.py — and anti-applied at scan time),
+# and ``v2Checkpoint`` (UUID-named checkpoints, checkpointMetadata +
+# sidecar actions — replay_delta_log). Anything else is refused loudly
+# by name.
+_SUPPORTED_READER_FEATURES = frozenset(
+    {
+        "timestampNtz",
+        "columnMapping",
+        "deletionVectors",
+        "v2Checkpoint",
+    }
+)
+
+# Basename characters every URI encoder (Hadoop Path, java.net.URI,
+# urllib) leaves literal — the safe key domain for the fast-path
+# broadcast join in ``import_delta``.
+_URI_LITERAL_RE = re.compile(r"[A-Za-z0-9._=-]+")
 
 
 def _gate_foreign_protocol(state: dict) -> None:
     """Refuse a Delta table whose protocol/features this importer cannot
     honor — loudly, naming the feature (the Delta spec's own contract:
     a reader MUST NOT read a table whose reader version/features it
-    does not implement; silently misreading DV-bearing files would
-    resurrect deleted rows). Reader version 2 == column mapping, which
+    does not implement). Reader version 2 == column mapping, which
     this importer implements in NAME mode; ID mode (parquet field-id
-    resolution) is refused."""
+    resolution) is refused. ``deletionVectors`` is implemented
+    (delta_dv.py row masks), so readerVersion 3 tables gate only on
+    features beyond the supported set (e.g. v2Checkpoint)."""
     proto = state.get("protocol") or {}
     reader_v = int(proto.get("minReaderVersion") or 1)
     features = set(proto.get("readerFeatures") or [])
@@ -1086,19 +1160,16 @@ def _gate_foreign_protocol(state: dict) -> None:
             )
     cfg = state.get("configuration") or {}
     cm_mode = str(cfg.get("delta.columnMapping.mode", "none")).lower()
-    if cm_mode not in ("none", "", "name"):
+    if cm_mode not in ("none", "", "name", "id"):
         raise ValueError(
-            "cannot import: delta.columnMapping.mode="
-            f"{cm_mode!r} resolves parquet columns by FIELD ID; only "
-            "'name' mode (physicalName resolution) is supported"
+            "cannot import: unknown delta.columnMapping.mode="
+            f"{cm_mode!r} (supported: none, name, id)"
         )
-    for rel, a in (state.get("adds") or {}).items():
-        if a.get("deletionVector"):
-            raise ValueError(
-                "cannot import: table carries deletion vectors (add "
-                f"action for {rel!r} has a deletionVector); merge-on-read "
-                "DV decoding is not supported by this importer"
-            )
+
+
+def _cm_mode(state: dict) -> str:
+    cfg = state.get("configuration") or {}
+    return str(cfg.get("delta.columnMapping.mode", "none")).lower()
 
 
 def _foreign_phys(state: dict) -> dict[str, str]:
@@ -1111,6 +1182,71 @@ def _foreign_phys(state: dict) -> dict[str, str]:
         out[f["name"]] = md.get(
             "delta.columnMapping.physicalName", f["name"]
         )
+    return out
+
+
+def _foreign_field_ids(state: dict) -> dict[str, int]:
+    """logical field name -> ``delta.columnMapping.id`` (absent fields
+    omitted).  In ID mode these are the AUTHORITATIVE column binding:
+    parquet files carry matching field ids in their footer schema and
+    the column NAME in any given file is not required to equal
+    physicalName (the spec's point — ids survive engine rewrites that
+    names may not)."""
+    out: dict[str, int] = {}
+    for f in (state.get("schema") or {}).get("fields", []):
+        md = f.get("metadata") or {}
+        fid = md.get("delta.columnMapping.id")
+        if fid is not None:
+            out[f["name"]] = int(fid)
+    return out
+
+
+_DV_SPEC_SCHEMA = (
+    "base string, kind string, fpath string, "
+    "foff bigint, fsize bigint, inline binary"
+)
+
+
+def _expand_dv_specs(batches):
+    """mapInPandas kernel: one input row per DV-bearing file -> the
+    decoded (basename, deleted row index) pairs.  Decoding runs
+    EXECUTOR-side over the compact roaring bytes, so driver state stays
+    O(DV-bearing files) no matter how many rows the vectors delete —
+    the shape that matters when a 100 TB table carries percent-scale
+    deletes."""
+    import pandas as pd
+
+    from rxlan_aws_lakehouse_spark.delta_dv import deleted_rows
+
+    for pdf in batches:
+        for t in pdf.itertuples(index=False):
+            if t.kind == "inline":
+                spec = ("inline", bytes(t.inline))
+            else:
+                off = None if pd.isna(t.foff) else int(t.foff)
+                spec = ("file", t.fpath, off, int(t.fsize))
+            idx = deleted_rows(spec)
+            if idx:
+                yield pd.DataFrame(
+                    {
+                        "__dv_base": t.base,
+                        "__dv_ri": pd.Series(idx, dtype="int64"),
+                    }
+                )
+
+
+def _foreign_dv_specs(state: dict, path: str) -> dict[str, tuple]:
+    """rel -> executor-ready DV spec for every live add carrying a
+    ``deletionVector`` descriptor (decoded lazily, executor-side)."""
+    from .delta_dv import descriptor_spec
+
+    out: dict[str, tuple] = {}
+    for rel in state["files"]:
+        d = state["adds"][rel].get("deletionVector")
+        if d:
+            if isinstance(d, list):  # pyarrow struct-as-pairs round-trip
+                d = dict(d)
+            out[rel] = descriptor_spec(path, d)
     return out
 
 
@@ -1128,9 +1264,14 @@ def import_delta(spark, path: str, version: int | None = None):
     physical parquet names resolve through each field's
     ``delta.columnMapping.physicalName`` metadata and partition values
     /stats are looked up under physical names per the spec's writer
-    rule. Reader features this engine does not implement — deletion
-    vectors, ID-mode column mapping, v2 checkpoints — are refused
-    LOUDLY by feature name (``_gate_foreign_protocol``), never misread.
+    rule. DELETION VECTORS read correctly (r12 verdict task 1): each
+    DV-bearing add's roaring bitmap (inline Z85 or ``.bin`` file per
+    PROTOCOL.md — delta_dv.py) is decoded EXECUTOR-side and
+    anti-joined against (file basename, ``_metadata.row_index``), so
+    deleted rows never surface and driver state stays O(files).
+    Reader features this engine does not implement — ID-mode column
+    mapping, v2 checkpoints — are refused LOUDLY by feature name
+    (``_gate_foreign_protocol``), never misread.
 
     Unlike ``read_delta_export`` (which assumes this engine's own
     hive-layout exports), the file layout is NOT trusted:
@@ -1152,18 +1293,46 @@ def import_delta(spark, path: str, version: int | None = None):
     state = replay_delta_log(path, up_to=version)
     _gate_foreign_protocol(state)
     schema = StructType.fromJson(state["schema"])
-    # columnMapping name mode: files/partitionValues/stats carry
-    # PHYSICAL names; resolve per field, identity on plain tables
+    # columnMapping: files/partitionValues/stats carry PHYSICAL names;
+    # resolve per field, identity on plain tables. In ID mode (round
+    # 13, r12 verdict task 5) the data columns additionally bind by
+    # PARQUET FIELD ID — the requested schema carries each field's
+    # ``parquet.field.id`` metadata and Spark's native field-id
+    # resolution (spark.sql.parquet.fieldId.read.enabled) matches the
+    # footer ids, so a file whose column NAMES diverge from
+    # physicalName still reads correctly, which is the spec's exact
+    # reason ID mode exists.
     phys = _foreign_phys(state)
+    id_mode = _cm_mode(state) == "id"
+    fids = _foreign_field_ids(state) if id_mode else {}
     part_cols = list(state["partition_columns"])
     bad_parts = [c for c in part_cols if c not in schema.fieldNames()]
     if bad_parts:
         raise ValueError(
             f"partitionColumns {bad_parts} missing from schemaString"
         )
+    if id_mode:
+        missing = [
+            f.name
+            for f in schema.fields
+            if f.name not in part_cols and f.name not in fids
+        ]
+        if missing:
+            raise ValueError(
+                "cannot import: columnMapping.mode=id but fields "
+                f"{missing} carry no delta.columnMapping.id"
+            )
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     data_schema = StructType(
         [
-            StructField(phys[f.name], f.dataType, f.nullable)
+            StructField(
+                phys[f.name],
+                f.dataType,
+                f.nullable,
+                {"parquet.field.id": fids[f.name]}
+                if id_mode and f.name in fids
+                else None,
+            )
             for f in schema.fields
             if f.name not in part_cols
         ]
@@ -1172,6 +1341,56 @@ def import_delta(spark, path: str, version: int | None = None):
     if not files:
         return spark.createDataFrame([], schema)
     abs_paths = [os.path.join(path, rel) for rel in files]
+    dv_specs = _foreign_dv_specs(state, path)
+
+    import posixpath
+
+    def dv_pairs(sub):
+        """The executor-decoded (basename, deleted row index) pairs of
+        the DV-bearing rels in ``sub``."""
+        rows = []
+        for r in sub:
+            spec = dv_specs[r]
+            b = posixpath.basename(r)
+            if spec[0] == "inline":
+                rows.append((b, "inline", None, None, None, spec[1]))
+            else:
+                rows.append((b, "file", spec[1], spec[2], spec[3], None))
+        return spark.createDataFrame(rows, _DV_SPEC_SCHEMA).mapInPandas(
+            _expand_dv_specs, "__dv_base string, __dv_ri bigint"
+        )
+
+    def dv_mask(scan, rels):
+        """Anti-apply the deletion vectors of ``rels`` to their scan:
+        key each row by (file basename, ``_metadata.row_index``) and
+        left-anti join the executor-decoded deleted pairs.  Must be
+        applied DIRECTLY on the scan node (``_metadata`` resolves only
+        there).  Identity when no rel carries a DV."""
+        sub = [r for r in rels if r in dv_specs]
+        if not sub:
+            return scan
+        bs = [posixpath.basename(r) for r in rels]
+        if len(set(bs)) != len(bs):
+            raise ValueError(
+                "cannot import: deletion vectors over duplicate "
+                "data-file basenames in one scan group — the row mask "
+                "join key would be ambiguous"
+            )
+        if not all(
+            _URI_LITERAL_RE.fullmatch(posixpath.basename(r)) for r in sub
+        ):
+            raise ValueError(
+                "cannot import: deletion vector on a data file whose "
+                "basename percent-encodes in a URI (the mask joins on "
+                "the _metadata.file_path basename)"
+            )
+        keyed = scan.withColumn(
+            "__dv_base",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__dv_ri", F.col("_metadata.row_index"))
+        return keyed.join(
+            dv_pairs(sub), ["__dv_base", "__dv_ri"], "left_anti"
+        ).drop("__dv_base", "__dv_ri")
 
     def typed_part(col, raw):
         f = schema[col]
@@ -1180,21 +1399,30 @@ def import_delta(spark, path: str, version: int | None = None):
         return F.lit(raw).cast(f.dataType)
 
     if not part_cols:
-        return spark.read.schema(data_schema).parquet(*abs_paths).select(
+        return dv_mask(
+            spark.read.schema(data_schema).parquet(*abs_paths), files
+        ).select(
             *(
                 F.col(phys[f.name]).alias(f.name)
                 for f in schema.fields
             )
         )
 
-    import posixpath
-
     pv_of = {
         rel: (state["adds"][rel].get("partitionValues") or {})
         for rel in files
     }
     basenames = [posixpath.basename(rel) for rel in files]
-    if len(set(basenames)) == len(basenames):
+    # The fast path keys the broadcast join on the LAST '/'-segment of
+    # ``_metadata.file_path`` — a URI, which percent-encodes characters
+    # like space and '%'.  pv_df keys are the UNQUOTED add.path
+    # basenames, so an encodable basename would fail the inner join and
+    # its rows would silently vanish.  Gate the fast path on basenames
+    # made only of characters every URI encoder leaves literal (all
+    # real Delta writers emit UUID-ish names that pass); anything else
+    # takes the exact per-partition-group branch.
+    uri_literal = all(_URI_LITERAL_RE.fullmatch(b) for b in basenames)
+    if len(set(basenames)) == len(basenames) and uri_literal:
         # the scale path: one scan + broadcast map join on basename
         # (partitionValues keys are physical per the spec's writer rule)
         pv_rows = [
@@ -1211,6 +1439,24 @@ def import_delta(spark, path: str, version: int | None = None):
             "__dl_base",
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
         )
+        if any(r in dv_specs for r in files):
+            # mask keys extracted on the scan node itself (before the
+            # pv join — _metadata does not resolve past a join); the
+            # fast path's branch condition already guarantees unique,
+            # URI-literal basenames
+            keyed = (
+                keyed.withColumn(
+                    "__dv_ri", F.col("_metadata.row_index")
+                )
+                .join(
+                    dv_pairs(
+                        [r for r in files if r in dv_specs]
+                    ).withColumnRenamed("__dv_base", "__dl_base"),
+                    ["__dl_base", "__dv_ri"],
+                    "left_anti",
+                )
+                .drop("__dv_ri")
+            )
         joined = keyed.join(F.broadcast(pv_df), "__dl_base", "inner")
         return joined.select(
             *(
@@ -1244,8 +1490,11 @@ def import_delta(spark, path: str, version: int | None = None):
         )
     branches = []
     for key, rels in groups.items():
-        b = spark.read.schema(data_schema).parquet(
-            *(os.path.join(path, r) for r in rels)
+        b = dv_mask(
+            spark.read.schema(data_schema).parquet(
+                *(os.path.join(path, r) for r in rels)
+            ),
+            rels,
         )
         branches.append(
             b.select(
@@ -1281,6 +1530,23 @@ _STATS_TAG = {
 }
 
 
+def _manifest_ts(v) -> str | None:
+    """Foreign Delta timestamp stat -> manifest ts domain (UTC-naive,
+    ``isoformat(sep=' ')``), or None when unparseable."""
+    if v is None:
+        return None
+    s = str(v).strip().replace(" ", "T")
+    if s.endswith(("Z", "z")):
+        s = s[:-1] + "+00:00"
+    try:
+        dt = _datetime.fromisoformat(s)
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_timezone.utc).replace(tzinfo=None)
+    return dt.isoformat(sep=" ")
+
+
 def _entry_from_add(add: dict, abs_path: str, types: dict) -> dict:
     """A Delta ``add`` action -> a txn manifest entry. Stats translate
     from ``add.stats`` (minValues/maxValues/nullCount keyed by PHYSICAL
@@ -1312,10 +1578,21 @@ def _entry_from_add(add: dict, abs_path: str, types: dict) -> dict:
             except (TypeError, ValueError):
                 lo = hi = None
         elif tag == "ts":
-            # Delta emits T-separated ISO; the manifest stores
-            # space-separated (both order lexically)
-            lo = str(lo).replace("T", " ") if lo is not None else None
-            hi = str(hi).replace("T", " ") if hi is not None else None
+            # Foreign writers emit T-separated ISO with optional
+            # fractional seconds and timezone suffixes (…T00:00:00.000Z);
+            # the manifest's ts domain is naive isoformat(sep=' ').  A
+            # bare T→space swap keeps the suffix, and a predicate
+            # literal equal to a file's true min then compares BELOW the
+            # stored min lexically — =/<= predicates silently prune the
+            # file.  Parse properly, normalize to UTC-naive, re-emit in
+            # the manifest domain; unparseable → drop the column's
+            # stats (conservative: never mis-pruned).
+            lo = _manifest_ts(lo)
+            hi = _manifest_ts(hi)
+            if (mins.get(col) is not None and lo is None) or (
+                maxs.get(col) is not None and hi is None
+            ):
+                continue
         elif lo is not None and not isinstance(lo, str):
             lo = hi = None  # cross-typed stats: skip, conservative
         cols[col] = {
@@ -1352,12 +1629,29 @@ def convert_from_delta(
     cost profile that makes converting a 100 TB table an operation
     rather than a migration. Requires ``dest_root`` on the same
     filesystem as the source files (hard links); the source table is
-    never modified. DV-bearing / ID-mode-mapped sources refuse loudly
-    (``_gate_foreign_protocol``)."""
+    never modified. A DV-bearing source converts zero-copy too: the
+    foreign roaring bitmaps are decoded (delta_dv.py) and ADOPTED as
+    the txn table's own native DV payload (rel, row_index) riding the
+    same commit — no file is rewritten, and txn reads / deletes /
+    materialize_deletes see them exactly like home-grown DVs.
+    ID-mode-mapped sources refuse loudly (``_gate_foreign_protocol``)."""
     from urllib.parse import quote as _q
 
     state = replay_delta_log(path, up_to=version)
     _gate_foreign_protocol(state)
+    if _cm_mode(state) == "id":
+        # adoption records logical -> PHYSICAL NAME and all txn readers
+        # bind parquet columns by that name; ID mode's contract is that
+        # file column names need NOT match physicalName (only field ids
+        # are authoritative), so a zero-copy adoption could silently
+        # bind wrong columns.  Read it (import_delta resolves by field
+        # id) and commit the result instead.
+        raise ValueError(
+            "cannot convert: columnMapping.mode=id tables bind columns "
+            "by parquet field id, which the txn format's name-based "
+            "mapping cannot adopt zero-copy; import_delta() reads the "
+            "table — materialize it with a normal commit"
+        )
     dest = TxnTable(dest_root)
     if dest.current_version() is not None:
         raise ValueError(f"convert target {dest_root} is not empty")
@@ -1404,8 +1698,10 @@ def convert_from_delta(
             return f"{col}=__HIVE_DEFAULT_PARTITION__"
         return f"{col}={_q(str(v), safe='')}"
 
+    dv_specs = _foreign_dv_specs(state, path)
     carry: dict[str, str] = {}
     entries: dict[str, dict] = {}
+    dv_rels: list[tuple[str, tuple, int]] = []
     for i, rel in enumerate(state["files"]):
         add = state["adds"][rel]
         pv = add.get("partitionValues") or {}
@@ -1420,6 +1716,49 @@ def convert_from_delta(
         abs_src = os.path.join(path, rel)
         carry[new_rel] = abs_src
         entries[new_rel] = _entry_from_add(add, abs_src, types)
+        if rel in dv_specs:
+            dv = add["deletionVector"]
+            if isinstance(dv, list):
+                dv = dict(dv)
+            dv_rels.append(
+                (new_rel, dv_specs[rel], int(dv.get("cardinality") or 0))
+            )
+
+    aux_writer = None
+    if dv_rels:
+        # ADOPT the foreign deletion vectors as the txn table's own DV
+        # payload (rel, row_index — the same merge-on-read masks
+        # txn.py applies natively): the conversion stays zero-copy even
+        # for DV-touched files.  Decode is driver-side here but the
+        # result is immediately re-serialized to parquet — O(deleted
+        # rows of this snapshot) transient work, no Spark job.
+        from .delta_dv import deleted_rows as _dv_rows
+
+        def aux_writer(staging: str) -> None:
+            rels_col: list[str] = []
+            idx_col: list[int] = []
+            for new_rel, spec, card in dv_rels:
+                idx = _dv_rows(spec)
+                if card and len(idx) != card:
+                    raise ValueError(
+                        f"DV cardinality mismatch for {new_rel!r}: "
+                        f"descriptor says {card}, bitmap holds "
+                        f"{len(idx)}"
+                    )
+                rels_col.extend([new_rel] * len(idx))
+                idx_col.extend(idx)
+            dv_dir = os.path.join(staging, "_dv")
+            os.makedirs(dv_dir, exist_ok=True)
+            _pq.write_table(
+                pa.table(
+                    {
+                        "rel": pa.array(rels_col, pa.string()),
+                        "row_index": pa.array(idx_col, pa.int64()),
+                    }
+                ),
+                os.path.join(dv_dir, "part-00000-convert.parquet"),
+            )
+
     dest.commit(
         spark.createDataFrame([], logical),
         metadata_only=True,
@@ -1428,6 +1767,7 @@ def convert_from_delta(
         carry_files=carry,
         carry_entries=entries,
         column_mapping=cm if mapped else {},
+        aux_writer=aux_writer,
         extra_meta={
             "converted_from": path,
             "delta_commit": state["n_commits"] - 1,

@@ -2203,8 +2203,11 @@ def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleanup), so the read can only succeed by seeding from the
     checkpoint. ``import_delta`` — the engine's reader for tables it
     did not write (delta_export.py) — resolves the state and reads the
-    rows; a sibling log bearing a deletionVector add must be REFUSED
-    by feature name. Deliberately NOT written via export_delta: this
+    rows, including DELETION-VECTOR masked files (round 13: inline Z85
+    and multi-DV ``.bin`` roaring bitmaps decoded per PROTOCOL.md,
+    masked rows excluded from the oracle-checked aggregate); a sibling
+    log demanding an unknown reader feature must still be REFUSED by
+    feature name. Deliberately NOT written via export_delta: this
     exercises the importer, not the exporter. The oracle is the
     fixture closed form. Spec:
     https://github.com/delta-io/delta/blob/master/PROTOCOL.md."""
@@ -2411,24 +2414,99 @@ def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if pv == "1-URGENT"
             ],
         )
+        # commit 3 (round 13): DELETION VECTORS on every remaining
+        # 5-LOW file — rows with o_orderkey % 13 == 0 are masked
+        # merge-on-read, the Delta shape every modern writer emits
+        # (remove + re-add of the SAME file bearing a deletionVector
+        # descriptor, protocol upgraded to readerVersion 3 with the
+        # deletionVectors feature). One file's DV is INLINE (Z85
+        # roaring in pathOrInlineDv), the rest share ONE multi-DV
+        # ``.bin`` file (storageType u, Z85 uuid + prefix, offsets) —
+        # both persisted forms of PROTOCOL.md, hand-authored from the
+        # spec via delta_dv.py's encode side (the importer only ever
+        # exercises the decode side). The masked rows are part of the
+        # ORACLE-CHECKED aggregate below, not just a flag.
+        import uuid as _uuid
+
+        from ..delta_dv import (
+            dv_file_name,
+            encode_roaring_bitmap_array,
+            write_dv_file,
+            z85_encode,
+        )
+
+        masked_rels: list[tuple[str, str | None, bytes, int]] = []
+        for rel, pv in low:
+            keys = (
+                _pq.read_table(
+                    _os.path.join(root, rel), columns=["o_orderkey"]
+                )
+                .column("o_orderkey")
+                .to_pylist()
+            )
+            idx = [i for i, k in enumerate(keys) if k % 13 == 0]
+            if idx:
+                masked_rels.append(
+                    (rel, pv, encode_roaring_bitmap_array(idx), len(idx))
+                )
+        dv_actions: list[dict] = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        ]
+        dv_uuid = _uuid.UUID(int=0xD0E5E7A_F0E5E7A)
+        file_backed = masked_rels[1:]
+        spans = write_dv_file(
+            _os.path.join(root, "ab", dv_file_name(dv_uuid)),
+            [data for _r, _p, data, _n in file_backed],
+        )
+        for j, (rel, pv, data, card) in enumerate(masked_rels):
+            if j == 0:
+                pad = data + b"\x00" * (-len(data) % 4)
+                desc = {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(pad),
+                    "sizeInBytes": len(data),
+                    "cardinality": card,
+                }
+            else:
+                off, size = spans[j - 1]
+                desc = {
+                    "storageType": "u",
+                    "pathOrInlineDv": "ab" + z85_encode(dv_uuid.bytes),
+                    "offset": off,
+                    "sizeInBytes": size,
+                    "cardinality": card,
+                }
+            dv_actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": 2,
+                        "dataChange": True,
+                    }
+                }
+            )
+            a = add_action(rel, pv)
+            a["add"]["deletionVector"] = desc
+            dv_actions.append(a)
+        commit(3, dv_actions)
         state = replay_delta_log(root)
         ckpt_seed_ok = (
-            state["n_commits"] == 3
+            state["n_commits"] == 4
             and len(state["files"])
             == len([1 for _rel, pv in moved if pv != "1-URGENT"])
         )
-        # refusal probe: a sibling log whose add carries a deletion
-        # vector must be refused BY FEATURE NAME, never misread
-        dv_root = f"{work}/dv_table"
+        dv_ok = len(masked_rels) >= 2  # inline AND file-backed exercised
+        # refusal probe: a sibling log demanding a reader feature the
+        # importer does not implement must refuse BY FEATURE NAME
+        dv_root = f"{work}/unknown_feature"
         _os.makedirs(_os.path.join(dv_root, "_delta_log"))
-        bad = add_action("data/f0000.parquet", "x")
-        bad["add"]["deletionVector"] = {
-            "storageType": "u",
-            "pathOrInlineDv": "zz",
-            "offset": 1,
-            "sizeInBytes": 1,
-            "cardinality": 1,
-        }
         with open(
             _os.path.join(dv_root, "_delta_log", f"{0:020d}.json"), "w"
         ) as fh:
@@ -2436,20 +2514,22 @@ def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _json.dumps(
                     {
                         "protocol": {
-                            "minReaderVersion": 1,
-                            "minWriterVersion": 2,
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["futureFancyFeature"],
+                            "writerFeatures": ["futureFancyFeature"],
                         }
                     }
                 )
                 + "\n"
             )
             fh.write(_json.dumps(meta_action) + "\n")
-            fh.write(_json.dumps(bad) + "\n")
+            fh.write(_json.dumps(add_action("data/f0000.parquet", "x")) + "\n")
         try:
             import_delta(spark, dv_root)
-            refuse_dv_ok = False
+            refuse_unknown_ok = False
         except ValueError as e:
-            refuse_dv_ok = "deletionVector" in str(e)
+            refuse_unknown_ok = "futureFancyFeature" in str(e)
         # zero-copy CONVERT (round 12): the same foreign log adopts as
         # a txn table — files by hard link, stats from add.stats, zero
         # data IO — and must agree with the import row-for-row
@@ -2460,6 +2540,10 @@ def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
         convert_ok = (
             conv_meta["operation"] == "convert_from_delta"
             and conv_meta["n_files_written"] == 0
+            # the foreign DVs were ADOPTED as native txn deletion
+            # vectors (zero-copy), so the converted read agrees with
+            # the DV-masked import row-for-row
+            and conv.has_deletion_vectors()
             and conv.read(spark).count()
             == import_delta(spark, root).count()
             # adopted add.stats prune a partition predicate without
@@ -2479,7 +2563,10 @@ def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("revenue_c"),
             )
             .withColumn("ckpt_seed_ok", F.lit(bool(ckpt_seed_ok)))
-            .withColumn("refuse_dv_ok", F.lit(bool(refuse_dv_ok)))
+            .withColumn("dv_ok", F.lit(bool(dv_ok)))
+            .withColumn(
+                "refuse_unknown_ok", F.lit(bool(refuse_unknown_ok))
+            )
             .withColumn("convert_ok", F.lit(bool(convert_ok)))
             .orderBy("prio")
         )
@@ -2717,13 +2804,16 @@ ORACLE = {
         FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     # Foreign-Delta import: the hand-authored log's live state is the
-    # orders slice minus the tombstoned 1-URGENT partition; rows whose
-    # orderkey % 97 == 0 went to the null partition (read back through
+    # orders slice minus the tombstoned 1-URGENT partition, minus the
+    # rows the 5-LOW deletion vectors mask (o_orderkey % 13 == 0 —
+    # round 13: DVs are READ, not refused); rows whose orderkey % 97
+    # == 0 went to the null partition (read back through
     # add.partitionValues as real NULLs, surfaced as 'NONE')
     "delta_import_foreign": """
         WITH t AS (
             SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
                         ELSE o_orderpriority END AS p,
+                   o_orderkey,
                    o_totalprice
             FROM orders WHERE o_orderkey <= 3000
         )
@@ -2731,10 +2821,12 @@ ORACLE = {
                CAST(count(*) AS BIGINT) AS n_orders,
                CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
                TRUE AS ckpt_seed_ok,
-               TRUE AS refuse_dv_ok,
+               TRUE AS dv_ok,
+               TRUE AS refuse_unknown_ok,
                TRUE AS convert_ok
         FROM t
         WHERE p IS DISTINCT FROM '1-URGENT'
+          AND (p IS DISTINCT FROM '5-LOW' OR o_orderkey % 13 != 0)
         GROUP BY coalesce(p, 'NONE') ORDER BY prio
     """,
     # SQL evolution lifecycle: CTAS slice + INSERT slice with the

@@ -14,9 +14,15 @@ gating happens at plan time (``_gate_foreign_protocol``):
 ``columnMapping.mode=name`` tables are SUPPORTED (physical parquet
 names resolve through ``delta.columnMapping.physicalName`` field
 metadata, riding the same per-partition ``phys`` tuple the txn source
-uses for its own mapped tables); deletion vectors, ID-mode column
-mapping and v2 checkpoints refuse loudly by feature name, never a
-silent misread.
+uses for its own mapped tables); DELETION VECTORS are supported too
+(r12 verdict task 1) — each DV-bearing add ships its descriptor as a
+compact ``dv_spec`` on the file partition and the roaring bitmap is
+decoded executor-side (delta_dv.py) into the row mask; ID-mode column
+mapping binds data columns by parquet FIELD ID (``field_ids`` on the
+partition, matched against each footer's ``PARQUET:field_id``); v2
+checkpoints (UUID-named + sidecars) replay in ``replay_delta_log``.
+Reader features beyond that set refuse loudly by name, never a silent
+misread.
 
 File skipping, the property that makes a foreign 100 TB mirror
 queryable: pushed predicates prune at TWO metadata levels before Spark
@@ -39,8 +45,9 @@ pruning safe against Spark 4.1's relation-cache replay modes.
 
 Executor reads reuse the txn source's Arrow path
 (``_read_file_batches``): partition values ride each file's partition
-as typed constants (``consts``), deletion vectors are impossible here
-(gated), and the batch is cast to the table's exact Arrow schema.
+as typed constants (``consts``), foreign deletion vectors anti-apply
+by in-file row index (``dv_spec``), and the batch is cast to the
+table's exact Arrow schema.
 """
 
 from __future__ import annotations
@@ -61,11 +68,22 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from ..delta_export import (
+    _cm_mode,
+    _foreign_field_ids,
     _foreign_phys,
     _gate_foreign_protocol,
     replay_delta_log,
 )
 from .txn_source import _FilePartition, _filter_triples, _read_file_batches
+
+
+def _schema_field_ids(state: dict, schema: StructType) -> tuple:
+    """Per-field parquet ids aligned to ``schema`` when the table maps
+    columns in ID mode (0 = bind by name), else the empty tuple."""
+    if _cm_mode(state) != "id":
+        return ()
+    fid_map = _foreign_field_ids(state)
+    return tuple(fid_map.get(f.name, 0) for f in schema.fields)
 
 
 def _resolve_state(options) -> dict:
@@ -76,6 +94,19 @@ def _resolve_state(options) -> dict:
     )
     _gate_foreign_protocol(state)
     return state
+
+
+def _dv_spec_of(add: dict, root: str) -> tuple | None:
+    """The add's ``deletionVector`` descriptor as an executor-ready
+    spec (delta_dv.descriptor_spec); None when the file has no DV."""
+    d = add.get("deletionVector")
+    if not d:
+        return None
+    if isinstance(d, list):  # pyarrow struct-as-pairs round-trip
+        d = dict(d)
+    from ..delta_dv import descriptor_spec
+
+    return descriptor_spec(root, d)
 
 
 def _cmp_empty(op: str, lo, hi, lit) -> bool:
@@ -170,6 +201,11 @@ class DeltaImportReader(DataSourceReader):
             and phys_tuple != tuple(f.name for f in schema.fields)
             else ()
         )
+        self._fids = (
+            _schema_field_ids(self._state, schema)
+            if schema is not None
+            else ()
+        )
         self._triples: list[tuple] = []
 
     def pushFilters(self, filters: list[Filter]):
@@ -223,6 +259,8 @@ class DeltaImportReader(DataSourceReader):
                     dv_dir=None,
                     consts=consts,
                     phys=self._phys,
+                    dv_spec=_dv_spec_of(add, self._root),
+                    field_ids=self._fids,
                 )
             )
         return parts
@@ -277,6 +315,7 @@ class DeltaImportStreamReader(DataSourceStreamReader):
             if names != tuple(f.name for f in schema.fields)
             else ()
         )
+        self._fids = _schema_field_ids(state, schema)
         self._ignore_deletes = str(
             options.get("ignoreDeletes", "false")
         ).lower() == "true"
@@ -380,6 +419,12 @@ class DeltaImportStreamReader(DataSourceStreamReader):
                         )
                         for c in self._part_cols
                     )
+                    # a DV-bearing add is a CHANGE to an existing file
+                    # (Delta pairs it with a remove, which the remove
+                    # branch above already gates behind ignoreDeletes/
+                    # ignoreChanges); the re-emitted file streams with
+                    # its mask applied, matching Delta's ignoreChanges
+                    # contract (rows may re-appear, deleted rows never)
                     parts.append(
                         _FilePartition(
                             file_path=os.path.join(self._root, rel),
@@ -387,6 +432,8 @@ class DeltaImportStreamReader(DataSourceStreamReader):
                             dv_dir=None,
                             consts=consts,
                             phys=self._phys,
+                            dv_spec=_dv_spec_of(add, self._root),
+                            field_ids=self._fids,
                         )
                     )
         return parts

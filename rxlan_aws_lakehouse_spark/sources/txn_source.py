@@ -107,6 +107,18 @@ class _FilePartition(InputPartition):
     # Rides the partition (not the reader) because change-feed payload
     # files carry LOGICAL names while data files carry physical ones.
     phys: tuple = ()
+    # FOREIGN Delta deletion vector of this file (delta_import source):
+    # a delta_dv.descriptor_spec tuple — ("inline", bytes) or
+    # ("file", abs_path, offset, size) — decoded EXECUTOR-side into the
+    # deleted row-index mask. None = no foreign DV. Compact to pickle:
+    # roaring bytes or a file pointer, never the expanded index list.
+    dv_spec: tuple | None = None
+    # parquet FIELD IDS aligned with the target schema's fields
+    # (id-mode column mapping, delta_import source): when set, a file
+    # column whose footer carries a matching PARQUET:field_id binds the
+    # field even if its NAME differs from the physical spelling — the
+    # id-mode contract. 0 = no id for that field (name binding).
+    field_ids: tuple = ()
 
 
 def _resolve_version(table: TxnTable, options) -> str:
@@ -179,11 +191,41 @@ def _read_file_batches(
             tbl = tbl.filter(
                 pc.invert(pc.is_in(idx, value_set=dead))
             )
+    if part.dv_spec is not None:
+        # foreign Delta deletion vector: roaring bitmap decoded here on
+        # the executor (delta_dv.py), anti-applied by in-file row index
+        from rxlan_aws_lakehouse_spark.delta_dv import deleted_rows
+
+        dead_idx = deleted_rows(part.dv_spec)
+        if dead_idx:
+            idx = pa.array(range(n), type=pa.int64())
+            tbl = tbl.filter(
+                pc.invert(
+                    pc.is_in(
+                        idx,
+                        value_set=pa.array(dead_idx, type=pa.int64()),
+                    )
+                )
+            )
     # column mapping: bind each logical field through its physical name
     # (identity when part.phys is unset). Partition-path dirs carry
     # physical spellings too; consts (_change_type/_commit_version) are
     # never mapped, so their physical == logical.
-    names = part.phys or tuple(f.name for f in target)
+    names = list(part.phys or (f.name for f in target))
+    if part.field_ids:
+        # ID-mode column mapping: the footer's PARQUET:field_id wins
+        # over any name — a rewritten file whose column names diverged
+        # from physicalName still binds correctly (the id-mode spec
+        # contract); fields without a footer id fall back to the name.
+        by_id = {}
+        for f in tbl.schema:
+            fid = (f.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = f.name
+        names = [
+            by_id.get(fid, n) if fid else n
+            for n, fid in zip(names, part.field_ids)
+        ]
     cols = []
     for field, pname in zip(target, names):
         if pname in tbl.column_names:
@@ -353,8 +395,18 @@ def _cdf_version_partitions(
             _cm_phys(vcm, fl["name"]).lower(): fl["name"]
             for fl in (meta.get("schema") or {}).get("fields", [])
         }
+        # Fallback is the FROZEN plan physical name, never the logical
+        # spelling: a payload written before DROP COLUMN x still holds a
+        # logical column 'x', and after re-adding 'x' (fresh physical
+        # x__cmN) a logical-name fallback would bind the dropped
+        # column's old values to the new column — resurrection.  The
+        # plan physical can never appear as a payload logical spelling,
+        # so unseen fields null-fill, matching read_row_changes.
         names = tuple(
-            by_phys.get(_cm_phys(plan_cm, f.name).lower(), f.name)
+            by_phys.get(
+                _cm_phys(plan_cm, f.name).lower(),
+                _cm_phys(plan_cm, f.name),
+            )
             for f in schema.fields
         )
         cdf_phys = (

@@ -1395,7 +1395,7 @@ class TxnSqlRouter:
         )
 
         c.expect("CREATE", "TABLE")
-        c.accept("IF", "NOT", "EXISTS")
+        if_not_exists = c.accept("IF", "NOT", "EXISTS")
         name = c.qident("table")
         c.expect("USING", "DELTA_IMPORT")
         if not c.accept("LOCATION"):
@@ -1415,12 +1415,32 @@ class TxnSqlRouter:
                 raise ValueError("VERSION AS OF needs a version number")
             c.i += 1
             version = int(vt)
+        key = self._key(name)
+        # Refuse to shadow an existing table: attaching over a txn
+        # table would overwrite its temp views while leaving the stale
+        # entry in self._tables (SHOW TABLES lists it, SELECTs fail
+        # after DROP takes the _foreign branch) — same guard as
+        # _exec_create's 'table already exists'.
+        if key in self._tables:
+            raise ValueError(
+                f"table {name} already exists (txn table); DROP it "
+                "before attaching a foreign Delta table under the name"
+            )
+        if key in self._foreign:
+            if if_not_exists:
+                return self._spark.createDataFrame(
+                    [("attach_delta_import_exists", self._foreign[key])],
+                    "operation string, version string",
+                )
+            raise ValueError(
+                f"table {name} already exists (foreign attachment at "
+                f"{self._foreign[key]!r}); use IF NOT EXISTS or DROP it"
+            )
         register_delta_import_source(self._spark)
         reader = self._spark.read.format("delta_import")
         if version is not None:
             reader = reader.option("version", version)
         df = reader.load(path)
-        key = self._key(name)
         ns, bare = key.split(".", 1)
         if ns == self._namespace:
             df.createOrReplaceTempView(bare)

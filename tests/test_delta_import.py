@@ -5,11 +5,13 @@ engine did not write: checkpoint parquet (single or multi-part) + JSON
 tail, add−remove reconciliation, authoritative ``partitionValues``
 (files deliberately NOT laid out hive-style here, so nothing can leak
 from path inference), time travel, ``columnMapping.mode=name``
-resolution (physicalName field metadata), and LOUD refusals for reader
-features the engine does not implement (deletion vectors, ID-mode
-column mapping, v2 checkpoints). The logs in these tests are hand-authored
-from the public protocol spec — never produced by ``export_delta`` —
-so they exercise the importer, not the exporter.
+resolution (physicalName field metadata), ID-mode resolution by
+parquet field id (round 13), v2 spec checkpoints with sidecars
+(round 13), and LOUD refusals for reader features the engine does not
+implement. Deletion vectors are covered in test_delta_dv.py. The logs
+in these tests are hand-authored from the public protocol spec — never
+produced by ``export_delta`` — so they exercise the importer, not the
+exporter.
 """
 
 from __future__ import annotations
@@ -268,18 +270,6 @@ def test_import_multipart_checkpoint(spark, foreign):
 
 
 def test_import_refusals_by_feature_name(spark, foreign):
-    # deletion vector on an add action
-    a = _add("data/part-eee.parquet", {"cat": "z"})
-    a["add"]["deletionVector"] = {
-        "storageType": "u",
-        "pathOrInlineDv": "x",
-        "offset": 1,
-        "sizeInBytes": 1,
-        "cardinality": 1,
-    }
-    foreign.commit(3, [a])
-    with pytest.raises(ValueError, match="deletionVector"):
-        import_delta(spark, foreign.root)
     # ID-mode column mapping (parquet field-id resolution) is refused;
     # name mode is supported (test_import_column_mapping_name_mode)
     md = _meta_action()
@@ -287,7 +277,8 @@ def test_import_refusals_by_feature_name(spark, foreign):
     foreign.commit(4, [md])
     with pytest.raises(ValueError, match="columnMapping"):
         import_delta(spark, foreign.root)
-    # reader features beyond what the importer implements
+    # reader features beyond what the importer implements (deletion
+    # vectors ARE implemented since round 13 — test_import_deletion_*)
     foreign.commit(
         6,
         [
@@ -295,13 +286,13 @@ def test_import_refusals_by_feature_name(spark, foreign):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["fancyFutureFeature"],
+                    "writerFeatures": ["fancyFutureFeature"],
                 }
             }
         ],
     )
-    with pytest.raises(ValueError, match="deletionVectors"):
+    with pytest.raises(ValueError, match="fancyFutureFeature"):
         import_delta(spark, foreign.root)
     # but time travel BEFORE the feature commits still reads
     assert import_delta(spark, foreign.root, version=2).count() == 6
@@ -937,3 +928,473 @@ def test_router_create_from_delta(spark, foreign, tmp_path):
             f"CREATE TABLE conv2 USING TXN PARTITIONED BY (cat) "
             f"LOCATION '{root}2' FROM DELTA '{foreign.root}'"
         )
+
+
+def test_stats_ts_suffix_normalization(tmp_path):
+    """Foreign timestamp stats with fractional/timezone suffixes
+    normalize into the manifest's naive ``isoformat(sep=' ')`` domain
+    (a bare T-to-space swap would keep the suffix and make an
+    equal-to-min predicate compare BELOW the stored min lexically —
+    silently pruning the file); unparseable stats drop the column,
+    never mis-prune."""
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        _entry_from_add,
+        _manifest_ts,
+    )
+
+    assert _manifest_ts("2021-01-01T00:00:00.000Z") == "2021-01-01 00:00:00"
+    assert _manifest_ts("2021-01-01T05:30:00+05:30") == "2021-01-01 00:00:00"
+    assert (
+        _manifest_ts("2021-06-01T12:00:00.250000")
+        == "2021-06-01 12:00:00.250000"
+    )
+    assert _manifest_ts("not-a-timestamp") is None
+
+    add = {
+        "size": 123,
+        "stats": json.dumps(
+            {
+                "numRecords": 7,
+                "minValues": {
+                    "ts": "2021-01-01T00:00:00.000Z",
+                    "bad": "nope",
+                    "k": 1,
+                },
+                "maxValues": {
+                    "ts": "2021-01-02T00:00:00.000Z",
+                    "bad": "nope",
+                    "k": 9,
+                },
+                "nullCount": {"ts": 0, "bad": 0, "k": 0},
+            }
+        ),
+    }
+    types = {"ts": "timestamp", "bad": "timestamp", "k": "long"}
+    e = _entry_from_add(add, "/nonexistent", types)
+    assert e["rows"] == 7 and e["bytes"] == 123
+    assert e["columns"]["ts"]["min"] == "2021-01-01 00:00:00"
+    assert e["columns"]["ts"]["max"] == "2021-01-02 00:00:00"
+    # the min is now EQUAL to a naive predicate literal at the true min
+    assert e["columns"]["ts"]["min"] <= "2021-01-01 00:00:00"
+    # unparseable ts stats: column dropped entirely (conservative)
+    assert "bad" not in e["columns"]
+    assert e["columns"]["k"]["min"] == 1.0
+
+
+def test_import_encodable_basename_no_row_loss(spark, tmp_path):
+    """A partitioned add whose basename percent-encodes in a URI
+    (space, '%') must not silently vanish from the fast-path broadcast
+    join on ``_metadata.file_path``: the importer detects the
+    encodable name and takes the exact per-group branch."""
+    f = Foreign(str(tmp_path / "fenc"))
+    p1 = f.write_file("part 0001.parquet", [1, 2])  # space in basename
+    p2 = f.write_file("part%2.parquet", [3])  # literal '%'
+    p3 = f.write_file("part-plain.parquet", [4])
+    f.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action(),
+            _add(p1, {"cat": "a"}),
+            _add(p2, {"cat": "b"}),
+            _add(p3, {"cat": "a"}),
+        ],
+    )
+    df = import_delta(spark, f.root)
+    got = {(r["k"], r["cat"]) for r in df.collect()}
+    assert got == {(1, "a"), (2, "a"), (3, "b"), (4, "a")}
+
+
+def test_router_attach_refuses_shadowing(spark, foreign, tmp_path):
+    """CREATE TABLE ... USING DELTA_IMPORT must not shadow an existing
+    txn table or a prior foreign attachment (the attach would overwrite
+    the temp views while the stale txn entry lingers in SHOW TABLES);
+    IF NOT EXISTS makes the repeat-attach a no-op."""
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    router = TxnSqlRouter(spark)
+    root = str(tmp_path / "shadow_t")
+    router.sql(f"CREATE TABLE shad (k INT) USING TXN LOCATION '{root}'")
+    with pytest.raises(ValueError, match="already exists"):
+        router.sql(
+            "CREATE TABLE shad USING DELTA_IMPORT "
+            f"LOCATION '{foreign.root}'"
+        )
+    # the txn table is untouched by the refused attach
+    router.sql("INSERT INTO shad VALUES (5)")
+    assert (
+        router.sql("SELECT count(*) AS n FROM shad").collect()[0]["n"] == 1
+    )
+    router.sql(
+        "CREATE TABLE fshadow USING DELTA_IMPORT "
+        f"LOCATION '{foreign.root}'"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        router.sql(
+            "CREATE TABLE fshadow USING DELTA_IMPORT "
+            f"LOCATION '{foreign.root}'"
+        )
+    res = router.sql(
+        "CREATE TABLE IF NOT EXISTS fshadow USING DELTA_IMPORT "
+        f"LOCATION '{foreign.root}'"
+    ).collect()[0]
+    assert res["operation"] == "attach_delta_import_exists"
+    router.sql("DROP TABLE fshadow")
+    router.sql("DROP TABLE shad")
+
+
+def _id_mode_table(tmp_path):
+    """Hand-authored columnMapping.mode=id table (round 13, r12 verdict
+    task 5): the parquet files carry field IDs in their footers and
+    deliberately WRONG column names (neither logical nor physicalName),
+    so only spec-correct field-id resolution can read them — the exact
+    scenario ID mode exists for (ids survive engine rewrites that
+    names may not)."""
+    root = str(tmp_path / "idmode")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "data"))
+
+    def file_with_ids(name, ks, cats):
+        # arbitrary file-local column names; only the ids are right
+        sch = pa.schema(
+            [
+                pa.field(
+                    f"rewritten_{name}_k",
+                    pa.int64(),
+                    metadata={b"PARQUET:field_id": b"1"},
+                ),
+                pa.field(
+                    f"rewritten_{name}_c",
+                    pa.string(),
+                    metadata={b"PARQUET:field_id": b"2"},
+                ),
+            ]
+        )
+        pq.write_table(
+            pa.table(
+                [pa.array(ks, pa.int64()), pa.array(cats, pa.string())],
+                schema=sch,
+            ),
+            os.path.join(root, "data", name),
+        )
+        return f"data/{name}"
+
+    r1 = file_with_ids("a.parquet", [1, 2], ["u", "v"])
+    r2 = file_with_ids("b.parquet", [3], ["w"])
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "k",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-phys-k",
+                },
+            },
+            {
+                "name": "cat",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-phys-c",
+                },
+            },
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "idmode-1",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+                "createdTime": 0,
+            }
+        },
+        _add(r1, {}),
+        _add(r2, {}),
+    ]
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return root
+
+
+def test_import_column_mapping_id_mode(spark, tmp_path):
+    root = _id_mode_table(tmp_path)
+    df = import_delta(spark, root)
+    assert df.columns == ["k", "cat"]
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {
+        (1, "u"), (2, "v"), (3, "w")
+    }
+
+
+def test_format_delta_import_id_mode(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.sources.delta_import_source import (
+        register_delta_import_source,
+    )
+
+    register_delta_import_source(spark)
+    root = _id_mode_table(tmp_path)
+    df = spark.read.format("delta_import").load(root)
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {
+        (1, "u"), (2, "v"), (3, "w")
+    }
+
+
+def test_convert_refuses_id_mode(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.delta_export import convert_from_delta
+
+    root = _id_mode_table(tmp_path)
+    with pytest.raises(ValueError, match="field id"):
+        convert_from_delta(spark, root, str(tmp_path / "cv"))
+
+
+def _v2_checkpoint(f: Foreign, version: int, adds, *, as_json=False):
+    """Author a V2 SPEC checkpoint: UUID-named top-level file holding
+    protocol/metaData/checkpointMetadata/sidecar actions, the
+    add actions split across TWO sidecar parquet files under
+    _delta_log/_sidecars/ (PROTOCOL.md 'V2 spec' checkpoint shape)."""
+    sidecars_dir = os.path.join(f.log, "_sidecars")
+    os.makedirs(sidecars_dir, exist_ok=True)
+    side_schema = pa.schema(
+        [
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        (
+                            "partitionValues",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    half = (len(adds) + 1) // 2
+    side_names = []
+    for i, chunk in enumerate((adds[:half], adds[half:])):
+        name = f"sc-{version}-{i}.parquet"
+        rows = [
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": list(pv.items()),
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+            for p, pv in chunk
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=side_schema),
+            os.path.join(sidecars_dir, name),
+        )
+        side_names.append(name)
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    meta = _meta_action()["metaData"]
+    top_name = (
+        f"{version:020d}.checkpoint."
+        f"80a083e8-7026-4e79-81be-64bd76c43a11."
+        + ("json" if as_json else "parquet")
+    )
+    if as_json:
+        with open(os.path.join(f.log, top_name), "w") as fh:
+            fh.write(json.dumps({"protocol": proto}) + "\n")
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+            fh.write(
+                json.dumps(
+                    {"checkpointMetadata": {"version": version, "tags": {}}}
+                )
+                + "\n"
+            )
+            for n in side_names:
+                fh.write(
+                    json.dumps(
+                        {
+                            "sidecar": {
+                                "path": n,
+                                "sizeInBytes": os.path.getsize(
+                                    os.path.join(sidecars_dir, n)
+                                ),
+                                "modificationTime": 0,
+                            }
+                        }
+                    )
+                    + "\n"
+                )
+    else:
+        top_schema = pa.schema(
+            [
+                (
+                    "protocol",
+                    pa.struct(
+                        [
+                            ("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32()),
+                            ("readerFeatures", pa.list_(pa.string())),
+                            ("writerFeatures", pa.list_(pa.string())),
+                        ]
+                    ),
+                ),
+                (
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            ("format", pa.struct([("provider", pa.string())])),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string())),
+                            (
+                                "configuration",
+                                pa.map_(pa.string(), pa.string()),
+                            ),
+                            ("createdTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                (
+                    "checkpointMetadata",
+                    pa.struct(
+                        [
+                            ("version", pa.int64()),
+                            ("tags", pa.map_(pa.string(), pa.string())),
+                        ]
+                    ),
+                ),
+                (
+                    "sidecar",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("sizeInBytes", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        rows = [
+            {"protocol": proto},
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": {"provider": "parquet"},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": meta["partitionColumns"],
+                    "configuration": [],
+                    "createdTime": 0,
+                }
+            },
+            {"checkpointMetadata": {"version": version, "tags": []}},
+        ] + [
+            {
+                "sidecar": {
+                    "path": n,
+                    "sizeInBytes": os.path.getsize(
+                        os.path.join(sidecars_dir, n)
+                    ),
+                    "modificationTime": 0,
+                }
+            }
+            for n in side_names
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=top_schema),
+            os.path.join(f.log, top_name),
+        )
+    with open(os.path.join(f.log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version}, fh)
+
+
+@pytest.mark.parametrize("as_json", [False, True])
+def test_import_v2_checkpoint_with_sidecars(spark, tmp_path, as_json):
+    """A v2-checkpoint table (UUID naming, sidecar parquet files) reads
+    correctly AFTER the covered JSON commits are cleaned up — replay
+    can only succeed by seeding from the v2 checkpoint + sidecars."""
+    f = Foreign(str(tmp_path / "v2"))
+    f1 = f.write_file("part-aaa.parquet", [1, 2, 3])
+    f2 = f.write_file("part-bbb.parquet", [4, 5])
+    f3 = f.write_file("part-ccc.parquet", [6])
+    f.commit(
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
+                }
+            },
+            _meta_action(),
+            _add(f1, {"cat": "x"}),
+            _add(f2, {"cat": "y"}),
+        ],
+    )
+    f.commit(1, [_add(f3, {"cat": None})])
+    _v2_checkpoint(
+        f,
+        1,
+        [(f1, {"cat": "x"}), (f2, {"cat": "y"}), (f3, {"cat": None})],
+        as_json=as_json,
+    )
+    # log cleanup: the checkpoint is now the only source of v0..v1
+    os.unlink(os.path.join(f.log, f"{0:020d}.json"))
+    os.unlink(os.path.join(f.log, f"{1:020d}.json"))
+    # tail commit after the checkpoint
+    f4 = f.write_file("part-ddd.parquet", [7])
+    f.commit(
+        2,
+        [
+            {"remove": {"path": f2, "deletionTimestamp": 1, "dataChange": True}},
+            _add(f4, {"cat": "y"}),
+        ],
+    )
+    state = replay_delta_log(f.root)
+    assert state["n_commits"] == 3
+    assert state["protocol"]["readerFeatures"] == ["v2Checkpoint"]
+    df = import_delta(spark, f.root)
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {
+        (1, "x"), (2, "x"), (3, "x"), (6, None), (7, "y")
+    }
+    # the format("delta_import") source replays the same way
+    from rxlan_aws_lakehouse_spark.sources.delta_import_source import (
+        register_delta_import_source,
+    )
+
+    register_delta_import_source(spark)
+    assert (
+        spark.read.format("delta_import").load(f.root).count() == 5
+    )

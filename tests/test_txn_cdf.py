@@ -403,3 +403,42 @@ def test_batch_change_feed_across_rename(spark, table):
     ]
     got = {(r["k"], r["amt"], r["_change_type"]) for r in df.collect()}
     assert got == {(3, 30.0, "delete"), (4, 40.0, "delete")}
+
+
+def test_batch_change_feed_drop_readd_no_resurrection(spark, table):
+    """A payload written BEFORE ``DROP COLUMN x`` holds a logical
+    column ``x``; after re-adding ``x`` (fresh physical) the
+    format("txn") readChangeFeed binding must null-fill it, exactly
+    like ``read_row_changes`` — a logical-name fallback would bind the
+    dropped column's old bytes to the new column (resurrection).
+    Mirrors test_drop_column_metadata_only_and_no_resurrection for the
+    CDF surface."""
+    from rxlan_aws_lakehouse_spark.sources.txn_source import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    del_v = table.delete_where(spark, F.col("k") == 2)  # payload (k, amount)
+    table.drop_column(spark, "amount")
+    table.add_columns(spark, "amount DOUBLE")
+    # range END defaults to head (post re-add): the pinned schema's
+    # 'amount' is the FRESH physical — the payload's old spelling must
+    # not bind to it.  (Pinning endingVersion at the delete commit
+    # instead would make 20.0 the CORRECT answer: that range-end schema
+    # predates the drop.)
+    df = (
+        spark.read.format("txn")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", del_v)
+        .load(table.root)
+    )
+    rows = df.collect()
+    assert {(r["k"], r["_change_type"]) for r in rows} == {(2, "delete")}
+    # the re-added 'amount' must NOT resurrect the payload's old 20.0
+    assert all(r["amount"] is None for r in rows)
+    api = table.read_row_changes(spark, since="v00000001").filter(
+        F.col("_commit_version") == del_v
+    )
+    assert {
+        (r["k"], r["amount"], r["_change_type"]) for r in api.collect()
+    } == {(r["k"], r["amount"], r["_change_type"]) for r in rows}
