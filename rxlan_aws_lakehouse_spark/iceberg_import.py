@@ -1,0 +1,468 @@
+"""Read-only Apache ICEBERG import (round 13, r12 verdict task 2).
+
+``BASELINE.json``'s stated production approach is "Spark SQL + Delta/
+Iceberg over S3"; round 12 built the Delta half (``import_delta``),
+this module is the Iceberg twin: replay the PUBLIC Iceberg table spec
+(https://iceberg.apache.org/spec/) — ``metadata/*.metadata.json`` →
+snapshot → manifest-list Avro → manifest Avro → data files — and scan
+the live files as one Spark DataFrame.  Nothing here touches an
+Iceberg library: the Avro container files are decoded by
+``avro_lite.py`` and the JSON tree is walked directly, the same
+hand-rolled-from-spec posture as the Delta importer.
+
+Spec mechanics honored:
+
+* **current metadata**: ``version-hint.text`` when present, else the
+  highest ``v<N>.metadata.json`` (the HadoopTables naming convention);
+  format-version 1 and 2 replay, 3+ refuses loudly by number.
+* **snapshot resolution**: ``current-snapshot-id`` by default,
+  ``snapshot_id=`` pins time travel to any snapshot still listed.
+* **column binding is FIELD-ID based** — the defining Iceberg reader
+  rule.  The requested Spark schema carries each field's
+  ``parquet.field.id`` metadata and Spark's native field-id resolution
+  matches the footer ids, so renamed columns and rewritten files read
+  correctly with zero name coupling (same mechanism as the Delta
+  importer's id-mode, delta_export.py).
+* **identity partition columns live IN the data files** (unlike hive/
+  Delta) — no partition-value reattachment is needed for correctness;
+  partition data in manifests is used for FILE SKIPPING only.
+* **two metadata-level prunes before Spark plans a task**: the
+  manifest list's per-manifest ``partitions`` field summaries skip
+  whole manifests unread; each manifest entry's partition values and
+  ``lower_bounds``/``upper_bounds`` (decoded per the spec's
+  single-value binary serialization) skip individual files.  Both are
+  conservative: unknown types/transforms never prune.
+* **refusals, loudly by name**: delete manifests (``content=1`` in the
+  manifest list), delete files (``data_file.content != 0``), non-
+  parquet file formats, format-version ≥ 3 — each names the construct
+  so a user knows exactly what the table uses.
+
+Scale shape: O(metadata bytes) driver work — manifest Avro is KBs per
+thousands of files — then ONE parquet scan of the surviving files.
+A 100 TB Iceberg table imports at the cost of its metadata plus the
+files the predicate keeps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+
+from .avro_lite import read_avro
+
+_DECIMAL_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")
+_FIXED_RE = re.compile(r"fixed\[(\d+)\]")
+
+
+# ------------------------------------------------------------- metadata
+def _resolve(table_path: str, p: str) -> str:
+    """Iceberg metadata stores absolute URIs; fixtures may use relative
+    paths.  Strip a ``file:`` scheme, keep absolute paths, anchor
+    relative ones at the table root."""
+    if p.startswith("file://"):
+        p = p[len("file://") :]
+    elif p.startswith("file:"):
+        p = p[len("file:") :]
+    if os.path.isabs(p):
+        return p
+    return os.path.join(table_path, p)
+
+
+def load_table_metadata(path: str) -> dict:
+    """Current ``*.metadata.json`` of an Iceberg table directory, via
+    ``version-hint.text`` when present (HadoopCatalog convention), else
+    the highest-numbered ``v<N>.metadata.json``."""
+    mdir = os.path.join(path, "metadata")
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(f"no metadata/ directory under {path}")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            n = f.read().strip()
+        cand = os.path.join(mdir, f"v{int(n)}.metadata.json")
+        if not os.path.exists(cand):
+            raise FileNotFoundError(
+                f"version-hint.text names v{n} but {cand} is missing"
+            )
+    else:
+        versions = []
+        for name in os.listdir(mdir):
+            m = re.fullmatch(r"v(\d+)\.metadata\.json", name)
+            if m:
+                versions.append((int(m.group(1)), name))
+        if not versions:
+            raise FileNotFoundError(
+                f"no v*.metadata.json under {mdir} and no version-hint"
+            )
+        cand = os.path.join(mdir, max(versions)[1])
+    with open(cand) as f:
+        meta = json.load(f)
+    fv = int(meta.get("format-version", 1))
+    if fv > 2:
+        raise ValueError(
+            f"cannot import: Iceberg format-version {fv} is not "
+            "supported (1 and 2 are)"
+        )
+    return meta
+
+
+def _current_schema(meta: dict) -> dict:
+    """The snapshot-current Iceberg schema struct (v2: ``schemas`` +
+    ``current-schema-id``; v1: inline ``schema``)."""
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s
+        raise ValueError(f"current-schema-id {sid} not in schemas")
+    return meta["schema"]
+
+
+def iceberg_to_spark_type(t):
+    """Iceberg type -> Spark DataType (spec type-name grammar)."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        iceberg_to_spark_type(f["type"]),
+                        not f.get("required", False),
+                        {"parquet.field.id": int(f["id"])},
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        if k == "list":
+            return T.ArrayType(
+                iceberg_to_spark_type(t["element"]),
+                not t.get("element-required", False),
+            )
+        if k == "map":
+            return T.MapType(
+                iceberg_to_spark_type(t["key"]),
+                iceberg_to_spark_type(t["value"]),
+                not t.get("value-required", False),
+            )
+        raise ValueError(f"unsupported Iceberg nested type {k!r}")
+    prim = {
+        "boolean": "boolean",
+        "int": "integer",
+        "long": "long",
+        "float": "float",
+        "double": "double",
+        "date": "date",
+        "string": "string",
+        "uuid": "string",
+        "binary": "binary",
+        # timestamptz is UTC-adjusted -> Spark timestamp;
+        # timestamp (no tz) -> timestamp_ntz, the same split Delta uses
+        "timestamptz": "timestamp",
+        "timestamp": "timestamp_ntz",
+    }
+    from pyspark.sql import types as T
+
+    if t in prim:
+        return getattr(
+            T,
+            {
+                "boolean": "BooleanType",
+                "integer": "IntegerType",
+                "long": "LongType",
+                "float": "FloatType",
+                "double": "DoubleType",
+                "date": "DateType",
+                "string": "StringType",
+                "binary": "BinaryType",
+                "timestamp": "TimestampType",
+                "timestamp_ntz": "TimestampNTZType",
+            }[prim[t]],
+        )()
+    m = _DECIMAL_RE.fullmatch(t)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = _FIXED_RE.fullmatch(t)
+    if m:
+        return T.BinaryType()
+    raise ValueError(f"unsupported Iceberg type {t!r}")
+
+
+def _spark_schema(meta: dict):
+    from pyspark.sql.types import StructType
+
+    st = iceberg_to_spark_type(_current_schema(meta))
+    if not isinstance(st, StructType):
+        raise ValueError("Iceberg schema root must be a struct")
+    return st
+
+
+# ----------------------------------------------------------- file prune
+def _kvmap(x) -> dict:
+    """Iceberg's Avro 'map with non-string keys' round-trips as an
+    array of {key, value} records; normalize both shapes to a dict."""
+    if x is None:
+        return {}
+    if isinstance(x, dict):
+        return x
+    return {e["key"]: e["value"] for e in x}
+
+
+def _decode_bound(t: str, b: bytes):
+    """Spec 'single-value binary serialization' for the bound types a
+    range comparison can use; None for everything else (no pruning)."""
+    if b is None:
+        return None
+    b = bytes(b)
+    try:
+        if t == "int":
+            return struct.unpack("<i", b)[0]
+        if t == "long":
+            return struct.unpack("<q", b)[0]
+        if t == "float":
+            return struct.unpack("<f", b)[0]
+        if t == "double":
+            return struct.unpack("<d", b)[0]
+        if t == "date":
+            return struct.unpack("<i", b)[0]  # days since epoch
+        if t in ("timestamp", "timestamptz"):
+            return struct.unpack("<q", b)[0]  # micros since epoch
+        if t == "string":
+            return b.decode("utf-8")
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _cmp_empty(op: str, lo, hi, lit) -> bool:
+    if op == "=":
+        return lit < lo or lit > hi
+    if op == "<":
+        return lo >= lit
+    if op == "<=":
+        return lo > lit
+    if op == ">":
+        return hi <= lit
+    if op == ">=":
+        return hi < lit
+    return False
+
+
+def _comparable(lo, hi, lit) -> bool:
+    num = lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)  # noqa: E731
+    if num(lit) and num(lo) and num(hi):
+        return True
+    return (
+        isinstance(lit, str)
+        and isinstance(lo, str)
+        and isinstance(hi, str)
+    )
+
+
+# ------------------------------------------------------------- replay
+def iceberg_live_files(
+    path: str,
+    snapshot_id: int | None = None,
+    filters: list[tuple] | None = None,
+) -> dict:
+    """Replay the metadata tree to the live data files of one snapshot.
+
+    Returns ``{"files": [abs paths], "meta": metadata dict, "schema":
+    Spark StructType, "n_total": files before predicate pruning,
+    "n_manifests_skipped": manifests the manifest-list field summaries
+    proved empty, "snapshot": snapshot dict}``.  ``filters`` are
+    conjunctive ``(column, op, literal)`` triples pruned against BOTH
+    metadata levels; pruning is IO-avoidance only — callers re-apply
+    every predicate row-level (the same contract as the txn source)."""
+    meta = load_table_metadata(path)
+    schema = _spark_schema(meta)
+    ice_schema = _current_schema(meta)
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    by_id = {int(f["id"]): f for f in ice_schema["fields"]}
+
+    snaps = meta.get("snapshots") or []
+    sid = snapshot_id if snapshot_id is not None else meta.get(
+        "current-snapshot-id"
+    )
+    if sid is None or sid == -1:
+        return {
+            "files": [],
+            "meta": meta,
+            "schema": schema,
+            "n_total": 0,
+            "n_manifests_skipped": 0,
+            "snapshot": None,
+        }
+    snap = next((s for s in snaps if s.get("snapshot-id") == sid), None)
+    if snap is None:
+        raise ValueError(
+            f"snapshot {sid} not found in {path} (listed: "
+            f"{[s.get('snapshot-id') for s in snaps]})"
+        )
+    ml_path = snap.get("manifest-list")
+    if not ml_path:
+        raise ValueError(
+            "snapshot has no manifest-list (v1 inline manifests are "
+            "not supported; rewrite with a modern writer)"
+        )
+
+    # partition spec: identity transforms prune by partition value;
+    # any other transform reads fine (source columns are in the data
+    # files) but never prunes — conservative
+    specs = {
+        int(s["spec-id"]): s for s in (meta.get("partition-specs") or [])
+    }
+    if not specs and meta.get("partition-spec") is not None:
+        specs[0] = {
+            "spec-id": 0,
+            "fields": meta.get("partition-spec") or [],
+        }
+
+    filters = filters or []
+    _, ml_records = read_avro(_resolve(path, ml_path))
+
+    n_skipped_manifests = 0
+    files: list[str] = []
+    n_total = 0
+    for m in ml_records:
+        if int(m.get("content") or 0) == 1:
+            raise ValueError(
+                "cannot import: snapshot carries a DELETE manifest "
+                "(manifest-list content=1, row-level deletes); "
+                "rewrite/compact the table first"
+            )
+        spec = specs.get(int(m.get("partition_spec_id") or 0)) or {
+            "fields": []
+        }
+        spec_fields = spec.get("fields") or []
+        # manifest-level skip via the field summaries (aligned with
+        # the spec's partition field order)
+        summaries = m.get("partitions") or []
+        if summaries and _manifest_prunable(
+            summaries, spec_fields, by_id, filters
+        ):
+            n_skipped_manifests += 1
+            continue
+        _, entries = read_avro(_resolve(path, m["manifest_path"]))
+        for e in entries:
+            if int(e.get("status") or 0) == 2:  # DELETED
+                continue
+            df = e.get("data_file") or {}
+            if int(df.get("content") or 0) != 0:
+                raise ValueError(
+                    "cannot import: manifest entry carries a delete "
+                    f"file (data_file.content={df.get('content')})"
+                )
+            fmt = str(df.get("file_format") or "").upper()
+            if fmt != "PARQUET":
+                raise ValueError(
+                    f"cannot import: file_format {fmt!r} (only PARQUET)"
+                )
+            n_total += 1
+            if _file_prunable(df, spec_fields, by_name, by_id, filters):
+                continue
+            files.append(_resolve(path, df["file_path"]))
+    return {
+        "files": files,
+        "meta": meta,
+        "schema": schema,
+        "n_total": n_total,
+        "n_manifests_skipped": n_skipped_manifests,
+        "snapshot": snap,
+    }
+
+
+def _manifest_prunable(summaries, spec_fields, by_id, filters) -> bool:
+    """May ANY file in this manifest satisfy the conjunction?  Uses the
+    manifest-list ``partitions`` field summaries (lower/upper bound per
+    partition field, identity transforms only)."""
+    for i, pf in enumerate(spec_fields):
+        if i >= len(summaries):
+            break
+        if str(pf.get("transform")) != "identity":
+            continue
+        src = by_id.get(int(pf.get("source-id", -1)))
+        if src is None:
+            continue
+        t = src["type"] if isinstance(src["type"], str) else ""
+        s = summaries[i] or {}
+        lo = _decode_bound(t, s.get("lower_bound"))
+        hi = _decode_bound(t, s.get("upper_bound"))
+        if lo is None or hi is None:
+            continue
+        for col, op, lit in filters:
+            if col != src["name"]:
+                continue
+            if _comparable(lo, hi, lit) and _cmp_empty(op, lo, hi, lit):
+                # a null-holding partition may still match nothing for
+                # range ops; contains_null files never match =/range
+                # predicates on the value, so the skip is sound
+                if not s.get("contains_null"):
+                    return True
+    return False
+
+
+def _file_prunable(df, spec_fields, by_name, by_id, filters) -> bool:
+    """May this data file satisfy the conjunction?  Partition values
+    (identity transforms) and per-file column bounds both get a say."""
+    part = df.get("partition") or {}
+    pvals: dict[str, object] = {}
+    for pf in spec_fields:
+        if str(pf.get("transform")) != "identity":
+            continue
+        src = by_id.get(int(pf.get("source-id", -1)))
+        if src is None:
+            continue
+        name = pf.get("name") or src["name"]
+        if name in part:
+            pvals[src["name"]] = part[name]
+    lowers = _kvmap(df.get("lower_bounds"))
+    uppers = _kvmap(df.get("upper_bounds"))
+    for col, op, lit in filters:
+        f = by_name.get(col)
+        if f is None:
+            continue
+        t = f["type"] if isinstance(f["type"], str) else ""
+        if col in pvals:
+            v = pvals[col]
+            if v is None:
+                return True  # null partition: no comparison matches
+            if _comparable(v, v, lit) and _cmp_empty(op, v, v, lit):
+                return True
+        fid = int(f["id"])
+        lo = _decode_bound(t, lowers.get(fid))
+        hi = _decode_bound(t, uppers.get(fid))
+        if (
+            lo is not None
+            and hi is not None
+            and _comparable(lo, hi, lit)
+            and _cmp_empty(op, lo, hi, lit)
+        ):
+            return True
+    return False
+
+
+# --------------------------------------------------------------- reads
+def import_iceberg(
+    spark,
+    path: str,
+    snapshot_id: int | None = None,
+    filters: list[tuple] | None = None,
+):
+    """Read an Iceberg table the engine did not write, as a DataFrame.
+
+    ``snapshot_id`` pins time travel; ``filters`` prune files at the
+    metadata level (callers must still apply the predicates — pruning
+    is an IO bound, never the correctness boundary).  Columns bind by
+    parquet FIELD ID (the Iceberg reader contract), so renames and
+    engine rewrites cannot break the read."""
+    state = iceberg_live_files(path, snapshot_id, filters)
+    schema = state["schema"]
+    if not state["files"]:
+        return spark.createDataFrame([], schema)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    return spark.read.schema(schema).parquet(*state["files"])

@@ -1,0 +1,541 @@
+"""Read-only Iceberg import (round 13, r12 verdict task 2).
+
+Every fixture is hand-authored from the PUBLIC Iceberg table spec
+(metadata.json tree + Avro manifest list + Avro manifests via
+avro_lite) — never written by an Iceberg library — so these tests
+exercise the importer's replay of the spec, not a library round-trip.
+Data files carry parquet FIELD IDS and deliberately mismatched column
+names where noted: Iceberg's reader contract is id-based binding.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rxlan_aws_lakehouse_spark.avro_lite import read_avro, write_avro
+from rxlan_aws_lakehouse_spark.iceberg_import import (
+    iceberg_live_files,
+    import_iceberg,
+    load_table_metadata,
+)
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "field_summary",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                            },
+                        ],
+                    },
+                },
+            ],
+        },
+    ],
+}
+
+
+def manifest_schema(part_fields):
+    """Manifest-entry writer schema with the given partition record
+    fields (spec: the partition struct is per-spec)."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": part_fields,
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "lower_bounds",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k126_v127",
+                                        "fields": [
+                                            {"name": "key", "type": "int"},
+                                            {
+                                                "name": "value",
+                                                "type": "bytes",
+                                            },
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k129_v130",
+                                        "fields": [
+                                            {"name": "key", "type": "int"},
+                                            {
+                                                "name": "value",
+                                                "type": "bytes",
+                                            },
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+def _long_le(v):
+    return struct.pack("<q", v)
+
+
+def _str_b(s):
+    return s.encode("utf-8")
+
+
+class Ice:
+    """Hand-authored Iceberg v2 table: schema (k long, v double,
+    cat string), identity-partitioned by cat, field ids 1/2/3."""
+
+    SCHEMA_FIELDS = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "double"},
+        {"id": 3, "name": "cat", "required": False, "type": "string"},
+    ]
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "metadata"))
+        os.makedirs(os.path.join(root, "data"))
+        self.snapshots: list[dict] = []
+
+    def write_file(self, name, ks, cat, *, scramble_names=False):
+        """Data file WITH field ids; Iceberg data files hold identity
+        partition columns too.  ``scramble_names`` gives the columns
+        file-local names so only id resolution can bind them."""
+        pre = f"x_{name.split('.')[0]}_" if scramble_names else ""
+        sch = pa.schema(
+            [
+                pa.field(
+                    f"{pre}k" if scramble_names else "k",
+                    pa.int64(),
+                    metadata={b"PARQUET:field_id": b"1"},
+                ),
+                pa.field(
+                    f"{pre}v" if scramble_names else "v",
+                    pa.float64(),
+                    metadata={b"PARQUET:field_id": b"2"},
+                ),
+                pa.field(
+                    f"{pre}cat" if scramble_names else "cat",
+                    pa.string(),
+                    metadata={b"PARQUET:field_id": b"3"},
+                ),
+            ]
+        )
+        pq.write_table(
+            pa.table(
+                [
+                    pa.array(ks, pa.int64()),
+                    pa.array([x * 1.5 for x in ks], pa.float64()),
+                    pa.array([cat] * len(ks), pa.string()),
+                ],
+                schema=sch,
+            ),
+            os.path.join(self.root, "data", name),
+        )
+        return f"data/{name}"
+
+    def entry(self, rel, ks, cat, status=1):
+        return {
+            "status": status,
+            "snapshot_id": None,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0,
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {"cat": cat},
+                "record_count": len(ks),
+                "file_size_in_bytes": 1,
+                "lower_bounds": [
+                    {"key": 1, "value": _long_le(min(ks))},
+                    {
+                        "key": 3,
+                        "value": _str_b(cat if cat is not None else ""),
+                    },
+                ],
+                "upper_bounds": [
+                    {"key": 1, "value": _long_le(max(ks))},
+                    {
+                        "key": 3,
+                        "value": _str_b(cat if cat is not None else ""),
+                    },
+                ],
+            },
+        }
+
+    def manifest(self, name, entries, cats):
+        """One manifest + its manifest-list row (field summaries over
+        the cat partition values it holds)."""
+        part_fields = [{"name": "cat", "type": ["null", "string"]}]
+        path = f"metadata/{name}"
+        write_avro(
+            os.path.join(self.root, path),
+            manifest_schema(part_fields),
+            entries,
+        )
+        non_null = [c for c in cats if c is not None]
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(
+                os.path.join(self.root, path)
+            ),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 1,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": [
+                {
+                    "contains_null": any(c is None for c in cats),
+                    "contains_nan": None,
+                    "lower_bound": _str_b(min(non_null))
+                    if non_null
+                    else None,
+                    "upper_bound": _str_b(max(non_null))
+                    if non_null
+                    else None,
+                }
+            ],
+        }
+
+    def snapshot(self, sid, manifest_rows):
+        ml = f"metadata/snap-{sid}.avro"
+        write_avro(
+            os.path.join(self.root, ml),
+            MANIFEST_LIST_SCHEMA,
+            manifest_rows,
+        )
+        self.snapshots.append(
+            {
+                "snapshot-id": sid,
+                "timestamp-ms": sid,
+                "sequence-number": sid,
+                "summary": {"operation": "append"},
+                "manifest-list": ml,
+                "schema-id": 0,
+            }
+        )
+
+    def metadata(self, version, current_sid, format_version=2):
+        meta = {
+            "format-version": format_version,
+            "table-uuid": "0185a0a0-0000-0000-0000-000000000000",
+            "location": self.root,
+            "last-sequence-number": len(self.snapshots),
+            "last-updated-ms": 0,
+            "last-column-id": 3,
+            "schemas": [
+                {
+                    "type": "struct",
+                    "schema-id": 0,
+                    "fields": self.SCHEMA_FIELDS,
+                }
+            ],
+            "current-schema-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": "cat",
+                            "transform": "identity",
+                            "source-id": 3,
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "last-partition-id": 1000,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": {},
+            "current-snapshot-id": current_sid,
+            "snapshots": self.snapshots,
+        }
+        with open(
+            os.path.join(
+                self.root, "metadata", f"v{version}.metadata.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(meta, f)
+        with open(
+            os.path.join(self.root, "metadata", "version-hint.text"), "w"
+        ) as f:
+            f.write(str(version))
+
+
+@pytest.fixture
+def ice(tmp_path):
+    t = Ice(str(tmp_path / "ice"))
+    f1 = t.write_file("a.parquet", [1, 2, 3], "x", scramble_names=True)
+    f2 = t.write_file("b.parquet", [10, 11], "y", scramble_names=True)
+    m1 = t.manifest(
+        "m1.avro",
+        [t.entry(f1, [1, 2, 3], "x"), t.entry(f2, [10, 11], "y")],
+        ["x", "y"],
+    )
+    t.snapshot(1, [m1])
+    f3 = t.write_file("c.parquet", [20], "z")
+    m2 = t.manifest("m2.avro", [t.entry(f3, [20], "z")], ["z"])
+    t.snapshot(2, [m1, m2])
+    t.metadata(2, current_sid=2)
+    return t
+
+
+def test_import_current_snapshot_field_id_binding(spark, ice):
+    df = import_iceberg(spark, ice.root)
+    assert df.columns == ["k", "v", "cat"]
+    got = {(r["k"], r["cat"]) for r in df.collect()}
+    # a/b have SCRAMBLED column names: only field-id binding reads them
+    assert got == {
+        (1, "x"), (2, "x"), (3, "x"), (10, "y"), (11, "y"), (20, "z")
+    }
+
+
+def test_import_snapshot_time_travel(spark, ice):
+    d1 = import_iceberg(spark, ice.root, snapshot_id=1)
+    assert {r["k"] for r in d1.collect()} == {1, 2, 3, 10, 11}
+    with pytest.raises(ValueError, match="snapshot 99"):
+        import_iceberg(spark, ice.root, snapshot_id=99)
+
+
+def test_metadata_level_pruning(spark, ice):
+    # partition predicate: manifest m2 (only 'z') is skipped UNREAD by
+    # the manifest-list field summaries; file b pruned by its
+    # partition value; file a kept
+    st = iceberg_live_files(ice.root, filters=[("cat", "=", "x")])
+    assert st["n_manifests_skipped"] == 1
+    assert len(st["files"]) == 1 and st["files"][0].endswith("a.parquet")
+    # stats range predicate on a data column (field-id keyed bounds)
+    st2 = iceberg_live_files(ice.root, filters=[("k", ">=", 15)])
+    assert [os.path.basename(p) for p in st2["files"]] == ["c.parquet"]
+    assert st2["n_total"] == 3
+    # pruning is IO-only: the read + row-level predicate still agrees
+    df = import_iceberg(spark, ice.root, filters=[("k", ">=", 15)])
+    assert {r["k"] for r in df.filter(df.k >= 15).collect()} == {20}
+
+
+def test_refusals_by_name(spark, ice, tmp_path):
+    # format-version 3
+    t3 = Ice(str(tmp_path / "v3"))
+    t3.snapshot(1, [])
+    t3.metadata(1, current_sid=1, format_version=3)
+    with pytest.raises(ValueError, match="format-version 3"):
+        import_iceberg(spark, t3.root)
+    # delete manifest in the manifest list
+    bad = Ice(str(tmp_path / "del"))
+    rel = bad.write_file("a.parquet", [1], "x")
+    m = bad.manifest("m.avro", [bad.entry(rel, [1], "x")], ["x"])
+    m["content"] = 1
+    bad.snapshot(1, [m])
+    bad.metadata(1, current_sid=1)
+    with pytest.raises(ValueError, match="DELETE manifest"):
+        import_iceberg(spark, bad.root)
+    # delete data_file content
+    bad2 = Ice(str(tmp_path / "del2"))
+    rel2 = bad2.write_file("a.parquet", [1], "x")
+    e = bad2.entry(rel2, [1], "x")
+    e["data_file"]["content"] = 1
+    bad2.snapshot(1, [bad2.manifest("m.avro", [e], ["x"])])
+    bad2.metadata(1, current_sid=1)
+    with pytest.raises(ValueError, match="delete file"):
+        import_iceberg(spark, bad2.root)
+    # non-parquet file format
+    bad3 = Ice(str(tmp_path / "orc"))
+    rel3 = bad3.write_file("a.parquet", [1], "x")
+    e3 = bad3.entry(rel3, [1], "x")
+    e3["data_file"]["file_format"] = "ORC"
+    bad3.snapshot(1, [bad3.manifest("m.avro", [e3], ["x"])])
+    bad3.metadata(1, current_sid=1)
+    with pytest.raises(ValueError, match="ORC"):
+        import_iceberg(spark, bad3.root)
+
+
+def test_deleted_status_and_null_partition(spark, tmp_path):
+    """status=2 (DELETED) entries drop from the live set; a null
+    partition value still reads (identity partition data rides the
+    data file itself in Iceberg)."""
+    t = Ice(str(tmp_path / "nullp"))
+    f1 = t.write_file("a.parquet", [1, 2], "x")
+    f2 = t.write_file("b.parquet", [3], None)
+    m = t.manifest(
+        "m.avro",
+        [
+            t.entry(f1, [1, 2], "x", status=2),  # deleted
+            t.entry(f2, [3], None),
+        ],
+        ["x", None],
+    )
+    t.snapshot(1, [m])
+    t.metadata(1, current_sid=1)
+    df = import_iceberg(spark, t.root)
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {(3, None)}
+    # null partition prunes an equality predicate on cat
+    st = iceberg_live_files(t.root, filters=[("cat", "=", "x")])
+    assert st["files"] == []
+
+
+def test_avro_deflate_codec(tmp_path):
+    """A deflate-compressed manifest (the other codec real writers
+    emit) decodes identically; unknown codecs refuse by name."""
+    import zlib
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    p = str(tmp_path / "t.avro")
+    write_avro(p, schema, [{"x": 7}, {"x": -9}])
+    # recompress the single block as deflate by hand
+    with open(p, "rb") as f:
+        raw = f.read()
+    _, recs = read_avro(p)
+    assert recs == [{"x": 7}, {"x": -9}]
+    from rxlan_aws_lakehouse_spark.avro_lite import _Reader, _Writer
+
+    r = _Reader(raw)
+    r.read(4)
+    meta = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        for _ in range(abs(n)):
+            k = r.read(r.long()).decode()
+            meta[k] = r.read(r.long())
+    sync = r.read(16)
+    count = r.long()
+    size = r.long()
+    payload = r.read(size)
+    w = _Writer()
+    w.write(b"Obj\x01")
+    meta["avro.codec"] = b"deflate"
+    w.long(len(meta))
+    for k, v in meta.items():
+        w.encode("string", k)
+        w.long(len(v))
+        w.write(v)
+    w.long(0)
+    w.write(sync)
+    comp = zlib.compress(payload)[2:-4]  # raw deflate
+    w.long(count)
+    w.long(len(comp))
+    w.write(comp)
+    w.write(sync)
+    p2 = str(tmp_path / "t2.avro")
+    with open(p2, "wb") as f:
+        f.write(w.out.getvalue())
+    _, recs2 = read_avro(p2)
+    assert recs2 == recs
+    # unknown codec refuses by name
+    meta["avro.codec"] = b"snappy"
+    w2 = _Writer()
+    w2.write(b"Obj\x01")
+    w2.long(len(meta))
+    for k, v in meta.items():
+        w2.encode("string", k)
+        w2.long(len(v))
+        w2.write(v)
+    w2.long(0)
+    w2.write(sync)
+    p3 = str(tmp_path / "t3.avro")
+    with open(p3, "wb") as f:
+        f.write(w2.out.getvalue())
+    with pytest.raises(ValueError, match="snappy"):
+        read_avro(p3)
+
+
+def test_version_hint_and_latest_fallback(tmp_path, ice):
+    meta = load_table_metadata(ice.root)
+    assert meta["current-snapshot-id"] == 2
+    # without the hint: highest v<N> wins
+    os.unlink(os.path.join(ice.root, "metadata", "version-hint.text"))
+    assert load_table_metadata(ice.root)["current-snapshot-id"] == 2
