@@ -58,7 +58,13 @@ from urllib.parse import quote, unquote
 import pyarrow as pa
 import pyarrow.parquet as _pq
 
-from .txn import TxnTable, _cm_divergent, _cm_fields, _file_column_stats
+from .txn import (
+    TxnTable,
+    _cm_divergent,
+    _cm_fields,
+    _cm_phys,
+    _file_column_stats,
+)
 
 _PLAIN_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # columnMapping's legacy protocol gate (readerVersion 2 IS the
@@ -85,8 +91,13 @@ def _delta_table_meta(meta: dict) -> tuple[dict, dict, dict]:
     absent mappings export as plain protocol (1, 2) tables."""
     schema_json = meta["schema"]
     cm = meta.get("column_mapping")
+    # CDF-enabled sources advertise the spec's table property so a
+    # foreign reader knows readChangeFeed is available on the mirror
+    base_cfg = (
+        {"delta.enableChangeDataFeed": "true"} if meta.get("cdf") else {}
+    )
     if not _cm_divergent(cm):
-        return schema_json, {}, dict(_PLAIN_PROTOCOL)
+        return schema_json, dict(base_cfg), dict(_PLAIN_PROTOCOL)
     fields = []
     for f in schema_json.get("fields", []):
         entry = _cm_fields(cm).get(str(f.get("name", "")).lower())
@@ -96,6 +107,7 @@ def _delta_table_meta(meta: dict) -> tuple[dict, dict, dict]:
             md["delta.columnMapping.physicalName"] = entry["physical"]
         fields.append({**f, "metadata": md})
     cfg = {
+        **base_cfg,
         "delta.columnMapping.mode": "name",
         "delta.columnMapping.maxColumnId": str(
             int(cm.get("max_id", len(fields)))
@@ -664,6 +676,307 @@ def replay_delta_log(dest: str, up_to: int | None = None) -> dict:
 # instead of re-processing them as new data.
 _REARRANGE_OPS = frozenset({"compact", "zorder", "rewrite_layout"})
 
+# Source commits that change ZERO logical rows (physical or metadata
+# only) — they contribute nothing to the mirror's change feed. Mirrors
+# txn_source._cdf_version_partitions' list.
+_NO_CHANGE_OPS = frozenset(
+    {
+        "compact",
+        "zorder",
+        "materialize_deletes",
+        "rewrite_layout",
+        "set_constraint",
+        "set_cdf",
+        "add_columns",
+        "widen_type",
+        "rename_column",
+        "drop_column",
+    }
+)
+
+_CHANGE_DIR = "_change_data"
+
+
+def _emit_cdc(
+    table: TxnTable, dest: str, last_txn: str, v: str, commit_n: int
+) -> list[dict]:
+    """Write the sync range's CHANGE DATA FILES into the mirror and
+    return the matching ``cdc`` actions (r12 verdict task 4 — the
+    missing half of CDF interop: the txn source has full row-level CDF,
+    ``txn.py read_row_changes``, but a foreign Delta reader of the
+    mirror could not ``readChangeFeed``).
+
+    Per the protocol's change-data rules, a commit that carries ANY
+    ``cdc`` action is read ONLY through its cdc files, so emission must
+    be complete for the mirror commit: every intervening source commit
+    with a recorded ``_cdf`` payload contributes its exact
+    pre/post/delete images, and — when such payloads exist in the range
+    — every append-like commit's fresh files are materialized as
+    ``insert`` rows too.  A range with NO payload commits emits nothing
+    (the reader derives inserts/deletes from dataChange adds/removes,
+    the spec's default, at zero export cost — the common per-append
+    sync stays pure-link).  Change files follow data-file layout rules:
+    partition columns live in ``partitionValues``, not in the file, and
+    a column-mapped mirror writes PHYSICAL column names (each payload's
+    columns translate through its own version's mapping — a rename
+    between payload and sync cannot mislabel a column).
+
+    Cost: pyarrow IO proportional to the range's CHANGED rows (the
+    payloads + fresh files of payload-bearing ranges), zero Spark jobs
+    — the same churn-proportional budget as the sync's data-file
+    diff."""
+    import pyarrow.compute as _pc
+
+    # intervening versions, ascending commit order
+    chain: list[tuple[str, dict]] = []
+    cur = v
+    while cur != last_txn:
+        m = table._meta(cur)
+        chain.append((cur, m))
+        cur = m.get("parent")
+        if cur is None:
+            break
+    chain.reverse()
+    stages: list[tuple[str, dict, str]] = []
+    any_payload = False
+    for ver, m in chain:
+        cdf_dir = os.path.join(table.root, "_versions", ver, "_cdf")
+        if os.path.isdir(cdf_dir):
+            stages.append((ver, m, "payload"))
+            any_payload = True
+        elif m.get("operation") not in _NO_CHANGE_OPS:
+            stages.append((ver, m, "derive"))
+    if not any_payload:
+        return []
+
+    os.makedirs(os.path.join(dest, _CHANGE_DIR), exist_ok=True)
+    actions: list[dict] = []
+    seq = 0
+
+    def emit(tbl: pa.Table, pv: dict) -> None:
+        nonlocal seq
+        rel = os.path.join(
+            _CHANGE_DIR, f"cdc-{commit_n:020d}-{seq:04d}.parquet"
+        )
+        seq += 1
+        abs_p = os.path.join(dest, rel)
+        _pq.write_table(tbl, abs_p)
+        actions.append(
+            {
+                "cdc": {
+                    "path": quote(rel.replace(os.sep, "/"), safe="/="),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(abs_p),
+                    "dataChange": False,
+                }
+            }
+        )
+
+    for ver, m, kind in stages:
+        vcm = m.get("column_mapping")
+        part_by = list(m.get("partition_by") or [])
+        if kind == "derive":
+            # append-like commit: fresh files ARE the inserts; the hive
+            # rel path already carries the (physical) partition values
+            parent = m.get("parent")
+            old = set(table.files(parent)) if parent else set()
+            gone = old - set(table.files(ver))
+            if gone:
+                # same no-guessing rule as txn CDF: a commit that
+                # removed files without recording a payload cannot be
+                # derived as pure inserts
+                raise ValueError(
+                    f"cannot emit change feed: commit {ver} "
+                    f"({m.get('operation')!r}) removed files but "
+                    "recorded no _cdf payload"
+                )
+            fresh = sorted(set(table.files(ver)) - old)
+            vroot = os.path.join(table.root, "_versions", ver)
+            for rel in fresh:
+                tbl = _pq.read_table(os.path.join(vroot, rel))
+                tbl = tbl.append_column(
+                    "_change_type",
+                    pa.array(["insert"] * tbl.num_rows, pa.string()),
+                )
+                emit(tbl, _partition_values(rel))
+            continue
+        # payload commit: exact pre/post/delete images, columns in the
+        # payload version's LOGICAL spelling (+ _change_type); rename
+        # through that version's mapping, split by partition value
+        cdf_dir = os.path.join(table.root, "_versions", ver, "_cdf")
+        part_phys = [_cm_phys(vcm, c) for c in part_by]
+        for name in sorted(os.listdir(cdf_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            tbl = _pq.read_table(os.path.join(cdf_dir, name))
+            phys_names = [
+                c if c == "_change_type" else _cm_phys(vcm, c)
+                for c in tbl.column_names
+            ]
+            tbl = tbl.rename_columns(phys_names)
+            if not part_by:
+                emit(tbl, {})
+                continue
+            combos = (
+                tbl.select(part_phys)
+                .group_by(part_phys)
+                .aggregate([])
+            )
+            for combo in combos.to_pylist():
+                mask = None
+                for c in part_phys:
+                    v_ = combo[c]
+                    cond = (
+                        _pc.is_null(tbl.column(c))
+                        if v_ is None
+                        else _pc.equal(tbl.column(c), v_)
+                    )
+                    mask = cond if mask is None else _pc.and_(mask, cond)
+                sub = tbl.filter(mask).drop_columns(part_phys)
+                pv = {
+                    c: (None if combo[c] is None else str(combo[c]))
+                    for c in part_phys
+                }
+                emit(sub, pv)
+    return actions
+
+
+def read_delta_cdf(
+    spark,
+    dest: str,
+    starting_commit: int = 0,
+    ending_commit: int | None = None,
+):
+    """FOREIGN-reader stand-in for ``readChangeFeed`` over an exported
+    mirror: replay the protocol's change-data rules commit by commit —
+    a commit with ``cdc`` actions reads ONLY those files; otherwise
+    ``dataChange=true`` adds derive ``insert`` rows and removes derive
+    ``delete`` rows (the tombstoned file is still on disk per vacuum
+    semantics).  Columns come back under the range-end LOGICAL names
+    (physical file names resolved through the mapping, exactly like
+    ``import_delta``), plus ``_change_type`` and ``_commit_version``.
+    The tests drive this against ``txn.py read_row_changes`` to prove
+    a second engine reconstructs the same row-level history from the
+    mirror alone."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    state = replay_delta_log(dest, up_to=ending_commit)
+    schema = StructType.fromJson(state["schema"])
+    phys = _foreign_phys(state)
+    part_cols = list(state["partition_columns"])
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(
+        [
+            StructField(phys[f.name], f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
+    cdc_schema = StructType(
+        data_schema.fields + [StructField("_change_type", StringType())]
+    )
+    log_dir = os.path.join(dest, _LOG_DIR)
+    end = (
+        ending_commit
+        if ending_commit is not None
+        else state["n_commits"] - 1
+    )
+
+    def typed_pv(f, raw):
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            return F.lit(None).cast(f.dataType)
+        return F.lit(raw).cast(f.dataType)
+
+    def finish(df, pv: dict, n: int, change_type: str | None):
+        cols = []
+        for f in schema.fields:
+            if f.name in part_cols:
+                cols.append(
+                    typed_pv(f, pv.get(phys[f.name])).alias(f.name)
+                )
+            else:
+                cols.append(F.col(phys[f.name]).alias(f.name))
+        cols.append(
+            (
+                F.col("_change_type")
+                if change_type is None
+                else F.lit(change_type)
+            ).alias("_change_type")
+        )
+        cols.append(F.lit(n).cast("long").alias("_commit_version"))
+        return df.select(*cols)
+
+    parts = []
+    for n in range(starting_commit, end + 1):
+        commit_path = os.path.join(log_dir, f"{n:020d}.json")
+        if not os.path.isfile(commit_path):
+            if n == 0 and starting_commit == 0:
+                raise FileNotFoundError(
+                    f"change feed from commit 0 of {dest} is not "
+                    "reconstructable: the JSON commits were cleaned up "
+                    "(only the checkpoint survives); start later"
+                )
+            raise FileNotFoundError(
+                f"commit {n} of {dest} has no JSON file — log cleanup "
+                "passed it; change feeds require the commit JSONs"
+            )
+        with open(commit_path) as f:
+            acts = [json.loads(ln) for ln in f if ln.strip()]
+        cdcs = [a["cdc"] for a in acts if "cdc" in a]
+        if cdcs:
+            for c in cdcs:
+                df = spark.read.schema(cdc_schema).parquet(
+                    os.path.join(dest, unquote(c["path"]))
+                )
+                parts.append(
+                    finish(df, c.get("partitionValues") or {}, n, None)
+                )
+            continue
+        for a in acts:
+            if "add" in a and bool(a["add"].get("dataChange", True)):
+                df = spark.read.schema(data_schema).parquet(
+                    os.path.join(dest, unquote(a["add"]["path"]))
+                )
+                parts.append(
+                    finish(
+                        df,
+                        a["add"].get("partitionValues") or {},
+                        n,
+                        "insert",
+                    )
+                )
+            elif "remove" in a and bool(
+                a["remove"].get("dataChange", True)
+            ):
+                rel = unquote(a["remove"]["path"])
+                df = spark.read.schema(data_schema).parquet(
+                    os.path.join(dest, rel)
+                )
+                # spec removes MAY omit partitionValues; this engine's
+                # exports are hive-laid-out, so the path carries them
+                pv = a["remove"].get("partitionValues") or (
+                    _partition_values(rel.replace("/", os.sep))
+                )
+                parts.append(finish(df, pv, n, "delete"))
+    empty = StructType(
+        schema.fields
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+        ]
+    )
+    if not parts:
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
 
 def _any_data_change(table: TxnTable, last_txn: str, v: str) -> bool:
     """Walk the parent chain from ``v`` back to ``last_txn``: False iff
@@ -859,6 +1172,13 @@ def export_delta_sync(
             }
         )
     commit_n = state["n_commits"]
+    # Change-data-feed emission (r12 verdict task 4): CDF-enabled
+    # sources mirror their recorded row-level payloads as spec ``cdc``
+    # files, so foreign readers can readChangeFeed the mirror
+    cdc_actions: list[dict] = []
+    if meta.get("cdf") and data_change:
+        cdc_actions = _emit_cdc(table, dest, last_txn, v, commit_n)
+        actions.extend(cdc_actions)
     log_path = os.path.join(log_dir, f"{commit_n:020d}.json")
     tmp = f"{log_path}.tmp-{os.getpid()}"
     with open(tmp, "w") as f:
@@ -872,6 +1192,7 @@ def export_delta_sync(
         "n_adds": len(added),
         "n_removes": len(removed),
         "n_rows_added": total_rows,
+        "n_cdc_files": len(cdc_actions),
         "schema_changed": schema_changed,
         "synced_from": last_txn,
         "log_path": log_path,

@@ -807,3 +807,156 @@ def test_compaction_only_sync_is_data_change_false(spark, tmp_path):
     )
     out2 = export_delta_sync(t, dest)
     assert out2["data_change"] is True
+
+
+# --------------------------------------------------------------- CDF
+# (round 13, r12 verdict task 4: the mirror emits spec ``cdc`` change
+# data files so a FOREIGN Delta reader can readChangeFeed; the foreign
+# reader stand-in is read_delta_cdf, driven against read_row_changes)
+
+
+def _cdf_table(spark, tmp_path, partition_by=None):
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta
+
+    t = TxnTable(str(tmp_path / "cdft"))
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "b"), (4, 40.0, "b")],
+        "k INT, amount DOUBLE, seg STRING",
+    )
+    t.commit(base, cdf=True, partition_by=partition_by)
+    dest = str(tmp_path / "mirror")
+    export_delta(t, dest)
+    return t, dest
+
+
+def _mirror_rows(spark, dest, start=0):
+    from rxlan_aws_lakehouse_spark.delta_export import read_delta_cdf
+
+    return {
+        (r["k"], r["amount"], r["seg"], r["_change_type"], r["_commit_version"])
+        for r in read_delta_cdf(spark, dest, starting_commit=start).collect()
+    }
+
+
+def test_cdf_mirror_matches_read_row_changes(spark, tmp_path):
+    """Per-commit syncs: the mirror's replayed change feed equals the
+    txn CDF row-for-row (mirror commit n <-> txn version v(n+1))."""
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        export_delta_sync,
+        replay_delta_log,
+    )
+
+    t, dest = _cdf_table(spark, tmp_path)
+    # metaData advertises the CDF table property
+    cfg = replay_delta_log(dest)["configuration"]
+    assert cfg.get("delta.enableChangeDataFeed") == "true"
+    # update + insert (payload), then delete (payload), then append
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(2, 25.0, "a"), (5, 50.0, "c")], "k INT, amount DOUBLE, seg STRING"
+        ),
+        keys=["k"],
+    )
+    out1 = export_delta_sync(t, dest)
+    assert out1["n_cdc_files"] > 0
+    t.delete_where(spark, F.col("k") == 1)
+    out2 = export_delta_sync(t, dest)
+    assert out2["n_cdc_files"] > 0
+    t.append(
+        spark.createDataFrame([(9, 90.0, "d")], "k INT, amount DOUBLE, seg STRING")
+    )
+    out3 = export_delta_sync(t, dest)
+    # pure append: reader derives inserts from the adds, zero cdc cost
+    assert out3["n_cdc_files"] == 0
+
+    api = {
+        (
+            r["k"],
+            r["amount"],
+            r["seg"],
+            r["_change_type"],
+            int(r["_commit_version"][1:]) - 1,  # v0002 -> mirror 1
+        )
+        for r in t.read_row_changes(spark, since=None).collect()
+    }
+    assert _mirror_rows(spark, dest) == api
+    # spot checks: exact pre/post images and the derived append
+    got = _mirror_rows(spark, dest)
+    assert (2, 20.0, "a", "update_preimage", 1) in got
+    assert (2, 25.0, "a", "update_postimage", 1) in got
+    assert (5, 50.0, "c", "insert", 1) in got
+    assert (1, 10.0, "a", "delete", 2) in got
+    assert (9, 90.0, "d", "insert", 3) in got
+
+
+def test_cdf_mirror_partitioned_split(spark, tmp_path):
+    """Partitioned mirror: change files follow data-file layout rules —
+    partition columns ride partitionValues, never the file bytes."""
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta_sync
+
+    t, dest = _cdf_table(spark, tmp_path, partition_by=["seg"])
+    t.delete_where(spark, F.col("k").isin(2, 3))  # touches both segs
+    export_delta_sync(t, dest)
+    cdir = os.path.join(dest, "_change_data")
+    files = sorted(os.listdir(cdir))
+    assert len(files) >= 2  # one per touched partition value
+    import pyarrow.parquet as pq
+
+    for n in files:
+        cols = pq.read_table(os.path.join(cdir, n)).column_names
+        assert "seg" not in cols  # partition col not in the file
+        assert "_change_type" in cols
+    got = _mirror_rows(spark, dest, start=1)
+    assert got == {
+        (2, 20.0, "a", "delete", 1),
+        (3, 30.0, "b", "delete", 1),
+    }
+
+
+def test_cdf_mirror_mixed_sync_materializes_inserts(spark, tmp_path):
+    """ONE sync covering a payload commit AND an append: cdc presence
+    suppresses add-derivation for the commit, so the append's rows
+    must be materialized as insert change files (completeness rule)."""
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta_sync
+
+    t, dest = _cdf_table(spark, tmp_path)
+    t.delete_where(spark, F.col("k") == 4)
+    t.append(
+        spark.createDataFrame([(7, 70.0, "c")], "k INT, amount DOUBLE, seg STRING")
+    )
+    out = export_delta_sync(t, dest)
+    assert out["n_cdc_files"] >= 2  # payload delete + materialized insert
+    got = _mirror_rows(spark, dest, start=1)
+    assert got == {
+        (4, 40.0, "b", "delete", 1),
+        (7, 70.0, "c", "insert", 1),
+    }
+
+
+def test_cdf_mirror_across_rename(spark, tmp_path):
+    """A metadata-only rename inside the sync range: payload columns
+    written under the OLD logical spelling translate through their own
+    version's mapping, and the reader surfaces the range-end name."""
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        export_delta_sync,
+        read_delta_cdf,
+    )
+
+    t, dest = _cdf_table(spark, tmp_path)
+    t.delete_where(spark, F.col("k") == 2)  # payload: (k, amount, seg)
+    t.rename_column(spark, "amount", "amt")
+    export_delta_sync(t, dest)
+    df = read_delta_cdf(spark, dest, starting_commit=1)
+    assert "amt" in df.columns and "amount" not in df.columns
+    got = {
+        (r["k"], r["amt"], r["_change_type"]) for r in df.collect()
+    }
+    assert got == {(2, 20.0, "delete")}
+    api = {
+        (r["k"], r["amt"], r["_change_type"])
+        for r in t.read_row_changes(
+            spark, since=t._meta(t.current_version())["parent"] and "v00000001"
+        ).collect()
+    }
+    assert got == api
