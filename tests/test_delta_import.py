@@ -1398,3 +1398,150 @@ def test_import_v2_checkpoint_with_sidecars(spark, tmp_path, as_json):
     assert (
         spark.read.format("delta_import").load(f.root).count() == 5
     )
+
+
+WRITER_SCRIPT = r"""
+import json, os, sys, time
+import pyarrow as pa
+import pyarrow.parquet as pq
+sys.path.insert(0, sys.argv[5])
+from rxlan_aws_lakehouse_spark.delta_export import write_delta_checkpoint
+
+root, lo, hi, do_ckpt = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4] == "1"
+)
+log = os.path.join(root, "_delta_log")
+for n in range(lo, hi + 1):
+    rel = f"data/w{n:04d}.parquet"
+    pq.write_table(
+        pa.table({
+            "k": pa.array([n], pa.int64()),
+            "v": pa.array([n * 1.5], pa.float64()),
+        }),
+        os.path.join(root, rel),
+    )
+    action = {"add": {
+        "path": rel, "partitionValues": {}, "size": 1,
+        "modificationTime": 0, "dataChange": True,
+    }}
+    tmp = os.path.join(log, f".tmp-{n}")
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(action) + "\n")
+        fh.flush(); os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(log, f"{n:020d}.json"))
+    time.sleep(0.1)
+if do_ckpt:
+    write_delta_checkpoint(root)
+"""
+
+
+def test_stream_tails_foreign_log_under_concurrent_writer(spark, tmp_path):
+    """TRUE two-process probe (r12 verdict task 8): separate python
+    processes append 20 commits total (atomic tmp+rename publishes)
+    while this driver's ``readStream.format("delta_import")`` tails the
+    log through repeated availableNow runs.  Phase 1's writer finishes
+    with a CHECKPOINT publish, so phase 2's restarts resume from the
+    sink offsets ACROSS the foreign checkpoint boundary, with the
+    phase-2 writer still appending concurrently.  Exactly-once
+    contract: every appended row lands in the parquet sink exactly
+    once, none lost, none duplicated."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    from rxlan_aws_lakehouse_spark.sources.delta_import_source import (
+        register_delta_import_source,
+    )
+
+    register_delta_import_source(spark)
+    f = Foreign(str(tmp_path / "tail"))
+    meta = _meta_action()
+    schema2 = {
+        "type": "struct",
+        "fields": [
+            fld for fld in SCHEMA["fields"] if fld["name"] != "cat"
+        ],
+    }
+    meta["metaData"]["schemaString"] = json.dumps(schema2)
+    meta["metaData"]["partitionColumns"] = []
+    r0 = f.write_file("bootstrap.parquet", [0])
+    f.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta,
+            _add(r0, {}),
+        ],
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("delta_import")
+            .option("startingVersion", "earliest")
+            .load(f.root)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def spawn(lo, hi, do_ckpt):
+        return subprocess.Popen(
+            [
+                _sys.executable,
+                "-c",
+                WRITER_SCRIPT,
+                f.root,
+                str(lo),
+                str(hi),
+                "1" if do_ckpt else "0",
+                repo,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+
+    def sink_count():
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0
+
+    n_commits = 20
+    restarts = 0
+    # phase 1: writer appends 1..10 concurrently, then checkpoints;
+    # the stream tails it live
+    w1 = spawn(1, n_commits // 2, True)
+    try:
+        for _ in range(40):
+            run_stream()
+            restarts += 1
+            if sink_count() >= n_commits // 2 + 1 and w1.poll() is not None:
+                break
+            _time.sleep(0.2)
+    finally:
+        w1.wait(timeout=60)
+    assert w1.returncode == 0, w1.stderr.read().decode()[-2000:]
+    assert os.path.exists(os.path.join(f.log, "_last_checkpoint"))
+    # phase 2: restarts resume from the sink offsets ACROSS the
+    # published checkpoint while a second writer keeps appending
+    w2 = spawn(n_commits // 2 + 1, n_commits, False)
+    try:
+        for _ in range(40):
+            run_stream()
+            restarts += 1
+            if sink_count() >= n_commits + 1 and w2.poll() is not None:
+                break
+            _time.sleep(0.2)
+    finally:
+        w2.wait(timeout=60)
+    assert w2.returncode == 0, w2.stderr.read().decode()[-2000:]
+    got = [r["k"] for r in spark.read.parquet(out_dir).collect()]
+    # exactly once: every version's row present, no duplicates
+    assert sorted(got) == list(range(0, n_commits + 1))
+    assert restarts >= 2  # guaranteed by the two phases
