@@ -739,13 +739,18 @@ class TxnSqlRouter:
             toks[1].upper() == "TABLE"
         ):
             # only claim txn DDL: an explicit USING <other-format>
-            # belongs to Spark's own catalog surface — except
-            # DELTA_IMPORT, the read-only foreign-Delta attachment
+            # belongs to Spark's own catalog surface — except the
+            # read-only foreign attachments (DELTA_IMPORT,
+            # ICEBERG_IMPORT)
             ups = [t.upper() for t in toks]
             if "USING" in ups:
                 nxt = ups[ups.index("USING") + 1 : ups.index("USING") + 2]
                 if nxt == ["DELTA_IMPORT"]:
                     return self._exec_create_delta_import(_Cursor(toks))
+                if nxt == ["ICEBERG_IMPORT"]:
+                    return self._exec_create_iceberg_import(
+                        _Cursor(toks)
+                    )
                 if nxt != ["TXN"]:
                     return self._spark.sql(statement)
             return self._exec_create(_Cursor(toks))
@@ -1451,6 +1456,75 @@ class TxnSqlRouter:
             "operation string, version string",
         )
 
+    def _exec_create_iceberg_import(self, c: _Cursor):
+        """``CREATE TABLE name USING ICEBERG_IMPORT LOCATION '<path>'
+        [SNAPSHOT AS OF <id>]`` — attach a read-only FOREIGN Iceberg
+        table (round 13; iceberg_import_source.py, the Iceberg twin of
+        the DELTA_IMPORT verb).  Session-scoped views over the
+        metadata-replayed snapshot; DROP TABLE detaches without
+        touching the foreign tree."""
+        from .sources.iceberg_import_source import (
+            register_iceberg_import_source,
+        )
+
+        c.expect("CREATE", "TABLE")
+        if_not_exists = c.accept("IF", "NOT", "EXISTS")
+        name = c.qident("table")
+        c.expect("USING", "ICEBERG_IMPORT")
+        if not c.accept("LOCATION"):
+            raise ValueError(
+                "CREATE TABLE ... USING ICEBERG_IMPORT needs "
+                "LOCATION '<path>'"
+            )
+        loc_tok = c.peek()
+        if loc_tok is None or not loc_tok.startswith("'"):
+            raise ValueError("LOCATION expects a quoted path")
+        c.i += 1
+        path = loc_tok[1:-1].replace("''", "'")
+        snapshot = None
+        if c.accept("SNAPSHOT", "AS", "OF"):
+            st = c.peek()
+            if st is None:
+                raise ValueError("SNAPSHOT AS OF needs a snapshot id")
+            c.i += 1
+            snapshot = int(st)
+        key = self._key(name)
+        # same shadow guard as the Delta attach
+        if key in self._tables:
+            raise ValueError(
+                f"table {name} already exists (txn table); DROP it "
+                "before attaching a foreign Iceberg table under the name"
+            )
+        if key in self._foreign:
+            if if_not_exists:
+                return self._spark.createDataFrame(
+                    [
+                        (
+                            "attach_iceberg_import_exists",
+                            self._foreign[key],
+                        )
+                    ],
+                    "operation string, version string",
+                )
+            raise ValueError(
+                f"table {name} already exists (foreign attachment at "
+                f"{self._foreign[key]!r}); use IF NOT EXISTS or DROP it"
+            )
+        register_iceberg_import_source(self._spark)
+        reader = self._spark.read.format("iceberg_import")
+        if snapshot is not None:
+            reader = reader.option("snapshotId", snapshot)
+        df = reader.load(path)
+        ns, bare = key.split(".", 1)
+        if ns == self._namespace:
+            df.createOrReplaceTempView(bare)
+        df.createOrReplaceTempView(self._mangled_view(key))
+        self._foreign[key] = path
+        return self._spark.createDataFrame(
+            [("attach_iceberg_import", path)],
+            "operation string, version string",
+        )
+
     def _exec_drop(self, c: _Cursor):
         c.expect("DROP", "TABLE")
         name = c.qident("table")
@@ -1463,7 +1537,7 @@ class TxnSqlRouter:
                 self._spark.catalog.dropTempView(bare)
             self._spark.catalog.dropTempView(self._mangled_view(key_f))
             return self._spark.createDataFrame(
-                [("detach_delta_import", key_f)],
+                [("detach_foreign", key_f)],
                 "operation string, version string",
             )
         self._resolve(name)

@@ -539,3 +539,78 @@ def test_version_hint_and_latest_fallback(tmp_path, ice):
     # without the hint: highest v<N> wins
     os.unlink(os.path.join(ice.root, "metadata", "version-hint.text"))
     assert load_table_metadata(ice.root)["current-snapshot-id"] == 2
+
+
+def test_format_iceberg_import_source(spark, ice):
+    """format("iceberg_import"): same rows as import_iceberg (field-id
+    binding included), snapshotId time travel, and pushed filters
+    prune the planned file partitions at the metadata level."""
+    from rxlan_aws_lakehouse_spark.sources.iceberg_import_source import (
+        IcebergImportReader,
+        register_iceberg_import_source,
+    )
+
+    register_iceberg_import_source(spark)
+    df = spark.read.format("iceberg_import").load(ice.root)
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {
+        (1, "x"), (2, "x"), (3, "x"), (10, "y"), (11, "y"), (20, "z")
+    }
+    d1 = (
+        spark.read.format("iceberg_import")
+        .option("snapshotId", 1)
+        .load(ice.root)
+    )
+    assert {r["k"] for r in d1.collect()} == {1, 2, 3, 10, 11}
+    # row-level re-application above the metadata prune
+    assert {
+        r["k"] for r in df.filter(df.cat == "x").collect()
+    } == {1, 2, 3}
+    # the reader's planned partitions shrink under pushed predicates
+    rd = IcebergImportReader({"path": ice.root}, df.schema)
+    assert len(rd.partitions()) == 3
+    rd._triples = [("cat", "=", "x")]
+    assert len(rd.partitions()) == 1
+
+
+def test_router_attach_iceberg_import(spark, ice, tmp_path):
+    """CREATE TABLE ... USING ICEBERG_IMPORT attaches a read-only SQL
+    view; SNAPSHOT AS OF pins time travel; the shadow guard and DROP
+    detach mirror the DELTA_IMPORT verb."""
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    router = TxnSqlRouter(spark)
+    router.sql(
+        "CREATE TABLE fice USING ICEBERG_IMPORT "
+        f"LOCATION '{ice.root}'"
+    )
+    got = {
+        (r["k"], r["cat"])
+        for r in router.sql("SELECT k, cat FROM fice").collect()
+    }
+    assert got == {
+        (1, "x"), (2, "x"), (3, "x"), (10, "y"), (11, "y"), (20, "z")
+    }
+    router.sql(
+        "CREATE TABLE fice_s1 USING ICEBERG_IMPORT "
+        f"LOCATION '{ice.root}' SNAPSHOT AS OF 1"
+    )
+    assert (
+        router.sql("SELECT count(*) AS n FROM fice_s1").collect()[0]["n"]
+        == 5
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        router.sql(
+            "CREATE TABLE fice USING ICEBERG_IMPORT "
+            f"LOCATION '{ice.root}'"
+        )
+    res = router.sql(
+        "CREATE TABLE IF NOT EXISTS fice USING ICEBERG_IMPORT "
+        f"LOCATION '{ice.root}'"
+    ).collect()[0]
+    assert res["operation"] == "attach_iceberg_import_exists"
+    router.sql("DROP TABLE fice")
+    router.sql("DROP TABLE fice_s1")
+    # the foreign metadata tree is untouched by the detach
+    assert os.path.exists(
+        os.path.join(ice.root, "metadata", "v2.metadata.json")
+    )
