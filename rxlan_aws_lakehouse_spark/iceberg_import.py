@@ -291,6 +291,7 @@ def iceberg_live_files(
     if sid is None or sid == -1:
         return {
             "files": [],
+            "entries": [],
             "meta": meta,
             "schema": schema,
             "n_total": 0,
@@ -327,6 +328,7 @@ def iceberg_live_files(
 
     n_skipped_manifests = 0
     files: list[str] = []
+    file_entries: list[dict] = []
     n_total = 0
     for m in ml_records:
         if int(m.get("content") or 0) == 1:
@@ -366,8 +368,10 @@ def iceberg_live_files(
             if _file_prunable(df, spec_fields, by_name, by_id, filters):
                 continue
             files.append(_resolve(path, df["file_path"]))
+            file_entries.append(df)
     return {
         "files": files,
+        "entries": file_entries,
         "meta": meta,
         "schema": schema,
         "n_total": n_total,
@@ -444,6 +448,156 @@ def _file_prunable(df, spec_fields, by_name, by_id, filters) -> bool:
         ):
             return True
     return False
+
+
+# ------------------------------------------------------------- convert
+# Iceberg primitive -> txn manifest stats tag + value translator (the
+# manifest domains of txn.py _stat_value: num=float, str=str,
+# ts=naive isoformat(sep=' '), date=isoformat).
+def _manifest_stat(t: str, b):
+    import datetime as _dt
+
+    v = _decode_bound(t, b)
+    if v is None:
+        return None
+    if t in ("int", "long", "float", "double"):
+        return ("num", float(v))
+    if t == "string":
+        return ("str", v)
+    if t == "date":
+        return (
+            "date",
+            (_dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))).isoformat(),
+        )
+    if t in ("timestamp", "timestamptz"):
+        return (
+            "ts",
+            (
+                _dt.datetime(1970, 1, 1)
+                + _dt.timedelta(microseconds=int(v))
+            ).isoformat(sep=" "),
+        )
+    return None
+
+
+def convert_from_iceberg(
+    spark,
+    path: str,
+    dest_root: str,
+    snapshot_id: int | None = None,
+):
+    """ZERO-COPY conversion of a foreign Iceberg table into a txn table
+    (the Iceberg twin of ``convert_from_delta`` — the migration path in
+    the other direction from ``import_iceberg``): the snapshot's live
+    data files are adopted BY HARD LINK, per-file stats translate from
+    the manifest's ``lower_bounds``/``upper_bounds`` (decoded from the
+    spec's single-value binary serialization into the txn manifest's
+    stat domains), and the table's FIELD-ID binding becomes the txn
+    table's name-based ``column_mapping``: each file's footer maps
+    field id -> actual parquet column name (a footer read is KBs of
+    metadata, zero data IO), every file must agree on that name — a
+    table whose files disagree (a rename applied mid-history without a
+    rewrite) refuses loudly rather than adopting an ambiguous binding.
+
+    The converted table is UNPARTITIONED on purpose: Iceberg data
+    files CONTAIN their identity partition columns (the txn hive
+    layout expects partition values in directory names only, so
+    declaring them partition columns would double-bind the column);
+    partition-predicate pruning still works because the manifest
+    bounds cover those columns like any other.  O(files) link + footer
+    work, zero data IO, zero Spark jobs."""
+    state = iceberg_live_files(path, snapshot_id)
+    from pyarrow import parquet as _pq2
+
+    from .txn import TxnTable
+
+    dest = TxnTable(dest_root)
+    if dest.current_version() is not None:
+        raise ValueError(f"convert target {dest_root} is not empty")
+    ice_schema = _current_schema(state["meta"])
+    fields = ice_schema["fields"]
+    by_id = {int(f["id"]): f for f in fields}
+
+    # field id -> parquet column name, consistent across every file
+    id_names: dict[int, str] = {}
+    for abs_p in state["files"]:
+        sch = _pq2.read_schema(abs_p)
+        for fld in sch:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is None:
+                continue
+            fid = int(fid)
+            if fid in id_names and id_names[fid] != fld.name:
+                raise ValueError(
+                    f"cannot convert: field id {fid} is named "
+                    f"{id_names[fid]!r} in one file and {fld.name!r} "
+                    f"in {abs_p!r} — a name-based adoption would be "
+                    "ambiguous; rewrite the table first"
+                )
+            id_names.setdefault(fid, fld.name)
+
+    cm: dict = {"mode": "name", "max_id": 0, "fields": {}, "used_phys": []}
+    mapped = False
+    for f in fields:
+        fid = int(f["id"])
+        phys = id_names.get(fid, f["name"])
+        mapped = mapped or phys != f["name"]
+        cm["fields"][str(f["name"]).lower()] = {"id": fid, "physical": phys}
+        cm["used_phys"].append(phys)
+        cm["max_id"] = max(cm["max_id"], fid)
+
+    carry: dict[str, str] = {}
+    entries: dict[str, dict] = {}
+    for i, (abs_p, df) in enumerate(
+        zip(state["files"], state["entries"])
+    ):
+        new_rel = f"c{i:06d}-{os.path.basename(abs_p)}"
+        carry[new_rel] = abs_p
+        lowers = _kvmap(df.get("lower_bounds"))
+        uppers = _kvmap(df.get("upper_bounds"))
+        nulls = _kvmap(df.get("null_value_counts"))
+        cols: dict = {}
+        for fid in set(lowers) | set(uppers):
+            src = by_id.get(int(fid))
+            if src is None or not isinstance(src["type"], str):
+                continue
+            lo = _manifest_stat(src["type"], lowers.get(fid))
+            hi = _manifest_stat(src["type"], uppers.get(fid))
+            if lo is None or hi is None:
+                continue
+            cols[id_names.get(int(fid), src["name"])] = {
+                "t": lo[0],
+                "min": lo[1],
+                "max": hi[1],
+                # absent null counts default to 0: only ever used to
+                # PROVE all-null (nulls == rows), so understating keeps
+                # files — conservative, never mis-pruned
+                "nulls": int(nulls.get(fid, 0) or 0),
+            }
+        entries[new_rel] = {
+            "rows": int(df.get("record_count") or 0),
+            "bytes": int(
+                df.get("file_size_in_bytes")
+                or os.path.getsize(abs_p)
+            ),
+            "columns": cols,
+        }
+    snap = state["snapshot"]
+    dest.commit(
+        spark.createDataFrame([], state["schema"]),
+        metadata_only=True,
+        operation="convert_from_iceberg",
+        carry_files=carry,
+        carry_entries=entries,
+        column_mapping=cm if mapped else {},
+        extra_meta={
+            "converted_from": path,
+            "iceberg_snapshot_id": snap.get("snapshot-id")
+            if snap
+            else None,
+        },
+    )
+    return dest
 
 
 # --------------------------------------------------------------- reads

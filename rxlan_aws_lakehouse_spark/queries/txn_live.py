@@ -2977,6 +2977,23 @@ def iceberg_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
             refuse_ok = False
         except ValueError as e:
             refuse_ok = "format-version 3" in str(e)
+        # zero-copy CONVERT (round 13): the same metadata tree adopts
+        # as a txn table — files by hard link, stats from the manifest
+        # bounds — and must agree with the import row-for-row; the
+        # adopted bounds prune a partition predicate with zero data IO
+        from ..iceberg_import import convert_from_iceberg
+
+        conv = convert_from_iceberg(spark, root, f"{work}/converted")
+        conv_meta = conv._meta(conv.current_version())
+        convert_ok = (
+            conv_meta["operation"] == "convert_from_iceberg"
+            and conv_meta["n_files_written"] == 0
+            and conv.read(spark).count()
+            == import_iceberg(spark, root).count()
+            and 0
+            < len(conv.pruned_files([("prio", "=", "5-LOW")])[0])
+            < conv_meta["n_files"]
+        )
 
         out = (
             import_iceberg(spark, root)
@@ -2992,6 +3009,7 @@ def iceberg_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("travel_ok", F.lit(bool(travel_ok)))
             .withColumn("prune_ok", F.lit(bool(prune_ok)))
             .withColumn("refuse_ok", F.lit(bool(refuse_ok)))
+            .withColumn("convert_ok", F.lit(bool(convert_ok)))
             .orderBy("prio")
         )
         rows = out.collect()
@@ -3270,7 +3288,8 @@ ORACLE = {
                CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
                TRUE AS travel_ok,
                TRUE AS prune_ok,
-               TRUE AS refuse_ok
+               TRUE AS refuse_ok,
+               TRUE AS convert_ok
         FROM t
         GROUP BY coalesce(p, 'NONE') ORDER BY prio
     """,

@@ -1244,6 +1244,7 @@ class TxnSqlRouter:
         root = loc_tok[1:-1].replace("''", "'")
         select_sql = None
         from_delta = None
+        from_iceberg = None
         if c.accept("AS"):
             rest = c.take_until(((";",),))
             if not rest or rest[0].upper() != "SELECT":
@@ -1265,15 +1266,40 @@ class TxnSqlRouter:
                     "FROM DELTA derives the partition spec from the "
                     "Delta log; drop PARTITIONED BY"
                 )
-        if ddl is None and select_sql is None and from_delta is None:
+        elif c.accept("FROM", "ICEBERG"):
+            # zero-copy CONVERT of a foreign Iceberg table (round 13,
+            # iceberg_import.py convert_from_iceberg): files by hard
+            # link, stats from the manifest bounds, field-id binding
+            # adopted as a txn column mapping; the converted table is
+            # unpartitioned by design (identity partition columns live
+            # inside Iceberg data files)
+            src_tok = c.peek()
+            if src_tok is None or not src_tok.startswith("'"):
+                raise ValueError("FROM ICEBERG expects a quoted path")
+            c.i += 1
+            from_iceberg = src_tok[1:-1].replace("''", "'")
+            if partition_by:
+                raise ValueError(
+                    "FROM ICEBERG adopts unpartitioned (identity "
+                    "partition columns live inside Iceberg data "
+                    "files); drop PARTITIONED BY"
+                )
+        if (
+            ddl is None
+            and select_sql is None
+            and from_delta is None
+            and from_iceberg is None
+        ):
             raise ValueError(
-                "CREATE TABLE needs a column list, AS SELECT, or "
-                "FROM DELTA '<path>'"
+                "CREATE TABLE needs a column list, AS SELECT, "
+                "FROM DELTA '<path>', or FROM ICEBERG '<path>'"
             )
-        if ddl is not None and (select_sql or from_delta) is not None:
+        if ddl is not None and (
+            select_sql or from_delta or from_iceberg
+        ) is not None:
             raise ValueError(
                 "CREATE TABLE takes a column list OR AS SELECT / "
-                "FROM DELTA, not both"
+                "FROM DELTA / FROM ICEBERG, not both"
             )
         t = TxnTable(root)
         if t.current_version() is not None:
@@ -1288,6 +1314,14 @@ class TxnSqlRouter:
             self.register(name, t)
             return self._result(
                 name, "convert_from_delta", t.current_version()
+            )
+        if from_iceberg is not None:
+            from .iceberg_import import convert_from_iceberg
+
+            t = convert_from_iceberg(self._spark, from_iceberg, root)
+            self.register(name, t)
+            return self._result(
+                name, "convert_from_iceberg", t.current_version()
             )
         if select_sql is not None:
             version = t.commit(

@@ -614,3 +614,136 @@ def test_router_attach_iceberg_import(spark, ice, tmp_path):
     assert os.path.exists(
         os.path.join(ice.root, "metadata", "v2.metadata.json")
     )
+
+
+def test_convert_from_iceberg_zero_copy(spark, ice, tmp_path):
+    """Hard-link adoption of the current snapshot; manifest bounds
+    become txn per-file stats (pruning works with zero data IO ever
+    having happened); the table stays DML-able as a txn table."""
+    from pyspark.sql import functions as F
+
+    from rxlan_aws_lakehouse_spark.iceberg_import import (
+        convert_from_iceberg,
+    )
+
+    # NB: the `ice` fixture's a/b files scramble names PER FILE, which
+    # must refuse (ambiguous adoption) — covered below. Build a
+    # consistent table here.
+    t = Ice(str(tmp_path / "cons"))
+    f1 = t.write_file("a.parquet", [1, 2, 3], "x")
+    f2 = t.write_file("b.parquet", [10, 11], "y")
+    m = t.manifest(
+        "m.avro",
+        [t.entry(f1, [1, 2, 3], "x"), t.entry(f2, [10, 11], "y")],
+        ["x", "y"],
+    )
+    t.snapshot(1, [m])
+    t.metadata(1, current_sid=1)
+    conv = convert_from_iceberg(
+        spark, t.root, str(tmp_path / "conv")
+    )
+    meta = conv._meta(conv.current_version())
+    assert meta["operation"] == "convert_from_iceberg"
+    assert meta["n_files_written"] == 0  # zero-copy held
+    got = {(r["k"], r["cat"]) for r in conv.read(spark).collect()}
+    assert got == {(1, "x"), (2, "x"), (3, "x"), (10, "y"), (11, "y")}
+    # adopted manifest bounds prune: k range and cat equality
+    kept, total = conv.pruned_files([("k", ">=", 10)])
+    assert total == 2 and len(kept) == 1
+    kept2, _ = conv.pruned_files([("cat", "=", "x")])
+    assert len(kept2) == 1
+    # ordinary txn DML on the adopted files
+    conv.delete_where(spark, F.col("k") == 2)
+    assert {r["k"] for r in conv.read(spark).collect()} == {1, 3, 10, 11}
+
+
+def test_convert_from_iceberg_adopts_field_id_mapping(spark, tmp_path):
+    """Files whose parquet column names differ from the Iceberg field
+    names (uniformly) adopt as a txn column_mapping: logical names keep
+    working, physical file bytes untouched."""
+    from rxlan_aws_lakehouse_spark.iceberg_import import (
+        convert_from_iceberg,
+    )
+
+    t = Ice(str(tmp_path / "mapped"))
+    # uniform physical names p1/p2/p3 across every file
+    sch = pa.schema(
+        [
+            pa.field("p1", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("p2", pa.float64(), metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("p3", pa.string(), metadata={b"PARQUET:field_id": b"3"}),
+        ]
+    )
+    for name, ks, cat in (("a.parquet", [1, 2], "x"), ("b.parquet", [5], "y")):
+        pq.write_table(
+            pa.table(
+                [
+                    pa.array(ks, pa.int64()),
+                    pa.array([x * 1.5 for x in ks], pa.float64()),
+                    pa.array([cat] * len(ks), pa.string()),
+                ],
+                schema=sch,
+            ),
+            os.path.join(t.root, "data", name),
+        )
+    m = t.manifest(
+        "m.avro",
+        [
+            t.entry("data/a.parquet", [1, 2], "x"),
+            t.entry("data/b.parquet", [5], "y"),
+        ],
+        ["x", "y"],
+    )
+    t.snapshot(1, [m])
+    t.metadata(1, current_sid=1)
+    conv = convert_from_iceberg(spark, t.root, str(tmp_path / "conv2"))
+    cmap = conv._meta(conv.current_version())["column_mapping"]
+    assert cmap["fields"]["k"]["physical"] == "p1"
+    got = {(r["k"], r["cat"]) for r in conv.read(spark).collect()}
+    assert got == {(1, "x"), (2, "x"), (5, "y")}
+
+
+def test_convert_from_iceberg_refuses_ambiguous_names(spark, ice, tmp_path):
+    """The `ice` fixture scrambles column names PER FILE: field id 1 is
+    'x_a_k' in one file and 'x_b_k' in another — a name-based adoption
+    would be ambiguous, so the convert refuses loudly."""
+    from rxlan_aws_lakehouse_spark.iceberg_import import (
+        convert_from_iceberg,
+    )
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        convert_from_iceberg(spark, ice.root, str(tmp_path / "cx"))
+
+
+def test_router_create_from_iceberg(spark, tmp_path):
+    """CREATE TABLE ... USING TXN LOCATION ... FROM ICEBERG '<src>':
+    the zero-copy conversion through the SQL surface, immediately
+    queryable and DML-able as a txn table."""
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    t = Ice(str(tmp_path / "sqlsrc"))
+    f1 = t.write_file("a.parquet", [1, 2, 3], "x")
+    m = t.manifest("m.avro", [t.entry(f1, [1, 2, 3], "x")], ["x"])
+    t.snapshot(1, [m])
+    t.metadata(1, current_sid=1)
+    router = TxnSqlRouter(spark)
+    root = str(tmp_path / "conv_sql")
+    res = router.sql(
+        f"CREATE TABLE iconv USING TXN LOCATION '{root}' "
+        f"FROM ICEBERG '{t.root}'"
+    ).collect()[0]
+    assert res["operation"] == "convert_from_iceberg"
+    assert (
+        router.sql("SELECT count(*) AS n FROM iconv").collect()[0]["n"]
+        == 3
+    )
+    router.sql("DELETE FROM iconv WHERE k = 2")
+    assert (
+        router.sql("SELECT count(*) AS n FROM iconv").collect()[0]["n"]
+        == 2
+    )
+    with pytest.raises(ValueError, match="PARTITIONED BY"):
+        router.sql(
+            f"CREATE TABLE iconv2 USING TXN PARTITIONED BY (cat) "
+            f"LOCATION '{root}2' FROM ICEBERG '{t.root}'"
+        )
