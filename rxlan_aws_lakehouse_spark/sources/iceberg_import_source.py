@@ -35,13 +35,16 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     Filter,
     InputPartition,
 )
 from pyspark.sql.types import StructType
 
+from ..avro_lite import read_avro
 from ..iceberg_import import (
     _current_schema,
+    _resolve as _ice_resolve,
     _spark_schema,
     iceberg_live_files,
     load_table_metadata,
@@ -104,6 +107,156 @@ class IcebergImportReader(DataSourceReader):
         yield from _read_file_batches(partition, self._schema)
 
 
+class IcebergImportStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("iceberg_import")`` — tail a FOREIGN
+    Iceberg table's SNAPSHOT LOG as a stream (the Iceberg incremental-
+    read contract re-expressed over the importer's replay machinery,
+    mirroring the foreign-Delta stream reader):
+
+    * offsets are the spec's monotonically increasing SEQUENCE NUMBERS
+      (v2); one micro-batch covers the snapshots in an offset range;
+    * an ``append`` snapshot contributes exactly its ADDED data files
+      (manifest entries with status=1 whose snapshot id matches — the
+      spec's incremental-scan derivation); any other operation
+      (``overwrite``/``delete``/``replace``) RAISES unless
+      ``ignoreChanges`` — a streaming source cannot retract rows, the
+      same rule Delta applies;
+    * a mid-stream ``current-schema-id`` change raises — restart the
+      stream to pick up the new schema;
+    * ``startingSnapshot``: ``latest`` (default) or ``earliest``.
+      Snapshots expired from the metadata cannot be streamed and raise
+      a reconstructable error.
+
+    Exactly-once: offsets are sequence numbers persisted by the sink
+    checkpoint; restarts resume from the committed range."""
+
+    def __init__(self, options, schema: StructType):
+        self._schema = schema
+        self._path = options["path"]
+        meta = load_table_metadata(self._path)
+        self._schema_id = meta.get("current-schema-id", 0)
+        ids = {
+            f["name"]: int(f["id"])
+            for f in _current_schema(meta)["fields"]
+        }
+        self._fids = tuple(
+            ids.get(f.name, 0) for f in schema.fields
+        )
+        self._ignore_changes = str(
+            options.get("ignoreChanges", "false")
+        ).lower() == "true"
+        start = str(options.get("startingSnapshot", "latest")).lower()
+        if start == "earliest":
+            self._start = 0
+        elif start == "latest":
+            self._start = self._head(meta)
+        else:
+            raise ValueError(
+                "startingSnapshot must be 'latest' or 'earliest'"
+            )
+
+    @staticmethod
+    def _head(meta: dict) -> int:
+        sid = meta.get("current-snapshot-id")
+        for s in meta.get("snapshots") or []:
+            if s.get("snapshot-id") == sid:
+                return int(s.get("sequence-number") or 0)
+        return 0
+
+    def initialOffset(self) -> dict:
+        return {"seq": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"seq": self._head(load_table_metadata(self._path))}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["seq"], end["seq"]
+        meta = load_table_metadata(self._path)
+        if meta.get("current-schema-id", 0) != self._schema_id:
+            raise RuntimeError(
+                f"schema change in {self._path} (current-schema-id "
+                f"moved); restart the stream to pick up the new schema"
+            )
+        snaps = sorted(
+            (
+                s
+                for s in (meta.get("snapshots") or [])
+                if lo < int(s.get("sequence-number") or 0) <= hi
+            ),
+            key=lambda s: int(s.get("sequence-number") or 0),
+        )
+        covered = {int(s.get("sequence-number") or 0) for s in snaps}
+        missing = set(range(lo + 1, hi + 1)) - covered
+        if missing:
+            raise RuntimeError(
+                f"snapshots with sequence numbers {sorted(missing)} "
+                f"were expired from {self._path}; the range cannot be "
+                "streamed — restart from a later startingSnapshot"
+            )
+        parts: list[InputPartition] = []
+        for s in snaps:
+            op = str(
+                (s.get("summary") or {}).get("operation") or "append"
+            ).lower()
+            if op != "append" and not self._ignore_changes:
+                raise RuntimeError(
+                    f"streaming source hit a {op!r} snapshot "
+                    f"(sequence {s.get('sequence-number')}) in "
+                    f"{self._path}; set ignoreChanges=true (a stream "
+                    "cannot retract rows)"
+                )
+            sid = s.get("snapshot-id")
+            _, ml = read_avro(
+                _ice_resolve(self._path, s["manifest-list"])
+            )
+            for m in ml:
+                if int(m.get("content") or 0) == 1:
+                    raise RuntimeError(
+                        "cannot stream: snapshot carries a DELETE "
+                        "manifest (row-level deletes)"
+                    )
+                # only manifests this snapshot added can hold its
+                # ADDED entries — the spec's incremental-scan prune
+                if int(m.get("added_snapshot_id") or -1) != sid:
+                    continue
+                _, entries = read_avro(
+                    _ice_resolve(self._path, m["manifest_path"])
+                )
+                for e in entries:
+                    if int(e.get("status") or 0) != 1:  # ADDED only
+                        continue
+                    esid = e.get("snapshot_id")
+                    if esid is not None and esid != sid:
+                        continue
+                    df = e.get("data_file") or {}
+                    if int(df.get("content") or 0) != 0:
+                        raise RuntimeError(
+                            "cannot stream: manifest entry carries a "
+                            "delete file"
+                        )
+                    p = _ice_resolve(self._path, df["file_path"])
+                    parts.append(
+                        _FilePartition(
+                            file_path=p,
+                            rel=posixpath.basename(p),
+                            dv_dir=None,
+                            consts=(),
+                            phys=(),
+                            field_ids=self._fids,
+                        )
+                    )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _read_file_batches(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
 class IcebergImportDataSource(DataSource):
     """``format("iceberg_import")``: read-only foreign Iceberg tables."""
 
@@ -116,6 +269,9 @@ class IcebergImportDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return IcebergImportReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return IcebergImportStreamReader(self.options, schema)
 
 
 def register_iceberg_import_source(spark) -> None:

@@ -242,7 +242,7 @@ class Ice:
             },
         }
 
-    def manifest(self, name, entries, cats):
+    def manifest(self, name, entries, cats, added_sid=1):
         """One manifest + its manifest-list row (field summaries over
         the cat partition values it holds)."""
         part_fields = [{"name": "cat", "type": ["null", "string"]}]
@@ -262,7 +262,7 @@ class Ice:
             "content": 0,
             "sequence_number": 1,
             "min_sequence_number": 1,
-            "added_snapshot_id": 1,
+            "added_snapshot_id": added_sid,
             "added_files_count": len(entries),
             "existing_files_count": 0,
             "deleted_files_count": 0,
@@ -747,3 +747,90 @@ def test_router_create_from_iceberg(spark, tmp_path):
             f"CREATE TABLE iconv2 USING TXN PARTITIONED BY (cat) "
             f"LOCATION '{root}2' FROM ICEBERG '{t.root}'"
         )
+
+
+def test_streaming_iceberg_snapshot_tail(spark, tmp_path):
+    """readStream.format("iceberg_import"): one micro-batch per new
+    snapshot (ADDED files only, the spec's incremental-scan
+    derivation); restarts resume exactly-once from the sink
+    checkpoint; a non-append snapshot refuses without ignoreChanges."""
+    from rxlan_aws_lakehouse_spark.sources.iceberg_import_source import (
+        register_iceberg_import_source,
+    )
+
+    register_iceberg_import_source(spark)
+    t = Ice(str(tmp_path / "stream"))
+    f1 = t.write_file("a.parquet", [1, 2], "x")
+    m1 = t.manifest(
+        "m1.avro", [t.entry(f1, [1, 2], "x")], ["x"], added_sid=1
+    )
+    t.snapshot(1, [m1])
+    t.metadata(1, current_sid=1)
+
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("iceberg_import")
+            .option("startingSnapshot", "earliest")
+            .load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    assert {r["k"] for r in spark.read.parquet(out_dir).collect()} == {
+        1,
+        2,
+    }
+    # two more append snapshots land; next run picks up EXACTLY them
+    # (m1's files must not re-emit: its added_snapshot_id != new sid)
+    f2 = t.write_file("b.parquet", [5], "y")
+    m2 = t.manifest(
+        "m2.avro", [t.entry(f2, [5], "y")], ["y"], added_sid=2
+    )
+    t.snapshot(2, [m1, m2])
+    f3 = t.write_file("c.parquet", [9], "z")
+    m3 = t.manifest(
+        "m3.avro", [t.entry(f3, [9], "z")], ["z"], added_sid=3
+    )
+    t.snapshot(3, [m1, m2, m3])
+    t.metadata(2, current_sid=3)
+    run_stream()
+    got = sorted(r["k"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 5, 9]  # exactly once, nothing re-emitted
+    # an overwrite snapshot refuses loudly without ignoreChanges
+    f4 = t.write_file("d.parquet", [7], "x")
+    m4 = t.manifest(
+        "m4.avro", [t.entry(f4, [7], "x")], ["x"], added_sid=4
+    )
+    t.snapshots[-1] = dict(t.snapshots[-1])
+    t.snapshot(4, [m4])
+    t.snapshots[-1]["summary"] = {"operation": "overwrite"}
+    t.metadata(3, current_sid=4)
+    try:
+        run_stream()
+        refused = False
+    except Exception as e:
+        refused = "overwrite" in str(e)
+    assert refused
+    # ... and streams (the whole re-written file set) WITH the flag
+    q = (
+        spark.readStream.format("iceberg_import")
+        .option("startingSnapshot", "earliest")
+        .option("ignoreChanges", "true")
+        .load(t.root)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got2 = sorted(r["k"] for r in spark.read.parquet(out_dir).collect())
+    assert got2 == [1, 2, 5, 7, 9]
