@@ -960,3 +960,91 @@ def test_cdf_mirror_across_rename(spark, tmp_path):
         ).collect()
     }
     assert got == api
+
+
+def test_read_delta_cdf_foreign_log(spark, tmp_path):
+    """read_delta_cdf is a general protocol reader, not just the
+    exporter's own round-trip: a HAND-AUTHORED foreign log with cdc
+    actions (update pre/post images) and derived-change commits
+    replays the same change rows any Delta reader would."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rxlan_aws_lakehouse_spark.delta_export import read_delta_cdf
+
+    root = str(tmp_path / "fcdf")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "_change_data"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    }
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([1, 2], pa.int64()),
+             "v": pa.array([1.0, 2.0], pa.float64())}
+        ),
+        os.path.join(root, "data", "f0.parquet"),
+    )
+    # commit 0: metaData + insert add (derived-change path)
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "fcdf-1",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+            "createdTime": 0,
+        }}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "data/f0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+        }}) + "\n")
+    # commit 1: an update rewrites f0 -> f1 and records cdc pre/post
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([1, 2], pa.int64()),
+             "v": pa.array([1.0, 99.0], pa.float64())}
+        ),
+        os.path.join(root, "data", "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([2, 2], pa.int64()),
+                "v": pa.array([2.0, 99.0], pa.float64()),
+                "_change_type": pa.array(
+                    ["update_preimage", "update_postimage"], pa.string()
+                ),
+            }
+        ),
+        os.path.join(root, "_change_data", "c1.parquet"),
+    )
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"remove": {
+            "path": "data/f0.parquet", "deletionTimestamp": 1,
+            "dataChange": True, "partitionValues": {},
+        }}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "data/f1.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 1, "dataChange": True,
+        }}) + "\n")
+        fh.write(json.dumps({"cdc": {
+            "path": "_change_data/c1.parquet", "partitionValues": {},
+            "size": 1, "dataChange": False,
+        }}) + "\n")
+    got = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in read_delta_cdf(spark, root).collect()
+    }
+    assert got == {
+        (1, 1.0, "insert", 0),
+        (2, 2.0, "insert", 0),
+        (2, 2.0, "update_preimage", 1),
+        (2, 99.0, "update_postimage", 1),
+    }
