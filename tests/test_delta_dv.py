@@ -397,3 +397,123 @@ def test_streaming_dv_add_with_ignore_changes(spark, tmp_path):
     got = [r["k"] for r in spark.table("dv_stream").collect()]
     # batch 1: full file (1,2,3); batch 2: masked re-emit (1,3)
     assert sorted(got) == [1, 1, 2, 3, 3]
+
+
+def test_dv_on_column_mapped_table(spark, tmp_path):
+    """DVs + columnMapping=name in ONE foreign table: physical column
+    resolution and the row mask compose (the modern-Databricks default
+    shape — both features on)."""
+    root = str(tmp_path / "mdv")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "data"))
+    sch = pa.schema(
+        [pa.field("p_k", pa.int64()), pa.field("p_v", pa.float64())]
+    )
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2, 3], pa.int64()),
+             pa.array([1.5, 3.0, 4.5], pa.float64())],
+            schema=sch,
+        ),
+        os.path.join(root, "data", "f0.parquet"),
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "k",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "p_k",
+                },
+            },
+            {
+                "name": "v",
+                "type": "double",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "p_v",
+                },
+            },
+        ],
+    }
+    d = encode_roaring_bitmap_array([1])  # mask k=2
+    pad = d + b"\x00" * (-len(d) % 4)
+    a = {
+        "add": {
+            "path": "data/f0.parquet",
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+            "deletionVector": {
+                "storageType": "i",
+                "pathOrInlineDv": z85_encode(pad),
+                "sizeInBytes": len(d),
+                "cardinality": 1,
+            },
+        }
+    }
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": [
+                            "columnMapping",
+                            "deletionVectors",
+                        ],
+                        "writerFeatures": [
+                            "columnMapping",
+                            "deletionVectors",
+                        ],
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "mdv-1",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(schema),
+                        "partitionColumns": [],
+                        "configuration": {
+                            "delta.columnMapping.mode": "name",
+                            "delta.columnMapping.maxColumnId": "2",
+                        },
+                        "createdTime": 0,
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(json.dumps(a) + "\n")
+    df = import_delta(spark, root)
+    assert df.columns == ["k", "v"]
+    assert {(r["k"], r["v"]) for r in df.collect()} == {(1, 1.5), (3, 4.5)}
+    # the Python source path composes the same two features
+    from rxlan_aws_lakehouse_spark.sources.delta_import_source import (
+        register_delta_import_source,
+    )
+
+    register_delta_import_source(spark)
+    assert {
+        r["k"]
+        for r in spark.read.format("delta_import").load(root).collect()
+    } == {1, 3}
+    # convert adopts BOTH: mapping at full fidelity + DV as native mask
+    conv = convert_from_delta(spark, root, str(tmp_path / "conv"))
+    assert conv.has_deletion_vectors()
+    cmap = conv._meta(conv.current_version())["column_mapping"]
+    assert cmap["fields"]["k"]["physical"] == "p_k"
+    assert {r["k"] for r in conv.read(spark).collect()} == {1, 3}
