@@ -727,11 +727,18 @@ def _emit_cdc(
     diff."""
     import pyarrow.compute as _pc
 
-    # intervening versions, ascending commit order
+    # intervening versions, ascending commit order. A vacuumed
+    # intermediate means the range's row-level history is GONE — emit
+    # no cdc for this sync (the reader falls back to add/remove
+    # derivation, exactly the pre-CDF mirror contract) instead of
+    # failing a sync that used to succeed.
     chain: list[tuple[str, dict]] = []
     cur = v
     while cur != last_txn:
-        m = table._meta(cur)
+        try:
+            m = table._meta(cur)
+        except FileNotFoundError:
+            return []
         chain.append((cur, m))
         cur = m.get("parent")
         if cur is None:
