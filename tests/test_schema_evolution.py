@@ -316,7 +316,8 @@ def test_router_ctas(spark, tmp_path):
 def test_router_create_needs_columns_or_select(spark, tmp_path):
     router = TxnSqlRouter(spark)
     with pytest.raises(
-        ValueError, match="column list, AS SELECT, or FROM DELTA"
+        ValueError,
+        match="column list, AS SELECT, FROM DELTA .* or FROM ICEBERG",
     ):
         router.sql(
             f"CREATE TABLE nope USING TXN LOCATION '{tmp_path}/n'"
