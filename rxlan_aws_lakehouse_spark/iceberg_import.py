@@ -601,6 +601,24 @@ def convert_from_iceberg(
 
 
 # --------------------------------------------------------------- reads
+def _name_mapping(meta: dict) -> dict[int, str]:
+    """The spec's ``schema.name-mapping.default`` property -> field id
+    to (first) file column name.  This is how id-less parquet files —
+    Hive-migrated tables, and this engine's own ``export_iceberg``
+    output — bind to the schema."""
+    raw = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if not raw:
+        return {}
+    out: dict[int, str] = {}
+    for e in json.loads(raw):
+        names = e.get("names") or []
+        if e.get("field-id") is not None and names:
+            out[int(e["field-id"])] = names[0]
+    return out
+
+
 def import_iceberg(
     spark,
     path: str,
@@ -612,11 +630,113 @@ def import_iceberg(
     ``snapshot_id`` pins time travel; ``filters`` prune files at the
     metadata level (callers must still apply the predicates — pruning
     is an IO bound, never the correctness boundary).  Columns bind by
-    parquet FIELD ID (the Iceberg reader contract), so renames and
-    engine rewrites cannot break the read."""
+    parquet FIELD ID (the Iceberg reader contract) when the files
+    carry ids; id-less files (migrated tables, this engine's own
+    exports) bind through ``schema.name-mapping.default`` instead, and
+    their missing identity-partition source columns are filled from
+    the manifest partition values — the spec's migrated-table
+    convention.  Which path applies is probed from ONE footer; tables
+    that MIX id-bearing and id-less files should use
+    ``format("iceberg_import")``, whose Arrow reader decides per file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
     state = iceberg_live_files(path, snapshot_id, filters)
     schema = state["schema"]
     if not state["files"]:
         return spark.createDataFrame([], schema)
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    return spark.read.schema(schema).parquet(*state["files"])
+    import pyarrow.parquet as _pq2
+
+    first = _pq2.read_schema(state["files"][0])
+    has_ids = any(
+        (f.metadata or {}).get(b"PARQUET:field_id") is not None
+        for f in first
+    )
+    if has_ids:
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.read.enabled", "true"
+        )
+        return spark.read.schema(schema).parquet(*state["files"])
+    nm = _name_mapping(state["meta"])
+    if not nm:
+        # no ids and no mapping: plain name binding is all that's left
+        return spark.read.schema(
+            StructType(
+                [StructField(f.name, f.dataType, True) for f in schema.fields]
+            )
+        ).parquet(*state["files"])
+    ice_schema = _current_schema(state["meta"])
+    fid_of = {f["name"]: int(f["id"]) for f in ice_schema["fields"]}
+    # identity partition source columns that the mapping does NOT place
+    # in the files are metadata constants per the migrated convention
+    specs = state["meta"].get("partition-specs") or []
+    spec0 = specs[0] if specs else {"fields": []}
+    by_id = {int(f["id"]): f for f in ice_schema["fields"]}
+    const_cols: dict[str, str] = {}  # logical -> spec partition name
+    for pf in spec0.get("fields") or []:
+        if str(pf.get("transform")) != "identity":
+            continue
+        src = by_id.get(int(pf.get("source-id", -1)))
+        if src is not None and fid_of.get(src["name"]) not in nm:
+            const_cols[src["name"]] = pf.get("name") or src["name"]
+    data_fields = [
+        f for f in schema.fields if f.name not in const_cols
+    ]
+    data_schema = StructType(
+        [
+            StructField(nm.get(fid_of[f.name], f.name), f.dataType, True)
+            for f in data_fields
+        ]
+    )
+    scan = spark.read.schema(data_schema).parquet(*state["files"])
+    if not const_cols:
+        return scan.select(
+            *(
+                F.col(nm.get(fid_of[f.name], f.name)).alias(f.name)
+                for f in schema.fields
+            )
+        )
+    # attach partition constants via a broadcast basename join (the
+    # same metadata-sized build side import_delta uses)
+    import posixpath
+
+    pv_rows = []
+    names = list(const_cols)
+    for abs_p, df in zip(state["files"], state["entries"]):
+        part = df.get("partition") or {}
+        pv_rows.append(
+            (posixpath.basename(abs_p),)
+            + tuple(
+                None
+                if part.get(const_cols[c]) is None
+                else str(part.get(const_cols[c]))
+                for c in names
+            )
+        )
+    bs = [r[0] for r in pv_rows]
+    if len(set(bs)) != len(bs):
+        raise ValueError(
+            "cannot import: duplicate data-file basenames in a "
+            "name-mapped table — partition constants would be "
+            "ambiguous; use format(\"iceberg_import\")"
+        )
+    pv_schema = ", ".join(
+        ["__ib_base string"]
+        + [f"__ib_{i} string" for i in range(len(names))]
+    )
+    pv_df = spark.createDataFrame(pv_rows, pv_schema)
+    keyed = scan.withColumn(
+        "__ib_base",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    )
+    joined = keyed.join(F.broadcast(pv_df), "__ib_base", "inner")
+    return joined.select(
+        *(
+            F.col(f"__ib_{names.index(f.name)}")
+            .cast(f.dataType)
+            .alias(f.name)
+            if f.name in const_cols
+            else F.col(nm.get(fid_of[f.name], f.name)).alias(f.name)
+            for f in schema.fields
+        )
+    )

@@ -2052,7 +2052,12 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     output rows ARE DuckDB's read-back aggregate, so the driver hash
     pins export fidelity end-to-end (DVs materialized, evolution
     surviving as NULLs, tombstones excluded, stats consistent) against
-    the fixture closed form. Spec:
+    the fixture closed form. Round 13 adds two flags: ``iceberg_ok``
+    (the same snapshot exports as a conformant ICEBERG v2 table whose
+    independent re-import matches DuckDB's row count) and ``cdf_ok``
+    (a cdf-enabled sibling's mirror sync emits spec ``cdc`` change
+    files that ``read_delta_cdf`` reconstructs exactly as
+    ``read_row_changes``). Spec:
     https://github.com/delta-io/delta/blob/master/PROTOCOL.md."""
     import json as _json
     import os as _os
@@ -2178,15 +2183,71 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             [paths],
         ).fetchall()
         con.close()
+        # round 13: the SAME snapshot also exports as a conformant
+        # ICEBERG v2 table (iceberg_export.py — hard links + the
+        # name-mapping property for the id-less parquet); the
+        # independent reader half binds through that mapping and must
+        # agree with DuckDB's count of the Delta artifact — one
+        # snapshot, two open formats, three engines
+        from ..iceberg_export import export_iceberg
+        from ..iceberg_import import import_iceberg
+
+        export_iceberg(t, f"{work}/ice")
+        iceberg_ok = (
+            import_iceberg(spark, f"{work}/ice").count() == n_data
+        )
+        # round 13: CDF interop — a cdf-enabled sibling mirrors its
+        # recorded row-level payloads as spec ``cdc`` change files on
+        # sync; the protocol reader (read_delta_cdf) must reconstruct
+        # EXACTLY read_row_changes from the artifact alone
+        from ..delta_export import export_delta_sync, read_delta_cdf
+
+        ct = TxnTable(f"{work}/cdf_t")
+        ct.commit(orders.filter(F.col("o_orderkey") <= 500), cdf=True)
+        cdest = f"{work}/cdf_mirror"
+        export_delta(ct, cdest)
+        ct.merge_upsert(
+            spark,
+            orders.filter(F.col("o_orderkey") <= 200).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+            ),
+            keys=["o_orderkey"],
+        )
+        ct.delete_where(spark, F.expr("o_orderkey % 7 = 0"))
+        sync_out = export_delta_sync(ct, cdest)
+        mirror_chg = {
+            (r["o_orderkey"], r["o_totalprice"], r["_change_type"])
+            for r in read_delta_cdf(
+                spark, cdest, starting_commit=1
+            ).collect()
+        }
+        api_chg = {
+            (r["o_orderkey"], r["o_totalprice"], r["_change_type"])
+            for r in ct.read_row_changes(
+                spark, since="v00000001"
+            ).collect()
+        }
+        cdf_ok = (
+            sync_out["n_cdc_files"] > 0
+            and len(mirror_chg) > 0
+            and mirror_chg == api_chg
+        )
         rows = [
-            r + (bool(log_set_ok), bool(stats_ok), bool(sync_ok))
+            r
+            + (
+                bool(log_set_ok),
+                bool(stats_ok),
+                bool(sync_ok),
+                bool(iceberg_ok),
+                bool(cdf_ok),
+            )
             for r in out_rows
         ]
         return spark.createDataFrame(
             rows,
             "o_orderpriority string, n_orders long, revenue double, "
             "n_late long, log_set_ok boolean, stats_ok boolean, "
-            "sync_ok boolean",
+            "sync_ok boolean, iceberg_ok boolean, cdf_ok boolean",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -3243,7 +3304,9 @@ ORACLE = {
                CAST(count(flag) AS BIGINT) AS n_late,
                TRUE AS log_set_ok,
                TRUE AS stats_ok,
-               TRUE AS sync_ok
+               TRUE AS sync_ok,
+               TRUE AS iceberg_ok,
+               TRUE AS cdf_ok
         FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     # Foreign-Delta import: the hand-authored log's live state is the

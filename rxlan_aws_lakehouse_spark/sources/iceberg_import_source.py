@@ -44,12 +44,43 @@ from pyspark.sql.types import StructType
 from ..avro_lite import read_avro
 from ..iceberg_import import (
     _current_schema,
+    _name_mapping,
     _resolve as _ice_resolve,
     _spark_schema,
     iceberg_live_files,
     load_table_metadata,
 )
 from .txn_source import _FilePartition, _filter_triples, _read_file_batches
+
+
+def _binding(meta: dict, schema: StructType) -> tuple[tuple, tuple, dict]:
+    """(field_ids, phys names, identity-partition spec-name map) for a
+    table's schema: field ids bind id-bearing files; the phys tuple is
+    the ``schema.name-mapping.default`` fallback for ID-LESS files
+    (migrated tables, this engine's own exports); identity partition
+    source columns absent from the mapping are metadata constants."""
+    ice_schema = _current_schema(meta)
+    fid_of = {f["name"]: int(f["id"]) for f in ice_schema["fields"]}
+    nm = _name_mapping(meta)
+    fids = tuple(fid_of.get(f.name, 0) for f in schema.fields)
+    names = tuple(
+        nm.get(fid_of.get(f.name, -1), f.name) for f in schema.fields
+    )
+    phys = (
+        names if names != tuple(f.name for f in schema.fields) else ()
+    )
+    specs = meta.get("partition-specs") or []
+    spec0 = specs[0] if specs else {"fields": []}
+    by_id = {int(f["id"]): f for f in ice_schema["fields"]}
+    const_of: dict[str, str] = {}  # binding name -> spec partition name
+    for pf in spec0.get("fields") or []:
+        if str(pf.get("transform")) != "identity":
+            continue
+        src = by_id.get(int(pf.get("source-id", -1)))
+        if src is not None:
+            bind = nm.get(int(src["id"]), src["name"])
+            const_of[bind] = pf.get("name") or src["name"]
+    return fids, phys, const_of
 
 
 class IcebergImportReader(DataSourceReader):
@@ -61,17 +92,13 @@ class IcebergImportReader(DataSourceReader):
         self._path = options["path"]
         sid = options.get("snapshotId")
         self._snapshot_id = int(sid) if sid is not None else None
-        # field ids straight from the table metadata (not the plan
+        # binding straight from the table metadata (not the plan
         # schema's field metadata, which need not survive the data-
-        # source schema round-trip)
-        ids = {
-            f["name"]: int(f["id"])
-            for f in _current_schema(load_table_metadata(self._path))[
-                "fields"
-            ]
-        }
-        self._fids = tuple(
-            ids.get(f.name, 0) for f in schema.fields
+        # source schema round-trip): ids for id-bearing files, the
+        # name-mapping names for id-less ones, partition constants for
+        # identity columns the files omit
+        self._fids, self._phys, self._const_of = _binding(
+            load_table_metadata(self._path), schema
         )
         self._triples: list[tuple] = []
 
@@ -89,17 +116,32 @@ class IcebergImportReader(DataSourceReader):
         state = iceberg_live_files(
             self._path, self._snapshot_id, filters=self._triples
         )
-        return [
-            _FilePartition(
-                file_path=p,
-                rel=posixpath.basename(p),
-                dv_dir=None,
-                consts=(),
-                phys=(),
-                field_ids=self._fids,
+        parts = []
+        for p, e in zip(state["files"], state["entries"]):
+            pv = e.get("partition") or {}
+            consts = tuple(
+                (
+                    bind,
+                    None
+                    if pv.get(spec_name) is None
+                    else str(pv.get(spec_name)),
+                )
+                for bind, spec_name in self._const_of.items()
             )
-            for p in state["files"]
-        ]
+            parts.append(
+                _FilePartition(
+                    file_path=p,
+                    rel=posixpath.basename(p),
+                    dv_dir=None,
+                    # file value wins when the column IS in the file
+                    # (_read_file_batches checks columns before consts);
+                    # id-less migrated files fill from these constants
+                    consts=consts,
+                    phys=self._phys,
+                    field_ids=self._fids,
+                )
+            )
+        return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:
@@ -135,13 +177,7 @@ class IcebergImportStreamReader(DataSourceStreamReader):
         self._path = options["path"]
         meta = load_table_metadata(self._path)
         self._schema_id = meta.get("current-schema-id", 0)
-        ids = {
-            f["name"]: int(f["id"])
-            for f in _current_schema(meta)["fields"]
-        }
-        self._fids = tuple(
-            ids.get(f.name, 0) for f in schema.fields
-        )
+        self._fids, self._phys, self._const_of = _binding(meta, schema)
         self._ignore_changes = str(
             options.get("ignoreChanges", "false")
         ).lower() == "true"
@@ -235,13 +271,23 @@ class IcebergImportStreamReader(DataSourceStreamReader):
                             "delete file"
                         )
                     p = _ice_resolve(self._path, df["file_path"])
+                    pv = df.get("partition") or {}
+                    consts = tuple(
+                        (
+                            bind,
+                            None
+                            if pv.get(spec_name) is None
+                            else str(pv.get(spec_name)),
+                        )
+                        for bind, spec_name in self._const_of.items()
+                    )
                     parts.append(
                         _FilePartition(
                             file_path=p,
                             rel=posixpath.basename(p),
                             dv_dir=None,
-                            consts=(),
-                            phys=(),
+                            consts=consts,
+                            phys=self._phys,
                             field_ids=self._fids,
                         )
                     )

@@ -1108,11 +1108,29 @@ class TxnSqlRouter:
         from the analyst surface. First call bootstraps a full Delta
         export of the live snapshot; later calls incrementally sync
         the mirror (one add/remove commit, spec ``txn`` resume,
-        checkpoint every 10 commits) — see ``delta_export.py``."""
+        checkpoint every 10 commits) — see ``delta_export.py``.
+        ``EXPORT TABLE t TO ICEBERG '<path>'`` writes the snapshot as a
+        conformant Iceberg v2 table (iceberg_export.py — hard-linked
+        files, name-mapping property for the id-less parquet)."""
         from .delta_export import export_delta_sync
 
         c.expect("EXPORT", "TABLE")
         name, t = self._resolve(c.qident("table"))
+        if c.accept("TO", "ICEBERG"):
+            path_tok = c.peek()
+            if path_tok is None or not path_tok.startswith("'"):
+                raise ValueError(
+                    "EXPORT TABLE expects TO ICEBERG '<path>'"
+                )
+            c.i += 1
+            dest = path_tok[1:-1].replace("''", "'")
+            from .iceberg_export import export_iceberg
+
+            export_iceberg(t, dest)
+            return self._spark.createDataFrame(
+                [("export_iceberg", t.current_version())],
+                "operation string, version string",
+            )
         c.expect("TO", "DELTA")
         path_tok = c.peek()
         if path_tok is None or not path_tok.startswith("'"):

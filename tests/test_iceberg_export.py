@@ -1,0 +1,200 @@
+"""Iceberg EXPORT (round 13 — the write half of the Iceberg interop).
+
+``export_iceberg`` writes a txn snapshot as a conformant Iceberg v2
+metadata tree over hard-linked files; the checks read it back through
+``import_iceberg`` / ``format("iceberg_import")`` — the independent
+reader half, which binds through the spec's
+``schema.name-mapping.default`` property because txn parquet carries
+no field ids (the migrated-table convention) — and assert row
+identity with ``TxnTable.read``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rxlan_aws_lakehouse_spark.iceberg_export import export_iceberg
+from rxlan_aws_lakehouse_spark.iceberg_import import (
+    iceberg_live_files,
+    import_iceberg,
+    load_table_metadata,
+)
+from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+
+def _rows(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_export_plain_roundtrip(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(40).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+            F.concat(F.lit("s"), (F.col("id") % 5)).alias("s"),
+        )
+    )
+    dest = str(tmp_path / "ice")
+    out = export_iceberg(t, dest)
+    assert out["n_rows"] == 40
+    # metadata tree is spec-shaped and self-describing
+    meta = load_table_metadata(dest)
+    assert meta["format-version"] == 2
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert {e["names"][0] for e in nm} == {"k", "v", "s"}
+    df = import_iceberg(spark, dest)
+    cols = ["k", "v", "s"]
+    assert _rows(df, cols) == _rows(t.read(spark), cols)
+    # exported stats prune at the metadata level
+    st = iceberg_live_files(dest, filters=[("k", ">=", 10**6)])
+    assert st["files"] == [] and st["n_total"] == out["n_files"]
+
+
+def test_export_partitioned_with_nulls(spark, tmp_path):
+    """Hive-laid-out txn partitions (values in dirs, NOT in files)
+    export as identity partition fields; readers fill the missing
+    source columns from the manifest partition values — including
+    NULL partitions and an int-typed partition column."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [
+                (1, "a", 10),
+                (2, "a", 20),
+                (3, None, 10),
+                (4, "b", 20),
+            ],
+            "k INT, seg STRING, bucket INT",
+        ),
+        partition_by=["seg", "bucket"],
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    cols = ["k", "seg", "bucket"]
+    df = import_iceberg(spark, dest)
+    assert _rows(df, cols) == {
+        (1, "a", 10),
+        (2, "a", 20),
+        (3, None, 10),
+        (4, "b", 20),
+    }
+    # the Arrow source path fills the same constants per file
+    from rxlan_aws_lakehouse_spark.sources.iceberg_import_source import (
+        register_iceberg_import_source,
+    )
+
+    register_iceberg_import_source(spark)
+    df2 = spark.read.format("iceberg_import").load(dest)
+    assert _rows(df2, cols) == _rows(df, cols)
+    # partition summaries prune whole manifest groups... at file level
+    st = iceberg_live_files(dest, filters=[("seg", "=", "a")])
+    assert 0 < len(st["files"]) < st["n_total"]
+
+
+def test_export_mapped_table_name_mapping(spark, tmp_path):
+    """A RENAMED txn table (id-based column mapping: physical parquet
+    names frozen) exports with the name mapping pointing at the
+    PHYSICAL spellings, so the logical rename survives the format
+    boundary without touching a file."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k INT, amount DOUBLE"
+        )
+    )
+    t.rename_column(spark, "amount", "amt")
+    t.append(spark.createDataFrame([(3, 30.0)], "k INT, amt DOUBLE"))
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    meta = load_table_metadata(dest)
+    names = {f["name"] for f in meta["schemas"][0]["fields"]}
+    assert names == {"k", "amt"}  # logical schema
+    nm = {
+        e["field-id"]: e["names"][0]
+        for e in json.loads(
+            meta["properties"]["schema.name-mapping.default"]
+        )
+    }
+    assert "amount" in nm.values()  # physical spelling in the mapping
+    df = import_iceberg(spark, dest)
+    assert _rows(df, ["k", "amt"]) == {(1, 10.0), (2, 20.0), (3, 30.0)}
+
+
+def test_export_refuses_pending_dv_and_overwrite(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.range(10).select(F.col("id").alias("k")))
+    t.delete_where_deferred(spark, F.col("k") == 3)
+    dest = str(tmp_path / "ice")
+    with pytest.raises(ValueError, match="deletion vector"):
+        export_iceberg(t, dest)
+    t.materialize_deletes(spark)
+    export_iceberg(t, dest)
+    assert {r["k"] for r in import_iceberg(spark, dest).collect()} == (
+        set(range(10)) - {3}
+    )
+    with pytest.raises(FileExistsError, match="already holds"):
+        export_iceberg(t, dest)
+
+
+def test_router_export_to_iceberg(spark, tmp_path):
+    """EXPORT TABLE t TO ICEBERG '<path>' + re-attach via USING
+    ICEBERG_IMPORT: the analyst-surface round trip."""
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    router = TxnSqlRouter(spark)
+    root = str(tmp_path / "t")
+    router.sql(f"CREATE TABLE exp (k INT, s STRING) USING TXN LOCATION '{root}'")
+    router.sql("INSERT INTO exp VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    dest = str(tmp_path / "ice")
+    res = router.sql(f"EXPORT TABLE exp TO ICEBERG '{dest}'").collect()[0]
+    assert res["operation"] == "export_iceberg"
+    router.sql(
+        f"CREATE TABLE exp_ice USING ICEBERG_IMPORT LOCATION '{dest}'"
+    )
+    got = {
+        (r["k"], r["s"])
+        for r in router.sql("SELECT k, s FROM exp_ice").collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    router.sql("DROP TABLE exp_ice")
+    router.sql("DROP TABLE exp")
+
+
+def test_export_date_stats_prune(spark, tmp_path):
+    """date stats translate into the spec's single-value binary
+    serialization (days since epoch) and prune on re-import.
+    Timestamp columns carry NO bounds by design: Spark writes INT96
+    timestamps whose footers record no min/max, so the txn manifest —
+    the export's only stats source — never had them (conservative:
+    the column simply doesn't prune)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.sql(
+            """
+            SELECT id AS k,
+                   timestampadd(HOUR, CAST(id AS INT),
+                                timestamp'2021-01-01 00:00:00') AS ts,
+                   date_add(date'2021-01-01', CAST(id AS INT)) AS d
+            FROM range(48)
+            """
+        ).repartitionByRange(4, "k")
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    df = import_iceberg(spark, dest)
+    assert df.count() == 48
+    # d = 2021-01-01 + id days; files hold disjoint 12-day ranges.
+    # days-since-epoch for 2021-02-01:
+    import datetime
+
+    lit = (datetime.date(2021, 2, 1) - datetime.date(1970, 1, 1)).days
+    st = iceberg_live_files(dest, filters=[("d", ">=", lit)])
+    assert 0 < len(st["files"]) < st["n_total"]
+    # ts bounds absent -> never prunes, never mis-prunes
+    st2 = iceberg_live_files(dest, filters=[("ts", ">=", 10**18)])
+    assert len(st2["files"]) == st2["n_total"]
