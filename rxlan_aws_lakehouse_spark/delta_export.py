@@ -1578,7 +1578,78 @@ def _foreign_dv_specs(state: dict, path: str) -> dict[str, tuple]:
     return out
 
 
-def import_delta(spark, path: str, version: int | None = None):
+def resolve_delta_timestamp(path: str, ts) -> int:
+    """TIMESTAMP-based time travel for a foreign log (Delta's
+    ``timestampAsOf``): the LATEST commit whose timestamp is <= the
+    target.  Per-commit timestamps come from ``commitInfo.timestamp``
+    when present (what real writers emit), else the commit file's
+    mtime; Delta's monotonicity adjustment applies (a commit never
+    timestamps before its predecessor).  Only JSON commits carry
+    commitInfo, so a history cleaned past a checkpoint resolves from
+    the surviving tail — asking for a time before it raises, never
+    guesses."""
+    if isinstance(ts, str) and ts.strip().lstrip("+-").isdigit():
+        ts = int(ts)  # options arrive as strings: epoch millis form
+    if isinstance(ts, str):
+        s = ts.strip().replace("T", " ")
+        if s.endswith(("Z", "z")):
+            s = s[:-1] + "+00:00"
+        dt = _datetime.fromisoformat(s)
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_timezone.utc).replace(tzinfo=None)
+        target_ms = int(
+            (dt - _datetime(1970, 1, 1)).total_seconds() * 1000
+        )
+    else:
+        target_ms = int(ts)
+    log_dir = os.path.join(path, _LOG_DIR)
+    commits = sorted(
+        n
+        for n in os.listdir(log_dir)
+        if n.endswith(".json")
+        and n != "_last_checkpoint"
+        and n[:20].isdigit()
+    )
+    if not commits:
+        raise FileNotFoundError(f"no JSON commits under {log_dir}")
+    best: int | None = None
+    prev_ts = -1
+    for name in commits:
+        n = int(name[:20])
+        cts = None
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a and a["commitInfo"].get(
+                    "timestamp"
+                ) is not None:
+                    cts = int(a["commitInfo"]["timestamp"])
+                    break
+        if cts is None:
+            cts = int(
+                os.path.getmtime(os.path.join(log_dir, name)) * 1000
+            )
+        cts = max(cts, prev_ts + 1)  # spec monotonicity adjustment
+        prev_ts = cts
+        if cts <= target_ms:
+            best = n
+    if best is None:
+        raise ValueError(
+            f"no commit of {path} at or before timestamp {ts!r} "
+            f"(earliest surviving commit is {commits[0][:20]}; history "
+            "before it may have been cleaned up)"
+        )
+    return best
+
+
+def import_delta(
+    spark,
+    path: str,
+    version: int | None = None,
+    timestamp=None,
+):
     """Read an ARBITRARY conformant Delta table the engine did not
     write (r11 verdict task 2 — interop was one-directional: the
     exporter round-trips its own logs, but a foreign ``_delta_log``
@@ -1588,7 +1659,9 @@ def import_delta(spark, path: str, version: int | None = None):
     (single-file or multi-part) → JSON tail, add−remove reconciliation,
     newest metaData wins, ``version=`` time travel (checkpoint past the
     target falls back to a from-zero replay and raises if that history
-    was cleaned). ``columnMapping.mode=name`` tables read correctly:
+    was cleaned), ``timestamp=`` time travel (Delta's timestampAsOf:
+    latest commit at or before the target per commitInfo timestamps —
+    ``resolve_delta_timestamp``). ``columnMapping.mode=name`` tables read correctly:
     physical parquet names resolve through each field's
     ``delta.columnMapping.physicalName`` metadata and partition values
     /stats are looked up under physical names per the spec's writer
@@ -1618,6 +1691,12 @@ def import_delta(spark, path: str, version: int | None = None):
 
     from pyspark.sql.types import StructField
 
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version= OR timestamp=, not both"
+            )
+        version = resolve_delta_timestamp(path, timestamp)
     state = replay_delta_log(path, up_to=version)
     _gate_foreign_protocol(state)
     schema = StructType.fromJson(state["schema"])

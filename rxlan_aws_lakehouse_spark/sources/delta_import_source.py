@@ -89,6 +89,15 @@ def _schema_field_ids(state: dict, schema: StructType) -> tuple:
 def _resolve_state(options) -> dict:
     path = options["path"]
     v = options.get("version")
+    ts = options.get("timestampAsOf")
+    if ts is not None:
+        if v is not None:
+            raise ValueError(
+                "pass option version OR timestampAsOf, not both"
+            )
+        from ..delta_export import resolve_delta_timestamp
+
+        v = resolve_delta_timestamp(path, ts)
     state = replay_delta_log(
         path, up_to=int(v) if v is not None else None
     )

@@ -190,6 +190,9 @@ class IcebergImportStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "startingSnapshot must be 'latest' or 'earliest'"
             )
+        ms = int(options.get("maxSnapshotsPerTrigger", 0))
+        self._max_snapshots = ms if ms > 0 else None
+        self._watermark = self._start
 
     @staticmethod
     def _head(meta: dict) -> int:
@@ -203,10 +206,18 @@ class IcebergImportStreamReader(DataSourceStreamReader):
         return {"seq": self._start}
 
     def latestOffset(self) -> dict:
-        return {"seq": self._head(load_table_metadata(self._path))}
+        head = self._head(load_table_metadata(self._path))
+        if self._max_snapshots is not None:
+            # bounded catch-up, the same contract as the txn/delta
+            # sources' maxVersionsPerTrigger
+            head = min(head, self._watermark + self._max_snapshots)
+            self._watermark = max(self._watermark, head)
+        return {"seq": head}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["seq"], end["seq"]
+        if hi > self._watermark:
+            self._watermark = hi
         meta = load_table_metadata(self._path)
         if meta.get("current-schema-id", 0) != self._schema_id:
             raise RuntimeError(

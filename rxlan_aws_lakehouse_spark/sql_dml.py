@@ -1466,12 +1466,21 @@ class TxnSqlRouter:
         c.i += 1
         path = loc_tok[1:-1].replace("''", "'")
         version = None
+        timestamp = None
         if c.accept("VERSION", "AS", "OF"):
             vt = c.peek()
             if vt is None:
                 raise ValueError("VERSION AS OF needs a version number")
             c.i += 1
             version = int(vt)
+        elif c.accept("TIMESTAMP", "AS", "OF"):
+            tt = c.peek()
+            if tt is None or not tt.startswith("'"):
+                raise ValueError(
+                    "TIMESTAMP AS OF needs a quoted timestamp"
+                )
+            c.i += 1
+            timestamp = tt[1:-1].replace("''", "'")
         key = self._key(name)
         # Refuse to shadow an existing table: attaching over a txn
         # table would overwrite its temp views while leaving the stale
@@ -1497,6 +1506,8 @@ class TxnSqlRouter:
         reader = self._spark.read.format("delta_import")
         if version is not None:
             reader = reader.option("version", version)
+        if timestamp is not None:
+            reader = reader.option("timestampAsOf", timestamp)
         df = reader.load(path)
         ns, bare = key.split(".", 1)
         if ns == self._namespace:

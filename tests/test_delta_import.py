@@ -1545,3 +1545,83 @@ def test_stream_tails_foreign_log_under_concurrent_writer(spark, tmp_path):
     # exactly once: every version's row present, no duplicates
     assert sorted(got) == list(range(0, n_commits + 1))
     assert restarts >= 2  # guaranteed by the two phases
+
+
+def test_import_timestamp_as_of(spark, tmp_path):
+    """timestampAsOf time travel on a foreign log: the latest commit
+    at or before the target, by commitInfo timestamps with the spec's
+    monotonicity adjustment; before-history targets refuse."""
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        resolve_delta_timestamp,
+    )
+    from rxlan_aws_lakehouse_spark.sources.delta_import_source import (
+        register_delta_import_source,
+    )
+
+    f = Foreign(str(tmp_path / "ts"))
+    meta = _meta_action()
+    r1 = f.write_file("a.parquet", [1])
+    r2 = f.write_file("b.parquet", [2])
+    r3 = f.write_file("c.parquet", [3])
+    base = 1_600_000_000_000
+    f.commit(
+        0,
+        [
+            {"commitInfo": {"timestamp": base, "operation": "WRITE"}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta,
+            _add(r1, {"cat": "x"}),
+        ],
+    )
+    f.commit(
+        1,
+        [
+            {"commitInfo": {"timestamp": base + 60_000}},
+            _add(r2, {"cat": "x"}),
+        ],
+    )
+    # commit 2's clock runs BACKWARD: monotonicity clamps it to just
+    # after commit 1, so it is still selectable by a later target
+    f.commit(
+        2,
+        [
+            {"commitInfo": {"timestamp": base + 30_000}},
+            _add(r3, {"cat": "x"}),
+        ],
+    )
+    assert resolve_delta_timestamp(f.root, base) == 0
+    assert resolve_delta_timestamp(f.root, base + 59_999) == 0
+    assert resolve_delta_timestamp(f.root, base + 60_000) == 1
+    # the backward commit resolves AFTER commit 1 (clamped)
+    assert resolve_delta_timestamp(f.root, base + 60_001) == 2
+    with pytest.raises(ValueError, match="at or before"):
+        resolve_delta_timestamp(f.root, base - 1)
+    # ISO-string form, end to end through import_delta
+    # (base = 2020-09-13T12:26:40Z; +80 s covers all three commits,
+    # commit 2 having been clamped to base+60.001 s)
+    df = import_delta(
+        spark, f.root, timestamp="2020-09-13T12:28:00.000Z"
+    )
+    assert {r["k"] for r in df.collect()} == {1, 2, 3}
+    with pytest.raises(ValueError, match="not both"):
+        import_delta(spark, f.root, version=1, timestamp=base)
+    # the data source option + SQL verb
+    register_delta_import_source(spark)
+    d1 = (
+        spark.read.format("delta_import")
+        .option("timestampAsOf", base + 60_000)
+        .load(f.root)
+    )
+    assert {r["k"] for r in d1.collect()} == {1, 2}
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    router = TxnSqlRouter(spark)
+    router.sql(
+        "CREATE TABLE fts USING DELTA_IMPORT "
+        f"LOCATION '{f.root}' TIMESTAMP AS OF '2020-09-13 12:26:40'"
+    )
+    assert (
+        router.sql("SELECT count(*) AS n FROM fts").collect()[0]["n"]
+        == 1
+    )
+    router.sql("DROP TABLE fts")

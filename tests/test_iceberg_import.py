@@ -834,3 +834,50 @@ def test_streaming_iceberg_snapshot_tail(spark, tmp_path):
     q.awaitTermination(120)
     got2 = sorted(r["k"] for r in spark.read.parquet(out_dir).collect())
     assert got2 == [1, 2, 5, 7, 9]
+
+
+def test_streaming_max_snapshots_per_trigger(tmp_path):
+    """maxSnapshotsPerTrigger bounds catch-up batches (offset-level
+    check, mirroring the txn/delta sources' maxVersionsPerTrigger)."""
+    from rxlan_aws_lakehouse_spark.sources.iceberg_import_source import (
+        IcebergImportStreamReader,
+    )
+
+    t = Ice(str(tmp_path / "cap"))
+    rels = []
+    manifests = []
+    for sid in range(1, 6):
+        rel = t.write_file(f"f{sid}.parquet", [sid], "x")
+        rels.append(rel)
+        manifests.append(
+            t.manifest(
+                f"m{sid}.avro",
+                [t.entry(rel, [sid], "x")],
+                ["x"],
+                added_sid=sid,
+            )
+        )
+        t.snapshot(sid, list(manifests))
+    t.metadata(1, current_sid=5)
+    from rxlan_aws_lakehouse_spark.iceberg_import import (
+        load_table_metadata,
+    )
+    from rxlan_aws_lakehouse_spark.iceberg_import import _spark_schema
+
+    schema = _spark_schema(load_table_metadata(t.root))
+    rd = IcebergImportStreamReader(
+        {
+            "path": t.root,
+            "startingSnapshot": "earliest",
+            "maxSnapshotsPerTrigger": "2",
+        },
+        schema,
+    )
+    assert rd.initialOffset() == {"seq": 0}
+    o1 = rd.latestOffset()
+    assert o1 == {"seq": 2}
+    assert len(rd.partitions({"seq": 0}, o1)) == 2
+    o2 = rd.latestOffset()
+    assert o2 == {"seq": 4}
+    o3 = rd.latestOffset()
+    assert o3 == {"seq": 5}  # capped at the true head
