@@ -16,7 +16,9 @@ Spec mechanics honored:
   highest ``v<N>.metadata.json`` (the HadoopTables naming convention);
   format-version 1 and 2 replay, 3+ refuses loudly by number.
 * **snapshot resolution**: ``current-snapshot-id`` by default,
-  ``snapshot_id=`` pins time travel to any snapshot still listed.
+  ``snapshot_id=`` pins time travel to any snapshot still listed,
+  ``timestamp=`` resolves through the metadata ``snapshot-log``
+  (round 14, the twin of the Delta importer's ``timestampAsOf``).
 * **column binding is FIELD-ID based** — the defining Iceberg reader
   rule.  The requested Spark schema carries each field's
   ``parquet.field.id`` metadata and Spark's native field-id resolution
@@ -31,11 +33,25 @@ Spec mechanics honored:
   whole manifests unread; each manifest entry's partition values and
   ``lower_bounds``/``upper_bounds`` (decoded per the spec's
   single-value binary serialization) skip individual files.  Both are
-  conservative: unknown types/transforms never prune.
-* **refusals, loudly by name**: delete manifests (``content=1`` in the
-  manifest list), delete files (``data_file.content != 0``), non-
-  parquet file formats, format-version ≥ 3 — each names the construct
-  so a user knows exactly what the table uses.
+  TRANSFORM-AWARE (round 14, r13 verdict task 2): ``identity``
+  compares verbatim, ``bucket[N]`` maps equality predicates through
+  the spec's 32-bit Murmur3 hash, ``truncate[W]`` and
+  ``year/month/day/hour`` are order-preserving so range predicates map
+  to relaxed partition-space ranges.  Conservative throughout: unknown
+  types/transforms never prune.
+* **merge-on-read row-level deletes read correctly** (round 14, r13
+  verdict task 1): position delete files mask data rows by ordinal,
+  equality delete files anti-join on their equality-id columns (null
+  matching null), both scoped per the spec's scan-planning rules —
+  sequence-number ordering (position: delete seq >= data seq;
+  equality: strictly greater) and partition scoping (same spec +
+  values, or a global unpartitioned delete).  Decoding is
+  EXECUTOR-side inside the Arrow read (``apply_iceberg_deletes``),
+  the same shape as the foreign-Delta deletion-vector decode.
+* **refusals, loudly by name**: non-parquet file formats,
+  format-version ≥ 3 (deletion vectors), unknown manifest content —
+  each names the construct so a user knows exactly what the table
+  uses.
 
 Scale shape: O(metadata bytes) driver work — manifest Avro is KBs per
 thousands of files — then ONE parquet scan of the surviving files.
@@ -238,6 +254,190 @@ def _decode_bound(t: str, b: bytes):
     return None
 
 
+# ----------------------------------------------------------- transforms
+# Partition transforms per the spec (round 14, r13 verdict task 2):
+# identity pruned since round 13; bucket[N] / truncate[W] / year / month
+# / day / hour now prune too.  bucket uses the spec's 32-bit Murmur3
+# hash (Appendix B: hash of the value's canonical byte encoding, seed
+# 0); truncate and the temporal transforms are ORDER-PRESERVING, so a
+# range predicate on the source column maps to a relaxed range
+# predicate on the partition value.  Anything unrecognized (``void``,
+# future transforms) never prunes — conservative, same contract as
+# unknown bound types.
+
+_BUCKET_RE = re.compile(r"bucket\[(\d+)\]")
+_TRUNCATE_RE = re.compile(r"truncate\[(\d+)\]")
+_DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Public MurmurHash3 x86 32-bit (Appendix B names it as the spec
+    bucket hash).  Returns the UNSIGNED 32-bit value."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n & ~3
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_of(src_type: str, v, n: int):
+    """spec ``bucket[N]``: murmur3 of the canonical encoding, masked
+    positive, mod N.  None when the type/value has no defined encoding
+    here (float/double/decimal — never prune)."""
+    if v is None:
+        return None
+    if src_type in ("int", "long", "date", "timestamp", "timestamptz"):
+        enc = struct.pack("<q", int(v))
+    elif src_type == "string":
+        enc = str(v).encode("utf-8")
+    elif src_type in ("binary",) or _FIXED_RE.fullmatch(src_type or ""):
+        if not isinstance(v, (bytes, bytearray)):
+            return None
+        enc = bytes(v)
+    else:
+        return None
+    return (_murmur3_32(enc) & 0x7FFFFFFF) % n
+
+
+def _truncate_of(src_type: str, v, w: int):
+    """spec ``truncate[W]``: ``W * floor(v / W)`` for ints (Python's
+    floor-modulo IS that), first-W-codepoints for strings."""
+    if v is None:
+        return None
+    if src_type in ("int", "long"):
+        return int(v) - (int(v) % w)
+    if src_type == "string":
+        return str(v)[:w]
+    return None
+
+
+def _temporal_of(kind: str, src_type: str, v):
+    """year/month/day/hour of a date (days since epoch) or timestamp
+    (micros since epoch), as the spec's ordinal ints."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    v = int(v)
+    if src_type == "date":
+        days = v
+    elif src_type in ("timestamp", "timestamptz"):
+        if kind == "hour":
+            return v // _HOUR_US
+        days = v // _DAY_US
+    else:
+        return None
+    if kind == "day":
+        return days
+    if kind == "hour":
+        return None  # hour(date) is not a spec transform
+    d = _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+    if kind == "month":
+        return (d.year - 1970) * 12 + (d.month - 1)
+    if kind == "year":
+        return d.year - 1970
+    return None
+
+
+def _norm_lit(src_type: str, lit):
+    """Filter literals arrive as Python values; bounds and partition
+    values use the spec's INTERNAL representations (date = days int,
+    timestamp = micros int).  Convert datetime literals so they
+    compare; everything else rides verbatim."""
+    import datetime as _dt
+
+    if isinstance(lit, _dt.datetime):
+        if src_type in ("timestamp", "timestamptz"):
+            v = lit
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return int(
+                (v - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6
+            )
+        return lit
+    if isinstance(lit, _dt.date):
+        if src_type == "date":
+            return (lit - _dt.date(1970, 1, 1)).days
+        return lit
+    return lit
+
+
+def _transform_lit(transform: str, src_type: str, op: str, lit):
+    """(partition-space literal, relaxed op) for one predicate against
+    one partition field, or None when this transform/op/type pair
+    cannot prune.  Relaxation: order-preserving transforms collapse
+    strict ops to their inclusive forms (truncate(v) carries less
+    information than v); bucket keeps only equality."""
+    t = str(transform)
+    lit = _norm_lit(src_type, lit)
+    if t == "identity":
+        return lit, op
+    m = _BUCKET_RE.fullmatch(t)
+    if m:
+        if op != "=":
+            return None
+        b = _bucket_of(src_type, lit, int(m.group(1)))
+        return None if b is None else (b, "=")
+    m = _TRUNCATE_RE.fullmatch(t)
+    if m:
+        tl = _truncate_of(src_type, lit, int(m.group(1)))
+    elif t in ("year", "years", "month", "months", "day", "days", "date"):
+        kind = {"date": "day"}.get(t, t.rstrip("s"))
+        tl = _temporal_of(kind, src_type, lit)
+    elif t in ("hour", "hours", "date_hour"):
+        tl = _temporal_of("hour", src_type, lit)
+    else:
+        return None  # void / unknown: never prune
+    if tl is None:
+        return None
+    relaxed = {"=": "=", ">": ">=", ">=": ">=", "<": "<=", "<=": "<="}
+    rop = relaxed.get(op)
+    return None if rop is None else (tl, rop)
+
+
+def _result_type(transform: str, src_type: str) -> str:
+    """The partition field's RESULT type name — what the manifest-list
+    field summaries serialize their bounds as."""
+    t = str(transform)
+    if t == "identity" or _TRUNCATE_RE.fullmatch(t):
+        return src_type
+    if _BUCKET_RE.fullmatch(t):
+        return "int"
+    if t in ("day", "days", "date"):
+        return "date"
+    if t in ("year", "years", "month", "months", "hour", "hours",
+             "date_hour"):
+        return "int"
+    return ""
+
+
 def _cmp_empty(op: str, lo, hi, lit) -> bool:
     if op == "=":
         return lit < lo or lit > hi
@@ -263,27 +463,89 @@ def _comparable(lo, hi, lit) -> bool:
     )
 
 
+# --------------------------------------------------------- time travel
+def resolve_iceberg_timestamp(meta: dict, ts) -> int:
+    """TIMESTAMP-based time travel (r13 verdict task 3, the Iceberg
+    twin of ``resolve_delta_timestamp``): the LATEST snapshot whose
+    commit time is <= the target, resolved from the metadata
+    ``snapshot-log`` (the spec's timestamp-ms -> snapshot-id history);
+    tables without one (some one-shot writers, this engine's own
+    single-snapshot exports) fall back to the snapshots' own
+    ``timestamp-ms``.  A target before the earliest logged snapshot
+    raises — expired history is never guessed at."""
+    import datetime as _dt
+
+    if isinstance(ts, str) and ts.strip().lstrip("+-").isdigit():
+        ts = int(ts)  # options arrive as strings: epoch millis form
+    if isinstance(ts, str):
+        s = ts.strip().replace("T", " ")
+        if s.endswith(("Z", "z")):
+            s = s[:-1] + "+00:00"
+        dt = _dt.datetime.fromisoformat(s)
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        target_ms = int(
+            (dt - _dt.datetime(1970, 1, 1)).total_seconds() * 1000
+        )
+    else:
+        target_ms = int(ts)
+    log = [
+        (int(e["timestamp-ms"]), int(e["snapshot-id"]))
+        for e in (meta.get("snapshot-log") or [])
+        if e.get("timestamp-ms") is not None
+        and e.get("snapshot-id") is not None
+    ]
+    if not log:
+        log = [
+            (int(s.get("timestamp-ms") or 0), int(s["snapshot-id"]))
+            for s in (meta.get("snapshots") or [])
+            if s.get("snapshot-id") is not None
+        ]
+    if not log:
+        raise ValueError("table has no snapshot history to time-travel")
+    log.sort()
+    best = None
+    for t_ms, sid in log:
+        if t_ms <= target_ms:
+            best = sid
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before timestamp {ts!r} (earliest "
+            f"logged snapshot is at {log[0][0]} ms; older history may "
+            "have been expired)"
+        )
+    return best
+
+
 # ------------------------------------------------------------- replay
 def iceberg_live_files(
     path: str,
     snapshot_id: int | None = None,
     filters: list[tuple] | None = None,
+    timestamp=None,
 ) -> dict:
     """Replay the metadata tree to the live data files of one snapshot.
 
     Returns ``{"files": [abs paths], "meta": metadata dict, "schema":
     Spark StructType, "n_total": files before predicate pruning,
     "n_manifests_skipped": manifests the manifest-list field summaries
-    proved empty, "snapshot": snapshot dict}``.  ``filters`` are
-    conjunctive ``(column, op, literal)`` triples pruned against BOTH
-    metadata levels; pruning is IO-avoidance only — callers re-apply
-    every predicate row-level (the same contract as the txn source)."""
+    proved empty, "snapshot": snapshot dict, "delete_files": the
+    snapshot's position/equality delete files, "delete_specs":
+    per-data-file executor-ready delete spec tuples aligned with
+    ``files``}``.  ``filters`` are conjunctive ``(column, op,
+    literal)`` triples pruned against BOTH metadata levels; pruning is
+    IO-avoidance only — callers re-apply every predicate row-level
+    (the same contract as the txn source)."""
     meta = load_table_metadata(path)
     schema = _spark_schema(meta)
     ice_schema = _current_schema(meta)
     by_name = {f["name"]: f for f in ice_schema["fields"]}
     by_id = {int(f["id"]): f for f in ice_schema["fields"]}
 
+    if timestamp is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id= OR timestamp=, not both")
+        snapshot_id = resolve_iceberg_timestamp(meta, timestamp)
     snaps = meta.get("snapshots") or []
     sid = snapshot_id if snapshot_id is not None else meta.get(
         "current-snapshot-id"
@@ -297,6 +559,8 @@ def iceberg_live_files(
             "n_total": 0,
             "n_manifests_skipped": 0,
             "snapshot": None,
+            "delete_files": [],
+            "delete_specs": [],
         }
     snap = next((s for s in snaps if s.get("snapshot-id") == sid), None)
     if snap is None:
@@ -329,18 +593,61 @@ def iceberg_live_files(
     n_skipped_manifests = 0
     files: list[str] = []
     file_entries: list[dict] = []
+    data_scope: list[tuple] = []  # (seq, spec_id, partition) per file
+    delete_files: list[dict] = []
     n_total = 0
     for m in ml_records:
-        if int(m.get("content") or 0) == 1:
+        content = int(m.get("content") or 0)
+        if content not in (0, 1):
             raise ValueError(
-                "cannot import: snapshot carries a DELETE manifest "
-                "(manifest-list content=1, row-level deletes); "
-                "rewrite/compact the table first"
+                f"cannot import: manifest-list content={content} is "
+                "not in the v2 spec (0=data, 1=deletes)"
             )
-        spec = specs.get(int(m.get("partition_spec_id") or 0)) or {
-            "fields": []
-        }
+        m_seq = int(m.get("sequence_number") or 0)
+        spec_id = int(m.get("partition_spec_id") or 0)
+        spec = specs.get(spec_id) or {"fields": []}
         spec_fields = spec.get("fields") or []
+        if content == 1:
+            # DELETE manifest (round 14, r13 verdict task 1): replay
+            # its position/equality delete files driver-side — never
+            # predicate-pruned (a pruned delete would resurrect rows),
+            # and delete manifests are metadata-small anyway
+            _, entries = read_avro(_resolve(path, m["manifest_path"]))
+            for e in entries:
+                if int(e.get("status") or 0) == 2:  # DELETED: retired
+                    continue
+                seq = e.get("sequence_number")
+                # v2 inheritance: ADDED entries with a null sequence
+                # number inherit the manifest's own sequence number
+                seq = int(seq) if seq is not None else m_seq
+                df = e.get("data_file") or {}
+                c = int(df.get("content") or 0)
+                if c not in (1, 2):
+                    raise ValueError(
+                        "cannot import: delete manifest entry with "
+                        f"content={c} (1=position, 2=equality)"
+                    )
+                fmt = str(df.get("file_format") or "").upper()
+                if fmt != "PARQUET":
+                    raise ValueError(
+                        f"cannot import: delete file_format {fmt!r} "
+                        "(only PARQUET)"
+                    )
+                delete_files.append(
+                    {
+                        "content": c,
+                        "abs": _resolve(path, df["file_path"]),
+                        "seq": seq,
+                        "spec_id": spec_id,
+                        "global": not spec_fields,
+                        "partition": df.get("partition") or {},
+                        "equality_ids": [
+                            int(x)
+                            for x in (df.get("equality_ids") or [])
+                        ],
+                    }
+                )
+            continue
         # manifest-level skip via the field summaries (aligned with
         # the spec's partition field order)
         summaries = m.get("partitions") or []
@@ -356,19 +663,26 @@ def iceberg_live_files(
             df = e.get("data_file") or {}
             if int(df.get("content") or 0) != 0:
                 raise ValueError(
-                    "cannot import: manifest entry carries a delete "
-                    f"file (data_file.content={df.get('content')})"
+                    "cannot import: DATA manifest entry carries a "
+                    f"delete file (data_file.content={df.get('content')})"
                 )
             fmt = str(df.get("file_format") or "").upper()
             if fmt != "PARQUET":
                 raise ValueError(
                     f"cannot import: file_format {fmt!r} (only PARQUET)"
                 )
+            seq = e.get("sequence_number")
+            seq = int(seq) if seq is not None else m_seq
             n_total += 1
             if _file_prunable(df, spec_fields, by_name, by_id, filters):
                 continue
             files.append(_resolve(path, df["file_path"]))
             file_entries.append(df)
+            data_scope.append((seq, spec_id, df.get("partition") or {}))
+    delete_specs = [
+        _applicable_deletes(raw_df, seq, spid, pv, delete_files, by_id)
+        for raw_df, (seq, spid, pv) in zip(file_entries, data_scope)
+    ]
     return {
         "files": files,
         "entries": file_entries,
@@ -377,31 +691,235 @@ def iceberg_live_files(
         "n_total": n_total,
         "n_manifests_skipped": n_skipped_manifests,
         "snapshot": snap,
+        "delete_files": delete_files,
+        "delete_specs": delete_specs,
     }
+
+
+def _applicable_deletes(
+    df: dict, seq: int, spec_id: int, partition: dict,
+    delete_files: list[dict], by_id: dict,
+) -> tuple:
+    """The executor-ready delete specs that APPLY to one data file per
+    the spec's scan-planning rules: a position delete applies when its
+    data sequence number is >= the data file's; an equality delete when
+    STRICTLY greater; both are scoped to the data file's partition
+    (same spec id + identical partition values) unless the delete file
+    was written under an unpartitioned spec (global).  Spec shapes:
+    ``("pos", delete_path, data_file_path_as_written)`` — the executor
+    filters the delete file's ``file_path`` column to this data file —
+    and ``("eq", delete_path, ((field_id, column_name), ...))`` — the
+    executor anti-joins on the equality columns, null matching null."""
+    out = []
+    for d in delete_files:
+        if d["content"] == 1:
+            if d["seq"] < seq:
+                continue
+        else:
+            if d["seq"] <= seq:
+                continue
+        if not d["global"] and (
+            d["spec_id"] != spec_id or d["partition"] != partition
+        ):
+            continue
+        if d["content"] == 1:
+            out.append(("pos", d["abs"], str(df.get("file_path"))))
+        else:
+            if not d["equality_ids"]:
+                raise ValueError(
+                    "cannot import: equality delete file without "
+                    "equality_ids"
+                )
+            cols = []
+            for fid in d["equality_ids"]:
+                src = by_id.get(fid)
+                if src is None or not isinstance(src.get("type"), str):
+                    raise ValueError(
+                        "cannot import: equality delete references "
+                        f"field id {fid}, which is not a primitive "
+                        "column of the current schema"
+                    )
+                cols.append((fid, src["name"]))
+            out.append(("eq", d["abs"], tuple(cols)))
+    return tuple(out)
+
+
+def _path_variants(p: str) -> list[str]:
+    """Spelling variants of a data-file path for matching a position
+    delete file's ``file_path`` column: writers emit absolute URIs,
+    some with a ``file:``/``file://`` scheme and some without."""
+    out = {str(p)}
+    if p.startswith("file://"):
+        out.add(p[len("file://") :])
+    elif p.startswith("file:"):
+        out.add(p[len("file:") :])
+    if p.startswith("/"):
+        out.add("file://" + p)
+        out.add("file:" + p)
+    return sorted(out)
+
+
+def apply_iceberg_deletes(tbl, specs: tuple):
+    """EXECUTOR-side application of one data file's delete specs to its
+    decoded Arrow table (called from ``_read_file_batches``; the
+    Iceberg sibling of the foreign-Delta DV decode, delta_export.py
+    ``_expand_dv_specs``): position deletes mask by row ordinal
+    (delete rows filtered to this file via parquet row-group predicate
+    pushdown on ``file_path`` — O(this file's deletes) transferred),
+    equality deletes anti-join on the equality columns, bound by
+    parquet FIELD ID on both sides with null == null per the spec."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n = tbl.num_rows
+    if n == 0 or not specs:
+        return tbl
+    alive = np.ones(n, dtype=bool)
+    for spec in specs:
+        if spec[0] == "pos":
+            _, dpath, target = spec
+            dt = pq.read_table(
+                dpath,
+                columns=["file_path", "pos"],
+                filters=[("file_path", "in", _path_variants(target))],
+            )
+            for p in dt.column("pos").to_pylist():
+                if p is not None and 0 <= p < n:
+                    alive[p] = False
+        else:
+            _, dpath, eqcols = spec
+            dt = pq.read_table(dpath)
+            if dt.num_rows:
+                dead = _eq_match_mask(tbl, dt, eqcols)
+                alive &= ~dead
+    if alive.all():
+        return tbl
+    import pyarrow as _pa
+
+    return tbl.filter(_pa.array(alive))
+
+
+def _fid_column(t, fid: int, name: str):
+    """A table's column by parquet field id (the binding contract),
+    falling back to the name; None when absent."""
+    for f in t.schema:
+        m = (f.metadata or {}).get(b"PARQUET:field_id")
+        if m is not None and int(m) == fid:
+            return t.column(f.name)
+    if name in t.column_names:
+        return t.column(name)
+    return None
+
+
+def _eq_match_mask(tbl, dt, eqcols: tuple):
+    """Boolean numpy mask of ``tbl`` rows matched by ANY ``dt`` row on
+    the equality columns.  Vectorized: each side's columns cast to
+    string (null -> a sentinel, because the spec's equality delete
+    matches null to null), joined into one key, matched with
+    ``is_in``.  Any cast failure falls back to exact Python tuples."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    NULL = "\x00\x00N"
+    SEP = "\x1f"
+
+    def side(t, missing_len=None):
+        keys = []
+        for fid, name in eqcols:
+            col = _fid_column(t, fid, name)
+            if col is None:
+                if missing_len is None:
+                    raise ValueError(
+                        f"equality delete file {getattr(t, 'path', '')} "
+                        f"lacks column {name!r} (field id {fid})"
+                    )
+                # additive schema evolution: the data file predates the
+                # column -> all-null, matching null delete values
+                col = pa.nulls(missing_len, pa.string())
+            keys.append(col)
+        return keys
+
+    data_cols = side(tbl, missing_len=tbl.num_rows)
+    del_cols = side(dt)
+    try:
+        dc = [
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in data_cols
+        ]
+        el = [
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in del_cols
+        ]
+        # ONE canonical type per column pair (the delete side's, unless
+        # it is the all-null placeholder) so both sides stringify
+        # identically — e.g. timestamp precision differences
+        tgts = [
+            e.type if not pa.types.is_null(e.type) else d.type
+            for d, e in zip(dc, el)
+        ]
+
+        def key_of(cols):
+            parts = []
+            for c, tgt in zip(cols, tgts):
+                if c.type != tgt:
+                    c = c.cast(tgt)
+                s = pc.fill_null(pc.cast(c, pa.string()), NULL)
+                parts.append(s)
+            if len(parts) == 1:
+                return parts[0]
+            sep_args = parts + [SEP]
+            return pc.binary_join_element_wise(*sep_args)
+
+        dkey = key_of(dc)
+        ekey = key_of(el)
+        mask = pc.is_in(dkey, value_set=ekey.unique())
+        return pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        dead_set = set(
+            zip(*(c.to_pylist() for c in del_cols))
+        )
+        rows = zip(*(c.to_pylist() for c in data_cols))
+        return np.fromiter(
+            (r in dead_set for r in rows), dtype=bool, count=tbl.num_rows
+        )
 
 
 def _manifest_prunable(summaries, spec_fields, by_id, filters) -> bool:
     """May ANY file in this manifest satisfy the conjunction?  Uses the
     manifest-list ``partitions`` field summaries (lower/upper bound per
-    partition field, identity transforms only)."""
+    partition field, decoded as the field's RESULT type).  Transform-
+    aware (r13 verdict task 2): each predicate maps into partition
+    space via ``_transform_lit`` — identity compares verbatim, bucket
+    keeps equality only, truncate/temporal relax strict ops — and
+    anything unmapped never prunes."""
     for i, pf in enumerate(spec_fields):
         if i >= len(summaries):
             break
-        if str(pf.get("transform")) != "identity":
-            continue
         src = by_id.get(int(pf.get("source-id", -1)))
         if src is None:
             continue
         t = src["type"] if isinstance(src["type"], str) else ""
+        rt = _result_type(pf.get("transform"), t)
+        if not rt:
+            continue
         s = summaries[i] or {}
-        lo = _decode_bound(t, s.get("lower_bound"))
-        hi = _decode_bound(t, s.get("upper_bound"))
+        lo = _decode_bound(rt, s.get("lower_bound"))
+        hi = _decode_bound(rt, s.get("upper_bound"))
         if lo is None or hi is None:
             continue
         for col, op, lit in filters:
             if col != src["name"]:
                 continue
-            if _comparable(lo, hi, lit) and _cmp_empty(op, lo, hi, lit):
+            tr = _transform_lit(pf.get("transform"), t, op, lit)
+            if tr is None:
+                continue
+            plit, pop = tr
+            if _comparable(lo, hi, plit) and _cmp_empty(
+                pop, lo, hi, plit
+            ):
                 # a null-holding partition may still match nothing for
                 # range ops; contains_null files never match =/range
                 # predicates on the value, so the skip is sound
@@ -412,18 +930,22 @@ def _manifest_prunable(summaries, spec_fields, by_id, filters) -> bool:
 
 def _file_prunable(df, spec_fields, by_name, by_id, filters) -> bool:
     """May this data file satisfy the conjunction?  Partition values
-    (identity transforms) and per-file column bounds both get a say."""
+    (any recognized transform, mapped into partition space) and
+    per-file column bounds both get a say."""
     part = df.get("partition") or {}
-    pvals: dict[str, object] = {}
+    # source column name -> [(transform, partition value), ...] — one
+    # source column may feed several partition fields (e.g. bucket AND
+    # truncate); every binding gets a veto
+    pvals: dict[str, list] = {}
     for pf in spec_fields:
-        if str(pf.get("transform")) != "identity":
-            continue
         src = by_id.get(int(pf.get("source-id", -1)))
         if src is None:
             continue
         name = pf.get("name") or src["name"]
         if name in part:
-            pvals[src["name"]] = part[name]
+            pvals.setdefault(src["name"], []).append(
+                (str(pf.get("transform")), part[name])
+            )
     lowers = _kvmap(df.get("lower_bounds"))
     uppers = _kvmap(df.get("upper_bounds"))
     for col, op, lit in filters:
@@ -431,20 +953,27 @@ def _file_prunable(df, spec_fields, by_name, by_id, filters) -> bool:
         if f is None:
             continue
         t = f["type"] if isinstance(f["type"], str) else ""
-        if col in pvals:
-            v = pvals[col]
+        for transform, v in pvals.get(col, ()):
+            tr = _transform_lit(transform, t, op, lit)
+            if tr is None:
+                continue
+            plit, pop = tr
             if v is None:
-                return True  # null partition: no comparison matches
-            if _comparable(v, v, lit) and _cmp_empty(op, v, v, lit):
+                # every spec transform maps null -> null: a null
+                # partition value means the source column is all-null
+                # in this file, so no comparison predicate matches
+                return True
+            if _comparable(v, v, plit) and _cmp_empty(pop, v, v, plit):
                 return True
         fid = int(f["id"])
+        nlit = _norm_lit(t, lit)
         lo = _decode_bound(t, lowers.get(fid))
         hi = _decode_bound(t, uppers.get(fid))
         if (
             lo is not None
             and hi is not None
-            and _comparable(lo, hi, lit)
-            and _cmp_empty(op, lo, hi, lit)
+            and _comparable(lo, hi, nlit)
+            and _cmp_empty(op, lo, hi, nlit)
         ):
             return True
     return False
@@ -507,6 +1036,13 @@ def convert_from_iceberg(
     bounds cover those columns like any other.  O(files) link + footer
     work, zero data IO, zero Spark jobs."""
     state = iceberg_live_files(path, snapshot_id)
+    if state["delete_files"]:
+        raise ValueError(
+            "cannot convert: snapshot carries row-level DELETE files "
+            "(merge-on-read position/equality deletes); import_iceberg "
+            "reads them, but a zero-copy adoption cannot — compact the "
+            "table first, or import and write into a txn table"
+        )
     from pyarrow import parquet as _pq2
 
     from .txn import TxnTable
@@ -601,6 +1137,14 @@ def convert_from_iceberg(
 
 
 # --------------------------------------------------------------- reads
+def _src_type_of(meta: dict, col: str) -> str:
+    """A column's primitive Iceberg type name ('' when absent/nested)."""
+    for f in _current_schema(meta)["fields"]:
+        if f["name"] == col and isinstance(f["type"], str):
+            return f["type"]
+    return ""
+
+
 def _name_mapping(meta: dict) -> dict[int, str]:
     """The spec's ``schema.name-mapping.default`` property -> field id
     to (first) file column name.  This is how id-less parquet files —
@@ -624,27 +1168,59 @@ def import_iceberg(
     path: str,
     snapshot_id: int | None = None,
     filters: list[tuple] | None = None,
+    timestamp=None,
 ):
     """Read an Iceberg table the engine did not write, as a DataFrame.
 
-    ``snapshot_id`` pins time travel; ``filters`` prune files at the
-    metadata level (callers must still apply the predicates — pruning
-    is an IO bound, never the correctness boundary).  Columns bind by
-    parquet FIELD ID (the Iceberg reader contract) when the files
-    carry ids; id-less files (migrated tables, this engine's own
-    exports) bind through ``schema.name-mapping.default`` instead, and
-    their missing identity-partition source columns are filled from
-    the manifest partition values — the spec's migrated-table
-    convention.  Which path applies is probed from ONE footer; tables
-    that MIX id-bearing and id-less files should use
-    ``format("iceberg_import")``, whose Arrow reader decides per file."""
+    ``snapshot_id`` / ``timestamp`` pin time travel (``timestamp``
+    resolves through the metadata snapshot-log — the spec's
+    timestamp-ms history); ``filters`` prune files at the metadata
+    level (callers must still apply the predicates — pruning is an IO
+    bound, never the correctness boundary).  Columns bind by parquet
+    FIELD ID (the Iceberg reader contract) when the files carry ids;
+    id-less files (migrated tables, this engine's own exports) bind
+    through ``schema.name-mapping.default`` instead, and their missing
+    identity-partition source columns are filled from the manifest
+    partition values — the spec's migrated-table convention.  Which
+    path applies is probed from ONE footer; tables that MIX id-bearing
+    and id-less files should use ``format("iceberg_import")``, whose
+    Arrow reader decides per file.
+
+    Merge-on-read v2 tables (r13 verdict task 1): a snapshot carrying
+    POSITION or EQUALITY delete files routes through
+    ``format("iceberg_import")``, whose executor-side Arrow reader
+    masks each data file by its scoped deletes (sequence-number +
+    partition scoping per the spec's scan-planning rules) — row work
+    stays per-partition, driver state stays O(delete files)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
-    state = iceberg_live_files(path, snapshot_id, filters)
+    state = iceberg_live_files(path, snapshot_id, filters, timestamp)
     schema = state["schema"]
     if not state["files"]:
         return spark.createDataFrame([], schema)
+    if any(state["delete_specs"]):
+        from .sources.iceberg_import_source import (
+            register_iceberg_import_source,
+        )
+
+        register_iceberg_import_source(spark)
+        r = spark.read.format("iceberg_import")
+        sid = state["snapshot"].get("snapshot-id")
+        if sid is not None:
+            r = r.option("snapshotId", int(sid))
+        if filters:
+            safe = [
+                t
+                for t in (
+                    (c, op, _norm_lit(_src_type_of(state["meta"], c), v))
+                    for c, op, v in filters
+                )
+                if isinstance(t[2], (int, float, str, bool))
+            ]
+            if safe:
+                r = r.option("filtersJson", json.dumps(safe))
+        return r.load(path)
     import pyarrow.parquet as _pq2
 
     first = _pq2.read_schema(state["files"][0])

@@ -119,6 +119,13 @@ class _FilePartition(InputPartition):
     # field even if its NAME differs from the physical spelling — the
     # id-mode contract. 0 = no id for that field (name binding).
     field_ids: tuple = ()
+    # FOREIGN Iceberg row-level deletes applying to this file
+    # (iceberg_import source, r13 verdict task 1): a tuple of
+    # ("pos", delete_path, data_file_path) / ("eq", delete_path,
+    # ((field_id, name), ...)) specs, decoded EXECUTOR-side by
+    # iceberg_import.apply_iceberg_deletes. Compact to pickle: file
+    # pointers, never expanded row lists.
+    ice_deletes: tuple = ()
 
 
 def _resolve_version(table: TxnTable, options) -> str:
@@ -177,6 +184,16 @@ def _read_file_batches(
     tbl = pq.read_table(part.file_path)
     pvals = _partition_values(part.rel)
     pvals.update(dict(part.consts))
+    if part.ice_deletes:
+        # foreign Iceberg position/equality deletes: decoded here on
+        # the executor (iceberg_import.py), masked by row ordinal /
+        # equality-column anti-join BEFORE anything else — position
+        # deletes address the file's raw row order
+        from rxlan_aws_lakehouse_spark.iceberg_import import (
+            apply_iceberg_deletes,
+        )
+
+        tbl = apply_iceberg_deletes(tbl, part.ice_deletes)
     n = tbl.num_rows
     if part.dv_dir is not None and os.path.isdir(part.dv_dir):
         dv = pq.read_table(

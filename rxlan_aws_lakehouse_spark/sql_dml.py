@@ -1521,9 +1521,11 @@ class TxnSqlRouter:
 
     def _exec_create_iceberg_import(self, c: _Cursor):
         """``CREATE TABLE name USING ICEBERG_IMPORT LOCATION '<path>'
-        [SNAPSHOT AS OF <id>]`` — attach a read-only FOREIGN Iceberg
-        table (round 13; iceberg_import_source.py, the Iceberg twin of
-        the DELTA_IMPORT verb).  Session-scoped views over the
+        [SNAPSHOT AS OF <id> | TIMESTAMP AS OF '<ts>']`` — attach a
+        read-only FOREIGN Iceberg table (round 13;
+        iceberg_import_source.py, the Iceberg twin of the DELTA_IMPORT
+        verb; TIMESTAMP AS OF resolves through the metadata
+        snapshot-log, round 14).  Session-scoped views over the
         metadata-replayed snapshot; DROP TABLE detaches without
         touching the foreign tree."""
         from .sources.iceberg_import_source import (
@@ -1545,12 +1547,21 @@ class TxnSqlRouter:
         c.i += 1
         path = loc_tok[1:-1].replace("''", "'")
         snapshot = None
+        timestamp = None
         if c.accept("SNAPSHOT", "AS", "OF"):
             st = c.peek()
             if st is None:
                 raise ValueError("SNAPSHOT AS OF needs a snapshot id")
             c.i += 1
             snapshot = int(st)
+        elif c.accept("TIMESTAMP", "AS", "OF"):
+            tt = c.peek()
+            if tt is None or not tt.startswith("'"):
+                raise ValueError(
+                    "TIMESTAMP AS OF needs a quoted timestamp"
+                )
+            c.i += 1
+            timestamp = tt[1:-1].replace("''", "'")
         key = self._key(name)
         # same shadow guard as the Delta attach
         if key in self._tables:
@@ -1577,6 +1588,8 @@ class TxnSqlRouter:
         reader = self._spark.read.format("iceberg_import")
         if snapshot is not None:
             reader = reader.option("snapshotId", snapshot)
+        if timestamp is not None:
+            reader = reader.option("timestampAsOf", timestamp)
         df = reader.load(path)
         ns, bare = key.split(".", 1)
         if ns == self._namespace:

@@ -105,6 +105,13 @@ def manifest_schema(part_fields):
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
                         {
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {"type": "array", "items": "int"},
+                            ],
+                        },
+                        {
                             "name": "lower_bounds",
                             "type": [
                                 "null",
@@ -212,11 +219,11 @@ class Ice:
         )
         return f"data/{name}"
 
-    def entry(self, rel, ks, cat, status=1):
+    def entry(self, rel, ks, cat, status=1, seq=None):
         return {
             "status": status,
             "snapshot_id": None,
-            "sequence_number": None,
+            "sequence_number": seq,
             "file_sequence_number": None,
             "data_file": {
                 "content": 0,
@@ -242,10 +249,91 @@ class Ice:
             },
         }
 
-    def manifest(self, name, entries, cats, added_sid=1):
+    def write_pos_delete(self, name, pairs):
+        """Spec POSITION delete file: (file_path, pos) rows with the
+        reserved field ids 2147483546/2147483545, sorted."""
+        sch = pa.schema(
+            [
+                pa.field(
+                    "file_path",
+                    pa.string(),
+                    metadata={b"PARQUET:field_id": b"2147483546"},
+                ),
+                pa.field(
+                    "pos",
+                    pa.int64(),
+                    metadata={b"PARQUET:field_id": b"2147483545"},
+                ),
+            ]
+        )
+        pairs = sorted(pairs)
+        pq.write_table(
+            pa.table(
+                [
+                    pa.array([p for p, _ in pairs], pa.string()),
+                    pa.array([i for _, i in pairs], pa.int64()),
+                ],
+                schema=sch,
+            ),
+            os.path.join(self.root, "data", name),
+        )
+        return f"data/{name}"
+
+    def write_eq_delete(self, name, cols):
+        """Spec EQUALITY delete file: ``{file_col_name: (field_id,
+        pa_type, values)}`` — the column names may be scrambled; the
+        field ids are the binding."""
+        fields, arrays = [], []
+        for cname, (fid, typ, vals) in cols.items():
+            fields.append(
+                pa.field(
+                    cname,
+                    typ,
+                    metadata={b"PARQUET:field_id": str(fid).encode()},
+                )
+            )
+            arrays.append(pa.array(vals, typ))
+        pq.write_table(
+            pa.table(arrays, schema=pa.schema(fields)),
+            os.path.join(self.root, "data", name),
+        )
+        return f"data/{name}"
+
+    def del_entry(
+        self, rel, content, cat=None, seq=None, equality_ids=None,
+        partition=True,
+    ):
+        """Manifest entry for a delete file (content 1=position,
+        2=equality); ``partition=False`` for a GLOBAL delete written
+        under an unpartitioned spec."""
+        return {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": seq,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {"cat": cat} if partition else {},
+                "record_count": 1,
+                "file_size_in_bytes": 1,
+                "equality_ids": list(equality_ids)
+                if equality_ids
+                else None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        }
+
+    def manifest(
+        self, name, entries, cats, added_sid=1, content=0, seq=1,
+        spec_id=0, part_fields=None,
+    ):
         """One manifest + its manifest-list row (field summaries over
         the cat partition values it holds)."""
-        part_fields = [{"name": "cat", "type": ["null", "string"]}]
+        if part_fields is None:
+            part_fields = [{"name": "cat", "type": ["null", "string"]}]
         path = f"metadata/{name}"
         write_avro(
             os.path.join(self.root, path),
@@ -258,10 +346,10 @@ class Ice:
             "manifest_length": os.path.getsize(
                 os.path.join(self.root, path)
             ),
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": 1,
-            "min_sequence_number": 1,
+            "partition_spec_id": spec_id,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
             "added_snapshot_id": added_sid,
             "added_files_count": len(entries),
             "existing_files_count": 0,
@@ -280,7 +368,9 @@ class Ice:
                     if non_null
                     else None,
                 }
-            ],
+            ]
+            if part_fields
+            else None,
         }
 
     def snapshot(self, sid, manifest_rows):
@@ -301,7 +391,10 @@ class Ice:
             }
         )
 
-    def metadata(self, version, current_sid, format_version=2):
+    def metadata(
+        self, version, current_sid, format_version=2, extra_specs=(),
+        snapshot_log=None,
+    ):
         meta = {
             "format-version": format_version,
             "table-uuid": "0185a0a0-0000-0000-0000-000000000000",
@@ -338,6 +431,12 @@ class Ice:
             "current-snapshot-id": current_sid,
             "snapshots": self.snapshots,
         }
+        if extra_specs:
+            meta["partition-specs"] = meta["partition-specs"] + list(
+                extra_specs
+            )
+        if snapshot_log is not None:
+            meta["snapshot-log"] = snapshot_log
         with open(
             os.path.join(
                 self.root, "metadata", f"v{version}.metadata.json"
@@ -409,24 +508,33 @@ def test_refusals_by_name(spark, ice, tmp_path):
     t3.metadata(1, current_sid=1, format_version=3)
     with pytest.raises(ValueError, match="format-version 3"):
         import_iceberg(spark, t3.root)
-    # delete manifest in the manifest list
+    # a DELETE manifest whose entries are DATA files is malformed
     bad = Ice(str(tmp_path / "del"))
     rel = bad.write_file("a.parquet", [1], "x")
     m = bad.manifest("m.avro", [bad.entry(rel, [1], "x")], ["x"])
     m["content"] = 1
     bad.snapshot(1, [m])
     bad.metadata(1, current_sid=1)
-    with pytest.raises(ValueError, match="DELETE manifest"):
+    with pytest.raises(ValueError, match="delete manifest entry"):
         import_iceberg(spark, bad.root)
-    # delete data_file content
+    # ... as is a DATA manifest carrying a delete file
     bad2 = Ice(str(tmp_path / "del2"))
     rel2 = bad2.write_file("a.parquet", [1], "x")
     e = bad2.entry(rel2, [1], "x")
     e["data_file"]["content"] = 1
     bad2.snapshot(1, [bad2.manifest("m.avro", [e], ["x"])])
     bad2.metadata(1, current_sid=1)
-    with pytest.raises(ValueError, match="delete file"):
+    with pytest.raises(ValueError, match="DATA manifest"):
         import_iceberg(spark, bad2.root)
+    # unknown manifest-list content refuses by number
+    bad4 = Ice(str(tmp_path / "c9"))
+    rel4 = bad4.write_file("a.parquet", [1], "x")
+    m4 = bad4.manifest("m.avro", [bad4.entry(rel4, [1], "x")], ["x"])
+    m4["content"] = 9
+    bad4.snapshot(1, [m4])
+    bad4.metadata(1, current_sid=1)
+    with pytest.raises(ValueError, match="content=9"):
+        import_iceberg(spark, bad4.root)
     # non-parquet file format
     bad3 = Ice(str(tmp_path / "orc"))
     rel3 = bad3.write_file("a.parquet", [1], "x")
@@ -881,3 +989,480 @@ def test_streaming_max_snapshots_per_trigger(tmp_path):
     assert o2 == {"seq": 4}
     o3 = rd.latestOffset()
     assert o3 == {"seq": 5}  # capped at the true head
+
+
+# ------------------------------------------------- row-level deletes
+def _mor(tmp_path, name="mor"):
+    """Merge-on-read v2 fixture (round 14): data files at sequence 1
+    (snapshot 1, SCRAMBLED column names — deletes must compose with
+    field-id binding), a GLOBAL position delete at sequence 2
+    (snapshot 2, written under an unpartitioned spec), a GLOBAL
+    equality delete on k at sequence 3 plus a NEW data file at the
+    same sequence (snapshot 3 — the eq delete must not touch it)."""
+    t = Ice(str(tmp_path / name))
+    f1 = t.write_file("a.parquet", [1, 2, 3], "x", scramble_names=True)
+    f2 = t.write_file("b.parquet", [10, 11], "y", scramble_names=True)
+    m1 = t.manifest(
+        "m1.avro",
+        [t.entry(f1, [1, 2, 3], "x"), t.entry(f2, [10, 11], "y")],
+        ["x", "y"],
+        seq=1,
+    )
+    t.snapshot(1, [m1])
+    # position delete: a.parquet row 1 (k=2), b.parquet row 0 (k=10)
+    pd_rel = t.write_pos_delete(
+        "pd.parquet", [(f1, 1), (f2, 0)]
+    )
+    m2 = t.manifest(
+        "m2.avro",
+        [t.del_entry(pd_rel, 1, partition=False)],
+        [],
+        content=1,
+        seq=2,
+        spec_id=1,
+        part_fields=[],
+    )
+    t.snapshot(2, [m1, m2])
+    # equality delete on k (field id 1, SCRAMBLED file column name):
+    # kills k=3 in files with seq < 3 only
+    ed_rel = t.write_eq_delete(
+        "ed.parquet", {"zz_k": (1, pa.int64(), [3])}
+    )
+    m3 = t.manifest(
+        "m3.avro",
+        [t.del_entry(ed_rel, 2, partition=False, equality_ids=[1])],
+        [],
+        content=1,
+        seq=3,
+        spec_id=1,
+        part_fields=[],
+    )
+    f3 = t.write_file("c.parquet", [3, 20], "z")
+    m4 = t.manifest(
+        "m4.avro", [t.entry(f3, [3, 20], "z", seq=3)], ["z"], seq=3
+    )
+    t.snapshot(3, [m1, m2, m3, m4])
+    t.metadata(
+        1, current_sid=3, extra_specs=[{"spec-id": 1, "fields": []}]
+    )
+    return t
+
+
+def test_position_deletes_mask_rows(spark, tmp_path):
+    t = _mor(tmp_path)
+    df = import_iceberg(spark, t.root, snapshot_id=2)
+    got = {(r["k"], r["cat"]) for r in df.collect()}
+    assert got == {(1, "x"), (3, "x"), (11, "y")}
+
+
+def test_equality_deletes_sequence_scoping(spark, tmp_path):
+    """The eq delete (seq 3) kills k=3 in the seq-1 file but NOT in
+    the seq-3 file — the spec's strictly-less rule — and composes
+    with the earlier position delete."""
+    t = _mor(tmp_path)
+    df = import_iceberg(spark, t.root)
+    got = sorted(r["k"] for r in df.collect())
+    assert got == [1, 3, 11, 20]
+    # the surviving k=3 is the one in c.parquet (cat z)
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {
+        (1, "x"), (11, "y"), (3, "z"), (20, "z")
+    }
+    # the format source reads identically (it IS the delegate)
+    from rxlan_aws_lakehouse_spark.sources.iceberg_import_source import (
+        register_iceberg_import_source,
+    )
+
+    register_iceberg_import_source(spark)
+    df2 = spark.read.format("iceberg_import").load(t.root)
+    assert sorted(r["k"] for r in df2.collect()) == [1, 3, 11, 20]
+    # row-level predicates re-apply above the masks
+    assert sorted(
+        r["k"] for r in df2.filter(df2.k > 2).collect()
+    ) == [3, 11, 20]
+
+
+def test_live_files_delete_surface(tmp_path):
+    """delete_files / delete_specs surface: scoping is per data file;
+    predicate pruning drops data files but never delete files."""
+    t = _mor(tmp_path)
+    st = iceberg_live_files(t.root)
+    assert len(st["delete_files"]) == 2
+    by_base = {
+        os.path.basename(p): d
+        for p, d in zip(st["files"], st["delete_specs"])
+    }
+    # seq-1 data files see both deletes; the seq-3 file sees neither
+    assert len(by_base["a.parquet"]) == 2
+    assert len(by_base["b.parquet"]) == 2
+    assert by_base["c.parquet"] == ()
+    kinds = sorted(s[0] for s in by_base["a.parquet"])
+    assert kinds == ["eq", "pos"]
+    # pruning: only the y partition's data file survives, its delete
+    # specs still attached
+    st2 = iceberg_live_files(t.root, filters=[("cat", "=", "y")])
+    assert [os.path.basename(p) for p in st2["files"]] == ["b.parquet"]
+    assert len(st2["delete_specs"][0]) == 2
+
+
+def test_eq_delete_null_matches_null(spark, tmp_path):
+    """Spec: a null value in an equality delete column matches rows
+    where the column IS NULL."""
+    t = Ice(str(tmp_path / "nulleq"))
+    f1 = t.write_file("a.parquet", [1], None)
+    f2 = t.write_file("b.parquet", [2], "x")
+    m1 = t.manifest(
+        "m1.avro",
+        [t.entry(f1, [1], None), t.entry(f2, [2], "x")],
+        [None, "x"],
+        seq=1,
+    )
+    t.snapshot(1, [m1])
+    ed = t.write_eq_delete(
+        "ed.parquet", {"cat": (3, pa.string(), [None])}
+    )
+    m2 = t.manifest(
+        "m2.avro",
+        [t.del_entry(ed, 2, partition=False, equality_ids=[3])],
+        [],
+        content=1,
+        seq=2,
+        spec_id=1,
+        part_fields=[],
+    )
+    t.snapshot(2, [m1, m2])
+    t.metadata(
+        1, current_sid=2, extra_specs=[{"spec-id": 1, "fields": []}]
+    )
+    df = import_iceberg(spark, t.root)
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {(2, "x")}
+
+
+def test_partition_scoped_eq_delete(spark, tmp_path):
+    """An equality delete written under the PARTITIONED spec applies
+    only to data files of the same partition value."""
+    t = Ice(str(tmp_path / "parteq"))
+    f1 = t.write_file("a.parquet", [7, 8], "x")
+    f2 = t.write_file("b.parquet", [7, 9], "y")
+    m1 = t.manifest(
+        "m1.avro",
+        [t.entry(f1, [7, 8], "x"), t.entry(f2, [7, 9], "y")],
+        ["x", "y"],
+        seq=1,
+    )
+    t.snapshot(1, [m1])
+    ed = t.write_eq_delete("ed.parquet", {"k": (1, pa.int64(), [7])})
+    m2 = t.manifest(
+        "m2.avro",
+        [t.del_entry(ed, 2, cat="x", equality_ids=[1])],
+        ["x"],
+        content=1,
+        seq=2,
+    )
+    t.snapshot(2, [m1, m2])
+    t.metadata(1, current_sid=2)
+    df = import_iceberg(spark, t.root)
+    # k=7 dies in partition x only
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {
+        (8, "x"), (7, "y"), (9, "y")
+    }
+
+
+def test_pos_delete_seq_scoping(spark, tmp_path):
+    """A position delete applies to data files with seq <= its own —
+    a data file added LATER (higher seq) is untouched even if the
+    delete names its path."""
+    t = Ice(str(tmp_path / "posseq"))
+    f1 = t.write_file("a.parquet", [1, 2], "x")
+    pd_rel = t.write_pos_delete("pd.parquet", [(f1, 0)])
+    m2 = t.manifest(
+        "m2.avro",
+        [t.del_entry(pd_rel, 1, partition=False)],
+        [],
+        content=1,
+        seq=1,
+        spec_id=1,
+        part_fields=[],
+    )
+    # the data file lands at seq 2, AFTER the delete
+    m1 = t.manifest(
+        "m1.avro", [t.entry(f1, [1, 2], "x", seq=2)], ["x"], seq=2
+    )
+    t.snapshot(1, [m1, m2])
+    t.metadata(
+        1, current_sid=1, extra_specs=[{"spec-id": 1, "fields": []}]
+    )
+    df = import_iceberg(spark, t.root)
+    assert sorted(r["k"] for r in df.collect()) == [1, 2]
+
+
+def test_sequence_inheritance(tmp_path):
+    """A v2 ADDED entry with a null sequence number inherits the
+    manifest's — both for data files and delete files."""
+    t = _mor(tmp_path)
+    st = iceberg_live_files(t.root)
+    # entries in _mor carry seq=None except c.parquet; inheritance
+    # gave a/b seq 1 (their manifest) and both deletes seq 2/3 —
+    # already asserted structurally by test_live_files_delete_surface;
+    # here assert the boundary: bump the eq delete's manifest seq down
+    # and the scoping flips
+    assert len(st["delete_files"]) == 2
+    eq = [d for d in st["delete_files"] if d["content"] == 2][0]
+    pos = [d for d in st["delete_files"] if d["content"] == 1][0]
+    assert eq["seq"] == 3 and pos["seq"] == 2
+
+
+def test_convert_refuses_merge_on_read(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.iceberg_import import (
+        convert_from_iceberg,
+    )
+
+    t = _mor(tmp_path)
+    with pytest.raises(ValueError, match="DELETE files"):
+        convert_from_iceberg(spark, t.root, str(tmp_path / "cv"))
+
+
+def test_streaming_refuses_delete_manifests(tmp_path):
+    """The stream source still refuses MoR snapshots loudly (a stream
+    cannot retract rows)."""
+    from rxlan_aws_lakehouse_spark.iceberg_import import _spark_schema
+    from rxlan_aws_lakehouse_spark.sources.iceberg_import_source import (
+        IcebergImportStreamReader,
+    )
+
+    t = _mor(tmp_path)
+    rd = IcebergImportStreamReader(
+        {"path": t.root, "startingSnapshot": "earliest"},
+        _spark_schema(load_table_metadata(t.root)),
+    )
+    with pytest.raises(RuntimeError, match="DELETE"):
+        rd.partitions({"seq": 0}, {"seq": 3})
+
+
+# ---------------------------------------------------- time travel (ts)
+def test_resolve_iceberg_timestamp(tmp_path, ice):
+    from rxlan_aws_lakehouse_spark.iceberg_import import (
+        resolve_iceberg_timestamp,
+    )
+
+    meta = load_table_metadata(ice.root)
+    # fixture snapshots carry timestamp-ms 1 and 2; no snapshot-log ->
+    # fallback to the snapshots' own timestamps
+    assert resolve_iceberg_timestamp(meta, 1) == 1
+    assert resolve_iceberg_timestamp(meta, "2") == 2
+    assert resolve_iceberg_timestamp(meta, 999) == 2
+    with pytest.raises(ValueError, match="at or before"):
+        resolve_iceberg_timestamp(meta, 0)
+    # explicit snapshot-log wins over the snapshot list
+    meta2 = dict(meta)
+    meta2["snapshot-log"] = [
+        {"timestamp-ms": 100, "snapshot-id": 1},
+        {"timestamp-ms": 200, "snapshot-id": 2},
+    ]
+    assert resolve_iceberg_timestamp(meta2, 150) == 1
+    assert resolve_iceberg_timestamp(meta2, 200) == 2
+    # ISO form parses (epoch-anchored: 1970-01-01T00:00:00.100Z)
+    assert (
+        resolve_iceberg_timestamp(meta2, "1970-01-01T00:00:00.150Z")
+        == 1
+    )
+
+
+def test_import_timestamp_as_of(spark, ice):
+    d1 = import_iceberg(spark, ice.root, timestamp=1)
+    assert {r["k"] for r in d1.collect()} == {1, 2, 3, 10, 11}
+    with pytest.raises(ValueError, match="not both"):
+        import_iceberg(spark, ice.root, snapshot_id=1, timestamp=1)
+    # the source option
+    from rxlan_aws_lakehouse_spark.sources.iceberg_import_source import (
+        register_iceberg_import_source,
+    )
+
+    register_iceberg_import_source(spark)
+    d2 = (
+        spark.read.format("iceberg_import")
+        .option("timestampAsOf", "1")
+        .load(ice.root)
+    )
+    assert {r["k"] for r in d2.collect()} == {1, 2, 3, 10, 11}
+    # the SQL verb
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    router = TxnSqlRouter(spark)
+    router.sql(
+        "CREATE TABLE fice_ts USING ICEBERG_IMPORT "
+        f"LOCATION '{ice.root}' TIMESTAMP AS OF '1'"
+    )
+    assert (
+        router.sql("SELECT count(*) AS n FROM fice_ts").collect()[0]["n"]
+        == 5
+    )
+    router.sql("DROP TABLE fice_ts")
+
+
+# ------------------------------------------------ transform pruning
+def test_murmur3_spec_vectors():
+    """Appendix B hash test vectors from the public spec."""
+    from rxlan_aws_lakehouse_spark.iceberg_import import _murmur3_32
+
+    def signed(u):
+        return u - (1 << 32) if u >= (1 << 31) else u
+
+    assert signed(_murmur3_32(struct.pack("<q", 34))) == 2017239379
+    assert signed(_murmur3_32(b"iceberg")) == 1210000089
+    days = 17486  # 2017-11-16
+    assert signed(_murmur3_32(struct.pack("<q", days))) == -653330422
+
+
+def _transform_table(tmp_path, name, transform, part_field, files):
+    """Bare metadata tree partitioned by ONE transformed field over k
+    (long) / cat (string) / ts-less schema; ``files`` =
+    [(file_name, partition_value, summary_bounds_encoder)]."""
+    t = Ice(str(tmp_path / name))
+    entries = []
+    for fname, pval in files:
+        rel = t.write_file(fname, [1], "x")
+        e = t.entry(rel, [1], "x")
+        e["data_file"]["partition"] = {part_field["name"]: pval}
+        e["data_file"]["lower_bounds"] = None
+        e["data_file"]["upper_bounds"] = None
+        entries.append(e)
+    avro_t = (
+        ["null", "int"]
+        if isinstance(files[0][1], int)
+        else ["null", "string"]
+    )
+    m = t.manifest(
+        "m.avro",
+        entries,
+        [],
+        seq=1,
+        spec_id=1,
+        part_fields=[{"name": part_field["name"], "type": avro_t}],
+    )
+    # field summaries over the transformed partition values
+    vals = [pv for _, pv in files if pv is not None]
+    enc = (
+        (lambda v: struct.pack("<i", v))
+        if isinstance(files[0][1], int)
+        else (lambda v: v.encode())
+    )
+    m["partitions"] = [
+        {
+            "contains_null": any(pv is None for _, pv in files),
+            "contains_nan": None,
+            "lower_bound": enc(min(vals)) if vals else None,
+            "upper_bound": enc(max(vals)) if vals else None,
+        }
+    ]
+    t.snapshot(1, [m])
+    t.metadata(
+        1,
+        current_sid=1,
+        extra_specs=[{"spec-id": 1, "fields": [part_field]}],
+    )
+    return t
+
+
+def test_bucket_transform_pruning(tmp_path):
+    """bucket[4](k): equality predicates prune by the spec murmur3
+    bucket; range predicates never prune through a bucket."""
+    from rxlan_aws_lakehouse_spark.iceberg_import import _bucket_of
+
+    b34 = _bucket_of("long", 34, 4)
+    other = (b34 + 1) % 4
+    pf = {
+        "name": "k_bucket",
+        "transform": "bucket[4]",
+        "source-id": 1,
+        "field-id": 1001,
+    }
+    t = _transform_table(
+        tmp_path, "bkt", "bucket[4]", pf,
+        [("a.parquet", b34), ("b.parquet", other)],
+    )
+    st = iceberg_live_files(t.root, filters=[("k", "=", 34)])
+    assert [os.path.basename(p) for p in st["files"]] == ["a.parquet"]
+    # ranges cannot prune through a hash
+    st2 = iceberg_live_files(t.root, filters=[("k", ">=", 34)])
+    assert len(st2["files"]) == 2
+
+
+def test_truncate_transform_pruning(tmp_path):
+    """truncate[2](cat): order-preserving — both equality and range
+    predicates prune in partition space."""
+    pf = {
+        "name": "cat_trunc",
+        "transform": "truncate[2]",
+        "source-id": 3,
+        "field-id": 1001,
+    }
+    t = _transform_table(
+        tmp_path, "trc", "truncate[2]", pf,
+        [("a.parquet", "ab"), ("b.parquet", "cd")],
+    )
+    st = iceberg_live_files(t.root, filters=[("cat", "=", "abX")])
+    assert [os.path.basename(p) for p in st["files"]] == ["a.parquet"]
+    st2 = iceberg_live_files(t.root, filters=[("cat", ">=", "ce")])
+    assert st2["files"] == []
+    st3 = iceberg_live_files(t.root, filters=[("cat", "<", "ac")])
+    assert [os.path.basename(p) for p in st3["files"]] == ["a.parquet"]
+
+
+def test_temporal_transform_pruning(tmp_path):
+    """days(ts): predicate timestamps (micros or datetime) map to day
+    ordinals; manifest-level summaries skip whole manifests."""
+    import datetime as dt
+
+    day0 = 19000  # some day ordinal
+    us = day0 * 86_400_000_000 + 3600 * 1_000_000
+    pf = {
+        "name": "ts_day",
+        "transform": "day",
+        "source-id": 2,
+        "field-id": 1001,
+    }
+    # schema field 2 must be a timestamp for the transform: override
+    t = Ice(str(tmp_path / "tday"))
+    t.SCHEMA_FIELDS = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "ts", "required": False, "type": "timestamptz"},
+        {"id": 3, "name": "cat", "required": False, "type": "string"},
+    ]
+    entries = []
+    for fname, pval in (("a.parquet", day0), ("b.parquet", day0 + 5)):
+        rel = t.write_file(fname, [1], "x")
+        e = t.entry(rel, [1], "x")
+        e["data_file"]["partition"] = {"ts_day": pval}
+        e["data_file"]["lower_bounds"] = None
+        e["data_file"]["upper_bounds"] = None
+        entries.append(e)
+    m = t.manifest(
+        "m.avro", entries, [], seq=1, spec_id=1,
+        part_fields=[{"name": "ts_day", "type": ["null", "int"]}],
+    )
+    m["partitions"] = [
+        {
+            "contains_null": False,
+            "contains_nan": None,
+            "lower_bound": struct.pack("<i", day0),
+            "upper_bound": struct.pack("<i", day0 + 5),
+        }
+    ]
+    t.snapshot(1, [m])
+    t.metadata(
+        1, current_sid=1,
+        extra_specs=[{"spec-id": 1, "fields": [pf]}],
+    )
+    # micros literal: keeps only the day0 file for equality
+    st = iceberg_live_files(t.root, filters=[("ts", "=", us)])
+    assert [os.path.basename(p) for p in st["files"]] == ["a.parquet"]
+    # datetime literal normalizes to micros then to day ordinal
+    lit = dt.datetime(1970, 1, 1) + dt.timedelta(days=day0 + 5, hours=2)
+    st2 = iceberg_live_files(t.root, filters=[("ts", ">=", lit)])
+    assert [os.path.basename(p) for p in st2["files"]] == ["b.parquet"]
+    # a range wholly past the summary skips the manifest unread
+    st3 = iceberg_live_files(
+        t.root,
+        filters=[("ts", ">", (day0 + 6) * 86_400_000_000)],
+    )
+    assert st3["n_manifests_skipped"] == 1 and st3["files"] == []
