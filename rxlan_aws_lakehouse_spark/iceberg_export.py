@@ -242,6 +242,146 @@ def _snapshot_id(root: str, version: str) -> int:
     return int(h[:15], 16)  # positive, fits an Avro long
 
 
+_SYNC_STATE = "metadata/rxlan-sync-state.json"
+
+
+def _export_schema(meta: dict, recorded_ids: dict | None = None):
+    """txn snapshot meta -> the Iceberg schema pieces of an export:
+    ``(fields, ice_types, phys_of, fid_of, part_by)``.  Field ids come
+    from (in priority order) a previous export's RECORDED assignment
+    (sync continuity: a field id, once minted, never changes and never
+    recycles — the Iceberg evolution contract), the txn column
+    mapping's ids, else a fresh sequential mint."""
+    schema_json = meta.get("schema") or {"fields": []}
+    cm = meta.get("column_mapping")
+    part_by = list(meta.get("partition_by") or [])
+    cm_f = _cm_fields(cm) if cm else {}
+    recorded_ids = recorded_ids or {}
+    fields = []
+    ice_types: dict[str, str] = {}
+    phys_of: dict[str, str] = {}
+    used = [int(e["id"]) for e in cm_f.values()] + [
+        int(x) for x in recorded_ids.values()
+    ]
+    next_id = max(used or [0])
+    for f in schema_json.get("fields", []):
+        name = f["name"]
+        t = f["type"] if isinstance(f["type"], str) else None
+        if t is None:
+            raise ValueError(
+                f"cannot export nested column {name!r} to Iceberg"
+            )
+        rec = recorded_ids.get(name.lower())
+        entry = cm_f.get(name.lower())
+        if rec is not None:
+            fid = int(rec)
+        elif entry is not None:
+            fid = int(entry["id"])
+        else:
+            next_id += 1
+            fid = next_id
+        ice_types[name] = _iceberg_type(t)
+        phys_of[name] = _cm_phys(cm, name)
+        fields.append(
+            {
+                "id": fid,
+                "name": name,
+                "required": False,
+                "type": ice_types[name],
+            }
+        )
+    return fields, ice_types, phys_of, part_by
+
+
+def _entry_record(
+    rel: str,
+    e: dict,
+    dest_file_path: str,
+    part_by: list,
+    part_phys: list,
+    ice_types: dict,
+    fid_of: dict,
+    phys_of: dict,
+    *,
+    status: int = 1,
+    sid: int,
+    seq=None,
+):
+    """One manifest entry over one txn data file: hive partition dirs
+    decode to typed partition values, txn per-file stats translate to
+    the spec's bound bytes.  Returns ``(entry, partition dict)``."""
+    raw_pv: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, val = seg.split("=", 1)
+            raw_pv[k] = (
+                None
+                if val == "__HIVE_DEFAULT_PARTITION__"
+                else unquote(val)
+            )
+    partition = {}
+    for c, pc in zip(part_by, part_phys):
+        partition[c] = _typed_partition(ice_types[c], raw_pv.get(pc))
+    lowers, uppers, nulls = [], [], []
+    for name in fid_of:
+        st = (e.get("columns") or {}).get(phys_of[name])
+        if st is None:
+            continue
+        fid = fid_of[name]
+        nulls.append({"key": fid, "value": int(st.get("nulls", 0))})
+        lo = _bound_bytes(ice_types[name], st.get("t"), st.get("min"))
+        hi = _bound_bytes(ice_types[name], st.get("t"), st.get("max"))
+        if lo is not None and hi is not None:
+            lowers.append({"key": fid, "value": lo})
+            uppers.append({"key": fid, "value": hi})
+    return (
+        {
+            "status": status,
+            "snapshot_id": sid,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": dest_file_path,
+                "file_format": "PARQUET",
+                "partition": partition,
+                "record_count": int(e.get("rows", 0)),
+                "file_size_in_bytes": int(
+                    e.get("bytes") or os.path.getsize(dest_file_path)
+                ),
+                "null_value_counts": nulls or None,
+                "lower_bounds": lowers or None,
+                "upper_bounds": uppers or None,
+            },
+        },
+        partition,
+    )
+
+
+def _field_summaries(part_by, ice_types, part_values_seen):
+    """Manifest-list ``partitions`` field summaries over the partition
+    values one manifest holds."""
+    summaries = []
+    for c in part_by:
+        vals = part_values_seen[c]
+        non_null = [x for x in vals if x is not None]
+        bb = lambda x: _bound_bytes(  # noqa: E731
+            ice_types[c],
+            {"int": "num", "long": "num", "float": "num",
+             "double": "num"}.get(ice_types[c], "str"),
+            x,
+        )
+        summaries.append(
+            {
+                "contains_null": any(x is None for x in vals),
+                "contains_nan": None,
+                "lower_bound": bb(min(non_null)) if non_null else None,
+                "upper_bound": bb(max(non_null)) if non_null else None,
+            }
+        )
+    return summaries
+
+
 def export_iceberg(
     table: TxnTable,
     dest: str,
@@ -264,42 +404,7 @@ def export_iceberg(
             "copy-on-write)"
         )
     meta = table._meta(v)
-    schema_json = meta.get("schema") or {"fields": []}
-    cm = meta.get("column_mapping")
-    part_by = list(meta.get("partition_by") or [])
-
-    # Iceberg schema: logical names, sequential field ids (reuse the
-    # txn mapping's ids when present so re-exports stay stable)
-    cm_f = _cm_fields(cm) if cm else {}
-    fields = []
-    ice_types: dict[str, str] = {}
-    phys_of: dict[str, str] = {}
-    next_id = max(
-        [int(e["id"]) for e in cm_f.values()] or [0]
-    )
-    for f in schema_json.get("fields", []):
-        name = f["name"]
-        t = f["type"] if isinstance(f["type"], str) else None
-        if t is None:
-            raise ValueError(
-                f"cannot export nested column {name!r} to Iceberg"
-            )
-        entry = cm_f.get(name.lower())
-        if entry is not None:
-            fid = int(entry["id"])
-        else:
-            next_id += 1
-            fid = next_id
-        ice_types[name] = _iceberg_type(t)
-        phys_of[name] = _cm_phys(cm, name)
-        fields.append(
-            {
-                "id": fid,
-                "name": name,
-                "required": False,
-                "type": ice_types[name],
-            }
-        )
+    fields, ice_types, phys_of, part_by = _export_schema(meta)
     fid_of = {f["name"]: f["id"] for f in fields}
 
     # the spec's escape hatch for id-less parquet: map each field id to
@@ -328,6 +433,7 @@ def export_iceberg(
 
     mf_entries = []
     total_rows = 0
+    sync_files: dict[str, dict] = {}
     part_values_seen: dict[str, list] = {c: [] for c in part_by}
     for i, rel in enumerate(sorted(entries)):
         src = os.path.join(data_root, rel)
@@ -335,75 +441,17 @@ def export_iceberg(
         os.link(src, os.path.join(dest, new_rel))
         e = entries[rel]
         total_rows += int(e.get("rows", 0))
-        # hive dirs carry PHYSICAL spellings; decode to typed values
-        raw_pv: dict[str, str | None] = {}
-        for seg in rel.split(os.sep)[:-1]:
-            if "=" in seg:
-                k, val = seg.split("=", 1)
-                raw_pv[k] = (
-                    None
-                    if val == "__HIVE_DEFAULT_PARTITION__"
-                    else unquote(val)
-                )
-        partition = {}
-        for c, pc in zip(part_by, part_phys):
-            tv = _typed_partition(ice_types[c], raw_pv.get(pc))
-            partition[c] = tv
-            part_values_seen[c].append(tv)
-        lowers, uppers, nulls = [], [], []
-        for name in fid_of:
-            st = (e.get("columns") or {}).get(phys_of[name])
-            if st is None:
-                continue
-            fid = fid_of[name]
-            nulls.append({"key": fid, "value": int(st.get("nulls", 0))})
-            lo = _bound_bytes(ice_types[name], st.get("t"), st.get("min"))
-            hi = _bound_bytes(ice_types[name], st.get("t"), st.get("max"))
-            if lo is not None and hi is not None:
-                lowers.append({"key": fid, "value": lo})
-                uppers.append({"key": fid, "value": hi})
-        mf_entries.append(
-            {
-                "status": 1,
-                "snapshot_id": sid,
-                "sequence_number": None,
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": os.path.join(dest, new_rel),
-                    "file_format": "PARQUET",
-                    "partition": partition,
-                    "record_count": int(e.get("rows", 0)),
-                    "file_size_in_bytes": int(
-                        e.get("bytes")
-                        or os.path.getsize(os.path.join(dest, new_rel))
-                    ),
-                    "null_value_counts": nulls or None,
-                    "lower_bounds": lowers or None,
-                    "upper_bounds": uppers or None,
-                },
-            }
+        row, partition = _entry_record(
+            rel, e, os.path.join(dest, new_rel), part_by, part_phys,
+            ice_types, fid_of, phys_of, status=1, sid=sid, seq=None,
         )
+        for c in part_by:
+            part_values_seen[c].append(partition[c])
+        mf_entries.append(row)
+        sync_files[rel] = {"dest": new_rel, "seq": 1, "sid": sid}
     mpath = "metadata/m000.avro"
     write_avro(os.path.join(dest, mpath), mf_schema, mf_entries)
-    summaries = []
-    for c in part_by:
-        vals = part_values_seen[c]
-        non_null = [x for x in vals if x is not None]
-        bb = lambda x: _bound_bytes(  # noqa: E731
-            ice_types[c],
-            {"int": "num", "long": "num", "float": "num",
-             "double": "num"}.get(ice_types[c], "str"),
-            x,
-        )
-        summaries.append(
-            {
-                "contains_null": any(x is None for x in vals),
-                "contains_nan": None,
-                "lower_bound": bb(min(non_null)) if non_null else None,
-                "upper_bound": bb(max(non_null)) if non_null else None,
-            }
-        )
+    summaries = _field_summaries(part_by, ice_types, part_values_seen)
     ml_row = {
         "manifest_path": mpath,
         "manifest_length": os.path.getsize(os.path.join(dest, mpath)),
@@ -469,6 +517,9 @@ def export_iceberg(
                 "schema-id": 0,
             }
         ],
+        "snapshot-log": [
+            {"timestamp-ms": now_ms, "snapshot-id": sid}
+        ],
     }
     mp = os.path.join(dest, "metadata", "v1.metadata.json")
     with open(mp, "w") as f:
@@ -477,9 +528,399 @@ def export_iceberg(
         os.path.join(dest, "metadata", "version-hint.text"), "w"
     ) as f:
         f.write("1")
+    # engine-private sync state (ignored by spec readers): the txn-rel
+    # -> mirror-file mapping and the frozen field-id assignment that
+    # export_iceberg_sync resumes from
+    _write_sync_state(
+        dest,
+        {
+            "source_root": table.root,
+            "source_version": v,
+            "field_ids": {
+                f["name"].lower(): f["id"] for f in fields
+            },
+            "files": sync_files,
+            "manifests": [
+                {"path": mpath, "rels": sorted(sync_files)}
+            ],
+            "next_file_idx": len(sync_files),
+        },
+    )
     return {
         "n_files": len(mf_entries),
         "n_rows": total_rows,
         "metadata_path": mp,
         "snapshot_id": sid,
+    }
+
+
+def _write_sync_state(dest: str, state: dict) -> None:
+    p = os.path.join(dest, _SYNC_STATE)
+    tmp = f"{p}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, p)
+
+
+def export_iceberg_sync(
+    table: TxnTable,
+    dest: str,
+    version: str | None = None,
+) -> dict:
+    """Incremental Iceberg MIRROR sync (round 14, r13 verdict task 4 —
+    parity with ``export_delta_sync``): bring a previously-exported
+    Iceberg table at ``dest`` up to the given (default: live) txn
+    snapshot as ONE new Iceberg snapshot, reusing untouched manifests
+    BY REFERENCE (the spec's fast-append economics).
+
+    Mechanics per the public spec:
+
+    * added txn files are hard-linked and written as ONE new manifest
+      of ADDED (status=1) entries that inherit the snapshot's sequence
+      number — the fast-append shape;
+    * a previous manifest that lost files is REWRITTEN once: survivors
+      as EXISTING (status=0) entries and removed files as DELETED
+      (status=2) entries, each carrying its ORIGINAL data sequence
+      number explicitly (inheritance applies only to ADDED), so
+      sequence-scoped consumers stay correct; the next sync drops the
+      DELETED entries entirely;
+    * untouched manifests' manifest-list rows carry over verbatim —
+      zero rewrite, the common case for append-mostly tables;
+    * the snapshot summary operation is ``append`` / ``overwrite`` /
+      ``delete`` per what changed, so the streaming source's
+      append-only contract keeps meaning;
+    * field ids are FROZEN across syncs (recorded in the engine-private
+      ``rxlan-sync-state.json``): schema evolution appends a NEW
+      schema-id with new ids minted above the high-water mark, never
+      recycling — the Iceberg evolution contract.
+
+    Resume point: the sync state's ``source_version`` (the summary's
+    ``rxlan-txn-version`` mirrors it for humans).  Refuses on pending
+    deletion vectors, a partition-spec change, a rewind, or a source
+    snapshot vacuumed past the resume point — each loudly.  First call
+    on an empty ``dest`` falls through to ``export_iceberg``.  Scale:
+    O(changed files) links + O(changed manifests) Avro bytes; a pure
+    append syncs one manifest regardless of table size."""
+    v = version or table.current_version()
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table.root}")
+    if not os.path.isdir(os.path.join(dest, "metadata")):
+        out = export_iceberg(table, dest, version=v)
+        out.update(
+            {
+                "snapshot_seq": 1,
+                "synced_from": None,
+                "n_adds": out["n_files"],
+                "n_removes": 0,
+                "schema_changed": False,
+                "operation": "append",
+            }
+        )
+        return out
+    if table.has_deletion_vectors(v):
+        raise ValueError(
+            "snapshot carries a pending deletion vector; run "
+            "materialize_deletes() before an incremental sync (a "
+            "mirror must not rewrite files earlier snapshots reference)"
+        )
+    state_p = os.path.join(dest, _SYNC_STATE)
+    if not os.path.exists(state_p):
+        raise ValueError(
+            f"{dest} has no {_SYNC_STATE}; only mirrors written by "
+            "this engine's export_iceberg can sync incrementally"
+        )
+    with open(state_p) as f:
+        sync = json.load(f)
+    if sync.get("source_root") != table.root:
+        raise ValueError(
+            f"{dest} mirrors {sync.get('source_root')!r}, not "
+            f"{table.root!r}"
+        )
+    last = sync["source_version"]
+    if last == v:
+        return {
+            "snapshot_seq": None,
+            "n_adds": 0,
+            "n_removes": 0,
+            "schema_changed": False,
+            "synced_from": last,
+            "operation": None,
+        }
+    if v < last:
+        raise ValueError(
+            f"sync target {v} is older than the mirror's resume point "
+            f"{last}; a mirror never rewinds — RESTORE the source (the "
+            "rollback then syncs forward) or re-bootstrap a fresh dest"
+        )
+    try:
+        old_entries = table.file_entries(last)
+    except FileNotFoundError as e:
+        raise FileNotFoundError(
+            f"resume snapshot {last} was vacuumed from {table.root}; "
+            "re-bootstrap the mirror with export_iceberg into a fresh "
+            "dest"
+        ) from e
+    new_entries = table.file_entries(v)
+    meta = table._meta(v)
+
+    from .avro_lite import read_avro
+    from .iceberg_import import load_table_metadata
+
+    dmeta = load_table_metadata(dest)
+    fields, ice_types, phys_of, part_by = _export_schema(
+        meta, recorded_ids=sync.get("field_ids")
+    )
+    fid_of = {f["name"]: f["id"] for f in fields}
+    spec0 = (dmeta.get("partition-specs") or [{"fields": []}])[0]
+    old_part = [pf.get("name") for pf in (spec0.get("fields") or [])]
+    if list(part_by) != list(old_part):
+        raise ValueError(
+            f"cannot sync: partition spec changed ({old_part} -> "
+            f"{part_by}); re-bootstrap the mirror (an Iceberg spec "
+            "change would re-key every manifest)"
+        )
+    part_phys = [phys_of[c] for c in part_by]
+    cur_schema_id = int(dmeta.get("current-schema-id", 0))
+    cur_schema = next(
+        s
+        for s in dmeta["schemas"]
+        if s.get("schema-id") == cur_schema_id
+    )
+    schema_changed = list(cur_schema.get("fields") or []) != fields
+
+    added = sorted(set(new_entries) - set(old_entries))
+    removed = sorted(set(old_entries) - set(new_entries))
+    removed_set = set(removed)
+    seq = int(dmeta.get("last-sequence-number") or 0) + 1
+    sid = _snapshot_id(table.root, v)
+    data_root = os.path.join(table.root, "_versions", v)
+    avro_part_fields = [
+        {
+            "name": c,
+            "type": ["null", _AVRO_PART_TYPE.get(ice_types[c], "string")],
+        }
+        for c in part_by
+    ]
+    mf_schema = _manifest_schema(avro_part_fields)
+
+    cur_sid = dmeta.get("current-snapshot-id")
+    cur_snap = next(
+        s for s in dmeta["snapshots"] if s.get("snapshot-id") == cur_sid
+    )
+    ml_abs = cur_snap["manifest-list"]
+    if not os.path.isabs(ml_abs):
+        ml_abs = os.path.join(dest, ml_abs)
+    _, prev_ml = read_avro(ml_abs)
+    prev_rows = {r["manifest_path"]: r for r in prev_ml}
+
+    files_map = dict(sync["files"])
+    n_file = int(sync.get("next_file_idx", len(files_map)))
+    new_ml_rows: list[dict] = []
+    new_manifests_meta: list[dict] = []
+    total_added_rows = 0
+
+    if added:
+        rows = []
+        pvs: dict[str, list] = {c: [] for c in part_by}
+        for rel in added:
+            src = os.path.join(data_root, rel)
+            new_rel = f"data/e{n_file:06d}-{os.path.basename(rel)}"
+            n_file += 1
+            dst = os.path.join(dest, new_rel)
+            if not os.path.exists(dst):
+                os.link(src, dst)
+            e = new_entries[rel]
+            total_added_rows += int(e.get("rows", 0))
+            row, partition = _entry_record(
+                rel, e, dst, part_by, part_phys, ice_types, fid_of,
+                phys_of, status=1, sid=sid, seq=None,
+            )
+            for c in part_by:
+                pvs[c].append(partition[c])
+            rows.append(row)
+            files_map[rel] = {"dest": new_rel, "seq": seq, "sid": sid}
+        mpath = f"metadata/m{seq:06d}-add.avro"
+        write_avro(os.path.join(dest, mpath), mf_schema, rows)
+        new_ml_rows.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(
+                    os.path.join(dest, mpath)
+                ),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": sid,
+                "added_files_count": len(rows),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_added_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": _field_summaries(
+                    part_by, ice_types, pvs
+                )
+                if part_by
+                else None,
+            }
+        )
+        new_manifests_meta.append({"path": mpath, "rels": list(added)})
+
+    for i, mf in enumerate(sync.get("manifests") or []):
+        rels = list(mf.get("rels") or [])
+        live = [r for r in rels if r not in removed_set]
+        gone = [r for r in rels if r in removed_set]
+        if not rels:
+            continue
+        if not gone:
+            row = prev_rows.get(mf["path"])
+            if row is None:
+                raise RuntimeError(
+                    f"sync state names manifest {mf['path']!r} that the "
+                    "current manifest list does not carry — the mirror "
+                    "was modified out-of-band; re-bootstrap"
+                )
+            new_ml_rows.append(row)
+            new_manifests_meta.append({"path": mf["path"], "rels": live})
+            continue
+        rows = []
+        pvs = {c: [] for c in part_by}
+        n_exist_rows = n_del_rows = 0
+        min_seq = seq
+        for rel in rels:
+            fi = files_map[rel]
+            e = (
+                new_entries[rel]
+                if rel in new_entries
+                else old_entries[rel]
+            )
+            deleted = rel in removed_set
+            row, partition = _entry_record(
+                rel, e, os.path.join(dest, fi["dest"]), part_by,
+                part_phys, ice_types, fid_of, phys_of,
+                status=2 if deleted else 0,
+                sid=sid if deleted else int(fi["sid"]),
+                seq=int(fi["seq"]),
+            )
+            min_seq = min(min_seq, int(fi["seq"]))
+            if deleted:
+                n_del_rows += int(e.get("rows", 0))
+            else:
+                for c in part_by:
+                    pvs[c].append(partition[c])
+                n_exist_rows += int(e.get("rows", 0))
+            rows.append(row)
+        mpath = f"metadata/m{seq:06d}-rw{i}.avro"
+        write_avro(os.path.join(dest, mpath), mf_schema, rows)
+        new_ml_rows.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(
+                    os.path.join(dest, mpath)
+                ),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": sid,
+                "added_files_count": 0,
+                "existing_files_count": len(live),
+                "deleted_files_count": len(gone),
+                "added_rows_count": 0,
+                "existing_rows_count": n_exist_rows,
+                "deleted_rows_count": n_del_rows,
+                # summaries bound the LIVE entries (readers skip
+                # DELETED entries, so live-only bounds are sound)
+                "partitions": _field_summaries(part_by, ice_types, pvs)
+                if part_by and live
+                else None,
+            }
+        )
+        if live:
+            new_manifests_meta.append({"path": mpath, "rels": live})
+        for rel in gone:
+            files_map.pop(rel, None)
+
+    ml_rel = f"metadata/snap-{seq}.avro"
+    write_avro(os.path.join(dest, ml_rel), _ML_SCHEMA, new_ml_rows)
+    op = (
+        "append"
+        if added and not removed
+        else ("delete" if removed and not added else "overwrite")
+    )
+    prev_ts = max(
+        [int(s.get("timestamp-ms") or 0) for s in dmeta["snapshots"]]
+        or [0]
+    )
+    now_ms = max(int(time.time() * 1000), prev_ts + 1)
+    snap = {
+        "snapshot-id": sid,
+        "parent-snapshot-id": cur_sid,
+        "timestamp-ms": now_ms,
+        "sequence-number": seq,
+        "summary": {"operation": op, "rxlan-txn-version": v},
+        "manifest-list": ml_rel,
+        "schema-id": cur_schema_id + (1 if schema_changed else 0),
+    }
+    new_meta = dict(dmeta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = sid
+    new_meta["snapshots"] = list(dmeta["snapshots"]) + [snap]
+    new_meta["snapshot-log"] = list(
+        dmeta.get("snapshot-log") or []
+    ) + [{"timestamp-ms": now_ms, "snapshot-id": sid}]
+    if schema_changed:
+        new_sid = cur_schema_id + 1
+        new_meta["schemas"] = list(dmeta["schemas"]) + [
+            {"type": "struct", "schema-id": new_sid, "fields": fields}
+        ]
+        new_meta["current-schema-id"] = new_sid
+        new_meta["last-column-id"] = max(
+            [f["id"] for f in fields]
+            + [int(dmeta.get("last-column-id") or 0)]
+        )
+    props = dict(new_meta.get("properties") or {})
+    props["schema.name-mapping.default"] = json.dumps(
+        [
+            {"field-id": fid_of[n], "names": [phys_of[n]]}
+            for n in fid_of
+            if n not in part_by
+        ]
+    )
+    props["rxlan.txn.source-version"] = v
+    new_meta["properties"] = props
+
+    hint_p = os.path.join(dest, "metadata", "version-hint.text")
+    with open(hint_p) as f:
+        cur_v = int(f.read().strip())
+    mp = os.path.join(dest, "metadata", f"v{cur_v + 1}.metadata.json")
+    with open(mp, "w") as f:
+        json.dump(new_meta, f)
+    with open(f"{hint_p}.tmp-{os.getpid()}", "w") as f:
+        f.write(str(cur_v + 1))
+    os.replace(f"{hint_p}.tmp-{os.getpid()}", hint_p)
+
+    _write_sync_state(
+        dest,
+        {
+            "source_root": table.root,
+            "source_version": v,
+            "field_ids": {f["name"].lower(): f["id"] for f in fields},
+            "files": files_map,
+            "manifests": new_manifests_meta,
+            "next_file_idx": n_file,
+        },
+    )
+    return {
+        "snapshot_seq": seq,
+        "snapshot_id": sid,
+        "n_adds": len(added),
+        "n_removes": len(removed),
+        "n_rows_added": total_added_rows,
+        "schema_changed": schema_changed,
+        "synced_from": last,
+        "operation": op,
+        "metadata_path": mp,
     }

@@ -198,3 +198,170 @@ def test_export_date_stats_prune(spark, tmp_path):
     # ts bounds absent -> never prunes, never mis-prunes
     st2 = iceberg_live_files(dest, filters=[("ts", ">=", 10**18)])
     assert len(st2["files"]) == st2["n_total"]
+
+
+# ------------------------------------------------- incremental sync
+def test_export_iceberg_sync_lifecycle(spark, tmp_path):
+    """Bootstrap -> fast-append (untouched manifest reused BY
+    REFERENCE) -> delete (rewritten manifest with EXISTING+DELETED
+    entries) -> no-op -> rewind refusal; re-import parity at every
+    snapshot, including time travel back through the mirror."""
+    from rxlan_aws_lakehouse_spark.avro_lite import read_avro
+    from rxlan_aws_lakehouse_spark.iceberg_export import (
+        export_iceberg_sync,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+    )
+    dest = str(tmp_path / "ice")
+    out0 = export_iceberg_sync(t, dest)
+    assert out0["snapshot_seq"] == 1 and out0["synced_from"] is None
+    v1 = t.current_version()
+
+    # append-only commit -> fast-append: one new manifest, the
+    # bootstrap manifest carried by reference
+    t.append(
+        spark.range(20, 30).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+    )
+    out1 = export_iceberg_sync(t, dest)
+    assert out1["operation"] == "append"
+    assert out1["n_adds"] >= 1 and out1["n_removes"] == 0
+    meta = load_table_metadata(dest)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, ml = read_avro(os.path.join(dest, snap["manifest-list"]))
+    assert "metadata/m000.avro" in {r["manifest_path"] for r in ml}
+    assert {r["k"] for r in import_iceberg(spark, dest).collect()} == set(
+        range(30)
+    )
+
+    # delete -> the touched manifest rewrites once with
+    # EXISTING/DELETED entries carrying explicit sequence numbers
+    t.delete_where(spark, F.col("k") == 3)
+    out2 = export_iceberg_sync(t, dest)
+    assert out2["n_removes"] >= 1
+    assert out2["operation"] in ("overwrite", "delete")
+    assert {r["k"] for r in import_iceberg(spark, dest).collect()} == (
+        set(range(30)) - {3}
+    )
+    meta2 = load_table_metadata(dest)
+    snap2 = next(
+        s
+        for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _, ml2 = read_avro(os.path.join(dest, snap2["manifest-list"]))
+    rewritten = [
+        r for r in ml2 if r["deleted_files_count"] > 0
+    ]
+    assert len(rewritten) == 1
+    _, entries = read_avro(
+        os.path.join(dest, rewritten[0]["manifest_path"])
+    )
+    statuses = sorted({e["status"] for e in entries})
+    assert 2 in statuses  # DELETED recorded once
+    assert all(
+        e["sequence_number"] is not None for e in entries
+    )  # explicit seqs: inheritance never mis-applies
+
+    # time travel through the mirror: the bootstrap snapshot still
+    # reads exactly the v1 rows
+    from rxlan_aws_lakehouse_spark.iceberg_export import _snapshot_id
+
+    d_old = import_iceberg(
+        spark, dest, snapshot_id=_snapshot_id(t.root, v1)
+    )
+    assert {r["k"] for r in d_old.collect()} == set(range(20))
+
+    # no-op and rewind
+    out3 = export_iceberg_sync(t, dest)
+    assert out3["snapshot_seq"] is None and out3["n_adds"] == 0
+    with pytest.raises(ValueError, match="never rewinds"):
+        export_iceberg_sync(t, dest, version=v1)
+
+
+def test_export_iceberg_sync_schema_evolution(spark, tmp_path):
+    """An added column between syncs appends a NEW schema-id with a
+    freshly minted field id (never recycled); old files null-fill on
+    re-import; the name mapping updates."""
+    from rxlan_aws_lakehouse_spark.iceberg_export import (
+        export_iceberg_sync,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k INT, s STRING"))
+    dest = str(tmp_path / "ice")
+    export_iceberg_sync(t, dest)
+    ids0 = {
+        f["name"]: f["id"]
+        for f in load_table_metadata(dest)["schemas"][0]["fields"]
+    }
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 9.5)], "k INT, s STRING, score DOUBLE"
+        ),
+        merge_schema=True,
+    )
+    out = export_iceberg_sync(t, dest)
+    assert out["schema_changed"] is True
+    meta = load_table_metadata(dest)
+    assert meta["current-schema-id"] == 1
+    cur = next(
+        s for s in meta["schemas"] if s["schema-id"] == 1
+    )
+    ids1 = {f["name"]: f["id"] for f in cur["fields"]}
+    # surviving columns keep their frozen ids; the new one mints above
+    assert ids1["k"] == ids0["k"] and ids1["s"] == ids0["s"]
+    assert ids1["score"] > max(ids0.values())
+    got = _rows(import_iceberg(spark, dest), ["k", "s", "score"])
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
+
+
+def test_export_iceberg_sync_partitioned(spark, tmp_path):
+    """Partitioned mirrors sync with per-manifest field summaries and
+    keep pruning after the rewrite."""
+    from rxlan_aws_lakehouse_spark.iceberg_export import (
+        export_iceberg_sync,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "k INT, seg STRING"
+        ),
+        partition_by=["seg"],
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg_sync(t, dest)
+    t.append(
+        spark.createDataFrame([(4, "c"), (5, "a")], "k INT, seg STRING")
+    )
+    export_iceberg_sync(t, dest)
+    t.delete_where(spark, F.col("k") == 2)
+    export_iceberg_sync(t, dest)
+    df = import_iceberg(spark, dest)
+    assert _rows(df, ["k", "seg"]) == {
+        (1, "a"), (3, "b"), (4, "c"), (5, "a")
+    }
+    st = iceberg_live_files(dest, filters=[("seg", "=", "b")])
+    assert 0 < len(st["files"]) < st["n_total"]
+    # a partition-spec change refuses loudly
+    t2 = TxnTable(str(tmp_path / "t2"))
+    t2.commit(
+        spark.createDataFrame([(1, "a")], "k INT, seg STRING"),
+        partition_by=["seg"],
+    )
+    dest2 = str(tmp_path / "ice2")
+    export_iceberg_sync(t2, dest2)
+    t2.rewrite_layout(spark, partition_by=[])
+    with pytest.raises(ValueError, match="partition spec changed"):
+        export_iceberg_sync(t2, dest2)
