@@ -1534,6 +1534,15 @@ _DV_SPEC_SCHEMA = (
     "foff bigint, fsize bigint, inline binary"
 )
 
+# Above this many TOTAL deleted rows (descriptor cardinality, known
+# driver-side for free) the batch importer stops anti-joining expanded
+# (basename, row index) pairs — even broadcast, the build side is
+# O(deleted rows) — and routes through format("delta_import")'s
+# per-partition roaring decode instead (r13 verdict task 6).  4M pairs
+# ≈ 100 MB broadcast at worst; comfortably under executor memory,
+# comfortably over every test/bench table.
+_DV_BROADCAST_MAX_ROWS = 4_000_000
+
 
 def _expand_dv_specs(batches):
     """mapInPandas kernel: one input row per DV-bearing file -> the
@@ -1750,6 +1759,34 @@ def import_delta(
     abs_paths = [os.path.join(path, rel) for rel in files]
     dv_specs = _foreign_dv_specs(state, path)
 
+    # r13 verdict task 6 — DV scale posture, unified with the streaming
+    # reader: total deleted rows is free driver-side (the descriptor's
+    # ``cardinality``).  Below the bound, the anti-join's build side is
+    # explicitly BROADCAST (a few MB of (basename, row index) pairs —
+    # plan-asserted in tests/test_plans.py).  Above it the expanded
+    # pair set could outgrow a broadcast and AQE would fall back to
+    # shuffling the whole scan on a near-unique key, so the read routes
+    # through ``format("delta_import")`` instead: its Arrow reader
+    # decodes each file's compact roaring bytes INSIDE the partition —
+    # shuffle-free at any DV cardinality (SCALING.md).
+    if dv_specs:
+        card = 0
+        for rel in dv_specs:
+            d = state["adds"][rel].get("deletionVector")
+            if isinstance(d, list):
+                d = dict(d)
+            card += int(d.get("cardinality") or 0)
+        if card > _DV_BROADCAST_MAX_ROWS:
+            from .sources.delta_import_source import (
+                register_delta_import_source,
+            )
+
+            register_delta_import_source(spark)
+            r = spark.read.format("delta_import")
+            if version is not None:
+                r = r.option("version", version)
+            return r.load(path)
+
     import posixpath
 
     def dv_pairs(sub):
@@ -1795,8 +1832,13 @@ def import_delta(
             "__dv_base",
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
         ).withColumn("__dv_ri", F.col("_metadata.row_index"))
+        # explicit broadcast: cardinality-bounded above, so the build
+        # side never outgrows it — AQE must not demote this to a
+        # shuffle on a near-unique key (plan-asserted in test_plans)
         return keyed.join(
-            dv_pairs(sub), ["__dv_base", "__dv_ri"], "left_anti"
+            F.broadcast(dv_pairs(sub)),
+            ["__dv_base", "__dv_ri"],
+            "left_anti",
         ).drop("__dv_base", "__dv_ri")
 
     def typed_part(col, raw):
@@ -1856,9 +1898,11 @@ def import_delta(
                     "__dv_ri", F.col("_metadata.row_index")
                 )
                 .join(
-                    dv_pairs(
-                        [r for r in files if r in dv_specs]
-                    ).withColumnRenamed("__dv_base", "__dl_base"),
+                    F.broadcast(
+                        dv_pairs(
+                            [r for r in files if r in dv_specs]
+                        ).withColumnRenamed("__dv_base", "__dl_base")
+                    ),
                     ["__dl_base", "__dv_ri"],
                     "left_anti",
                 )

@@ -517,3 +517,32 @@ def test_dv_on_column_mapped_table(spark, tmp_path):
     cmap = conv._meta(conv.current_version())["column_mapping"]
     assert cmap["fields"]["k"]["physical"] == "p_k"
     assert {r["k"] for r in conv.read(spark).collect()} == {1, 3}
+
+
+def test_dv_mask_broadcast_plan_and_scale_route(
+    spark, tmp_path, monkeypatch
+):
+    """r13 verdict task 6: below the cardinality bound the DV
+    anti-join's build side is an EXPLICIT broadcast (never an
+    AQE-demoted shuffle on the near-unique (basename, row index)
+    key); above the bound import_delta routes the whole read through
+    format("delta_import"), whose Arrow reader decodes the compact
+    roaring bytes per partition — no join at all."""
+    import rxlan_aws_lakehouse_spark.delta_export as dx
+
+    f = _dv_table(tmp_path)
+    df = import_delta(spark, f.root)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {
+        (2, "x"), (4, "y"), (6, "y"), (8, "y")
+    }
+    # force the scale route: per-partition decode, no anti-join
+    monkeypatch.setattr(dx, "_DV_BROADCAST_MAX_ROWS", 0)
+    df2 = import_delta(spark, f.root)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan2
+    assert {(r["k"], r["cat"]) for r in df2.collect()} == {
+        (2, "x"), (4, "y"), (6, "y"), (8, "y")
+    }
