@@ -1466,3 +1466,40 @@ def test_temporal_transform_pruning(tmp_path):
         filters=[("ts", ">", (day0 + 6) * 86_400_000_000)],
     )
     assert st3["n_manifests_skipped"] == 1 and st3["files"] == []
+
+
+def test_transform_lit_variants():
+    """_transform_lit mapping table: relaxation rules, monthly/yearly/
+    hourly ordinals, bucket-on-string, and the never-prune cases."""
+    from rxlan_aws_lakehouse_spark.iceberg_import import (
+        _bucket_of,
+        _transform_lit,
+    )
+
+    us = 17486 * 86_400_000_000 + 5 * 3_600_000_000  # 2017-11-16 05:00
+    # month/year of a timestamptz micros literal
+    assert _transform_lit("month", "timestamptz", "=", us) == (
+        (2017 - 1970) * 12 + 10,
+        "=",
+    )
+    assert _transform_lit("years", "timestamptz", ">", us) == (47, ">=")
+    assert _transform_lit("hour", "timestamptz", "<", us) == (
+        us // 3_600_000_000,
+        "<=",
+    )
+    # month of a date (days literal)
+    assert _transform_lit("months", "date", "<=", 17486) == (574, "<=")
+    # bucket on a string literal (spec vector: "iceberg")
+    b = _bucket_of("string", "iceberg", 8)
+    assert b == (1210000089 & 0x7FFFFFFF) % 8
+    assert _transform_lit("bucket[8]", "string", "=", "iceberg") == (
+        b,
+        "=",
+    )
+    # never-prune cases: void, unknown transforms, bucket ranges,
+    # hour(date), bucket on unsupported types
+    assert _transform_lit("void", "long", "=", 1) is None
+    assert _transform_lit("zorder", "long", "=", 1) is None
+    assert _transform_lit("bucket[4]", "long", ">=", 1) is None
+    assert _transform_lit("hour", "date", "=", 17486) is None
+    assert _transform_lit("bucket[4]", "double", "=", 1.5) is None
