@@ -2333,6 +2333,95 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def foreign_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE interop onto foreign tables (round 14, r13 verdict
+    "what's missing" #5 — the last gap: both importers were read-only
+    and the exporters only mirrored txn tables).  One orders slice
+    commits to a txn table, exports to BOTH open formats, then a
+    second slice appends THROUGH THE FOREIGN COMMIT PROTOCOLS —
+    ``append_delta`` (optimistic JSON commit, footer-derived
+    add.stats) and ``append_iceberg`` (fast-append snapshot, previous
+    manifest list carried by reference) — and both foreign reads must
+    agree with each other and with DuckDB's closed form of the union.
+    ``travel_ok`` pins that the pre-append snapshot of each format
+    still reads exactly the base slice; ``sql_ok`` drives the same
+    append through ``INSERT INTO`` on an attached foreign table."""
+    from ..delta_export import append_delta, export_delta, import_delta
+    from ..iceberg_export import append_iceberg, export_iceberg
+    from ..iceberg_import import import_iceberg
+    from ..sql_dml import TxnSqlRouter
+
+    work = tempfile.mkdtemp(prefix="fappend_")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderpriority").alias("prio"),
+        )
+        base = orders.filter(F.col("o_orderkey") <= 2000)
+        extra = orders.filter(
+            (F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 2600)
+        )
+        n_base = base.count()
+        t = TxnTable(f"{work}/t")
+        t.commit(base)
+        ddest, idest = f"{work}/delta", f"{work}/ice"
+        export_delta(t, ddest)
+        export_iceberg(t, idest)
+        dres = append_delta(spark, ddest, extra)
+        ires = append_iceberg(spark, idest, extra)
+        dd = import_delta(spark, ddest)
+        di = import_iceberg(spark, idest)
+        both_ok = (
+            dres["n_rows"] == ires["n_rows"]
+            and dd.count() == di.count()
+        )
+        travel_ok = (
+            import_delta(spark, ddest, version=0).count() == n_base
+        )
+        # pre-append Iceberg snapshot via its recorded snapshot id
+        from ..iceberg_export import _snapshot_id
+
+        travel_ok = travel_ok and (
+            import_iceberg(
+                spark, idest,
+                snapshot_id=_snapshot_id(t.root, t.current_version()),
+            ).count()
+            == n_base
+        )
+        # the SQL surface: INSERT INTO an attached foreign table
+        router = TxnSqlRouter(spark)
+        router.sql(
+            f"CREATE TABLE fapp USING DELTA_IMPORT LOCATION '{ddest}'"
+        )
+        router.sql("INSERT INTO fapp VALUES (9000001, 1.0, '1-URGENT')")
+        sql_ok = (
+            router.sql(
+                "SELECT count(*) AS n FROM fapp"
+            ).collect()[0]["n"]
+            == dd.count() + 1
+        )
+        router.sql("DROP TABLE fapp")
+        out = (
+            dd.filter(F.col("o_orderkey") <= 2600)
+            .groupBy("prio")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.round(F.sum("o_totalprice") * 100)
+                .cast("long")
+                .alias("revenue_c"),
+            )
+            .withColumn("both_ok", F.lit(bool(both_ok)))
+            .withColumn("travel_ok", F.lit(bool(travel_ok)))
+            .withColumn("sql_ok", F.lit(bool(sql_ok)))
+            .orderBy("prio")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FOREIGN-Delta import (round 12, r11 verdict task 2): the lane
     hand-authors a Delta table from the public protocol spec — flat
@@ -3573,6 +3662,7 @@ QUERIES = {
     "txn_export_delta": txn_export_delta,
     "delta_import_foreign": delta_import_foreign,
     "iceberg_import_foreign": iceberg_import_foreign,
+    "foreign_append_roundtrip": foreign_append_roundtrip,
     "txn_sql_evolution": txn_sql_evolution,
 }
 
@@ -3658,6 +3748,21 @@ ORACLE = {
                TRUE AS ts_ok
         FROM t
         GROUP BY coalesce(p, 'NONE') ORDER BY prio
+    """,
+    # Foreign APPEND interop: base slice committed + extra slice
+    # appended through the foreign Delta/Iceberg commit protocols —
+    # the closed form is simply the union's aggregate
+    "foreign_append_roundtrip": """
+        SELECT o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+               TRUE AS both_ok,
+               TRUE AS travel_ok,
+               TRUE AS sql_ok
+        FROM orders
+        WHERE o_orderkey <= 2600
+        GROUP BY o_orderpriority
+        ORDER BY prio
     """,
     # SQL evolution lifecycle: CTAS slice + INSERT slice with the
     # derived loyalty column (NULL for pre-ALTER rows), grouped under

@@ -555,9 +555,14 @@ class TxnSqlRouter:
         self._spark = spark
         self._strategy = strategy
         self._tables: dict[str, TxnTable] = {}  # "ns.table" -> table
-        # read-only foreign-Delta attachments ("ns.table" -> path):
-        # session views over format("delta_import"), never persisted
+        # foreign attachments ("ns.table" -> path): session views over
+        # format("delta_import") / format("iceberg_import"), never
+        # persisted.  Reads always; INSERT INTO appends (round 14)
+        # commit against the foreign log/metadata unless the
+        # attachment is PINNED to a time-travel snapshot.
         self._foreign: dict[str, str] = {}
+        # "ns.table" -> (kind, pinned): kind in {"delta", "iceberg"}
+        self._foreign_kind: dict[str, tuple] = {}
         self._catalog_dir: str | None = None
         self._namespace = "default"
         from .sources.txn_source import register_txn_source
@@ -1514,6 +1519,10 @@ class TxnSqlRouter:
             df.createOrReplaceTempView(bare)
         df.createOrReplaceTempView(self._mangled_view(key))
         self._foreign[key] = path
+        self._foreign_kind[key] = (
+            "delta",
+            version is not None or timestamp is not None,
+        )
         return self._spark.createDataFrame(
             [("attach_delta_import", path)],
             "operation string, version string",
@@ -1596,6 +1605,10 @@ class TxnSqlRouter:
             df.createOrReplaceTempView(bare)
         df.createOrReplaceTempView(self._mangled_view(key))
         self._foreign[key] = path
+        self._foreign_kind[key] = (
+            "iceberg",
+            snapshot is not None or timestamp is not None,
+        )
         return self._spark.createDataFrame(
             [("attach_iceberg_import", path)],
             "operation string, version string",
@@ -1606,8 +1619,9 @@ class TxnSqlRouter:
         name = c.qident("table")
         key_f = self._key(name)
         if key_f in self._foreign:
-            # read-only foreign attachment: just drop the views
+            # foreign attachment: just drop the views
             del self._foreign[key_f]
+            self._foreign_kind.pop(key_f, None)
             ns, bare = key_f.split(".", 1)
             if ns == self._namespace:
                 self._spark.catalog.dropTempView(bare)
@@ -1781,6 +1795,10 @@ class TxnSqlRouter:
             c.expect("INTO")
         c.accept("TABLE")
         target = c.qident("table")
+        if self._key(target) in self._foreign:
+            return self._exec_insert_foreign(
+                c, target, self._key(target), overwrite
+            )
         name, t = self._resolve(target)
         schema = self._target_schema(t)
         cols: list[str] | None = None
@@ -1820,3 +1838,83 @@ class TxnSqlRouter:
             return self._result(name, "overwrite", version)
         version = t.append(out)
         return self._result(name, "append", version)
+
+    def _exec_insert_foreign(
+        self, c: _Cursor, target: str, key: str, overwrite: bool
+    ):
+        """``INSERT INTO`` a FOREIGN attachment (round 14): the append
+        commits against the foreign table's OWN log/metadata —
+        ``append_delta`` (optimistic JSON commit) or ``append_iceberg``
+        (fast-append snapshot) — and the session views refresh to the
+        new head.  Pinned (time-travel) attachments and INSERT
+        OVERWRITE refuse: a foreign overwrite is a different contract
+        (remove reconciliation / manifest rewrite) no caller has asked
+        for, and silently appending to a pinned snapshot would lie."""
+        kind, pinned = self._foreign_kind.get(key, ("delta", False))
+        if overwrite:
+            raise ValueError(
+                "INSERT OVERWRITE is not supported on a foreign "
+                "attachment (appends only)"
+            )
+        if pinned:
+            raise ValueError(
+                f"{target} is pinned to a time-travel snapshot and is "
+                "read-only; attach the live table to append"
+            )
+        path = self._foreign[key]
+        cols: list[str] | None = None
+        if c.peek() == "(":
+            c.expect("(")
+            cols = []
+            while True:
+                cols.append(c.ident("insert column"))
+                if not c.accept(","):
+                    break
+            c.expect(")")
+        rest = _render(c.toks[c.i:])
+        if not rest:
+            raise ValueError("INSERT needs a VALUES list or a query")
+        df = self._spark.sql(rest)
+        schema = self._spark.table(self._mangled_view(key)).schema
+        names = cols if cols is not None else schema.fieldNames()
+        if len(df.columns) != len(names):
+            raise ValueError(
+                f"INSERT supplies {len(df.columns)} columns for "
+                f"{len(names)} target columns"
+            )
+        df = df.toDF(*names)
+        known = {f.name for f in schema.fields}
+        extra = [n for n in names if n not in known]
+        if extra:
+            raise ValueError(f"INSERT names unknown columns {extra}")
+        out = df.select(
+            [
+                (
+                    F.col(f.name) if f.name in df.columns else F.lit(None)
+                ).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        if kind == "delta":
+            from .delta_export import append_delta
+
+            res = append_delta(self._spark, path, out)
+            ver = str(res["version"])
+            fmt = "delta_import"
+        else:
+            from .iceberg_export import append_iceberg
+
+            res = append_iceberg(self._spark, path, out)
+            ver = str(res["snapshot_id"])
+            fmt = "iceberg_import"
+        # refresh the session views to the new head (the attached
+        # reader resolved its snapshot at load time)
+        df2 = self._spark.read.format(fmt).load(path)
+        ns, bare = key.split(".", 1)
+        if ns == self._namespace:
+            df2.createOrReplaceTempView(bare)
+        df2.createOrReplaceTempView(self._mangled_view(key))
+        return self._spark.createDataFrame(
+            [(f"append_foreign_{kind}", ver)],
+            "operation string, version string",
+        )

@@ -1625,3 +1625,183 @@ def test_import_timestamp_as_of(spark, tmp_path):
         == 1
     )
     router.sql("DROP TABLE fts")
+
+
+# ---------------------------------------------------- foreign append
+def _plain_foreign(tmp_path):
+    f = Foreign(str(tmp_path / "fa"))
+    f1 = f.write_file("a.parquet", [1, 2])
+    f.commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta_action(),
+            _add(f1, {"cat": "x"}),
+        ],
+    )
+    return f
+
+
+def test_append_delta_foreign(spark, tmp_path):
+    """append_delta (round 14): new rows land as ONE add-commit against
+    a foreign log — physical hive layout, authoritative
+    partitionValues, footer-derived stats — and import_delta sees
+    old + new, including a null partition value."""
+    from rxlan_aws_lakehouse_spark.delta_export import append_delta
+
+    f = _plain_foreign(tmp_path)
+    out = append_delta(
+        spark,
+        f.root,
+        spark.createDataFrame(
+            [(5, 7.5, "y"), (6, 9.0, None)], "k LONG, v DOUBLE, cat STRING"
+        ),
+    )
+    assert out["version"] == 1 and out["n_rows"] == 2
+    got = {
+        (r["k"], r["cat"])
+        for r in import_delta(spark, f.root).collect()
+    }
+    assert got == {(1, "x"), (2, "x"), (5, "y"), (6, None)}
+    state = replay_delta_log(f.root)
+    new_adds = [
+        a for rel, a in state["adds"].items() if rel != "data/a.parquet"
+    ]
+    assert new_adds
+    for a in new_adds:
+        st = json.loads(a["stats"])
+        assert st["numRecords"] >= 1 and "k" in st["minValues"]
+        assert a["partitionValues"].keys() == {"cat"}
+    # appends do not evolve schema
+    with pytest.raises(ValueError, match="do not match"):
+        append_delta(
+            spark, f.root, spark.createDataFrame([(1,)], "k LONG")
+        )
+
+
+def test_append_delta_writer_gates(spark, tmp_path):
+    """CHECK constraints, invariants and per-feature writer gates
+    refuse loudly by name."""
+    from rxlan_aws_lakehouse_spark.delta_export import append_delta
+
+    df = spark.createDataFrame([(9, 1.0, "z")], "k LONG, v DOUBLE, cat STRING")
+    # configuration CHECK constraint
+    f1 = Foreign(str(tmp_path / "c1"))
+    m = _meta_action()
+    m["metaData"]["configuration"] = {
+        "delta.constraints.pos": "k > 0"
+    }
+    f1.commit(
+        0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}}, m],
+    )
+    with pytest.raises(ValueError, match="delta.constraints.pos"):
+        append_delta(spark, f1.root, df)
+    # unsupported writer feature
+    f2 = Foreign(str(tmp_path / "c2"))
+    f2.commit(
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["identityColumns"],
+                }
+            },
+            _meta_action(),
+        ],
+    )
+    with pytest.raises(ValueError, match="identityColumns"):
+        append_delta(spark, f2.root, df)
+    # schema-metadata invariant
+    f3 = Foreign(str(tmp_path / "c3"))
+    m3 = _meta_action()
+    sch = json.loads(m3["metaData"]["schemaString"])
+    sch["fields"][0]["metadata"] = {
+        "delta.invariants": '{"expression":{"expression":"k > 0"}}'
+    }
+    m3["metaData"]["schemaString"] = json.dumps(sch)
+    f3.commit(
+        0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}, m3],
+    )
+    with pytest.raises(ValueError, match="invariant"):
+        append_delta(spark, f3.root, df)
+
+
+def test_append_delta_commit_race_retries(spark, tmp_path, monkeypatch):
+    """A lost commit race (the slot filled between replay and publish)
+    re-replays and lands in the NEXT slot — the spec's
+    optimistic-concurrency loop."""
+    import rxlan_aws_lakehouse_spark.delta_export as dx
+
+    f = _plain_foreign(tmp_path)
+    real_publish = dx._publish_commit
+    raced = {"done": False}
+
+    def racing_publish(tmp, log_path):
+        if not raced["done"]:
+            raced["done"] = True
+            # a competing writer takes the slot first
+            with open(log_path, "w") as fh:
+                fh.write(
+                    json.dumps(
+                        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}}
+                    )
+                    + "\n"
+                )
+        return real_publish(tmp, log_path)
+
+    monkeypatch.setattr(dx, "_publish_commit", racing_publish)
+    out = dx.append_delta(
+        spark,
+        f.root,
+        spark.createDataFrame([(7, 1.5, "y")], "k LONG, v DOUBLE, cat STRING"),
+    )
+    assert out["version"] == 2  # slot 1 was lost to the racer
+    assert {r["k"] for r in import_delta(spark, f.root).collect()} == {
+        1, 2, 7,
+    }
+
+
+def test_append_delta_column_mapped_mirror(spark, tmp_path):
+    """Appending onto a columnMapping=name table (this engine's own
+    renamed-table mirror as the fixture): files carry PHYSICAL column
+    names, partitionValues keys are physical, and the foreign read
+    surfaces the logical schema with the new rows."""
+    from pyspark.sql import functions as F
+
+    from rxlan_aws_lakehouse_spark.delta_export import (
+        append_delta,
+        export_delta,
+    )
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b")], "k INT, amount DOUBLE, seg STRING"
+        ),
+        partition_by=["seg"],
+    )
+    t.rename_column(spark, "amount", "amt")
+    dest = str(tmp_path / "mirror")
+    export_delta(t, dest)
+    out = append_delta(
+        spark,
+        dest,
+        spark.createDataFrame([(3, 30.0, "a")], "k INT, amt DOUBLE, seg STRING"),
+    )
+    assert out["n_rows"] == 1
+    df = import_delta(spark, dest)
+    assert set(df.columns) == {"k", "amt", "seg"}
+    assert {(r["k"], r["amt"], r["seg"]) for r in df.collect()} == {
+        (1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "a"),
+    }
+    state = replay_delta_log(dest)
+    # partitionValues keys must be the PHYSICAL spelling everywhere
+    phys_keys = {
+        k for a in state["adds"].values() for k in a["partitionValues"]
+    }
+    assert all(not k.startswith("amt") for k in phys_keys)

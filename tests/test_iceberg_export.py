@@ -365,3 +365,170 @@ def test_export_iceberg_sync_partitioned(spark, tmp_path):
     t2.rewrite_layout(spark, partition_by=[])
     with pytest.raises(ValueError, match="partition spec changed"):
         export_iceberg_sync(t2, dest2)
+
+
+# ---------------------------------------------------- foreign append
+def test_append_iceberg_foreign(spark, tmp_path):
+    """append_iceberg (round 14): a fast-append snapshot lands on a
+    FOREIGN Iceberg table (this engine's own export as the fixture —
+    identity-partitioned, name-mapped id-less files): new files carry
+    field ids + the mapping's physical names, identity partition
+    columns ride IN the files, the previous manifest list carries by
+    reference, and time travel still reads the pre-append snapshot."""
+    import pyarrow.parquet as pq
+
+    from rxlan_aws_lakehouse_spark.iceberg_export import (
+        append_iceberg,
+        export_iceberg,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "k INT, seg STRING"
+        ),
+        partition_by=["seg"],
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    pre_sid = load_table_metadata(dest)["current-snapshot-id"]
+
+    out = append_iceberg(
+        spark,
+        dest,
+        spark.createDataFrame(
+            [(4, "c"), (5, None), (6, "a")], "k INT, seg STRING"
+        ),
+    )
+    assert out["n_rows"] == 3 and out["snapshot_seq"] == 2
+    df = import_iceberg(spark, dest)
+    assert _rows(df, ["k", "seg"]) == {
+        (1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, None), (6, "a")
+    }
+    # the format source (per-file binding) agrees on the MIXED table
+    from rxlan_aws_lakehouse_spark.sources.iceberg_import_source import (
+        register_iceberg_import_source,
+    )
+
+    register_iceberg_import_source(spark)
+    df2 = spark.read.format("iceberg_import").load(dest)
+    assert _rows(df2, ["k", "seg"]) == _rows(df, ["k", "seg"])
+    # the fixture's files are ID-LESS (name-mapped export), so appended
+    # files match that convention — one homogeneous binding per table
+    st = iceberg_live_files(dest)
+    ap = [p for p in st["files"] if "/ap-" in p]
+    assert ap
+    sch = pq.read_schema(ap[0])
+    assert not any(
+        (f.metadata or {}).get(b"PARQUET:field_id") for f in sch
+    )
+    # partition pruning covers the appended files
+    stp = iceberg_live_files(dest, filters=[("seg", "=", "c")])
+    assert len(stp["files"]) == 1 and "/ap-" in stp["files"][0]
+    # the pre-append snapshot still reads exactly the old rows
+    d_old = import_iceberg(spark, dest, snapshot_id=pre_sid)
+    assert {r["k"] for r in d_old.collect()} == {1, 2, 3}
+    # a second append stacks (manifest list carried by reference again)
+    append_iceberg(
+        spark, dest, spark.createDataFrame([(7, "b")], "k INT, seg STRING")
+    )
+    assert import_iceberg(spark, dest).count() == 7
+    # schema mismatch refuses
+    with pytest.raises(ValueError, match="do not match"):
+        append_iceberg(
+            spark, dest, spark.createDataFrame([(1,)], "k INT")
+        )
+
+
+def test_append_iceberg_refuses_transform_partitioning(spark, tmp_path):
+    """A bucket-partitioned foreign table refuses the WRITE loudly by
+    transform name (reads are unaffected)."""
+    import json as _json
+
+    from rxlan_aws_lakehouse_spark.iceberg_export import append_iceberg
+
+    root = str(tmp_path / "bkt")
+    os.makedirs(os.path.join(root, "metadata"))
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0185a0a0-0000-0000-0000-00000000000b",
+        "location": root,
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": 1,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"}
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "k_bucket",
+                        "transform": "bucket[8]",
+                        "source-id": 1,
+                        "field-id": 1000,
+                    }
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "last-partition-id": 1000,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(
+        os.path.join(root, "metadata", "version-hint.text"), "w"
+    ) as f:
+        f.write("1")
+    with pytest.raises(ValueError, match="bucket"):
+        append_iceberg(
+            spark, root, spark.createDataFrame([(1,)], "k LONG")
+        )
+
+
+def test_append_iceberg_id_bearing_table(spark, tmp_path):
+    """Appending to an ID-BEARING foreign table (scrambled file column
+    names — only field ids bind) writes id-bearing files; the full
+    read binds every file by id."""
+    from test_iceberg_import import Ice
+
+    from rxlan_aws_lakehouse_spark.iceberg_export import append_iceberg
+
+    t = Ice(str(tmp_path / "idt"))
+    f1 = t.write_file("a.parquet", [1, 2], "x", scramble_names=True)
+    m1 = t.manifest("m1.avro", [t.entry(f1, [1, 2], "x")], ["x"], seq=1)
+    t.snapshot(1, [m1])
+    t.metadata(1, current_sid=1)
+    out = append_iceberg(
+        spark,
+        t.root,
+        spark.createDataFrame(
+            [(9, 9.5, "y")], "k LONG, v DOUBLE, cat STRING"
+        ),
+    )
+    assert out["n_rows"] == 1
+    df = import_iceberg(spark, t.root)
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {
+        (1, "x"), (2, "x"), (9, "y")
+    }
+    import pyarrow.parquet as pq
+
+    st = iceberg_live_files(t.root)
+    ap = [p for p in st["files"] if "/ap-" in p][0]
+    assert any(
+        (f.metadata or {}).get(b"PARQUET:field_id")
+        for f in pq.read_schema(ap)
+    )

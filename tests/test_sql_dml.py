@@ -709,3 +709,68 @@ class TestMergeSchemaEvolution:
         got = t.read(spark)
         assert got.filter(F.col("bonus") == 5).count() == 3
         assert got.filter(F.col("bonus").isNull()).count() == 7
+
+
+def test_insert_into_foreign_attachments(spark, tmp_path):
+    """INSERT INTO a foreign attachment (round 14): appends commit
+    against the foreign table's own log/metadata and the session view
+    refreshes to the new head; pinned attachments and INSERT OVERWRITE
+    refuse."""
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta
+    from rxlan_aws_lakehouse_spark.iceberg_export import export_iceberg
+
+    router = TxnSqlRouter(spark)
+    t = TxnTable(os.path.join(str(tmp_path), "src"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k INT, s STRING"
+        )
+    )
+    # --- Delta attachment
+    ddest = os.path.join(str(tmp_path), "dmirror")
+    export_delta(t, ddest)
+    router.sql(f"CREATE TABLE fdel USING DELTA_IMPORT LOCATION '{ddest}'")
+    res = router.sql(
+        "INSERT INTO fdel VALUES (3, 'c'), (4, 'd')"
+    ).collect()[0]
+    assert res["operation"] == "append_foreign_delta"
+    assert (
+        router.sql("SELECT count(*) AS n FROM fdel").collect()[0]["n"]
+        == 4
+    )
+    # the foreign log gained a real commit (visible to a FRESH attach)
+    router.sql(
+        f"CREATE TABLE fdel2 USING DELTA_IMPORT LOCATION '{ddest}'"
+    )
+    assert (
+        router.sql("SELECT count(*) AS n FROM fdel2").collect()[0]["n"]
+        == 4
+    )
+    with pytest.raises(ValueError, match="appends only"):
+        router.sql("INSERT OVERWRITE fdel VALUES (9, 'z')")
+    # pinned attachment refuses
+    router.sql(
+        f"CREATE TABLE fdel_v0 USING DELTA_IMPORT LOCATION '{ddest}' "
+        "VERSION AS OF 0"
+    )
+    with pytest.raises(ValueError, match="pinned"):
+        router.sql("INSERT INTO fdel_v0 VALUES (9, 'z')")
+    # --- Iceberg attachment
+    idest = os.path.join(str(tmp_path), "imirror")
+    export_iceberg(t, idest)
+    router.sql(
+        f"CREATE TABLE fice_a USING ICEBERG_IMPORT LOCATION '{idest}'"
+    )
+    res = router.sql("INSERT INTO fice_a VALUES (5, 'e')").collect()[0]
+    assert res["operation"] == "append_foreign_iceberg"
+    assert (
+        router.sql("SELECT count(*) AS n FROM fice_a").collect()[0]["n"]
+        == 3
+    )
+    got = {
+        (r["k"], r["s"])
+        for r in router.sql("SELECT k, s FROM fice_a").collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (5, "e")}
+    for name in ("fdel", "fdel2", "fdel_v0", "fice_a"):
+        router.sql(f"DROP TABLE {name}")
