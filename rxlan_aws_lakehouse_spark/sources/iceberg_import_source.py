@@ -199,6 +199,13 @@ class IcebergImportStreamReader(DataSourceStreamReader):
         self._ignore_changes = str(
             options.get("ignoreChanges", "false")
         ).lower() == "true"
+        # Delta-parity semantics (round 14): ignoreDeletes permits
+        # DELETE-only history — row-level delete manifests are skipped
+        # (a stream cannot retract rows; new data files still stream)
+        # and ``delete`` snapshots pass; ignoreChanges implies it.
+        self._ignore_deletes = self._ignore_changes or str(
+            options.get("ignoreDeletes", "false")
+        ).lower() == "true"
         start = str(options.get("startingSnapshot", "latest")).lower()
         if start == "earliest":
             self._start = 0
@@ -263,12 +270,20 @@ class IcebergImportStreamReader(DataSourceStreamReader):
             op = str(
                 (s.get("summary") or {}).get("operation") or "append"
             ).lower()
-            if op != "append" and not self._ignore_changes:
+            if op != "append" and not (
+                self._ignore_changes
+                or (op == "delete" and self._ignore_deletes)
+            ):
                 raise RuntimeError(
                     f"streaming source hit a {op!r} snapshot "
                     f"(sequence {s.get('sequence-number')}) in "
-                    f"{self._path}; set ignoreChanges=true (a stream "
-                    "cannot retract rows)"
+                    f"{self._path}; set ignoreChanges=true"
+                    + (
+                        " or ignoreDeletes=true"
+                        if op == "delete"
+                        else ""
+                    )
+                    + " (a stream cannot retract rows)"
                 )
             sid = s.get("snapshot-id")
             _, ml = read_avro(
@@ -276,9 +291,16 @@ class IcebergImportStreamReader(DataSourceStreamReader):
             )
             for m in ml:
                 if int(m.get("content") or 0) == 1:
+                    if self._ignore_deletes:
+                        # row-level deletes cannot retract already-
+                        # emitted rows; with the flag, skip the delete
+                        # manifests and keep streaming new data files
+                        continue
                     raise RuntimeError(
                         "cannot stream: snapshot carries a DELETE "
-                        "manifest (row-level deletes)"
+                        "manifest (row-level deletes); set "
+                        "ignoreDeletes=true to skip them (a stream "
+                        "cannot retract rows)"
                     )
                 # only manifests this snapshot added can hold its
                 # ADDED entries — the spec's incremental-scan prune

@@ -1114,9 +1114,12 @@ class TxnSqlRouter:
         export of the live snapshot; later calls incrementally sync
         the mirror (one add/remove commit, spec ``txn`` resume,
         checkpoint every 10 commits) — see ``delta_export.py``.
-        ``EXPORT TABLE t TO ICEBERG '<path>'`` writes the snapshot as a
-        conformant Iceberg v2 table (iceberg_export.py — hard-linked
-        files, name-mapping property for the id-less parquet)."""
+        ``EXPORT TABLE t TO ICEBERG '<path>'`` mirrors the snapshot as
+        a conformant Iceberg v2 table with the SAME incremental
+        economics (round 14: ``export_iceberg_sync`` — first call
+        bootstraps, later calls append one fast-append/overwrite
+        snapshot per commit range, untouched manifests carried by
+        reference)."""
         from .delta_export import export_delta_sync
 
         c.expect("EXPORT", "TABLE")
@@ -1129,11 +1132,21 @@ class TxnSqlRouter:
                 )
             c.i += 1
             dest = path_tok[1:-1].replace("''", "'")
-            from .iceberg_export import export_iceberg
+            from .iceberg_export import export_iceberg_sync
 
-            export_iceberg(t, dest)
+            iout = export_iceberg_sync(t, dest)
+            iop = (
+                "export_iceberg"
+                if iout.get("synced_from") is None
+                else "export_iceberg_sync"
+            )
+            idetail = (
+                t.current_version()
+                if iout.get("snapshot_seq") is not None
+                else "noop"
+            )
             return self._spark.createDataFrame(
-                [("export_iceberg", t.current_version())],
+                [(iop, idetail)],
                 "operation string, version string",
             )
         c.expect("TO", "DELTA")

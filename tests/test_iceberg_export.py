@@ -532,3 +532,27 @@ def test_append_iceberg_id_bearing_table(spark, tmp_path):
         (f.metadata or {}).get(b"PARQUET:field_id")
         for f in pq.read_schema(ap)
     )
+
+
+def test_router_export_iceberg_incremental(spark, tmp_path):
+    """EXPORT TABLE ... TO ICEBERG is now incremental: a second EXPORT
+    after new commits appends a snapshot instead of refusing; a
+    no-change EXPORT is a noop."""
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    router = TxnSqlRouter(spark)
+    root = str(tmp_path / "t")
+    router.sql(
+        f"CREATE TABLE inc (k INT, s STRING) USING TXN LOCATION '{root}'"
+    )
+    router.sql("INSERT INTO inc VALUES (1, 'a')")
+    dest = str(tmp_path / "ice")
+    r1 = router.sql(f"EXPORT TABLE inc TO ICEBERG '{dest}'").collect()[0]
+    assert r1["operation"] == "export_iceberg"
+    router.sql("INSERT INTO inc VALUES (2, 'b')")
+    r2 = router.sql(f"EXPORT TABLE inc TO ICEBERG '{dest}'").collect()[0]
+    assert r2["operation"] == "export_iceberg_sync"
+    assert import_iceberg(spark, dest).count() == 2
+    r3 = router.sql(f"EXPORT TABLE inc TO ICEBERG '{dest}'").collect()[0]
+    assert r3["version"] == "noop"
+    router.sql("DROP TABLE inc")

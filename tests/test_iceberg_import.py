@@ -1017,6 +1017,7 @@ def _mor(tmp_path, name="mor"):
         "m2.avro",
         [t.del_entry(pd_rel, 1, partition=False)],
         [],
+        added_sid=2,
         content=1,
         seq=2,
         spec_id=1,
@@ -1032,6 +1033,7 @@ def _mor(tmp_path, name="mor"):
         "m3.avro",
         [t.del_entry(ed_rel, 2, partition=False, equality_ids=[1])],
         [],
+        added_sid=3,
         content=1,
         seq=3,
         spec_id=1,
@@ -1039,7 +1041,11 @@ def _mor(tmp_path, name="mor"):
     )
     f3 = t.write_file("c.parquet", [3, 20], "z")
     m4 = t.manifest(
-        "m4.avro", [t.entry(f3, [3, 20], "z", seq=3)], ["z"], seq=3
+        "m4.avro",
+        [t.entry(f3, [3, 20], "z", seq=3)],
+        ["z"],
+        added_sid=3,
+        seq=3,
     )
     t.snapshot(3, [m1, m2, m3, m4])
     t.metadata(
@@ -1222,8 +1228,9 @@ def test_convert_refuses_merge_on_read(spark, tmp_path):
 
 
 def test_streaming_refuses_delete_manifests(tmp_path):
-    """The stream source still refuses MoR snapshots loudly (a stream
-    cannot retract rows)."""
+    """The stream source refuses MoR snapshots loudly by default (a
+    stream cannot retract rows); ignoreDeletes skips the delete
+    manifests and keeps streaming new DATA files."""
     from rxlan_aws_lakehouse_spark.iceberg_import import _spark_schema
     from rxlan_aws_lakehouse_spark.sources.iceberg_import_source import (
         IcebergImportStreamReader,
@@ -1234,8 +1241,20 @@ def test_streaming_refuses_delete_manifests(tmp_path):
         {"path": t.root, "startingSnapshot": "earliest"},
         _spark_schema(load_table_metadata(t.root)),
     )
-    with pytest.raises(RuntimeError, match="DELETE"):
+    with pytest.raises(RuntimeError, match="ignoreDeletes"):
         rd.partitions({"seq": 0}, {"seq": 3})
+    rd2 = IcebergImportStreamReader(
+        {
+            "path": t.root,
+            "startingSnapshot": "earliest",
+            "ignoreDeletes": "true",
+        },
+        _spark_schema(load_table_metadata(t.root)),
+    )
+    parts = rd2.partitions({"seq": 0}, {"seq": 3})
+    assert sorted(os.path.basename(p.file_path) for p in parts) == [
+        "a.parquet", "b.parquet", "c.parquet",
+    ]
 
 
 # ---------------------------------------------------- time travel (ts)
