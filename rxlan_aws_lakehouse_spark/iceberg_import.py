@@ -645,6 +645,14 @@ def iceberg_live_files(
                             int(x)
                             for x in (df.get("equality_ids") or [])
                         ],
+                        # manifest bounds of the delete file's columns
+                        # (position: the reserved file_path field
+                        # 2147483546; equality: the equality columns) —
+                        # used to SKIP deletes that provably cannot
+                        # touch a data file, bounding executor reads
+                        "lowers": _kvmap(df.get("lower_bounds")),
+                        "uppers": _kvmap(df.get("upper_bounds")),
+                        "nulls": _kvmap(df.get("null_value_counts")),
                     }
                 )
             continue
@@ -710,7 +718,11 @@ def _applicable_deletes(
     filters the delete file's ``file_path`` column to this data file —
     and ``("eq", delete_path, ((field_id, column_name), ...))`` — the
     executor anti-joins on the equality columns, null matching null."""
+    _POS_PATH_FID = 2147483546  # the spec's reserved file_path field
     out = []
+    data_lo = _kvmap(df.get("lower_bounds"))
+    data_hi = _kvmap(df.get("upper_bounds"))
+    data_nulls = _kvmap(df.get("null_value_counts"))
     for d in delete_files:
         if d["content"] == 1:
             if d["seq"] < seq:
@@ -723,7 +735,16 @@ def _applicable_deletes(
         ):
             continue
         if d["content"] == 1:
-            out.append(("pos", d["abs"], str(df.get("file_path"))))
+            # bounds skip: the delete file's file_path range (reserved
+            # field) provably excludes this data file's path
+            plo = _decode_bound("string", d["lowers"].get(_POS_PATH_FID))
+            phi = _decode_bound("string", d["uppers"].get(_POS_PATH_FID))
+            fp = str(df.get("file_path"))
+            if plo is not None and phi is not None and not (
+                plo <= fp <= phi
+            ):
+                continue
+            out.append(("pos", d["abs"], fp))
         else:
             if not d["equality_ids"]:
                 raise ValueError(
@@ -731,6 +752,7 @@ def _applicable_deletes(
                     "equality_ids"
                 )
             cols = []
+            disjoint = False
             for fid in d["equality_ids"]:
                 src = by_id.get(fid)
                 if src is None or not isinstance(src.get("type"), str):
@@ -740,6 +762,30 @@ def _applicable_deletes(
                         "column of the current schema"
                     )
                 cols.append((fid, src["name"]))
+                # bounds skip: if the delete's value range and the data
+                # file's are provably disjoint on ANY equality column,
+                # no delete row can match any data row — SOUND only
+                # when null-null matching is also excluded (one side
+                # proven null-free), since bounds cover non-nulls only
+                t = src["type"]
+                dlo = _decode_bound(t, d["lowers"].get(fid))
+                dhi = _decode_bound(t, d["uppers"].get(fid))
+                flo = _decode_bound(t, data_lo.get(fid))
+                fhi = _decode_bound(t, data_hi.get(fid))
+                if None in (dlo, dhi, flo, fhi):
+                    continue
+                if not _comparable(dlo, dhi, flo):
+                    continue
+                if dhi < flo or dlo > fhi:
+                    d_nulls = d.get("nulls", {}).get(fid)
+                    f_nulls = data_nulls.get(fid)
+                    if (d_nulls is not None and int(d_nulls) == 0) or (
+                        f_nulls is not None and int(f_nulls) == 0
+                    ):
+                        disjoint = True
+                        break
+            if disjoint:
+                continue
             out.append(("eq", d["abs"], tuple(cols)))
     return tuple(out)
 

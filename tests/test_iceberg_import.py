@@ -112,6 +112,26 @@ def manifest_schema(part_fields):
                             ],
                         },
                         {
+                            "name": "null_value_counts",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k121_v122",
+                                        "fields": [
+                                            {"name": "key", "type": "int"},
+                                            {
+                                                "name": "value",
+                                                "type": "long",
+                                            },
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
+                        {
                             "name": "lower_bounds",
                             "type": [
                                 "null",
@@ -301,11 +321,13 @@ class Ice:
 
     def del_entry(
         self, rel, content, cat=None, seq=None, equality_ids=None,
-        partition=True,
+        partition=True, bounds=None, nulls=None,
     ):
         """Manifest entry for a delete file (content 1=position,
         2=equality); ``partition=False`` for a GLOBAL delete written
-        under an unpartitioned spec."""
+        under an unpartitioned spec.  ``bounds`` = {fid: (lo_bytes,
+        hi_bytes)} and ``nulls`` = {fid: n} drive the scan-planning
+        bounds skip."""
         return {
             "status": 1,
             "snapshot_id": None,
@@ -321,8 +343,23 @@ class Ice:
                 "equality_ids": list(equality_ids)
                 if equality_ids
                 else None,
-                "lower_bounds": None,
-                "upper_bounds": None,
+                "null_value_counts": [
+                    {"key": k, "value": v} for k, v in nulls.items()
+                ]
+                if nulls
+                else None,
+                "lower_bounds": [
+                    {"key": k, "value": lo}
+                    for k, (lo, _) in bounds.items()
+                ]
+                if bounds
+                else None,
+                "upper_bounds": [
+                    {"key": k, "value": hi}
+                    for k, (_, hi) in bounds.items()
+                ]
+                if bounds
+                else None,
             },
         }
 
@@ -1522,3 +1559,85 @@ def test_transform_lit_variants():
     assert _transform_lit("bucket[4]", "long", ">=", 1) is None
     assert _transform_lit("hour", "date", "=", 17486) is None
     assert _transform_lit("bucket[4]", "double", "=", 1.5) is None
+
+
+def test_delete_bounds_scoping(tmp_path):
+    """Scan planning skips a delete file for a data file it provably
+    cannot touch: an equality delete whose value bounds are disjoint
+    from the data file's (both sides null-free), and a position delete
+    whose file_path bounds exclude the data file — bounding executor
+    reads to O(actually-overlapping pairs)."""
+    t = Ice(str(tmp_path / "scope"))
+    f1 = t.write_file("a.parquet", [1, 2, 3], "x")
+    f2 = t.write_file("b.parquet", [100, 101], "y")
+    e1 = t.entry(f1, [1, 2, 3], "x")
+    e2 = t.entry(f2, [100, 101], "y")
+    for e in (e1, e2):
+        e["data_file"]["null_value_counts"] = [
+            {"key": 1, "value": 0}, {"key": 3, "value": 0},
+        ]
+    m1 = t.manifest("m1.avro", [e1, e2], ["x", "y"], seq=1)
+    t.snapshot(1, [m1])
+    ed = t.write_eq_delete("ed.parquet", {"k": (1, pa.int64(), [2])})
+    pd = t.write_pos_delete("pd.parquet", [(f1, 0)])
+    m2 = t.manifest(
+        "m2.avro",
+        [
+            t.del_entry(
+                ed, 2, partition=False, equality_ids=[1],
+                bounds={1: (_long_le(2), _long_le(2))},
+                nulls={1: 0},
+            ),
+            t.del_entry(
+                pd, 1, partition=False,
+                bounds={
+                    2147483546: (f1.encode(), f1.encode()),
+                },
+            ),
+        ],
+        [],
+        added_sid=2,
+        content=1,
+        seq=2,
+        spec_id=1,
+        part_fields=[],
+    )
+    t.snapshot(2, [m1, m2])
+    t.metadata(
+        1, current_sid=2, extra_specs=[{"spec-id": 1, "fields": []}]
+    )
+    st = iceberg_live_files(t.root)
+    by_base = {
+        os.path.basename(p): specs
+        for p, specs in zip(st["files"], st["delete_specs"])
+    }
+    # a.parquet overlaps both deletes; b.parquet provably neither
+    assert sorted(s[0] for s in by_base["a.parquet"]) == ["eq", "pos"]
+    assert by_base["b.parquet"] == ()
+    # and withOUT null proof, the eq delete must stay conservative
+    e1n = t.entry(f1, [1, 2, 3], "x")
+    e2n = t.entry(f2, [100, 101], "y")
+    m1n = t.manifest("m1n.avro", [e1n, e2n], ["x", "y"], seq=1)
+    m2n = t.manifest(
+        "m2n.avro",
+        [
+            t.del_entry(
+                ed, 2, partition=False, equality_ids=[1],
+                bounds={1: (_long_le(2), _long_le(2))},
+            )
+        ],
+        [],
+        added_sid=3,
+        content=1,
+        seq=2,
+        spec_id=1,
+        part_fields=[],
+    )
+    t.snapshot(3, [m1n, m2n])
+    t.metadata(2, current_sid=3, extra_specs=[{"spec-id": 1, "fields": []}])
+    st2 = iceberg_live_files(t.root)
+    by_base2 = {
+        os.path.basename(p): specs
+        for p, specs in zip(st2["files"], st2["delete_specs"])
+    }
+    assert len(by_base2["b.parquet"]) == 1  # no null proof -> kept
