@@ -464,6 +464,26 @@ def _comparable(lo, hi, lit) -> bool:
 
 
 # --------------------------------------------------------- time travel
+def _target_ms(ts) -> int:
+    """Timestamp option -> epoch millis: ints (or digit strings) ride
+    verbatim; ISO strings parse, tz-aware normalized to UTC."""
+    import datetime as _dt
+
+    if isinstance(ts, str) and ts.strip().lstrip("+-").isdigit():
+        ts = int(ts)
+    if isinstance(ts, str):
+        s = ts.strip().replace("T", " ")
+        if s.endswith(("Z", "z")):
+            s = s[:-1] + "+00:00"
+        dt = _dt.datetime.fromisoformat(s)
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return int(
+            (dt - _dt.datetime(1970, 1, 1)).total_seconds() * 1000
+        )
+    return int(ts)
+
+
 def resolve_iceberg_timestamp(meta: dict, ts) -> int:
     """TIMESTAMP-based time travel (r13 verdict task 3, the Iceberg
     twin of ``resolve_delta_timestamp``): the LATEST snapshot whose
@@ -473,22 +493,7 @@ def resolve_iceberg_timestamp(meta: dict, ts) -> int:
     single-snapshot exports) fall back to the snapshots' own
     ``timestamp-ms``.  A target before the earliest logged snapshot
     raises — expired history is never guessed at."""
-    import datetime as _dt
-
-    if isinstance(ts, str) and ts.strip().lstrip("+-").isdigit():
-        ts = int(ts)  # options arrive as strings: epoch millis form
-    if isinstance(ts, str):
-        s = ts.strip().replace("T", " ")
-        if s.endswith(("Z", "z")):
-            s = s[:-1] + "+00:00"
-        dt = _dt.datetime.fromisoformat(s)
-        if dt.tzinfo is not None:
-            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        target_ms = int(
-            (dt - _dt.datetime(1970, 1, 1)).total_seconds() * 1000
-        )
-    else:
-        target_ms = int(ts)
+    target_ms = _target_ms(ts)
     log = [
         (int(e["timestamp-ms"]), int(e["snapshot-id"]))
         for e in (meta.get("snapshot-log") or [])

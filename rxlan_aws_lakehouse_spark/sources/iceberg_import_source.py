@@ -206,15 +206,32 @@ class IcebergImportStreamReader(DataSourceStreamReader):
         self._ignore_deletes = self._ignore_changes or str(
             options.get("ignoreDeletes", "false")
         ).lower() == "true"
-        start = str(options.get("startingSnapshot", "latest")).lower()
-        if start == "earliest":
-            self._start = 0
-        elif start == "latest":
-            self._start = self._head(meta)
+        st = options.get("startingTimestamp")
+        if st is not None:
+            # Delta-parity semantics: stream from the EARLIEST snapshot
+            # committed at or after the timestamp (inclusive); a
+            # timestamp past the head starts at the head (tail-only)
+            from ..iceberg_import import _target_ms
+
+            target = _target_ms(st)
+            cand = [
+                int(s.get("sequence-number") or 0)
+                for s in (meta.get("snapshots") or [])
+                if int(s.get("timestamp-ms") or 0) >= target
+            ]
+            self._start = min(cand) - 1 if cand else self._head(meta)
         else:
-            raise ValueError(
-                "startingSnapshot must be 'latest' or 'earliest'"
-            )
+            start = str(
+                options.get("startingSnapshot", "latest")
+            ).lower()
+            if start == "earliest":
+                self._start = 0
+            elif start == "latest":
+                self._start = self._head(meta)
+            else:
+                raise ValueError(
+                    "startingSnapshot must be 'latest' or 'earliest'"
+                )
         ms = int(options.get("maxSnapshotsPerTrigger", 0))
         self._max_snapshots = ms if ms > 0 else None
         self._watermark = self._start

@@ -1805,3 +1805,35 @@ def test_append_delta_column_mapped_mirror(spark, tmp_path):
         k for a in state["adds"].values() for k in a["partitionValues"]
     }
     assert all(not k.startswith("amt") for k in phys_keys)
+
+
+def test_append_delta_id_mode(spark, tmp_path):
+    """Appending onto a columnMapping=id foreign table writes files
+    under PHYSICAL names WITH matching parquet field ids — the id-mode
+    writer rule — and the id-based read binds old and new files."""
+    import pyarrow.parquet as _pq
+
+    from rxlan_aws_lakehouse_spark.delta_export import append_delta
+
+    root = _id_mode_table(tmp_path)
+    out = append_delta(
+        spark,
+        root,
+        spark.createDataFrame([(9, "z")], "k LONG, cat STRING"),
+    )
+    assert out["n_rows"] == 1
+    df = import_delta(spark, root)
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {
+        (1, "u"), (2, "v"), (3, "w"), (9, "z")
+    }
+    state = replay_delta_log(root)
+    new_rel = [
+        r for r in state["files"] if r not in ("data/a.parquet", "data/b.parquet")
+    ][0]
+    sch = _pq.read_schema(os.path.join(root, new_rel))
+    ids = {
+        f.name: int((f.metadata or {})[b"PARQUET:field_id"])
+        for f in sch
+        if (f.metadata or {}).get(b"PARQUET:field_id")
+    }
+    assert ids == {"col-phys-k": 1, "col-phys-c": 2}

@@ -1641,3 +1641,24 @@ def test_delete_bounds_scoping(tmp_path):
         for p, specs in zip(st2["files"], st2["delete_specs"])
     }
     assert len(by_base2["b.parquet"]) == 1  # no null proof -> kept
+
+
+def test_streaming_starting_timestamp(tmp_path, ice):
+    """startingTimestamp streams from the earliest snapshot at or
+    after the target (offset-level check); past-the-head timestamps
+    tail only."""
+    from rxlan_aws_lakehouse_spark.iceberg_import import _spark_schema
+    from rxlan_aws_lakehouse_spark.sources.iceberg_import_source import (
+        IcebergImportStreamReader,
+    )
+
+    schema = _spark_schema(load_table_metadata(ice.root))
+    # fixture snapshots carry timestamp-ms 1 (seq 1) and 2 (seq 2)
+    rd = IcebergImportStreamReader(
+        {"path": ice.root, "startingTimestamp": "2"}, schema
+    )
+    assert rd.initialOffset() == {"seq": 1}  # snapshot 2 included
+    rd2 = IcebergImportStreamReader(
+        {"path": ice.root, "startingTimestamp": "999"}, schema
+    )
+    assert rd2.initialOffset() == {"seq": 2}  # tail-only
