@@ -273,10 +273,15 @@ def _export_schema(meta: dict, recorded_ids: dict | None = None):
             )
         rec = recorded_ids.get(name.lower())
         entry = cm_f.get(name.lower())
-        if rec is not None:
-            fid = int(rec)
-        elif entry is not None:
+        # the column mapping is AUTHORITATIVE when present: a txn
+        # DROP + re-ADD of the same name mints a fresh cm id, and the
+        # export must follow it (Iceberg forbids reusing a retired
+        # field id for a semantically new column); the recorded
+        # assignment covers non-mapped tables' additive evolution
+        if entry is not None:
             fid = int(entry["id"])
+        elif rec is not None:
+            fid = int(rec)
         else:
             next_id += 1
             fid = next_id

@@ -556,3 +556,37 @@ def test_router_export_iceberg_incremental(spark, tmp_path):
     r3 = router.sql(f"EXPORT TABLE inc TO ICEBERG '{dest}'").collect()[0]
     assert r3["version"] == "noop"
     router.sql("DROP TABLE inc")
+
+
+def test_export_iceberg_sync_drop_readd_mints_fresh_id(spark, tmp_path):
+    """DROP + re-ADD of the same column name between syncs follows the
+    txn column mapping's fresh id — Iceberg forbids reusing a retired
+    field id for a semantically new column."""
+    from rxlan_aws_lakehouse_spark.iceberg_export import (
+        export_iceberg_sync,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "k INT, s STRING"))
+    dest = str(tmp_path / "ice")
+    export_iceberg_sync(t, dest)
+    id_s0 = {
+        f["name"]: f["id"]
+        for f in load_table_metadata(dest)["schemas"][0]["fields"]
+    }["s"]
+    t.drop_column(spark, "s")
+    t.append(
+        spark.createDataFrame([(2, "b2")], "k INT, s STRING"),
+        merge_schema=True,
+    )
+    export_iceberg_sync(t, dest)
+    meta = load_table_metadata(dest)
+    cur = next(
+        s
+        for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    id_s1 = {f["name"]: f["id"] for f in cur["fields"]}["s"]
+    assert id_s1 != id_s0
+    got = _rows(import_iceberg(spark, dest), ["k", "s"])
+    assert got == {(1, None), (2, "b2")}
