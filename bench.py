@@ -198,8 +198,12 @@ def run_calibration(spark) -> float:
 #    instead of defining it.  The legacy noise_factor/*_norm fields
 #    remain for continuity.
 IO_CALIB_ROWS = 30_000_000  # ~240 MB parquet, written once per host
-IO_CALIB_REF = 0.42  # idle-host hot median (page-cache-warm steady state)
-FLOOR_CALIB_REF = 0.125  # idle-host median of the tiny fixed plan
+# Refs are the END-OF-SUITE idle-host values (the basket runs after
+# every lane, against a fully JIT-warm JVM and a page-cache-warm IO
+# file — measured at the r14 HEAD: cpu 1.489 s, io 0.191 s,
+# floor 0.063 s), so an idle host reads ~1.0 on all three ratios.
+IO_CALIB_REF = 0.19
+FLOOR_CALIB_REF = 0.063
 
 
 def run_calibration_io(spark) -> float:
