@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import time
 from datetime import date as _date, datetime as _datetime
@@ -243,15 +244,25 @@ def _snapshot_id(root: str, version: str) -> int:
 
 
 _SYNC_STATE = "metadata/rxlan-sync-state.json"
+_VMETA_RE = re.compile(r"v(\d+)\.metadata\.json")
 
 
-def _export_schema(meta: dict, recorded_ids: dict | None = None):
+def _export_schema(
+    meta: dict,
+    recorded_ids: dict | None = None,
+    min_field_id: int | None = None,
+):
     """txn snapshot meta -> the Iceberg schema pieces of an export:
     ``(fields, ice_types, phys_of, fid_of, part_by)``.  Field ids come
     from (in priority order) a previous export's RECORDED assignment
     (sync continuity: a field id, once minted, never changes and never
     recycles — the Iceberg evolution contract), the txn column
-    mapping's ids, else a fresh sequential mint."""
+    mapping's ids, else a fresh sequential mint.  ``min_field_id``
+    (the destination metadata's ``last-column-id``) is a high-water
+    mark fresh mints start ABOVE: recorded ids cover only the CURRENT
+    columns, so a column retired by a plain overwrite (no txn column
+    mapping active) would otherwise free its id for re-minting —
+    violating the never-recycle contract."""
     schema_json = meta.get("schema") or {"fields": []}
     cm = meta.get("column_mapping")
     part_by = list(meta.get("partition_by") or [])
@@ -263,7 +274,7 @@ def _export_schema(meta: dict, recorded_ids: dict | None = None):
     used = [int(e["id"]) for e in cm_f.values()] + [
         int(x) for x in recorded_ids.values()
     ]
-    next_id = max(used or [0])
+    next_id = max(used + [int(min_field_id or 0)] or [0])
     for f in schema_json.get("fields", []):
         name = f["name"]
         t = f["type"] if isinstance(f["type"], str) else None
@@ -548,6 +559,7 @@ def export_iceberg(
             "manifests": [
                 {"path": mpath, "rels": sorted(sync_files)}
             ],
+            "expected_manifests": [mpath],
             "next_file_idx": len(sync_files),
         },
     )
@@ -669,11 +681,13 @@ def export_iceberg_sync(
     meta = table._meta(v)
 
     from .avro_lite import read_avro
-    from .iceberg_import import load_table_metadata
+    from .iceberg_import import load_table_metadata_versioned
 
-    dmeta = load_table_metadata(dest)
+    dmeta, dmeta_v = load_table_metadata_versioned(dest)
     fields, ice_types, phys_of, part_by = _export_schema(
-        meta, recorded_ids=sync.get("field_ids")
+        meta,
+        recorded_ids=sync.get("field_ids"),
+        min_field_id=dmeta.get("last-column-id"),
     )
     fid_of = {f["name"]: f["id"] for f in fields}
     spec0 = (dmeta.get("partition-specs") or [{"fields": []}])[0]
@@ -717,6 +731,22 @@ def export_iceberg_sync(
         ml_abs = os.path.join(dest, ml_abs)
     _, prev_ml = read_avro(ml_abs)
     prev_rows = {r["manifest_path"]: r for r in prev_ml}
+    # SYMMETRIC out-of-band detection: the sync state must account for
+    # EVERY manifest the current list carries, or the next snapshot
+    # would silently drop rows another writer (this engine's own
+    # append_iceberg, or any Iceberg engine's fast-append) committed to
+    # the mirror.  The reverse direction (state names a manifest the
+    # list lacks) is checked per-manifest below.
+    expected = sync.get("expected_manifests")
+    if expected is not None and set(prev_rows) != set(expected):
+        foreign = sorted(set(prev_rows) - set(expected))
+        raise RuntimeError(
+            f"mirror {dest} was modified out-of-band: its manifest "
+            f"list carries manifest(s) {foreign or sorted(expected)} "
+            "the sync state does not account for — a sync would drop "
+            "those rows from the next snapshot; re-bootstrap the "
+            "mirror (or keep foreign writers off synced mirrors)"
+        )
 
     files_map = dict(sync["files"])
     n_file = int(sync.get("next_file_idx", len(files_map)))
@@ -849,11 +879,14 @@ def export_iceberg_sync(
 
     ml_rel = f"metadata/snap-{seq}.avro"
     write_avro(os.path.join(dest, ml_rel), _ML_SCHEMA, new_ml_rows)
-    op = (
-        "append"
-        if added and not removed
-        else ("delete" if removed and not added else "overwrite")
-    )
+    # zero-add/zero-remove syncs (metadata-only source commits: rename/
+    # drop/properties) classify as a 0-file "append", NOT "overwrite" —
+    # an overwrite that changed no rows would needlessly trip the
+    # streaming source's append-only contract
+    if removed:
+        op = "delete" if not added else "overwrite"
+    else:
+        op = "append"
     prev_ts = max(
         [int(s.get("timestamp-ms") or 0) for s in dmeta["snapshots"]]
         or [0]
@@ -897,12 +930,29 @@ def export_iceberg_sync(
     props["rxlan.txn.source-version"] = v
     new_meta["properties"] = props
 
-    hint_p = os.path.join(dest, "metadata", "version-hint.text")
-    with open(hint_p) as f:
-        cur_v = int(f.read().strip())
-    mp = os.path.join(dest, "metadata", f"v{cur_v + 1}.metadata.json")
-    with open(mp, "w") as f:
+    # publish via the same atomic create-if-absent rule as
+    # append_iceberg (HadoopTables commit point), into the slot pinned
+    # at READ time (the version the sync's head metadata came from) —
+    # never the advisory hint, and never a publish-time re-scan, either
+    # of which would let a racing commit be silently built over;
+    # open(w) here would even TRUNCATE a committed-but-unhinted file
+    mdir = os.path.join(dest, "metadata")
+    cur_v = dmeta_v
+    mp = os.path.join(mdir, f"v{cur_v + 1}.metadata.json")
+    tmp = f"{mp}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(new_meta, f)
+    try:
+        os.link(tmp, mp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"mirror {dest} advanced concurrently while syncing "
+            f"(v{cur_v + 1}.metadata.json already exists) — it was "
+            "modified out-of-band; re-bootstrap"
+        ) from None
+    os.unlink(tmp)
+    hint_p = os.path.join(mdir, "version-hint.text")
     with open(f"{hint_p}.tmp-{os.getpid()}", "w") as f:
         f.write(str(cur_v + 1))
     os.replace(f"{hint_p}.tmp-{os.getpid()}", hint_p)
@@ -915,6 +965,9 @@ def export_iceberg_sync(
             "field_ids": {f["name"].lower(): f["id"] for f in fields},
             "files": files_map,
             "manifests": new_manifests_meta,
+            "expected_manifests": [
+                r["manifest_path"] for r in new_ml_rows
+            ],
             "next_file_idx": n_file,
         },
     )
@@ -974,6 +1027,7 @@ def append_iceberg(spark, path: str, df) -> dict:
         _resolve,
         _spark_schema,
         load_table_metadata,
+        load_table_metadata_versioned,
     )
 
     meta = load_table_metadata(path)
@@ -1243,7 +1297,7 @@ def append_iceberg(spark, path: str, df) -> dict:
         mf_schema = _manifest_schema(avro_part_fields)
 
         for _attempt in range(8):
-            meta = load_table_metadata(path)
+            meta, head_v = load_table_metadata_versioned(path)
             if (
                 _current_schema(meta).get("fields")
                 != ice_schema.get("fields")
@@ -1354,18 +1408,14 @@ def append_iceberg(spark, path: str, df) -> dict:
             new_meta["snapshot-log"] = list(
                 meta.get("snapshot-log") or []
             ) + [{"timestamp-ms": now_ms, "snapshot-id": sid}]
-            hint_p = os.path.join(path, "metadata", "version-hint.text")
-            try:
-                with open(hint_p) as f:
-                    cur_v = int(f.read().strip())
-            except FileNotFoundError:
-                import re as _re
-
-                cur_v = max(
-                    int(m.group(1))
-                    for nm in os.listdir(os.path.join(path, "metadata"))
-                    if (m := _re.fullmatch(r"v(\d+)\.metadata\.json", nm))
-                )
+            # commit slot = the version this attempt's head metadata
+            # was READ from + 1, never the advisory hint (a crashed
+            # writer leaves it stale -> permanent re-collision) and
+            # never a publish-time re-scan (a commit racing in between
+            # read and publish would be silently built over)
+            mdir = os.path.join(path, "metadata")
+            hint_p = os.path.join(mdir, "version-hint.text")
+            cur_v = head_v
             mp = os.path.join(
                 path, "metadata", f"v{cur_v + 1}.metadata.json"
             )

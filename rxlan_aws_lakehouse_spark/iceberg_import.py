@@ -87,33 +87,53 @@ def _resolve(table_path: str, p: str) -> str:
 
 
 def load_table_metadata(path: str) -> dict:
-    """Current ``*.metadata.json`` of an Iceberg table directory, via
-    ``version-hint.text`` when present (HadoopCatalog convention), else
-    the highest-numbered ``v<N>.metadata.json``."""
+    """Current ``*.metadata.json`` of an Iceberg table directory (see
+    ``load_table_metadata_versioned`` for the resolution rule)."""
+    return load_table_metadata_versioned(path)[0]
+
+
+def load_table_metadata_versioned(path: str) -> tuple[dict, int]:
+    """Current ``*.metadata.json`` of an Iceberg table directory, plus
+    the metadata VERSION NUMBER actually read — writers pin their
+    commit slot to exactly this version + 1 (create-if-absent), so a
+    commit racing in between read and publish collides loudly instead
+    of being silently built over.
+
+    The HadoopCatalog commit point is the atomic CREATION of
+    ``v<N>.metadata.json``; ``version-hint.text`` is advisory (written
+    AFTER the commit, non-atomically).  So the hint is a floor, never
+    a ceiling: always scan for the highest ``v<N>.metadata.json`` and
+    take ``max(hint, highest scanned)`` — a crash between a writer's
+    metadata link and its hint update must not hide the committed
+    snapshot (nor wedge later appenders on a stale hint)."""
     mdir = os.path.join(path, "metadata")
     if not os.path.isdir(mdir):
         raise FileNotFoundError(f"no metadata/ directory under {path}")
     hint = os.path.join(mdir, "version-hint.text")
+    hint_n = None
     if os.path.exists(hint):
         with open(hint) as f:
-            n = f.read().strip()
-        cand = os.path.join(mdir, f"v{int(n)}.metadata.json")
-        if not os.path.exists(cand):
-            raise FileNotFoundError(
-                f"version-hint.text names v{n} but {cand} is missing"
-            )
-    else:
-        versions = []
-        for name in os.listdir(mdir):
-            m = re.fullmatch(r"v(\d+)\.metadata\.json", name)
-            if m:
-                versions.append((int(m.group(1)), name))
-        if not versions:
-            raise FileNotFoundError(
-                f"no v*.metadata.json under {mdir} and no version-hint"
-            )
-        cand = os.path.join(mdir, max(versions)[1])
-    with open(cand) as f:
+            hint_n = int(f.read().strip())
+    versions = [
+        int(m.group(1))
+        for name in os.listdir(mdir)
+        if (m := re.fullmatch(r"v(\d+)\.metadata\.json", name))
+    ]
+    if hint_n is not None and not versions:
+        raise FileNotFoundError(
+            f"version-hint.text names v{hint_n} but no "
+            f"v*.metadata.json exists under {mdir}"
+        )
+    if not versions:
+        raise FileNotFoundError(
+            f"no v*.metadata.json under {mdir} and no version-hint"
+        )
+    n = max([hint_n] + versions) if hint_n is not None else max(versions)
+    if not os.path.exists(os.path.join(mdir, f"v{n}.metadata.json")):
+        # hint points ABOVE every real file (e.g. manual surgery):
+        # fall back to the highest committed metadata rather than fail
+        n = max(versions)
+    with open(os.path.join(mdir, f"v{n}.metadata.json")) as f:
         meta = json.load(f)
     fv = int(meta.get("format-version", 1))
     if fv > 2:
@@ -121,7 +141,7 @@ def load_table_metadata(path: str) -> dict:
             f"cannot import: Iceberg format-version {fv} is not "
             "supported (1 and 2 are)"
         )
-    return meta
+    return meta, n
 
 
 def _current_schema(meta: dict) -> dict:
@@ -867,15 +887,16 @@ def _fid_column(t, fid: int, name: str):
 def _eq_match_mask(tbl, dt, eqcols: tuple):
     """Boolean numpy mask of ``tbl`` rows matched by ANY ``dt`` row on
     the equality columns.  Vectorized: each side's columns cast to
-    string (null -> a sentinel, because the spec's equality delete
-    matches null to null), joined into one key, matched with
-    ``is_in``.  Any cast failure falls back to exact Python tuples."""
+    string, encoded as LENGTH-PREFIXED parts (``V<bytelen>:<value>``,
+    null -> ``N|`` — the spec's equality delete matches null to null),
+    concatenated into one key, matched with ``is_in``.  The length
+    prefix makes part boundaries unambiguous: legal string data
+    containing any separator-ish bytes cannot collide across column
+    boundaries (('x|y','z') never keys like ('x','y|z')).  Any cast
+    failure falls back to exact Python tuples."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-
-    NULL = "\x00\x00N"
-    SEP = "\x1f"
 
     def side(t, missing_len=None):
         keys = []
@@ -917,12 +938,16 @@ def _eq_match_mask(tbl, dt, eqcols: tuple):
             for c, tgt in zip(cols, tgts):
                 if c.type != tgt:
                     c = c.cast(tgt)
-                s = pc.fill_null(pc.cast(c, pa.string()), NULL)
-                parts.append(s)
+                s = pc.cast(c, pa.string())
+                ln = pc.cast(pc.binary_length(s), pa.string())
+                # null propagates through the join; if_else maps it to
+                # the null marker — a distinct channel no value can
+                # spell (values always start with "V")
+                val = pc.binary_join_element_wise("V", ln, ":", s, "")
+                parts.append(pc.if_else(pc.is_null(s), "N|", val))
             if len(parts) == 1:
                 return parts[0]
-            sep_args = parts + [SEP]
-            return pc.binary_join_element_wise(*sep_args)
+            return pc.binary_join_element_wise(*parts, "")
 
         dkey = key_of(dc)
         ekey = key_of(el)

@@ -590,3 +590,149 @@ def test_export_iceberg_sync_drop_readd_mints_fresh_id(spark, tmp_path):
     assert id_s1 != id_s0
     got = _rows(import_iceberg(spark, dest), ["k", "s"])
     assert got == {(1, None), (2, "b2")}
+
+def test_sync_refuses_out_of_band_manifest(spark, tmp_path):
+    """ADVICE r14: a manifest added to the mirror OUT-OF-BAND (here via
+    this engine's own append_iceberg; any other engine's fast-append is
+    the same shape) must make the next incremental sync refuse loudly —
+    silently rebuilding the manifest list from sync state alone would
+    drop the out-of-band rows from the synced snapshot head."""
+    from rxlan_aws_lakehouse_spark.iceberg_export import (
+        append_iceberg,
+        export_iceberg_sync,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "k INT, s STRING"))
+    dest = str(tmp_path / "ice")
+    export_iceberg_sync(t, dest)
+    append_iceberg(
+        spark, dest, spark.createDataFrame([(9, "zz")], "k INT, s STRING")
+    )
+    t.append(spark.createDataFrame([(2, "b")], "k INT, s STRING"))
+    with pytest.raises(RuntimeError, match="out-of-band"):
+        export_iceberg_sync(t, dest)
+    # the out-of-band rows are still readable at the (unsynced) head
+    assert _rows(import_iceberg(spark, dest), ["k", "s"]) == {
+        (1, "a"), (9, "zz")
+    }
+
+
+def test_stale_version_hint_never_hides_or_wedges(spark, tmp_path):
+    """ADVICE r14: the commit point is the atomic metadata-file link;
+    version-hint.text is advisory.  A stale hint (writer crashed between
+    link and hint update) must neither hide the committed snapshot from
+    readers nor wedge subsequent appends on the same occupied slot."""
+    from rxlan_aws_lakehouse_spark.iceberg_export import append_iceberg
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "k INT, s STRING"))
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    append_iceberg(
+        spark, dest, spark.createDataFrame([(2, "b")], "k INT, s STRING")
+    )
+    hint = os.path.join(dest, "metadata", "version-hint.text")
+    with open(hint, "w") as f:
+        f.write("1")  # simulate the crash: v2 committed, hint stale
+    meta = load_table_metadata(dest)
+    assert int(meta["last-sequence-number"]) == 2  # reader sees v2
+    assert _rows(import_iceberg(spark, dest), ["k"]) == {(1,), (2,)}
+    out = append_iceberg(
+        spark, dest, spark.createDataFrame([(3, "c")], "k INT, s STRING")
+    )
+    assert out["snapshot_seq"] == 3  # lands at v3, no wedge
+    assert os.path.exists(
+        os.path.join(dest, "metadata", "v3.metadata.json")
+    )
+
+
+def test_sync_publish_is_create_if_absent(spark, tmp_path, monkeypatch):
+    """ADVICE r14: sync publishes its metadata file via create-if-absent
+    — a commit racing in AFTER the sync read the head (planted here via
+    a write_avro hook) makes the sync refuse instead of
+    open(w)-TRUNCATING the already-committed metadata."""
+    import rxlan_aws_lakehouse_spark.iceberg_export as ie
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "k INT, s STRING"))
+    dest = str(tmp_path / "ice")
+    ie.export_iceberg_sync(t, dest)
+    t.append(spark.createDataFrame([(2, "b")], "k INT, s STRING"))
+    occupied = os.path.join(dest, "metadata", "v2.metadata.json")
+    real_write_avro = ie.write_avro
+
+    def racing_write_avro(path, schema, rows):
+        if not os.path.exists(occupied):
+            with open(occupied, "w") as f:
+                f.write('{"committed": "by someone else"}')
+        return real_write_avro(path, schema, rows)
+
+    monkeypatch.setattr(ie, "write_avro", racing_write_avro)
+    with pytest.raises(RuntimeError, match="re-bootstrap"):
+        ie.export_iceberg_sync(t, dest)
+    with open(occupied) as f:  # the racing commit was NOT truncated
+        assert json.load(f) == {"committed": "by someone else"}
+
+
+def test_sync_never_reminted_retired_id_after_plain_overwrite(
+    spark, tmp_path
+):
+    """ADVICE r14: a column retired by a PLAIN OVERWRITE (no txn column
+    mapping active) must not free its field id for re-minting — fresh
+    mints start above the destination's last-column-id high-water."""
+    from rxlan_aws_lakehouse_spark.iceberg_export import (
+        export_iceberg_sync,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "k INT, s STRING"))
+    dest = str(tmp_path / "ice")
+    export_iceberg_sync(t, dest)
+    meta0 = load_table_metadata(dest)
+    ids0 = {
+        f["name"]: f["id"] for f in meta0["schemas"][0]["fields"]
+    }
+    t.commit(spark.createDataFrame([(2,)], "k INT"))  # drops s
+    export_iceberg_sync(t, dest)
+    t.commit(spark.createDataFrame([(3, 7.5)], "k INT, z DOUBLE"))
+    export_iceberg_sync(t, dest)
+    meta = load_table_metadata(dest)
+    cur = next(
+        s
+        for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    ids = {f["name"]: f["id"] for f in cur["fields"]}
+    assert ids["k"] == ids0["k"]  # surviving column keeps its id
+    assert ids["z"] != ids0["s"]  # retired id is never recycled
+    assert ids["z"] > max(ids0.values())
+    assert _rows(import_iceberg(spark, dest), ["k", "z"]) == {(3, 7.5)}
+
+
+def test_sync_metadata_only_commit_is_not_overwrite(spark, tmp_path):
+    """ADVICE r14: a sync over a range with NO file changes (metadata-
+    only rename) publishes a 0-file 'append' snapshot, not an
+    'overwrite' that would trip streaming append-only contracts."""
+    from rxlan_aws_lakehouse_spark.iceberg_export import (
+        export_iceberg_sync,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "k INT, s STRING"))
+    dest = str(tmp_path / "ice")
+    export_iceberg_sync(t, dest)
+    t.rename_column(spark, "s", "label")
+    out = export_iceberg_sync(t, dest)
+    assert out["n_adds"] == 0 and out["n_removes"] == 0
+    assert out["operation"] == "append"
+    meta = load_table_metadata(dest)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert snap["summary"]["operation"] == "append"
+    assert _rows(import_iceberg(spark, dest), ["k", "label"]) == {
+        (1, "a")
+    }

@@ -1662,3 +1662,38 @@ def test_streaming_starting_timestamp(tmp_path, ice):
         {"path": ice.root, "startingTimestamp": "999"}, schema
     )
     assert rd2.initialOffset() == {"seq": 2}  # tail-only
+
+def test_eq_match_mask_no_cross_column_collision():
+    """ADVICE r14: composite equality-delete keys are length-prefixed —
+    legal string data containing separator-ish bytes must not collide
+    across column boundaries, and a literal that spells the null marker
+    must not match an actual null."""
+    import pyarrow as pa
+
+    from rxlan_aws_lakehouse_spark.iceberg_import import _eq_match_mask
+
+    eqcols = ((101, "a"), (102, "b"))
+    data = pa.table(
+        {
+            "a": ["x\x1fy", "x", "N|", None, "x"],
+            "b": ["z", "y\x1fz", None, "N|", "q"],
+        }
+    )
+    # delete ('x', 'y\x1fz') must match ONLY row 1, never row 0
+    dt = pa.table({"a": ["x"], "b": ["y\x1fz"]})
+    mask = _eq_match_mask(data, dt, eqcols)
+    assert mask.tolist() == [False, True, False, False, False]
+    # null-marker channel: delete ('N|', None) matches row 2 exactly
+    # (value 'N|' + actual null), not row 3 (null + value 'N|')
+    dt2 = pa.table(
+        {"a": ["N|"], "b": pa.array([None], type=pa.string())}
+    )
+    mask2 = _eq_match_mask(data, dt2, eqcols)
+    assert mask2.tolist() == [False, False, True, False, False]
+    # null == null still matches per the spec
+    dt3 = pa.table(
+        {"a": pa.array([None], type=pa.string()), "b": ["N|"]}
+    )
+    assert _eq_match_mask(data, dt3, eqcols).tolist() == [
+        False, False, False, True, False,
+    ]
