@@ -2345,10 +2345,25 @@ def foreign_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree with each other and with DuckDB's closed form of the union.
     ``travel_ok`` pins that the pre-append snapshot of each format
     still reads exactly the base slice; ``sql_ok`` drives the same
-    append through ``INSERT INTO`` on an attached foreign table."""
+    append through ``INSERT INTO`` on an attached foreign table.
+
+    Round 15 (r14 verdict task 1): a THIRD foreign table uses the
+    default production Iceberg layout — ``day(ts) + bucket[2](key)``
+    partition transforms — and the appended slice is read back through
+    a TRANSFORM-PRUNED scan (``ts`` range predicate mapped through the
+    ``day`` transform); its per-priority aggregate rides in the output
+    (``n_tp``/``tp_rev_c``) so DuckDB's closed form hash-checks the
+    pruned read, and ``tp_pruned`` pins that the predicate actually
+    skipped files."""
+    import datetime as _dt
+
     from ..delta_export import append_delta, export_delta, import_delta
-    from ..iceberg_export import append_iceberg, export_iceberg
-    from ..iceberg_import import import_iceberg
+    from ..iceberg_export import (
+        append_iceberg,
+        create_iceberg_table,
+        export_iceberg,
+    )
+    from ..iceberg_import import iceberg_live_files, import_iceberg
     from ..sql_dml import TxnSqlRouter
 
     work = tempfile.mkdtemp(prefix="fappend_")
@@ -2402,6 +2417,59 @@ def foreign_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             == dd.count() + 1
         )
         router.sql("DROP TABLE fapp")
+        # --- transform-partitioned append + transform-pruned read ---
+        tp = f"{work}/ice_tp"
+        create_iceberg_table(
+            tp,
+            fields=[
+                {"id": 1, "name": "key", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "ts", "required": False,
+                 "type": "timestamptz"},
+                {"id": 3, "name": "price", "required": False,
+                 "type": "double"},
+                {"id": 4, "name": "prio", "required": False,
+                 "type": "string"},
+            ],
+            spec_fields=[
+                {"name": "ts_day", "transform": "day", "source-id": 2,
+                 "field-id": 1000},
+                {"name": "key_bucket", "transform": "bucket[2]",
+                 "source-id": 1, "field-id": 1001},
+            ],
+        )
+        # month-floored order dates keep the one-value-per-file split
+        # to O(months), the honest 100 TB layout shape without a
+        # per-day file explosion at fixture scale
+        tp_src = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") <= 2600)
+            .select(
+                F.col("o_orderkey").alias("key"),
+                F.trunc(F.col("o_orderdate"), "mm")
+                .cast("timestamp")
+                .alias("ts"),
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderpriority").alias("prio"),
+            )
+        )
+        append_iceberg(spark, tp, tp_src)
+        lo, hi = _dt.datetime(1995, 1, 1), _dt.datetime(1996, 1, 1)
+        tp_filters = [("ts", ">=", lo), ("ts", "<", hi)]
+        st_all = iceberg_live_files(tp)
+        st_cut = iceberg_live_files(tp, filters=tp_filters)
+        tp_pruned = 0 < len(st_cut["files"]) < len(st_all["files"])
+        tp_agg = (
+            import_iceberg(spark, tp, filters=tp_filters)
+            .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy("prio")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tp"),
+                F.round(F.sum("price") * 100)
+                .cast("long")
+                .alias("tp_rev_c"),
+            )
+        )
         out = (
             dd.filter(F.col("o_orderkey") <= 2600)
             .groupBy("prio")
@@ -2411,9 +2479,20 @@ def foreign_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("revenue_c"),
             )
+            .join(tp_agg, "prio", "left")
+            .select(
+                "prio",
+                "n_orders",
+                "revenue_c",
+                F.coalesce("n_tp", F.lit(0)).cast("long").alias("n_tp"),
+                F.coalesce("tp_rev_c", F.lit(0))
+                .cast("long")
+                .alias("tp_rev_c"),
+            )
             .withColumn("both_ok", F.lit(bool(both_ok)))
             .withColumn("travel_ok", F.lit(bool(travel_ok)))
             .withColumn("sql_ok", F.lit(bool(sql_ok)))
+            .withColumn("tp_pruned", F.lit(bool(tp_pruned)))
             .orderBy("prio")
         )
         rows = out.collect()
@@ -3751,14 +3830,26 @@ ORACLE = {
     """,
     # Foreign APPEND interop: base slice committed + extra slice
     # appended through the foreign Delta/Iceberg commit protocols —
-    # the closed form is simply the union's aggregate
+    # the closed form is simply the union's aggregate.  The n_tp /
+    # tp_rev_c columns are the transform-partitioned (day+bucket)
+    # table's TRANSFORM-PRUNED 1995 read: month-floored order dates in
+    # [1995-01-01, 1996-01-01) are exactly the 1995 order dates.
     "foreign_append_roundtrip": """
         SELECT o_orderpriority AS prio,
                CAST(count(*) AS BIGINT) AS n_orders,
                CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_c,
+               CAST(count(*) FILTER (
+                   WHERE o_orderdate >= DATE '1995-01-01'
+                     AND o_orderdate < DATE '1996-01-01'
+               ) AS BIGINT) AS n_tp,
+               CAST(coalesce(round(sum(o_totalprice) FILTER (
+                   WHERE o_orderdate >= DATE '1995-01-01'
+                     AND o_orderdate < DATE '1996-01-01'
+               ) * 100), 0) AS BIGINT) AS tp_rev_c,
                TRUE AS both_ok,
                TRUE AS travel_ok,
-               TRUE AS sql_ok
+               TRUE AS sql_ok,
+               TRUE AS tp_pruned
         FROM orders
         WHERE o_orderkey <= 2600
         GROUP BY o_orderpriority

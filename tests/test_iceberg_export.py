@@ -440,14 +440,12 @@ def test_append_iceberg_foreign(spark, tmp_path):
         )
 
 
-def test_append_iceberg_refuses_transform_partitioning(spark, tmp_path):
-    """A bucket-partitioned foreign table refuses the WRITE loudly by
-    transform name (reads are unaffected)."""
+def _transform_table(root, fields, spec_fields, last_col_id):
+    """Hand-author an EMPTY foreign Iceberg v2 table with the given
+    schema + partition spec (the shape any engine's CREATE TABLE
+    leaves before the first write)."""
     import json as _json
 
-    from rxlan_aws_lakehouse_spark.iceberg_export import append_iceberg
-
-    root = str(tmp_path / "bkt")
     os.makedirs(os.path.join(root, "metadata"))
     meta = {
         "format-version": 2,
@@ -455,32 +453,14 @@ def test_append_iceberg_refuses_transform_partitioning(spark, tmp_path):
         "location": root,
         "last-sequence-number": 0,
         "last-updated-ms": 0,
-        "last-column-id": 1,
+        "last-column-id": last_col_id,
         "schemas": [
-            {
-                "type": "struct",
-                "schema-id": 0,
-                "fields": [
-                    {"id": 1, "name": "k", "required": False, "type": "long"}
-                ],
-            }
+            {"type": "struct", "schema-id": 0, "fields": fields}
         ],
         "current-schema-id": 0,
-        "partition-specs": [
-            {
-                "spec-id": 0,
-                "fields": [
-                    {
-                        "name": "k_bucket",
-                        "transform": "bucket[8]",
-                        "source-id": 1,
-                        "field-id": 1000,
-                    }
-                ],
-            }
-        ],
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
-        "last-partition-id": 1000,
+        "last-partition-id": 1000 + len(spec_fields) - 1,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {},
@@ -493,10 +473,232 @@ def test_append_iceberg_refuses_transform_partitioning(spark, tmp_path):
         os.path.join(root, "metadata", "version-hint.text"), "w"
     ) as f:
         f.write("1")
-    with pytest.raises(ValueError, match="bucket"):
+
+
+def test_append_iceberg_transform_partitioned(spark, tmp_path):
+    """r14 verdict task 1: appends onto a ``days(ts) + bucket[4](k)``
+    table — the default production Iceberg layout — compute the spec
+    transforms forward, commit partition tuples, and the appended
+    files PRUNE through the importer's transform-aware partition
+    path."""
+    import datetime as dt
+
+    from rxlan_aws_lakehouse_spark.iceberg_export import append_iceberg
+    from rxlan_aws_lakehouse_spark.iceberg_import import _bucket_of
+
+    root = str(tmp_path / "tp")
+    _transform_table(
+        root,
+        fields=[
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "ts", "required": False,
+             "type": "timestamptz"},
+            {"id": 3, "name": "v", "required": False, "type": "double"},
+        ],
+        spec_fields=[
+            {"name": "ts_day", "transform": "day", "source-id": 2,
+             "field-id": 1000},
+            {"name": "k_bucket", "transform": "bucket[4]",
+             "source-id": 1, "field-id": 1001},
+        ],
+        last_col_id=3,
+    )
+    rows = [
+        (k, dt.datetime(2024, 3, d, 12, 0, 0), float(k))
+        for k, d in [(1, 1), (2, 1), (3, 2), (17, 2), (18, 3)]
+    ]
+    out = append_iceberg(
+        spark,
+        root,
+        spark.createDataFrame(rows, "k LONG, ts TIMESTAMP, v DOUBLE"),
+    )
+    assert out["n_rows"] == 5
+    df = import_iceberg(spark, root)
+    assert {r["k"] for r in df.collect()} == {1, 2, 3, 17, 18}
+    # manifest partition tuples hold the spec transform values
+    st = iceberg_live_files(root)
+    days_of = {
+        e["partition"]["ts_day"] for e in st["entries"]
+    }
+    epoch = dt.date(1970, 1, 1)
+    want_days = {
+        (dt.date(2024, 3, d) - epoch).days for d in (1, 2, 3)
+    }
+    assert days_of == want_days
+    buckets = {e["partition"]["k_bucket"] for e in st["entries"]}
+    assert buckets == {_bucket_of("long", k, 4) for k in (1, 2, 3, 17, 18)}
+    # prune-after-append: a day-range predicate keeps only that day's
+    # files; a bucket equality keeps only the matching bucket
+    stp = iceberg_live_files(
+        root,
+        filters=[("ts", ">=", dt.datetime(2024, 3, 3))],
+    )
+    assert 0 < len(stp["files"]) < len(st["files"])
+    # pruned read still returns the right rows after the row-level
+    # re-apply (pruning is IO-avoidance, not the predicate)
+    got = {
+        r["k"]
+        for r in import_iceberg(spark, root)
+        .filter(F.col("ts") >= dt.datetime(2024, 3, 3))
+        .collect()
+    }
+    assert got == {18}
+    stb = iceberg_live_files(root, filters=[("k", "=", 17)])
+    assert all(
+        e["partition"]["k_bucket"] == _bucket_of("long", 17, 4)
+        for e in stb["entries"]
+    )
+    assert len(stb["files"]) < len(st["files"])
+    # a second append stacks
+    append_iceberg(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(99, dt.datetime(2024, 3, 5, 1, 0, 0), 9.9)],
+            "k LONG, ts TIMESTAMP, v DOUBLE",
+        ),
+    )
+    assert import_iceberg(spark, root).count() == 6
+
+
+def test_append_iceberg_truncate_and_more_transforms(spark, tmp_path):
+    """truncate[W] (long + string), month(date) and hour(ts) partition
+    values all compute forward per Appendix B, including negatives
+    (floor semantics) and nulls (null partition)."""
+    import datetime as dt
+
+    from rxlan_aws_lakehouse_spark.iceberg_export import append_iceberg
+    from rxlan_aws_lakehouse_spark.iceberg_import import (
+        _temporal_of,
+        _truncate_of,
+    )
+
+    root = str(tmp_path / "tr")
+    _transform_table(
+        root,
+        fields=[
+            {"id": 1, "name": "amt", "required": False, "type": "long"},
+            {"id": 2, "name": "cat", "required": False, "type": "string"},
+            {"id": 3, "name": "d", "required": False, "type": "date"},
+            {"id": 4, "name": "ts", "required": False,
+             "type": "timestamptz"},
+        ],
+        spec_fields=[
+            {"name": "amt_t", "transform": "truncate[10]",
+             "source-id": 1, "field-id": 1000},
+            {"name": "cat_t", "transform": "truncate[2]",
+             "source-id": 2, "field-id": 1001},
+            {"name": "d_month", "transform": "month", "source-id": 3,
+             "field-id": 1002},
+            {"name": "ts_hour", "transform": "hour", "source-id": 4,
+             "field-id": 1003},
+        ],
+        last_col_id=4,
+    )
+    rows = [
+        (-7, "apple", dt.date(2023, 11, 5),
+         dt.datetime(2023, 11, 5, 7, 30, 0)),
+        (23, "apricot", dt.date(1968, 2, 10),
+         dt.datetime(2023, 11, 5, 8, 0, 1)),
+        (None, None, None, None),
+    ]
+    append_iceberg(
+        spark,
+        root,
+        spark.createDataFrame(
+            rows, "amt LONG, cat STRING, d DATE, ts TIMESTAMP"
+        ),
+    )
+    st = iceberg_live_files(root)
+    tuples = {
+        (
+            e["partition"]["amt_t"],
+            e["partition"]["cat_t"],
+            e["partition"]["d_month"],
+            e["partition"]["ts_hour"],
+        )
+        for e in st["entries"]
+    }
+    epoch = dt.date(1970, 1, 1)
+
+    def month_of(d):
+        return (d.year - 1970) * 12 + d.month - 1
+
+    def hour_of(t):
+        return int(
+            (t - dt.datetime(1970, 1, 1)).total_seconds() // 3600
+        )
+
+    want = {
+        (
+            _truncate_of("long", -7, 10),
+            _truncate_of("string", "apple", 2),
+            month_of(dt.date(2023, 11, 5)),
+            hour_of(dt.datetime(2023, 11, 5, 7, 30, 0)),
+        ),
+        (
+            _truncate_of("long", 23, 10),
+            _truncate_of("string", "apricot", 2),
+            month_of(dt.date(1968, 2, 10)),
+            hour_of(dt.datetime(2023, 11, 5, 8, 0, 1)),
+        ),
+        (None, None, None, None),
+    }
+    assert tuples == want
+    assert _truncate_of("long", -7, 10) == -10  # floor, not toward-zero
+    assert month_of(dt.date(1968, 2, 10)) == -23  # negative ordinal
+    # cross-check the manifest values against the import-side reverse
+    # transforms the pruner uses
+    assert _temporal_of(
+        "month", "date", (dt.date(1968, 2, 10) - epoch).days
+    ) == -23
+    # the importer reads all rows back (source columns live in files)
+    got = _rows(import_iceberg(spark, root), ["amt", "cat"])
+    assert got == {(-7, "apple"), (23, "apricot"), (None, None)}
+    # pruning via truncate: amt >= 20 skips the -10 file
+    stp = iceberg_live_files(root, filters=[("amt", ">=", 20)])
+    assert {e["partition"]["amt_t"] for e in stp["entries"]} == {20}
+
+
+def test_append_iceberg_refuses_unknown_transform(spark, tmp_path):
+    """void / future transforms still refuse the WRITE loudly by name
+    (a wrong partition value would silently corrupt pruning)."""
+    from rxlan_aws_lakehouse_spark.iceberg_export import append_iceberg
+
+    root = str(tmp_path / "vd")
+    _transform_table(
+        root,
+        fields=[
+            {"id": 1, "name": "k", "required": False, "type": "long"}
+        ],
+        spec_fields=[
+            {"name": "k_void", "transform": "void", "source-id": 1,
+             "field-id": 1000}
+        ],
+        last_col_id=1,
+    )
+    with pytest.raises(ValueError, match="void"):
         append_iceberg(
             spark, root, spark.createDataFrame([(1,)], "k LONG")
         )
+
+
+def test_bucket_longs_matches_bucket_of():
+    """The numpy-vectorized writer hash is element-for-element the
+    Appendix-B scalar the pruner uses, across sign/width extremes."""
+    import numpy as np
+
+    from rxlan_aws_lakehouse_spark.iceberg_import import (
+        _bucket_longs,
+        _bucket_of,
+    )
+
+    vals = [0, 1, -1, 34, -34, 2**31, -(2**31), 2**62, -(2**62),
+            86400000000, 17, 123456789012345]
+    for n in (2, 4, 8, 16, 1000):
+        got = _bucket_longs(np.array(vals, dtype=np.int64), n).tolist()
+        want = [_bucket_of("long", v, n) for v in vals]
+        assert got == want, (n, got, want)
 
 
 def test_append_iceberg_id_bearing_table(spark, tmp_path):
