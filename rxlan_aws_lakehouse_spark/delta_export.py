@@ -2386,9 +2386,6 @@ def append_delta(spark, path: str, df) -> dict:
     Returns ``{"version", "n_files", "n_rows"}``.  Scale: one Spark
     write of the new rows + O(new files) links/footer reads; commit
     metadata is O(new files) JSON lines."""
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -2424,13 +2421,330 @@ def append_delta(spark, path: str, df) -> dict:
         )
     )
     part_phys = [phys[c] for c in part_cols]
-    staging = _tempfile.mkdtemp(prefix="delta_append_")
+    adds, total_rows = _stage_adds(
+        spark, path, writer_df, part_phys, "delta_append_"
+    )
+    if not adds:
+        return {"version": None, "n_files": 0, "n_rows": 0}
+
+    log_dir = os.path.join(path, _LOG_DIR)
+    for _attempt in range(8):
+        n_commit = state["n_commits"]
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Append"},
+                    "engineInfo": (
+                        "rxlan-aws-lakehouse-spark foreign append"
+                    ),
+                }
+            }
+        ] + adds
+        log_path = os.path.join(log_dir, f"{n_commit:020d}.json")
+        tmp = f"{log_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            _publish_commit(tmp, log_path)
+            return {
+                "version": n_commit,
+                "n_files": len(adds),
+                "n_rows": total_rows,
+            }
+        except FileExistsError:
+            # optimistic-concurrency retry: re-replay, verify the
+            # table still means the same thing, take the next slot
+            new_state = replay_delta_log(path)
+            if (
+                new_state["schema"] != state["schema"]
+                or new_state["partition_columns"]
+                != state["partition_columns"]
+                or new_state.get("protocol") != state.get("protocol")
+            ):
+                raise ValueError(
+                    "cannot append: a concurrent commit changed the "
+                    "table's schema/partitioning/protocol mid-append; "
+                    "re-run against the new state"
+                )
+            state = new_state
+    raise RuntimeError(
+        f"append to {path} lost the commit race 8 times; giving up"
+    )
+
+
+# Legacy protocol versions imply feature sets; upgrading a table to the
+# table-features protocol (3, 7) must ENUMERATE them (PROTOCOL.md:
+# readers/writers of a features table consult only the feature lists).
+_LEGACY_READER_FEATURES = {1: frozenset(), 2: frozenset({"columnMapping"})}
+_LEGACY_WRITER_FEATURES = {
+    1: frozenset(),
+    2: frozenset({"appendOnly", "invariants"}),
+    3: frozenset({"appendOnly", "invariants", "checkConstraints"}),
+    4: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+        }
+    ),
+    5: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+            "columnMapping",
+        }
+    ),
+    6: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+            "columnMapping",
+            "identityColumns",
+        }
+    ),
+}
+
+
+def _dv_upgrade_protocol(proto: dict) -> dict:
+    """The protocol action that turns ``proto`` into a table-features
+    protocol carrying ``deletionVectors`` (reader 3 / writer 7),
+    preserving every feature the legacy versions implied."""
+    reader_v = int(proto.get("minReaderVersion") or 1)
+    writer_v = int(proto.get("minWriterVersion") or 1)
+    rf = set(proto.get("readerFeatures") or []) | _LEGACY_READER_FEATURES.get(
+        min(reader_v, 2), frozenset()
+    )
+    wf = set(proto.get("writerFeatures") or []) | _LEGACY_WRITER_FEATURES.get(
+        min(writer_v, 6), frozenset()
+    )
+    rf.add("deletionVectors")
+    wf.add("deletionVectors")
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rf),
+        "writerFeatures": sorted(wf),
+    }
+
+
+def _protocol_has_dv(proto: dict) -> bool:
+    return (
+        int(proto.get("minReaderVersion") or 1) >= 3
+        and int(proto.get("minWriterVersion") or 1) >= 7
+        and "deletionVectors" in set(proto.get("readerFeatures") or [])
+        and "deletionVectors" in set(proto.get("writerFeatures") or [])
+    )
+
+
+def _lineage_scan(spark, state: dict, path: str):
+    """One scan of a foreign table's live files yielding the LOGICAL
+    columns plus row lineage — ``__dl_rel`` (the add.path rel) and
+    ``__dl_ri`` (in-file row ordinal) — with existing deletion vectors
+    ALREADY APPLIED, so downstream row-level ops see exactly the live
+    rows.  Same scale shape and branch structure as ``import_delta``:
+    the fast path is one parquet scan + broadcast (basename -> rel +
+    partition values) and DV joins; duplicate basenames (e.g. hive
+    layouts reusing part-file names per dir) fall back to bounded
+    per-partition-group scans.  Existing DVs ride the broadcast bound
+    — refuses loudly above it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(state["schema"])
+    phys = _foreign_phys(state)
+    id_mode = _cm_mode(state) == "id"
+    fids = _foreign_field_ids(state) if id_mode else {}
+    if id_mode:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    part_cols = list(state["partition_columns"])
+    files = state["files"]
+    dv_specs = _foreign_dv_specs(state, path)
+    card = 0
+    for rel in dv_specs:
+        d = state["adds"][rel].get("deletionVector")
+        if isinstance(d, list):
+            d = dict(d)
+        card += int(d.get("cardinality") or 0)
+    if card > _DV_BROADCAST_MAX_ROWS:
+        raise ValueError(
+            "cannot run a row-level operation: existing deletion "
+            f"vectors cover {card} rows (> {_DV_BROADCAST_MAX_ROWS} "
+            "broadcast bound); compact the table first"
+        )
+    data_schema = StructType(
+        [
+            StructField(
+                phys[f.name],
+                f.dataType,
+                f.nullable,
+                {"parquet.field.id": fids[f.name]}
+                if id_mode and f.name in fids
+                else None,
+            )
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
+    )
+    pv_of = {
+        rel: (state["adds"][rel].get("partitionValues") or {})
+        for rel in files
+    }
+
+    def dv_pairs_df(rels):
+        rows = []
+        for r in rels:
+            spec = dv_specs[r]
+            b = posixpath.basename(r)
+            if spec[0] == "inline":
+                rows.append((b, "inline", None, None, None, spec[1]))
+            else:
+                rows.append((b, "file", spec[1], spec[2], spec[3], None))
+        return spark.createDataFrame(rows, _DV_SPEC_SCHEMA).mapInPandas(
+            _expand_dv_specs, "__dv_base string, __dv_ri bigint"
+        )
+
+    def keyed_scan(rels):
+        """Scan ``rels`` with (__dl_base, __dl_ri) lineage keys and
+        their DVs anti-applied (broadcast, bounded above).  Basenames
+        of ``rels`` must be unique + URI-literal (checked by caller)."""
+        scan = spark.read.schema(data_schema).parquet(
+            *(os.path.join(path, r) for r in rels)
+        )
+        keyed = scan.withColumn(
+            "__dl_base",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__dl_ri", F.col("_metadata.row_index"))
+        sub = [r for r in rels if r in dv_specs]
+        if sub:
+            keyed = keyed.join(
+                F.broadcast(
+                    dv_pairs_df(sub)
+                    .withColumnRenamed("__dv_base", "__dl_base")
+                    .withColumnRenamed("__dv_ri", "__dl_ri")
+                ),
+                ["__dl_base", "__dl_ri"],
+                "left_anti",
+            )
+        return keyed
+
+    def unique_uri(rels):
+        bs = [posixpath.basename(r) for r in rels]
+        return len(set(bs)) == len(bs) and all(
+            _URI_LITERAL_RE.fullmatch(b) for b in bs
+        )
+
+    def logical_select(keyed, with_pv_cols):
+        sel = []
+        for f in schema.fields:
+            if f.name in part_cols:
+                i = part_cols.index(f.name)
+                src = (
+                    F.col(f"__dlp_{i}")
+                    if with_pv_cols
+                    else F.lit(None).cast("string")
+                )
+                sel.append(
+                    F.when(
+                        src.isNull()
+                        | (src == "__HIVE_DEFAULT_PARTITION__"),
+                        F.lit(None),
+                    )
+                    .otherwise(src)
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
+            else:
+                sel.append(F.col(phys[f.name]).alias(f.name))
+        return keyed.select(*sel, "__dl_rel", "__dl_ri")
+
+    if unique_uri(files):
+        # fast path: ONE scan; basename resolves rel + partition
+        # values through a single broadcast map
+        map_rows = [
+            (posixpath.basename(rel), rel)
+            + tuple(pv_of[rel].get(phys[c]) for c in part_cols)
+            for rel in files
+        ]
+        map_schema = ", ".join(
+            ["__dl_base string", "__dl_rel string"]
+            + [f"__dlp_{i} string" for i in range(len(part_cols))]
+        )
+        keyed = keyed_scan(files).join(
+            F.broadcast(spark.createDataFrame(map_rows, map_schema)),
+            "__dl_base",
+            "inner",
+        )
+        return logical_select(keyed, with_pv_cols=True)
+
+    # duplicate/encodable basenames: bounded per-partition-group scans
+    # (basenames ARE unique within one hive dir — the collision source)
+    groups: dict[tuple, list[str]] = {}
+    for rel in files:
+        key = tuple(pv_of[rel].get(phys[c]) for c in part_cols)
+        groups.setdefault(key, []).append(rel)
+    if len(groups) > 256:
+        raise ValueError(
+            "cannot run a row-level operation: duplicate data-file "
+            f"basenames across {len(groups)} partition groups — "
+            "per-group scan fan-out would not scale"
+        )
+    branches = []
+    for key, rels in groups.items():
+        if not unique_uri(rels):
+            raise ValueError(
+                "cannot run a row-level operation: duplicate or "
+                "URI-encodable data-file basenames WITHIN one "
+                "partition group — row lineage would be ambiguous"
+            )
+        keyed = keyed_scan(rels).join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(posixpath.basename(r), r) for r in rels],
+                    "__dl_base string, __dl_rel string",
+                )
+            ),
+            "__dl_base",
+            "inner",
+        )
+        for i, c in enumerate(part_cols):
+            keyed = keyed.withColumn(
+                f"__dlp_{i}",
+                F.lit(key[i]).cast("string"),
+            )
+        branches.append(logical_select(keyed, with_pv_cols=True))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _stage_adds(spark, path: str, writer_df, part_phys, prefix: str):
+    """Stage ``writer_df`` (PHYSICAL column names) into hive dirs,
+    hard-link the non-empty part files under the table, and return the
+    spec ``add`` payloads (footer-derived stats) plus the total row
+    count — the shared write tail of ``append_delta``/``delete_delta``."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    staging = _tempfile.mkdtemp(prefix=prefix)
     try:
         w = writer_df.write.mode("overwrite")
         if part_phys:
             w = w.partitionBy(*part_phys)
         w.parquet(staging)
-
         adds: list[dict] = []
         total_rows = 0
         hive_null = "__HIVE_DEFAULT_PARTITION__"
@@ -2446,9 +2760,7 @@ def append_delta(spark, path: str, df) -> dict:
                 if rel_dir != ".":
                     for seg in rel_dir.split(os.sep):
                         k, _, raw = seg.partition("=")
-                        pv[k] = (
-                            None if raw == hive_null else unquote(raw)
-                        )
+                        pv[k] = None if raw == hive_null else unquote(raw)
                 stats, n_rows = _footer_stats(src)
                 if n_rows == 0:
                     continue  # Spark may emit empty part files
@@ -2475,56 +2787,421 @@ def append_delta(spark, path: str, df) -> dict:
                         }
                     }
                 )
-        if not adds:
-            return {"version": None, "n_files": 0, "n_rows": 0}
-
-        log_dir = os.path.join(path, _LOG_DIR)
-        for _attempt in range(8):
-            n_commit = state["n_commits"]
-            actions = [
-                {
-                    "commitInfo": {
-                        "timestamp": int(time.time() * 1000),
-                        "operation": "WRITE",
-                        "operationParameters": {"mode": "Append"},
-                        "engineInfo": (
-                            "rxlan-aws-lakehouse-spark foreign append"
-                        ),
-                    }
-                }
-            ] + adds
-            log_path = os.path.join(log_dir, f"{n_commit:020d}.json")
-            tmp = f"{log_path}.tmp-{os.getpid()}"
-            with open(tmp, "w") as f:
-                for a in actions:
-                    f.write(json.dumps(a, separators=(",", ":")) + "\n")
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                _publish_commit(tmp, log_path)
-                return {
-                    "version": n_commit,
-                    "n_files": len(adds),
-                    "n_rows": total_rows,
-                }
-            except FileExistsError:
-                # optimistic-concurrency retry: re-replay, verify the
-                # table still means the same thing, take the next slot
-                new_state = replay_delta_log(path)
-                if (
-                    new_state["schema"] != state["schema"]
-                    or new_state["partition_columns"]
-                    != state["partition_columns"]
-                    or new_state.get("protocol") != state.get("protocol")
-                ):
-                    raise ValueError(
-                        "cannot append: a concurrent commit changed the "
-                        "table's schema/partitioning/protocol mid-append; "
-                        "re-run against the new state"
-                    )
-                state = new_state
-        raise RuntimeError(
-            f"append to {path} lost the commit race 8 times; giving up"
-        )
+        return adds, total_rows
     finally:
         _shutil.rmtree(staging, ignore_errors=True)
+
+
+def delete_delta(spark, path: str, where, mode: str = "auto") -> dict:
+    """Row-level DELETE committed against a FOREIGN Delta table
+    (round 15, r14 verdict task 2 — write interop was append-only; no
+    row-level op could land on a foreign ``_delta_log``).
+
+    ``where`` is a SQL boolean expression (or Column) over the table's
+    LOGICAL columns.  Two spec-faithful strategies:
+
+    * ``mode="dv"`` — DELETION-VECTOR write, the modern engines'
+      default: matched row ordinals are encoded EXECUTOR-side per file
+      (``delta_dv.encode_roaring_bitmap_array`` — the codec's encode
+      half, previously fixture/native-only) and UNIONED with the
+      file's existing DV; one spec DV file (``deletion_vector_<z85
+      uuid>.bin``, length-prefixed + CRC-32 framed) holds every
+      touched file's vector; each touched file commits ``remove`` (old
+      version, old DV) + ``add`` (same data file, new DV descriptor,
+      stats re-marked ``tightBounds: false`` per the spec).  A file
+      whose union covers every physical row commits a bare ``remove``.
+      Tables whose protocol lacks the feature get a PROTOCOL UPGRADE
+      action in the same commit (legacy versions' implied features
+      enumerated, PROTOCOL.md's table-features rule) — explicit opt-in
+      only, an upgrade locks out old readers.
+    * ``mode="cow"`` — copy-on-write: survivors of touched files are
+      rewritten (one Spark job, hive staging, footer stats — the
+      ``append_delta`` write tail) and committed as ``remove`` + new
+      ``add``s.  Works at ANY protocol; the conservative default.
+
+    ``mode="auto"`` picks ``dv`` when the table's protocol already
+    carries the feature both sides, else ``cow`` — it never silently
+    upgrades a foreign table's protocol.
+
+    Matching runs ONE lineage scan (logical columns + file basename +
+    row ordinal, existing DVs pre-applied so already-deleted rows
+    never re-match); ``delta.appendOnly`` tables and CHECK-constraint/
+    generated/identity writer semantics refuse loudly.  CDF-enabled
+    tables emit the spec ``cdc`` files (``_change_data/``, physical
+    column names, ``_change_type='delete'``) in the same commit.
+    Publishes via the same atomic create-if-absent optimistic loop as
+    ``append_delta``; a lost race re-replays and retries only when
+    every touched file is still live and unchanged.
+
+    Returns ``{"version", "mode", "n_matched", "n_files_touched",
+    "n_files_removed"}``.  Scale: one scan of the live files + per-
+    touched-file work; driver state is O(touched files) + the compact
+    roaring bytes."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from .delta_dv import (
+        deleted_rows,
+        dv_file_name,
+        encode_roaring_bitmap_array,
+        write_dv_file,
+        z85_encode,
+    )
+
+    if mode not in ("auto", "dv", "cow"):
+        raise ValueError(f"unknown delete mode {mode!r} (auto/dv/cow)")
+    state = replay_delta_log(path)
+    _gate_foreign_protocol(state)
+    _gate_foreign_writer(state)
+    cfg = state.get("configuration") or {}
+    if str(cfg.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            "cannot delete: table sets delta.appendOnly=true"
+        )
+    use_dv = mode == "dv" or (
+        mode == "auto" and _protocol_has_dv(state.get("protocol") or {})
+    )
+    cdf_on = (
+        str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true"
+    )
+    phys = _foreign_phys(state)
+    part_cols = list(state["partition_columns"])
+    part_phys = [phys[c] for c in part_cols]
+    cond = F.expr(where) if isinstance(where, str) else where
+
+    lineage = _lineage_scan(spark, state, path)
+    matched = lineage.filter(cond)
+    # one pass over the matched rows: per-file ordinal sets, encoded
+    # executor-side and unioned with the file's existing DV
+    dv_specs = _foreign_dv_specs(state, path)
+
+    def encode_group(key, pdf):
+        import pandas as pd
+
+        rel = key[0]
+        idx = set(int(x) for x in pdf["__dl_ri"])
+        n_new = len(idx)
+        old = dv_specs.get(rel)
+        if old is not None:
+            idx.update(deleted_rows(old))
+        return pd.DataFrame(
+            {
+                "rel": [rel],
+                "dv": [encode_roaring_bitmap_array(sorted(idx))],
+                "card": [len(idx)],
+                "n_new": [n_new],
+            }
+        )
+
+    touched = (
+        matched.select("__dl_rel", "__dl_ri")
+        .groupBy("__dl_rel")
+        .applyInPandas(
+            encode_group,
+            "rel string, dv binary, card long, n_new long",
+        )
+        .collect()
+    )
+    if not touched:
+        return {
+            "version": None,
+            "mode": "dv" if use_dv else "cow",
+            "n_matched": 0,
+            "n_files_touched": 0,
+            "n_files_removed": 0,
+        }
+    touched.sort(key=lambda r: r["rel"])
+    n_matched = int(sum(r["n_new"] for r in touched))
+    touched_rels = [r["rel"] for r in touched]
+
+    def num_records(rel: str) -> int:
+        st = state["adds"][rel].get("stats")
+        if st:
+            try:
+                n = json.loads(st).get("numRecords")
+                if n is not None:
+                    return int(n)
+            except (ValueError, TypeError):
+                pass
+        return _pq.ParquetFile(
+            os.path.join(path, rel)
+        ).metadata.num_rows
+
+    now_ms = int(time.time() * 1000)
+    removes: list[dict] = []
+    re_adds: list[dict] = []
+    n_removed_files = 0
+    if use_dv:
+        fully = []
+        partial = []
+        for row in touched:
+            rel = row["rel"]
+            if int(row["card"]) >= num_records(rel):
+                fully.append(row)
+            else:
+                partial.append(row)
+        descs: dict[str, dict] = {}
+        if partial:
+            u = _uuid.uuid4()
+            dv_rel = dv_file_name(u)
+            spans = write_dv_file(
+                os.path.join(path, dv_rel),
+                [bytes(r["dv"]) for r in partial],
+            )
+            for row, (off, size) in zip(partial, spans):
+                descs[row["rel"]] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": z85_encode(u.bytes),
+                    "offset": off,
+                    "sizeInBytes": size,
+                    "cardinality": int(row["card"]),
+                }
+        for row in touched:
+            rel = row["rel"]
+            old = state["adds"][rel]
+            old_dv = old.get("deletionVector")
+            if isinstance(old_dv, list):
+                old_dv = dict(old_dv)
+            rm = {
+                "path": old["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": old.get("partitionValues") or {},
+                "size": old.get("size"),
+            }
+            if old_dv:
+                rm["deletionVector"] = old_dv
+            removes.append({"remove": rm})
+            if row["rel"] in descs:
+                new_add = {
+                    k: v
+                    for k, v in old.items()
+                    if k != "deletionVector"
+                }
+                new_add["deletionVector"] = descs[row["rel"]]
+                new_add["dataChange"] = True
+                st = new_add.get("stats")
+                try:
+                    stj = json.loads(st) if st else {}
+                except (ValueError, TypeError):
+                    stj = {}
+                if "numRecords" not in stj:
+                    stj["numRecords"] = num_records(rel)
+                stj["tightBounds"] = False
+                new_add["stats"] = json.dumps(stj)
+                re_adds.append({"add": new_add})
+            else:
+                n_removed_files += 1
+    else:
+        # copy-on-write: rewrite the SURVIVORS of touched files under
+        # physical names (existing DVs already applied by the lineage
+        # scan), one Spark job staged into hive dirs
+        survivors = lineage.filter(
+            F.col("__dl_rel").isin(touched_rels)
+        ).filter(~cond)
+        fids = (
+            _foreign_field_ids(state)
+            if _cm_mode(state) == "id"
+            else {}
+        )
+        if fids:
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        from pyspark.sql.types import StructType as _ST
+
+        schema = _ST.fromJson(state["schema"])
+        writer_df = survivors.select(
+            *(
+                F.col(f.name)
+                .cast(f.dataType)
+                .alias(
+                    phys[f.name],
+                    metadata={"parquet.field.id": fids[f.name]}
+                    if f.name in fids
+                    else None,
+                )
+                for f in schema.fields
+            )
+        )
+        re_adds, _ = _stage_adds(
+            spark, path, writer_df, part_phys, "delta_delete_"
+        )
+        for row in touched:
+            rel = row["rel"]
+            old = state["adds"][rel]
+            old_dv = old.get("deletionVector")
+            if isinstance(old_dv, list):
+                old_dv = dict(old_dv)
+            rm = {
+                "path": old["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": old.get("partitionValues") or {},
+                "size": old.get("size"),
+            }
+            if old_dv:
+                rm["deletionVector"] = old_dv
+            removes.append({"remove": rm})
+        n_removed_files = len(removes)
+
+    cdc_actions: list[dict] = []
+    if cdf_on:
+        # spec change-data rule: a DELETE on a CDF table materializes
+        # its deleted rows as cdc files; readers of this commit then
+        # use ONLY the cdc actions
+        from pyspark.sql.types import StructType as _ST2
+
+        schema2 = _ST2.fromJson(state["schema"])
+        fids2 = (
+            _foreign_field_ids(state)
+            if _cm_mode(state) == "id"
+            else {}
+        )
+        if fids2:
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        cdc_df = matched.select(
+            *(
+                F.col(f.name)
+                .cast(f.dataType)
+                .alias(
+                    phys[f.name],
+                    metadata={"parquet.field.id": fids2[f.name]}
+                    if f.name in fids2
+                    else None,
+                )
+                for f in schema2.fields
+            ),
+            F.lit("delete").alias("_change_type"),
+        )
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        staging = _tempfile.mkdtemp(prefix="delta_delete_cdc_")
+        try:
+            w = cdc_df.write.mode("overwrite")
+            if part_phys:
+                w = w.partitionBy(*part_phys)
+            w.parquet(staging)
+            os.makedirs(
+                os.path.join(path, _CHANGE_DIR), exist_ok=True
+            )
+            hive_null = "__HIVE_DEFAULT_PARTITION__"
+            seq = 0
+            for r, _d, ns in sorted(
+                (r, d, sorted(ns)) for r, d, ns in os.walk(staging)
+            ):
+                for n in ns:
+                    if not n.endswith(".parquet"):
+                        continue
+                    src = os.path.join(r, n)
+                    if _pq.ParquetFile(src).metadata.num_rows == 0:
+                        continue
+                    rel_dir = os.path.relpath(r, staging)
+                    pv: dict[str, str | None] = {}
+                    if rel_dir != ".":
+                        for seg in rel_dir.split(os.sep):
+                            k, _, raw = seg.partition("=")
+                            pv[k] = (
+                                None
+                                if raw == hive_null
+                                else unquote(raw)
+                            )
+                    rel = os.path.join(
+                        _CHANGE_DIR,
+                        f"cdc-del-{_uuid.uuid4().hex[:12]}-{seq:04d}"
+                        ".parquet",
+                    )
+                    seq += 1
+                    dst = os.path.join(path, rel)
+                    _link_or_copy(src, dst)
+                    cdc_actions.append(
+                        {
+                            "cdc": {
+                                "path": quote(
+                                    rel.replace(os.sep, "/"), safe="/="
+                                ),
+                                "partitionValues": {
+                                    c: pv.get(c) for c in part_phys
+                                },
+                                "size": os.path.getsize(dst),
+                                "dataChange": False,
+                            }
+                        }
+                    )
+        finally:
+            _shutil.rmtree(staging, ignore_errors=True)
+
+    proto_action = None
+    if use_dv and not _protocol_has_dv(state.get("protocol") or {}):
+        if mode != "dv":
+            raise AssertionError("auto mode never upgrades")  # unreachable
+        proto_action = {
+            "protocol": _dv_upgrade_protocol(state.get("protocol") or {})
+        }
+
+    log_dir = os.path.join(path, _LOG_DIR)
+    touched_set = set(touched_rels)
+    for _attempt in range(8):
+        n_commit = state["n_commits"]
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": str(where)
+                    },
+                    "engineInfo": (
+                        "rxlan-aws-lakehouse-spark foreign delete"
+                    ),
+                }
+            }
+        ]
+        if proto_action:
+            actions.append(proto_action)
+        actions += cdc_actions + removes + re_adds
+        log_path = os.path.join(log_dir, f"{n_commit:020d}.json")
+        tmp = f"{log_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            _publish_commit(tmp, log_path)
+            return {
+                "version": n_commit,
+                "mode": "dv" if use_dv else "cow",
+                "n_matched": n_matched,
+                "n_files_touched": len(touched_rels),
+                "n_files_removed": n_removed_files,
+            }
+        except FileExistsError:
+            new_state = replay_delta_log(path)
+            if (
+                new_state["schema"] != state["schema"]
+                or new_state["partition_columns"]
+                != state["partition_columns"]
+                or new_state.get("protocol") != state.get("protocol")
+                or any(
+                    new_state["adds"].get(rel)
+                    != state["adds"].get(rel)
+                    for rel in touched_set
+                )
+            ):
+                raise ValueError(
+                    "cannot delete: a concurrent commit changed the "
+                    "table (schema/protocol or a file this DELETE "
+                    "touches) mid-operation; re-run against the new "
+                    "state"
+                )
+            state = new_state
+    raise RuntimeError(
+        f"delete on {path} lost the commit race 8 times; giving up"
+    )
