@@ -314,3 +314,52 @@ def read_spec(spec: tuple) -> bytes:
 def deleted_rows(spec: tuple) -> list[int]:
     """Spec -> sorted deleted in-file row indices."""
     return decode_roaring_bitmap_array(read_spec(spec))
+
+
+# --- standard 64-bit "portable" roaring serialization (Iceberg v3) ---
+# Iceberg v3 deletion vectors serialize their bitmap in the
+# RoaringFormatSpec's 64-bit PORTABLE format (not Delta's
+# RoaringBitmapArray wrapper above): an 8-byte little-endian count of
+# 32-bit buckets, then per bucket a 4-byte little-endian high key
+# followed by the standard 32-bit serialization — the same 32-bit
+# container codec both wrappers share (_decode_rb32/_encode_rb32).
+# https://github.com/RoaringBitmap/RoaringFormatSpec ("64-bit
+# implementations / portable format").
+
+
+def decode_roaring64_portable(data: bytes) -> list[int]:
+    """Portable Roaring64 bytes -> sorted row indices."""
+    (n_buckets,) = struct.unpack_from("<q", data, 0)
+    pos = 8
+    out: list[int] = []
+    prev_key = -1
+    for _ in range(n_buckets):
+        (key,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        if key <= prev_key:
+            raise ValueError(
+                f"portable Roaring64 bucket keys not ascending ({key})"
+            )
+        prev_key = key
+        vals, pos = _decode_rb32(data, pos)
+        out.extend((key << 32) | v for v in vals)
+    if pos != len(data):
+        raise ValueError(
+            f"portable Roaring64 trailing bytes ({len(data) - pos})"
+        )
+    return out
+
+
+def encode_roaring64_portable(indices) -> bytes:
+    """Sorted-or-not row indices -> portable Roaring64 bytes (empty
+    buckets are OMITTED, unlike Delta's dense RoaringBitmapArray)."""
+    by_high: dict[int, list[int]] = {}
+    for i in indices:
+        if i < 0:
+            raise ValueError(f"negative row index {i}")
+        by_high.setdefault(i >> 32, []).append(i & 0xFFFFFFFF)
+    parts = [struct.pack("<q", len(by_high))]
+    for high in sorted(by_high):
+        parts.append(struct.pack("<i", high))
+        parts.append(_encode_rb32(by_high[high]))
+    return b"".join(parts)

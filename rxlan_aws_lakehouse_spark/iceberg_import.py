@@ -12,9 +12,16 @@ hand-rolled-from-spec posture as the Delta importer.
 
 Spec mechanics honored:
 
-* **current metadata**: ``version-hint.text`` when present, else the
-  highest ``v<N>.metadata.json`` (the HadoopTables naming convention);
-  format-version 1 and 2 replay, 3+ refuses loudly by number.
+* **current metadata**: ``max(version-hint.text, highest scanned
+  v<N>.metadata.json)`` — the hint is advisory, the atomic metadata
+  link is the commit point (HadoopTables convention); format-version
+  1, 2 and 3 replay, 4+ refuses loudly by number.  v3 DELETION
+  VECTORS (round 15) read correctly: Puffin ``deletion-vector-v1``
+  blobs addressed by the manifest's ``referenced_data_file`` +
+  ``content_offset``/``content_size_in_bytes``, decoded per the spec
+  (BE length prefix + magic ``D1 D3 39 64`` + portable Roaring64 +
+  CRC-32 — ``puffin_lite.py``), replacing any older position deletes
+  for the referenced file per the v3 rule.
 * **snapshot resolution**: ``current-snapshot-id`` by default,
   ``snapshot_id=`` pins time travel to any snapshot still listed,
   ``timestamp=`` resolves through the metadata ``snapshot-log``
@@ -48,10 +55,9 @@ Spec mechanics honored:
   values, or a global unpartitioned delete).  Decoding is
   EXECUTOR-side inside the Arrow read (``apply_iceberg_deletes``),
   the same shape as the foreign-Delta deletion-vector decode.
-* **refusals, loudly by name**: non-parquet file formats,
-  format-version ≥ 3 (deletion vectors), unknown manifest content —
-  each names the construct so a user knows exactly what the table
-  uses.
+* **refusals, loudly by name**: non-parquet data file formats,
+  format-version ≥ 4, unknown manifest content — each names the
+  construct so a user knows exactly what the table uses.
 
 Scale shape: O(metadata bytes) driver work — manifest Avro is KBs per
 thousands of files — then ONE parquet scan of the surviving files.
@@ -136,10 +142,10 @@ def load_table_metadata_versioned(path: str) -> tuple[dict, int]:
     with open(os.path.join(mdir, f"v{n}.metadata.json")) as f:
         meta = json.load(f)
     fv = int(meta.get("format-version", 1))
-    if fv > 2:
+    if fv > 3:
         raise ValueError(
             f"cannot import: Iceberg format-version {fv} is not "
-            "supported (1 and 2 are)"
+            "supported (1, 2 and 3 are)"
         )
     return meta, n
 
@@ -684,10 +690,30 @@ def iceberg_live_files(
                         f"content={c} (1=position, 2=equality)"
                     )
                 fmt = str(df.get("file_format") or "").upper()
-                if fmt != "PARQUET":
+                referenced = df.get("referenced_data_file")
+                is_dv = referenced is not None and fmt == "PUFFIN"
+                if is_dv:
+                    # v3 DELETION VECTOR (round 15, r14 verdict task
+                    # 3): a Puffin blob scoped to exactly one data
+                    # file, addressed directly by content_offset /
+                    # content_size_in_bytes — no footer parse
+                    if c != 1:
+                        raise ValueError(
+                            "cannot import: deletion-vector entry with "
+                            f"content={c} (v3 DVs are position deletes)"
+                        )
+                    if (
+                        df.get("content_offset") is None
+                        or df.get("content_size_in_bytes") is None
+                    ):
+                        raise ValueError(
+                            "cannot import: deletion-vector entry "
+                            "lacks content_offset/content_size_in_bytes"
+                        )
+                elif fmt != "PARQUET":
                     raise ValueError(
                         f"cannot import: delete file_format {fmt!r} "
-                        "(only PARQUET)"
+                        "(PARQUET, or PUFFIN for v3 deletion vectors)"
                     )
                 delete_files.append(
                     {
@@ -701,6 +727,10 @@ def iceberg_live_files(
                             int(x)
                             for x in (df.get("equality_ids") or [])
                         ],
+                        "dv": is_dv,
+                        "referenced": referenced,
+                        "offset": df.get("content_offset"),
+                        "size": df.get("content_size_in_bytes"),
                         # manifest bounds of the delete file's columns
                         # (position: the reserved file_path field
                         # 2147483546; equality: the equality columns) —
@@ -776,6 +806,7 @@ def _applicable_deletes(
     executor anti-joins on the equality columns, null matching null."""
     _POS_PATH_FID = 2147483546  # the spec's reserved file_path field
     out = []
+    dv_hit = False
     data_lo = _kvmap(df.get("lower_bounds"))
     data_hi = _kvmap(df.get("upper_bounds"))
     data_nulls = _kvmap(df.get("null_value_counts"))
@@ -786,6 +817,19 @@ def _applicable_deletes(
         else:
             if d["seq"] <= seq:
                 continue
+        if d.get("dv"):
+            # v3 deletion vector: scoped by its referenced data file
+            # path alone (exact, stronger than partition scoping)
+            if str(d["referenced"]) in _path_variants(
+                str(df.get("file_path"))
+            ) or str(df.get("file_path")) in _path_variants(
+                str(d["referenced"])
+            ):
+                out.append(
+                    ("dv", d["abs"], int(d["offset"]), int(d["size"]))
+                )
+                dv_hit = True
+            continue
         if not d["global"] and (
             d["spec_id"] != spec_id or d["partition"] != partition
         ):
@@ -843,6 +887,11 @@ def _applicable_deletes(
             if disjoint:
                 continue
             out.append(("eq", d["abs"], tuple(cols)))
+    if dv_hit:
+        # v3 rule: a deletion vector REPLACES all position deletes for
+        # its data file (at most one DV per file per snapshot; older
+        # position delete files must not also be applied)
+        out = [s for s in out if s[0] != "pos"]
     return tuple(out)
 
 
@@ -880,7 +929,16 @@ def apply_iceberg_deletes(tbl, specs: tuple):
         return tbl
     alive = np.ones(n, dtype=bool)
     for spec in specs:
-        if spec[0] == "pos":
+        if spec[0] == "dv":
+            # v3 deletion vector: one bounded read at the manifest's
+            # blob offset, CRC-checked, roaring-decoded (puffin_lite)
+            from .puffin_lite import read_dv_blob
+
+            _, dpath, off, size = spec
+            for p in read_dv_blob(dpath, off, size):
+                if 0 <= p < n:
+                    alive[p] = False
+        elif spec[0] == "pos":
             _, dpath, target = spec
             dt = pq.read_table(
                 dpath,

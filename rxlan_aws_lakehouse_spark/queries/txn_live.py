@@ -2501,6 +2501,105 @@ def foreign_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE committed against FOREIGN Delta tables
+    (round 15, r14 verdict task 2 — write interop was append-only).
+    One orders slice exports to TWO foreign Delta tables; the same
+    predicate deletes through BOTH spec strategies:
+
+    * copy-on-write on the plain (1,2)-protocol table (``mode=auto``
+      never upgrades a foreign protocol — survivors rewritten,
+      remove+add commit);
+    * a DELETION-VECTOR write on the second (``mode="dv"``): protocol
+      upgraded to table-features (3,7) in-commit, matched ordinals
+      roaring-encoded executor-side, one spec DV file, remove+add with
+      the descriptor and ``tightBounds: false`` stats.
+
+    Flags: ``modes_ok`` (each path took its intended strategy),
+    ``dv_ok`` (every committed descriptor re-decodes through the spec
+    codec alone with matching cardinality, and the DV table kept its
+    original data files), ``agree_ok`` (both reads row-identical),
+    ``travel_ok`` (version 0 of each still reads the full slice).
+    The survivors' per-priority aggregate is the output — DuckDB's
+    closed form of slice-minus-predicate hash-checks both engines'
+    delete semantics."""
+    from ..delta_dv import deleted_rows, descriptor_spec
+    from ..delta_export import (
+        delete_delta,
+        export_delta,
+        import_delta,
+        replay_delta_log,
+    )
+
+    work = tempfile.mkdtemp(prefix="fdelete_")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderpriority").alias("prio"),
+        )
+        base = orders.filter(F.col("o_orderkey") <= 2400)
+        n_base = base.count()
+        t = TxnTable(f"{work}/t")
+        t.commit(base.repartition(4))
+        cow_dest, dv_dest = f"{work}/cow", f"{work}/dv"
+        export_delta(t, cow_dest)
+        export_delta(t, dv_dest)
+        pred = "o_orderkey % 10 < 3"
+        rc = delete_delta(spark, cow_dest, pred)
+        rd = delete_delta(spark, dv_dest, pred, mode="dv")
+        modes_ok = (
+            rc["mode"] == "cow"
+            and rd["mode"] == "dv"
+            and rc["n_matched"] == rd["n_matched"] > 0
+        )
+        dstate = replay_delta_log(dv_dest)
+        dv_ok = (
+            int(dstate["protocol"]["minReaderVersion"]) == 3
+            and "deletionVectors"
+            in set(dstate["protocol"]["readerFeatures"])
+        )
+        n_dv = 0
+        for a in dstate["adds"].values():
+            desc = a.get("deletionVector")
+            if not desc:
+                continue
+            if isinstance(desc, list):
+                desc = dict(desc)
+            idx = deleted_rows(descriptor_spec(dv_dest, desc))
+            dv_ok = dv_ok and len(idx) == int(desc["cardinality"])
+            n_dv += len(idx)
+        dc = import_delta(spark, cow_dest)
+        dv = import_delta(spark, dv_dest)
+        cols = ["o_orderkey", "o_totalprice", "prio"]
+        agree_ok = (
+            dc.count() == dv.count() == n_base - rc["n_matched"]
+            and dc.select(cols).exceptAll(dv.select(cols)).count() == 0
+        )
+        travel_ok = (
+            import_delta(spark, cow_dest, version=0).count() == n_base
+            and import_delta(spark, dv_dest, version=0).count() == n_base
+        )
+        out = (
+            dv.groupBy("prio")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_live"),
+                F.round(F.sum("o_totalprice") * 100)
+                .cast("long")
+                .alias("live_rev_c"),
+            )
+            .withColumn("modes_ok", F.lit(bool(modes_ok)))
+            .withColumn("dv_ok", F.lit(bool(dv_ok)))
+            .withColumn("agree_ok", F.lit(bool(agree_ok)))
+            .withColumn("travel_ok", F.lit(bool(travel_ok)))
+            .orderBy("prio")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FOREIGN-Delta import (round 12, r11 verdict task 2): the lane
     hand-authors a Delta table from the public protocol spec — flat
@@ -3438,10 +3537,144 @@ def iceberg_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
             _os.path.join(root, "metadata", "v2.metadata.json"), "w"
         ) as fh:
             _json.dump(meta, fh)
+
+        # --- round 15 (r14 verdict task 3): a STAGED v3 snapshot 4
+        # carries a Puffin DELETION VECTOR over the first data file —
+        # spec blob framing (BE length + D1D33964 magic + portable
+        # Roaring64 + CRC-32), addressed by referenced_data_file +
+        # content_offset/content_size_in_bytes — alongside the
+        # snapshot-3 delete manifest, so the v3 replacement rule is
+        # position-checked: the DV supersedes the older position
+        # delete for that file (its rows RESURRECT unless the DV or
+        # the equality delete also covers them).  The table metadata
+        # bumps to format-version 3; the current snapshot stays 2, so
+        # the headline aggregate is untouched.
+        from ..puffin_lite import dv_blob_bytes, write_puffin
+
+        dv_dead = sorted({1, min(3, len(ks0) - 1)})
+        dv_keys = {ks0[i] for i in dv_dead}
+        pf_metas = write_puffin(
+            _os.path.join(root, "data", "dv4.puffin"),
+            [(dv_blob_bytes(dv_dead), {"referenced-data-file": rel0})],
+        )
+        dv_mf_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {"name": "sequence_number", "type": ["null", "long"]},
+                {
+                    "name": "file_sequence_number",
+                    "type": ["null", "long"],
+                },
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "rdv",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "rp1",
+                                    "fields": [],
+                                },
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {
+                                "name": "file_size_in_bytes",
+                                "type": "long",
+                            },
+                            {
+                                "name": "referenced_data_file",
+                                "type": ["null", "string"],
+                            },
+                            {
+                                "name": "content_offset",
+                                "type": ["null", "long"],
+                            },
+                            {
+                                "name": "content_size_in_bytes",
+                                "type": ["null", "long"],
+                            },
+                        ],
+                    },
+                },
+            ],
+        }
+        write_avro(
+            _os.path.join(root, "metadata/mdv4.avro"),
+            dv_mf_schema,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 4,
+                    "sequence_number": 4,
+                    "file_sequence_number": 4,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": "data/dv4.puffin",
+                        "file_format": "PUFFIN",
+                        "partition": {},
+                        "record_count": len(dv_dead),
+                        "file_size_in_bytes": _os.path.getsize(
+                            _os.path.join(root, "data", "dv4.puffin")
+                        ),
+                        "referenced_data_file": rel0,
+                        "content_offset": pf_metas[0]["offset"],
+                        "content_size_in_bytes": pf_metas[0]["length"],
+                    },
+                }
+            ],
+        )
+        dv_row = {
+            "manifest_path": "metadata/mdv4.avro",
+            "manifest_length": _os.path.getsize(
+                _os.path.join(root, "metadata/mdv4.avro")
+            ),
+            "partition_spec_id": 1,
+            "content": 1,
+            "sequence_number": 4,
+            "min_sequence_number": 4,
+            "added_snapshot_id": 4,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": len(dv_dead),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+        write_avro(
+            _os.path.join(root, "metadata/snap-4.avro"),
+            ml_schema,
+            manifests + [del_row, dv_row],
+        )
+        meta["format-version"] = 3
+        meta["snapshots"] = meta["snapshots"] + [
+            {
+                "snapshot-id": 4,
+                "timestamp-ms": 4,
+                "sequence-number": 4,
+                "summary": {"operation": "overwrite"},
+                "manifest-list": "metadata/snap-4.avro",
+                "schema-id": 0,
+            }
+        ]
+        meta["last-sequence-number"] = 4
+        with open(
+            _os.path.join(root, "metadata", "v3.metadata.json"), "w"
+        ) as fh:
+            _json.dump(meta, fh)
         with open(
             _os.path.join(root, "metadata", "version-hint.text"), "w"
         ) as fh:
-            fh.write("2")
+            fh.write("3")
 
         # snapshot time travel: snapshot 1 predates the 5-LOW partition
         n_5low = sum(r[4] for r in by_pv.get("5-LOW", []))
@@ -3467,18 +3700,19 @@ def iceberg_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
             and len(st["files"]) == len(by_pv.get("5-LOW", []))
             and 0 < len(st2["files"]) < st2["n_total"]
         )
-        # refusal probe: format-version 3 refuses loudly by number
-        v3root = f"{work}/v3"
-        _os.makedirs(_os.path.join(v3root, "metadata"))
+        # refusal probe: format-version 4 refuses loudly by number
+        # (v3 READS as of round 15 — dv3_ok below)
+        v4root = f"{work}/v4"
+        _os.makedirs(_os.path.join(v4root, "metadata"))
         with open(
-            _os.path.join(v3root, "metadata", "v1.metadata.json"), "w"
+            _os.path.join(v4root, "metadata", "v1.metadata.json"), "w"
         ) as fh:
-            _json.dump({**meta, "format-version": 3}, fh)
+            _json.dump({**meta, "format-version": 4}, fh)
         try:
-            import_iceberg(spark, v3root)
+            import_iceberg(spark, v4root)
             refuse_ok = False
         except ValueError as e:
-            refuse_ok = "format-version 3" in str(e)
+            refuse_ok = "format-version 4" in str(e)
         # zero-copy CONVERT (round 13): the same metadata tree adopts
         # as a txn table — files by hard link, stats from the manifest
         # bounds — and must agree with the import row-for-row; the
@@ -3521,6 +3755,26 @@ def iceberg_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
             and import_iceberg(spark, root, timestamp=2).count()
             == n_all
         )
+        # v3 DELETION VECTOR read (round 15): at snapshot 4 the DV
+        # REPLACES the older position delete on the same file (those
+        # rows resurrect unless the DV/equality delete covers them),
+        # the equality delete still applies, and the DV's own rows
+        # are gone
+        dv4 = import_iceberg(spark, root, snapshot_id=4)
+        gone4 = dv_keys | set(eq_keys)
+        present4 = {
+            r["o_orderkey"]
+            for r in dv4.filter(
+                F.col("o_orderkey").isin(
+                    *sorted(gone4 | pos_dead_keys)
+                )
+            ).collect()
+        }
+        resurrected = pos_dead_keys - gone4
+        dv3_ok = (
+            dv4.count() == n_all - len(gone4)
+            and present4 == resurrected
+        )
 
         out = (
             import_iceberg(spark, root)
@@ -3539,6 +3793,7 @@ def iceberg_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("convert_ok", F.lit(bool(convert_ok)))
             .withColumn("mor_ok", F.lit(bool(mor_ok)))
             .withColumn("ts_ok", F.lit(bool(ts_ok)))
+            .withColumn("dv3_ok", F.lit(bool(dv3_ok)))
             .orderBy("prio")
         )
         rows = out.collect()
@@ -3742,6 +3997,7 @@ QUERIES = {
     "delta_import_foreign": delta_import_foreign,
     "iceberg_import_foreign": iceberg_import_foreign,
     "foreign_append_roundtrip": foreign_append_roundtrip,
+    "foreign_delete_roundtrip": foreign_delete_roundtrip,
     "txn_sql_evolution": txn_sql_evolution,
 }
 
@@ -3824,7 +4080,8 @@ ORACLE = {
                TRUE AS refuse_ok,
                TRUE AS convert_ok,
                TRUE AS mor_ok,
-               TRUE AS ts_ok
+               TRUE AS ts_ok,
+               TRUE AS dv3_ok
         FROM t
         GROUP BY coalesce(p, 'NONE') ORDER BY prio
     """,
@@ -3852,6 +4109,23 @@ ORACLE = {
                TRUE AS tp_pruned
         FROM orders
         WHERE o_orderkey <= 2600
+        GROUP BY o_orderpriority
+        ORDER BY prio
+    """,
+    # Foreign row-level DELETE: the same predicate removed through
+    # copy-on-write AND a deletion-vector write — the closed form is
+    # the slice minus the predicate
+    "foreign_delete_roundtrip": """
+        SELECT o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS n_live,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT)
+                   AS live_rev_c,
+               TRUE AS modes_ok,
+               TRUE AS dv_ok,
+               TRUE AS agree_ok,
+               TRUE AS travel_ok
+        FROM orders
+        WHERE o_orderkey <= 2400 AND NOT (o_orderkey % 10 < 3)
         GROUP BY o_orderpriority
         ORDER BY prio
     """,

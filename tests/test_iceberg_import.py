@@ -171,6 +171,19 @@ def manifest_schema(part_fields):
                                 },
                             ],
                         },
+                        # v3 deletion-vector fields (143/144/145)
+                        {
+                            "name": "referenced_data_file",
+                            "type": ["null", "string"],
+                        },
+                        {
+                            "name": "content_offset",
+                            "type": ["null", "long"],
+                        },
+                        {
+                            "name": "content_size_in_bytes",
+                            "type": ["null", "long"],
+                        },
                     ],
                 },
             },
@@ -1697,3 +1710,122 @@ def test_eq_match_mask_no_cross_column_collision():
     assert _eq_match_mask(data, dt3, eqcols).tolist() == [
         False, False, False, True, False,
     ]
+
+# ------------------------------------------------------- v3 read path
+def _dv_del_entry(puffin_rel, referenced, offset, size, cat=None, seq=None):
+    """v3 manifest entry for one deletion vector: a PUFFIN blob scoped
+    to exactly one data file via referenced_data_file + the direct
+    content_offset/content_size_in_bytes address."""
+    return {
+        "status": 1,
+        "snapshot_id": None,
+        "sequence_number": seq,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 1,
+            "file_path": puffin_rel,
+            "file_format": "PUFFIN",
+            "partition": {"cat": cat},
+            "record_count": 1,
+            "file_size_in_bytes": 1,
+            "referenced_data_file": referenced,
+            "content_offset": offset,
+            "content_size_in_bytes": size,
+        },
+    }
+
+
+def test_v3_deletion_vectors(spark, tmp_path):
+    """r14 verdict task 3: a hand-authored format-version 3 table with
+    Puffin deletion vectors reads correctly — the blob decodes per the
+    spec (BE length prefix, D1D33964 magic, portable Roaring64,
+    CRC-32), scopes to exactly its referenced data file, and REPLACES
+    an older position delete for that file per the v3 rule."""
+    from rxlan_aws_lakehouse_spark.puffin_lite import (
+        dv_blob_bytes,
+        write_puffin,
+    )
+
+    t = Ice(str(tmp_path / "v3"))
+    f1 = t.write_file("a.parquet", [1, 2, 3, 4], "x")
+    f2 = t.write_file("b.parquet", [5, 6], "x")
+    # seq-1 position delete on f1 row 0 (k=1) — superseded by the DV
+    pd1 = t.write_pos_delete("pd1.parquet", [(f1, 0)])
+    # the DV at seq 2 deletes rows 1,3 of f1 (k=2, k=4); per the v3
+    # rule the older position delete must NOT also apply, so k=1
+    # comes BACK — asserting exactly the replacement semantics
+    blob1 = dv_blob_bytes([1, 3])
+    blob2 = dv_blob_bytes([0])  # f2 row 0 (k=5)
+    metas = write_puffin(
+        os.path.join(t.root, "data", "dvs.puffin"),
+        [
+            (blob1, {"referenced-data-file": f1}),
+            (blob2, {"referenced-data-file": f2}),
+        ],
+    )
+    m1 = t.manifest(
+        "m1.avro",
+        [t.entry(f1, [1, 2, 3, 4], "x"), t.entry(f2, [5, 6], "x")],
+        ["x"],
+        seq=1,
+    )
+    md = t.manifest(
+        "md.avro",
+        [
+            t.del_entry(pd1, 1, cat="x", seq=1),
+            _dv_del_entry(
+                "data/dvs.puffin", f1,
+                metas[0]["offset"], metas[0]["length"], cat="x", seq=2,
+            ),
+            _dv_del_entry(
+                "data/dvs.puffin", f2,
+                metas[1]["offset"], metas[1]["length"], cat="x", seq=2,
+            ),
+        ],
+        ["x"],
+        content=1,
+        seq=2,
+    )
+    t.snapshot(1, [m1, md])
+    t.metadata(1, current_sid=1, format_version=3)
+    st = iceberg_live_files(t.root)
+    assert len(st["delete_files"]) == 3
+    assert sum(1 for d in st["delete_files"] if d.get("dv")) == 2
+    # per-file specs: f1 gets its DV and NOT the position delete
+    spec_of = dict(zip(st["files"], st["delete_specs"]))
+    f1_abs = [p for p in st["files"] if p.endswith("a.parquet")][0]
+    f2_abs = [p for p in st["files"] if p.endswith("b.parquet")][0]
+    assert [s[0] for s in spec_of[f1_abs]] == ["dv"]
+    assert [s[0] for s in spec_of[f2_abs]] == ["dv"]
+    df = import_iceberg(spark, t.root)
+    assert {r["k"] for r in df.collect()} == {1, 3, 6}
+
+
+def test_v3_dv_crc_guard(tmp_path):
+    """A corrupt DV blob fails loudly (CRC), never half-applies."""
+    from rxlan_aws_lakehouse_spark.puffin_lite import (
+        decode_dv_blob,
+        dv_blob_bytes,
+        read_dv_blob,
+        write_puffin,
+    )
+
+    blob = dv_blob_bytes([2, 5, 1 << 33])
+    assert decode_dv_blob(blob) == [2, 5, 1 << 33]
+    p = str(tmp_path / "x.puffin")
+    (m,) = write_puffin(p, [(blob, {})])
+    assert read_dv_blob(p, m["offset"], m["length"]) == [2, 5, 1 << 33]
+    bad = bytearray(blob)
+    bad[10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_dv_blob(bytes(bad))
+    with pytest.raises(ValueError, match="magic"):
+        decode_dv_blob(blob[:4] + b"XXXX" + blob[8:])
+
+
+def test_v4_still_refuses(tmp_path):
+    t = Ice(str(tmp_path / "v4"))
+    t.snapshots = []
+    t.metadata(1, current_sid=-1, format_version=4)
+    with pytest.raises(ValueError, match="format-version 4"):
+        load_table_metadata(t.root)
