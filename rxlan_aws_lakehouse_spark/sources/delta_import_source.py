@@ -188,6 +188,14 @@ class DeltaImportReader(DataSourceReader):
     add.stats / partitionValues file skipping on pushed filters."""
 
     def __init__(self, options, schema: StructType):
+        if str(
+            options.get("readChangeFeed", "false")
+        ).lower() == "true":
+            raise ValueError(
+                "readChangeFeed is a STREAMING option on "
+                "format('delta_import') — use spark.readStream (the "
+                "batch change feed is read_delta_cdf)"
+            )
         self._schema = schema
         self._root = options["path"]
         self._state = _resolve_state(options)
@@ -302,6 +310,17 @@ class DeltaImportStreamReader(DataSourceStreamReader):
       past a checkpoint cannot be streamed individually and raise a
       reconstructable error. ``maxVersionsPerTrigger`` bounds catch-up
       batches exactly like the txn source's cap.
+    * ``readChangeFeed=true`` (round 15, r14 verdict task 6 — the
+      foreign twin of the native ``txn_source_stream_cdf``): rows come
+      back as the CHANGE FEED — the table schema plus ``_change_type``
+      and ``_commit_version`` — per the protocol's change-data rules:
+      a commit carrying ``cdc`` actions streams EXACTLY those recorded
+      files (they hold the physical data columns + ``_change_type``;
+      partition values attach from ``cdc.partitionValues``); a commit
+      without them derives ``insert`` rows from its
+      ``dataChange=true`` adds; a commit that REMOVED rows without
+      recording cdc fails loudly (its row-level history cannot be
+      derived — enable ``delta.enableChangeDataFeed`` on the writer).
 
     Partition values and physical column names resolve exactly as the
     batch reader's: ``consts`` + the plan-time ``phys`` tuple (frozen
@@ -325,6 +344,9 @@ class DeltaImportStreamReader(DataSourceStreamReader):
             else ()
         )
         self._fids = _schema_field_ids(state, schema)
+        self._cdf = str(
+            options.get("readChangeFeed", "false")
+        ).lower() == "true"
         self._ignore_deletes = str(
             options.get("ignoreDeletes", "false")
         ).lower() == "true"
@@ -386,6 +408,9 @@ class DeltaImportStreamReader(DataSourceStreamReader):
                     for line in f
                     if line.strip()
                 ]
+            if self._cdf:
+                parts.extend(self._cdf_partitions(n, actions))
+                continue
             for a in actions:
                 if "metaData" in a:
                     got = json.dumps(
@@ -447,6 +472,100 @@ class DeltaImportStreamReader(DataSourceStreamReader):
                     )
         return parts
 
+    def _cdf_partitions(self, n: int, actions: list) -> list:
+        """One commit's CHANGE-FEED file partitions per the protocol's
+        change-data rules (``readChangeFeed=true``): recorded ``cdc``
+        files verbatim when present (they carry ``_change_type``; the
+        commit version attaches as a typed constant), else ``insert``
+        derivation from ``dataChange=true`` adds — and a LOUD failure
+        when the commit removed rows without recording cdc (its
+        row-level history cannot be derived)."""
+        out: list[InputPartition] = []
+
+        def fp(rel: str, pv: dict, extra: tuple, dv_spec=None):
+            consts = tuple(
+                (
+                    self._phys_map.get(c, c),
+                    pv.get(self._phys_map.get(c, c)),
+                )
+                for c in self._part_cols
+            ) + extra
+            return _FilePartition(
+                file_path=os.path.join(self._root, rel),
+                rel=posixpath.basename(rel),
+                dv_dir=None,
+                consts=consts,
+                phys=self._phys,
+                dv_spec=dv_spec,
+                field_ids=self._fids,
+            )
+
+        cdc_actions = []
+        removes_changeful = False
+        adds = []
+        for a in actions:
+            if "metaData" in a:
+                got = json.dumps(
+                    json.loads(a["metaData"]["schemaString"]),
+                    sort_keys=True,
+                )
+                if got != self._plan_schema_str:
+                    raise RuntimeError(
+                        f"schema change at commit {n} of {self._root}; "
+                        "restart the stream to pick up the new schema "
+                        "(Delta streaming-source semantics)"
+                    )
+            elif "protocol" in a:
+                _gate_foreign_protocol(
+                    {"protocol": a["protocol"], "adds": {}}
+                )
+            elif "cdc" in a:
+                cdc_actions.append(a["cdc"])
+            elif "remove" in a and bool(
+                a["remove"].get("dataChange", True)
+            ):
+                removes_changeful = True
+            elif "add" in a and bool(a["add"].get("dataChange", True)):
+                adds.append(a["add"])
+        if cdc_actions:
+            # spec rule: a commit with ANY cdc action is read ONLY
+            # through its cdc files
+            for c in cdc_actions:
+                pv = c.get("partitionValues") or {}
+                if isinstance(pv, list):
+                    pv = dict(pv)
+                out.append(
+                    fp(
+                        unquote(c["path"]),
+                        pv,
+                        (("_commit_version", str(n)),),
+                    )
+                )
+            return out
+        if removes_changeful:
+            raise RuntimeError(
+                f"commit {n} of {self._root} changed/removed rows but "
+                "recorded no cdc files — its change feed cannot be "
+                "derived; enable delta.enableChangeDataFeed on the "
+                "writer (or stream the data, not the change feed)"
+            )
+        for add in adds:
+            pv = add.get("partitionValues") or {}
+            if isinstance(pv, list):
+                pv = dict(pv)
+            out.append(
+                fp(
+                    unquote(add["path"]),
+                    pv,
+                    (
+                        ("_change_type", "insert"),
+                        ("_commit_version", str(n)),
+                    ),
+                    dv_spec=_dv_spec_of(add, self._root),
+                )
+            )
+        return out
+
     def read(self, partition: _FilePartition) -> Iterator:
         yield from _read_file_batches(partition, self._schema)
 
@@ -466,7 +585,24 @@ class DeltaImportDataSource(DataSource):
         return "delta_import"
 
     def schema(self) -> StructType:
-        return StructType.fromJson(_resolve_state(self.options)["schema"])
+        st = StructType.fromJson(_resolve_state(self.options)["schema"])
+        if str(
+            self.options.get("readChangeFeed", "false")
+        ).lower() == "true":
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+            )
+
+            st = StructType(
+                list(st.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+        return st
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return DeltaImportReader(self.options, schema)

@@ -280,3 +280,127 @@ def test_delete_lost_race_conflict_detection(spark, tmp_path):
             de.delete_delta(spark, dest, "k >= 0", mode="cow")
     finally:
         de.replay_delta_log = de_replay
+
+
+def test_streaming_foreign_cdf_tail(spark, tmp_path):
+    """readChangeFeed=true on format('delta_import') (r14 verdict task
+    6): tails a foreign table's CHANGE FEED — recorded cdc files
+    verbatim, insert derivation for append commits, exactly-once
+    across a restart, and a loud failure on a changeful commit
+    without cdc."""
+    from rxlan_aws_lakehouse_spark.sources.delta_import_source import (
+        register_delta_import_source,
+    )
+
+    register_delta_import_source(spark)
+    dest = _plain_foreign(spark, tmp_path, name="cdft")
+    # enable CDF via a metaData re-commit (schema unchanged)
+    state = replay_delta_log(dest)
+    with open(
+        os.path.join(dest, "_delta_log", f"{state['n_commits']:020d}.json"),
+        "w",
+    ) as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": state["meta_id"],
+                        "format": {
+                            "provider": "parquet",
+                            "options": {},
+                        },
+                        "schemaString": json.dumps(state["schema"]),
+                        "partitionColumns": state["partition_columns"],
+                        "configuration": {
+                            "delta.enableChangeDataFeed": "true"
+                        },
+                    }
+                }
+            )
+            + "\n"
+        )
+    extra = spark.createDataFrame(
+        [(100, 1, 5.0), (101, 2, 6.0)], "k INT, seg INT, v DOUBLE"
+    )
+    r_app = append_delta(spark, dest, extra)  # commit 2: blind append
+    r_del = delete_delta(spark, dest, "k < 3", mode="cow")  # commit 3: cdc
+    assert r_del["n_matched"] == 3
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_import")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "earliest")
+            .load(dest)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = drain()
+    # commit 0: 20 inserts; commit 2: 2 inserts; commit 3: 3 deletes
+    assert {(100, "insert", 2), (101, "insert", 2)} <= got
+    assert {(0, "delete", 3), (1, "delete", 3), (2, "delete", 3)} <= got
+    assert sum(1 for _, t, v in got if t == "insert" and v == 0) == 20
+    assert len(got) == 25
+    # restart: only the NEW commit's changes land (exactly-once)
+    append_delta(
+        spark,
+        dest,
+        spark.createDataFrame([(200, 3, 7.0)], "k INT, seg INT, v DOUBLE"),
+    )
+    got2 = drain()
+    assert got2 - got == {(200, "insert", 4)}
+    # changeful commit WITHOUT cdc fails loudly: flip CDF off, delete
+    state = replay_delta_log(dest)
+    with open(
+        os.path.join(dest, "_delta_log", f"{state['n_commits']:020d}.json"),
+        "w",
+    ) as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": state["meta_id"],
+                        "format": {
+                            "provider": "parquet",
+                            "options": {},
+                        },
+                        "schemaString": json.dumps(state["schema"]),
+                        "partitionColumns": state["partition_columns"],
+                        "configuration": {},
+                    }
+                }
+            )
+            + "\n"
+        )
+    delete_delta(spark, dest, "k = 5", mode="cow")
+    q = (
+        spark.readStream.format("delta_import")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "earliest")
+        .load(dest)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out2"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    with pytest.raises(Exception, match="recorded no cdc"):
+        q.awaitTermination(120)
+        raise RuntimeError("stream should have failed")
+    # batch reads refuse the streaming-only option loudly
+    with pytest.raises(Exception, match="STREAMING option"):
+        spark.read.format("delta_import").option(
+            "readChangeFeed", "true"
+        ).load(dest).collect()
