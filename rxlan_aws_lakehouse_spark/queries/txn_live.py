@@ -1690,6 +1690,9 @@ def txn_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """SQL DML router (round 10, ``sql_dml.py``): the analyst WRITE
     surface. A txn customer table takes a four-statement SQL script —
     a four-clause MERGE (a conditional MATCHED DELETE, two conditional
@@ -2515,21 +2518,30 @@ def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       roaring-encoded executor-side, one spec DV file, remove+add with
       the descriptor and ``tightBounds: false`` stats.
 
-    Flags: ``modes_ok`` (each path took its intended strategy),
-    ``dv_ok`` (every committed descriptor re-decodes through the spec
-    codec alone with matching cardinality, and the DV table kept its
-    original data files), ``agree_ok`` (both reads row-identical),
-    ``travel_ok`` (version 0 of each still reads the full slice).
-    The survivors' per-priority aggregate is the output — DuckDB's
-    closed form of slice-minus-predicate hash-checks both engines'
-    delete semantics."""
+    The COW table's verbs run through SQL (round 15, r14 verdict task
+    7): ``DELETE FROM`` on a ``DELTA_IMPORT`` attachment routes onto
+    ``delete_delta`` (auto mode — never upgrades a foreign protocol)
+    and ``COPY INTO`` onto ``append_delta``; the DV table runs the
+    same operations through the Python API, so ``agree_ok`` pins
+    SQL path == Python API row-for-row.
+
+    Flags: ``modes_ok`` (each path took its intended strategy, and the
+    SQL verbs reported theirs), ``dv_ok`` (every committed descriptor
+    re-decodes through the spec codec alone with matching cardinality,
+    and the DV table kept its original data files), ``agree_ok`` (both
+    reads row-identical), ``travel_ok`` (version 0 of each still reads
+    the full slice).  The survivors' per-priority aggregate is the
+    output — DuckDB's closed form of slice-minus-predicate plus the
+    copied tail hash-checks both engines' semantics."""
     from ..delta_dv import deleted_rows, descriptor_spec
     from ..delta_export import (
+        append_delta,
         delete_delta,
         export_delta,
         import_delta,
         replay_delta_log,
     )
+    from ..sql_dml import TxnSqlRouter
 
     work = tempfile.mkdtemp(prefix="fdelete_")
     try:
@@ -2545,14 +2557,32 @@ def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cow_dest, dv_dest = f"{work}/cow", f"{work}/dv"
         export_delta(t, cow_dest)
         export_delta(t, dv_dest)
-        pred = "o_orderkey % 10 < 3"
-        rc = delete_delta(spark, cow_dest, pred)
-        rd = delete_delta(spark, dv_dest, pred, mode="dv")
-        modes_ok = (
-            rc["mode"] == "cow"
-            and rd["mode"] == "dv"
-            and rc["n_matched"] == rd["n_matched"] > 0
+        extra = orders.filter(
+            (F.col("o_orderkey") > 2400) & (F.col("o_orderkey") <= 2500)
         )
+        extra.write.mode("overwrite").parquet(f"{work}/extra")
+        pred = "o_orderkey % 10 < 3"
+        # COW table: the SQL surface (DELETE FROM + COPY INTO on an
+        # attached foreign table)
+        router = TxnSqlRouter(spark)
+        router.sql(
+            f"CREATE TABLE fdel USING DELTA_IMPORT LOCATION '{cow_dest}'"
+        )
+        rsql = router.sql(f"DELETE FROM fdel WHERE {pred}").collect()[0]
+        csql = router.sql(
+            f"COPY INTO fdel FROM '{work}/extra'"
+        ).collect()[0]
+        router.sql("DROP TABLE fdel")
+        # DV table: the Python API, same operations
+        rd = delete_delta(spark, dv_dest, pred, mode="dv")
+        append_delta(spark, dv_dest, extra)
+        modes_ok = (
+            rsql["operation"] == "delete_foreign_cow"
+            and csql["operation"] == "copy_into_foreign_delta"
+            and rd["mode"] == "dv"
+            and int(rsql["n_matched"]) == rd["n_matched"] > 0
+        )
+        rc = {"n_matched": int(rsql["n_matched"])}
         dstate = replay_delta_log(dv_dest)
         dv_ok = (
             int(dstate["protocol"]["minReaderVersion"]) == 3
@@ -2572,8 +2602,11 @@ def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dc = import_delta(spark, cow_dest)
         dv = import_delta(spark, dv_dest)
         cols = ["o_orderkey", "o_totalprice", "prio"]
+        n_extra = extra.count()
         agree_ok = (
-            dc.count() == dv.count() == n_base - rc["n_matched"]
+            dc.count()
+            == dv.count()
+            == n_base - rc["n_matched"] + n_extra
             and dc.select(cols).exceptAll(dv.select(cols)).count() == 0
         )
         travel_ok = (
@@ -4112,10 +4145,18 @@ ORACLE = {
         GROUP BY o_orderpriority
         ORDER BY prio
     """,
-    # Foreign row-level DELETE: the same predicate removed through
-    # copy-on-write AND a deletion-vector write — the closed form is
-    # the slice minus the predicate
+    # Foreign row-level DELETE + COPY INTO: the same predicate removed
+    # through SQL-on-attachment (copy-on-write) AND the Python API
+    # (deletion-vector write), then the same tail appended both ways —
+    # the closed form is slice-minus-predicate plus the copied tail
     "foreign_delete_roundtrip": """
+        WITH t AS (
+            SELECT * FROM orders
+            WHERE o_orderkey <= 2400 AND NOT (o_orderkey % 10 < 3)
+            UNION ALL
+            SELECT * FROM orders
+            WHERE o_orderkey > 2400 AND o_orderkey <= 2500
+        )
         SELECT o_orderpriority AS prio,
                CAST(count(*) AS BIGINT) AS n_live,
                CAST(round(sum(o_totalprice) * 100) AS BIGINT)
@@ -4124,8 +4165,7 @@ ORACLE = {
                TRUE AS dv_ok,
                TRUE AS agree_ok,
                TRUE AS travel_ok
-        FROM orders
-        WHERE o_orderkey <= 2400 AND NOT (o_orderkey % 10 < 3)
+        FROM t
         GROUP BY o_orderpriority
         ORDER BY prio
     """,

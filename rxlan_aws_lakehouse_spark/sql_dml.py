@@ -1078,6 +1078,10 @@ class TxnSqlRouter:
     def _exec_delete(self, c: _Cursor, strat: str):
         c.expect("DELETE", "FROM")
         target = c.qident("table")
+        if self._key(target) in self._foreign:
+            return self._exec_delete_foreign(
+                c, target, self._key(target)
+            )
         alias = target.split(".")[-1]
         if c.accept("AS"):
             alias = c.ident("alias")
@@ -1677,10 +1681,33 @@ class TxnSqlRouter:
 
     def _exec_copy(self, c: _Cursor):
         """``COPY INTO t FROM '<path>' FILEFORMAT = PARQUET|JSON|CSV``:
-        bulk file import as one atomic append, schema-aligned."""
+        bulk file import as one atomic append, schema-aligned.  A
+        FOREIGN attachment target (round 15, r14 verdict task 7)
+        routes the append through the foreign commit protocol —
+        ``append_delta`` / ``append_iceberg`` — exactly like
+        ``INSERT INTO``."""
         c.expect("COPY", "INTO")
-        name, t = self._resolve(c.qident("table"))
+        target = c.qident("table")
+        if self._key(target) in self._foreign:
+            key = self._key(target)
+            kind, pinned = self._foreign_kind.get(key, ("delta", False))
+            if pinned:
+                raise ValueError(
+                    f"{target} is pinned to a time-travel snapshot and "
+                    "is read-only; attach the live table to COPY INTO"
+                )
+            schema = self._spark.table(self._mangled_view(key)).schema
+            out = self._copy_source(c, schema)
+            return self._foreign_append(key, kind, out, op="copy_into")
+        name, t = self._resolve(target)
         schema = self._target_schema(t)
+        out = self._copy_source(c, schema)
+        version = t.append(out)
+        return self._result(name, "copy_into", version)
+
+    def _copy_source(self, c: _Cursor, schema):
+        """Parse ``FROM '<path>' [FILEFORMAT = ...]`` and return the
+        source files schema-aligned to ``schema``."""
         c.expect("FROM")
         src_tok = c.peek()
         if src_tok is None or not src_tok.startswith("'"):
@@ -1707,14 +1734,12 @@ class TxnSqlRouter:
             raise ValueError(
                 f"COPY source is missing target columns {missing}"
             )
-        out = df.select(
+        return df.select(
             [
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 for f in schema.fields
             ]
         )
-        version = t.append(out)
-        return self._result(name, "copy_into", version)
 
     # significant tokens a TABLE REFERENCE can follow in SQL — the gate
     # that keeps alias.column references (``t.c_acctbal``) from being
@@ -1874,7 +1899,6 @@ class TxnSqlRouter:
                 f"{target} is pinned to a time-travel snapshot and is "
                 "read-only; attach the live table to append"
             )
-        path = self._foreign[key]
         cols: list[str] | None = None
         if c.peek() == "(":
             c.expect("(")
@@ -1908,26 +1932,87 @@ class TxnSqlRouter:
                 for f in schema.fields
             ]
         )
+        return self._foreign_append(key, kind, out, op="append")
+
+    def _foreign_append(self, key: str, kind: str, out, *, op: str):
+        """Commit ``out`` against a foreign attachment's own
+        log/metadata (``append_delta`` / ``append_iceberg``) and
+        refresh the session views to the new head."""
+        path = self._foreign[key]
         if kind == "delta":
             from .delta_export import append_delta
 
             res = append_delta(self._spark, path, out)
             ver = str(res["version"])
-            fmt = "delta_import"
         else:
             from .iceberg_export import append_iceberg
 
             res = append_iceberg(self._spark, path, out)
             ver = str(res["snapshot_id"])
-            fmt = "iceberg_import"
-        # refresh the session views to the new head (the attached
-        # reader resolved its snapshot at load time)
-        df2 = self._spark.read.format(fmt).load(path)
+        self._refresh_foreign_views(key, kind)
+        return self._spark.createDataFrame(
+            [(f"{op}_foreign_{kind}", ver)],
+            "operation string, version string",
+        )
+
+    def _refresh_foreign_views(self, key: str, kind: str) -> None:
+        """Re-resolve a foreign attachment's session views to the
+        current head (the attached reader pinned its snapshot at load
+        time)."""
+        fmt = "delta_import" if kind == "delta" else "iceberg_import"
+        df2 = self._spark.read.format(fmt).load(self._foreign[key])
         ns, bare = key.split(".", 1)
         if ns == self._namespace:
             df2.createOrReplaceTempView(bare)
         df2.createOrReplaceTempView(self._mangled_view(key))
+
+    def _exec_delete_foreign(self, c: _Cursor, target: str, key: str):
+        """``DELETE FROM <foreign Delta attachment> [WHERE ...]``
+        (round 15, r14 verdict task 7): routes through
+        ``delete_delta`` in ``auto`` mode — a deletion-vector write
+        when the table's protocol already carries the feature, else
+        copy-on-write; the SQL surface never upgrades a foreign
+        protocol (use the Python API's ``mode='dv'`` for that).
+        Foreign ICEBERG attachments refuse loudly — no row-level
+        write protocol is implemented for them yet."""
+        kind, pinned = self._foreign_kind.get(key, ("delta", False))
+        if pinned:
+            raise ValueError(
+                f"{target} is pinned to a time-travel snapshot and is "
+                "read-only; attach the live table to DELETE"
+            )
+        if kind != "delta":
+            raise ValueError(
+                "DELETE on a foreign ICEBERG attachment is not "
+                "supported (foreign row-level writes are implemented "
+                "for Delta: deletion vectors / copy-on-write)"
+            )
+        alias = target.split(".")[-1]
+        if c.accept("AS"):
+            alias = c.ident("alias")
+        elif not c.done() and c.kw() != "WHERE":
+            alias = c.ident("alias")
+        quals = {target, alias}
+        where_sql = "true"
+        if c.accept("WHERE"):
+            where = _strip_qualifier(c.take_until(()), quals)
+            where_sql = _render(where)
+        if not c.done():
+            raise ValueError(
+                f"unexpected trailing tokens: "
+                f"{_render(c.toks[c.i:])!r}"
+            )
+        from .delta_export import delete_delta
+
+        res = delete_delta(self._spark, self._foreign[key], where_sql)
+        self._refresh_foreign_views(key, "delta")
         return self._spark.createDataFrame(
-            [(f"append_foreign_{kind}", ver)],
-            "operation string, version string",
+            [
+                (
+                    f"delete_foreign_{res['mode']}",
+                    str(res["version"]),
+                    int(res["n_matched"]),
+                )
+            ],
+            "operation string, version string, n_matched bigint",
         )

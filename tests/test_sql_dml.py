@@ -774,3 +774,53 @@ def test_insert_into_foreign_attachments(spark, tmp_path):
     assert got == {(1, "a"), (2, "b"), (5, "e")}
     for name in ("fdel", "fdel2", "fdel_v0", "fice_a"):
         router.sql(f"DROP TABLE {name}")
+
+
+def test_foreign_attachment_copy_into_and_delete(spark, tmp_path):
+    """COPY INTO and DELETE FROM on foreign attachments (round 15):
+    COPY routes through append_delta/append_iceberg, DELETE through
+    delete_delta (auto mode); pinned attachments and foreign-Iceberg
+    DELETE refuse loudly."""
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta
+    from rxlan_aws_lakehouse_spark.iceberg_export import export_iceberg
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+    t = TxnTable(str(tmp_path / "src"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "k INT, seg STRING"
+        )
+    )
+    ddest, idest = str(tmp_path / "d"), str(tmp_path / "i")
+    export_delta(t, ddest)
+    export_iceberg(t, idest)
+    spark.createDataFrame(
+        [(10, "c"), (11, "c")], "k INT, seg STRING"
+    ).write.parquet(str(tmp_path / "extra"))
+
+    router = TxnSqlRouter(spark)
+    router.sql(f"CREATE TABLE fd USING DELTA_IMPORT LOCATION '{ddest}'")
+    router.sql(f"CREATE TABLE fi USING ICEBERG_IMPORT LOCATION '{idest}'")
+    out = router.sql(
+        f"COPY INTO fd FROM '{tmp_path / 'extra'}'"
+    ).collect()[0]
+    assert out["operation"] == "copy_into_foreign_delta"
+    assert router.sql("SELECT count(*) AS n FROM fd").collect()[0]["n"] == 5
+    out = router.sql(
+        f"COPY INTO fi FROM '{tmp_path / 'extra'}'"
+    ).collect()[0]
+    assert out["operation"] == "copy_into_foreign_iceberg"
+    assert router.sql("SELECT count(*) AS n FROM fi").collect()[0]["n"] == 5
+    # DELETE on the Delta attachment (auto -> cow on a plain protocol)
+    out = router.sql("DELETE FROM fd WHERE seg = 'c'").collect()[0]
+    assert out["operation"] == "delete_foreign_cow"
+    assert out["n_matched"] == 2
+    assert {
+        r["k"] for r in router.sql("SELECT k FROM fd").collect()
+    } == {1, 2, 3}
+    # foreign Iceberg DELETE refuses loudly
+    with pytest.raises(ValueError, match="ICEBERG attachment"):
+        router.sql("DELETE FROM fi WHERE seg = 'c'")
+    router.sql("DROP TABLE fd")
+    router.sql("DROP TABLE fi")
