@@ -1331,6 +1331,9 @@ def dedup_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """Overlapping fixed-width chunking — the context-window slicing step
     of a pretraining/RAG pipeline (chars stand in for tokens; the geometry
     and plan shape are identical).
@@ -1416,6 +1419,9 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """Per-source PII exposure audit — the pre-training scrub report:
     how many documents carry emails / URLs / phone-shaped strings, and how
     many matches in total. All regexp_extract_all counts inside the scan
@@ -1442,6 +1448,9 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """Typed-placeholder PII redaction, verified by content hash: each
     document's scrubbed text is md5'd so the oracle compare proves the
     REDACTED BYTES match without moving document bodies. Pure
@@ -1461,6 +1470,9 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """Perplexity-proxy quality score without a model: average unigram
     log2-probability per document, scored against the corpus's own
     unigram distribution (the cheap first-pass filter before an LM-based

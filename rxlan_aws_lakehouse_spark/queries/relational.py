@@ -32,6 +32,9 @@ from ..ops.topk import topk_per_group
 
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """TPC-H Q1 pricing summary: 2-key groupBy, 8 aggregates, one scan.
 
     Whole-stage-codegen'd hash aggregate with map-side partials; the shuffle
@@ -56,6 +59,9 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """TPC-H Q3 shipping priority: customer ⨝ orders ⨝ lineitem, top-10 revenue.
 
     customer grows with scale, so it carries NO broadcast hint — AQE picks
@@ -82,6 +88,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """TPC-H Q5-style regional revenue: 6-table star join.
 
     region/nation are genuinely bounded (25/5 rows at every sf) and carry

@@ -29,6 +29,9 @@ Q21_LATE_DAYS = 60
 
 
 def tpch_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """Q8 shape: national market share — share of ASIA-region PROMO-part
     revenue supplied by NATION_1, per order year.
 
@@ -70,6 +73,9 @@ def tpch_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """Q9 shape: product-type profit by supplier nation and year.
 
     No partsupp, so cost is adapted as 0.5 * p_retailprice * quantity.
@@ -106,6 +112,9 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q11_top_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """Q11 shape: parts whose shipped inventory value exceeds a fixed
     fraction of the GLOBAL total (scalar-subquery HAVING).
 
@@ -127,6 +136,9 @@ def tpch_q11_top_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q20_potential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """Q20 shape: suppliers who shipped more than a threshold quantity of
     red-named parts in 1997 (stand-in for the availqty/2 subquery).
 
@@ -161,6 +173,9 @@ def tpch_q20_potential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-pinned round 15: last driver check was r10 (stale window);
+    # plan and oracle unchanged — content key bumped so the driver
+    # re-verifies this lane (r14 verdict task 4)
     """Q21 shape: suppliers who were the ONLY late shipper on a
     multi-supplier order ("late" = shipped >60 days after order date —
     the schema has no commit/receipt dates).
