@@ -388,6 +388,23 @@ def main() -> None:
         "floor": round(calib_floor / FLOOR_CALIB_REF, 4),
     }
     basket_noise = sorted(basket_ratios.values())[1]  # median of 3
+    # Round 15 (r14 verdict task 8): the basket caught real co-tenant
+    # load in the r14 driver run (io 2.02x, floor 1.34x vs anchors) —
+    # codify the adjudication rule as a self-annotation so every
+    # artifact says whether its host was clean: flagged when the
+    # median ratio says the host is >10% loaded, or any single basket
+    # lane is >25% off its idle anchor (one-dimension contention —
+    # e.g. an io-heavy co-tenant — that the median alone can hide).
+    host_flagged = basket_noise > 1.10 or max(
+        basket_ratios.values()
+    ) > 1.25
+    host_note = (
+        "host loaded (basket ratios off idle anchors): raw walls are "
+        "not comparable round-over-round — read vs_prev "
+        "median_lane_ratio, or re-run on an idle host"
+        if host_flagged
+        else "host clean: basket ratios within idle anchors"
+    )
 
     def norm(x: float) -> float:
         return round(x / noise, 4)
@@ -430,6 +447,8 @@ def main() -> None:
             "ratios": basket_ratios,
             "basket_noise_factor": basket_noise,
         },
+        "host_flagged": host_flagged,
+        "host_note": host_note,
         "vs_prev": compare_previous(per_query),
         "runs_per_query": N_RUNS,
         "sf": infer_sf(SF_DIR),
