@@ -1688,3 +1688,796 @@ def append_iceberg(spark, path: str, df) -> dict:
         )
     finally:
         _shutil.rmtree(staging, ignore_errors=True)
+
+
+def _iceberg_lineage_scan(spark, path: str, st: dict):
+    """One scan of a foreign Iceberg snapshot's live data files
+    yielding the LOGICAL columns plus row lineage — ``__ic_path`` (the
+    manifest ``file_path`` spelling) and ``__ic_ri`` (in-file row
+    ordinal) — the matching substrate for ``delete_iceberg``.  Binding
+    follows ``import_iceberg``'s probe: id-bearing files bind by
+    parquet field id, id-less files through the name mapping with
+    identity-partition constants attached by a broadcast basename
+    join.  Existing deletes are NOT applied here (callers exclude them
+    from the matched set separately — a position mask is idempotent,
+    but ``n_matched`` must count live rows only)."""
+    import posixpath
+
+    import pyarrow.parquet as _pq2
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    from .iceberg_import import (
+        _current_schema,
+        _name_mapping,
+    )
+
+    meta = st["meta"]
+    schema = st["schema"]
+    files = st["files"]
+    entries = st["entries"]
+    basenames = [posixpath.basename(e["file_path"]) for e in entries]
+    if len(set(basenames)) != len(basenames):
+        raise ValueError(
+            "cannot run a row-level operation: duplicate data-file "
+            "basenames — row lineage joins on the _metadata.file_path "
+            "basename"
+        )
+    first = _pq2.read_schema(files[0])
+    has_ids = any(
+        (f.metadata or {}).get(b"PARQUET:field_id") is not None
+        for f in first
+    )
+    nm = {} if has_ids else _name_mapping(meta)
+    ice_schema = _current_schema(meta)
+    fid_of = {f["name"]: int(f["id"]) for f in ice_schema["fields"]}
+    by_id = {int(f["id"]): f for f in ice_schema["fields"]}
+    # identity partition source columns the files may not carry
+    specs = meta.get("partition-specs") or []
+    spec0 = specs[0] if specs else {"fields": []}
+    const_cols: dict[str, str] = {}
+    if not has_ids:
+        for pf in spec0.get("fields") or []:
+            if str(pf.get("transform")) != "identity":
+                continue
+            src = by_id.get(int(pf.get("source-id", -1)))
+            if src is not None and fid_of.get(src["name"]) not in nm:
+                const_cols[src["name"]] = pf.get("name") or src["name"]
+    data_fields = [f for f in schema.fields if f.name not in const_cols]
+    if has_ids:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        data_schema = StructType(
+            [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    True,
+                    {"parquet.field.id": fid_of[f.name]},
+                )
+                for f in data_fields
+            ]
+        )
+        read_name = {f.name: f.name for f in data_fields}
+    else:
+        data_schema = StructType(
+            [
+                StructField(
+                    nm.get(fid_of[f.name], f.name), f.dataType, True
+                )
+                for f in data_fields
+            ]
+        )
+        read_name = {
+            f.name: nm.get(fid_of[f.name], f.name) for f in data_fields
+        }
+    scan = spark.read.schema(data_schema).parquet(*files)
+    keyed = scan.withColumn(
+        "__ic_base",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).withColumn("__ic_ri", F.col("_metadata.row_index"))
+    # broadcast map: basename -> manifest file_path spelling (+ identity
+    # partition constants for id-less migrated layouts)
+    map_rows = [
+        (posixpath.basename(e["file_path"]), e["file_path"])
+        + tuple(
+            None
+            if (pv := (e.get("partition") or {}).get(pname)) is None
+            else str(pv)
+            for pname in const_cols.values()
+        )
+        for e in entries
+    ]
+    map_schema = ", ".join(
+        ["__ic_base string", "__ic_path string"]
+        + [f"__icp_{i} string" for i in range(len(const_cols))]
+    )
+    keyed = keyed.join(
+        F.broadcast(spark.createDataFrame(map_rows, map_schema)),
+        "__ic_base",
+        "inner",
+    )
+    sel = []
+    consts = list(const_cols)
+    for f in schema.fields:
+        if f.name in const_cols:
+            i = consts.index(f.name)
+            sel.append(
+                F.col(f"__icp_{i}").cast(f.dataType).alias(f.name)
+            )
+        else:
+            sel.append(F.col(read_name[f.name]).alias(f.name))
+    return keyed.select(*sel, "__ic_path", "__ic_ri")
+
+
+_ICE_DELETE_MAX_EXISTING = 4_000_000  # existing-delete exclusion bound
+
+
+def _existing_dead_pairs(path: str, st: dict) -> dict[str, set]:
+    """Driver-side (file_path -> dead ordinals) from a snapshot's
+    existing POSITION deletes and v3 DELETION VECTORS — the exclusion
+    set that keeps already-deleted rows out of ``n_matched`` and the
+    union input for DV rewrites.  Bounded by
+    ``_ICE_DELETE_MAX_EXISTING`` total rows (refuses loudly above —
+    compact first); EQUALITY-delete-bearing tables refuse (expanding
+    an equality delete is a join, not a lookup)."""
+    import pyarrow.parquet as _pq2
+
+    from .iceberg_import import _path_variants
+    from .puffin_lite import read_dv_blob
+
+    if any(d["content"] == 2 for d in st["delete_files"]):
+        raise ValueError(
+            "cannot delete: the snapshot carries EQUALITY delete "
+            "files; rewrite/compact the table first (position "
+            "deletes and deletion vectors are supported)"
+        )
+    dead: dict[str, set] = {}
+    variants: dict[str, str] = {}
+    for e in st["entries"]:
+        for v in _path_variants(e["file_path"]):
+            variants[v] = e["file_path"]
+    total = 0
+    for d in st["delete_files"]:
+        if d.get("dv"):
+            idx = read_dv_blob(d["abs"], d["offset"], d["size"])
+            canon = variants.get(str(d["referenced"]))
+            if canon is None:
+                continue  # references a file not live in this snapshot
+            dead.setdefault(canon, set()).update(idx)
+            total += len(idx)
+        else:
+            t = _pq2.read_table(d["abs"], columns=["file_path", "pos"])
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            ):
+                canon = variants.get(str(fp))
+                if canon is None:
+                    continue
+                dead.setdefault(canon, set()).add(int(pos))
+                total += 1
+        if total > _ICE_DELETE_MAX_EXISTING:
+            raise ValueError(
+                "cannot delete: existing delete files cover more than "
+                f"{_ICE_DELETE_MAX_EXISTING} rows; compact the table "
+                "first"
+            )
+    return dead
+
+
+def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
+    """Row-level DELETE committed against a FOREIGN Iceberg table
+    (round 15 — the Iceberg twin of ``delete_delta``; write interop
+    now covers row-level ops on BOTH open formats).
+
+    Merge-on-read, per the spec's two delete encodings:
+
+    * ``mode="pos"`` (the v2 default): matched (file_path, pos) pairs
+      are written as ONE spec position-delete parquet file (reserved
+      field ids 2147483546/2147483545, sorted) by the executors, and
+      committed in a delete manifest under an UNPARTITIONED spec (a
+      global delete — added to ``partition-specs`` if the table lacks
+      one) at the new sequence number, so it scopes to every data file
+      at or below it.
+    * ``mode="dv"`` (the v3 default): per-file deletion vectors in one
+      Puffin file (``puffin_lite``), each the UNION of the new
+      ordinals, the file's existing DV, and any position deletes the
+      v3 replacement rule supersedes; delete manifests whose every
+      entry is superseded drop from the manifest list, partially
+      superseded DV manifests are rewritten with DELETED entries.
+
+    Matching runs one lineage scan (``_iceberg_lineage_scan``) with
+    already-deleted rows excluded driver-side (bounded).  Equality-
+    delete-bearing tables and format-version 1 refuse loudly.  The
+    snapshot publishes via the same pinned-slot create-if-absent loop
+    as ``append_iceberg``; a lost race retries only while every
+    touched data file is still live.
+
+    Returns ``{"snapshot_id", "snapshot_seq", "n_matched",
+    "n_files_touched", "mode"}``."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from .iceberg_import import (
+        _resolve,
+        iceberg_live_files,
+        load_table_metadata_versioned,
+    )
+
+    if mode not in ("auto", "pos", "dv"):
+        raise ValueError(f"unknown delete mode {mode!r} (auto/pos/dv)")
+    st = iceberg_live_files(path)
+    meta = st["meta"]
+    fv = int(meta.get("format-version", 1))
+    if fv < 2:
+        raise ValueError(
+            "cannot delete: format-version 1 has no row-level delete "
+            "encoding (upgrade the table or rewrite it)"
+        )
+    if mode == "auto":
+        mode = "dv" if fv >= 3 else "pos"
+    if mode == "dv" and fv < 3:
+        raise ValueError(
+            "cannot delete: deletion vectors need format-version 3 "
+            "(this table is v2 — use mode='pos')"
+        )
+    if mode == "pos" and fv >= 3:
+        raise ValueError(
+            "cannot delete: format-version 3 forbids adding new "
+            "position delete files (use mode='dv')"
+        )
+    if not st["files"]:
+        return {
+            "snapshot_id": None,
+            "snapshot_seq": None,
+            "n_matched": 0,
+            "n_files_touched": 0,
+            "mode": mode,
+        }
+    dead = _existing_dead_pairs(path, st)
+    cond = F.expr(where) if isinstance(where, str) else where
+    lineage = _iceberg_lineage_scan(spark, path, st)
+    matched = lineage.filter(cond).select("__ic_path", "__ic_ri")
+
+    # exclude already-dead ordinals executor-side via a broadcast
+    # anti-join (bounded by _ICE_DELETE_MAX_EXISTING above)
+    if dead:
+        dead_rows = [
+            (fp, int(ri)) for fp, s in dead.items() for ri in s
+        ]
+        matched = matched.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    dead_rows, "__ic_path string, __ic_ri bigint"
+                )
+            ),
+            ["__ic_path", "__ic_ri"],
+            "left_anti",
+        )
+
+    staging = _tempfile.mkdtemp(prefix="iceberg_delete_")
+    run_id = _uuid.uuid4().hex[:12]
+    try:
+        if mode == "pos":
+            # executors write the spec position-delete parquet (file
+            # ids via the field-id write path), driver only links it
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+            (
+                matched.select(
+                    F.col("__ic_path").alias(
+                        "file_path",
+                        metadata={"parquet.field.id": 2147483546},
+                    ),
+                    F.col("__ic_ri").alias(
+                        "pos", metadata={"parquet.field.id": 2147483545}
+                    ),
+                )
+                .sort("file_path", "pos")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            import pyarrow.parquet as _pq2
+
+            part = None
+            for r, _d, ns in os.walk(staging):
+                for n in sorted(ns):
+                    if n.endswith(".parquet"):
+                        md = _pq2.ParquetFile(
+                            os.path.join(r, n)
+                        ).metadata
+                        if md.num_rows:
+                            part = (os.path.join(r, n), md)
+            if part is None:
+                return {
+                    "snapshot_id": None,
+                    "snapshot_seq": None,
+                    "n_matched": 0,
+                    "n_files_touched": 0,
+                    "mode": mode,
+                }
+            src, md = part
+            n_matched = md.num_rows
+            t = _pq2.read_table(src, columns=["file_path"])
+            paths = t.column("file_path").to_pylist()
+            touched = sorted(set(paths))
+            lo_fp, hi_fp = min(paths), max(paths)
+            del_rel = f"data/del-{run_id}.parquet"
+            dst = _resolve(path, del_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(src, dst)
+            new_delete_entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": None,  # filled at commit
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": del_rel,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n_matched,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                        "null_value_counts": None,
+                        "lower_bounds": [
+                            {
+                                "key": 2147483546,
+                                "value": str(lo_fp).encode("utf-8"),
+                            }
+                        ],
+                        "upper_bounds": [
+                            {
+                                "key": 2147483546,
+                                "value": str(hi_fp).encode("utf-8"),
+                            }
+                        ],
+                    },
+                }
+            ]
+            dropped_manifests: set = set()
+            rewrites: list = []
+        else:
+            # v3 deletion vectors: per-file union of new ordinals +
+            # existing DV + superseded position deletes
+            from .puffin_lite import dv_blob_bytes, write_puffin
+
+            rows = (
+                matched.groupBy("__ic_path")
+                .agg(F.collect_list("__ic_ri").alias("ris"))
+                .collect()
+            )
+            if not rows:
+                return {
+                    "snapshot_id": None,
+                    "snapshot_seq": None,
+                    "n_matched": 0,
+                    "n_files_touched": 0,
+                    "mode": mode,
+                }
+            rows.sort(key=lambda r: r["__ic_path"])
+            n_matched = int(sum(len(r["ris"]) for r in rows))
+            touched = [r["__ic_path"] for r in rows]
+            blobs = []
+            for r in rows:
+                fp = r["__ic_path"]
+                idx = set(int(x) for x in r["ris"])
+                idx.update(dead.get(fp, ()))
+                blobs.append(
+                    (
+                        dv_blob_bytes(sorted(idx)),
+                        {"referenced-data-file": fp},
+                    )
+                )
+            puf_rel = f"data/dv-{run_id}.puffin"
+            metas = write_puffin(_resolve(path, puf_rel), blobs)
+            new_delete_entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": puf_rel,
+                        "file_format": "PUFFIN",
+                        "partition": {},
+                        "record_count": len(
+                            set(int(x) for x in r["ris"])
+                            | set(dead.get(r["__ic_path"], ()))
+                        ),
+                        "file_size_in_bytes": os.path.getsize(
+                            _resolve(path, puf_rel)
+                        ),
+                        "referenced_data_file": r["__ic_path"],
+                        "content_offset": m["offset"],
+                        "content_size_in_bytes": m["length"],
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                    },
+                }
+                for r, m in zip(rows, metas)
+            ]
+            # supersede: every prior delete file whose rows this DV set
+            # now carries (old DVs and position deletes for touched
+            # files) — drop all-superseded delete manifests from the
+            # list; anything partial refuses (the union above already
+            # folded their rows in, so correctness never depends on a
+            # partial rewrite)
+            touched_set = set(touched)
+            from .iceberg_import import _path_variants
+
+            def superseded(d) -> bool:
+                if d.get("dv"):
+                    return any(
+                        v in touched_set
+                        for v in _path_variants(str(d["referenced"]))
+                    )
+                if d["content"] == 1:
+                    import pyarrow.parquet as _pq3
+
+                    t = _pq3.read_table(d["abs"], columns=["file_path"])
+                    fps = {
+                        str(x)
+                        for x in t.column("file_path").to_pylist()
+                    }
+                    canon = set()
+                    for fp in fps:
+                        canon.update(
+                            v
+                            for v in _path_variants(fp)
+                            if v in touched_set
+                        )
+                    return bool(canon) and all(
+                        any(
+                            v in touched_set
+                            for v in _path_variants(fp)
+                        )
+                        for fp in fps
+                    )
+                return False
+
+            dropped_manifests = set()
+            rewrites = []
+        n_files_touched = len(touched)
+
+        # ---- commit loop: pinned slot, create-if-absent ----
+        mf_schema_del = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {"name": "sequence_number", "type": ["null", "long"]},
+                {
+                    "name": "file_sequence_number",
+                    "type": ["null", "long"],
+                },
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "rdel",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "rp0",
+                                    "fields": [],
+                                },
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {
+                                "name": "file_size_in_bytes",
+                                "type": "long",
+                            },
+                            {
+                                "name": "referenced_data_file",
+                                "type": ["null", "string"],
+                            },
+                            {
+                                "name": "content_offset",
+                                "type": ["null", "long"],
+                            },
+                            {
+                                "name": "content_size_in_bytes",
+                                "type": ["null", "long"],
+                            },
+                            {
+                                "name": "null_value_counts",
+                                "type": ["null", _KV_LONG],
+                            },
+                            {
+                                "name": "lower_bounds",
+                                "type": ["null", _KV_BYTES],
+                            },
+                            {
+                                "name": "upper_bounds",
+                                "type": ["null", _KV_BYTES],
+                            },
+                        ],
+                    },
+                },
+            ],
+        }
+        from .avro_lite import read_avro
+
+        touched_set = set(touched)
+        for _attempt in range(8):
+            meta, head_v = load_table_metadata_versioned(path)
+            if int(meta.get("format-version", 1)) != fv:
+                raise ValueError(
+                    "cannot delete: the table's format-version changed "
+                    "mid-operation; re-run"
+                )
+            cur = iceberg_live_files(path)
+            live_paths = {e["file_path"] for e in cur["entries"]}
+            if not touched_set <= live_paths:
+                raise ValueError(
+                    "cannot delete: a concurrent commit rewrote or "
+                    "removed data file(s) this DELETE touches; re-run "
+                    "against the new state"
+                )
+            seq = int(meta.get("last-sequence-number") or 0) + 1
+            sid = _uuid.uuid4().int >> 65
+            specs = list(meta.get("partition-specs") or [])
+            unpart = next(
+                (
+                    s
+                    for s in specs
+                    if not (s.get("fields") or [])
+                ),
+                None,
+            )
+            new_meta = dict(meta)
+            if unpart is None:
+                unpart = {
+                    "spec-id": max(
+                        [int(s["spec-id"]) for s in specs] or [0]
+                    )
+                    + 1,
+                    "fields": [],
+                }
+                new_meta["partition-specs"] = specs + [unpart]
+            for e in new_delete_entries:
+                e["snapshot_id"] = sid
+                e["sequence_number"] = seq
+                e["file_sequence_number"] = seq
+            mpath = f"metadata/del-{run_id}-m{seq}.avro"
+            write_avro(
+                _resolve(path, mpath), mf_schema_del, new_delete_entries
+            )
+            snap_cur = next(
+                (
+                    s
+                    for s in meta.get("snapshots") or []
+                    if s.get("snapshot-id")
+                    == meta.get("current-snapshot-id")
+                ),
+                None,
+            )
+            prev_rows = []
+            if snap_cur is not None:
+                _, prev_rows = read_avro(
+                    _resolve(path, snap_cur["manifest-list"])
+                )
+            if mode == "dv":
+                keep_rows = []
+                for row in prev_rows:
+                    if int(row.get("content") or 0) == 1:
+                        # classify this delete manifest's entries
+                        _, ents = read_avro(
+                            _resolve(path, row["manifest_path"])
+                        )
+                        live_ents = [
+                            e
+                            for e in ents
+                            if int(e.get("status") or 0) != 2
+                        ]
+                        flags = [
+                            superseded(
+                                {
+                                    "dv": (e["data_file"].get(
+                                        "referenced_data_file"
+                                    ) is not None),
+                                    "referenced": e["data_file"].get(
+                                        "referenced_data_file"
+                                    ),
+                                    "content": int(
+                                        e["data_file"].get("content")
+                                        or 1
+                                    ),
+                                    "abs": _resolve(
+                                        path,
+                                        e["data_file"]["file_path"],
+                                    ),
+                                }
+                            )
+                            for e in live_ents
+                        ]
+                        if live_ents and all(flags):
+                            dropped_manifests.add(row["manifest_path"])
+                            continue
+                        if any(flags):
+                            # PARTIAL supersede: rewrite the manifest
+                            # keeping the still-live delete entries as
+                            # EXISTING (explicit original sequence
+                            # numbers — inheritance is ADDED-only);
+                            # superseded entries are simply omitted
+                            if any(
+                                (e["data_file"].get("partition") or {})
+                                for e in live_ents
+                            ):
+                                raise ValueError(
+                                    "cannot delete: a partially "
+                                    "superseded delete manifest "
+                                    "carries PARTITIONED entries this "
+                                    "writer cannot rewrite; compact "
+                                    "the table's deletes first"
+                                )
+                            m_seq = int(row.get("sequence_number") or 0)
+                            keep_ents = []
+                            min_seq = seq
+                            for e, fl in zip(live_ents, flags):
+                                if fl:
+                                    continue
+                                eseq = e.get("sequence_number")
+                                eseq = (
+                                    int(eseq)
+                                    if eseq is not None
+                                    else m_seq
+                                )
+                                min_seq = min(min_seq, eseq)
+                                keep_ents.append(
+                                    {
+                                        "status": 0,
+                                        "snapshot_id": e.get(
+                                            "snapshot_id"
+                                        )
+                                        or row.get("added_snapshot_id"),
+                                        "sequence_number": eseq,
+                                        "file_sequence_number": e.get(
+                                            "file_sequence_number"
+                                        )
+                                        or eseq,
+                                        "data_file": dict(
+                                            e["data_file"]
+                                        ),
+                                    }
+                                )
+                            new_mpath = (
+                                f"metadata/del-{run_id}"
+                                f"-rw{len(rewrites)}.avro"
+                            )
+                            write_avro(
+                                _resolve(path, new_mpath),
+                                mf_schema_del,
+                                keep_ents,
+                            )
+                            rewrites.append(new_mpath)
+                            keep_rows.append(
+                                {
+                                    "manifest_path": new_mpath,
+                                    "manifest_length": os.path.getsize(
+                                        _resolve(path, new_mpath)
+                                    ),
+                                    "partition_spec_id": int(
+                                        row.get("partition_spec_id")
+                                        or 0
+                                    ),
+                                    "content": 1,
+                                    "sequence_number": seq,
+                                    "min_sequence_number": min_seq,
+                                    "added_snapshot_id": sid,
+                                    "added_files_count": 0,
+                                    "existing_files_count": len(
+                                        keep_ents
+                                    ),
+                                    "deleted_files_count": 0,
+                                    "added_rows_count": 0,
+                                    "existing_rows_count": sum(
+                                        int(
+                                            e["data_file"].get(
+                                                "record_count"
+                                            )
+                                            or 0
+                                        )
+                                        for e in keep_ents
+                                    ),
+                                    "deleted_rows_count": 0,
+                                    "partitions": None,
+                                }
+                            )
+                            continue
+                    keep_rows.append(row)
+                prev_rows = keep_rows
+            ml_row = {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(
+                    _resolve(path, mpath)
+                ),
+                "partition_spec_id": int(unpart["spec-id"]),
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": sid,
+                "added_files_count": len(new_delete_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_matched,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+            ml_rel = f"metadata/del-{run_id}-snap-{seq}.avro"
+            write_avro(
+                _resolve(path, ml_rel),
+                _ML_SCHEMA,
+                prev_rows + [ml_row],
+            )
+            prev_ts = max(
+                [
+                    int(s.get("timestamp-ms") or 0)
+                    for s in (meta.get("snapshots") or [])
+                ]
+                or [0]
+            )
+            now_ms = max(int(time.time() * 1000), prev_ts + 1)
+            snap = {
+                "snapshot-id": sid,
+                "parent-snapshot-id": meta.get("current-snapshot-id"),
+                "timestamp-ms": now_ms,
+                "sequence-number": seq,
+                "summary": {
+                    "operation": "delete",
+                    "engine": "rxlan-aws-lakehouse-spark foreign delete",
+                },
+                "manifest-list": ml_rel,
+                "schema-id": meta.get("current-schema-id", 0),
+            }
+            new_meta["last-sequence-number"] = seq
+            new_meta["last-updated-ms"] = now_ms
+            new_meta["current-snapshot-id"] = sid
+            new_meta["snapshots"] = list(
+                meta.get("snapshots") or []
+            ) + [snap]
+            new_meta["snapshot-log"] = list(
+                meta.get("snapshot-log") or []
+            ) + [{"timestamp-ms": now_ms, "snapshot-id": sid}]
+            mdir = os.path.join(path, "metadata")
+            mp = os.path.join(mdir, f"v{head_v + 1}.metadata.json")
+            tmp = f"{mp}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(new_meta, f)
+            try:
+                os.link(tmp, mp)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race: re-read the head, retry
+            os.unlink(tmp)
+            hint_p = os.path.join(mdir, "version-hint.text")
+            with open(f"{hint_p}.tmp-{os.getpid()}", "w") as f:
+                f.write(str(head_v + 1))
+            os.replace(f"{hint_p}.tmp-{os.getpid()}", hint_p)
+            return {
+                "snapshot_id": sid,
+                "snapshot_seq": seq,
+                "n_matched": n_matched,
+                "n_files_touched": n_files_touched,
+                "mode": mode,
+            }
+        raise RuntimeError(
+            f"delete on {path} lost the metadata race 8 times; giving up"
+        )
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)

@@ -2525,6 +2525,14 @@ def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     same operations through the Python API, so ``agree_ok`` pins
     SQL path == Python API row-for-row.
 
+    A THIRD table runs the same delete+append against a foreign
+    ICEBERG tree (round 15 bonus — row-level write interop on BOTH
+    open formats): SQL ``DELETE FROM`` an ``ICEBERG_IMPORT``
+    attachment routes onto ``delete_iceberg`` (a spec POSITION-delete
+    file on this v2 table, global under an unpartitioned spec) and
+    the tail appends via ``append_iceberg``; ``ice_ok`` pins the
+    Iceberg read row-identical to the Delta reads.
+
     Flags: ``modes_ok`` (each path took its intended strategy, and the
     SQL verbs reported theirs), ``dv_ok`` (every committed descriptor
     re-decodes through the spec codec alone with matching cardinality,
@@ -2576,11 +2584,29 @@ def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DV table: the Python API, same operations
         rd = delete_delta(spark, dv_dest, pred, mode="dv")
         append_delta(spark, dv_dest, extra)
+        # Iceberg table: SQL DELETE FROM (a v2 position-delete file)
+        # + Python append_iceberg of the same tail
+        from ..iceberg_export import append_iceberg, export_iceberg
+        from ..iceberg_import import import_iceberg
+
+        ice_dest = f"{work}/ice"
+        export_iceberg(t, ice_dest)
+        router.sql(
+            "CREATE TABLE fice USING ICEBERG_IMPORT LOCATION "
+            f"'{ice_dest}'"
+        )
+        isql = router.sql(f"DELETE FROM fice WHERE {pred}").collect()[0]
+        router.sql("DROP TABLE fice")
+        append_iceberg(spark, ice_dest, extra)
         modes_ok = (
             rsql["operation"] == "delete_foreign_cow"
             and csql["operation"] == "copy_into_foreign_delta"
+            and isql["operation"] == "delete_foreign_pos"
             and rd["mode"] == "dv"
-            and int(rsql["n_matched"]) == rd["n_matched"] > 0
+            and int(rsql["n_matched"])
+            == rd["n_matched"]
+            == int(isql["n_matched"])
+            > 0
         )
         rc = {"n_matched": int(rsql["n_matched"])}
         dstate = replay_delta_log(dv_dest)
@@ -2609,6 +2635,11 @@ def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             == n_base - rc["n_matched"] + n_extra
             and dc.select(cols).exceptAll(dv.select(cols)).count() == 0
         )
+        di = import_iceberg(spark, ice_dest)
+        ice_ok = (
+            di.count() == n_base - rc["n_matched"] + n_extra
+            and di.select(cols).exceptAll(dv.select(cols)).count() == 0
+        )
         travel_ok = (
             import_delta(spark, cow_dest, version=0).count() == n_base
             and import_delta(spark, dv_dest, version=0).count() == n_base
@@ -2624,6 +2655,7 @@ def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("modes_ok", F.lit(bool(modes_ok)))
             .withColumn("dv_ok", F.lit(bool(dv_ok)))
             .withColumn("agree_ok", F.lit(bool(agree_ok)))
+            .withColumn("ice_ok", F.lit(bool(ice_ok)))
             .withColumn("travel_ok", F.lit(bool(travel_ok)))
             .orderBy("prio")
         )
@@ -4164,6 +4196,7 @@ ORACLE = {
                TRUE AS modes_ok,
                TRUE AS dv_ok,
                TRUE AS agree_ok,
+               TRUE AS ice_ok,
                TRUE AS travel_ok
         FROM t
         GROUP BY o_orderpriority

@@ -1967,25 +1967,20 @@ class TxnSqlRouter:
         df2.createOrReplaceTempView(self._mangled_view(key))
 
     def _exec_delete_foreign(self, c: _Cursor, target: str, key: str):
-        """``DELETE FROM <foreign Delta attachment> [WHERE ...]``
-        (round 15, r14 verdict task 7): routes through
+        """``DELETE FROM <foreign attachment> [WHERE ...]`` (round 15,
+        r14 verdict task 7): a Delta attachment routes through
         ``delete_delta`` in ``auto`` mode — a deletion-vector write
         when the table's protocol already carries the feature, else
         copy-on-write; the SQL surface never upgrades a foreign
-        protocol (use the Python API's ``mode='dv'`` for that).
-        Foreign ICEBERG attachments refuse loudly — no row-level
-        write protocol is implemented for them yet."""
+        protocol (use the Python API's ``mode='dv'`` for that).  An
+        Iceberg attachment routes through ``delete_iceberg`` — a spec
+        position-delete file on v2 tables, Puffin deletion vectors on
+        v3."""
         kind, pinned = self._foreign_kind.get(key, ("delta", False))
         if pinned:
             raise ValueError(
                 f"{target} is pinned to a time-travel snapshot and is "
                 "read-only; attach the live table to DELETE"
-            )
-        if kind != "delta":
-            raise ValueError(
-                "DELETE on a foreign ICEBERG attachment is not "
-                "supported (foreign row-level writes are implemented "
-                "for Delta: deletion vectors / copy-on-write)"
             )
         alias = target.split(".")[-1]
         if c.accept("AS"):
@@ -2002,15 +1997,26 @@ class TxnSqlRouter:
                 f"unexpected trailing tokens: "
                 f"{_render(c.toks[c.i:])!r}"
             )
-        from .delta_export import delete_delta
+        if kind == "delta":
+            from .delta_export import delete_delta
 
-        res = delete_delta(self._spark, self._foreign[key], where_sql)
-        self._refresh_foreign_views(key, "delta")
+            res = delete_delta(
+                self._spark, self._foreign[key], where_sql
+            )
+            ver = str(res["version"])
+        else:
+            from .iceberg_export import delete_iceberg
+
+            res = delete_iceberg(
+                self._spark, self._foreign[key], where_sql
+            )
+            ver = str(res["snapshot_id"])
+        self._refresh_foreign_views(key, kind)
         return self._spark.createDataFrame(
             [
                 (
                     f"delete_foreign_{res['mode']}",
-                    str(res["version"]),
+                    ver,
                     int(res["n_matched"]),
                 )
             ],

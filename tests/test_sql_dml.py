@@ -819,8 +819,12 @@ def test_foreign_attachment_copy_into_and_delete(spark, tmp_path):
     assert {
         r["k"] for r in router.sql("SELECT k FROM fd").collect()
     } == {1, 2, 3}
-    # foreign Iceberg DELETE refuses loudly
-    with pytest.raises(ValueError, match="ICEBERG attachment"):
-        router.sql("DELETE FROM fi WHERE seg = 'c'")
+    # DELETE on the Iceberg attachment (auto -> a v2 position delete)
+    out = router.sql("DELETE FROM fi WHERE seg = 'c'").collect()[0]
+    assert out["operation"] == "delete_foreign_pos"
+    assert out["n_matched"] == 2
+    assert {
+        r["k"] for r in router.sql("SELECT k FROM fi").collect()
+    } == {1, 2, 3}
     router.sql("DROP TABLE fd")
     router.sql("DROP TABLE fi")
