@@ -368,6 +368,19 @@ def main() -> None:
         if time.perf_counter() - t0 < 1.0:
             for _ in range(2):
                 fn(spark, SF_DIR).count()
+        # Round 15 (r14 verdict task 5): the two sketch lanes are
+        # SLOPE-measured without this — a 5-rep idle-host probe reads
+        # consecutive executions at ~10.6 / 5.2 / 4.3 / 4.3 s (JIT +
+        # page-cache warm-in of the build->write->read-back shape), so
+        # with one warmup + median-of-3 the recorded value sits wherever
+        # suite-wide JIT pressure happens to put pass 3: r13 recorded
+        # the 4.3 point, r14 the 5.2 point, both with ops/sketches.py
+        # untouched.  Two extra unmeasured passes move the measurement
+        # onto the asymptote — the same rationale as the sub-second
+        # rule above, paid only on these two lanes (~10 s suite-wide).
+        if name in ("sketch_quantile_rollup", "sketch_countmin_topk"):
+            for _ in range(2):
+                fn(spark, SF_DIR).count()
         times = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
