@@ -552,12 +552,12 @@ def test_metadata_level_pruning(spark, ice):
 
 
 def test_refusals_by_name(spark, ice, tmp_path):
-    # format-version 3
-    t3 = Ice(str(tmp_path / "v3"))
-    t3.snapshot(1, [])
-    t3.metadata(1, current_sid=1, format_version=3)
-    with pytest.raises(ValueError, match="format-version 3"):
-        import_iceberg(spark, t3.root)
+    # format-version 4 (v3 READS as of round 15 — deletion vectors)
+    t4 = Ice(str(tmp_path / "v4r"))
+    t4.snapshot(1, [])
+    t4.metadata(1, current_sid=1, format_version=4)
+    with pytest.raises(ValueError, match="format-version 4"):
+        import_iceberg(spark, t4.root)
     # a DELETE manifest whose entries are DATA files is malformed
     bad = Ice(str(tmp_path / "del"))
     rel = bad.write_file("a.parquet", [1], "x")
