@@ -2862,6 +2862,14 @@ def delete_delta(spark, path: str, where, mode: str = "auto") -> dict:
     use_dv = mode == "dv" or (
         mode == "auto" and _protocol_has_dv(state.get("protocol") or {})
     )
+    if not state["files"]:
+        return {
+            "version": None,
+            "mode": "dv" if use_dv else "cow",
+            "n_matched": 0,
+            "n_files_touched": 0,
+            "n_files_removed": 0,
+        }
     cdf_on = (
         str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true"
     )

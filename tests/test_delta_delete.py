@@ -404,3 +404,58 @@ def test_streaming_foreign_cdf_tail(spark, tmp_path):
         spark.read.format("delta_import").option(
             "readChangeFeed", "true"
         ).load(dest).collect()
+
+
+def test_delete_empty_table_is_noop(spark, tmp_path):
+    """A DELETE against a table with zero live files is a no-op (no
+    scan, no commit)."""
+    import json as _json
+
+    dest = str(tmp_path / "empty")
+    os.makedirs(os.path.join(dest, "_delta_log"))
+    with open(
+        os.path.join(dest, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2,
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            _json.dumps(
+                {
+                    "metaData": {
+                        "id": "e-1",
+                        "format": {
+                            "provider": "parquet",
+                            "options": {},
+                        },
+                        "schemaString": _json.dumps(
+                            {
+                                "type": "struct",
+                                "fields": [
+                                    {
+                                        "name": "k",
+                                        "type": "integer",
+                                        "nullable": True,
+                                        "metadata": {},
+                                    }
+                                ],
+                            }
+                        ),
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+            + "\n"
+        )
+    out = delete_delta(spark, dest, "k = 1")
+    assert out["version"] is None and out["n_matched"] == 0
+    assert replay_delta_log(dest)["n_commits"] == 1
