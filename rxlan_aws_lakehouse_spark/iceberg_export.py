@@ -1846,6 +1846,14 @@ def _existing_dead_pairs(path: str, st: dict) -> dict[str, set]:
             dead.setdefault(canon, set()).update(idx)
             total += len(idx)
         else:
+            # check the cap from the footer BEFORE materializing rows
+            total += _pq2.ParquetFile(d["abs"]).metadata.num_rows
+            if total > _ICE_DELETE_MAX_EXISTING:
+                raise ValueError(
+                    "cannot delete: existing delete files cover more "
+                    f"than {_ICE_DELETE_MAX_EXISTING} rows; compact "
+                    "the table first"
+                )
             t = _pq2.read_table(d["abs"], columns=["file_path", "pos"])
             for fp, pos in zip(
                 t.column("file_path").to_pylist(),
@@ -1855,7 +1863,6 @@ def _existing_dead_pairs(path: str, st: dict) -> dict[str, set]:
                 if canon is None:
                     continue
                 dead.setdefault(canon, set()).add(int(pos))
-                total += 1
         if total > _ICE_DELETE_MAX_EXISTING:
             raise ValueError(
                 "cannot delete: existing delete files cover more than "
@@ -2003,10 +2010,20 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                 }
             src, md = part
             n_matched = md.num_rows
-            t = _pq2.read_table(src, columns=["file_path"])
-            paths = t.column("file_path").to_pylist()
-            touched = sorted(set(paths))
-            lo_fp, hi_fp = min(paths), max(paths)
+            # bounds + touched set WITHOUT collecting matched rows:
+            # min/max from the sorted file's row-group stats, distinct
+            # file paths via one tiny single-file Spark agg (O(touched
+            # files) driver state, never O(matched rows))
+            st0 = md.row_group(0).column(0).statistics
+            stn = md.row_group(md.num_row_groups - 1).column(0).statistics
+            lo_fp, hi_fp = st0.min, stn.max
+            touched = sorted(
+                r["file_path"]
+                for r in spark.read.parquet(src)
+                .select("file_path")
+                .distinct()
+                .collect()
+            )
             del_rel = f"data/del-{run_id}.parquet"
             dst = _resolve(path, del_rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
