@@ -2665,6 +2665,125 @@ def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def foreign_cdf_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change-feed tail of a FOREIGN Delta table (round 15,
+    r14 verdict task 6 — ``readChangeFeed=true`` on
+    ``format("delta_import")``, the foreign twin of
+    ``txn_source_stream_cdf``).  A foreign log accrues four change
+    commits — the base export (inserts), a metadata-only CDF
+    enablement (zero rows), a foreign append (derived inserts), a
+    ``delete_delta`` whose commit records spec ``cdc`` files (the
+    stream reads THOSE verbatim), and a second append — then ONE
+    AvailableNow drain delivers the row-level history stamped with
+    ``_change_type``/``_commit_version``.  The per-(commit, type)
+    aggregate of what the STREAM delivered must equal DuckDB's closed
+    form; commit ids are deterministic (0 base, 1 set-CDF, 2 append,
+    3 delete, 4 append).  At 100 TB this is the incremental-consumer
+    contract over a table some OTHER engine owns."""
+    import json as _json
+    import os as _os
+
+    from ..delta_export import (
+        append_delta,
+        delete_delta,
+        export_delta,
+        replay_delta_log,
+    )
+    from ..sources.delta_import_source import (
+        register_delta_import_source,
+    )
+
+    register_delta_import_source(spark)
+    work = tempfile.mkdtemp(prefix="fcdf_")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderpriority").alias("prio"),
+        )
+        # modulo slices, not key ranges: every slice is non-empty at
+        # EVERY fixture SF, so the commit numbering (which the oracle
+        # hardcodes) is scale-independent
+        t = TxnTable(f"{work}/t")
+        t.commit(
+            orders.filter(F.col("o_orderkey") % 5 != 0).repartition(4)
+        )
+        dest = f"{work}/delta"
+        export_delta(t, dest)  # commit 0: base inserts
+        state = replay_delta_log(dest)
+        with open(
+            _os.path.join(
+                dest, "_delta_log", f"{state['n_commits']:020d}.json"
+            ),
+            "w",
+        ) as fh:  # commit 1: metadata-only CDF enablement
+            fh.write(
+                _json.dumps(
+                    {
+                        "metaData": {
+                            "id": state["meta_id"],
+                            "format": {
+                                "provider": "parquet",
+                                "options": {},
+                            },
+                            "schemaString": _json.dumps(
+                                state["schema"]
+                            ),
+                            "partitionColumns": state[
+                                "partition_columns"
+                            ],
+                            "configuration": {
+                                "delta.enableChangeDataFeed": "true"
+                            },
+                        }
+                    }
+                )
+                + "\n"
+            )
+        append_delta(  # commit 2: derived inserts
+            spark,
+            dest,
+            orders.filter(F.col("o_orderkey") % 10 == 5),
+        )
+        delete_delta(  # commit 3: cdc delete files
+            spark, dest, "o_orderkey % 7 = 0", mode="cow"
+        )
+        append_delta(  # commit 4: derived inserts
+            spark,
+            dest,
+            orders.filter(F.col("o_orderkey") % 10 == 0),
+        )
+        sink = f"{work}/sink"
+        q = (
+            spark.readStream.format("delta_import")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "earliest")
+            .load(dest)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .groupBy(
+                F.col("_commit_version").cast("long").alias("commit_v"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("commit_v", "change_type")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FOREIGN-Delta import (round 12, r11 verdict task 2): the lane
     hand-authors a Delta table from the public protocol spec — flat
@@ -4063,6 +4182,7 @@ QUERIES = {
     "iceberg_import_foreign": iceberg_import_foreign,
     "foreign_append_roundtrip": foreign_append_roundtrip,
     "foreign_delete_roundtrip": foreign_delete_roundtrip,
+    "foreign_cdf_stream_counts": foreign_cdf_stream_counts,
     "txn_sql_evolution": txn_sql_evolution,
 }
 
@@ -4176,6 +4296,33 @@ ORACLE = {
         WHERE o_orderkey <= 2600
         GROUP BY o_orderpriority
         ORDER BY prio
+    """,
+    # Foreign streaming change feed: the union of per-commit change
+    # images — base inserts (commit 0), appended inserts (2, 4) and the
+    # recorded cdc delete rows (3); the metadata-only commit 1
+    # contributes nothing
+    "foreign_cdf_stream_counts": """
+        WITH ch AS (
+            SELECT 0 AS v, 'insert' AS ct, o_orderkey
+            FROM orders WHERE o_orderkey % 5 <> 0
+            UNION ALL
+            SELECT 2, 'insert', o_orderkey FROM orders
+            WHERE o_orderkey % 10 = 5
+            UNION ALL
+            SELECT 3, 'delete', o_orderkey FROM orders
+            WHERE o_orderkey % 7 = 0
+              AND (o_orderkey % 5 <> 0 OR o_orderkey % 10 = 5)
+            UNION ALL
+            SELECT 4, 'insert', o_orderkey FROM orders
+            WHERE o_orderkey % 10 = 0
+        )
+        SELECT CAST(v AS BIGINT) AS commit_v,
+               ct AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM ch
+        GROUP BY v, ct
+        ORDER BY commit_v, change_type
     """,
     # Foreign row-level DELETE + COPY INTO: the same predicate removed
     # through SQL-on-attachment (copy-on-write) AND the Python API
