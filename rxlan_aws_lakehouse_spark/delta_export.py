@@ -2796,6 +2796,42 @@ def delete_delta(spark, path: str, where, mode: str = "auto") -> dict:
     """Row-level DELETE committed against a FOREIGN Delta table
     (round 15, r14 verdict task 2 — write interop was append-only; no
     row-level op could land on a foreign ``_delta_log``).
+    See ``_row_level_delta`` for the full strategy notes shared with
+    ``update_delta``."""
+    return _row_level_delta(spark, path, where, mode)
+
+
+def update_delta(
+    spark, path: str, set_map: dict, where, mode: str = "auto"
+) -> dict:
+    """Row-level UPDATE committed against a FOREIGN Delta table
+    (round 16, r15 verdict task 2 — write interop covered append +
+    DELETE; a user who can INSERT and DELETE a foreign attachment
+    tries UPDATE next).
+
+    ``set_map`` maps logical column names to SQL expressions (or
+    Columns) evaluated over the matched rows' logical columns;
+    ``where`` as in ``delete_delta``.  The shape is the native
+    ``update_where_dv`` shape against a foreign ``_delta_log``: ONE
+    commit carrying (a) the matched rows' removal — a deletion-vector
+    re-add per touched file in ``mode="dv"``, a survivors rewrite in
+    ``mode="cow"`` — plus (b) the updated copies staged as fresh
+    ``add``s (hive dirs, footer stats, physical names — the
+    ``append_delta`` write tail), so updates that move rows across
+    partitions land naturally.  CDF-enabled tables emit spec ``cdc``
+    files with ``update_preimage``/``update_postimage`` rows in the
+    same commit.  Returns ``{"version", "mode", "n_matched",
+    "n_files_touched", "n_files_removed"}`` (``n_matched`` = rows
+    updated)."""
+    if not set_map:
+        raise ValueError("cannot update: empty SET clause")
+    return _row_level_delta(spark, path, where, mode, set_map=set_map)
+
+
+def _row_level_delta(
+    spark, path: str, where, mode: str = "auto", set_map: dict = None
+) -> dict:
+    """Shared core of ``delete_delta`` / ``update_delta``.
 
     ``where`` is a SQL boolean expression (or Column) over the table's
     LOGICAL columns.  Two spec-faithful strategies:
@@ -2849,16 +2885,35 @@ def delete_delta(spark, path: str, where, mode: str = "auto") -> dict:
         z85_encode,
     )
 
+    from pyspark.sql.types import StructType as _ST0
+
+    is_update = set_map is not None
+    opl = "update" if is_update else "delete"
     if mode not in ("auto", "dv", "cow"):
-        raise ValueError(f"unknown delete mode {mode!r} (auto/dv/cow)")
+        raise ValueError(f"unknown {opl} mode {mode!r} (auto/dv/cow)")
     state = replay_delta_log(path)
     _gate_foreign_protocol(state)
     _gate_foreign_writer(state)
     cfg = state.get("configuration") or {}
     if str(cfg.get("delta.appendOnly", "")).lower() == "true":
         raise ValueError(
-            "cannot delete: table sets delta.appendOnly=true"
+            f"cannot {opl}: table sets delta.appendOnly=true"
         )
+    set_exprs: dict = {}
+    if is_update:
+        by_lower = {
+            f.name.lower(): f
+            for f in _ST0.fromJson(state["schema"]).fields
+        }
+        for k, v in set_map.items():
+            fld = by_lower.get(str(k).lower())
+            if fld is None:
+                raise ValueError(
+                    f"cannot update: unknown column {k!r} in SET"
+                )
+            set_exprs[fld.name] = (
+                F.expr(v) if isinstance(v, str) else v
+            )
     use_dv = mode == "dv" or (
         mode == "auto" and _protocol_has_dv(state.get("protocol") or {})
     )
@@ -3006,9 +3061,12 @@ def delete_delta(spark, path: str, where, mode: str = "auto") -> dict:
         # copy-on-write: rewrite the SURVIVORS of touched files under
         # physical names (existing DVs already applied by the lineage
         # scan), one Spark job staged into hive dirs
+        # survivors = NOT(cond IS TRUE): a predicate that evaluates
+        # NULL (e.g. x = 5 with x NULL) matches nothing, so those rows
+        # must survive the rewrite — plain ~cond would drop them
         survivors = lineage.filter(
             F.col("__dl_rel").isin(touched_rels)
-        ).filter(~cond)
+        ).filter(~F.coalesce(cond, F.lit(False)))
         fids = (
             _foreign_field_ids(state)
             if _cm_mode(state) == "id"
@@ -3056,11 +3114,54 @@ def delete_delta(spark, path: str, where, mode: str = "auto") -> dict:
             removes.append({"remove": rm})
         n_removed_files = len(removes)
 
+    updated_logical = None
+    if is_update:
+        # the matched rows' UPDATED COPIES, staged as fresh adds in
+        # the same commit (SET expressions evaluate over logical
+        # columns; copies land wherever their — possibly updated —
+        # partition values put them)
+        schema_u = _ST0.fromJson(state["schema"])
+        updated_logical = matched.select(
+            *(
+                (
+                    set_exprs[f.name].cast(f.dataType)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                ).alias(f.name)
+                for f in schema_u.fields
+            )
+        )
+        fids_u = (
+            _foreign_field_ids(state)
+            if _cm_mode(state) == "id"
+            else {}
+        )
+        if fids_u:
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        upd_writer = updated_logical.select(
+            *(
+                F.col(f.name).alias(
+                    phys[f.name],
+                    metadata={"parquet.field.id": fids_u[f.name]}
+                    if f.name in fids_u
+                    else None,
+                )
+                for f in schema_u.fields
+            )
+        )
+        upd_adds, _n_upd = _stage_adds(
+            spark, path, upd_writer, part_phys, "delta_update_"
+        )
+        re_adds = re_adds + upd_adds
+
     cdc_actions: list[dict] = []
     if cdf_on:
-        # spec change-data rule: a DELETE on a CDF table materializes
-        # its deleted rows as cdc files; readers of this commit then
-        # use ONLY the cdc actions
+        # spec change-data rule: a row-level op on a CDF table
+        # materializes its changed rows as cdc files (DELETE: the
+        # deleted rows; UPDATE: update_preimage + update_postimage);
+        # readers of this commit then use ONLY the cdc actions
         from pyspark.sql.types import StructType as _ST2
 
         schema2 = _ST2.fromJson(state["schema"])
@@ -3073,20 +3174,29 @@ def delete_delta(spark, path: str, where, mode: str = "auto") -> dict:
             spark.conf.set(
                 "spark.sql.parquet.fieldId.write.enabled", "true"
             )
-        cdc_df = matched.select(
-            *(
-                F.col(f.name)
-                .cast(f.dataType)
-                .alias(
-                    phys[f.name],
-                    metadata={"parquet.field.id": fids2[f.name]}
-                    if f.name in fids2
-                    else None,
-                )
-                for f in schema2.fields
-            ),
-            F.lit("delete").alias("_change_type"),
-        )
+
+        def _cdc_sel(df, change_type):
+            return df.select(
+                *(
+                    F.col(f.name)
+                    .cast(f.dataType)
+                    .alias(
+                        phys[f.name],
+                        metadata={"parquet.field.id": fids2[f.name]}
+                        if f.name in fids2
+                        else None,
+                    )
+                    for f in schema2.fields
+                ),
+                F.lit(change_type).alias("_change_type"),
+            )
+
+        if is_update:
+            cdc_df = _cdc_sel(matched, "update_preimage").unionByName(
+                _cdc_sel(updated_logical, "update_postimage")
+            )
+        else:
+            cdc_df = _cdc_sel(matched, "delete")
         import shutil as _shutil
         import tempfile as _tempfile
 
@@ -3122,7 +3232,8 @@ def delete_delta(spark, path: str, where, mode: str = "auto") -> dict:
                             )
                     rel = os.path.join(
                         _CHANGE_DIR,
-                        f"cdc-del-{_uuid.uuid4().hex[:12]}-{seq:04d}"
+                        f"cdc-{'upd' if is_update else 'del'}-"
+                        f"{_uuid.uuid4().hex[:12]}-{seq:04d}"
                         ".parquet",
                     )
                     seq += 1
@@ -3161,12 +3272,12 @@ def delete_delta(spark, path: str, where, mode: str = "auto") -> dict:
             {
                 "commitInfo": {
                     "timestamp": int(time.time() * 1000),
-                    "operation": "DELETE",
+                    "operation": opl.upper(),
                     "operationParameters": {
                         "predicate": str(where)
                     },
                     "engineInfo": (
-                        "rxlan-aws-lakehouse-spark foreign delete"
+                        f"rxlan-aws-lakehouse-spark foreign {opl}"
                     ),
                 }
             }
@@ -3204,12 +3315,12 @@ def delete_delta(spark, path: str, where, mode: str = "auto") -> dict:
                 )
             ):
                 raise ValueError(
-                    "cannot delete: a concurrent commit changed the "
-                    "table (schema/protocol or a file this DELETE "
-                    "touches) mid-operation; re-run against the new "
-                    "state"
+                    f"cannot {opl}: a concurrent commit changed the "
+                    f"table (schema/protocol or a file this "
+                    f"{opl.upper()} touches) mid-operation; re-run "
+                    "against the new state"
                 )
             state = new_state
     raise RuntimeError(
-        f"delete on {path} lost the commit race 8 times; giving up"
+        f"{opl} on {path} lost the commit race 8 times; giving up"
     )

@@ -46,7 +46,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import struct
 import time
 from datetime import date as _date, datetime as _datetime
@@ -244,7 +243,6 @@ def _snapshot_id(root: str, version: str) -> int:
 
 
 _SYNC_STATE = "metadata/rxlan-sync-state.json"
-_VMETA_RE = re.compile(r"v(\d+)\.metadata\.json")
 
 
 def _export_schema(
@@ -2016,7 +2014,28 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
             # files) driver state, never O(matched rows))
             st0 = md.row_group(0).column(0).statistics
             stn = md.row_group(md.num_row_groups - 1).column(0).statistics
-            lo_fp, hi_fp = st0.min, stn.max
+
+            def _bound_bytes(v):
+                return v if isinstance(v, bytes) else str(v).encode()
+
+            # bounds only when the row-group stats really carry them —
+            # missing statistics must degrade to no-pruning (None
+            # bounds), never to b'None' strings that would make
+            # _applicable_deletes skip this delete file
+            if (
+                st0 is not None
+                and stn is not None
+                and st0.has_min_max
+                and stn.has_min_max
+            ):
+                fp_lower = [
+                    {"key": 2147483546, "value": _bound_bytes(st0.min)}
+                ]
+                fp_upper = [
+                    {"key": 2147483546, "value": _bound_bytes(stn.max)}
+                ]
+            else:
+                fp_lower = fp_upper = None
             touched = sorted(
                 r["file_path"]
                 for r in spark.read.parquet(src)
@@ -2042,18 +2061,8 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                         "record_count": n_matched,
                         "file_size_in_bytes": os.path.getsize(dst),
                         "null_value_counts": None,
-                        "lower_bounds": [
-                            {
-                                "key": 2147483546,
-                                "value": str(lo_fp).encode("utf-8"),
-                            }
-                        ],
-                        "upper_bounds": [
-                            {
-                                "key": 2147483546,
-                                "value": str(hi_fp).encode("utf-8"),
-                            }
-                        ],
+                        "lower_bounds": fp_lower,
+                        "upper_bounds": fp_upper,
                     },
                 }
             ]
@@ -2061,15 +2070,68 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
             rewrites: list = []
         else:
             # v3 deletion vectors: per-file union of new ordinals +
-            # existing DV + superseded position deletes
+            # existing DV + superseded position deletes.  Union AND the
+            # portable-Roaring64 encode run EXECUTOR-side
+            # (``applyInPandas`` keyed by data file — the
+            # ``delta_export`` ``encode_group`` pattern): the driver
+            # collects ONE compact (path, blob bytes, cardinality) row
+            # per touched file, never the matched-row ordinals, so a
+            # DELETE matching 10^8 rows keeps driver state O(touched
+            # files).
             from .puffin_lite import dv_blob_bytes, write_puffin
 
-            rows = (
-                matched.groupBy("__ic_path")
-                .agg(F.collect_list("__ic_ri").alias("ris"))
+            new_rows = matched.select(
+                "__ic_path", "__ic_ri", F.lit(1).alias("__ic_new")
+            )
+            if dead:
+                # fold each file's existing dead ordinals into its new
+                # DV inside the kernel: ship the (bounded) exclusion
+                # set back in flagged 0 — a file with no NEW ordinal
+                # encodes to nothing (its existing delete files stay)
+                new_rows = new_rows.unionByName(
+                    spark.createDataFrame(
+                        [
+                            (fp, int(ri), 0)
+                            for fp, s in dead.items()
+                            for ri in s
+                        ],
+                        "__ic_path string, __ic_ri bigint, "
+                        "__ic_new int",
+                    )
+                )
+
+            def encode_dv_group(key, pdf):
+                import pandas as pd
+
+                n_new = int((pdf["__ic_new"] == 1).sum())
+                if n_new == 0:
+                    return pd.DataFrame(
+                        {
+                            "fp": pd.Series([], dtype=object),
+                            "dv": pd.Series([], dtype=object),
+                            "card": pd.Series([], dtype="int64"),
+                            "n_new": pd.Series([], dtype="int64"),
+                        }
+                    )
+                idx = sorted(set(int(x) for x in pdf["__ic_ri"]))
+                return pd.DataFrame(
+                    {
+                        "fp": [key[0]],
+                        "dv": [dv_blob_bytes(idx)],
+                        "card": [len(idx)],
+                        "n_new": [n_new],
+                    }
+                )
+
+            enc = (
+                new_rows.groupBy("__ic_path")
+                .applyInPandas(
+                    encode_dv_group,
+                    "fp string, dv binary, card long, n_new long",
+                )
                 .collect()
             )
-            if not rows:
+            if not enc:
                 return {
                     "snapshot_id": None,
                     "snapshot_seq": None,
@@ -2077,50 +2139,19 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                     "n_files_touched": 0,
                     "mode": mode,
                 }
-            rows.sort(key=lambda r: r["__ic_path"])
-            n_matched = int(sum(len(r["ris"]) for r in rows))
-            touched = [r["__ic_path"] for r in rows]
-            blobs = []
-            for r in rows:
-                fp = r["__ic_path"]
-                idx = set(int(x) for x in r["ris"])
-                idx.update(dead.get(fp, ()))
-                blobs.append(
-                    (
-                        dv_blob_bytes(sorted(idx)),
-                        {"referenced-data-file": fp},
-                    )
-                )
-            puf_rel = f"data/dv-{run_id}.puffin"
-            metas = write_puffin(_resolve(path, puf_rel), blobs)
-            new_delete_entries = [
-                {
-                    "status": 1,
-                    "snapshot_id": None,
-                    "sequence_number": None,
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": 1,
-                        "file_path": puf_rel,
-                        "file_format": "PUFFIN",
-                        "partition": {},
-                        "record_count": len(
-                            set(int(x) for x in r["ris"])
-                            | set(dead.get(r["__ic_path"], ()))
-                        ),
-                        "file_size_in_bytes": os.path.getsize(
-                            _resolve(path, puf_rel)
-                        ),
-                        "referenced_data_file": r["__ic_path"],
-                        "content_offset": m["offset"],
-                        "content_size_in_bytes": m["length"],
-                        "null_value_counts": None,
-                        "lower_bounds": None,
-                        "upper_bounds": None,
-                    },
-                }
-                for r, m in zip(rows, metas)
+            enc.sort(key=lambda r: r["fp"])
+            n_matched = int(sum(r["n_new"] for r in enc))
+            touched = [r["fp"] for r in enc]
+            dv_blobs = [
+                (bytes(r["dv"]), {"referenced-data-file": r["fp"]})
+                for r in enc
             ]
+            dv_cards = [int(r["card"]) for r in enc]
+            puf_rel = f"data/dv-{run_id}.puffin"
+            # the Puffin file + its manifest entries are written inside
+            # the commit loop: blob FileMetadata stamps the committing
+            # snapshot-id/sequence-number, which each retry re-picks
+            new_delete_entries = []
             # supersede: every prior delete file whose rows this DV set
             # now carries (old DVs and position deletes for touched
             # files) — drop all-superseded delete manifests from the
@@ -2245,6 +2276,36 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                     "removed data file(s) this DELETE touches; re-run "
                     "against the new state"
                 )
+            if mode == "dv":
+                # the DV union and the supersede classification were
+                # computed from the snapshot read up front; a delete
+                # file committed concurrently (a new DV or position
+                # delete for a touched file) would be dropped/
+                # superseded WITHOUT its ordinals folded in,
+                # resurrecting its rows — refuse if the head's delete
+                # files differ at all from the snapshot this DELETE
+                # read (the data-file liveness check above does not
+                # see delete manifests)
+                def _delete_sig(s):
+                    return {
+                        (
+                            d["abs"],
+                            int(d.get("content") or 1),
+                            bool(d.get("dv")),
+                            str(d.get("referenced")),
+                            d.get("offset"),
+                            d.get("size"),
+                        )
+                        for d in s["delete_files"]
+                    }
+
+                if _delete_sig(cur) != _delete_sig(st):
+                    raise ValueError(
+                        "cannot delete: a concurrent commit changed "
+                        "the table's delete files after this DELETE "
+                        "read its snapshot; re-run against the new "
+                        "state"
+                    )
             seq = int(meta.get("last-sequence-number") or 0) + 1
             sid = _uuid.uuid4().int >> 65
             specs = list(meta.get("partition-specs") or [])
@@ -2266,6 +2327,41 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                     "fields": [],
                 }
                 new_meta["partition-specs"] = specs + [unpart]
+            if mode == "dv":
+                # write the Puffin file now that this attempt's
+                # snapshot-id/sequence-number are known (blob
+                # FileMetadata carries them); a retried attempt
+                # rewrites the same not-yet-committed path
+                metas = write_puffin(
+                    _resolve(path, puf_rel),
+                    dv_blobs,
+                    snapshot_id=sid,
+                    sequence_number=seq,
+                )
+                puf_size = os.path.getsize(_resolve(path, puf_rel))
+                new_delete_entries = [
+                    {
+                        "status": 1,
+                        "snapshot_id": None,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": puf_rel,
+                            "file_format": "PUFFIN",
+                            "partition": {},
+                            "record_count": card,
+                            "file_size_in_bytes": puf_size,
+                            "referenced_data_file": fp,
+                            "content_offset": m["offset"],
+                            "content_size_in_bytes": m["length"],
+                            "null_value_counts": None,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                        },
+                    }
+                    for fp, card, m in zip(touched, dv_cards, metas)
+                ]
             for e in new_delete_entries:
                 e["snapshot_id"] = sid
                 e["sequence_number"] = seq

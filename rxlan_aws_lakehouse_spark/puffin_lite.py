@@ -84,11 +84,20 @@ def read_dv_blob(path: str, offset: int, size: int) -> list[int]:
     return decode_dv_blob(blob)
 
 
-def write_puffin(path: str, blobs: list[tuple[bytes, dict]]) -> list[dict]:
+def write_puffin(
+    path: str,
+    blobs: list[tuple[bytes, dict]],
+    snapshot_id: int = 0,
+    sequence_number: int = 0,
+) -> list[dict]:
     """Write a conformant Puffin file holding ``blobs`` (raw bytes +
     extra FileMetadata fields, e.g. ``referenced-data-file``).
-    Returns the per-blob metadata dicts (with ``offset``/``length``
-    filled) for manifest authoring."""
+    ``snapshot_id``/``sequence_number`` stamp each blob's FileMetadata
+    with the COMMITTING snapshot's lineage (the spec requires the
+    snapshot the blob was computed for) so footer-reading engines see
+    the right provenance, not a hardcoded 0.  Returns the per-blob
+    metadata dicts (with ``offset``/``length`` filled) for manifest
+    authoring."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     metas: list[dict] = []
     with open(path, "wb") as f:
@@ -98,8 +107,8 @@ def write_puffin(path: str, blobs: list[tuple[bytes, dict]]) -> list[dict]:
             m = {
                 "type": DV_BLOB_TYPE,
                 "fields": [],
-                "snapshot-id": 0,
-                "sequence-number": 0,
+                "snapshot-id": int(snapshot_id),
+                "sequence-number": int(sequence_number),
                 "offset": pos,
                 "length": len(raw),
             }

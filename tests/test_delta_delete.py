@@ -97,6 +97,37 @@ def test_delete_cow_partitioned_predicate(spark, tmp_path):
     assert all(rel in after["adds"] for rel in untouched)
 
 
+def test_delete_cow_null_predicate_rows_survive(spark, tmp_path):
+    """A predicate that evaluates NULL (e.g. ``v = 3.0`` when v IS
+    NULL) matches nothing, so NULL-evaluating rows must SURVIVE the
+    copy-on-write rewrite — survivors are NOT(cond IS TRUE), not
+    ~cond (which is also NULL and would silently drop the row)."""
+    t = TxnTable(str(tmp_path / "src_nullpred"))
+    df = spark.range(10).select(
+        F.col("id").cast("int").alias("k"),
+        F.when(F.col("id") % 3 == 0, F.col("id").cast("double")).alias(
+            "v"
+        ),
+    )
+    t.commit(df)
+    dest = str(tmp_path / "nullpred")
+    export_delta(t, dest)
+    out = delete_delta(spark, dest, "v = 3.0", mode="cow")
+    assert out["n_matched"] == 1
+    got = _rows(import_delta(spark, dest), ["k", "v"])
+    assert got == {
+        (k, float(k) if k % 3 == 0 else None)
+        for k in range(10)
+        if k != 3
+    }
+    # same semantics in DV mode (matched side already NULL-safe)
+    dest2 = str(tmp_path / "nullpred_dv")
+    export_delta(t, dest2)
+    out2 = delete_delta(spark, dest2, "v = 3.0", mode="dv")
+    assert out2["n_matched"] == 1
+    assert _rows(import_delta(spark, dest2), ["k", "v"]) == got
+
+
 def test_delete_dv_mode_upgrades_protocol(spark, tmp_path):
     """mode='dv' on a legacy-protocol table commits a table-features
     protocol upgrade (legacy implied features enumerated) + spec DV

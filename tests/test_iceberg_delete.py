@@ -158,6 +158,68 @@ def test_delete_dv_v3(spark, tmp_path):
     assert total == 8
 
 
+def _bump_v3(dest):
+    import json as _json
+
+    mdir = os.path.join(dest, "metadata")
+    with open(os.path.join(mdir, "v1.metadata.json")) as f:
+        meta = _json.load(f)
+    meta["format-version"] = 3
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+
+
+def test_delete_dv_never_collects_ordinals(spark, tmp_path, monkeypatch):
+    """Scale guard (round 16): the v3 DV delete encodes roaring
+    vectors EXECUTOR-side — the driver's only row-bearing collect is
+    one compact (path, blob, cardinality) row per touched file, never
+    the matched-row ordinals (``__ic_ri``).  A DELETE matching 10^8
+    rows must not OOM the driver."""
+    # Spark 4: the concrete class (pyspark.sql.DataFrame is abstract)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    dest = _export_fixture(spark, tmp_path, name="noord")
+    _bump_v3(dest)
+    seen = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        seen.append([f.name for f in self.schema.fields])
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    out = delete_iceberg(spark, dest, "k < 5")
+    monkeypatch.undo()
+    assert out["mode"] == "dv" and out["n_matched"] == 5
+    assert seen, "expected the encode collect to be observed"
+    assert all("__ic_ri" not in cols for cols in seen), seen
+    assert ["fp", "dv", "card", "n_new"] in seen
+
+
+def test_delete_dv_puffin_blob_lineage(spark, tmp_path):
+    """The Puffin footer's blob FileMetadata carries the COMMITTING
+    snapshot-id and sequence-number (not hardcoded 0) — what footer-
+    reading engines use for DV lineage."""
+    import json as _json
+    import struct as _struct
+
+    dest = _export_fixture(spark, tmp_path, name="lineage")
+    _bump_v3(dest)
+    out = delete_iceberg(spark, dest, "k < 5")
+    st = iceberg_live_files(dest)
+    dvs = [d for d in st["delete_files"] if d.get("dv")]
+    puf = dvs[0]["abs"]
+    with open(puf, "rb") as f:
+        raw = f.read()
+    assert raw[-4:] == b"PFA1" and raw[:4] == b"PFA1"
+    (plen,) = _struct.unpack("<i", raw[-12:-8])
+    payload = _json.loads(raw[-12 - plen : -12])
+    assert payload["blobs"]
+    for b in payload["blobs"]:
+        assert b["snapshot-id"] == out["snapshot_id"]
+        assert b["sequence-number"] == out["snapshot_seq"]
+
+
 def test_delete_dv_v3_supersedes_position_deletes(spark, tmp_path):
     """A v3 DV delete folds a touched file's prior POSITION deletes
     into the union (the replacement rule) and drops their manifest

@@ -76,6 +76,7 @@ def main() -> None:
                 ("delta", "dv"),
                 ("delta", "cow"),
                 ("iceberg", "pos"),
+                ("iceberg", "dv"),
             ):
                 dest = f"{work}/{fmt}_{mode}_{pct}"
                 if fmt == "delta":
@@ -97,6 +98,18 @@ def main() -> None:
                     n_live = import_delta(spark, dest).count()
                 else:
                     export_iceberg(t, dest)
+                    if mode == "dv":
+                        # bump to format-version 3 (otherwise
+                        # v3-compatible for reading) so the delete
+                        # takes the deletion-vector path
+                        mfile = os.path.join(
+                            dest, "metadata", "v1.metadata.json"
+                        )
+                        with open(mfile) as fh:
+                            meta = json.load(fh)
+                        meta["format-version"] = 3
+                        with open(mfile, "w") as fh:
+                            json.dump(meta, fh)
                     before_data = dir_bytes(
                         os.path.join(dest, "data"), ".parquet"
                     )
