@@ -120,6 +120,10 @@ def _delta_table_meta(meta: dict) -> tuple[dict, dict, dict]:
     )
 
 _LOG_DIR = "_delta_log"
+# delta.deletedFileRetentionDuration value shape: "interval N <unit>"
+_re_interval = re.compile(
+    r"interval\s+(\d+(?:\.\d+)?)\s+(day|days|hour|hours|minute|minutes)"
+)
 _APP_PREFIX = "rxlan-txn-export"
 
 
@@ -2828,10 +2832,89 @@ def update_delta(
     return _row_level_delta(spark, path, where, mode, set_map=set_map)
 
 
-def _row_level_delta(
-    spark, path: str, where, mode: str = "auto", set_map: dict = None
+def merge_delta(
+    spark,
+    path: str,
+    updates,
+    keys: list[str],
+    delete_keys=None,
+    mode: str = "auto",
 ) -> dict:
-    """Shared core of ``delete_delta`` / ``update_delta``.
+    """SCD1 MERGE committed against a FOREIGN Delta table (round 16,
+    r15 verdict task 2's follow-on — "foreign row-level UPDATE, then
+    MERGE"; the native twin is ``TxnTable.merge_upsert_dv``).
+
+    ``updates`` holds the post-merge rows (matched keys' replacements
+    AND brand-new inserts — the ANSI result set ``sql_dml``'s MERGE
+    parser already builds); ``keys`` are the equi-join merge keys;
+    ``delete_keys`` optionally names matched keys to remove with NO
+    replacement (``WHEN MATCHED THEN DELETE``).  ONE commit: matched
+    rows leave via deletion vectors (``mode="dv"``) or a survivors
+    rewrite (``mode="cow"``, NULL-safe key anti-join), and ``updates``
+    lands as fresh adds — so write cost is O(|updates|) data bytes +
+    O(matched positions), never a whole-table rewrite.  CDF tables
+    emit ``update_preimage``/``update_postimage``/``insert``/
+    ``delete`` cdc rows classified per key.  A merge matching nothing
+    (or into an empty table) degrades to a pure insert commit.
+    Duplicate merge keys in ``updates`` refuse loudly.  Returns
+    ``{"version", "mode", "n_matched", "n_files_touched",
+    "n_files_removed"}``."""
+    if not keys:
+        raise ValueError("cannot merge: empty key list")
+    up_cols = {c.lower() for c in updates.columns}
+    for k in keys:
+        if str(k).lower() not in up_cols:
+            raise ValueError(
+                f"cannot merge: unknown key column {k!r}"
+            )
+    dup = (
+        updates.groupBy(*keys)
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "cannot merge: updates contain duplicate merge keys, "
+            f"e.g. {[dup[0][k] for k in keys]}"
+        )
+    if delete_keys is not None:
+        both = (
+            updates.select(*keys)
+            .join(delete_keys.select(*keys), keys, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if both:
+            raise ValueError(
+                f"cannot merge: key {[both[0][k] for k in keys]} "
+                "appears in both updates and delete_keys; MERGE "
+                "clauses must decide one action per row"
+            )
+    return _row_level_delta(
+        spark,
+        path,
+        None,
+        mode,
+        merge={
+            "updates": updates,
+            "keys": list(keys),
+            "delete_keys": delete_keys,
+        },
+    )
+
+
+def _row_level_delta(
+    spark,
+    path: str,
+    where,
+    mode: str = "auto",
+    set_map: dict = None,
+    merge: dict = None,
+) -> dict:
+    """Shared core of ``delete_delta`` / ``update_delta`` /
+    ``merge_delta``.
 
     ``where`` is a SQL boolean expression (or Column) over the table's
     LOGICAL columns.  Two spec-faithful strategies:
@@ -2888,7 +2971,8 @@ def _row_level_delta(
     from pyspark.sql.types import StructType as _ST0
 
     is_update = set_map is not None
-    opl = "update" if is_update else "delete"
+    is_merge = merge is not None
+    opl = "merge" if is_merge else ("update" if is_update else "delete")
     if mode not in ("auto", "dv", "cow"):
         raise ValueError(f"unknown {opl} mode {mode!r} (auto/dv/cow)")
     state = replay_delta_log(path)
@@ -2914,10 +2998,53 @@ def _row_level_delta(
             set_exprs[fld.name] = (
                 F.expr(v) if isinstance(v, str) else v
             )
+    mkeys: list[str] = []
+    upd_src = dels_src = all_keys = None
+    if is_merge:
+        schema_m = _ST0.fromJson(state["schema"])
+        by_lower_m = {f.name.lower(): f.name for f in schema_m.fields}
+        for k in merge["keys"]:
+            n = by_lower_m.get(str(k).lower())
+            if n is None:
+                raise ValueError(
+                    f"cannot merge: unknown key column {k!r}"
+                )
+            mkeys.append(n)
+        upd_src = merge["updates"]
+        missing = [
+            f.name
+            for f in schema_m.fields
+            if f.name.lower()
+            not in {c.lower() for c in upd_src.columns}
+        ]
+        extra = [
+            c
+            for c in upd_src.columns
+            if c.lower() not in by_lower_m
+        ]
+        if missing or extra:
+            raise ValueError(
+                "cannot merge: updates columns do not match the "
+                f"table schema (missing {missing}, unexpected "
+                f"{extra}); merges do not evolve a foreign schema"
+            )
+        upd_src = upd_src.select(
+            *(
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema_m.fields
+            )
+        )
+        dels_src = merge.get("delete_keys")
+        if dels_src is not None:
+            dels_src = dels_src.select(*mkeys).distinct()
+        all_keys = upd_src.select(*mkeys)
+        if dels_src is not None:
+            all_keys = all_keys.unionByName(dels_src)
+        all_keys = all_keys.distinct()
     use_dv = mode == "dv" or (
         mode == "auto" and _protocol_has_dv(state.get("protocol") or {})
     )
-    if not state["files"]:
+    if not state["files"] and not is_merge:
         return {
             "version": None,
             "mode": "dv" if use_dv else "cow",
@@ -2931,10 +3058,24 @@ def _row_level_delta(
     phys = _foreign_phys(state)
     part_cols = list(state["partition_columns"])
     part_phys = [phys[c] for c in part_cols]
-    cond = F.expr(where) if isinstance(where, str) else where
+    cond = (
+        None
+        if is_merge
+        else (F.expr(where) if isinstance(where, str) else where)
+    )
 
-    lineage = _lineage_scan(spark, state, path)
-    matched = lineage.filter(cond)
+    if state["files"]:
+        lineage = _lineage_scan(spark, state, path)
+        # MERGE matches by key membership (NULL-safe by construction:
+        # a NULL key never equi-joins, per ANSI MERGE); DELETE/UPDATE
+        # match by predicate
+        matched = (
+            lineage.join(all_keys, mkeys, "left_semi")
+            if is_merge
+            else lineage.filter(cond)
+        )
+    else:
+        lineage = matched = None  # empty-table merge: pure insert
     # one pass over the matched rows: per-file ordinal sets, encoded
     # executor-side and unioned with the file's existing DV
     dv_specs = _foreign_dv_specs(state, path)
@@ -2958,15 +3099,19 @@ def _row_level_delta(
         )
 
     touched = (
-        matched.select("__dl_rel", "__dl_ri")
-        .groupBy("__dl_rel")
-        .applyInPandas(
-            encode_group,
-            "rel string, dv binary, card long, n_new long",
+        (
+            matched.select("__dl_rel", "__dl_ri")
+            .groupBy("__dl_rel")
+            .applyInPandas(
+                encode_group,
+                "rel string, dv binary, card long, n_new long",
+            )
+            .collect()
         )
-        .collect()
+        if matched is not None
+        else []
     )
-    if not touched:
+    if not touched and not is_merge:
         return {
             "version": None,
             "mode": "dv" if use_dv else "cow",
@@ -2995,7 +3140,9 @@ def _row_level_delta(
     removes: list[dict] = []
     re_adds: list[dict] = []
     n_removed_files = 0
-    if use_dv:
+    if not touched:
+        pass  # pure-insert merge: nothing to remove or rewrite
+    elif use_dv:
         fully = []
         partial = []
         for row in touched:
@@ -3063,10 +3210,20 @@ def _row_level_delta(
         # scan), one Spark job staged into hive dirs
         # survivors = NOT(cond IS TRUE): a predicate that evaluates
         # NULL (e.g. x = 5 with x NULL) matches nothing, so those rows
-        # must survive the rewrite — plain ~cond would drop them
-        survivors = lineage.filter(
+        # must survive the rewrite — plain ~cond would drop them.
+        # MERGE survivors = the touched files' rows whose key is NOT
+        # in the merge key set (NULL keys never matched, so they
+        # survive the anti-join too)
+        base_touched = lineage.filter(
             F.col("__dl_rel").isin(touched_rels)
-        ).filter(~F.coalesce(cond, F.lit(False)))
+        )
+        survivors = (
+            base_touched.join(all_keys, mkeys, "left_anti")
+            if is_merge
+            else base_touched.filter(
+                ~F.coalesce(cond, F.lit(False))
+            )
+        )
         fids = (
             _foreign_field_ids(state)
             if _cm_mode(state) == "id"
@@ -3155,6 +3312,34 @@ def _row_level_delta(
             spark, path, upd_writer, part_phys, "delta_update_"
         )
         re_adds = re_adds + upd_adds
+    elif is_merge:
+        # the ANSI result set (replacements + inserts) lands as fresh
+        # adds — one distributed write job, O(|updates|) data bytes
+        schema_u = _ST0.fromJson(state["schema"])
+        fids_u = (
+            _foreign_field_ids(state)
+            if _cm_mode(state) == "id"
+            else {}
+        )
+        if fids_u:
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        mrg_writer = upd_src.select(
+            *(
+                F.col(f.name).alias(
+                    phys[f.name],
+                    metadata={"parquet.field.id": fids_u[f.name]}
+                    if f.name in fids_u
+                    else None,
+                )
+                for f in schema_u.fields
+            )
+        )
+        mrg_adds, _n_mrg = _stage_adds(
+            spark, path, mrg_writer, part_phys, "delta_merge_"
+        )
+        re_adds = re_adds + mrg_adds
 
     cdc_actions: list[dict] = []
     if cdf_on:
@@ -3195,6 +3380,44 @@ def _row_level_delta(
             cdc_df = _cdc_sel(matched, "update_preimage").unionByName(
                 _cdc_sel(updated_logical, "update_postimage")
             )
+        elif is_merge:
+            # classify per key: matched+in-updates = update pre/post,
+            # matched+in-delete_keys = delete, unmatched = insert
+            if matched is not None:
+                matched_keys = matched.select(*mkeys).distinct()
+                upd_keys = upd_src.select(*mkeys).distinct()
+                parts = [
+                    _cdc_sel(
+                        matched.join(upd_keys, mkeys, "left_semi"),
+                        "update_preimage",
+                    ),
+                    _cdc_sel(
+                        upd_src.join(
+                            matched_keys, mkeys, "left_semi"
+                        ),
+                        "update_postimage",
+                    ),
+                    _cdc_sel(
+                        upd_src.join(
+                            matched_keys, mkeys, "left_anti"
+                        ),
+                        "insert",
+                    ),
+                ]
+                if dels_src is not None:
+                    parts.append(
+                        _cdc_sel(
+                            matched.join(
+                                dels_src, mkeys, "left_semi"
+                            ),
+                            "delete",
+                        )
+                    )
+            else:
+                parts = [_cdc_sel(upd_src, "insert")]
+            cdc_df = parts[0]
+            for x in parts[1:]:
+                cdc_df = cdc_df.unionByName(x)
         else:
             cdc_df = _cdc_sel(matched, "delete")
         import shutil as _shutil
@@ -3273,9 +3496,11 @@ def _row_level_delta(
                 "commitInfo": {
                     "timestamp": int(time.time() * 1000),
                     "operation": opl.upper(),
-                    "operationParameters": {
-                        "predicate": str(where)
-                    },
+                    "operationParameters": (
+                        {"matchedPredicate": json.dumps(mkeys)}
+                        if is_merge
+                        else {"predicate": str(where)}
+                    ),
                     "engineInfo": (
                         f"rxlan-aws-lakehouse-spark foreign {opl}"
                     ),
@@ -3324,3 +3549,298 @@ def _row_level_delta(
     raise RuntimeError(
         f"{opl} on {path} lost the commit race 8 times; giving up"
     )
+
+
+def optimize_delta(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Bin-packed COMPACTION of a FOREIGN Delta table (round 16, r15
+    verdict task 7 — an attached foreign table could be appended,
+    deleted from and updated, but never maintained in place).
+
+    Per partition, live files smaller than ``target_bytes`` are
+    greedily packed into ~``target_bytes`` bins (any file carrying a
+    deletion vector is always a candidate — compaction PURGES its dead
+    rows); bins worth rewriting (``min_files``+ files, or one
+    DV-bearing file) are read in ONE Spark job through the lineage
+    scan (existing DVs applied), shuffled one-task-per-bin, and staged
+    as fresh files.  The commit is the spec's pure-compaction shape:
+    ``remove`` + ``add`` all carrying ``dataChange=false`` — streaming
+    tails skip such commits (``delta_import`` source rule), so an
+    OPTIMIZE never re-emits rows downstream.  Row-count conservation
+    is asserted before publishing.
+
+    Returns ``{"version", "n_files_removed", "n_files_added",
+    "n_bins", "n_rows"}`` (version None = nothing worth compacting)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType as _ST
+
+    state = replay_delta_log(path)
+    _gate_foreign_protocol(state)
+    _gate_foreign_writer(state)
+    cfg = state.get("configuration") or {}
+    if str(cfg.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            "cannot optimize: table sets delta.appendOnly=true "
+            "(compaction removes files)"
+        )
+    phys = _foreign_phys(state)
+    part_cols = list(state["partition_columns"])
+    part_phys = [phys[c] for c in part_cols]
+
+    # bin-pack per partition group
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in state["adds"].items():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(p) for p in part_phys)
+        groups.setdefault(key, []).append(rel)
+    bins: list[list[str]] = []
+    for key, rels in sorted(groups.items()):
+        cand = []
+        for rel in sorted(rels):
+            a = state["adds"][rel]
+            has_dv = bool(a.get("deletionVector"))
+            if int(a.get("size") or 0) < target_bytes or has_dv:
+                cand.append((rel, int(a.get("size") or 0), has_dv))
+        cur: list[str] = []
+        cur_sz = 0
+        cur_dv = False
+        for rel, sz, has_dv in cand:
+            if cur and cur_sz + sz > target_bytes:
+                if len(cur) >= min_files or cur_dv:
+                    bins.append(cur)
+                cur, cur_sz, cur_dv = [], 0, False
+            cur.append(rel)
+            cur_sz += sz
+            cur_dv = cur_dv or has_dv
+        if len(cur) >= min_files or (cur and cur_dv):
+            bins.append(cur)
+    if not bins:
+        return {
+            "version": None,
+            "n_files_removed": 0,
+            "n_files_added": 0,
+            "n_bins": 0,
+            "n_rows": 0,
+        }
+    bin_of = {
+        rel: i for i, rels in enumerate(bins) for rel in rels
+    }
+    touched_rels = sorted(bin_of)
+
+    def num_live(rel: str) -> int:
+        a = state["adds"][rel]
+        n = None
+        st = a.get("stats")
+        if st:
+            try:
+                n = json.loads(st).get("numRecords")
+            except (ValueError, TypeError):
+                n = None
+        if n is None:
+            n = _pq.ParquetFile(
+                os.path.join(path, rel)
+            ).metadata.num_rows
+        desc = a.get("deletionVector")
+        if isinstance(desc, list):
+            desc = dict(desc)
+        return int(n) - int((desc or {}).get("cardinality") or 0)
+
+    expected_rows = sum(num_live(r) for r in touched_rels)
+
+    lineage = _lineage_scan(spark, state, path)
+    rows = lineage.filter(F.col("__dl_rel").isin(touched_rels))
+    bin_map = spark.createDataFrame(
+        [(rel, i) for rel, i in bin_of.items()],
+        "__dl_rel string, __dl_bin int",
+    )
+    rows = rows.join(F.broadcast(bin_map), "__dl_rel")
+    fids = (
+        _foreign_field_ids(state) if _cm_mode(state) == "id" else {}
+    )
+    if fids:
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+    schema = _ST.fromJson(state["schema"])
+    writer_df = (
+        rows.repartition(len(bins), "__dl_bin")
+        .select(
+            *(
+                F.col(f.name)
+                .cast(f.dataType)
+                .alias(
+                    phys[f.name],
+                    metadata={"parquet.field.id": fids[f.name]}
+                    if f.name in fids
+                    else None,
+                )
+                for f in schema.fields
+            )
+        )
+    )
+    adds, n_staged = _stage_adds(
+        spark, path, writer_df, part_phys, "delta_optimize_"
+    )
+    if n_staged != expected_rows:
+        raise RuntimeError(
+            f"optimize aborted before commit: staged {n_staged} rows "
+            f"but the touched files hold {expected_rows} live rows"
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_bytes)
+                },
+                "engineInfo": (
+                    "rxlan-aws-lakehouse-spark foreign optimize"
+                ),
+            }
+        }
+    ]
+    for a in adds:
+        a["add"]["dataChange"] = False
+        actions.append(a)
+    for rel in touched_rels:
+        old = state["adds"][rel]
+        old_dv = old.get("deletionVector")
+        if isinstance(old_dv, list):
+            old_dv = dict(old_dv)
+        rm = {
+            "path": old["path"],
+            "deletionTimestamp": now_ms,
+            "dataChange": False,
+            "extendedFileMetadata": True,
+            "partitionValues": old.get("partitionValues") or {},
+            "size": old.get("size"),
+        }
+        if old_dv:
+            rm["deletionVector"] = old_dv
+        actions.append({"remove": rm})
+
+    log_dir = os.path.join(path, _LOG_DIR)
+    touched_set = set(touched_rels)
+    for _attempt in range(8):
+        n_commit = state["n_commits"]
+        log_path = os.path.join(log_dir, f"{n_commit:020d}.json")
+        tmp = f"{log_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            _publish_commit(tmp, log_path)
+            return {
+                "version": n_commit,
+                "n_files_removed": len(touched_rels),
+                "n_files_added": len(adds),
+                "n_bins": len(bins),
+                "n_rows": n_staged,
+            }
+        except FileExistsError:
+            new_state = replay_delta_log(path)
+            if any(
+                new_state["adds"].get(rel) != state["adds"].get(rel)
+                for rel in touched_set
+            ):
+                raise ValueError(
+                    "cannot optimize: a concurrent commit changed a "
+                    "file this OPTIMIZE rewrites; re-run against the "
+                    "new state"
+                )
+            state = new_state
+    raise RuntimeError(
+        f"optimize on {path} lost the commit race 8 times; giving up"
+    )
+
+
+def vacuum_delta(
+    spark,
+    path: str,
+    retain_hours: float | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Physically delete a FOREIGN Delta table's UNREFERENCED data
+    files older than the retention window (round 16, r15 verdict task
+    7 — the maintenance twin of ``optimize_delta``).
+
+    The live set is the CURRENT version's data files plus their
+    deletion-vector files; any other ``*.parquet``/``*.bin`` under the
+    table root (``_delta_log`` and ``_change_data`` excluded — CDF
+    readers own that retention) whose modification time is older than
+    the window is removed.  Retention defaults to the table's
+    ``delta.deletedFileRetentionDuration`` (``interval N days/hours``)
+    else the spec's 168 h; time travel to versions older than the
+    window stops working, per VACUUM semantics.  ``dry_run`` lists
+    without deleting."""
+    state = replay_delta_log(path)
+    cfg = state.get("configuration") or {}
+    if retain_hours is None:
+        retain_hours = 168.0
+        raw = str(
+            cfg.get("delta.deletedFileRetentionDuration", "")
+        ).lower()
+        m = _re_interval.match(raw)
+        if m:
+            n, unit = float(m.group(1)), m.group(2)
+            retain_hours = n * {
+                "day": 24.0,
+                "days": 24.0,
+                "hour": 1.0,
+                "hours": 1.0,
+                "minute": 1 / 60.0,
+                "minutes": 1 / 60.0,
+            }.get(unit, 24.0)
+    cutoff = time.time() - retain_hours * 3600.0
+    from .delta_dv import descriptor_spec
+
+    live: set[str] = set()
+    for rel, a in state["adds"].items():
+        live.add(os.path.realpath(os.path.join(path, rel)))
+        desc = a.get("deletionVector")
+        if isinstance(desc, list):
+            desc = dict(desc)
+        if desc and desc.get("storageType") in ("u", "p"):
+            spec = descriptor_spec(path, desc)
+            live.add(os.path.realpath(spec[1]))
+    removed: list[str] = []
+    skip_dirs = {_LOG_DIR, _CHANGE_DIR}
+    for r, dnames, ns in os.walk(path):
+        rel_dir = os.path.relpath(r, path)
+        top = rel_dir.split(os.sep)[0]
+        if top in skip_dirs:
+            dnames[:] = []
+            continue
+        for n in ns:
+            p = os.path.join(r, n)
+            if not (n.endswith(".parquet") or n.endswith(".bin")):
+                continue
+            if os.path.realpath(p) in live:
+                continue
+            try:
+                if os.path.getmtime(p) >= cutoff:
+                    continue
+            except OSError:
+                continue
+            removed.append(os.path.relpath(p, path))
+            if not dry_run:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+    return {
+        "n_removed": len(removed),
+        "removed": sorted(removed),
+        "retain_hours": retain_hours,
+        "dry_run": dry_run,
+    }

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import posixpath
 import struct
 import time
 from datetime import date as _date, datetime as _datetime
@@ -987,18 +988,31 @@ def create_iceberg_table(
     fields: list[dict],
     spec_fields: list[dict] | None = None,
     properties: dict | None = None,
+    format_version: int = 2,
 ) -> dict:
-    """CREATE an empty Iceberg v2 table at ``path`` — the metadata
-    shape any engine's ``CREATE TABLE`` leaves before the first write
+    """CREATE an empty Iceberg table at ``path`` — the metadata shape
+    any engine's ``CREATE TABLE`` leaves before the first write
     (``v1.metadata.json`` with no snapshots, ``current-snapshot-id``
     -1).  ``fields`` are spec schema fields (``{"id", "name",
     "required", "type"}``), ``spec_fields`` spec partition fields
     (``{"name", "transform", "source-id", "field-id"}``) — any spec
     transform, including the ``bucket[N]``/``truncate[W]``/temporal
-    layouts ``append_iceberg`` computes forward.  Returns the written
-    metadata dict."""
+    layouts ``append_iceberg`` computes forward.
+
+    ``format_version=3`` (round 16, r15 verdict task 8) creates a
+    v3-native table: row lineage is reserved from birth
+    (``next-row-id`` 0; every ``append_iceberg`` snapshot then stamps
+    ``first-row-id`` and advances ``next-row-id`` by its added rows,
+    the spec's row-lineage assignment rule) and row-level deletes take
+    deletion vectors from the first write.  Versions outside 2/3
+    refuse by number.  Returns the written metadata dict."""
     import uuid as _uuid
 
+    if int(format_version) not in (2, 3):
+        raise ValueError(
+            f"cannot create: format-version {format_version} is not "
+            "supported (2 and 3 are)"
+        )
     spec_fields = list(spec_fields or [])
     mdir = os.path.join(path, "metadata")
     if os.path.isdir(mdir):
@@ -1006,7 +1020,7 @@ def create_iceberg_table(
     os.makedirs(mdir)
     now_ms = int(time.time() * 1000)
     meta = {
-        "format-version": 2,
+        "format-version": int(format_version),
         "table-uuid": str(_uuid.uuid4()),
         "location": path,
         "last-sequence-number": 0,
@@ -1031,6 +1045,8 @@ def create_iceberg_table(
         "snapshots": [],
         "snapshot-log": [],
     }
+    if int(format_version) >= 3:
+        meta["next-row-id"] = 0
     with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
@@ -1221,7 +1237,7 @@ def _plan_append_partitions(spark, part_fields, by_id, schema):
     return out
 
 
-def append_iceberg(spark, path: str, df) -> dict:
+def append_iceberg(spark, path: str, df, _stage_only: bool = False) -> dict:
     """APPEND a DataFrame to a FOREIGN Iceberg table — one this engine
     did not write (round 14, the Iceberg twin of ``append_delta``,
     r13 verdict "what's missing" #5).
@@ -1253,7 +1269,13 @@ def append_iceberg(spark, path: str, df) -> dict:
       re-reads the head and retries — appends never logically
       conflict.
 
-    Returns ``{"snapshot_id", "snapshot_seq", "n_files", "n_rows"}``."""
+    Returns ``{"snapshot_id", "snapshot_seq", "n_files", "n_rows"}``.
+
+    ``_stage_only`` (internal, used by ``update_iceberg``): stage the
+    data files + manifest entries and return them WITHOUT committing
+    a snapshot — the caller folds them into its own commit
+    (``{"entries", "n_rows", "mf_schema", "spec_id", "partitions",
+    "run_id"}``)."""
     import shutil as _shutil
     import struct as _struct
     import tempfile as _tempfile
@@ -1520,6 +1542,15 @@ def append_iceberg(spark, path: str, df) -> dict:
                 }
             )
         if not new_entries:
+            if _stage_only:
+                return {
+                    "entries": [],
+                    "n_rows": 0,
+                    "mf_schema": None,
+                    "spec_id": int(spec.get("spec-id") or 0),
+                    "partitions": None,
+                    "run_id": run_id,
+                }
             return {
                 "snapshot_id": None,
                 "snapshot_seq": None,
@@ -1538,6 +1569,51 @@ def append_iceberg(spark, path: str, df) -> dict:
                 }
             )
         mf_schema = _manifest_schema(avro_part_fields)
+        # manifest-list summary bounds computed over VALUES, then
+        # encoded (encoded little-endian ints do not sort numerically);
+        # the bound type is the transform's RESULT type — ``date``
+        # results (the ``day`` transform / identity dates) are already
+        # days-since-epoch ints, encoded as the spec's 4-byte int
+        ml_partitions = (
+            [
+                {
+                    "contains_null": any(
+                        v is None for v in pvs_seen[p["name"]]
+                    ),
+                    "contains_nan": None,
+                    "lower_bound": bound(
+                        {"date": "int"}.get(p["res"], p["res"]),
+                        min(nn),
+                    )
+                    if (
+                        nn := [
+                            v
+                            for v in pvs_seen[p["name"]]
+                            if v is not None
+                        ]
+                    )
+                    else None,
+                    "upper_bound": bound(
+                        {"date": "int"}.get(p["res"], p["res"]),
+                        max(nn),
+                    )
+                    if nn
+                    else None,
+                }
+                for p in pparts
+            ]
+            if pparts
+            else None
+        )
+        if _stage_only:
+            return {
+                "entries": new_entries,
+                "n_rows": n_rows_total,
+                "mf_schema": mf_schema,
+                "spec_id": int(spec.get("spec-id") or 0),
+                "partitions": ml_partitions,
+                "run_id": run_id,
+            }
 
         for _attempt in range(8):
             meta, head_v = load_table_metadata_versioned(path)
@@ -1581,41 +1657,7 @@ def append_iceberg(spark, path: str, df) -> dict:
                 "added_rows_count": n_rows_total,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
-                # summary bounds computed over VALUES, then encoded
-                # (encoded little-endian ints do not sort numerically);
-                # the bound type is the transform's RESULT type —
-                # ``date`` results (the ``day`` transform / identity
-                # dates) are already days-since-epoch ints, encoded as
-                # the spec's 4-byte int
-                "partitions": [
-                    {
-                        "contains_null": any(
-                            v is None for v in pvs_seen[p["name"]]
-                        ),
-                        "contains_nan": None,
-                        "lower_bound": bound(
-                            {"date": "int"}.get(p["res"], p["res"]),
-                            min(nn),
-                        )
-                        if (
-                            nn := [
-                                v
-                                for v in pvs_seen[p["name"]]
-                                if v is not None
-                            ]
-                        )
-                        else None,
-                        "upper_bound": bound(
-                            {"date": "int"}.get(p["res"], p["res"]),
-                            max(nn),
-                        )
-                        if nn
-                        else None,
-                    }
-                    for p in pparts
-                ]
-                if pparts
-                else None,
+                "partitions": ml_partitions,
             }
             ml_rel = f"metadata/ap-{run_id}-snap-{seq}.avro"
             write_avro(
@@ -1651,6 +1693,15 @@ def append_iceberg(spark, path: str, df) -> dict:
             new_meta["snapshot-log"] = list(
                 meta.get("snapshot-log") or []
             ) + [{"timestamp-ms": now_ms, "snapshot-id": sid}]
+            if int(meta.get("format-version", 1)) >= 3:
+                # v3 row lineage (round 16, r15 verdict task 8): the
+                # snapshot records the first row id its added files
+                # inherit; the table advances next-row-id by the rows
+                # added (the spec's assignment rule — readers derive
+                # per-file first_row_id cumulatively by record_count)
+                first_rid = int(meta.get("next-row-id") or 0)
+                snap["first-row-id"] = first_rid
+                new_meta["next-row-id"] = first_rid + n_rows_total
             # commit slot = the version this attempt's head metadata
             # was READ from + 1, never the advisory hint (a crashed
             # writer leaves it stale -> permanent re-collision) and
@@ -1816,19 +1867,16 @@ def _existing_dead_pairs(path: str, st: dict) -> dict[str, set]:
     set that keeps already-deleted rows out of ``n_matched`` and the
     union input for DV rewrites.  Bounded by
     ``_ICE_DELETE_MAX_EXISTING`` total rows (refuses loudly above —
-    compact first); EQUALITY-delete-bearing tables refuse (expanding
-    an equality delete is a join, not a lookup)."""
+    compact first).  EQUALITY delete files are skipped here: expanding
+    one is a join, not a lookup, so ``_row_level_iceberg`` excludes
+    equality-deleted rows inside the lineage scan instead
+    (``_apply_eq_exclusion`` — round 16, r15 verdict task 3; the
+    refusal used to live here)."""
     import pyarrow.parquet as _pq2
 
     from .iceberg_import import _path_variants
     from .puffin_lite import read_dv_blob
 
-    if any(d["content"] == 2 for d in st["delete_files"]):
-        raise ValueError(
-            "cannot delete: the snapshot carries EQUALITY delete "
-            "files; rewrite/compact the table first (position "
-            "deletes and deletion vectors are supported)"
-        )
     dead: dict[str, set] = {}
     variants: dict[str, str] = {}
     for e in st["entries"]:
@@ -1836,6 +1884,8 @@ def _existing_dead_pairs(path: str, st: dict) -> dict[str, set]:
             variants[v] = e["file_path"]
     total = 0
     for d in st["delete_files"]:
+        if d["content"] == 2:
+            continue  # equality deletes: applied in the lineage scan
         if d.get("dv"):
             idx = read_dv_blob(d["abs"], d["offset"], d["size"])
             canon = variants.get(str(d["referenced"]))
@@ -1870,10 +1920,228 @@ def _existing_dead_pairs(path: str, st: dict) -> dict[str, set]:
     return dead
 
 
+def _apply_eq_exclusion(spark, path: str, st: dict, lineage):
+    """Exclude EQUALITY-deleted rows from a lineage scan (round 16,
+    r15 verdict task 3 — ``delete_iceberg`` used to refuse
+    equality-delete-bearing tables, which Flink CDC writers produce by
+    default; the import side has replayed them since r14).
+
+    Reuses ``iceberg_live_files``' scan-planning verdicts: for each
+    (data file, applicable eq delete file) pair from ``delete_specs``
+    (already sequence- / partition- / bounds-scoped), the delete
+    file's key rows anti-join the lineage on the equality columns with
+    NULL matching NULL (``eqNullSafe`` — the spec rule).  Key columns
+    bind by parquet FIELD ID (the id-based contract), falling back to
+    the schema name for id-less fixture files.  Distributed end to
+    end: eq files are read as one Spark scan per equality-column
+    signature; no driver-side key materialization."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    from .iceberg_import import _resolve  # noqa: F401  (path symmetry)
+
+    # (data_path, eq_abs) applicability + eq files grouped by their
+    # equality-column signature
+    groups: dict[tuple, dict] = {}
+    for entry, specs in zip(st["entries"], st["delete_specs"]):
+        for sp in specs:
+            if sp[0] != "eq":
+                continue
+            _, eq_abs, eqcols = sp
+            g = groups.setdefault(eqcols, {"files": set(), "pairs": []})
+            g["files"].add(eq_abs)
+            g["pairs"].append((entry["file_path"], eq_abs))
+    if not groups:
+        return lineage
+    type_of = {f.name: f.dataType for f in lineage.schema.fields}
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    for eqcols, g in groups.items():
+        files = sorted(g["files"])
+        bases = [posixpath.basename(f) for f in files]
+        read_schema = StructType(
+            [
+                StructField(
+                    name,
+                    type_of[name],
+                    True,
+                    {"parquet.field.id": int(fid)},
+                )
+                for fid, name in eqcols
+            ]
+        )
+        if len(set(bases)) == len(bases):
+            keys = (
+                spark.read.schema(read_schema)
+                .parquet(*files)
+                .withColumn(
+                    "__eq_base",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                )
+            )
+            pairs = spark.createDataFrame(
+                [
+                    (p, posixpath.basename(a))
+                    for p, a in g["pairs"]
+                ],
+                "__eqp_path string, __eq_base string",
+            )
+            dead_keys = keys.join(
+                F.broadcast(pairs), "__eq_base"
+            ).select(
+                F.col("__eqp_path"),
+                *(
+                    F.col(name).alias(f"__eqk_{name}")
+                    for _fid, name in eqcols
+                ),
+            )
+        else:
+            # duplicate basenames: per-file scans with the abs path
+            # attached as a literal (eq delete files are few)
+            parts = []
+            path_of = {}
+            for p, a in g["pairs"]:
+                path_of.setdefault(a, []).append(p)
+            for a in files:
+                one = spark.read.schema(read_schema).parquet(a)
+                pairs1 = spark.createDataFrame(
+                    [(p,) for p in path_of.get(a, [])],
+                    "__eqp_path string",
+                )
+                parts.append(
+                    one.crossJoin(F.broadcast(pairs1)).select(
+                        "__eqp_path",
+                        *(
+                            F.col(name).alias(f"__eqk_{name}")
+                            for _fid, name in eqcols
+                        ),
+                    )
+                )
+            dead_keys = parts[0]
+            for x in parts[1:]:
+                dead_keys = dead_keys.unionByName(x)
+        on = lineage["__ic_path"] == dead_keys["__eqp_path"]
+        for _fid, name in eqcols:
+            on = on & lineage[name].eqNullSafe(
+                dead_keys[f"__eqk_{name}"]
+            )
+        lineage = lineage.join(dead_keys, on, "left_anti")
+    return lineage
+
+
 def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
     """Row-level DELETE committed against a FOREIGN Iceberg table
     (round 15 — the Iceberg twin of ``delete_delta``; write interop
     now covers row-level ops on BOTH open formats).
+    See ``_row_level_iceberg`` for the strategy notes shared with
+    ``update_iceberg``."""
+    return _row_level_iceberg(spark, path, where, mode)
+
+
+def update_iceberg(
+    spark, path: str, set_map: dict, where, mode: str = "auto"
+) -> dict:
+    """Row-level UPDATE committed against a FOREIGN Iceberg table
+    (round 16, r15 verdict task 2 — the Iceberg twin of
+    ``update_delta``).
+
+    ``set_map`` maps logical column names to SQL expressions (or
+    Columns) over the matched rows; ``where`` as in
+    ``delete_iceberg``.  ONE snapshot (operation ``overwrite``)
+    carries (a) the matched rows' removal — a spec position-delete
+    file on v2, Puffin deletion vectors on v3 — and (b) the updated
+    copies staged as fresh data files through ``append_iceberg``'s
+    write half (spec transforms computed forward, footer-derived
+    bounds), so updates that move rows across partitions land
+    naturally.  Returns ``{"snapshot_id", "snapshot_seq",
+    "n_matched", "n_files_touched", "mode"}``."""
+    if not set_map:
+        raise ValueError("cannot update: empty SET clause")
+    return _row_level_iceberg(spark, path, where, mode, set_map=set_map)
+
+
+def merge_iceberg(
+    spark,
+    path: str,
+    updates,
+    keys: list[str],
+    delete_keys=None,
+    mode: str = "auto",
+) -> dict:
+    """SCD1 MERGE committed against a FOREIGN Iceberg table (round
+    16 — the Iceberg twin of ``merge_delta``; the native shape is
+    ``TxnTable.merge_upsert_dv``).
+
+    ``updates`` holds the post-merge rows (matched keys' replacements
+    AND brand-new inserts — the ANSI result set); ``keys`` are the
+    equi-join merge keys; ``delete_keys`` optionally names matched
+    keys to remove with NO replacement (``WHEN MATCHED THEN
+    DELETE``).  ONE snapshot: matched rows leave via a spec position-
+    delete file (v2) or Puffin deletion vectors (v3), and ``updates``
+    lands as fresh data files staged through ``append_iceberg``'s
+    write half — write cost is O(|updates|) data bytes + O(matched
+    positions), never a whole-table rewrite.  A merge matching
+    nothing (or into an empty table) degrades to a pure fast-append
+    snapshot.  Duplicate merge keys in ``updates`` refuse loudly.
+    Returns ``{"snapshot_id", "snapshot_seq", "n_matched",
+    "n_files_touched", "mode"}``."""
+    if not keys:
+        raise ValueError("cannot merge: empty key list")
+    up_cols = {c.lower() for c in updates.columns}
+    for k in keys:
+        if str(k).lower() not in up_cols:
+            raise ValueError(
+                f"cannot merge: unknown key column {k!r}"
+            )
+    dup = (
+        updates.groupBy(*keys)
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "cannot merge: updates contain duplicate merge keys, "
+            f"e.g. {[dup[0][k] for k in keys]}"
+        )
+    if delete_keys is not None:
+        both = (
+            updates.select(*keys)
+            .join(delete_keys.select(*keys), keys, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if both:
+            raise ValueError(
+                f"cannot merge: key {[both[0][k] for k in keys]} "
+                "appears in both updates and delete_keys; MERGE "
+                "clauses must decide one action per row"
+            )
+    return _row_level_iceberg(
+        spark,
+        path,
+        None,
+        mode,
+        merge={
+            "updates": updates,
+            "keys": list(keys),
+            "delete_keys": delete_keys,
+        },
+    )
+
+
+def _row_level_iceberg(
+    spark,
+    path: str,
+    where,
+    mode: str = "auto",
+    set_map: dict = None,
+    merge: dict = None,
+) -> dict:
+    """Shared core of ``delete_iceberg`` / ``update_iceberg`` /
+    ``merge_iceberg``.
 
     Merge-on-read, per the spec's two delete encodings:
 
@@ -1892,11 +2160,19 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
       superseded DV manifests are rewritten with DELETED entries.
 
     Matching runs one lineage scan (``_iceberg_lineage_scan``) with
-    already-deleted rows excluded driver-side (bounded).  Equality-
-    delete-bearing tables and format-version 1 refuse loudly.  The
-    snapshot publishes via the same pinned-slot create-if-absent loop
-    as ``append_iceberg``; a lost race retries only while every
-    touched data file is still live.
+    already-deleted rows excluded exactly: position deletes and DVs
+    driver-side (bounded), EQUALITY deletes distributed inside the
+    scan (``_apply_eq_exclusion`` — eq-bearing tables no longer
+    refuse; their delete files stay live in the manifests and keep
+    applying on read).  Format-version 1 refuses loudly.  For UPDATE
+    (``set_map``), the matched rows' updated copies are staged
+    through ``append_iceberg``'s write half and committed in the SAME
+    snapshot (operation ``overwrite``); existing equality deletes
+    never re-kill the copies — they scope strictly below the new
+    sequence number.  The snapshot publishes via the same pinned-slot
+    create-if-absent loop as ``append_iceberg``; a lost race retries
+    only while every touched data file is still live and the delete
+    files are unchanged.
 
     Returns ``{"snapshot_id", "snapshot_seq", "n_matched",
     "n_files_touched", "mode"}``."""
@@ -1908,33 +2184,90 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
 
     from .iceberg_import import (
         _resolve,
+        _spark_schema,
         iceberg_live_files,
         load_table_metadata_versioned,
     )
 
+    is_update = set_map is not None
+    is_merge = merge is not None
+    opl = "merge" if is_merge else ("update" if is_update else "delete")
     if mode not in ("auto", "pos", "dv"):
-        raise ValueError(f"unknown delete mode {mode!r} (auto/pos/dv)")
+        raise ValueError(f"unknown {opl} mode {mode!r} (auto/pos/dv)")
     st = iceberg_live_files(path)
     meta = st["meta"]
     fv = int(meta.get("format-version", 1))
     if fv < 2:
         raise ValueError(
-            "cannot delete: format-version 1 has no row-level delete "
+            f"cannot {opl}: format-version 1 has no row-level delete "
             "encoding (upgrade the table or rewrite it)"
         )
     if mode == "auto":
         mode = "dv" if fv >= 3 else "pos"
     if mode == "dv" and fv < 3:
         raise ValueError(
-            "cannot delete: deletion vectors need format-version 3 "
+            f"cannot {opl}: deletion vectors need format-version 3 "
             "(this table is v2 — use mode='pos')"
         )
     if mode == "pos" and fv >= 3:
         raise ValueError(
-            "cannot delete: format-version 3 forbids adding new "
+            f"cannot {opl}: format-version 3 forbids adding new "
             "position delete files (use mode='dv')"
         )
+    schema_l = _spark_schema(meta)
+    mkeys: list[str] = []
+    upd_src = dels_src = all_keys = None
+    if is_merge:
+        by_lower_m = {f.name.lower(): f.name for f in schema_l.fields}
+        for k in merge["keys"]:
+            n = by_lower_m.get(str(k).lower())
+            if n is None:
+                raise ValueError(
+                    f"cannot merge: unknown key column {k!r}"
+                )
+            mkeys.append(n)
+        upd_src = merge["updates"]
+        missing = [
+            f.name
+            for f in schema_l.fields
+            if f.name.lower()
+            not in {c.lower() for c in upd_src.columns}
+        ]
+        extra = [
+            c
+            for c in upd_src.columns
+            if c.lower() not in by_lower_m
+        ]
+        if missing or extra:
+            raise ValueError(
+                "cannot merge: updates columns do not match the "
+                f"table schema (missing {missing}, unexpected "
+                f"{extra}); merges do not evolve a foreign schema"
+            )
+        upd_src = upd_src.select(
+            *(
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema_l.fields
+            )
+        )
+        dels_src = merge.get("delete_keys")
+        if dels_src is not None:
+            dels_src = dels_src.select(*mkeys).distinct()
+        all_keys = upd_src.select(*mkeys)
+        if dels_src is not None:
+            all_keys = all_keys.unionByName(dels_src)
+        all_keys = all_keys.distinct()
     if not st["files"]:
+        if is_merge:
+            # empty-table merge: pure insert — one fast-append snapshot
+            res = append_iceberg(spark, path, upd_src)
+            return {
+                "snapshot_id": res["snapshot_id"],
+                "snapshot_seq": res["snapshot_seq"],
+                "n_matched": 0,
+                "n_files_touched": 0,
+                "mode": mode,
+            }
         return {
             "snapshot_id": None,
             "snapshot_seq": None,
@@ -1942,10 +2275,34 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
             "n_files_touched": 0,
             "mode": mode,
         }
+    set_exprs: dict = {}
+    if is_update:
+        by_lower = {f.name.lower(): f for f in schema_l.fields}
+        for k, v in set_map.items():
+            fld = by_lower.get(str(k).lower())
+            if fld is None:
+                raise ValueError(
+                    f"cannot update: unknown column {k!r} in SET"
+                )
+            set_exprs[fld.name] = (
+                F.expr(v) if isinstance(v, str) else v
+            )
     dead = _existing_dead_pairs(path, st)
-    cond = F.expr(where) if isinstance(where, str) else where
+    cond = (
+        None
+        if is_merge
+        else (F.expr(where) if isinstance(where, str) else where)
+    )
     lineage = _iceberg_lineage_scan(spark, path, st)
-    matched = lineage.filter(cond).select("__ic_path", "__ic_ri")
+    lineage = _apply_eq_exclusion(spark, path, st, lineage)
+    # MERGE matches by key membership (NULL-safe by construction: a
+    # NULL key never equi-joins, per ANSI MERGE); DELETE/UPDATE match
+    # by predicate
+    matched_full = (
+        lineage.join(all_keys, mkeys, "left_semi")
+        if is_merge
+        else lineage.filter(cond)
+    )
 
     # exclude already-dead ordinals executor-side via a broadcast
     # anti-join (bounded by _ICE_DELETE_MAX_EXISTING above)
@@ -1953,7 +2310,7 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
         dead_rows = [
             (fp, int(ri)) for fp, s in dead.items() for ri in s
         ]
-        matched = matched.join(
+        matched_full = matched_full.join(
             F.broadcast(
                 spark.createDataFrame(
                     dead_rows, "__ic_path string, __ic_ri bigint"
@@ -1962,6 +2319,7 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
             ["__ic_path", "__ic_ri"],
             "left_anti",
         )
+    matched = matched_full.select("__ic_path", "__ic_ri")
 
     staging = _tempfile.mkdtemp(prefix="iceberg_delete_")
     run_id = _uuid.uuid4().hex[:12]
@@ -1998,7 +2356,7 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                         ).metadata
                         if md.num_rows:
                             part = (os.path.join(r, n), md)
-            if part is None:
+            if part is None and not is_merge:
                 return {
                     "snapshot_id": None,
                     "snapshot_seq": None,
@@ -2006,68 +2364,80 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                     "n_files_touched": 0,
                     "mode": mode,
                 }
-            src, md = part
-            n_matched = md.num_rows
-            # bounds + touched set WITHOUT collecting matched rows:
-            # min/max from the sorted file's row-group stats, distinct
-            # file paths via one tiny single-file Spark agg (O(touched
-            # files) driver state, never O(matched rows))
-            st0 = md.row_group(0).column(0).statistics
-            stn = md.row_group(md.num_row_groups - 1).column(0).statistics
-
-            def _bound_bytes(v):
-                return v if isinstance(v, bytes) else str(v).encode()
-
-            # bounds only when the row-group stats really carry them —
-            # missing statistics must degrade to no-pruning (None
-            # bounds), never to b'None' strings that would make
-            # _applicable_deletes skip this delete file
-            if (
-                st0 is not None
-                and stn is not None
-                and st0.has_min_max
-                and stn.has_min_max
-            ):
-                fp_lower = [
-                    {"key": 2147483546, "value": _bound_bytes(st0.min)}
-                ]
-                fp_upper = [
-                    {"key": 2147483546, "value": _bound_bytes(stn.max)}
-                ]
+            if part is None:
+                # merge matching nothing: pure insert — no delete
+                # file, the updates still land as adds below
+                n_matched = 0
+                touched = []
+                new_delete_entries = []
+                dropped_manifests: set = set()
+                rewrites: list = []
+                _pos_empty = True
             else:
-                fp_lower = fp_upper = None
-            touched = sorted(
-                r["file_path"]
-                for r in spark.read.parquet(src)
-                .select("file_path")
-                .distinct()
-                .collect()
-            )
-            del_rel = f"data/del-{run_id}.parquet"
-            dst = _resolve(path, del_rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.link(src, dst)
-            new_delete_entries = [
-                {
-                    "status": 1,
-                    "snapshot_id": None,  # filled at commit
-                    "sequence_number": None,
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": 1,
-                        "file_path": del_rel,
-                        "file_format": "PARQUET",
-                        "partition": {},
-                        "record_count": n_matched,
-                        "file_size_in_bytes": os.path.getsize(dst),
-                        "null_value_counts": None,
-                        "lower_bounds": fp_lower,
-                        "upper_bounds": fp_upper,
-                    },
-                }
-            ]
-            dropped_manifests: set = set()
-            rewrites: list = []
+                _pos_empty = False
+            if not _pos_empty:
+                src, md = part
+                n_matched = md.num_rows
+                # bounds + touched set WITHOUT collecting matched rows:
+                # min/max from the sorted file's row-group stats, distinct
+                # file paths via one tiny single-file Spark agg (O(touched
+                # files) driver state, never O(matched rows))
+                st0 = md.row_group(0).column(0).statistics
+                stn = md.row_group(md.num_row_groups - 1).column(0).statistics
+
+                def _bound_bytes(v):
+                    return v if isinstance(v, bytes) else str(v).encode()
+
+                # bounds only when the row-group stats really carry them —
+                # missing statistics must degrade to no-pruning (None
+                # bounds), never to b'None' strings that would make
+                # _applicable_deletes skip this delete file
+                if (
+                    st0 is not None
+                    and stn is not None
+                    and st0.has_min_max
+                    and stn.has_min_max
+                ):
+                    fp_lower = [
+                        {"key": 2147483546, "value": _bound_bytes(st0.min)}
+                    ]
+                    fp_upper = [
+                        {"key": 2147483546, "value": _bound_bytes(stn.max)}
+                    ]
+                else:
+                    fp_lower = fp_upper = None
+                touched = sorted(
+                    r["file_path"]
+                    for r in spark.read.parquet(src)
+                    .select("file_path")
+                    .distinct()
+                    .collect()
+                )
+                del_rel = f"data/del-{run_id}.parquet"
+                dst = _resolve(path, del_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(src, dst)
+                new_delete_entries = [
+                    {
+                        "status": 1,
+                        "snapshot_id": None,  # filled at commit
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": del_rel,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": n_matched,
+                            "file_size_in_bytes": os.path.getsize(dst),
+                            "null_value_counts": None,
+                            "lower_bounds": fp_lower,
+                            "upper_bounds": fp_upper,
+                        },
+                    }
+                ]
+                dropped_manifests: set = set()
+                rewrites: list = []
         else:
             # v3 deletion vectors: per-file union of new ordinals +
             # existing DV + superseded position deletes.  Union AND the
@@ -2131,7 +2501,7 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                 )
                 .collect()
             )
-            if not enc:
+            if not enc and not is_merge:
                 return {
                     "snapshot_id": None,
                     "snapshot_seq": None,
@@ -2194,6 +2564,31 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
             dropped_manifests = set()
             rewrites = []
         n_files_touched = len(touched)
+
+        upd_staged = None
+        if is_update or is_merge:
+            # UPDATE: the matched rows' UPDATED COPIES; MERGE: the
+            # full ANSI result set (replacements + inserts) — staged
+            # as fresh data files through append_iceberg's write half
+            # (spec transforms computed forward, footer bounds),
+            # committed below in the SAME snapshot as the removal
+            updated_df = (
+                upd_src
+                if is_merge
+                else matched_full.select(
+                    *(
+                        (
+                            set_exprs[f.name].cast(f.dataType)
+                            if f.name in set_exprs
+                            else F.col(f.name)
+                        ).alias(f.name)
+                        for f in schema_l.fields
+                    )
+                )
+            )
+            upd_staged = append_iceberg(
+                spark, path, updated_df, _stage_only=True
+            )
 
         # ---- commit loop: pinned slot, create-if-absent ----
         mf_schema_del = {
@@ -2265,15 +2660,15 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
             meta, head_v = load_table_metadata_versioned(path)
             if int(meta.get("format-version", 1)) != fv:
                 raise ValueError(
-                    "cannot delete: the table's format-version changed "
+                    f"cannot {opl}: the table's format-version changed "
                     "mid-operation; re-run"
                 )
             cur = iceberg_live_files(path)
             live_paths = {e["file_path"] for e in cur["entries"]}
             if not touched_set <= live_paths:
                 raise ValueError(
-                    "cannot delete: a concurrent commit rewrote or "
-                    "removed data file(s) this DELETE touches; re-run "
+                    f"cannot {opl}: a concurrent commit rewrote or "
+                    f"removed data file(s) this {opl.upper()} touches; re-run "
                     "against the new state"
                 )
             if mode == "dv":
@@ -2301,7 +2696,7 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
 
                 if _delete_sig(cur) != _delete_sig(st):
                     raise ValueError(
-                        "cannot delete: a concurrent commit changed "
+                        f"cannot {opl}: a concurrent commit changed "
                         "the table's delete files after this DELETE "
                         "read its snapshot; re-run against the new "
                         "state"
@@ -2327,7 +2722,7 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                     "fields": [],
                 }
                 new_meta["partition-specs"] = specs + [unpart]
-            if mode == "dv":
+            if mode == "dv" and touched:
                 # write the Puffin file now that this attempt's
                 # snapshot-id/sequence-number are known (blob
                 # FileMetadata carries them); a retried attempt
@@ -2367,9 +2762,13 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                 e["sequence_number"] = seq
                 e["file_sequence_number"] = seq
             mpath = f"metadata/del-{run_id}-m{seq}.avro"
-            write_avro(
-                _resolve(path, mpath), mf_schema_del, new_delete_entries
-            )
+            if new_delete_entries:
+                # a merge matching nothing writes NO delete manifest
+                write_avro(
+                    _resolve(path, mpath),
+                    mf_schema_del,
+                    new_delete_entries,
+                )
             snap_cur = next(
                 (
                     s
@@ -2432,7 +2831,7 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                                 for e in live_ents
                             ):
                                 raise ValueError(
-                                    "cannot delete: a partially "
+                                    f"cannot {opl}: a partially "
                                     "superseded delete manifest "
                                     "carries PARTITIONED entries this "
                                     "writer cannot rewrite; compact "
@@ -2514,29 +2913,70 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                             continue
                     keep_rows.append(row)
                 prev_rows = keep_rows
-            ml_row = {
-                "manifest_path": mpath,
-                "manifest_length": os.path.getsize(
-                    _resolve(path, mpath)
-                ),
-                "partition_spec_id": int(unpart["spec-id"]),
-                "content": 1,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": sid,
-                "added_files_count": len(new_delete_entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": n_matched,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-                "partitions": None,
-            }
+            del_rows = (
+                [
+                    {
+                        "manifest_path": mpath,
+                        "manifest_length": os.path.getsize(
+                            _resolve(path, mpath)
+                        ),
+                        "partition_spec_id": int(unpart["spec-id"]),
+                        "content": 1,
+                        "sequence_number": seq,
+                        "min_sequence_number": seq,
+                        "added_snapshot_id": sid,
+                        "added_files_count": len(new_delete_entries),
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": n_matched,
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                        "partitions": None,
+                    }
+                ]
+                if new_delete_entries
+                else []
+            )
+            add_rows = []
+            if upd_staged and upd_staged["entries"]:
+                # the updated copies' data manifest, committed in the
+                # SAME snapshot as their removal (ADDED entries
+                # inherit the snapshot's sequence number)
+                for e in upd_staged["entries"]:
+                    e["snapshot_id"] = sid
+                ap_mpath = f"metadata/up-{run_id}-m{seq}.avro"
+                write_avro(
+                    _resolve(path, ap_mpath),
+                    upd_staged["mf_schema"],
+                    upd_staged["entries"],
+                )
+                add_rows.append(
+                    {
+                        "manifest_path": ap_mpath,
+                        "manifest_length": os.path.getsize(
+                            _resolve(path, ap_mpath)
+                        ),
+                        "partition_spec_id": upd_staged["spec_id"],
+                        "content": 0,
+                        "sequence_number": seq,
+                        "min_sequence_number": seq,
+                        "added_snapshot_id": sid,
+                        "added_files_count": len(
+                            upd_staged["entries"]
+                        ),
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": upd_staged["n_rows"],
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                        "partitions": upd_staged["partitions"],
+                    }
+                )
             ml_rel = f"metadata/del-{run_id}-snap-{seq}.avro"
             write_avro(
                 _resolve(path, ml_rel),
                 _ML_SCHEMA,
-                prev_rows + [ml_row],
+                prev_rows + add_rows + del_rows,
             )
             prev_ts = max(
                 [
@@ -2552,8 +2992,14 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                 "timestamp-ms": now_ms,
                 "sequence-number": seq,
                 "summary": {
-                    "operation": "delete",
-                    "engine": "rxlan-aws-lakehouse-spark foreign delete",
+                    "operation": (
+                        ("overwrite" if n_matched else "append")
+                        if is_merge
+                        else ("overwrite" if is_update else "delete")
+                    ),
+                    "engine": (
+                        f"rxlan-aws-lakehouse-spark foreign {opl}"
+                    ),
                 },
                 "manifest-list": ml_rel,
                 "schema-id": meta.get("current-schema-id", 0),
@@ -2567,6 +3013,14 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
             new_meta["snapshot-log"] = list(
                 meta.get("snapshot-log") or []
             ) + [{"timestamp-ms": now_ms, "snapshot-id": sid}]
+            if fv >= 3:
+                # v3 row lineage: a DELETE adds no rows; an UPDATE's/
+                # MERGE's appended files advance next-row-id
+                first_rid = int(meta.get("next-row-id") or 0)
+                snap["first-row-id"] = first_rid
+                new_meta["next-row-id"] = first_rid + (
+                    int(upd_staged["n_rows"]) if upd_staged else 0
+                )
             mdir = os.path.join(path, "metadata")
             mp = os.path.join(mdir, f"v{head_v + 1}.metadata.json")
             tmp = f"{mp}.tmp-{os.getpid()}"
@@ -2590,7 +3044,374 @@ def delete_iceberg(spark, path: str, where, mode: str = "auto") -> dict:
                 "mode": mode,
             }
         raise RuntimeError(
-            f"delete on {path} lost the metadata race 8 times; giving up"
+            f"{opl} on {path} lost the metadata race 8 times; giving up"
         )
     finally:
         _shutil.rmtree(staging, ignore_errors=True)
+
+
+def _transform_result_type(transform: str, src_type: str) -> str:
+    """A partition transform's RESULT type (Iceberg spec, Partitioning
+    section) — used to author avro partition fields when rewriting
+    foreign manifests."""
+    if transform == "identity" or transform.startswith("truncate["):
+        return src_type
+    if transform.startswith("bucket["):
+        return "int"
+    if transform in ("year", "month", "hour"):
+        return "int"
+    if transform == "day":
+        return "date"
+    if transform == "void":
+        return src_type
+    raise ValueError(
+        f"cannot rewrite manifests: unknown partition transform "
+        f"{transform!r}"
+    )
+
+
+_AVRO_OF = {
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "int",
+    "timestamp": "long",
+    "timestamptz": "long",
+}
+
+
+def rewrite_manifests_iceberg(spark, path: str) -> dict:
+    """MERGE a FOREIGN Iceberg table's data manifests (round 16, r15
+    verdict task 7 — the Iceberg half of ``OPTIMIZE <attachment>``;
+    the metadata-maintenance op every long-lived table needs after
+    many small appends).
+
+    The current snapshot's data manifests are read and re-written as
+    ONE manifest per partition-spec-id holding every live entry as
+    EXISTING with its EXPLICIT original sequence numbers (inheritance
+    is ADDED-only); DELETED tombstone entries drop.  Delete manifests
+    pass through untouched.  The new snapshot commits with operation
+    ``replace`` and adds ZERO data files — streaming tails emit
+    nothing for it (added-entries-only rule).  Data bytes are never
+    read or moved: this is O(manifest bytes), not O(data).
+
+    Returns ``{"snapshot_id", "snapshot_seq", "n_manifests_before",
+    "n_manifests_after"}`` (snapshot_id None = nothing to merge)."""
+    import uuid as _uuid
+
+    from .avro_lite import read_avro
+    from .iceberg_import import (
+        _current_schema,
+        _resolve,
+        load_table_metadata_versioned,
+    )
+
+    meta, head_v = load_table_metadata_versioned(path)
+    cur_sid = meta.get("current-snapshot-id")
+    if cur_sid in (None, -1):
+        return {
+            "snapshot_id": None,
+            "snapshot_seq": None,
+            "n_manifests_before": 0,
+            "n_manifests_after": 0,
+        }
+    snap_cur = next(
+        s
+        for s in meta.get("snapshots") or []
+        if s.get("snapshot-id") == cur_sid
+    )
+    _, ml_rows = read_avro(_resolve(path, snap_cur["manifest-list"]))
+    data_rows = [
+        r for r in ml_rows if int(r.get("content") or 0) == 0
+    ]
+    delete_rows = [
+        r for r in ml_rows if int(r.get("content") or 0) != 0
+    ]
+    if len(data_rows) <= 1:
+        return {
+            "snapshot_id": None,
+            "snapshot_seq": None,
+            "n_manifests_before": len(data_rows),
+            "n_manifests_after": len(data_rows),
+        }
+    by_id = {
+        int(f["id"]): f for f in _current_schema(meta)["fields"]
+    }
+    specs = {
+        int(s["spec-id"]): s
+        for s in (meta.get("partition-specs") or [])
+    }
+    # group entries per spec id, EXISTING with explicit seqs
+    merged: dict[int, list] = {}
+    counts: dict[int, int] = {}
+    for row in data_rows:
+        m_seq = int(row.get("sequence_number") or 0)
+        m_sid = row.get("added_snapshot_id")
+        _, ents = read_avro(_resolve(path, row["manifest_path"]))
+        spid = int(row.get("partition_spec_id") or 0)
+        for e in ents:
+            if int(e.get("status") or 0) == 2:
+                continue  # tombstone: drops in the rewrite
+            eseq = e.get("sequence_number")
+            eseq = int(eseq) if eseq is not None else m_seq
+            efseq = e.get("file_sequence_number")
+            efseq = int(efseq) if efseq is not None else eseq
+            merged.setdefault(spid, []).append(
+                {
+                    "status": 0,
+                    "snapshot_id": e.get("snapshot_id") or m_sid,
+                    "sequence_number": eseq,
+                    "file_sequence_number": efseq,
+                    "data_file": dict(e["data_file"]),
+                }
+            )
+            counts[spid] = counts.get(spid, 0) + int(
+                e["data_file"].get("record_count") or 0
+            )
+    run_id = _uuid.uuid4().hex[:12]
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    sid = _uuid.uuid4().int >> 65
+    new_rows = []
+    for spid, ents in sorted(merged.items()):
+        spec = specs.get(spid) or {"spec-id": spid, "fields": []}
+        part_fields = []
+        for pf in spec.get("fields") or []:
+            src = by_id.get(int(pf["source-id"])) or {}
+            src_t = src.get("type")
+            if not isinstance(src_t, str):
+                raise ValueError(
+                    "cannot rewrite manifests: partition source "
+                    f"field {pf.get('name')!r} has a non-primitive "
+                    "type"
+                )
+            res = _transform_result_type(str(pf["transform"]), src_t)
+            part_fields.append(
+                {
+                    "name": pf["name"],
+                    "type": ["null", _AVRO_OF.get(res, "string")],
+                }
+            )
+        mpath = f"metadata/rw-{run_id}-s{spid}.avro"
+        write_avro(
+            _resolve(path, mpath),
+            _manifest_schema(part_fields),
+            ents,
+        )
+        new_rows.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(
+                    _resolve(path, mpath)
+                ),
+                "partition_spec_id": spid,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    e["sequence_number"] for e in ents
+                ),
+                "added_snapshot_id": sid,
+                "added_files_count": 0,
+                "existing_files_count": len(ents),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": counts.get(spid, 0),
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        )
+    ml_rel = f"metadata/rw-{run_id}-snap-{seq}.avro"
+    write_avro(
+        _resolve(path, ml_rel), _ML_SCHEMA, new_rows + delete_rows
+    )
+    prev_ts = max(
+        [
+            int(s.get("timestamp-ms") or 0)
+            for s in (meta.get("snapshots") or [])
+        ]
+        or [0]
+    )
+    now_ms = max(int(time.time() * 1000), prev_ts + 1)
+    snap = {
+        "snapshot-id": sid,
+        "parent-snapshot-id": cur_sid,
+        "timestamp-ms": now_ms,
+        "sequence-number": seq,
+        "summary": {
+            "operation": "replace",
+            "engine": (
+                "rxlan-aws-lakehouse-spark foreign rewrite-manifests"
+            ),
+        },
+        "manifest-list": ml_rel,
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = sid
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
+    new_meta["snapshot-log"] = list(
+        meta.get("snapshot-log") or []
+    ) + [{"timestamp-ms": now_ms, "snapshot-id": sid}]
+    if int(meta.get("format-version", 1)) >= 3:
+        # v3 row lineage: a manifest rewrite adds no rows
+        first_rid = int(meta.get("next-row-id") or 0)
+        snap["first-row-id"] = first_rid
+        new_meta["next-row-id"] = first_rid
+    mdir = os.path.join(path, "metadata")
+    mp = os.path.join(mdir, f"v{head_v + 1}.metadata.json")
+    tmp = f"{mp}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    try:
+        os.link(tmp, mp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ValueError(
+            "cannot rewrite manifests: lost the metadata race; "
+            "re-run against the new state"
+        )
+    os.unlink(tmp)
+    hint_p = os.path.join(mdir, "version-hint.text")
+    with open(f"{hint_p}.tmp-{os.getpid()}", "w") as f:
+        f.write(str(head_v + 1))
+    os.replace(f"{hint_p}.tmp-{os.getpid()}", hint_p)
+    return {
+        "snapshot_id": sid,
+        "snapshot_seq": seq,
+        "n_manifests_before": len(data_rows),
+        "n_manifests_after": len(new_rows),
+    }
+
+
+def expire_snapshots_iceberg(
+    spark,
+    path: str,
+    older_than_ms: int | None = None,
+    keep_last: int = 1,
+    dry_run: bool = False,
+) -> dict:
+    """EXPIRE a FOREIGN Iceberg table's old snapshots and garbage-
+    collect the files only they reference (round 16, r15 verdict task
+    7 — the Iceberg half of ``VACUUM <attachment>``).
+
+    Keeps the current snapshot, every snapshot newer than
+    ``older_than_ms`` (default: keep all but apply ``keep_last``), and
+    the ``keep_last`` most recent regardless.  Expired snapshots drop
+    from ``snapshots``/``snapshot-log`` in a new metadata version
+    (pinned-slot create-if-absent); then any manifest list, manifest,
+    data/delete file reachable ONLY from expired snapshots is deleted
+    — reachability from every KEPT snapshot is collected first, so
+    shared files always survive.  ``dry_run`` reports without
+    deleting or committing."""
+    from .avro_lite import read_avro
+    from .iceberg_import import (
+        _resolve,
+        load_table_metadata_versioned,
+    )
+
+    meta, head_v = load_table_metadata_versioned(path)
+    snaps = list(meta.get("snapshots") or [])
+    cur_sid = meta.get("current-snapshot-id")
+    by_time = sorted(
+        snaps, key=lambda s: int(s.get("timestamp-ms") or 0)
+    )
+    keep_ids = {cur_sid}
+    keep_ids.update(
+        s["snapshot-id"] for s in by_time[-max(1, keep_last):]
+    )
+    if older_than_ms is not None:
+        keep_ids.update(
+            s["snapshot-id"]
+            for s in snaps
+            if int(s.get("timestamp-ms") or 0) >= older_than_ms
+        )
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return {
+            "n_expired": 0,
+            "n_files_deleted": 0,
+            "dry_run": dry_run,
+        }
+
+    def reach(snapshot) -> set[str]:
+        """Every file a snapshot's tree references (manifest list,
+        manifests, data/delete file paths), as realpaths."""
+        out = set()
+        ml = _resolve(path, snapshot["manifest-list"])
+        out.add(os.path.realpath(ml))
+        _, rows = read_avro(ml)
+        for row in rows:
+            mp = _resolve(path, row["manifest_path"])
+            out.add(os.path.realpath(mp))
+            _, ents = read_avro(mp)
+            for e in ents:
+                out.add(
+                    os.path.realpath(
+                        _resolve(path, e["data_file"]["file_path"])
+                    )
+                )
+        return out
+
+    kept_reach: set[str] = set()
+    for s in snaps:
+        if s["snapshot-id"] in keep_ids:
+            kept_reach |= reach(s)
+    root_real = os.path.realpath(path)
+    doomed: set[str] = set()
+    for s in expired:
+        for p in reach(s):
+            if p not in kept_reach and p.startswith(
+                root_real + os.sep
+            ):
+                doomed.add(p)
+    if dry_run:
+        return {
+            "n_expired": len(expired),
+            "n_files_deleted": len(doomed),
+            "dry_run": True,
+        }
+    new_meta = dict(meta)
+    new_meta["snapshots"] = [
+        s for s in snaps if s["snapshot-id"] in keep_ids
+    ]
+    new_meta["snapshot-log"] = [
+        x
+        for x in (meta.get("snapshot-log") or [])
+        if x.get("snapshot-id") in keep_ids
+    ]
+    new_meta["last-updated-ms"] = max(
+        int(meta.get("last-updated-ms") or 0),
+        int(time.time() * 1000),
+    )
+    mdir = os.path.join(path, "metadata")
+    mp = os.path.join(mdir, f"v{head_v + 1}.metadata.json")
+    tmp = f"{mp}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    try:
+        os.link(tmp, mp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ValueError(
+            "cannot expire snapshots: lost the metadata race; re-run "
+            "against the new state"
+        )
+    os.unlink(tmp)
+    hint_p = os.path.join(mdir, "version-hint.text")
+    with open(f"{hint_p}.tmp-{os.getpid()}", "w") as f:
+        f.write(str(head_v + 1))
+    os.replace(f"{hint_p}.tmp-{os.getpid()}", hint_p)
+    n_del = 0
+    for p in sorted(doomed):
+        try:
+            os.unlink(p)
+            n_del += 1
+        except OSError:
+            pass
+    return {
+        "n_expired": len(expired),
+        "n_files_deleted": n_del,
+        "dry_run": False,
+    }

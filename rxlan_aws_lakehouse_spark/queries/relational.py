@@ -220,6 +220,7 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() — inter-event gap seconds per user (sessionization primitive)."""
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)

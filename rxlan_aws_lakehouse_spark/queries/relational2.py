@@ -28,6 +28,7 @@ def tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     The semi join shuffles only the distinct orderkeys of the filtered
     lineitem side; no payload columns move.
     """
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
@@ -43,6 +44,7 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three predicates reach the parquet scan (PushedFilters); the plan is
     scan -> partial agg -> final agg with no shuffle of data rows.
     """
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -65,6 +67,7 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     join strategy. orders x lineitem is the only guaranteed shuffle.
     TakeOrderedAndProject caps driver memory at 20 rows.
     """
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders")
@@ -83,6 +86,7 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14: conditional-aggregate ratio over a part join (promo revenue %)."""
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -107,6 +111,7 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     The groupBy(orderkey) aggregate and the orders join share the same hash
     key, so AQE can plan the join shuffle-free on the aggregated side.
     """
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -194,6 +199,7 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     The unpivot runs AFTER aggregation, so it melts ~25 brand rows, not the
     fact table.
     """
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     p = load(spark, sf_dir, "part")
     wide = p.groupBy("p_brand").agg(
         F.round(F.avg("p_size"), 4).alias("avg_size"),
@@ -255,6 +261,7 @@ def window_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership for event pairs straddling the hour by sub-second amounts
     (caught by the sf0.1 sweep: one boundary pair in 100k rows).
     """
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     e = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -270,6 +277,7 @@ def window_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a total order per group."""
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return o.select(

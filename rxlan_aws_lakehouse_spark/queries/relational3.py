@@ -425,6 +425,7 @@ def mod_sign_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width binning histogram — the aggregation shape behind data
     profiling dashboards; one shuffle of (bucket, count) pairs."""
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     e = load(spark, sf_dir, "events")
     bucket = F.floor(F.col("value") / 100).cast("int")
     return (

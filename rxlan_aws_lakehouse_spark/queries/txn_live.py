@@ -14,6 +14,7 @@ paths, file layout, and commit timestamps never reach the output.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from urllib.parse import unquote
@@ -36,6 +37,7 @@ def txn_merge_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     evolved schema: updated rows carry values, rows from carried files read
     as typed NULLs through the recorded snapshot schema.
     """
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     work = tempfile.mkdtemp(prefix="txn_live_")
     try:
         t = TxnTable(f"{work}/t")
@@ -75,6 +77,7 @@ def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     two appended batches (append-only feeds are row-exact), aggregated per
     order year. DuckDB recomputes the same from the fixture directly.
     """
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     work = tempfile.mkdtemp(prefix="txn_feed_")
     try:
         t = TxnTable(f"{work}/t")
@@ -111,6 +114,7 @@ def txn_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``ops/incremental.py``). The returned table must equal a full
     recompute, which is exactly what the DuckDB oracle does.
     """
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     from ..ops.incremental import IncrementalAggregate
 
     work = tempfile.mkdtemp(prefix="txn_inc_")
@@ -207,6 +211,7 @@ def txn_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows a plain filter does — pruning is IO optimization, never the
     correctness boundary.
     """
+    # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     work = tempfile.mkdtemp(prefix="txn_prune_")
     try:
         t = TxnTable(f"{work}/t")
@@ -2665,6 +2670,492 @@ def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def foreign_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE committed against FOREIGN tables (round 16,
+    r15 verdict tasks 2+5 — write interop covered append + DELETE;
+    UPDATE is what a user who can INSERT and DELETE tries next).  One
+    orders slice exports to THREE foreign tables; the same
+    multi-assignment UPDATE (a price rewrite AND a priority re-label,
+    so updated rows change grouping keys) lands through every
+    strategy:
+
+    * plain (1,2)-protocol Delta via SQL — ``UPDATE <attachment>
+      SET ... WHERE ...`` routes onto ``update_delta`` in auto mode
+      (copy-on-write; the SQL surface never upgrades a foreign
+      protocol), r15 verdict task 5;
+    * a second Delta via the Python API with ``mode="dv"`` — matched
+      rows masked by executor-encoded deletion vectors, updated
+      copies appended in the SAME commit (the native
+      ``update_where_dv`` shape against a foreign ``_delta_log``);
+    * a v2 Iceberg tree via SQL — ``update_iceberg`` commits ONE
+      ``overwrite`` snapshot: a spec position-delete file plus the
+      copies staged through ``append_iceberg``'s write half.
+
+    Flags: ``modes_ok`` (each path took its intended strategy with
+    equal matched counts), ``dv_ok`` (descriptors re-decode through
+    the spec codec, original data files kept), ``agree_ok`` (all
+    three reads row-identical), ``travel_ok`` (version 0 / the parent
+    snapshot still reads the pre-update rows).  The output is the
+    per-priority aggregate AFTER the update — DuckDB's closed form
+    (CASE WHEN over the slice) hash-checks the full semantics."""
+    from ..delta_dv import deleted_rows, descriptor_spec
+    from ..delta_export import (
+        export_delta,
+        import_delta,
+        replay_delta_log,
+        update_delta,
+    )
+    from ..iceberg_export import export_iceberg
+    from ..iceberg_import import import_iceberg
+    from ..sql_dml import TxnSqlRouter
+
+    work = tempfile.mkdtemp(prefix="fupdate_")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderpriority").alias("prio"),
+        )
+        base = orders.filter(F.col("o_orderkey") <= 2400)
+        n_base = base.count()
+        base_rev = base.agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long")
+        ).collect()[0][0]
+        t = TxnTable(f"{work}/t")
+        t.commit(base.repartition(4))
+        cow_dest, dv_dest, ice_dest = (
+            f"{work}/cow",
+            f"{work}/dv",
+            f"{work}/ice",
+        )
+        export_delta(t, cow_dest)
+        export_delta(t, dv_dest)
+        export_iceberg(t, ice_dest)
+        pred = "o_orderkey % 10 < 3"
+        sets = {
+            "o_totalprice": "o_totalprice * 2 + 1",
+            "prio": "concat('U', prio)",
+        }
+        set_sql = ", ".join(f"{k} = {v}" for k, v in sets.items())
+        # COW Delta + Iceberg: the SQL verb on attachments
+        router = TxnSqlRouter(spark)
+        router.sql(
+            f"CREATE TABLE fupd USING DELTA_IMPORT LOCATION '{cow_dest}'"
+        )
+        rsql = router.sql(
+            f"UPDATE fupd SET {set_sql} WHERE {pred}"
+        ).collect()[0]
+        router.sql("DROP TABLE fupd")
+        router.sql(
+            "CREATE TABLE fiupd USING ICEBERG_IMPORT LOCATION "
+            f"'{ice_dest}'"
+        )
+        isql = router.sql(
+            f"UPDATE fiupd SET {set_sql} WHERE {pred}"
+        ).collect()[0]
+        router.sql("DROP TABLE fiupd")
+        # DV Delta: the Python API, same operation
+        rd = update_delta(spark, dv_dest, sets, pred, mode="dv")
+        modes_ok = (
+            rsql["operation"] == "update_foreign_cow"
+            and isql["operation"] == "update_foreign_pos"
+            and rd["mode"] == "dv"
+            and int(rsql["n_matched"])
+            == rd["n_matched"]
+            == int(isql["n_matched"])
+            > 0
+        )
+        n_matched = int(rsql["n_matched"])
+        dstate = replay_delta_log(dv_dest)
+        dv_ok = (
+            int(dstate["protocol"]["minReaderVersion"]) == 3
+            and "deletionVectors"
+            in set(dstate["protocol"]["readerFeatures"])
+        )
+        n_dv = 0
+        for a in dstate["adds"].values():
+            desc = a.get("deletionVector")
+            if not desc:
+                continue
+            if isinstance(desc, list):
+                desc = dict(desc)
+            idx = deleted_rows(descriptor_spec(dv_dest, desc))
+            dv_ok = dv_ok and len(idx) == int(desc["cardinality"])
+            n_dv += len(idx)
+        dv_ok = dv_ok and n_dv == n_matched
+        dc = import_delta(spark, cow_dest)
+        dv = import_delta(spark, dv_dest)
+        di = import_iceberg(spark, ice_dest)
+        cols = ["o_orderkey", "o_totalprice", "prio"]
+        agree_ok = (
+            dc.count() == dv.count() == di.count() == n_base
+            and dc.select(cols).exceptAll(dv.select(cols)).count() == 0
+            and di.select(cols).exceptAll(dv.select(cols)).count() == 0
+        )
+        v0 = import_delta(spark, cow_dest, version=0)
+        travel_ok = (
+            v0.count() == n_base
+            and v0.agg(
+                F.round(F.sum("o_totalprice") * 100).cast("long")
+            ).collect()[0][0]
+            == base_rev
+        )
+        out = (
+            dv.groupBy("prio")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice") * 100)
+                .cast("long")
+                .alias("rev_c"),
+            )
+            .withColumn("modes_ok", F.lit(bool(modes_ok)))
+            .withColumn("dv_ok", F.lit(bool(dv_ok)))
+            .withColumn("agree_ok", F.lit(bool(agree_ok)))
+            .withColumn("travel_ok", F.lit(bool(travel_ok)))
+            .orderBy("prio")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def foreign_maintenance_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Foreign-table MAINTENANCE (round 16, r15 verdict task 7 — real
+    lakehouse ops compact and expire monthly; an attachment could be
+    written row-level but never maintained in place).  One customer
+    slice exercises the full surface through the SQL verbs:
+
+    * Delta: a DV-mode delete leaves deletion vectors, then
+      ``OPTIMIZE <attachment>`` bin-packs and PURGES them in a pure
+      ``dataChange=false`` commit (streaming tails skip it), then
+      ``VACUUM ... RETAIN 0 HOURS`` deletes exactly the superseded
+      files (live data + the log untouched);
+    * Iceberg: two appends leave three data manifests, then
+      ``OPTIMIZE`` merges them (``rewrite_manifests_iceberg`` — an
+      O(metadata) ``replace`` snapshot, zero data bytes moved), then
+      ``VACUUM`` expires the superseded snapshots and GCs only the
+      files they alone referenced.
+
+    Flags: ``optimize_ok`` (files shrank, DVs purged, reads identical
+    before/after), ``vacuum_ok`` (exactly the tombstoned files went,
+    the table still reads), ``ice_ok`` (3 manifests -> 1, expiry kept
+    only the current snapshot, reads identical, every live file still
+    on disk).  Output = the maintained Delta table's per-segment
+    aggregate; DuckDB's closed form is slice-minus-predicate —
+    maintenance must never change content."""
+    from ..delta_export import (
+        delete_delta,
+        export_delta,
+        import_delta,
+        replay_delta_log,
+    )
+    from ..iceberg_export import append_iceberg, export_iceberg
+    from ..iceberg_import import (
+        iceberg_live_files,
+        import_iceberg,
+        load_table_metadata,
+    )
+    from ..sql_dml import TxnSqlRouter
+
+    work = tempfile.mkdtemp(prefix="fmaint_")
+    try:
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_acctbal",
+            F.col("c_mktsegment").alias("segment"),
+        )
+        base = cust.filter(F.col("c_custkey") <= 2000)
+        t = TxnTable(f"{work}/t")
+        t.commit(base.repartition(6))
+        ddest = f"{work}/d"
+        export_delta(t, ddest)
+        pred = "c_custkey % 5 = 0"
+        rd = delete_delta(spark, ddest, pred, mode="dv")
+        pre_opt = import_delta(spark, ddest)
+        pre_rows = {tuple(r) for r in pre_opt.collect()}
+        state0 = replay_delta_log(ddest)
+        old_rels = set(state0["files"])
+        router = TxnSqlRouter(spark)
+        router.sql(
+            f"CREATE TABLE fm USING DELTA_IMPORT LOCATION '{ddest}'"
+        )
+        ro = router.sql("OPTIMIZE fm").collect()[0]
+        state1 = replay_delta_log(ddest)
+        opt_rows = {
+            tuple(r) for r in import_delta(spark, ddest).collect()
+        }
+        optimize_ok = (
+            ro["operation"] == "optimize_foreign_delta"
+            and len(state1["files"]) < len(state0["files"])
+            and not any(
+                a.get("deletionVector")
+                for a in state1["adds"].values()
+            )
+            and opt_rows == pre_rows
+            and rd["n_matched"] > 0
+        )
+        # the delete's DV file is superseded by the OPTIMIZE purge, so
+        # VACUUM drops it along with the tombstoned data files
+        n_dv_files = len(
+            {
+                (dict(d) if isinstance(d, list) else d)[
+                    "pathOrInlineDv"
+                ]
+                for a in state0["adds"].values()
+                if (d := a.get("deletionVector"))
+            }
+        )
+        rv = router.sql("VACUUM fm RETAIN 0 HOURS").collect()[0]
+        router.sql("DROP TABLE fm")
+        vacuum_ok = (
+            rv["operation"] == "vacuum_foreign_delta"
+            and rv["version"]
+            == f"dropped={len(old_rels) + n_dv_files}"
+            and not any(
+                os.path.exists(os.path.join(ddest, r))
+                for r in old_rels
+            )
+            and {
+                tuple(r) for r in import_delta(spark, ddest).collect()
+            }
+            == pre_rows
+        )
+        # --- Iceberg: manifest rewrite + snapshot expiry ---
+        # modulo slices: non-empty at EVERY sf (key ranges are dense
+        # 1..n, so absolute slices go empty at small scale factors)
+        idest = f"{work}/i"
+        ti = TxnTable(f"{work}/ti")
+        ti.commit(base.filter(F.col("c_custkey") % 3 == 0))
+        export_iceberg(ti, idest)
+        for m in (1, 2):
+            append_iceberg(
+                spark,
+                idest,
+                base.filter(F.col("c_custkey") % 3 == m),
+            )
+        ice_before = {
+            tuple(r) for r in import_iceberg(spark, idest).collect()
+        }
+        router.sql(
+            f"CREATE TABLE fmi USING ICEBERG_IMPORT LOCATION '{idest}'"
+        )
+        io_ = router.sql("OPTIMIZE fmi").collect()[0]
+        iv = router.sql("VACUUM fmi RETAIN 0 HOURS").collect()[0]
+        router.sql("DROP TABLE fmi")
+        meta = load_table_metadata(idest)
+        st = iceberg_live_files(idest)
+        ice_ok = (
+            io_["operation"] == "optimize_foreign_iceberg"
+            and int(io_["n_compacted"]) == 3
+            and iv["operation"] == "vacuum_foreign_iceberg"
+            and len(meta["snapshots"]) == 1
+            and {
+                tuple(r)
+                for r in import_iceberg(spark, idest).collect()
+            }
+            == ice_before
+            and all(os.path.exists(p) for p in st["files"])
+        )
+        out = (
+            import_delta(spark, ddest)
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_cust"),
+                F.round(F.sum("c_acctbal") * 100)
+                .cast("long")
+                .alias("bal_c"),
+            )
+            .withColumn("optimize_ok", F.lit(bool(optimize_ok)))
+            .withColumn("vacuum_ok", F.lit(bool(vacuum_ok)))
+            .withColumn("ice_ok", F.lit(bool(ice_ok)))
+            .orderBy("segment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def foreign_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-table MERGE (round 16 — the write-interop ladder's last
+    rung: append -> DELETE -> UPDATE -> MERGE).  One customer slice
+    exports to THREE foreign tables; the same three-clause ANSI MERGE
+    (conditional DELETE, UPDATE, INSERT) lands through every strategy:
+
+    * plain (1,2)-protocol Delta via SQL — ``MERGE INTO <attachment>``
+      builds the ANSI result set and routes onto ``merge_delta`` in
+      auto mode (copy-on-write; SQL never upgrades a foreign
+      protocol);
+    * a second Delta via the Python API with ``mode="dv"`` — matched
+      rows masked by executor-encoded deletion vectors, the result
+      set appended in the SAME commit (the native ``merge_upsert_dv``
+      shape against a foreign ``_delta_log``);
+    * a v2 Iceberg tree via SQL — ``merge_iceberg`` commits ONE
+      ``overwrite`` snapshot: a spec position-delete file for the
+      matched rows plus the result set staged through
+      ``append_iceberg``'s write half.
+
+    Flags: ``modes_ok`` (each path took its intended strategy with
+    equal matched counts), ``dv_ok`` (DV descriptors re-decode to
+    exactly the matched cardinality), ``agree_ok`` (all three reads
+    row-identical), ``travel_ok`` (version 0 still reads the
+    pre-merge rows).  The output aggregates the merged table per
+    segment — DuckDB's closed form (CASE + anti-filter + UNION ALL
+    over the slice) hash-checks replacement, deletion AND insertion
+    semantics at once."""
+    from ..delta_dv import deleted_rows, descriptor_spec
+    from ..delta_export import (
+        export_delta,
+        import_delta,
+        merge_delta,
+        replay_delta_log,
+    )
+    from ..iceberg_export import export_iceberg
+    from ..iceberg_import import import_iceberg
+    from ..sql_dml import TxnSqlRouter
+
+    work = tempfile.mkdtemp(prefix="fmerge_")
+    try:
+        c = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        base = c.filter("c_custkey % 3 != 0")
+        n_base = base.count()
+        base_bal = base.agg(
+            F.round(F.sum("c_acctbal") * 100).cast("long")
+        ).collect()[0][0]
+        t = TxnTable(f"{work}/t")
+        t.commit(base.repartition(4))
+        cow_dest, dv_dest, ice_dest = (
+            f"{work}/cow",
+            f"{work}/dv",
+            f"{work}/ice",
+        )
+        export_delta(t, cow_dest)
+        export_delta(t, dv_dest)
+        export_iceberg(t, ice_dest)
+        # the MERGE source: replacements (matched, re-priced +
+        # re-labeled), deletions (matched, flagged), inserts (keys the
+        # base slice excludes) — modulo slices so every SF has all 3
+        repl = base.filter(
+            "c_custkey % 7 = 0 AND c_custkey % 10 != 0"
+        ).select(
+            "c_custkey",
+            F.expr("c_acctbal * 3 + 1").alias("c_acctbal"),
+            F.lit("MERGED").alias("c_mktsegment"),
+            F.lit(0).alias("is_del"),
+        )
+        dels = base.filter("c_custkey % 10 = 0").select(
+            "c_custkey",
+            "c_acctbal",
+            "c_mktsegment",
+            F.lit(1).alias("is_del"),
+        )
+        ins = c.filter(
+            "c_custkey % 3 = 0 AND c_custkey % 6 != 0"
+        ).select(
+            "c_custkey",
+            F.expr("c_acctbal / 2").alias("c_acctbal"),
+            F.lit("NEWROW").alias("c_mktsegment"),
+            F.lit(0).alias("is_del"),
+        )
+        src = repl.unionByName(dels).unionByName(ins)
+        src.createOrReplaceTempView("fmerge_ups")
+        n_expect = repl.count() + dels.count()
+        stmt = (
+            "MERGE INTO {tbl} t USING fmerge_ups s "
+            "ON t.c_custkey = s.c_custkey "
+            "WHEN MATCHED AND s.is_del = 1 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET "
+            "c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        router = TxnSqlRouter(spark)
+        router.sql(
+            f"CREATE TABLE fmrg USING DELTA_IMPORT LOCATION '{cow_dest}'"
+        )
+        rsql = router.sql(stmt.format(tbl="fmrg")).collect()[0]
+        router.sql("DROP TABLE fmrg")
+        router.sql(
+            "CREATE TABLE fimrg USING ICEBERG_IMPORT LOCATION "
+            f"'{ice_dest}'"
+        )
+        isql = router.sql(stmt.format(tbl="fimrg")).collect()[0]
+        router.sql("DROP TABLE fimrg")
+        # DV Delta: the Python API, same ANSI result set
+        rd = merge_delta(
+            spark,
+            dv_dest,
+            repl.drop("is_del").unionByName(ins.drop("is_del")),
+            ["c_custkey"],
+            delete_keys=dels.select("c_custkey"),
+            mode="dv",
+        )
+        modes_ok = (
+            rsql["operation"] == "merge_foreign_cow"
+            and isql["operation"] == "merge_foreign_pos"
+            and rd["mode"] == "dv"
+            and int(rsql["n_matched"])
+            == rd["n_matched"]
+            == int(isql["n_matched"])
+            == n_expect
+            > 0
+        )
+        dstate = replay_delta_log(dv_dest)
+        dv_ok = "deletionVectors" in set(
+            (dstate["protocol"].get("readerFeatures") or [])
+        )
+        n_dv = 0
+        for a in dstate["adds"].values():
+            desc = a.get("deletionVector")
+            if not desc:
+                continue
+            if isinstance(desc, list):
+                desc = dict(desc)
+            idx = deleted_rows(descriptor_spec(dv_dest, desc))
+            dv_ok = dv_ok and len(idx) == int(desc["cardinality"])
+            n_dv += len(idx)
+        dv_ok = dv_ok and n_dv == n_expect
+        dc = import_delta(spark, cow_dest)
+        dv = import_delta(spark, dv_dest)
+        di = import_iceberg(spark, ice_dest)
+        cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+        agree_ok = (
+            dc.count() == dv.count() == di.count()
+            and dc.select(cols).exceptAll(dv.select(cols)).count() == 0
+            and di.select(cols).exceptAll(dv.select(cols)).count() == 0
+        )
+        v0 = import_delta(spark, cow_dest, version=0)
+        travel_ok = (
+            v0.count() == n_base
+            and v0.agg(
+                F.round(F.sum("c_acctbal") * 100).cast("long")
+            ).collect()[0][0]
+            == base_bal
+        )
+        out = (
+            dv.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("c_acctbal") * 100)
+                .cast("long")
+                .alias("bal_c"),
+            )
+            .withColumn("modes_ok", F.lit(bool(modes_ok)))
+            .withColumn("dv_ok", F.lit(bool(dv_ok)))
+            .withColumn("agree_ok", F.lit(bool(agree_ok)))
+            .withColumn("travel_ok", F.lit(bool(travel_ok)))
+            .orderBy("segment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def foreign_cdf_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING change-feed tail of a FOREIGN Delta table (round 15,
     r14 verdict task 6 — ``readChangeFeed=true`` on
@@ -4182,6 +4673,9 @@ QUERIES = {
     "iceberg_import_foreign": iceberg_import_foreign,
     "foreign_append_roundtrip": foreign_append_roundtrip,
     "foreign_delete_roundtrip": foreign_delete_roundtrip,
+    "foreign_update_roundtrip": foreign_update_roundtrip,
+    "foreign_maintenance_roundtrip": foreign_maintenance_roundtrip,
+    "foreign_merge_roundtrip": foreign_merge_roundtrip,
     "foreign_cdf_stream_counts": foreign_cdf_stream_counts,
     "txn_sql_evolution": txn_sql_evolution,
 }
@@ -4348,6 +4842,69 @@ ORACLE = {
         FROM t
         GROUP BY o_orderpriority
         ORDER BY prio
+    """,
+    # foreign UPDATE closed form: the slice with the multi-assignment
+    # CASE applied (price rewrite + priority re-label for matched rows)
+    "foreign_update_roundtrip": """
+        WITH t AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 < 3
+                        THEN o_totalprice * 2 + 1
+                        ELSE o_totalprice END AS o_totalprice,
+                   CASE WHEN o_orderkey % 10 < 3
+                        THEN concat('U', o_orderpriority)
+                        ELSE o_orderpriority END AS prio
+            FROM orders WHERE o_orderkey <= 2400
+        )
+        SELECT prio,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_c,
+               TRUE AS modes_ok,
+               TRUE AS dv_ok,
+               TRUE AS agree_ok,
+               TRUE AS travel_ok
+        FROM t GROUP BY prio ORDER BY prio
+    """,
+    # the merged table's closed form: CASE-replacement over the
+    # surviving base rows + the inserted slice
+    "foreign_merge_roundtrip": """
+        WITH merged AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0
+                        THEN c_acctbal * 3 + 1
+                        ELSE c_acctbal END AS bal,
+                   CASE WHEN c_custkey % 7 = 0
+                        THEN 'MERGED'
+                        ELSE c_mktsegment END AS seg
+            FROM customer
+            WHERE c_custkey % 3 <> 0 AND c_custkey % 10 <> 0
+            UNION ALL
+            SELECT c_custkey, c_acctbal / 2, 'NEWROW'
+            FROM customer
+            WHERE c_custkey % 3 = 0 AND c_custkey % 6 <> 0
+        )
+        SELECT seg AS segment,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(round(sum(bal) * 100) AS BIGINT) AS bal_c,
+               TRUE AS modes_ok,
+               TRUE AS dv_ok,
+               TRUE AS agree_ok,
+               TRUE AS travel_ok
+        FROM merged GROUP BY seg ORDER BY segment
+    """,
+    # maintenance never changes content: the closed form is just
+    # slice-minus-predicate, whatever OPTIMIZE/VACUUM did to the files
+    "foreign_maintenance_roundtrip": """
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_c,
+               TRUE AS optimize_ok,
+               TRUE AS vacuum_ok,
+               TRUE AS ice_ok
+        FROM customer
+        WHERE c_custkey <= 2000 AND NOT (c_custkey % 5 = 0)
+        GROUP BY c_mktsegment
+        ORDER BY segment
     """,
     # SQL evolution lifecycle: CTAS slice + INSERT slice with the
     # derived loyalty column (NULL for pre-ALTER rows), grouped under

@@ -818,10 +818,46 @@ class TxnSqlRouter:
         return StructType.fromJson(t._meta(v)["schema"])
 
     def _exec_merge(self, m: _Merge, strat: str):
-        name, t = self._resolve(m.target)
-        schema = self._target_schema(t)
         spark = self._spark
-        tgt = spark.read.format("txn").load(t.root).alias(m.t_alias)
+        fkey = self._key(m.target)
+        foreign_kind = None
+        if fkey in self._foreign:
+            # MERGE INTO <foreign attachment> (round 16): the same
+            # ANSI result-set plan below, dispatched to merge_delta /
+            # merge_iceberg in auto mode (never-upgrade-protocol-from-
+            # SQL — the strat knob only picks the NATIVE store's
+            # encoding)
+            foreign_kind, pinned = self._foreign_kind.get(
+                fkey, ("delta", False)
+            )
+            if pinned:
+                raise ValueError(
+                    f"{m.target} is pinned to a time-travel snapshot "
+                    "and is read-only; attach the live table to MERGE"
+                )
+            if m.evolve:
+                raise ValueError(
+                    "MERGE WITH SCHEMA EVOLUTION needs a native txn "
+                    "table; merges do not evolve a foreign schema"
+                )
+            if m.nm_by_source_delete:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE THEN DELETE (full "
+                    "sync) needs a native txn table"
+                )
+            fmt = (
+                "delta_import"
+                if foreign_kind == "delta"
+                else "iceberg_import"
+            )
+            tgt_raw = spark.read.format(fmt).load(self._foreign[fkey])
+            schema = tgt_raw.schema
+            name, t = m.target, None
+        else:
+            name, t = self._resolve(m.target)
+            schema = self._target_schema(t)
+            tgt_raw = spark.read.format("txn").load(t.root)
+        tgt = tgt_raw.alias(m.t_alias)
         if m.source_sql.startswith("("):
             src = spark.sql(m.source_sql[1:-1].strip())
         elif self._tables.get(self._key(m.source_sql)) is not None:
@@ -858,7 +894,14 @@ class TxnSqlRouter:
             cond = eq if cond is None else (cond & eq)
 
         known = set(tcols)
-        target_cols = {f.name for f in self._target_schema(t).fields}
+        target_cols = {
+            f.name
+            for f in (
+                schema.fields
+                if t is None
+                else self._target_schema(t).fields
+            )
+        }
         for cl in m.matched:
             bad = [c for c in (cl.sets or {}) if c not in known]
             if bad:
@@ -974,6 +1017,40 @@ class TxnSqlRouter:
                 for f in schema.fields
             ]
         )
+        if foreign_kind is not None:
+            if foreign_kind == "delta":
+                from .delta_export import merge_delta
+
+                res = merge_delta(
+                    self._spark,
+                    self._foreign[fkey],
+                    updates,
+                    keys,
+                    delete_keys=delete_frame,
+                )
+                ver = str(res["version"])
+            else:
+                from .iceberg_export import merge_iceberg
+
+                res = merge_iceberg(
+                    self._spark,
+                    self._foreign[fkey],
+                    updates,
+                    keys,
+                    delete_keys=delete_frame,
+                )
+                ver = str(res["snapshot_id"])
+            self._refresh_foreign_views(fkey, foreign_kind)
+            return self._spark.createDataFrame(
+                [
+                    (
+                        f"merge_foreign_{res['mode']}",
+                        ver,
+                        int(res["n_matched"]),
+                    )
+                ],
+                "operation string, version string, n_matched bigint",
+            )
         op = "merge_upsert" if strat == "cow" else "merge_upsert_dv"
         version = getattr(t, op)(
             self._spark,
@@ -1029,6 +1106,10 @@ class TxnSqlRouter:
     def _exec_update(self, c: _Cursor, strat: str = "cow"):
         c.expect("UPDATE")
         target = c.qident("table")
+        if self._key(target) in self._foreign:
+            return self._exec_update_foreign(
+                c, target, self._key(target)
+            )
         alias = target.split(".")[-1]
         if c.accept("AS"):
             alias = c.ident("alias")
@@ -1211,7 +1292,12 @@ class TxnSqlRouter:
 
     def _exec_optimize(self, c: _Cursor):
         c.expect("OPTIMIZE")
-        name, t = self._resolve(c.qident("table"))
+        target = c.qident("table")
+        if self._key(target) in self._foreign:
+            return self._exec_optimize_foreign(
+                c, target, self._key(target)
+            )
+        name, t = self._resolve(target)
         if c.accept("ZORDER", "BY"):
             c.expect("(")
             cols = []
@@ -1227,7 +1313,12 @@ class TxnSqlRouter:
 
     def _exec_vacuum(self, c: _Cursor):
         c.expect("VACUUM")
-        name, t = self._resolve(c.qident("table"))
+        target = c.qident("table")
+        if self._key(target) in self._foreign:
+            return self._exec_vacuum_foreign(
+                c, target, self._key(target)
+            )
+        name, t = self._resolve(target)
         retain = None
         keep = 2
         while not c.done():
@@ -1965,6 +2056,172 @@ class TxnSqlRouter:
         if ns == self._namespace:
             df2.createOrReplaceTempView(bare)
         df2.createOrReplaceTempView(self._mangled_view(key))
+
+    def _exec_optimize_foreign(self, c: _Cursor, target: str, key: str):
+        """``OPTIMIZE <foreign attachment>`` (round 16, r15 verdict
+        task 7): Delta attachments bin-pack compact through
+        ``optimize_delta`` (a pure ``dataChange=false`` commit —
+        streaming tails skip it); Iceberg attachments merge their data
+        manifests through ``rewrite_manifests_iceberg`` (an O(metadata)
+        ``replace`` snapshot — data bytes never move)."""
+        kind, pinned = self._foreign_kind.get(key, ("delta", False))
+        if pinned:
+            raise ValueError(
+                f"{target} is pinned to a time-travel snapshot and is "
+                "read-only; attach the live table to OPTIMIZE"
+            )
+        if not c.done():
+            raise ValueError(
+                "OPTIMIZE on a foreign attachment takes no clauses "
+                f"(got {c.peek()!r}); ZORDER needs a native table"
+            )
+        if kind == "delta":
+            from .delta_export import optimize_delta
+
+            res = optimize_delta(self._spark, self._foreign[key])
+            op, ver, n = (
+                "optimize_foreign_delta",
+                str(res["version"]),
+                res["n_files_removed"],
+            )
+        else:
+            from .iceberg_export import rewrite_manifests_iceberg
+
+            res = rewrite_manifests_iceberg(
+                self._spark, self._foreign[key]
+            )
+            op, ver, n = (
+                "optimize_foreign_iceberg",
+                str(res["snapshot_id"]),
+                res["n_manifests_before"],
+            )
+        self._refresh_foreign_views(key, kind)
+        return self._spark.createDataFrame(
+            [(op, ver, int(n))],
+            "operation string, version string, n_compacted bigint",
+        )
+
+    def _exec_vacuum_foreign(self, c: _Cursor, target: str, key: str):
+        """``VACUUM <foreign attachment> [RETAIN n HOURS]`` (round 16):
+        Delta attachments delete unreferenced data/DV files older than
+        the retention window (``vacuum_delta``); Iceberg attachments
+        expire snapshots older than the window and garbage-collect
+        files only they reference (``expire_snapshots_iceberg``)."""
+        kind, pinned = self._foreign_kind.get(key, ("delta", False))
+        if pinned:
+            raise ValueError(
+                f"{target} is pinned to a time-travel snapshot and is "
+                "read-only; attach the live table to VACUUM"
+            )
+        retain = None
+        if c.accept("RETAIN"):
+            retain = float(c.peek())
+            c.i += 1
+            c.expect("HOURS")
+        if not c.done():
+            raise ValueError(
+                f"unexpected VACUUM clause at {c.peek()!r}"
+            )
+        if kind == "delta":
+            from .delta_export import vacuum_delta
+
+            res = vacuum_delta(
+                self._spark, self._foreign[key], retain_hours=retain
+            )
+            op, n = "vacuum_foreign_delta", res["n_removed"]
+        else:
+            import time as _time
+
+            from .iceberg_export import expire_snapshots_iceberg
+
+            cutoff = (
+                int((_time.time() - retain * 3600.0) * 1000)
+                if retain is not None
+                else None
+            )
+            res = expire_snapshots_iceberg(
+                self._spark, self._foreign[key], older_than_ms=cutoff
+            )
+            op, n = "vacuum_foreign_iceberg", res["n_files_deleted"]
+        self._refresh_foreign_views(key, kind)
+        return self._spark.createDataFrame(
+            [(op, f"dropped={int(n)}")],
+            "operation string, version string",
+        )
+
+    def _exec_update_foreign(self, c: _Cursor, target: str, key: str):
+        """``UPDATE <foreign attachment> SET ... [WHERE ...]``
+        (round 16, r15 verdict task 5): a Delta attachment routes
+        through ``update_delta``, an Iceberg attachment through
+        ``update_iceberg`` — both in ``auto`` mode, preserving the
+        never-upgrade-protocol-from-SQL rule (a Delta table without
+        the DV feature takes copy-on-write; use the Python API's
+        ``mode='dv'`` to opt into an upgrade)."""
+        kind, pinned = self._foreign_kind.get(key, ("delta", False))
+        if pinned:
+            raise ValueError(
+                f"{target} is pinned to a time-travel snapshot and is "
+                "read-only; attach the live table to UPDATE"
+            )
+        alias = target.split(".")[-1]
+        if c.accept("AS"):
+            alias = c.ident("alias")
+        elif c.kw() != "SET":
+            alias = c.ident("alias")
+        c.expect("SET")
+        quals = {target, alias}
+        sets: dict[str, str] = {}
+        while True:
+            col = c.ident("SET column")
+            if c.accept("."):
+                if col.lower() not in {q.lower() for q in quals}:
+                    raise ValueError(
+                        f"SET qualifier {col!r} does not name the "
+                        "target table"
+                    )
+                col = c.ident("SET column")
+            c.expect("=")
+            sets[col] = _render(
+                _strip_qualifier(
+                    c.take_until((("WHERE",),), stop_comma=True), quals
+                )
+            )
+            if not c.accept(","):
+                break
+        where_sql = "true"
+        if c.accept("WHERE"):
+            where = _strip_qualifier(c.take_until(()), quals)
+            where_sql = _render(where)
+        if not c.done():
+            raise ValueError(
+                f"unexpected trailing tokens: "
+                f"{_render(c.toks[c.i:])!r}"
+            )
+        if kind == "delta":
+            from .delta_export import update_delta
+
+            res = update_delta(
+                self._spark, self._foreign[key], sets, where_sql
+            )
+            ver = str(res["version"])
+        else:
+            from .iceberg_export import update_iceberg
+
+            res = update_iceberg(
+                self._spark, self._foreign[key], sets, where_sql
+            )
+            ver = str(res["snapshot_id"])
+        self._refresh_foreign_views(key, kind)
+        return self._spark.createDataFrame(
+            [
+                (
+                    f"update_foreign_{res['mode']}",
+                    ver,
+                    int(res["n_matched"]),
+                )
+            ],
+            "operation string, version string, n_matched bigint",
+        )
 
     def _exec_delete_foreign(self, c: _Cursor, target: str, key: str):
         """``DELETE FROM <foreign attachment> [WHERE ...]`` (round 15,

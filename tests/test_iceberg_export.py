@@ -938,3 +938,124 @@ def test_sync_metadata_only_commit_is_not_overwrite(spark, tmp_path):
     assert _rows(import_iceberg(spark, dest), ["k", "label"]) == {
         (1, "a")
     }
+
+
+def test_create_v3_table_append_delete_roundtrip(spark, tmp_path):
+    """Iceberg v3 WRITE surface (round 16, r15 verdict task 8):
+    ``create_iceberg_table(format_version=3)`` reserves row lineage
+    from birth (``next-row-id`` 0); each append stamps the snapshot's
+    ``first-row-id`` and advances ``next-row-id`` by its added rows
+    (the spec's assignment rule); DELETE takes deletion vectors
+    (the v3 default) from the first write; the engine's own v3 reader
+    round-trips it all.  Versions outside 2/3 refuse by number."""
+    from rxlan_aws_lakehouse_spark.iceberg_export import (
+        create_iceberg_table,
+        delete_iceberg,
+    )
+    from rxlan_aws_lakehouse_spark.iceberg_import import (
+        iceberg_live_files,
+    )
+
+    dest = str(tmp_path / "v3native")
+    meta = create_iceberg_table(
+        dest,
+        fields=[
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "double"},
+        ],
+        format_version=3,
+    )
+    assert meta["format-version"] == 3 and meta["next-row-id"] == 0
+    from rxlan_aws_lakehouse_spark.iceberg_export import append_iceberg
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+
+    append_iceberg(spark, dest, batch(0, 20))
+    append_iceberg(spark, dest, batch(20, 30))
+    meta = load_table_metadata(dest)
+    assert meta["next-row-id"] == 30
+    snaps = sorted(
+        meta["snapshots"], key=lambda s: s["sequence-number"]
+    )
+    assert [s["first-row-id"] for s in snaps] == [0, 20]
+    assert _rows(import_iceberg(spark, dest), ["k"]) == {
+        (k,) for k in range(30)
+    }
+    # v3 DELETE goes straight to deletion vectors — no upgrade dance
+    out = delete_iceberg(spark, dest, "k < 5")
+    assert out["mode"] == "dv" and out["n_matched"] == 5
+    assert _rows(import_iceberg(spark, dest), ["k"]) == {
+        (k,) for k in range(5, 30)
+    }
+    meta = load_table_metadata(dest)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert cur["first-row-id"] == 30  # delete added no rows
+    assert meta["next-row-id"] == 30
+    st = iceberg_live_files(dest)
+    assert any(d.get("dv") for d in st["delete_files"])
+    # refusals: only 2/3 creatable; the v4+ read probe is unchanged
+    with pytest.raises(ValueError, match="format-version 4"):
+        create_iceberg_table(
+            str(tmp_path / "v4"), fields=[], format_version=4
+        )
+    mfile = os.path.join(dest, "metadata", "v1.metadata.json")
+    with open(mfile) as f:
+        m1 = json.load(f)
+    m1["format-version"] = 4
+    v4dir = str(tmp_path / "v4probe")
+    os.makedirs(os.path.join(v4dir, "metadata"))
+    with open(
+        os.path.join(v4dir, "metadata", "v1.metadata.json"), "w"
+    ) as f:
+        json.dump(m1, f)
+    with pytest.raises(ValueError, match="not\\s+supported"):
+        load_table_metadata(v4dir)
+
+
+def test_v3_update_advances_row_lineage(spark, tmp_path):
+    """UPDATE on a v3-native table: the overwrite snapshot's appended
+    copies advance next-row-id; deletion vectors carry the removal."""
+    from rxlan_aws_lakehouse_spark.iceberg_export import (
+        append_iceberg,
+        create_iceberg_table,
+        update_iceberg,
+    )
+
+    dest = str(tmp_path / "v3upd")
+    create_iceberg_table(
+        dest,
+        fields=[
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "double"},
+        ],
+        format_version=3,
+    )
+    append_iceberg(
+        spark,
+        dest,
+        spark.range(10).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+        ),
+    )
+    out = update_iceberg(spark, dest, {"v": "v + 100"}, "k < 4")
+    assert out["mode"] == "dv" and out["n_matched"] == 4
+    meta = load_table_metadata(dest)
+    assert meta["next-row-id"] == 14  # 10 appended + 4 updated copies
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert cur["first-row-id"] == 10
+    assert _rows(import_iceberg(spark, dest), ["k", "v"]) == {
+        (k, k * 1.5 + (100 if k < 4 else 0)) for k in range(10)
+    }

@@ -1,0 +1,148 @@
+"""Foreign Iceberg MERGE (round 16 — the Iceberg twin of
+``merge_delta``).
+
+``merge_iceberg`` commits an SCD1 MERGE against a foreign Iceberg
+table in ONE snapshot: matched rows leave via a spec position-delete
+file (v2) or Puffin deletion vectors (v3), and the ANSI result set
+(replacements + inserts) lands as fresh data files staged through
+``append_iceberg``'s write half.  Checks read the mutated table back
+through ``import_iceberg`` only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rxlan_aws_lakehouse_spark.iceberg_export import (
+    export_iceberg,
+    merge_iceberg,
+)
+from rxlan_aws_lakehouse_spark.iceberg_import import (
+    import_iceberg,
+    load_table_metadata,
+)
+from rxlan_aws_lakehouse_spark.txn import TxnTable
+
+
+def _rows(df, cols=("k", "v")):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def _foreign(spark, tmp_path, name="t"):
+    t = TxnTable(str(tmp_path / f"src_{name}"))
+    df = spark.range(10).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    t.commit(df.repartition(2))
+    dest = str(tmp_path / name)
+    export_iceberg(t, dest)
+    return dest
+
+
+def _bump_v3(dest):
+    mdir = os.path.join(dest, "metadata")
+    with open(os.path.join(mdir, "v1.metadata.json")) as f:
+        meta = json.load(f)
+    meta["format-version"] = 3
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _updates(spark):
+    # replace k=2,5 and insert k=100
+    return spark.createDataFrame(
+        [(2, -2), (5, -5), (100, -100)], "k LONG, v LONG"
+    )
+
+
+EXPECT = {(k, k * 10) for k in range(10) if k not in (2, 5)} | {
+    (2, -2),
+    (5, -5),
+    (100, -100),
+}
+
+
+def test_merge_pos_v2(spark, tmp_path):
+    dest = _foreign(spark, tmp_path)
+    out = merge_iceberg(spark, dest, _updates(spark), ["k"])
+    assert out["mode"] == "pos" and out["n_matched"] == 2
+    assert _rows(import_iceberg(spark, dest)) == EXPECT
+    snaps = load_table_metadata(dest)["snapshots"]
+    assert snaps[-1]["summary"]["operation"] == "overwrite"
+    # ONE snapshot for the whole merge
+    assert len(snaps) == 2
+
+
+def test_merge_dv_v3(spark, tmp_path):
+    dest = _foreign(spark, tmp_path, name="t3")
+    _bump_v3(dest)
+    out = merge_iceberg(spark, dest, _updates(spark), ["k"])
+    assert out["mode"] == "dv" and out["n_matched"] == 2
+    assert _rows(import_iceberg(spark, dest)) == EXPECT
+    # v3 row lineage advances by the staged result-set rows
+    meta = load_table_metadata(dest)
+    assert int(meta["next-row-id"]) >= 3
+
+
+def test_merge_delete_keys(spark, tmp_path):
+    dest = _foreign(spark, tmp_path, name="dk")
+    dels = spark.createDataFrame([(9,)], "k LONG")
+    out = merge_iceberg(
+        spark, dest, _updates(spark), ["k"], delete_keys=dels
+    )
+    assert out["n_matched"] == 3  # k=2,5 replaced + k=9 deleted
+    assert _rows(import_iceberg(spark, dest)) == EXPECT - {(9, 90)}
+
+
+def test_merge_no_match_pure_insert(spark, tmp_path):
+    dest = _foreign(spark, tmp_path, name="ins")
+    ins = spark.createDataFrame([(100, -100), (101, -101)], "k LONG, v LONG")
+    out = merge_iceberg(spark, dest, ins, ["k"])
+    assert out["n_matched"] == 0
+    assert _rows(import_iceberg(spark, dest)) == {
+        (k, k * 10) for k in range(10)
+    } | {(100, -100), (101, -101)}
+    snaps = load_table_metadata(dest)["snapshots"]
+    assert snaps[-1]["summary"]["operation"] == "append"
+
+
+def test_merge_empty_table(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "src_empty"))
+    t.commit(
+        spark.createDataFrame([], "k LONG, v LONG").repartition(1)
+    )
+    dest = str(tmp_path / "empty")
+    export_iceberg(t, dest)
+    out = merge_iceberg(spark, dest, _updates(spark), ["k"])
+    assert out["n_matched"] == 0 and out["snapshot_id"] is not None
+    assert _rows(import_iceberg(spark, dest)) == {
+        (2, -2),
+        (5, -5),
+        (100, -100),
+    }
+
+
+def test_merge_refusals(spark, tmp_path):
+    dest = _foreign(spark, tmp_path, name="ref")
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "k LONG, v LONG")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_iceberg(spark, dest, dup, ["k"])
+    ups = _updates(spark)
+    with pytest.raises(ValueError, match="both updates and delete"):
+        merge_iceberg(
+            spark,
+            dest,
+            ups,
+            ["k"],
+            delete_keys=spark.createDataFrame([(2,)], "k LONG"),
+        )
+    with pytest.raises(ValueError, match="unknown key column"):
+        merge_iceberg(spark, dest, ups, ["nope"])
+    bad = spark.createDataFrame([(1, 1.0)], "k LONG, zz DOUBLE")
+    with pytest.raises(ValueError, match="do not match"):
+        merge_iceberg(spark, dest, bad, ["k"])

@@ -826,5 +826,106 @@ def test_foreign_attachment_copy_into_and_delete(spark, tmp_path):
     assert {
         r["k"] for r in router.sql("SELECT k FROM fi").collect()
     } == {1, 2, 3}
+    # UPDATE on both attachments (round 16, r15 verdict task 5):
+    # routes through update_delta/update_iceberg in auto mode — the
+    # SQL surface never upgrades a foreign protocol
+    out = router.sql(
+        "UPDATE fd SET k = k + 100 WHERE seg = 'a'"
+    ).collect()[0]
+    assert out["operation"] == "update_foreign_cow"
+    assert out["n_matched"] == 2
+    assert {
+        r["k"] for r in router.sql("SELECT k FROM fd").collect()
+    } == {101, 2, 103}
+    out = router.sql(
+        "UPDATE fi AS x SET x.k = x.k + 100, seg = 'z' WHERE x.seg = 'a'"
+    ).collect()[0]
+    assert out["operation"] == "update_foreign_pos"
+    assert out["n_matched"] == 2
+    assert {
+        (r["k"], r["seg"])
+        for r in router.sql("SELECT k, seg FROM fi").collect()
+    } == {(101, "z"), (2, "b"), (103, "z")}
+    router.sql("DROP TABLE fd")
+    router.sql("DROP TABLE fi")
+
+
+def test_foreign_attachment_update_pinned_refuses(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+    import pytest as _pytest
+
+    t = TxnTable(str(tmp_path / "src"))
+    t.commit(
+        spark.createDataFrame([(1, "a")], "k INT, seg STRING")
+    )
+    t.commit(
+        spark.createDataFrame([(2, "b")], "k INT, seg STRING"),
+        operation="append",
+    )
+    ddest = str(tmp_path / "d")
+    export_delta(t, ddest)
+    router = TxnSqlRouter(spark)
+    router.sql(
+        f"CREATE TABLE fdp USING DELTA_IMPORT LOCATION '{ddest}' "
+        "VERSION AS OF 0"
+    )
+    with _pytest.raises(ValueError, match="pinned"):
+        router.sql("UPDATE fdp SET k = 1 WHERE k = 1")
+    router.sql("DROP TABLE fdp")
+
+
+def test_foreign_attachment_merge(spark, tmp_path):
+    """MERGE INTO a foreign attachment (round 16): the ANSI result-set
+    plan dispatches to merge_delta/merge_iceberg in auto mode; pinned
+    attachments and schema evolution refuse loudly."""
+    from rxlan_aws_lakehouse_spark.delta_export import export_delta
+    from rxlan_aws_lakehouse_spark.iceberg_export import export_iceberg
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+    from rxlan_aws_lakehouse_spark.txn import TxnTable
+    import pytest as _pytest
+
+    t = TxnTable(str(tmp_path / "src"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k INT, v INT"
+        )
+    )
+    ddest, idest = str(tmp_path / "d"), str(tmp_path / "i")
+    export_delta(t, ddest)
+    export_iceberg(t, idest)
+    router = TxnSqlRouter(spark)
+    router.sql(f"CREATE TABLE fd USING DELTA_IMPORT LOCATION '{ddest}'")
+    router.sql(f"CREATE TABLE fi USING ICEBERG_IMPORT LOCATION '{idest}'")
+    spark.createDataFrame(
+        [(2, -2), (9, -9), (3, 0)], "k INT, v INT"
+    ).createOrReplaceTempView("ups")
+    stmt = (
+        "MERGE INTO {tbl} t USING ups s ON t.k = s.k "
+        "WHEN MATCHED AND s.v = 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    expect = {(1, 10), (2, -2), (9, -9)}
+    out = router.sql(stmt.format(tbl="fd")).collect()[0]
+    assert out["operation"].startswith("merge_foreign_")
+    assert out["n_matched"] == 2
+    assert {
+        (r["k"], r["v"])
+        for r in router.sql("SELECT k, v FROM fd").collect()
+    } == expect
+    out = router.sql(stmt.format(tbl="fi")).collect()[0]
+    assert out["operation"] == "merge_foreign_pos"
+    assert out["n_matched"] == 2
+    assert {
+        (r["k"], r["v"])
+        for r in router.sql("SELECT k, v FROM fi").collect()
+    } == expect
+    with _pytest.raises(ValueError, match="evolve"):
+        router.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO fd t USING ups s "
+            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET *"
+        )
     router.sql("DROP TABLE fd")
     router.sql("DROP TABLE fi")
