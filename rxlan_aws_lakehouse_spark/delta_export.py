@@ -2481,6 +2481,139 @@ def append_delta(spark, path: str, df) -> dict:
     )
 
 
+def overwrite_delta(spark, path: str, df) -> dict:
+    """Full-table ``INSERT OVERWRITE`` committed against a FOREIGN
+    Delta table (round 16 — completes the write-verb ladder: append /
+    DELETE / UPDATE / MERGE / OVERWRITE).
+
+    ONE commit: a ``remove`` (dataChange=true, existing DV descriptor
+    carried) for EVERY live file, plus the DataFrame's rows staged
+    through the same write tail as ``append_delta`` (physical names,
+    field ids in id mode, hive partition dirs, footer stats).  CDF
+    tables need no ``cdc`` actions: the protocol's synthesis rule
+    derives ``delete`` rows from dataChange removes and ``insert``
+    rows from the adds (``read_delta_cdf`` implements it); streaming
+    tails correctly refuse the commit without ``ignoreChanges`` — an
+    overwrite retracts rows.  ``delta.appendOnly`` refuses.  A lost
+    commit race re-replays and RECOMPUTES the removes — overwrite
+    replaces whatever the head holds, so it never logically conflicts,
+    but each retry must tombstone the files of the version it lands
+    on.  Returns ``{"version", "n_files", "n_rows",
+    "n_files_removed"}``.  Scale: one Spark write of the new rows;
+    commit metadata O(old files + new files) JSON lines; zero old
+    data bytes read."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    state = replay_delta_log(path)
+    _gate_foreign_protocol(state)
+    _gate_foreign_writer(state)
+    cfg = state.get("configuration") or {}
+    if str(cfg.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            "cannot overwrite: table sets delta.appendOnly=true"
+        )
+    schema = StructType.fromJson(state["schema"])
+    part_cols = list(state["partition_columns"])
+    missing = [f.name for f in schema.fields if f.name not in df.columns]
+    extra = [c for c in df.columns if c not in schema.fieldNames()]
+    if missing or extra:
+        raise ValueError(
+            f"cannot overwrite: DataFrame columns do not match the "
+            f"table schema (missing {missing}, unexpected {extra}); "
+            "overwrites do not evolve a foreign schema"
+        )
+    phys = _foreign_phys(state)
+    id_mode = _cm_mode(state) == "id"
+    fids = _foreign_field_ids(state) if id_mode else {}
+    if id_mode:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    writer_df = df.select(
+        *(
+            F.col(f.name)
+            .cast(f.dataType)
+            .alias(
+                phys[f.name],
+                metadata={"parquet.field.id": fids[f.name]}
+                if id_mode and f.name in fids
+                else None,
+            )
+            for f in schema.fields
+        )
+    )
+    part_phys = [phys[c] for c in part_cols]
+    adds, total_rows = _stage_adds(
+        spark, path, writer_df, part_phys, "delta_overwrite_"
+    )
+
+    log_dir = os.path.join(path, _LOG_DIR)
+    for _attempt in range(8):
+        now_ms = int(time.time() * 1000)
+        removes = []
+        for rel, old in sorted(state["adds"].items()):
+            old_dv = old.get("deletionVector")
+            if isinstance(old_dv, list):
+                old_dv = dict(old_dv)
+            rm = {
+                "path": old["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": old.get("partitionValues") or {},
+                "size": old.get("size"),
+            }
+            if old_dv:
+                rm["deletionVector"] = old_dv
+            removes.append({"remove": rm})
+        n_commit = state["n_commits"]
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Overwrite"},
+                    "engineInfo": (
+                        "rxlan-aws-lakehouse-spark foreign overwrite"
+                    ),
+                }
+            }
+        ] + removes + adds
+        log_path = os.path.join(log_dir, f"{n_commit:020d}.json")
+        tmp = f"{log_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            _publish_commit(tmp, log_path)
+            return {
+                "version": n_commit,
+                "n_files": len(adds),
+                "n_rows": total_rows,
+                "n_files_removed": len(removes),
+            }
+        except FileExistsError:
+            # lost the race: overwrite replaces the NEW head — verify
+            # the table still means the same thing, recompute removes
+            new_state = replay_delta_log(path)
+            if (
+                new_state["schema"] != state["schema"]
+                or new_state["partition_columns"]
+                != state["partition_columns"]
+                or new_state.get("protocol") != state.get("protocol")
+            ):
+                raise ValueError(
+                    "cannot overwrite: a concurrent commit changed "
+                    "the table's schema/partitioning/protocol mid-"
+                    "overwrite; re-run against the new state"
+                )
+            state = new_state
+    raise RuntimeError(
+        f"overwrite of {path} lost the commit race 8 times; giving up"
+    )
+
+
 # Legacy protocol versions imply feature sets; upgrading a table to the
 # table-features protocol (3, 7) must ENUMERATE them (PROTOCOL.md:
 # readers/writers of a features table consult only the feature lists).

@@ -2061,6 +2061,150 @@ def update_iceberg(
     return _row_level_iceberg(spark, path, where, mode, set_map=set_map)
 
 
+def overwrite_iceberg(spark, path: str, df) -> dict:
+    """Full-table ``INSERT OVERWRITE`` committed against a FOREIGN
+    Iceberg table (round 16 — the Iceberg twin of
+    ``overwrite_delta``).
+
+    ONE snapshot with operation ``overwrite``: the new rows are staged
+    through ``append_iceberg``'s write half (spec transforms computed
+    forward, footer bounds, the table's file-binding convention) and
+    the manifest list is REPLACED by the single new ADDED manifest —
+    every prior data and delete manifest drops, which is the spec's
+    live-set semantics (a snapshot's content IS its manifest list).
+    Streaming tails correctly refuse the snapshot without
+    ``ignoreChanges`` — an overwrite retracts rows.  An empty
+    DataFrame truncates the table.  The publish is the same pinned-
+    slot create-if-absent loop as ``append_iceberg``; a lost race
+    re-reads the head and retries (an overwrite replaces whatever the
+    head holds and never logically conflicts, beyond the
+    format-version staying put).  Returns ``{"snapshot_id",
+    "snapshot_seq", "n_files", "n_rows", "n_files_removed"}``."""
+    import uuid as _uuid
+
+    from .iceberg_import import (
+        _resolve,
+        iceberg_live_files,
+        load_table_metadata_versioned,
+    )
+
+    st = iceberg_live_files(path)
+    meta0 = st["meta"]
+    fv = int(meta0.get("format-version", 1))
+    if fv < 2:
+        raise ValueError(
+            "cannot overwrite: format-version 1 tables are read-only "
+            "to this writer"
+        )
+    staged = append_iceberg(spark, path, df, _stage_only=True)
+    run_id = staged["run_id"]
+    for _attempt in range(8):
+        meta, head_v = load_table_metadata_versioned(path)
+        if int(meta.get("format-version", 1)) != fv:
+            raise ValueError(
+                "cannot overwrite: the table's format-version changed "
+                "mid-operation; re-run"
+            )
+        n_removed = len(iceberg_live_files(path)["files"])
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        sid = _uuid.uuid4().int >> 65
+        ml_rows = []
+        if staged["entries"]:
+            for e in staged["entries"]:
+                e["snapshot_id"] = sid
+            ap_mpath = f"metadata/ow-{run_id}-m{seq}.avro"
+            write_avro(
+                _resolve(path, ap_mpath),
+                staged["mf_schema"],
+                staged["entries"],
+            )
+            ml_rows.append(
+                {
+                    "manifest_path": ap_mpath,
+                    "manifest_length": os.path.getsize(
+                        _resolve(path, ap_mpath)
+                    ),
+                    "partition_spec_id": staged["spec_id"],
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": sid,
+                    "added_files_count": len(staged["entries"]),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": staged["n_rows"],
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": staged["partitions"],
+                }
+            )
+        ml_rel = f"metadata/ow-{run_id}-snap-{seq}.avro"
+        write_avro(_resolve(path, ml_rel), _ML_SCHEMA, ml_rows)
+        prev_ts = max(
+            [
+                int(s.get("timestamp-ms") or 0)
+                for s in (meta.get("snapshots") or [])
+            ]
+            or [0]
+        )
+        now_ms = max(int(time.time() * 1000), prev_ts + 1)
+        snap = {
+            "snapshot-id": sid,
+            "parent-snapshot-id": meta.get("current-snapshot-id"),
+            "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "summary": {
+                "operation": "overwrite",
+                "engine": (
+                    "rxlan-aws-lakehouse-spark foreign overwrite"
+                ),
+            },
+            "manifest-list": ml_rel,
+            "schema-id": meta.get("current-schema-id", 0),
+        }
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now_ms
+        new_meta["current-snapshot-id"] = sid
+        new_meta["snapshots"] = list(
+            meta.get("snapshots") or []
+        ) + [snap]
+        new_meta["snapshot-log"] = list(
+            meta.get("snapshot-log") or []
+        ) + [{"timestamp-ms": now_ms, "snapshot-id": sid}]
+        if fv >= 3:
+            first_rid = int(meta.get("next-row-id") or 0)
+            snap["first-row-id"] = first_rid
+            new_meta["next-row-id"] = first_rid + int(
+                staged["n_rows"]
+            )
+        mdir = os.path.join(path, "metadata")
+        mp = os.path.join(mdir, f"v{head_v + 1}.metadata.json")
+        tmp = f"{mp}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f)
+        try:
+            os.link(tmp, mp)
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race: re-read the head, retry
+        os.unlink(tmp)
+        hint_p = os.path.join(mdir, "version-hint.text")
+        with open(f"{hint_p}.tmp-{os.getpid()}", "w") as f:
+            f.write(str(head_v + 1))
+        os.replace(f"{hint_p}.tmp-{os.getpid()}", hint_p)
+        return {
+            "snapshot_id": sid,
+            "snapshot_seq": seq,
+            "n_files": len(staged["entries"]),
+            "n_rows": int(staged["n_rows"]),
+            "n_files_removed": n_removed,
+        }
+    raise RuntimeError(
+        f"overwrite of {path} lost the metadata race 8 times; giving up"
+    )
+
+
 def merge_iceberg(
     spark,
     path: str,
@@ -3081,6 +3225,29 @@ _AVRO_OF = {
 }
 
 
+def _spec_avro_part_fields(spec: dict, by_id: dict, opname: str) -> list:
+    """Author the avro partition-field schema for manifests rewritten
+    under a foreign spec (transform RESULT types per the spec's
+    Partitioning section)."""
+    part_fields = []
+    for pf in spec.get("fields") or []:
+        src = by_id.get(int(pf["source-id"])) or {}
+        src_t = src.get("type")
+        if not isinstance(src_t, str):
+            raise ValueError(
+                f"cannot {opname}: partition source field "
+                f"{pf.get('name')!r} has a non-primitive type"
+            )
+        res = _transform_result_type(str(pf["transform"]), src_t)
+        part_fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", _AVRO_OF.get(res, "string")],
+            }
+        )
+    return part_fields
+
+
 def rewrite_manifests_iceberg(spark, path: str) -> dict:
     """MERGE a FOREIGN Iceberg table's data manifests (round 16, r15
     verdict task 7 — the Iceberg half of ``OPTIMIZE <attachment>``;
@@ -3175,23 +3342,9 @@ def rewrite_manifests_iceberg(spark, path: str) -> dict:
     new_rows = []
     for spid, ents in sorted(merged.items()):
         spec = specs.get(spid) or {"spec-id": spid, "fields": []}
-        part_fields = []
-        for pf in spec.get("fields") or []:
-            src = by_id.get(int(pf["source-id"])) or {}
-            src_t = src.get("type")
-            if not isinstance(src_t, str):
-                raise ValueError(
-                    "cannot rewrite manifests: partition source "
-                    f"field {pf.get('name')!r} has a non-primitive "
-                    "type"
-                )
-            res = _transform_result_type(str(pf["transform"]), src_t)
-            part_fields.append(
-                {
-                    "name": pf["name"],
-                    "type": ["null", _AVRO_OF.get(res, "string")],
-                }
-            )
+        part_fields = _spec_avro_part_fields(
+            spec, by_id, "rewrite manifests"
+        )
         mpath = f"metadata/rw-{run_id}-s{spid}.avro"
         write_avro(
             _resolve(path, mpath),
@@ -3282,6 +3435,353 @@ def rewrite_manifests_iceberg(spark, path: str) -> dict:
         "snapshot_seq": seq,
         "n_manifests_before": len(data_rows),
         "n_manifests_after": len(new_rows),
+    }
+
+
+def compact_data_files_iceberg(
+    spark,
+    path: str,
+    target_bytes: int = 64 * 1024 * 1024,
+    min_input_files: int = 2,
+) -> dict:
+    """BIN-PACK a FOREIGN Iceberg table's small data files (round 16 —
+    the data half of compaction; ``rewrite_manifests_iceberg`` is the
+    metadata half).
+
+    Candidates are live data files under ``target_bytes`` plus any
+    file carrying applicable delete files (their rewrite PURGES the
+    dead rows).  The candidates' LIVE rows are read in one distributed
+    lineage scan — position/DV deletes excluded by bounded anti-join,
+    equality deletes applied inside the scan — and re-staged through
+    ``append_iceberg``'s write half, so the rewritten rows land under
+    the table's CURRENT default spec (compaction doubles as spec
+    migration for files written under old specs).  ONE snapshot with
+    operation ``replace`` commits the swap: affected data manifests
+    are rewritten (survivors EXISTING with explicit original sequence
+    numbers, compacted files recorded as DELETED tombstones), delete
+    manifests whose every live entry references only compacted files
+    drop, and the new files land as ADDED at the new sequence number.
+    Content is IDENTICAL before and after — streaming tails skip the
+    ``replace`` snapshot by the incremental-append-scan rule, so
+    maintenance never re-emits rows downstream.
+
+    Correctness under rewrite-at-higher-sequence: every applicable
+    delete (position, DV, equality) is APPLIED while reading the
+    candidates' rows, so the rewritten files carry only live rows and
+    escaping the old delete files' sequence scope cannot resurrect
+    anything.  Equality deletes always stay live (they still scope
+    other, older files); a position delete referencing both compacted
+    and kept files stays too — its references to dead paths match
+    nothing.
+
+    Format-version 3 refuses: v3 row lineage requires ID-PRESERVING
+    rewrites (carry each file's first-row-id forward) which this
+    writer does not produce; use the metadata-only maintenance ops.
+
+    Returns ``{"snapshot_id", "snapshot_seq", "n_files_before",
+    "n_files_after", "n_rewritten", "n_delete_files_dropped"}``
+    (``snapshot_id`` None = nothing to compact).  Scale: one scan of
+    the candidate files' rows + O(manifest bytes); driver state is
+    O(files), never O(rows)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from .avro_lite import read_avro
+    from .iceberg_import import (
+        _current_schema,
+        _path_variants,
+        _resolve,
+        _spark_schema,
+        iceberg_live_files,
+        load_table_metadata_versioned,
+    )
+
+    st = iceberg_live_files(path)
+    meta0 = st["meta"]
+    fv = int(meta0.get("format-version", 1))
+    if fv < 2:
+        raise ValueError(
+            "cannot compact: format-version 1 tables are read-only to "
+            "this writer"
+        )
+    if fv >= 3:
+        raise ValueError(
+            "cannot compact: format-version 3 row lineage requires "
+            "id-preserving rewrites this writer does not produce; "
+            "rewrite_manifests_iceberg / expire_snapshots_iceberg "
+            "remain available"
+        )
+    none_result = {
+        "snapshot_id": None,
+        "snapshot_seq": None,
+        "n_files_before": len(st["files"]),
+        "n_files_after": len(st["files"]),
+        "n_rewritten": 0,
+        "n_delete_files_dropped": 0,
+    }
+    if not st["files"]:
+        return none_result
+    cand_set: set = set()
+    any_deletes = False
+    for df_e, specs_d in zip(st["entries"], st["delete_specs"]):
+        has_del = bool(specs_d)
+        if int(df_e.get("file_size_in_bytes") or 0) < int(
+            target_bytes
+        ) or has_del:
+            cand_set.add(df_e["file_path"])
+            any_deletes = any_deletes or has_del
+    if not cand_set or (
+        len(cand_set) < int(min_input_files) and not any_deletes
+    ):
+        return none_result
+
+    # the candidates' LIVE rows: one distributed scan, every
+    # applicable delete applied (same exclusion as the row-level ops)
+    dead = _existing_dead_pairs(path, st)
+    lineage = _iceberg_lineage_scan(spark, path, st)
+    lineage = _apply_eq_exclusion(spark, path, st, lineage)
+    rows = lineage.filter(F.col("__ic_path").isin(sorted(cand_set)))
+    if dead:
+        dead_rows = [
+            (fp, int(ri)) for fp, s in dead.items() for ri in s
+        ]
+        rows = rows.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    dead_rows, "__ic_path string, __ic_ri bigint"
+                )
+            ),
+            ["__ic_path", "__ic_ri"],
+            "left_anti",
+        )
+    schema_l = _spark_schema(meta0)
+    rows = rows.select(*(F.col(f.name) for f in schema_l.fields))
+    # bin-pack: size the write to ceil(candidate bytes / target) tasks
+    # (the staged append splits per partition VALUE on top of this, so
+    # partitioned tables still get one-partition-per-file files)
+    cand_bytes = sum(
+        int(e.get("file_size_in_bytes") or 0)
+        for e in st["entries"]
+        if e["file_path"] in cand_set
+    )
+    n_out = max(1, -(-cand_bytes // max(1, int(target_bytes))))
+    rows = rows.coalesce(n_out)
+    staged = append_iceberg(spark, path, rows, _stage_only=True)
+
+    run_id = _uuid.uuid4().hex[:12]
+    meta, head_v = load_table_metadata_versioned(path)
+    if meta.get("current-snapshot-id") != (st["snapshot"] or {}).get(
+        "snapshot-id"
+    ):
+        raise ValueError(
+            "cannot compact: a concurrent commit moved the table "
+            "head; re-run against the new state"
+        )
+    by_id = {int(f["id"]): f for f in _current_schema(meta)["fields"]}
+    specs = {
+        int(s["spec-id"]): s
+        for s in (meta.get("partition-specs") or [])
+    }
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    sid = _uuid.uuid4().int >> 65
+    snap_cur = next(
+        s
+        for s in meta.get("snapshots") or []
+        if s.get("snapshot-id") == meta.get("current-snapshot-id")
+    )
+    _, ml_rows = read_avro(_resolve(path, snap_cur["manifest-list"]))
+    new_rows: list = []
+    n_delete_dropped = 0
+
+    def _fully_superseded(e) -> bool:
+        d = e["data_file"]
+        ref = d.get("referenced_data_file")
+        if ref is not None:
+            return any(
+                v in cand_set for v in _path_variants(str(ref))
+            )
+        if int(d.get("content") or 1) == 2:
+            return False  # equality delete: still scopes kept files
+        import pyarrow.parquet as _pqc
+
+        t = _pqc.read_table(
+            _resolve(path, d["file_path"]), columns=["file_path"]
+        )
+        fps = {str(x) for x in t.column("file_path").to_pylist()}
+        return bool(fps) and all(
+            any(v in cand_set for v in _path_variants(fp))
+            for fp in fps
+        )
+
+    for row in ml_rows:
+        m_seq = int(row.get("sequence_number") or 0)
+        m_sid = row.get("added_snapshot_id")
+        spid = int(row.get("partition_spec_id") or 0)
+        _, ents = read_avro(_resolve(path, row["manifest_path"]))
+        live = [e for e in ents if int(e.get("status") or 0) != 2]
+        if int(row.get("content") or 0) == 1:
+            if live and all(_fully_superseded(e) for e in live):
+                n_delete_dropped += len(live)
+                continue
+            new_rows.append(row)
+            continue
+        touched = [
+            e
+            for e in live
+            if e["data_file"]["file_path"] in cand_set
+        ]
+        if not touched:
+            new_rows.append(row)
+            continue
+        spec = specs.get(spid) or {"spec-id": spid, "fields": []}
+        part_fields = _spec_avro_part_fields(spec, by_id, "compact")
+        out_ents, min_seq = [], seq
+        n_keep = keep_rows_n = 0
+        for e in live:
+            eseq = e.get("sequence_number")
+            eseq = int(eseq) if eseq is not None else m_seq
+            efseq = e.get("file_sequence_number")
+            efseq = int(efseq) if efseq is not None else eseq
+            min_seq = min(min_seq, eseq)
+            compacted = e["data_file"]["file_path"] in cand_set
+            if not compacted:
+                n_keep += 1
+                keep_rows_n += int(
+                    e["data_file"].get("record_count") or 0
+                )
+            out_ents.append(
+                {
+                    "status": 2 if compacted else 0,
+                    "snapshot_id": (
+                        sid
+                        if compacted
+                        else (e.get("snapshot_id") or m_sid)
+                    ),
+                    "sequence_number": eseq,
+                    "file_sequence_number": efseq,
+                    "data_file": dict(e["data_file"]),
+                }
+            )
+        mpath = f"metadata/cp-{run_id}-rw{len(new_rows)}.avro"
+        write_avro(
+            _resolve(path, mpath),
+            _manifest_schema(part_fields),
+            out_ents,
+        )
+        new_rows.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(
+                    _resolve(path, mpath)
+                ),
+                "partition_spec_id": spid,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": sid,
+                "added_files_count": 0,
+                "existing_files_count": n_keep,
+                "deleted_files_count": len(out_ents) - n_keep,
+                "added_rows_count": 0,
+                "existing_rows_count": keep_rows_n,
+                "deleted_rows_count": sum(
+                    int(e["data_file"].get("record_count") or 0)
+                    for e in out_ents
+                    if e["status"] == 2
+                ),
+                "partitions": None,
+            }
+        )
+    add_rows: list = []
+    if staged["entries"]:
+        for e in staged["entries"]:
+            e["snapshot_id"] = sid
+        ap_mpath = f"metadata/cp-{run_id}-add.avro"
+        write_avro(
+            _resolve(path, ap_mpath),
+            staged["mf_schema"],
+            staged["entries"],
+        )
+        add_rows.append(
+            {
+                "manifest_path": ap_mpath,
+                "manifest_length": os.path.getsize(
+                    _resolve(path, ap_mpath)
+                ),
+                "partition_spec_id": staged["spec_id"],
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": sid,
+                "added_files_count": len(staged["entries"]),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": staged["n_rows"],
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": staged["partitions"],
+            }
+        )
+    ml_rel = f"metadata/cp-{run_id}-snap-{seq}.avro"
+    write_avro(
+        _resolve(path, ml_rel), _ML_SCHEMA, new_rows + add_rows
+    )
+    prev_ts = max(
+        [
+            int(s.get("timestamp-ms") or 0)
+            for s in (meta.get("snapshots") or [])
+        ]
+        or [0]
+    )
+    now_ms = max(int(time.time() * 1000), prev_ts + 1)
+    snap = {
+        "snapshot-id": sid,
+        "parent-snapshot-id": meta.get("current-snapshot-id"),
+        "timestamp-ms": now_ms,
+        "sequence-number": seq,
+        "summary": {
+            "operation": "replace",
+            "engine": "rxlan-aws-lakehouse-spark foreign compact",
+        },
+        "manifest-list": ml_rel,
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = sid
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
+    new_meta["snapshot-log"] = list(
+        meta.get("snapshot-log") or []
+    ) + [{"timestamp-ms": now_ms, "snapshot-id": sid}]
+    mdir = os.path.join(path, "metadata")
+    mp = os.path.join(mdir, f"v{head_v + 1}.metadata.json")
+    tmp = f"{mp}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    try:
+        os.link(tmp, mp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ValueError(
+            "cannot compact: lost the metadata race; re-run against "
+            "the new state"
+        )
+    os.unlink(tmp)
+    hint_p = os.path.join(mdir, "version-hint.text")
+    with open(f"{hint_p}.tmp-{os.getpid()}", "w") as f:
+        f.write(str(head_v + 1))
+    os.replace(f"{hint_p}.tmp-{os.getpid()}", hint_p)
+    return {
+        "snapshot_id": sid,
+        "snapshot_seq": seq,
+        "n_files_before": len(st["files"]),
+        "n_files_after": len(st["files"])
+        - len(cand_set)
+        + len(staged["entries"]),
+        "n_rewritten": len(cand_set),
+        "n_delete_files_dropped": n_delete_dropped,
     }
 
 

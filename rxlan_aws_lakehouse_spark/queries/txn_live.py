@@ -2943,6 +2943,10 @@ def foreign_maintenance_roundtrip(
             f"CREATE TABLE fmi USING ICEBERG_IMPORT LOCATION '{idest}'"
         )
         io_ = router.sql("OPTIMIZE fmi").collect()[0]
+        # data-file compaction (round 16): the three appends' small
+        # files bin-pack into one replace snapshot, reads unchanged
+        n_files_pre = len(iceberg_live_files(idest)["files"])
+        ic_ = router.sql("OPTIMIZE fmi COMPACT").collect()[0]
         iv = router.sql("VACUUM fmi RETAIN 0 HOURS").collect()[0]
         router.sql("DROP TABLE fmi")
         meta = load_table_metadata(idest)
@@ -2950,6 +2954,9 @@ def foreign_maintenance_roundtrip(
         ice_ok = (
             io_["operation"] == "optimize_foreign_iceberg"
             and int(io_["n_compacted"]) == 3
+            and ic_["operation"] == "compact_foreign_iceberg"
+            and int(ic_["n_compacted"]) == n_files_pre
+            and len(st["files"]) < n_files_pre
             and iv["operation"] == "vacuum_foreign_iceberg"
             and len(meta["snapshots"]) == 1
             and {

@@ -177,10 +177,14 @@ class IcebergImportStreamReader(DataSourceStreamReader):
       (v2); one micro-batch covers the snapshots in an offset range;
     * an ``append`` snapshot contributes exactly its ADDED data files
       (manifest entries with status=1 whose snapshot id matches — the
-      spec's incremental-scan derivation); any other operation
-      (``overwrite``/``delete``/``replace``) RAISES unless
-      ``ignoreChanges`` — a streaming source cannot retract rows, the
-      same rule Delta applies;
+      spec's incremental-scan derivation); a ``replace`` snapshot
+      (rewrite-manifests / data-file compaction) rearranges existing
+      rows without adding any — SKIPPED silently, the spec's
+      incremental-append-scan rule, so table maintenance never
+      re-emits compacted rows; any other operation
+      (``overwrite``/``delete``) RAISES unless ``ignoreChanges`` — a
+      streaming source cannot retract rows, the same rule Delta
+      applies;
     * a mid-stream ``current-schema-id`` change raises — restart the
       stream to pick up the new schema;
     * ``startingSnapshot``: ``latest`` (default) or ``earliest``.
@@ -287,6 +291,13 @@ class IcebergImportStreamReader(DataSourceStreamReader):
             op = str(
                 (s.get("summary") or {}).get("operation") or "append"
             ).lower()
+            if op == "replace":
+                # the spec's incremental-append-scan rule: a REPLACE
+                # snapshot (rewrite-manifests, data-file compaction)
+                # rearranges existing rows without adding or removing
+                # any — tails skip it entirely, so maintenance on the
+                # table never re-emits compacted rows downstream
+                continue
             if op != "append" and not (
                 self._ignore_changes
                 or (op == "delete" and self._ignore_deletes)

@@ -1971,24 +1971,19 @@ class TxnSqlRouter:
     def _exec_insert_foreign(
         self, c: _Cursor, target: str, key: str, overwrite: bool
     ):
-        """``INSERT INTO`` a FOREIGN attachment (round 14): the append
-        commits against the foreign table's OWN log/metadata —
-        ``append_delta`` (optimistic JSON commit) or ``append_iceberg``
-        (fast-append snapshot) — and the session views refresh to the
-        new head.  Pinned (time-travel) attachments and INSERT
-        OVERWRITE refuse: a foreign overwrite is a different contract
-        (remove reconciliation / manifest rewrite) no caller has asked
-        for, and silently appending to a pinned snapshot would lie."""
+        """``INSERT INTO`` / ``INSERT OVERWRITE`` a FOREIGN attachment
+        (rounds 14/16): the commit lands against the foreign table's
+        OWN log/metadata — ``append_delta``/``append_iceberg`` for
+        INTO, ``overwrite_delta``/``overwrite_iceberg`` for OVERWRITE
+        (one commit: every live file tombstoned + the new rows as
+        fresh adds; CDF readers synthesize delete/insert rows from the
+        protocol's dataChange rule) — and the session views refresh to
+        the new head.  Pinned (time-travel) attachments refuse."""
         kind, pinned = self._foreign_kind.get(key, ("delta", False))
-        if overwrite:
-            raise ValueError(
-                "INSERT OVERWRITE is not supported on a foreign "
-                "attachment (appends only)"
-            )
         if pinned:
             raise ValueError(
                 f"{target} is pinned to a time-travel snapshot and is "
-                "read-only; attach the live table to append"
+                "read-only; attach the live table to write"
             )
         cols: list[str] | None = None
         if c.peek() == "(":
@@ -2023,22 +2018,37 @@ class TxnSqlRouter:
                 for f in schema.fields
             ]
         )
-        return self._foreign_append(key, kind, out, op="append")
+        return self._foreign_append(
+            key,
+            kind,
+            out,
+            op="overwrite" if overwrite else "append",
+        )
 
     def _foreign_append(self, key: str, kind: str, out, *, op: str):
         """Commit ``out`` against a foreign attachment's own
-        log/metadata (``append_delta`` / ``append_iceberg``) and
-        refresh the session views to the new head."""
+        log/metadata (``append_delta`` / ``append_iceberg``, or the
+        overwrite twins for ``op="overwrite"``) and refresh the
+        session views to the new head."""
         path = self._foreign[key]
         if kind == "delta":
-            from .delta_export import append_delta
+            from .delta_export import append_delta, overwrite_delta
 
-            res = append_delta(self._spark, path, out)
+            res = (
+                overwrite_delta if op == "overwrite" else append_delta
+            )(self._spark, path, out)
             ver = str(res["version"])
         else:
-            from .iceberg_export import append_iceberg
+            from .iceberg_export import (
+                append_iceberg,
+                overwrite_iceberg,
+            )
 
-            res = append_iceberg(self._spark, path, out)
+            res = (
+                overwrite_iceberg
+                if op == "overwrite"
+                else append_iceberg
+            )(self._spark, path, out)
             ver = str(res["snapshot_id"])
         self._refresh_foreign_views(key, kind)
         return self._spark.createDataFrame(
@@ -2070,12 +2080,16 @@ class TxnSqlRouter:
                 f"{target} is pinned to a time-travel snapshot and is "
                 "read-only; attach the live table to OPTIMIZE"
             )
+        compact = bool(c.accept("COMPACT"))
         if not c.done():
             raise ValueError(
-                "OPTIMIZE on a foreign attachment takes no clauses "
-                f"(got {c.peek()!r}); ZORDER needs a native table"
+                "OPTIMIZE on a foreign attachment takes at most a "
+                f"COMPACT clause (got {c.peek()!r}); ZORDER needs a "
+                "native table"
             )
         if kind == "delta":
+            # Delta's OPTIMIZE already IS bin-pack compaction; the
+            # COMPACT word is accepted as a no-op synonym
             from .delta_export import optimize_delta
 
             res = optimize_delta(self._spark, self._foreign[key])
@@ -2083,6 +2097,20 @@ class TxnSqlRouter:
                 "optimize_foreign_delta",
                 str(res["version"]),
                 res["n_files_removed"],
+            )
+        elif compact:
+            # OPTIMIZE <iceberg attachment> COMPACT: bin-pack the
+            # undersized data files (delete-carrying files rewritten
+            # with their dead rows purged) in one replace snapshot
+            from .iceberg_export import compact_data_files_iceberg
+
+            res = compact_data_files_iceberg(
+                self._spark, self._foreign[key]
+            )
+            op, ver, n = (
+                "compact_foreign_iceberg",
+                str(res["snapshot_id"]),
+                res["n_rewritten"],
             )
         else:
             from .iceberg_export import rewrite_manifests_iceberg

@@ -146,3 +146,44 @@ def test_merge_refusals(spark, tmp_path):
     bad = spark.createDataFrame([(1, 1.0)], "k LONG, zz DOUBLE")
     with pytest.raises(ValueError, match="do not match"):
         merge_iceberg(spark, dest, bad, ["k"])
+
+
+def test_merge_eq_bearing_table(spark, tmp_path):
+    """MERGE onto an equality-delete-bearing table: the eq-deleted row
+    never counts as matched (its key's row re-enters as an ANSI
+    insert), live keys replace, and the eq file stays live on read."""
+    from tests.test_iceberg_import import Ice
+
+    t = Ice(str(tmp_path / "eqm"))
+    f1 = t.write_file("a.parquet", [1, 2, 3], "x")
+    ed = t.write_eq_delete(
+        "ed.parquet",
+        {"k": (1, __import__("pyarrow").int64(), [2])},
+    )
+    m1 = t.manifest(
+        "m1.avro", [t.entry(f1, [1, 2, 3], "x")], ["x"], seq=1
+    )
+    md = t.manifest(
+        "md.avro",
+        [t.del_entry(ed, 2, seq=2, equality_ids=[1], partition=False)],
+        ["x"],
+        content=1,
+        seq=2,
+        spec_id=1,
+    )
+    t.snapshot(1, [m1, md])
+    t.metadata(
+        1, current_sid=1, extra_specs=[{"spec-id": 1, "fields": []}]
+    )
+    # live rows: k=1,3 (k=2 equality-deleted)
+    ups = spark.createDataFrame(
+        [(1, -1.0, "x"), (2, -2.0, "x"), (99, -99.0, "x")],
+        "k LONG, v DOUBLE, cat STRING",
+    )
+    out = merge_iceberg(spark, t.root, ups, ["k"])
+    assert out["mode"] == "pos" and out["n_matched"] == 1
+    got = {
+        (r["k"], r["v"])
+        for r in import_iceberg(spark, t.root).collect()
+    }
+    assert got == {(1, -1.0), (2, -2.0), (3, 4.5), (99, -99.0)}
