@@ -2614,6 +2614,146 @@ def overwrite_delta(spark, path: str, df) -> dict:
     )
 
 
+def restore_delta(spark, path: str, version: int) -> dict:
+    """RESTORE a FOREIGN Delta table to an earlier version (round 16 —
+    the undo verb; the native twin is ``TxnTable.restore``).
+
+    Delta RESTORE semantics: ONE new commit makes the live state equal
+    to ``version``'s — files live then but not now are RE-ADDED (their
+    original add actions, stats and DV descriptors intact), files live
+    now but not then are REMOVED; a file whose deletion vector changed
+    is swapped (remove + re-add with the old descriptor).  Everything
+    carries ``dataChange=true``, so CDF readers synthesize the
+    restore's row-level effect and streaming tails refuse it without
+    ``ignoreChanges`` — both correct for an operation that retracts
+    rows.  History is PRESERVED: the restore is a new version on top,
+    never a log rewind.  Data bytes: ZERO read or written — the log
+    tombstones/revives metadata only; re-added files must still exist
+    on disk (VACUUMed restores refuse loudly, naming the first missing
+    file).  Restores across a schema/partitioning/protocol change
+    refuse — data-only restore under a changed shape is ambiguous.
+
+    Returns ``{"version", "restored_version", "n_files_added",
+    "n_files_removed"}``."""
+    state = replay_delta_log(path)
+    _gate_foreign_protocol(state)
+    _gate_foreign_writer(state)
+    version = int(version)
+    if not (0 <= version < state["n_commits"]):
+        raise ValueError(
+            f"cannot restore: version {version} is not in the log "
+            f"(0..{state['n_commits'] - 1})"
+        )
+    state_t = replay_delta_log(path, up_to=version)
+    # the HEAD protocol stays (RESTORE never downgrades a protocol —
+    # e.g. a DV-upgrading delete after the target is fine, its old
+    # DV-less files read under the new protocol); only a changed
+    # schema/partitioning makes a data-only restore ambiguous
+    if (
+        state_t["schema"] != state["schema"]
+        or state_t["partition_columns"] != state["partition_columns"]
+    ):
+        raise ValueError(
+            "cannot restore: the table's schema/partitioning changed "
+            f"after version {version}; a data-only restore under a "
+            "different shape is ambiguous"
+        )
+
+    def dv_sig(a):
+        dv = a.get("deletionVector")
+        if isinstance(dv, list):
+            dv = dict(dv)
+        dv = dv or {}
+        return (
+            dv.get("pathOrInlineDv"),
+            dv.get("offset"),
+            dv.get("cardinality"),
+        )
+
+    cur, tgt = state["adds"], state_t["adds"]
+    to_add = sorted(
+        rel
+        for rel in tgt
+        if rel not in cur or dv_sig(tgt[rel]) != dv_sig(cur[rel])
+    )
+    to_remove = sorted(
+        rel
+        for rel in cur
+        if rel not in tgt or dv_sig(tgt[rel]) != dv_sig(cur[rel])
+    )
+    missing = [
+        rel
+        for rel in to_add
+        if not os.path.exists(os.path.join(path, rel))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore: {len(missing)} file(s) of version "
+            f"{version} were vacuumed (e.g. {missing[0]!r}); that "
+            "version is no longer restorable"
+        )
+
+    log_dir = os.path.join(path, _LOG_DIR)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "engineInfo": (
+                    "rxlan-aws-lakehouse-spark foreign restore"
+                ),
+            }
+        }
+    ]
+    for rel in to_remove:
+        old = cur[rel]
+        old_dv = old.get("deletionVector")
+        if isinstance(old_dv, list):
+            old_dv = dict(old_dv)
+        rm = {
+            "path": old["path"],
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "extendedFileMetadata": True,
+            "partitionValues": old.get("partitionValues") or {},
+            "size": old.get("size"),
+        }
+        if old_dv:
+            rm["deletionVector"] = old_dv
+        actions.append({"remove": rm})
+    for rel in to_add:
+        add = dict(tgt[rel])
+        add["dataChange"] = True
+        add["modificationTime"] = now_ms
+        actions.append({"add": add})
+    n_commit = state["n_commits"]
+    log_path = os.path.join(log_dir, f"{n_commit:020d}.json")
+    tmp = f"{log_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        _publish_commit(tmp, log_path)
+    except FileExistsError:
+        # a concurrent commit moved the head: the file diff this
+        # restore computed no longer describes the transition —
+        # refuse rather than silently restoring over new data
+        raise ValueError(
+            "cannot restore: a concurrent commit moved the table "
+            "head; re-run against the new state"
+        )
+    return {
+        "version": n_commit,
+        "restored_version": version,
+        "n_files_added": len(to_add),
+        "n_files_removed": len(to_remove),
+    }
+
+
 # Legacy protocol versions imply feature sets; upgrading a table to the
 # table-features protocol (3, 7) must ENUMERATE them (PROTOCOL.md:
 # readers/writers of a features table consult only the feature lists).
@@ -3689,6 +3829,7 @@ def optimize_delta(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    zorder_by: list | None = None,
 ) -> dict:
     """Bin-packed COMPACTION of a FOREIGN Delta table (round 16, r15
     verdict task 7 — an attached foreign table could be appended,
@@ -3706,11 +3847,21 @@ def optimize_delta(
     OPTIMIZE never re-emits rows downstream.  Row-count conservation
     is asserted before publishing.
 
+    ``zorder_by`` (round 16 — ``OPTIMIZE ... ZORDER BY``): EVERY live
+    file becomes a candidate (re-clustering is the point, not just
+    bin-packing) and the rewrite range-partitions + sorts by the
+    Morton interleave of the named columns' approx-quantile bucket
+    ids (``ops.zorder`` — one extra stats pass, no global window, the
+    100 TB path), so multi-dimensional predicates prune file stats
+    after the rewrite.  Numeric columns only; partition columns
+    refuse (they already prune by value).
+
     Returns ``{"version", "n_files_removed", "n_files_added",
     "n_bins", "n_rows"}`` (version None = nothing worth compacting)."""
     import uuid as _uuid
 
     from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
     from pyspark.sql.types import StructType as _ST
 
     state = replay_delta_log(path)
@@ -3725,6 +3876,29 @@ def optimize_delta(
     phys = _foreign_phys(state)
     part_cols = list(state["partition_columns"])
     part_phys = [phys[c] for c in part_cols]
+    schema0 = _ST.fromJson(state["schema"])
+    if zorder_by:
+        by_lower = {f.name.lower(): f for f in schema0.fields}
+        zcols = []
+        for c in zorder_by:
+            fld = by_lower.get(str(c).lower())
+            if fld is None:
+                raise ValueError(
+                    f"cannot optimize: unknown ZORDER column {c!r}"
+                )
+            if fld.name in part_cols:
+                raise ValueError(
+                    f"cannot optimize: ZORDER column {fld.name!r} is "
+                    "a partition column (it already prunes by value)"
+                )
+            if not isinstance(fld.dataType, NumericType):
+                raise ValueError(
+                    f"cannot optimize: ZORDER column {fld.name!r} is "
+                    f"{fld.dataType.simpleString()}; this engine "
+                    "z-orders numeric columns only"
+                )
+            zcols.append(fld.name)
+        zorder_by = zcols
 
     # bin-pack per partition group
     groups: dict[tuple, list[str]] = {}
@@ -3738,20 +3912,24 @@ def optimize_delta(
         for rel in sorted(rels):
             a = state["adds"][rel]
             has_dv = bool(a.get("deletionVector"))
-            if int(a.get("size") or 0) < target_bytes or has_dv:
+            if (
+                zorder_by
+                or int(a.get("size") or 0) < target_bytes
+                or has_dv
+            ):
                 cand.append((rel, int(a.get("size") or 0), has_dv))
         cur: list[str] = []
         cur_sz = 0
         cur_dv = False
         for rel, sz, has_dv in cand:
             if cur and cur_sz + sz > target_bytes:
-                if len(cur) >= min_files or cur_dv:
+                if len(cur) >= min_files or cur_dv or zorder_by:
                     bins.append(cur)
                 cur, cur_sz, cur_dv = [], 0, False
             cur.append(rel)
             cur_sz += sz
             cur_dv = cur_dv or has_dv
-        if len(cur) >= min_files or (cur and cur_dv):
+        if cur and (len(cur) >= min_files or cur_dv or zorder_by):
             bins.append(cur)
     if not bins:
         return {
@@ -3801,20 +3979,42 @@ def optimize_delta(
             "spark.sql.parquet.fieldId.write.enabled", "true"
         )
     schema = _ST.fromJson(state["schema"])
-    writer_df = (
-        rows.repartition(len(bins), "__dl_bin")
-        .select(
-            *(
-                F.col(f.name)
-                .cast(f.dataType)
-                .alias(
-                    phys[f.name],
-                    metadata={"parquet.field.id": fids[f.name]}
-                    if f.name in fids
-                    else None,
-                )
-                for f in schema.fields
+    if zorder_by:
+        # Morton-cluster the rewrite: approx-quantile bucket ids per
+        # dimension (one stats pass, no global window), interleaved
+        # into one z-value; range-partition on (partition, z) keeps
+        # hive groups contiguous, sortWithinPartitions gives each
+        # output file a tight z-range (= tight per-column min/max)
+        from .ops.zorder import (
+            APPROX_BITS,
+            interleave_bits,
+            quantile_normalize_multi,
+        )
+
+        normed = quantile_normalize_multi(rows, zorder_by, APPROX_BITS)
+        zval = interleave_bits(normed, APPROX_BITS)
+        rows = (
+            rows.withColumn("__dl_z", zval)
+            .repartitionByRange(
+                len(bins), *[F.col(c) for c in part_cols], "__dl_z"
             )
+            .sortWithinPartitions(
+                *[F.col(c) for c in part_cols], "__dl_z"
+            )
+        )
+    else:
+        rows = rows.repartition(len(bins), "__dl_bin")
+    writer_df = rows.select(
+        *(
+            F.col(f.name)
+            .cast(f.dataType)
+            .alias(
+                phys[f.name],
+                metadata={"parquet.field.id": fids[f.name]}
+                if f.name in fids
+                else None,
+            )
+            for f in schema.fields
         )
     )
     adds, n_staged = _stage_adds(
@@ -3831,9 +4031,14 @@ def optimize_delta(
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
-                "operationParameters": {
-                    "targetSize": str(target_bytes)
-                },
+                "operationParameters": (
+                    {
+                        "targetSize": str(target_bytes),
+                        "zOrderBy": json.dumps(zorder_by),
+                    }
+                    if zorder_by
+                    else {"targetSize": str(target_bytes)}
+                ),
                 "engineInfo": (
                     "rxlan-aws-lakehouse-spark foreign optimize"
                 ),

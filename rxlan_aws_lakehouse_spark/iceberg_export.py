@@ -2061,6 +2061,80 @@ def update_iceberg(
     return _row_level_iceberg(spark, path, where, mode, set_map=set_map)
 
 
+def restore_iceberg(spark, path: str, snapshot_id: int) -> dict:
+    """RESTORE a FOREIGN Iceberg table to an earlier snapshot (round
+    16 — the undo verb; the spec's ``set-current-snapshot``/rollback).
+
+    A NEW metadata version re-points ``current-snapshot-id`` at the
+    target (which must still be in ``snapshots`` — an expired snapshot
+    refuses by id, listing what remains) and appends to the snapshot
+    log; the snapshots list, sequence numbers and (v3) ``next-row-id``
+    are untouched, so history is preserved and a later roll-FORWARD
+    works the same way.  O(metadata) — no manifest or data IO at all.
+    Streaming tails see no new snapshot and emit nothing, matching
+    the incremental contract (the rolled-back rows were already
+    emitted; a stream cannot retract them).
+
+    Returns ``{"snapshot_id", "previous_snapshot_id"}``."""
+    from .iceberg_import import load_table_metadata_versioned
+
+    snapshot_id = int(snapshot_id)
+    for _attempt in range(8):
+        meta, head_v = load_table_metadata_versioned(path)
+        have = [
+            int(s.get("snapshot-id"))
+            for s in (meta.get("snapshots") or [])
+        ]
+        if snapshot_id not in have:
+            raise ValueError(
+                f"cannot restore: snapshot {snapshot_id} is not in "
+                f"the table's metadata (kept: {sorted(have)}); it "
+                "may have been expired"
+            )
+        prev = meta.get("current-snapshot-id")
+        if prev == snapshot_id:
+            return {
+                "snapshot_id": snapshot_id,
+                "previous_snapshot_id": prev,
+            }
+        prev_ts = max(
+            [
+                int(s.get("timestamp-ms") or 0)
+                for s in (meta.get("snapshots") or [])
+            ]
+            or [0]
+        )
+        now_ms = max(int(time.time() * 1000), prev_ts + 1)
+        new_meta = dict(meta)
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["last-updated-ms"] = now_ms
+        new_meta["snapshot-log"] = list(
+            meta.get("snapshot-log") or []
+        ) + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+        mdir = os.path.join(path, "metadata")
+        mp = os.path.join(mdir, f"v{head_v + 1}.metadata.json")
+        tmp = f"{mp}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f)
+        try:
+            os.link(tmp, mp)
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race: re-read the head, retry
+        os.unlink(tmp)
+        hint_p = os.path.join(mdir, "version-hint.text")
+        with open(f"{hint_p}.tmp-{os.getpid()}", "w") as f:
+            f.write(str(head_v + 1))
+        os.replace(f"{hint_p}.tmp-{os.getpid()}", hint_p)
+        return {
+            "snapshot_id": snapshot_id,
+            "previous_snapshot_id": prev,
+        }
+    raise RuntimeError(
+        f"restore of {path} lost the metadata race 8 times; giving up"
+    )
+
+
 def overwrite_iceberg(spark, path: str, df) -> dict:
     """Full-table ``INSERT OVERWRITE`` committed against a FOREIGN
     Iceberg table (round 16 — the Iceberg twin of

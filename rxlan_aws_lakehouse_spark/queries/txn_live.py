@@ -3163,6 +3163,117 @@ def foreign_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def foreign_overwrite_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Foreign ``INSERT OVERWRITE`` (round 16 — the ETL verb that
+    replaces a table's content wholesale; the write-interop surface's
+    last verb after append/DELETE/UPDATE/MERGE).  One orders slice
+    exports to a Delta and an Iceberg table; the same
+    ``INSERT OVERWRITE <attachment> SELECT ...`` (a re-priced,
+    re-labeled projection of a DIFFERENT slice) replaces each:
+
+    * Delta: ONE commit tombstones every live file and lands the new
+      rows as fresh adds; the CDF synthesis rule derives exactly
+      |old| ``delete`` + |new| ``insert`` rows from that commit with
+      no cdc files written (``cdf_ok``);
+    * Iceberg: ONE ``overwrite`` snapshot whose manifest list is just
+      the new ADDED manifest (``modes_ok`` pins both operations).
+
+    ``agree_ok`` (both reads row-identical), ``travel_ok`` (version
+    0 / the parent snapshot still reads the pre-overwrite slice).
+    Output = the replaced content's per-priority aggregate — DuckDB's
+    closed form over the source slice hash-checks the verb's full
+    semantics."""
+    from ..delta_export import export_delta, import_delta, read_delta_cdf
+    from ..iceberg_export import export_iceberg
+    from ..iceberg_import import import_iceberg
+    from ..sql_dml import TxnSqlRouter
+
+    work = tempfile.mkdtemp(prefix="fovw_")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderpriority").alias("prio"),
+        )
+        base = orders.filter("o_orderkey % 4 = 0")
+        n_base = base.count()
+        t = TxnTable(f"{work}/t")
+        t.commit(base.repartition(3))
+        ddest, idest = f"{work}/d", f"{work}/i"
+        export_delta(t, ddest)
+        export_iceberg(t, idest)
+        router = TxnSqlRouter(spark)
+        router.sql(
+            f"CREATE TABLE fov USING DELTA_IMPORT LOCATION '{ddest}'"
+        )
+        router.sql(
+            f"CREATE TABLE fiov USING ICEBERG_IMPORT LOCATION "
+            f"'{idest}'"
+        )
+        orders.createOrReplaceTempView("fovw_src")
+        sel = (
+            "SELECT o_orderkey, o_totalprice * 2 + 1, "
+            "concat('O', prio) FROM fovw_src WHERE o_orderkey % 4 = 1"
+        )
+        rd = router.sql(f"INSERT OVERWRITE fov {sel}").collect()[0]
+        ri = router.sql(f"INSERT OVERWRITE fiov {sel}").collect()[0]
+        router.sql("DROP TABLE fov")
+        router.sql("DROP TABLE fiov")
+        modes_ok = (
+            rd["operation"] == "overwrite_foreign_delta"
+            and ri["operation"] == "overwrite_foreign_iceberg"
+        )
+        dv = import_delta(spark, ddest)
+        di = import_iceberg(spark, idest)
+        cols = ["o_orderkey", "o_totalprice", "prio"]
+        n_new = dv.count()
+        agree_ok = (
+            di.count() == n_new
+            and dv.select(cols).exceptAll(di.select(cols)).count() == 0
+            and di.select(cols).exceptAll(dv.select(cols)).count() == 0
+        )
+        # CDF synthesis: |old| deletes + |new| inserts, no cdc files
+        cdf = read_delta_cdf(
+            spark, ddest, starting_commit=int(rd["version"])
+        )
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in cdf.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        cdf_ok = (
+            by_type.get("delete", 0) == n_base
+            and by_type.get("insert", 0) == n_new
+            and not os.path.exists(
+                os.path.join(ddest, "_change_data")
+            )
+        )
+        travel_ok = (
+            import_delta(spark, ddest, version=0).count() == n_base
+        )
+        out = (
+            dv.groupBy("prio")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice") * 100)
+                .cast("long")
+                .alias("rev_c"),
+            )
+            .withColumn("modes_ok", F.lit(bool(modes_ok)))
+            .withColumn("agree_ok", F.lit(bool(agree_ok)))
+            .withColumn("cdf_ok", F.lit(bool(cdf_ok)))
+            .withColumn("travel_ok", F.lit(bool(travel_ok)))
+            .orderBy("prio")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def foreign_cdf_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING change-feed tail of a FOREIGN Delta table (round 15,
     r14 verdict task 6 — ``readChangeFeed=true`` on
@@ -4683,6 +4794,7 @@ QUERIES = {
     "foreign_update_roundtrip": foreign_update_roundtrip,
     "foreign_maintenance_roundtrip": foreign_maintenance_roundtrip,
     "foreign_merge_roundtrip": foreign_merge_roundtrip,
+    "foreign_overwrite_roundtrip": foreign_overwrite_roundtrip,
     "foreign_cdf_stream_counts": foreign_cdf_stream_counts,
     "txn_sql_evolution": txn_sql_evolution,
 }
@@ -4871,6 +4983,20 @@ ORACLE = {
                TRUE AS agree_ok,
                TRUE AS travel_ok
         FROM t GROUP BY prio ORDER BY prio
+    """,
+    # the overwrite verb's closed form IS its SELECT: the re-priced,
+    # re-labeled %4=1 slice, whatever the tables held before
+    "foreign_overwrite_roundtrip": """
+        SELECT concat('O', o_orderpriority) AS prio,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(round(sum(o_totalprice * 2 + 1) * 100) AS BIGINT)
+                   AS rev_c,
+               TRUE AS modes_ok,
+               TRUE AS agree_ok,
+               TRUE AS cdf_ok,
+               TRUE AS travel_ok
+        FROM orders WHERE o_orderkey % 4 = 1
+        GROUP BY prio ORDER BY prio
     """,
     # the merged table's closed form: CASE-replacement over the
     # surviving base rows + the inserted slice

@@ -1759,12 +1759,46 @@ class TxnSqlRouter:
     def _exec_restore(self, c: _Cursor):
         c.expect("RESTORE")
         c.accept("TABLE")
-        name, t = self._resolve(c.qident("table"))
+        target = c.qident("table")
         c.expect("TO", "VERSION", "AS", "OF")
         v = c.peek()
         if v is None:
             raise ValueError("RESTORE needs a version")
         c.i += 1
+        key = self._key(target)
+        if key in self._foreign:
+            # RESTORE on an attachment (round 16): Delta restores to a
+            # log version (new commit, history preserved); Iceberg
+            # re-points current-snapshot-id (spec rollback)
+            kind, pinned = self._foreign_kind.get(
+                key, ("delta", False)
+            )
+            if pinned:
+                raise ValueError(
+                    f"{target} is pinned to a time-travel snapshot "
+                    "and is read-only; attach the live table to "
+                    "RESTORE"
+                )
+            if kind == "delta":
+                from .delta_export import restore_delta
+
+                res = restore_delta(
+                    self._spark, self._foreign[key], int(v)
+                )
+                ver = str(res["version"])
+            else:
+                from .iceberg_export import restore_iceberg
+
+                res = restore_iceberg(
+                    self._spark, self._foreign[key], int(v)
+                )
+                ver = str(res["snapshot_id"])
+            self._refresh_foreign_views(key, kind)
+            return self._spark.createDataFrame(
+                [(f"restore_foreign_{kind}", ver)],
+                "operation string, version string",
+            )
+        name, t = self._resolve(target)
         version = t.restore(
             self._spark, v if v.startswith("v") else f"v{int(v):08d}"
         )
@@ -2081,18 +2115,35 @@ class TxnSqlRouter:
                 "read-only; attach the live table to OPTIMIZE"
             )
         compact = bool(c.accept("COMPACT"))
+        zorder: list[str] | None = None
+        if c.accept("ZORDER"):
+            c.expect("BY")
+            c.expect("(")
+            zorder = []
+            while True:
+                zorder.append(c.ident("ZORDER column"))
+                if not c.accept(","):
+                    break
+            c.expect(")")
         if not c.done():
             raise ValueError(
-                "OPTIMIZE on a foreign attachment takes at most a "
-                f"COMPACT clause (got {c.peek()!r}); ZORDER needs a "
-                "native table"
+                "OPTIMIZE on a foreign attachment takes at most "
+                f"COMPACT or ZORDER BY (...) (got {c.peek()!r})"
+            )
+        if zorder is not None and kind != "delta":
+            raise ValueError(
+                "ZORDER BY is a Delta layout op; an Iceberg "
+                "attachment takes OPTIMIZE [COMPACT]"
             )
         if kind == "delta":
             # Delta's OPTIMIZE already IS bin-pack compaction; the
-            # COMPACT word is accepted as a no-op synonym
+            # COMPACT word is accepted as a no-op synonym. ZORDER BY
+            # re-clusters every live file by the Morton interleave.
             from .delta_export import optimize_delta
 
-            res = optimize_delta(self._spark, self._foreign[key])
+            res = optimize_delta(
+                self._spark, self._foreign[key], zorder_by=zorder
+            )
             op, ver, n = (
                 "optimize_foreign_delta",
                 str(res["version"]),

@@ -342,7 +342,80 @@ def test_sql_verbs_on_attachments(spark, tmp_path):
         router.sql("SELECT count(*) AS n FROM mi").collect()[0]["n"]
         == 20
     )
-    with pytest.raises(ValueError, match="ZORDER needs a native"):
-        router.sql("OPTIMIZE md ZORDER BY (k)")
+    # ZORDER is a Delta layout op; the Iceberg attachment refuses it
+    with pytest.raises(ValueError, match="Delta layout op"):
+        router.sql("OPTIMIZE mi ZORDER BY (k)")
     router.sql("DROP TABLE md")
     router.sql("DROP TABLE mi")
+
+
+def test_optimize_zorder_foreign_delta(spark, tmp_path):
+    """OPTIMIZE ZORDER BY on an attachment (round 16): every live file
+    rewritten, rows clustered by the Morton interleave of (k, v) —
+    per-file k-ranges come out ~disjoint, so a k-slice predicate can
+    skip files; reads identical; still dataChange=false throughout."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    dest = _foreign(spark, tmp_path, name="z", n_files=8)
+    before = _rows(import_delta(spark, dest))
+    router = TxnSqlRouter(spark)
+    router.sql(f"CREATE TABLE fz USING DELTA_IMPORT LOCATION '{dest}'")
+    out = router.sql("OPTIMIZE fz ZORDER BY (k, v)").collect()[0]
+    router.sql("DROP TABLE fz")
+    assert out["operation"] == "optimize_foreign_delta"
+    assert out["n_compacted"] == 8  # EVERY live file is a candidate
+    assert _rows(import_delta(spark, dest)) == before
+    with open(
+        os.path.join(dest, "_delta_log", "00000000000000000001.json")
+    ) as f:
+        acts = [_json.loads(x) for x in f]
+    ci = next(a for a in acts if "commitInfo" in a)
+    assert "zOrderBy" in ci["commitInfo"]["operationParameters"]
+    for a in acts:
+        for kind in ("add", "remove"):
+            if kind in a:
+                assert a[kind]["dataChange"] is False
+    # clustering: re-cluster a fresh 8-file fixture into MULTIPLE
+    # z-ranged outputs (tiny target -> one bin per input file); with a
+    # monotone id column the z-sorted files cover NON-OVERLAPPING k
+    # ranges, while the 8 round-robin inputs all spanned the full range
+    dest2 = _foreign(spark, tmp_path, name="z2", n_files=8)
+    out2 = optimize_delta(
+        spark, dest2, target_bytes=1, zorder_by=["k", "v"]
+    )
+    assert out2["n_files_added"] >= 2
+    assert _rows(import_delta(spark, dest2)) == before
+    state = replay_delta_log(dest2)
+    spans = []
+    for rel in state["files"]:
+        md = _pq.ParquetFile(os.path.join(dest2, rel)).metadata
+        ks = [
+            md.row_group(i).column(0).statistics
+            for i in range(md.num_row_groups)
+        ]
+        spans.append(
+            (min(s.min for s in ks), max(s.max for s in ks))
+        )
+    spans.sort()
+    overlaps = sum(
+        1
+        for (a1, b1), (a2, _b2) in zip(spans, spans[1:])
+        if a2 <= b1
+    )
+    assert len(spans) >= 2 and overlaps == 0
+
+
+def test_optimize_zorder_refusals(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.delta_export import optimize_delta
+
+    dest = _foreign(
+        spark, tmp_path, name="zr", partition_by=["seg"], n_files=4
+    )
+    with pytest.raises(ValueError, match="unknown ZORDER column"):
+        optimize_delta(spark, dest, zorder_by=["nope"])
+    with pytest.raises(ValueError, match="partition column"):
+        optimize_delta(spark, dest, zorder_by=["seg"])

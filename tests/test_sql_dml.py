@@ -746,8 +746,15 @@ def test_insert_into_foreign_attachments(spark, tmp_path):
         router.sql("SELECT count(*) AS n FROM fdel2").collect()[0]["n"]
         == 4
     )
-    with pytest.raises(ValueError, match="appends only"):
-        router.sql("INSERT OVERWRITE fdel VALUES (9, 'z')")
+    # INSERT OVERWRITE replaces the content wholesale (round 16)
+    out = router.sql(
+        "INSERT OVERWRITE fdel VALUES (9, 'z')"
+    ).collect()[0]
+    assert out["operation"] == "overwrite_foreign_delta"
+    assert {
+        (r["k"], r["s"])
+        for r in router.sql("SELECT k, s FROM fdel").collect()
+    } == {(9, "z")}
     # pinned attachment refuses
     router.sql(
         f"CREATE TABLE fdel_v0 USING DELTA_IMPORT LOCATION '{ddest}' "
