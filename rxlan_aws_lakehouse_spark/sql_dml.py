@@ -51,6 +51,8 @@ equi-condition) that leaves every scalar EXPRESSION to Spark itself
     OPTIMIZE t ZORDER BY (a, b)       zorder_by (Morton clustering)
     VACUUM t [RETAIN n HOURS]         vacuum (snapshot retention)
     RESTORE t TO VERSION AS OF n      restore (rollback as new commit)
+    TRUNCATE TABLE t                  delete_where(true) — file-level
+                                      drop, history intact
     COPY INTO t FROM '<path>'         bulk file import as one append
     EXPORT TABLE t TO DELTA '<p>'     Delta mirror export / incremental
                                       sync (delta_export.py)
@@ -776,6 +778,8 @@ class TxnSqlRouter:
             return self._exec_drop(_Cursor(toks))
         if verb == "RESTORE":
             return self._exec_restore(_Cursor(toks))
+        if verb == "TRUNCATE":
+            return self._exec_truncate(_Cursor(toks))
         if verb == "COPY":
             return self._exec_copy(_Cursor(toks))
         if verb == "EXPORT" and len(toks) >= 2 and (
@@ -1804,6 +1808,39 @@ class TxnSqlRouter:
         )
         return self._result(name, "restore", version)
 
+    def _exec_truncate(self, c: _Cursor):
+        """``TRUNCATE TABLE t`` (round 16): delete every row, keep
+        schema and history.  Native tables route through
+        ``delete_where(true)`` — a file-level drop, no rewrite, time
+        travel intact.  A foreign attachment commits an EMPTY
+        overwrite (``overwrite_delta`` tombstones every live file;
+        ``overwrite_iceberg``'s manifest list goes empty)."""
+        c.expect("TRUNCATE", "TABLE")
+        target = c.qident("table")
+        if not c.done():
+            raise ValueError(
+                f"unexpected TRUNCATE clause at {c.peek()!r}"
+            )
+        key = self._key(target)
+        if key in self._foreign:
+            kind, pinned = self._foreign_kind.get(
+                key, ("delta", False)
+            )
+            if pinned:
+                raise ValueError(
+                    f"{target} is pinned to a time-travel snapshot "
+                    "and is read-only; attach the live table to "
+                    "TRUNCATE"
+                )
+            schema = self._spark.table(self._mangled_view(key)).schema
+            empty = self._spark.createDataFrame([], schema)
+            return self._foreign_append(
+                key, kind, empty, op="truncate"
+            )
+        name, t = self._resolve(target)
+        version = t.delete_where(self._spark, F.lit(True))
+        return self._result(name, "truncate", version)
+
     def _exec_copy(self, c: _Cursor):
         """``COPY INTO t FROM '<path>' FILEFORMAT = PARQUET|JSON|CSV``:
         bulk file import as one atomic append, schema-aligned.  A
@@ -2065,12 +2102,13 @@ class TxnSqlRouter:
         overwrite twins for ``op="overwrite"``) and refresh the
         session views to the new head."""
         path = self._foreign[key]
+        replaces = op in ("overwrite", "truncate")
         if kind == "delta":
             from .delta_export import append_delta, overwrite_delta
 
-            res = (
-                overwrite_delta if op == "overwrite" else append_delta
-            )(self._spark, path, out)
+            res = (overwrite_delta if replaces else append_delta)(
+                self._spark, path, out
+            )
             ver = str(res["version"])
         else:
             from .iceberg_export import (
@@ -2078,11 +2116,9 @@ class TxnSqlRouter:
                 overwrite_iceberg,
             )
 
-            res = (
-                overwrite_iceberg
-                if op == "overwrite"
-                else append_iceberg
-            )(self._spark, path, out)
+            res = (overwrite_iceberg if replaces else append_iceberg)(
+                self._spark, path, out
+            )
             ver = str(res["snapshot_id"])
         self._refresh_foreign_views(key, kind)
         return self._spark.createDataFrame(

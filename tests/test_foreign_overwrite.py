@@ -140,3 +140,40 @@ def test_sql_insert_overwrite_foreign(spark, tmp_path):
     } == {(7, 70), (8, 80)}
     router.sql("DROP TABLE fd")
     router.sql("DROP TABLE fi")
+
+
+def test_sql_truncate_native_and_foreign(spark, tmp_path):
+    from rxlan_aws_lakehouse_spark.sql_dml import TxnSqlRouter
+
+    t = _src(spark, tmp_path, "tr")
+    ddest, idest = str(tmp_path / "td"), str(tmp_path / "ti")
+    export_delta(t, ddest)
+    export_iceberg(t, idest)
+    router = TxnSqlRouter(spark)
+    router.register("nt", t)
+    out = router.sql("TRUNCATE TABLE nt").collect()[0]
+    assert out["operation"] == "truncate"
+    assert (
+        router.sql("SELECT count(*) AS n FROM nt").collect()[0]["n"]
+        == 0
+    )
+    router.sql(f"CREATE TABLE fd USING DELTA_IMPORT LOCATION '{ddest}'")
+    router.sql(
+        f"CREATE TABLE fi USING ICEBERG_IMPORT LOCATION '{idest}'"
+    )
+    out = router.sql("TRUNCATE TABLE fd").collect()[0]
+    assert out["operation"] == "truncate_foreign_delta"
+    assert (
+        router.sql("SELECT count(*) AS n FROM fd").collect()[0]["n"]
+        == 0
+    )
+    out = router.sql("TRUNCATE TABLE fi").collect()[0]
+    assert out["operation"] == "truncate_foreign_iceberg"
+    assert (
+        router.sql("SELECT count(*) AS n FROM fi").collect()[0]["n"]
+        == 0
+    )
+    # history intact: version 0 still reads 10 rows on the delta side
+    assert len(_rows(import_delta(spark, ddest, version=0))) == 10
+    router.sql("DROP TABLE fd")
+    router.sql("DROP TABLE fi")
