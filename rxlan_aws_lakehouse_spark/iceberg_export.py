@@ -3610,11 +3610,25 @@ def compact_data_files_iceberg(
     ):
         return none_result
 
-    # the candidates' LIVE rows: one distributed scan, every
-    # applicable delete applied (same exclusion as the row-level ops)
-    dead = _existing_dead_pairs(path, st)
-    lineage = _iceberg_lineage_scan(spark, path, st)
-    lineage = _apply_eq_exclusion(spark, path, st, lineage)
+    # the candidates' LIVE rows: one distributed scan of ONLY the
+    # candidate files (the scan substrate is restricted up front, so
+    # a small candidate set in a huge table never touches the
+    # at-target files), every applicable delete applied (same
+    # exclusion as the row-level ops)
+    keep_idx = [
+        i
+        for i, e in enumerate(st["entries"])
+        if e["file_path"] in cand_set
+    ]
+    st_cand = dict(
+        st,
+        files=[st["files"][i] for i in keep_idx],
+        entries=[st["entries"][i] for i in keep_idx],
+        delete_specs=[st["delete_specs"][i] for i in keep_idx],
+    )
+    dead = _existing_dead_pairs(path, st_cand)
+    lineage = _iceberg_lineage_scan(spark, path, st_cand)
+    lineage = _apply_eq_exclusion(spark, path, st_cand, lineage)
     rows = lineage.filter(F.col("__ic_path").isin(sorted(cand_set)))
     if dead:
         dead_rows = [
