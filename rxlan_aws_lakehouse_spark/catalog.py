@@ -33,6 +33,23 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Single-partition DataFrame over driver-local rows.
+
+    ``spark.createDataFrame(list)`` parallelizes over
+    ``spark.default.parallelism`` slices, so EVERY later action on the
+    frame schedules that many near-empty tasks (32 here) — lanes
+    materialize their (small, already-collected) result this way, and
+    protocol lanes build fixture frames this way dozens of times.
+    One slice = one task per action (guide §1.2: remove work you don't
+    need; measured 3x cheaper per action at 1000 rows). Only for
+    driver-resident row lists, which are small by construction —
+    anything bigger arrives as a distributed plan, never a list."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one star-schema table. Parquet scan: pushdown + pruning are free."""
     if table not in TABLES:

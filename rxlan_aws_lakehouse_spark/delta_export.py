@@ -72,6 +72,13 @@ _PLAIN_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _MAPPED_PROTOCOL = {"minReaderVersion": 2, "minWriterVersion": 5}
 
 
+
+def _empty_df1(spark, schema):
+    """Schema-only empty frame on ONE slice (see txn._empty_df)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([], 1), schema
+    )
+
 def _delta_table_meta(meta: dict) -> tuple[dict, dict, dict]:
     """(schemaString json, configuration, protocol) for a snapshot.
 
@@ -982,7 +989,7 @@ def read_delta_cdf(
         ]
     )
     if not parts:
-        return spark.createDataFrame([], empty)
+        return _empty_df1(spark, empty)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1439,7 +1446,7 @@ def read_delta_export(spark, dest: str):
     schema = StructType.fromJson(state["schema"])
     paths = [os.path.join(dest, rel) for rel in state["files"]]
     if not paths:
-        return spark.createDataFrame([], schema)
+        return _empty_df1(spark, schema)
     return (
         spark.read.schema(schema)
         .option("basePath", dest)
@@ -1759,7 +1766,7 @@ def import_delta(
     )
     files = state["files"]
     if not files:
-        return spark.createDataFrame([], schema)
+        return _empty_df1(spark, schema)
     abs_paths = [os.path.join(path, rel) for rel in files]
     dv_specs = _foreign_dv_specs(state, path)
 
@@ -2215,7 +2222,7 @@ def convert_from_delta(
             )
 
     dest.commit(
-        spark.createDataFrame([], logical),
+        _empty_df1(spark, logical),
         metadata_only=True,
         partition_by=list(part_cols),
         operation="convert_from_delta",
@@ -3016,7 +3023,11 @@ def _stage_adds(spark, path: str, writer_df, part_phys, prefix: str):
     import shutil as _shutil
     import tempfile as _tempfile
 
-    staging = _tempfile.mkdtemp(prefix=prefix)
+    # staged ADJACENT to the table (dot-prefixed, reader-invisible, gone
+    # in the finally): hard links into the table require the same
+    # filesystem, and a table on RAM-backed scratch keeps its staging
+    # writes off the disk (guide §6 — ephemeral bytes should not fsync)
+    staging = _tempfile.mkdtemp(prefix=f".{prefix}", dir=path)
     try:
         w = writer_df.write.mode("overwrite")
         if part_phys:
@@ -3696,7 +3707,9 @@ def _row_level_delta(
         import shutil as _shutil
         import tempfile as _tempfile
 
-        staging = _tempfile.mkdtemp(prefix="delta_delete_cdc_")
+        staging = _tempfile.mkdtemp(
+            prefix=".delta_delete_cdc_", dir=path
+        )
         try:
             w = cdc_df.write.mode("overwrite")
             if part_phys:

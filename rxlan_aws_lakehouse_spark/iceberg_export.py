@@ -1362,7 +1362,8 @@ def append_iceberg(spark, path: str, df, _stage_only: bool = False) -> dict:
         # values are derived, data is not)
         *(p["shadow"].alias(f"__ip_{p['name']}") for p in pparts),
     )
-    staging = _tempfile.mkdtemp(prefix="iceberg_append_")
+    # adjacent to the table: same-fs hard links + scratch-fs inheritance
+    staging = _tempfile.mkdtemp(prefix=".iceberg_append_", dir=path)
     try:
         # session tz pinned to UTC for the staging write so a
         # TimestampNTZ source's wall-clock reads as the spec's micros
@@ -2539,7 +2540,8 @@ def _row_level_iceberg(
         )
     matched = matched_full.select("__ic_path", "__ic_ri")
 
-    staging = _tempfile.mkdtemp(prefix="iceberg_delete_")
+    # adjacent to the table: same-fs hard links + scratch-fs inheritance
+    staging = _tempfile.mkdtemp(prefix=".iceberg_delete_", dir=path)
     run_id = _uuid.uuid4().hex[:12]
     try:
         if mode == "pos":

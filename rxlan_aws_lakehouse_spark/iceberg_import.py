@@ -79,6 +79,13 @@ _FIXED_RE = re.compile(r"fixed\[(\d+)\]")
 
 
 # ------------------------------------------------------------- metadata
+
+def _empty_df1(spark, schema):
+    """Schema-only empty frame on ONE slice (see txn._empty_df)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([], 1), schema
+    )
+
 def _resolve(table_path: str, p: str) -> str:
     """Iceberg metadata stores absolute URIs; fixtures may use relative
     paths.  Strip a ``file:`` scheme, keep absolute paths, anchor
@@ -1285,7 +1292,7 @@ def convert_from_iceberg(
         }
     snap = state["snapshot"]
     dest.commit(
-        spark.createDataFrame([], state["schema"]),
+        _empty_df1(spark, state["schema"]),
         metadata_only=True,
         operation="convert_from_iceberg",
         carry_files=carry,
@@ -1363,7 +1370,7 @@ def import_iceberg(
     state = iceberg_live_files(path, snapshot_id, filters, timestamp)
     schema = state["schema"]
     if not state["files"]:
-        return spark.createDataFrame([], schema)
+        return _empty_df1(spark, schema)
     if any(state["delete_specs"]):
         from .sources.iceberg_import_source import (
             register_iceberg_import_source,

@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load
+from ..catalog import load, local_df
+from ..scratch import mkscratch as _mkscratch
 
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +245,7 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").withColumn(
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
-    work = tempfile.mkdtemp(prefix="hll_rollup_")
+    work = _mkscratch("hll_rollup_")
     try:
         sketches.partition_sketches(e, "user_id", ["day"]).write.mode(
             "overwrite"
@@ -299,7 +300,7 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("day")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -328,7 +329,7 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "yyyy-MM").alias("month"),
         "l_extendedprice",
     )
-    work = tempfile.mkdtemp(prefix="hist_rollup_")
+    work = _mkscratch("hist_rollup_")
     try:
         # coalesce(4): the sketch table is KBs (one 2 KB row per day) —
         # letting it inherit 32 shuffle partitions wrote 32 near-empty
@@ -358,7 +359,7 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ).orderBy("month")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -445,7 +446,7 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "yyyy-MM").alias("month"),
         "l_partkey",
     )
-    work = _tempfile.mkdtemp(prefix="cm_topk_")
+    work = _mkscratch("cm_topk_")
     try:
         sketches.countmin_sketches(
             li, "l_partkey", ["month"]
@@ -472,7 +473,7 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_partkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
 

@@ -15,11 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load
+from ..catalog import load, local_df
 from ..ops import dedup as dd
 from ..ops import multimodal as mm
 from ..ops import similarity as sim
 from ..ops import text as tx
+from ..scratch import mkscratch as _mkscratch
 
 
 # ---------------------------------------------------------------------------
@@ -879,7 +880,7 @@ def emb_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") % 5 != 0)
     delta = e.filter(F.col("vec_id") % 5 == 0)
-    work = tempfile.mkdtemp(prefix="emb_idx_")
+    work = _mkscratch("emb_idx_")
     try:
         t = TxnTable(f"{work}/index")
         # static bit budget: the DuckDB oracle embeds these planes as literals
@@ -899,7 +900,7 @@ def emb_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("vec_id", "neighbor_id", "sim")
         rows = res.collect()
         stored.unpersist()
-        return spark.createDataFrame(rows, res.schema)
+        return local_df(spark, rows, res.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1090,7 +1091,7 @@ def sample_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     assigned.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,8 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, local_df
 from ..ops.text import md5_long
+from ..scratch import mkscratch as _mkscratch
 
 # Per-language Bernoulli keep-rates: keep all low-resource text, downsample
 # English — the canonical multilingual rebalancing move.
@@ -227,7 +228,7 @@ def export_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("xshuf:"), F.col("doc_id").cast("string"))
     ).alias("ord")
     assigned = d.select("doc_id", "n_chars", shard, ordkey)
-    work = _tempfile.mkdtemp(prefix="shards_")
+    work = _mkscratch("shards_")
     try:
         (
             assigned.repartition(N_EXPORT_SHARDS, F.col("shard"))
@@ -252,7 +253,7 @@ def export_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("shard")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
 

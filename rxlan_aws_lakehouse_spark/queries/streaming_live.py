@@ -23,9 +23,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, local_df
 from ..streaming.cdc import forward_cdc
 from ..streaming.stateful import run_sessionize
+from ..scratch import mkscratch as _mkscratch
 
 _N_EVENTS = 2000
 
@@ -92,7 +93,7 @@ def _envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_cdc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the CDC streaming pipeline end-to-end; per-dt/hour sink counts."""
-    work = tempfile.mkdtemp(prefix="cdc_stream_")
+    work = _mkscratch("cdc_stream_")
     landing, out_dir, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
     _envelopes(spark, sf_dir).coalesce(1).write.mode("overwrite").text(landing)
     q = forward_cdc(spark, landing, out_dir, ckpt, available_now=True)
@@ -127,7 +128,7 @@ def streaming_sessionize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     over two days (mean gap ~36 min), so both session splits and multi-event
     sessions occur.
     """
-    work = tempfile.mkdtemp(prefix="cdc_sessions_")
+    work = _mkscratch("cdc_sessions_")
     landing, out_dir, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
     _envelopes(spark, sf_dir).coalesce(1).write.mode("overwrite").text(landing)
     q = run_sessionize(spark, landing, out_dir, ckpt, gap_minutes=30)
@@ -162,7 +163,7 @@ def streaming_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.enrich import enrich_stream
 
-    work = tempfile.mkdtemp(prefix="cdc_enrich_")
+    work = _mkscratch("cdc_enrich_")
     landing, out_dir, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
     _envelopes(spark, sf_dir).coalesce(1).write.mode("overwrite").text(landing)
     region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
@@ -204,7 +205,7 @@ def streaming_stream_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.stream_join import run_attribution
 
-    work = tempfile.mkdtemp(prefix="stream_join_")
+    work = _mkscratch("stream_join_")
     clicks_dir, convs_dir = f"{work}/clicks", f"{work}/convs"
     out_dir, ckpt = f"{work}/out", f"{work}/ckpt"
     e = load(spark, sf_dir, "events").filter(F.col("event_id") < _N_EVENTS)
@@ -268,7 +269,7 @@ def streaming_watermark_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFr
     import os as _os
     import shutil as _shutil
 
-    work = tempfile.mkdtemp(prefix="wm_dedup_")
+    work = _mkscratch("wm_dedup_")
     landing, out_dir, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
     _os.makedirs(landing)
     e = load(spark, sf_dir, "events").filter(
@@ -347,7 +348,7 @@ def streaming_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.replay_source import ReplayLog, register_replay_source
 
     register_replay_source(spark)
-    work = tempfile.mkdtemp(prefix="replaylog_")
+    work = _mkscratch("replaylog_")
     try:
         root = f"{work}/log"
         _os.makedirs(root)
@@ -415,7 +416,7 @@ def streaming_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dt")
         )
         final = out.collect()
-        return spark.createDataFrame(final, out.schema)
+        return local_df(spark, final, out.schema)
     finally:
         import shutil as _shutil
 
@@ -444,7 +445,7 @@ def streaming_session_window_counts(
 
     from ..streaming.windows import session_windows
 
-    work = tempfile.mkdtemp(prefix="sesswin_")
+    work = _mkscratch("sesswin_")
     landing, out_dir, ckpt = f"{work}/landing", f"{work}/out", f"{work}/ckpt"
     _os.makedirs(landing)
     try:
@@ -522,7 +523,7 @@ def streaming_session_window_counts(
             .orderBy("city")
         )
         final = out.collect()
-        return spark.createDataFrame(final, out.schema)
+        return local_df(spark, final, out.schema)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
 
@@ -545,7 +546,7 @@ def streaming_reshard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.replay_source import ReplayLog, register_replay_source
 
     register_replay_source(spark)
-    work = tempfile.mkdtemp(prefix="reshard_")
+    work = _mkscratch("reshard_")
     try:
         root = f"{work}/log"
         _os.makedirs(root)
@@ -625,7 +626,7 @@ def streaming_reshard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dt")
         )
         final = out.collect()
-        return spark.createDataFrame(final, out.schema)
+        return local_df(spark, final, out.schema)
     finally:
         import shutil as _shutil
 

@@ -22,8 +22,9 @@ from urllib.parse import unquote
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, local_df
 from ..txn import TxnTable
+from ..scratch import mkscratch as _mkscratch
 
 _N_CUST = 200
 
@@ -38,7 +39,7 @@ def txn_merge_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     as typed NULLs through the recorded snapshot schema.
     """
     # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
-    work = tempfile.mkdtemp(prefix="txn_live_")
+    work = _mkscratch("txn_live_")
     try:
         t = TxnTable(f"{work}/t")
         base = (
@@ -64,7 +65,7 @@ def txn_merge_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_custkey")
         )
         rows = out.collect()  # materialize before the temp dir is removed
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -78,7 +79,7 @@ def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year. DuckDB recomputes the same from the fixture directly.
     """
     # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
-    work = tempfile.mkdtemp(prefix="txn_feed_")
+    work = _mkscratch("txn_feed_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -99,7 +100,7 @@ def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_year")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -117,7 +118,7 @@ def txn_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
     from ..ops.incremental import IncrementalAggregate
 
-    work = tempfile.mkdtemp(prefix="txn_inc_")
+    work = _mkscratch("txn_inc_")
     try:
         src = TxnTable(f"{work}/src")
         orders = load(spark, sf_dir, "orders").select(
@@ -144,7 +145,7 @@ def txn_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -159,7 +160,7 @@ def txn_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full join+aggregate recompute."""
     from ..ops.incremental import IncrementalAggregate
 
-    work = tempfile.mkdtemp(prefix="txn_incj_")
+    work = _mkscratch("txn_incj_")
     try:
         src = TxnTable(f"{work}/src")
         orders = load(spark, sf_dir, "orders").select(
@@ -198,7 +199,7 @@ def txn_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("segment")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -212,7 +213,7 @@ def txn_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness boundary.
     """
     # re-pinned round 16: r11-stale cohort re-check (r15 verdict task 4)
-    work = tempfile.mkdtemp(prefix="txn_prune_")
+    work = _mkscratch("txn_prune_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -237,7 +238,7 @@ def txn_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -249,7 +250,7 @@ def txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition via the manifest (asserted); files in other segments carry by
     reference. The surviving table must equal a plain filtered recompute.
     """
-    work = tempfile.mkdtemp(prefix="txn_del_")
+    work = _mkscratch("txn_del_")
     try:
         t = TxnTable(f"{work}/t")
         base = (
@@ -276,7 +277,7 @@ def txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("segment")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -291,7 +292,7 @@ def txn_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     beats the update for keys divisible by both), and keys 1..5 re-inserted
     shifted by 10000. DuckDB recomputes the surviving table directly.
     """
-    work = tempfile.mkdtemp(prefix="txn_cdc_")
+    work = _mkscratch("txn_cdc_")
     try:
         t = TxnTable(f"{work}/t")
         base = (
@@ -336,7 +337,7 @@ def txn_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -352,7 +353,7 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``import_iceberg`` — including the mirror's own snapshot-log
     ``timestampAsOf`` resolving to the latest snapshot (``mirror_ok``).
     """
-    work = tempfile.mkdtemp(prefix="txn_tt_")
+    work = _mkscratch("txn_tt_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -410,7 +411,7 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mirror_ok", F.lit(bool(mirror_ok))
         ).orderBy("snapshot")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -421,7 +422,7 @@ def txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The result must equal the <= 1997 cutoff recomputed by DuckDB — and
     the rollback is a new auditable commit, not history surgery.
     """
-    work = tempfile.mkdtemp(prefix="txn_restore_")
+    work = _mkscratch("txn_restore_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -443,7 +444,7 @@ def txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_year")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -461,7 +462,7 @@ def txn_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.txn_sink import txn_cdc_apply_sink
 
-    work = tempfile.mkdtemp(prefix="txn_cdcstream_")
+    work = _mkscratch("txn_cdcstream_")
     try:
         t = TxnTable(f"{work}/t")
         base = (
@@ -515,7 +516,7 @@ def txn_streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_custkey")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -533,7 +534,7 @@ def txn_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..ops.scd2 import OPEN_END, scd2_apply
 
-    work = tempfile.mkdtemp(prefix="txn_scd2_")
+    work = _mkscratch("txn_scd2_")
     try:
         t = TxnTable(f"{work}/t")
         c = (
@@ -595,7 +596,7 @@ def txn_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("snapshot", "c_custkey", "valid_from")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -609,7 +610,7 @@ def txn_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned read's CORRECTNESS (rows equal the full-scan answer DuckDB
     computes) and the pruning's EFFECT (files scanned, a deterministic
     fraction of the table, riding the result as data)."""
-    work = tempfile.mkdtemp(prefix="txn_bloom_")
+    work = _mkscratch("txn_bloom_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -621,7 +622,7 @@ def txn_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # point upsert: bloom-pruned discovery, then read the keys back
         keys = [1, 7, 32, 33, 4000]
-        upd = spark.createDataFrame(
+        upd = local_df(spark, 
             [(1, -1, 0.0, "POINT")], "o_orderkey long, o_custkey long, "
             "o_totalprice double, o_orderpriority string"
         )
@@ -646,7 +647,7 @@ def txn_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).orderBy("o_orderkey")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -661,7 +662,7 @@ def txn_cbo_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics instead of the byte-size default (the plan assertion lives
     in tests/test_txn.py; the driver hash pins that the CBO path is
     value-identical to the plain join DuckDB computes)."""
-    work = tempfile.mkdtemp(prefix="txn_cbo_")
+    work = _mkscratch("txn_cbo_")
     table = "txn_cbo_dim_reg"
     confs = {"spark.sql.cbo.enabled": "true"}
     saved = {k: spark.conf.get(k) for k in confs}
@@ -687,7 +688,7 @@ def txn_cbo_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_year")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
@@ -751,7 +752,7 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_mktsegment")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
@@ -768,7 +769,7 @@ def txn_deferred_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized read must equal the merge-on-read read, both equal to
     the plain SQL the oracle states. ``dv_invisible`` pins that the
     final snapshot is vector-free."""
-    work = tempfile.mkdtemp(prefix="txn_dv_")
+    work = _mkscratch("txn_dv_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -817,7 +818,7 @@ def txn_deferred_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         # merge-on-read and materialized answers must agree exactly
         assert mor_rows == {tuple(r)[:3] for r in rows}, (mor_rows, rows)
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -838,7 +839,7 @@ def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..ops.zorder import zorder_write
 
-    work = tempfile.mkdtemp(prefix="zorder_live_")
+    work = _mkscratch("zorder_live_")
     try:
         e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
         # approx=True: quantile_normalize boundaries, no global rank
@@ -887,7 +888,7 @@ def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zorder_pruned", F.lit(overlap * 2 <= len(files))
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -907,7 +908,7 @@ def txn_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot layer."""
     from ..txn import ConstraintViolationError
 
-    work = tempfile.mkdtemp(prefix="txn_chk_")
+    work = _mkscratch("txn_chk_")
     try:
         t = TxnTable(f"{work}/t")
         cust = load(spark, sf_dir, "customer").select(
@@ -954,7 +955,7 @@ def txn_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("segment")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -971,7 +972,7 @@ def txn_row_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     written once by the op that already holds the rows (IO ∝ touched
     files); appends/insert-only commits derive inserts from fresh data
     files at read time (zero write amplification)."""
-    work = tempfile.mkdtemp(prefix="txn_cdf_")
+    work = _mkscratch("txn_cdf_")
     try:
         t = TxnTable(f"{work}/t")
         cust = load(spark, sf_dir, "customer").select(
@@ -1000,7 +1001,7 @@ def txn_row_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("change_type")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1022,7 +1023,7 @@ def txn_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.txn_source import TxnPruningReader, register_txn_source
 
     register_txn_source(spark)
-    work = tempfile.mkdtemp(prefix="txn_src_")
+    work = _mkscratch("txn_src_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -1051,7 +1052,7 @@ def txn_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0 < planned < total).alias("files_pruned"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1065,7 +1066,7 @@ def txn_source_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.txn_source import register_txn_source
 
     register_txn_source(spark)
-    work = tempfile.mkdtemp(prefix="txn_srcstream_")
+    work = _mkscratch("txn_srcstream_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -1099,7 +1100,7 @@ def txn_source_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_year")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1121,7 +1122,7 @@ def txn_replicate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.txn_sink import txn_merge_sink
 
     register_txn_source(spark)
-    work = tempfile.mkdtemp(prefix="txn_repl_")
+    work = _mkscratch("txn_repl_")
     try:
         src = TxnTable(f"{work}/src")
         dst = TxnTable(f"{work}/dst")
@@ -1183,7 +1184,7 @@ def txn_replicate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("rev")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1198,7 +1199,7 @@ def txn_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched priority partitions must CARRY by reference (the
     ``files_carried`` flag rides the result): rewrite cost ∝ changed
     files, the property a periodic 100 TB full-extract feed depends on."""
-    work = tempfile.mkdtemp(prefix="txn_sync_")
+    work = _mkscratch("txn_sync_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -1249,7 +1250,7 @@ def txn_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1265,7 +1266,7 @@ def txn_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones by partition dir, old ones by column stats) — ``specs_mixed``
     and ``pruned_fewer`` carry those claims. At 100 TB this is
     re-layouting a table as a metadata commit instead of a rewrite."""
-    work = tempfile.mkdtemp(prefix="txn_evo_")
+    work = _mkscratch("txn_evo_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -1310,7 +1311,7 @@ def txn_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_year")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1330,7 +1331,7 @@ def txn_source_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.txn_source import register_txn_source
 
     register_txn_source(spark)
-    work = tempfile.mkdtemp(prefix="txn_scdf_")
+    work = _mkscratch("txn_scdf_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -1375,7 +1376,7 @@ def txn_source_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("_commit_version", "_change_type")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1393,7 +1394,7 @@ def txn_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     analyst knowing the layout."""
     import datetime as _dt
 
-    work = tempfile.mkdtemp(prefix="txn_hidden_")
+    work = _mkscratch("txn_hidden_")
     try:
         t = TxnTable(f"{work}/t")
         events = load(spark, sf_dir, "events").select(
@@ -1413,7 +1414,7 @@ def txn_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dt")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1431,7 +1432,7 @@ def txn_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     data file survives into the MoR snapshot by reference — write cost
     bounded by the delta). A final ``materialize_deletes`` must fold the
     vector in without changing the answer."""
-    work = tempfile.mkdtemp(prefix="txn_mdv_")
+    work = _mkscratch("txn_mdv_")
     try:
         base = load(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
@@ -1479,7 +1480,7 @@ def txn_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1496,7 +1497,7 @@ def txn_metadata_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.txn_source import register_txn_source
 
     register_txn_source(spark)
-    work = tempfile.mkdtemp(prefix="txn_meta_")
+    work = _mkscratch("txn_meta_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -1531,7 +1532,7 @@ def txn_metadata_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("version")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1545,7 +1546,7 @@ def txn_metadata_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.txn_source import register_txn_source
 
     register_txn_source(spark)
-    work = tempfile.mkdtemp(prefix="txn_metap_")
+    work = _mkscratch("txn_metap_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -1569,7 +1570,7 @@ def txn_metadata_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("partition")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1588,7 +1589,7 @@ def txn_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.txn_source import register_txn_source
 
     register_txn_source(spark)
-    work = tempfile.mkdtemp(prefix="txn_writer_")
+    work = _mkscratch("txn_writer_")
     try:
         root = f"{work}/t"
         orders = load(spark, sf_dir, "orders").select(
@@ -1641,7 +1642,7 @@ def txn_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1656,7 +1657,7 @@ def txn_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.txn_source import register_txn_source
 
     register_txn_source(spark)
-    work = tempfile.mkdtemp(prefix="txn_sql_")
+    work = _mkscratch("txn_sql_")
     try:
         co = TxnTable(f"{work}/cust")
         od = TxnTable(f"{work}/ord")
@@ -1689,7 +1690,7 @@ def txn_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1718,7 +1719,7 @@ def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     on .005 boundaries), so both engines branch on identical doubles."""
     from ..sql_dml import TxnSqlRouter
 
-    work = tempfile.mkdtemp(prefix="txn_sqldml_")
+    work = _mkscratch("txn_sqldml_")
     try:
         tgt_df = (
             load(spark, sf_dir, "customer")
@@ -1798,7 +1799,7 @@ def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         api_tbl.delete_where(spark, F.col("c_acctbal") < 1000)
         api_tbl.append(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(999001, 500000.0, "MANUAL"), (999002, 250000.25, "MANUAL")],
                 api_tbl.read(spark).schema,
             )
@@ -1826,7 +1827,7 @@ def txn_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
         src_df.unpersist()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1852,7 +1853,7 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sql_dml import TxnSqlRouter
 
-    work = tempfile.mkdtemp(prefix="txn_sqllife_")
+    work = _mkscratch("txn_sqllife_")
     try:
         li = (
             load(spark, sf_dir, "lineitem")
@@ -1885,7 +1886,7 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the constraint must REJECT a violating SQL write (staged
         # write discarded pre-publish) and leave the table untouched
-        spark.createDataFrame(
+        local_df(spark, 
             [(1, 1, -5.0, 1.0, "X")],
             "l_orderkey long, l_partkey long, l_quantity double, "
             "l_extendedprice double, l_returnflag string",
@@ -2011,7 +2012,7 @@ def txn_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2033,7 +2034,7 @@ def txn_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_txn_source(spark)
     register_replay_source(spark)
-    work = tempfile.mkdtemp(prefix="txn_swsink_")
+    work = _mkscratch("txn_swsink_")
     try:
         root = f"{work}/log"
         _os.makedirs(root)
@@ -2098,7 +2099,7 @@ def txn_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dt")
         )
         final = out.collect()
-        return spark.createDataFrame(final, out.schema)
+        return local_df(spark, final, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2132,7 +2133,7 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..delta_export import export_delta
 
-    work = tempfile.mkdtemp(prefix="txn_delta_exp_")
+    work = _mkscratch("txn_delta_exp_")
     try:
         t = TxnTable(f"{work}/t")
         orders = load(spark, sf_dir, "orders").select(
@@ -2330,7 +2331,7 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for r in out_rows
         ]
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "o_orderpriority string, n_orders long, revenue double, "
             "n_late long, log_set_ok boolean, stats_ok boolean, "
@@ -2374,7 +2375,7 @@ def foreign_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..iceberg_import import iceberg_live_files, import_iceberg
     from ..sql_dml import TxnSqlRouter
 
-    work = tempfile.mkdtemp(prefix="fappend_")
+    work = _mkscratch("fappend_")
     try:
         orders = load(spark, sf_dir, "orders").select(
             "o_orderkey",
@@ -2504,7 +2505,7 @@ def foreign_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("prio")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2556,7 +2557,7 @@ def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sql_dml import TxnSqlRouter
 
-    work = tempfile.mkdtemp(prefix="fdelete_")
+    work = _mkscratch("fdelete_")
     try:
         orders = load(spark, sf_dir, "orders").select(
             "o_orderkey",
@@ -2665,7 +2666,7 @@ def foreign_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("prio")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2709,7 +2710,7 @@ def foreign_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..iceberg_import import import_iceberg
     from ..sql_dml import TxnSqlRouter
 
-    work = tempfile.mkdtemp(prefix="fupdate_")
+    work = _mkscratch("fupdate_")
     try:
         orders = load(spark, sf_dir, "orders").select(
             "o_orderkey",
@@ -2815,7 +2816,7 @@ def foreign_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("prio")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -2860,7 +2861,7 @@ def foreign_maintenance_roundtrip(
     )
     from ..sql_dml import TxnSqlRouter
 
-    work = tempfile.mkdtemp(prefix="fmaint_")
+    work = _mkscratch("fmaint_")
     try:
         cust = load(spark, sf_dir, "customer").select(
             "c_custkey",
@@ -2981,7 +2982,7 @@ def foreign_maintenance_roundtrip(
             .orderBy("segment")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -3024,7 +3025,7 @@ def foreign_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..iceberg_import import import_iceberg
     from ..sql_dml import TxnSqlRouter
 
-    work = tempfile.mkdtemp(prefix="fmerge_")
+    work = _mkscratch("fmerge_")
     try:
         c = load(spark, sf_dir, "customer").select(
             "c_custkey", "c_acctbal", "c_mktsegment"
@@ -3158,7 +3159,7 @@ def foreign_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("segment")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -3190,7 +3191,7 @@ def foreign_overwrite_roundtrip(
     from ..iceberg_import import import_iceberg
     from ..sql_dml import TxnSqlRouter
 
-    work = tempfile.mkdtemp(prefix="fovw_")
+    work = _mkscratch("fovw_")
     try:
         orders = load(spark, sf_dir, "orders").select(
             "o_orderkey",
@@ -3269,7 +3270,7 @@ def foreign_overwrite_roundtrip(
             .orderBy("prio")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -3303,7 +3304,7 @@ def foreign_cdf_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_delta_import_source(spark)
-    work = tempfile.mkdtemp(prefix="fcdf_")
+    work = _mkscratch("fcdf_")
     try:
         orders = load(spark, sf_dir, "orders").select(
             "o_orderkey",
@@ -3388,7 +3389,7 @@ def foreign_cdf_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("commit_v", "change_type")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -3420,7 +3421,7 @@ def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..delta_export import import_delta, replay_delta_log
 
-    work = tempfile.mkdtemp(prefix="delta_imp_")
+    work = _mkscratch("delta_imp_")
     try:
         root = f"{work}/foreign"
         log = _os.path.join(root, "_delta_log")
@@ -3772,7 +3773,7 @@ def delta_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("prio")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -3805,7 +3806,7 @@ def iceberg_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..avro_lite import write_avro
     from ..iceberg_import import iceberg_live_files, import_iceberg
 
-    work = tempfile.mkdtemp(prefix="ice_imp_")
+    work = _mkscratch("ice_imp_")
     try:
         root = f"{work}/ice"
         _os.makedirs(_os.path.join(root, "metadata"))
@@ -4590,7 +4591,7 @@ def iceberg_import_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("prio")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4613,7 +4614,7 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate pins the data against DuckDB's closed form."""
     from ..sql_dml import TxnSqlRouter
 
-    work = tempfile.mkdtemp(prefix="txn_sqlevo_")
+    work = _mkscratch("txn_sqlevo_")
     try:
         cust = load(spark, sf_dir, "customer").select(
             "c_custkey", "c_acctbal", "c_mktsegment"
@@ -4747,7 +4748,7 @@ def txn_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("segment")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -67,22 +67,31 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..delta_export import (
-    _cm_mode,
-    _foreign_field_ids,
-    _foreign_phys,
-    _gate_foreign_protocol,
-    replay_delta_log,
-)
-from .txn_source import _FilePartition, _filter_triples, _read_file_batches
+# Heavy engine imports are deferred into a memoized accessor: this
+# module is imported during the connect-back window of freshly spawned
+# Python data-source workers (driver-side streaming runner / planners),
+# which have a hard 10 s deadline — module import must stay cheap; the
+# engine loads at first METHOD call, after the socket handshake and
+# outside the deadline (guide §4: keep the Python boundary light).
+def _eng():
+    global _ENG
+    if _ENG is None:
+        from .. import delta_export
+        from . import txn_source
+
+        _ENG = (delta_export, txn_source)
+    return _ENG
+
+
+_ENG = None
 
 
 def _schema_field_ids(state: dict, schema: StructType) -> tuple:
     """Per-field parquet ids aligned to ``schema`` when the table maps
     columns in ID mode (0 = bind by name), else the empty tuple."""
-    if _cm_mode(state) != "id":
+    if _eng()[0]._cm_mode(state) != "id":
         return ()
-    fid_map = _foreign_field_ids(state)
+    fid_map = _eng()[0]._foreign_field_ids(state)
     return tuple(fid_map.get(f.name, 0) for f in schema.fields)
 
 
@@ -98,10 +107,10 @@ def _resolve_state(options) -> dict:
         from ..delta_export import resolve_delta_timestamp
 
         v = resolve_delta_timestamp(path, ts)
-    state = replay_delta_log(
+    state = _eng()[0].replay_delta_log(
         path, up_to=int(v) if v is not None else None
     )
-    _gate_foreign_protocol(state)
+    _eng()[0]._gate_foreign_protocol(state)
     return state
 
 
@@ -203,7 +212,7 @@ class DeltaImportReader(DataSourceReader):
         # columnMapping name mode: logical -> physical per field (from
         # delta.columnMapping.physicalName metadata; identity on plain
         # tables). Files, partitionValues and stats all bind physical.
-        self._phys_map = _foreign_phys(self._state)
+        self._phys_map = _eng()[0]._foreign_phys(self._state)
         phys_tuple = (
             tuple(
                 self._phys_map.get(f.name, f.name)
@@ -226,7 +235,7 @@ class DeltaImportReader(DataSourceReader):
         self._triples: list[tuple] = []
 
     def pushFilters(self, filters: list[Filter]):
-        triples, points = _filter_triples(filters)
+        triples, points = _eng()[1]._filter_triples(filters)
         # point lookups prune as equality triples here (no blooms in a
         # foreign log; stats ranges still catch them)
         self._triples = triples + [
@@ -267,7 +276,7 @@ class DeltaImportReader(DataSourceReader):
                 for c in self._part_cols
             )
             parts.append(
-                _FilePartition(
+                _eng()[1]._FilePartition(
                     file_path=os.path.join(self._root, rel),
                     # basename only: foreign rel paths may carry hive
                     # dirs whose values must NOT override the log's
@@ -285,7 +294,7 @@ class DeltaImportReader(DataSourceReader):
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:
             return  # empty table: zero partitions, one None feed
-        yield from _read_file_batches(partition, self._schema)
+        yield from _eng()[1]._read_file_batches(partition, self._schema)
 
 
 class DeltaImportStreamReader(DataSourceStreamReader):
@@ -334,7 +343,7 @@ class DeltaImportStreamReader(DataSourceStreamReader):
         state = _resolve_state(options)
         self._plan_schema_str = json.dumps(state["schema"], sort_keys=True)
         self._part_cols = list(state["partition_columns"])
-        self._phys_map = _foreign_phys(state)
+        self._phys_map = _eng()[0]._foreign_phys(state)
         names = tuple(
             self._phys_map.get(f.name, f.name) for f in schema.fields
         )
@@ -425,7 +434,7 @@ class DeltaImportStreamReader(DataSourceStreamReader):
                             "semantics)"
                         )
                 elif "protocol" in a:
-                    _gate_foreign_protocol(
+                    _eng()[0]._gate_foreign_protocol(
                         {"protocol": a["protocol"], "adds": {}}
                     )
                 elif "remove" in a:
@@ -460,7 +469,7 @@ class DeltaImportStreamReader(DataSourceStreamReader):
                     # its mask applied, matching Delta's ignoreChanges
                     # contract (rows may re-appear, deleted rows never)
                     parts.append(
-                        _FilePartition(
+                        _eng()[1]._FilePartition(
                             file_path=os.path.join(self._root, rel),
                             rel=posixpath.basename(rel),
                             dv_dir=None,
@@ -490,7 +499,7 @@ class DeltaImportStreamReader(DataSourceStreamReader):
                 )
                 for c in self._part_cols
             ) + extra
-            return _FilePartition(
+            return _eng()[1]._FilePartition(
                 file_path=os.path.join(self._root, rel),
                 rel=posixpath.basename(rel),
                 dv_dir=None,
@@ -516,7 +525,7 @@ class DeltaImportStreamReader(DataSourceStreamReader):
                         "(Delta streaming-source semantics)"
                     )
             elif "protocol" in a:
-                _gate_foreign_protocol(
+                _eng()[0]._gate_foreign_protocol(
                     {"protocol": a["protocol"], "adds": {}}
                 )
             elif "cdc" in a:
@@ -567,7 +576,7 @@ class DeltaImportStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _FilePartition) -> Iterator:
-        yield from _read_file_batches(partition, self._schema)
+        yield from _eng()[1]._read_file_batches(partition, self._schema)
 
     def commit(self, end: dict) -> None:
         if end.get("version", -1) > self._watermark:

@@ -106,6 +106,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
+from .catalog import local_df
 from .txn import TxnTable
 
 _TOKEN_RE = re.compile(
@@ -793,13 +794,13 @@ class TxnSqlRouter:
                 loaded = self.use_catalog(
                     toks[1][1:-1].replace("''", "'")
                 )
-                return self._spark.createDataFrame(
+                return local_df(self._spark, 
                     [("use_catalog", str(len(loaded)))],
                     "operation string, version string",
                 )
             # USE <ns>: switch the current namespace
             self.use_namespace(toks[1])
-            return self._spark.createDataFrame(
+            return local_df(self._spark, 
                 [("use_namespace", self._namespace)],
                 "operation string, version string",
             )
@@ -811,7 +812,7 @@ class TxnSqlRouter:
     # ------------------------------------------------------------------
     def _result(self, name: str, operation: str, version: str):
         self._refresh_view(name)
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [(operation, version)], "operation string, version string"
         )
 
@@ -1013,7 +1014,7 @@ class TxnSqlRouter:
                 updates = updates.unionByName(b)
         else:
             # delete-only merge: an empty, correctly-typed update set
-            updates = self._spark.createDataFrame([], schema)
+            updates = local_df(self._spark, [], schema)
         # cast to the exact target schema so the commit never widens
         updates = updates.select(
             [
@@ -1045,7 +1046,7 @@ class TxnSqlRouter:
                 )
                 ver = str(res["snapshot_id"])
             self._refresh_foreign_views(fkey, foreign_kind)
-            return self._spark.createDataFrame(
+            return local_df(self._spark, 
                 [
                     (
                         f"merge_foreign_{res['mode']}",
@@ -1234,7 +1235,7 @@ class TxnSqlRouter:
                 if iout.get("snapshot_seq") is not None
                 else "noop"
             )
-            return self._spark.createDataFrame(
+            return local_df(self._spark, 
                 [(iop, idetail)],
                 "operation string, version string",
             )
@@ -1255,7 +1256,7 @@ class TxnSqlRouter:
             if out.get("commit") is not None
             else "noop"
         )
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [(op, detail)], "operation string, version string"
         )
 
@@ -1285,7 +1286,7 @@ class TxnSqlRouter:
             bool(meta.get("cdf", False)),
             t.has_deletion_vectors(v),
         )
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [row],
             "format string, location string, version string, "
             "num_files long, size_bytes long, num_rows long, "
@@ -1339,7 +1340,7 @@ class TxnSqlRouter:
                 )
         dropped = t.vacuum(keep=keep, retain_hours=retain)
         self._refresh_view(name)
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [("vacuum", f"dropped={len(dropped)}")],
             "operation string, version string",
         )
@@ -1548,7 +1549,7 @@ class TxnSqlRouter:
             for key, t in self._tables.items()
             if key.split(".", 1)[0] == want
         )
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             rows or [],
             "namespace string, name string, location string, "
             "version string",
@@ -1611,7 +1612,7 @@ class TxnSqlRouter:
             )
         if key in self._foreign:
             if if_not_exists:
-                return self._spark.createDataFrame(
+                return local_df(self._spark, 
                     [("attach_delta_import_exists", self._foreign[key])],
                     "operation string, version string",
                 )
@@ -1635,7 +1636,7 @@ class TxnSqlRouter:
             "delta",
             version is not None or timestamp is not None,
         )
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [("attach_delta_import", path)],
             "operation string, version string",
         )
@@ -1692,7 +1693,7 @@ class TxnSqlRouter:
             )
         if key in self._foreign:
             if if_not_exists:
-                return self._spark.createDataFrame(
+                return local_df(self._spark, 
                     [
                         (
                             "attach_iceberg_import_exists",
@@ -1721,7 +1722,7 @@ class TxnSqlRouter:
             "iceberg",
             snapshot is not None or timestamp is not None,
         )
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [("attach_iceberg_import", path)],
             "operation string, version string",
         )
@@ -1738,7 +1739,7 @@ class TxnSqlRouter:
             if ns == self._namespace:
                 self._spark.catalog.dropTempView(bare)
             self._spark.catalog.dropTempView(self._mangled_view(key_f))
-            return self._spark.createDataFrame(
+            return local_df(self._spark, 
                 [("detach_foreign", key_f)],
                 "operation string, version string",
             )
@@ -1756,7 +1757,7 @@ class TxnSqlRouter:
                 )
             except FileNotFoundError:
                 pass
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [("drop", key)], "operation string, version string"
         )
 
@@ -1798,7 +1799,7 @@ class TxnSqlRouter:
                 )
                 ver = str(res["snapshot_id"])
             self._refresh_foreign_views(key, kind)
-            return self._spark.createDataFrame(
+            return local_df(self._spark, 
                 [(f"restore_foreign_{kind}", ver)],
                 "operation string, version string",
             )
@@ -1833,7 +1834,7 @@ class TxnSqlRouter:
                     "TRUNCATE"
                 )
             schema = self._spark.table(self._mangled_view(key)).schema
-            empty = self._spark.createDataFrame([], schema)
+            empty = local_df(self._spark, [], schema)
             return self._foreign_append(
                 key, kind, empty, op="truncate"
             )
@@ -2121,7 +2122,7 @@ class TxnSqlRouter:
             )
             ver = str(res["snapshot_id"])
         self._refresh_foreign_views(key, kind)
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [(f"{op}_foreign_{kind}", ver)],
             "operation string, version string",
         )
@@ -2211,7 +2212,7 @@ class TxnSqlRouter:
                 res["n_manifests_before"],
             )
         self._refresh_foreign_views(key, kind)
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [(op, ver, int(n))],
             "operation string, version string, n_compacted bigint",
         )
@@ -2259,7 +2260,7 @@ class TxnSqlRouter:
             )
             op, n = "vacuum_foreign_iceberg", res["n_files_deleted"]
         self._refresh_foreign_views(key, kind)
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [(op, f"dropped={int(n)}")],
             "operation string, version string",
         )
@@ -2327,7 +2328,7 @@ class TxnSqlRouter:
             )
             ver = str(res["snapshot_id"])
         self._refresh_foreign_views(key, kind)
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [
                 (
                     f"update_foreign_{res['mode']}",
@@ -2384,7 +2385,7 @@ class TxnSqlRouter:
             )
             ver = str(res["snapshot_id"])
         self._refresh_foreign_views(key, kind)
-        return self._spark.createDataFrame(
+        return local_df(self._spark, 
             [
                 (
                     f"delete_foreign_{res['mode']}",

@@ -51,7 +51,6 @@ import threading
 import time
 from urllib.parse import unquote, urlparse
 
-import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -84,6 +83,15 @@ _ROOT_SHARD = "root"
 # (``split_shards``) so carried files keep a stable fragment assignment.
 _SUBSHARD_MAX = 512
 _SUBSHARD_BUCKETS = 64
+
+
+def _empty_df(spark: SparkSession, schema) -> DataFrame:
+    """Schema-only empty frame on ONE slice: createDataFrame([]) spreads
+    zero rows over default parallelism, so every job whose plan unions
+    or writes the empty leg schedules 32 no-op tasks (guide §1.2)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([], 1), schema
+    )
 
 
 def _stat_value(v):
@@ -141,6 +149,12 @@ def _file_column_stats(path: str) -> dict:
     cost stays proportional to file COUNT. Columns whose footer lacks
     min/max in any row group are omitted (never pruned on).
     """
+    # pyarrow.parquet is imported lazily (here and in the two sibling
+    # sites): it costs ~200 ms cold, and this module is imported inside
+    # every freshly spawned Python data-source worker, whose connect-back
+    # deadline is a hard 10 s (guide §4 — keep spawn-time imports light)
+    import pyarrow.parquet as _pq
+
     md = _pq.ParquetFile(path).metadata
     cols: dict[str, dict] = {}
     bad: set[str] = set()
@@ -312,6 +326,8 @@ def _file_entry(path: str, bloom_cols: tuple[str, ...] = ()) -> dict:
     e = _file_column_stats(path)
     e["bytes"] = os.path.getsize(path)
     if bloom_cols:
+        import pyarrow.parquet as _pq
+
         pf = _pq.ParquetFile(path)
         present = [c for c in bloom_cols if c in pf.schema_arrow.names]
         blooms = {}
@@ -1045,8 +1061,7 @@ class TxnTable:
                 rel: os.path.join(data_root, rel)
                 for rel in self.files(expect)
             }
-            empty = spark.createDataFrame(
-                [], StructType.fromJson(self._meta(expect)["schema"])
+            empty = _empty_df(spark, StructType.fromJson(self._meta(expect)["schema"])
             )
             return self.commit(
                 empty,
@@ -1081,8 +1096,7 @@ class TxnTable:
                 rel: os.path.join(data_root, rel)
                 for rel in self.files(expect)
             }
-            empty = spark.createDataFrame(
-                [], StructType.fromJson(self._meta(expect)["schema"])
+            empty = _empty_df(spark, StructType.fromJson(self._meta(expect)["schema"])
             )
             return self.commit(
                 empty,
@@ -1130,8 +1144,7 @@ class TxnTable:
                 rel: os.path.join(data_root, rel)
                 for rel in self.files(expect)
             }
-            empty = spark.createDataFrame(
-                [], StructType.fromJson(self._meta(expect)["schema"])
+            empty = _empty_df(spark, StructType.fromJson(self._meta(expect)["schema"])
             )
             return self.commit(
                 empty,
@@ -1305,7 +1318,7 @@ class TxnTable:
                 .withColumn(_COMMIT_VERSION, F.lit(""))
                 .schema
             )
-            return spark.createDataFrame([], schema)
+            return _empty_df(spark, schema)
         df = branches[0]
         for b in branches[1:]:
             # schema evolution across the range: earlier commits surface
@@ -1818,8 +1831,7 @@ class TxnTable:
         schema_json = self._meta(v).get("schema")
         schema = StructType.fromJson(schema_json) if schema_json else None
         if not kept:
-            df = spark.createDataFrame(
-                [], schema if schema else self.read(spark, v).schema
+            df = _empty_df(spark, schema if schema else self.read(spark, v).schema
             )
         else:
             # grouped scan: kept files may span partition specs after an
@@ -3597,7 +3609,7 @@ class TxnTable:
                 rel: os.path.join(data_root, rel)
                 for rel in self.files(expect)
             }
-            empty = spark.createDataFrame([], target_schema)
+            empty = _empty_df(spark, target_schema)
             return self.commit(
                 empty,
                 metadata_only=True,
@@ -3643,7 +3655,7 @@ class TxnTable:
             if touched:
                 kept = self._scan_rels(spark, expect, touched, target_schema)
             else:
-                kept = spark.createDataFrame([], target_schema)
+                kept = _empty_df(spark, target_schema)
             return self.commit(
                 kept,
                 operation="materialize_deletes",
@@ -3855,7 +3867,7 @@ class TxnTable:
                 for rel in self.files(expect)
             }
             return self.commit(
-                spark.createDataFrame([], evolved),
+                _empty_df(spark, evolved),
                 metadata_only=True,
                 operation="add_columns",
                 carry_files=carry,
@@ -3951,7 +3963,7 @@ class TxnTable:
                 for rel in self.files(expect)
             }
             return self.commit(
-                spark.createDataFrame([], evolved),
+                _empty_df(spark, evolved),
                 metadata_only=True,
                 operation="widen_type",
                 carry_files=carry,
@@ -4069,7 +4081,7 @@ class TxnTable:
                 for rel in self.files(expect)
             }
             return self.commit(
-                spark.createDataFrame([], evolved),
+                _empty_df(spark, evolved),
                 metadata_only=True,
                 partition_by=spec,
                 operation="rename_column",
@@ -4147,7 +4159,7 @@ class TxnTable:
                 for rel in self.files(expect)
             }
             return self.commit(
-                spark.createDataFrame([], evolved),
+                _empty_df(spark, evolved),
                 metadata_only=True,
                 operation="drop_column",
                 carry_files=carry,
@@ -4336,7 +4348,7 @@ class TxnTable:
                         os.link(os.path.join(_src, n), os.path.join(dst, n))
 
         dest.commit(
-            spark.createDataFrame([], schema),
+            _empty_df(spark, schema),
             # [] passes through verbatim (commit only inherits on None):
             # cloning an unpartitioned snapshot must record unpartitioned
             partition_by=list(meta_v.get("partition_by") or []),
@@ -4382,7 +4394,7 @@ class TxnTable:
                 for rel in restored_entries
             }
             schema = StructType.fromJson(meta_v["schema"])
-            empty = spark.createDataFrame([], schema)
+            empty = _empty_df(spark, schema)
             return self.commit(
                 empty,
                 # [] verbatim: restoring an unpartitioned snapshot from a
@@ -4457,6 +4469,8 @@ class TxnTable:
         # 1. deletion-vector pressure, measured from manifest row counts
         #    and the vector's own (tiny) parquet footprint
         if self.has_deletion_vectors(head):
+            import pyarrow.parquet as _pq
+
             entries = self.file_entries(head)
             total_rows = sum(int(e.get("rows", 0)) for e in entries.values())
             dv_dir = self._dv_dir(head)
@@ -4853,8 +4867,7 @@ class TxnTable:
                 )
             branches.append(b)
         if not branches:
-            schema = spark.createDataFrame(
-                [], self.read(spark, until or self.current_version()).schema
+            schema = _empty_df(spark, self.read(spark, until or self.current_version()).schema
             )
             return schema
         df = branches[0]
