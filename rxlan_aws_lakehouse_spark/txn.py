@@ -2382,6 +2382,45 @@ class TxnTable:
             raise
         return version
 
+    @staticmethod
+    def _spawn_validation(validate, *frames):
+        """Run a pre-commit validation CONCURRENTLY with touched-file
+        discovery (guide §2.6 — overlap independent jobs): the dup-key /
+        clause-overlap probes read only the persisted update set and are
+        independent of discovery, so serializing them just adds their
+        wall to every merge. The returned future is joined RIGHT BEFORE
+        the commit publishes — a rejected batch still never lands, with
+        the identical error. Thread-local job properties are inherited
+        (``inheritable_thread_target``), so UI labels/cancel groups stay
+        correct.
+
+        Returns ``None`` — degrade to the caller running ``validate()``
+        inline — when any of ``frames`` contains a Python-DataSource
+        relation: the pushdown guard serializes mixed actions on those
+        by flipping a SESSION-scoped conf for the action span
+        (sources/pushdown_guard.py), and a concurrent planner landing
+        inside another action's conf-off window fails loudly with
+        DATA_SOURCE_PUSHDOWN_DISABLED (observed on the router-MERGE
+        lane, whose update set joins the format("txn") target view).
+        Plain plans — parquet scans, aggregates, local frames — have no
+        such window and overlap safely."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        try:
+            from .sources.pushdown_guard import _cached_relations
+
+            for df in frames:
+                if df is not None and _cached_relations(df):
+                    return None
+        except Exception:  # noqa: BLE001 - conservative: stay serial
+            return None
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(inheritable_thread_target(validate))
+        pool.shutdown(wait=False)
+        return fut
+
     def _with_retries(self, fn, max_retries: int):
         """Optimistic-concurrency retry: on ConcurrentCommitError, re-run
         ``fn`` (which must re-resolve the current snapshot itself) up to
@@ -2668,19 +2707,32 @@ class TxnTable:
                 def aux(staging: str) -> None:
                     chg.write.parquet(os.path.join(staging, _CDF_DIR))
 
+            if val_fut is not None:
+                # validation gates the PUBLISH, not the planning: it ran
+                # concurrently with discovery and must be green (or raise
+                # its identical error) before anything commits
+                val_fut.result()
             return self.commit(
                 merged, operation="merge_upsert", carry_files=carry,
                 extra_meta=extra_meta, carry_src=expect,
                 expect_parent=expect, aux_writer=aux,
             )
 
+        val_fut = None
         try:
             # validation runs INSIDE the unpersist guard: a rejected batch
             # must not leak its cached blocks for the session's lifetime
             if validate_keys:
-                validate()
+                val_fut = self._spawn_validation(validate, updates, dels)
+                if val_fut is None:
+                    validate()  # python-source plan: stay serial
             return self._with_retries(attempt, max_retries)
         finally:
+            if val_fut is not None:
+                try:
+                    val_fut.result()
+                except Exception:  # noqa: BLE001 - already propagating
+                    pass
             updates.unpersist()
             if dels is not None:
                 dels.unpersist()
@@ -2881,6 +2933,8 @@ class TxnTable:
                     rel: os.path.join(data_root, rel)
                     for rel in self.files(expect)
                 }
+                if val_fut is not None:
+                    val_fut.result()  # gate the publish (see merge_upsert)
                 return self.commit(
                     updates.select(*out_cols),
                     operation="merge_upsert_dv",
@@ -2894,11 +2948,20 @@ class TxnTable:
                 if matched is not None:
                     matched.unpersist()
 
+        val_fut = None
         try:
+            # overlapped with discovery — see merge_upsert / guide §2.6
             if validate_keys:
-                validate()
+                val_fut = self._spawn_validation(validate, updates, dels)
+                if val_fut is None:
+                    validate()  # python-source plan: stay serial
             return self._with_retries(attempt, max_retries)
         finally:
+            if val_fut is not None:
+                try:
+                    val_fut.result()
+                except Exception:  # noqa: BLE001 - already propagating
+                    pass
             updates.unpersist()
             if dels is not None:
                 dels.unpersist()
@@ -3060,6 +3123,8 @@ class TxnTable:
                     def aux(staging: str) -> None:
                         chg.write.parquet(os.path.join(staging, _CDF_DIR))
 
+                if val_fut is not None:
+                    val_fut.result()  # gate the publish (see merge_upsert)
                 return self.commit(
                     merged, operation="sync_full", carry_files=carry,
                     extra_meta=extra_meta, carry_src=expect,
@@ -3068,11 +3133,20 @@ class TxnTable:
             finally:
                 j.unpersist()
 
+        val_fut = None
         try:
+            # overlapped with discovery — see merge_upsert / guide §2.6
             if validate_keys:
-                validate()
+                val_fut = self._spawn_validation(validate, source)
+                if val_fut is None:
+                    validate()  # python-source plan: stay serial
             return self._with_retries(attempt, max_retries)
         finally:
+            if val_fut is not None:
+                try:
+                    val_fut.result()
+                except Exception:  # noqa: BLE001 - already propagating
+                    pass
             source.unpersist()
 
     def overwrite_partitions(
