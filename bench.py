@@ -353,6 +353,24 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     per_query_min: dict[str, float] = {}
+    lane_retries: dict[str, int] = {}
+
+    def run_pass(name, fn):
+        """One full execution of a lane. A transient environment
+        failure (observed twice this round: the Python worker's hard
+        10 s connect-back deadline tripping under hypervisor stall
+        episodes) is retried ONCE instead of aborting the entire
+        suite artifact; the retry is a complete fresh execution and
+        its wall is what gets recorded — methodology (count of the
+        full result, median-of-N) is unchanged. Retries are counted
+        in the emitted JSON so a flaky host is visible."""
+        try:
+            return fn(spark, SF_DIR).count()
+        except Exception:  # noqa: BLE001 - one retry, then propagate
+            lane_retries[name] = lane_retries.get(name, 0) + 1
+            time.sleep(2.0)
+            return fn(spark, SF_DIR).count()
+
     for name in HEADLINE:
         fn = queries[name]
         spark.catalog.clearCache()  # no cross-lane cache residency
@@ -364,10 +382,10 @@ def main() -> None:
         # tpch_q1/q5-class whipsaw three rounds of bench deltas chased.
         # Extra passes cost <2 s suite-wide and only ever run when cheap.
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
+        run_pass(name, fn)
         if time.perf_counter() - t0 < 1.0:
             for _ in range(2):
-                fn(spark, SF_DIR).count()
+                run_pass(name, fn)
         # Round 15 (r14 verdict task 5): the two sketch lanes are
         # SLOPE-measured without this — a 5-rep idle-host probe reads
         # consecutive executions at ~10.6 / 5.2 / 4.3 / 4.3 s (JIT +
@@ -393,11 +411,11 @@ def main() -> None:
             "text_quality",
         ):
             for _ in range(2):
-                fn(spark, SF_DIR).count()
+                run_pass(name, fn)
         times = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            run_pass(name, fn)
             times.append(time.perf_counter() - t0)
         times.sort()
         per_query[name] = round(times[len(times) // 2], 4)
@@ -477,6 +495,7 @@ def main() -> None:
         "host_note": host_note,
         "vs_prev": compare_previous(per_query),
         "runs_per_query": N_RUNS,
+        "lane_retries": lane_retries,
         "sf": infer_sf(SF_DIR),
     }
     # Full result to a known path (r10 verdict, "what's wrong" #2): the
