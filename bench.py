@@ -265,7 +265,10 @@ def compare_previous(per_query: dict) -> dict | None:
     import statistics
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best = -1, None
+    cur_cpus = int(
+        os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+    )
+    cands = []  # (round, clean_host, is_driver, name, queries)
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)", os.path.basename(p))
         if not m:
@@ -275,16 +278,29 @@ def compare_previous(per_query: dict) -> dict | None:
                 d = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        q = (d.get("parsed") or d).get("queries") or {}
+        inner = d.get("parsed") or d
+        q = inner.get("queries") or {}
         if not q:
             continue
-        n = int(m.group(1))
-        # prefer the driver artifact over *_local at the same round
-        if n > best_n or (n == best_n and "_local" not in p):
-            best_n, best = n, (os.path.basename(p), q)
-    if best is None:
+        # a baseline taken at a DIFFERENT core count (e.g. the driver's
+        # 8-core scaling run, BENCH_r16_c8) is not a valid vs_prev
+        # anchor — per-lane ratios would read scaling, not drift
+        cpus = d.get("cpus", inner.get("cpus"))
+        if cpus is not None and int(cpus) != cur_cpus:
+            continue
+        # r16 verdict: NEVER anchor on a host-flagged artifact when a
+        # clean one exists at the same round — the r16 driver run was
+        # +41% pure host load and would paint every lane as improved
+        clean = not bool(inner.get("host_flagged", False))
+        cands.append(
+            (int(m.group(1)), clean, "_local" not in p,
+             os.path.basename(p), q)
+        )
+    if not cands:
         return None
-    prev_name, prev_q = best
+    best = max(cands, key=lambda c: (c[0], c[1], c[2]))
+    prev_name, prev_q = best[3], best[4]
+    best_n = best[0]
     shared = sorted(set(per_query) & set(prev_q))
     ratios = {
         k: round(per_query[k] / prev_q[k], 4)
@@ -355,21 +371,50 @@ def main() -> None:
     per_query_min: dict[str, float] = {}
     lane_retries: dict[str, int] = {}
 
-    def run_pass(name, fn):
-        """One full execution of a lane. A transient environment
-        failure (observed twice this round: the Python worker's hard
-        10 s connect-back deadline tripping under hypervisor stall
-        episodes) is retried ONCE instead of aborting the entire
-        suite artifact; the retry is a complete fresh execution and
-        its wall is what gets recorded — methodology (count of the
-        full result, median-of-N) is unchanged. Retries are counted
-        in the emitted JSON so a flaky host is visible."""
+    def _transient(e: Exception) -> bool:
+        """Only the environment failure classes the retry was built for
+        (r16 ADVICE: a bare ``except Exception`` also absorbed one
+        occurrence of any REAL intermittent lane bug as 'transient'):
+        the Python worker's hard 10 s connect-back deadline tripping
+        under hypervisor stalls, and py4j transport drops."""
         try:
-            return fn(spark, SF_DIR).count()
-        except Exception:  # noqa: BLE001 - one retry, then propagate
+            from py4j.protocol import Py4JNetworkError
+
+            if isinstance(e, Py4JNetworkError):
+                return True
+        except ImportError:
+            pass
+        msg = str(e)
+        return (
+            "failed to connect back" in msg
+            or "Python worker exited unexpectedly" in msg
+            or "PYTHON_WORKER_FAILED" in msg
+        )
+
+    def run_pass(name, fn):
+        """One full execution of a lane; returns ITS OWN wall seconds.
+        A transient environment failure (observed twice in r16: the
+        Python worker's hard 10 s connect-back deadline tripping under
+        hypervisor stall episodes) is retried ONCE instead of aborting
+        the entire suite artifact; the retry is a complete fresh
+        execution and ONLY its wall is what gets recorded (r16 ADVICE:
+        the previous shape timed from before the failed attempt, so a
+        retried pass recorded failed-attempt + sleep + retry — an
+        inflated sample). Methodology (count of the full result,
+        median-of-N) is unchanged. Retries are counted in the emitted
+        JSON so a flaky host is visible."""
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).count()
+            return time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001 - classify, retry once
+            if not _transient(e):
+                raise
             lane_retries[name] = lane_retries.get(name, 0) + 1
             time.sleep(2.0)
-            return fn(spark, SF_DIR).count()
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            return time.perf_counter() - t0
 
     for name in HEADLINE:
         fn = queries[name]
@@ -381,9 +426,7 @@ def main() -> None:
         # the first measured pass 20-40% hot-vs-cold noise — the
         # tpch_q1/q5-class whipsaw three rounds of bench deltas chased.
         # Extra passes cost <2 s suite-wide and only ever run when cheap.
-        t0 = time.perf_counter()
-        run_pass(name, fn)
-        if time.perf_counter() - t0 < 1.0:
+        if run_pass(name, fn) < 1.0:
             for _ in range(2):
                 run_pass(name, fn)
         # Round 15 (r14 verdict task 5): the two sketch lanes are
@@ -412,11 +455,7 @@ def main() -> None:
         ):
             for _ in range(2):
                 run_pass(name, fn)
-        times = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            run_pass(name, fn)
-            times.append(time.perf_counter() - t0)
+        times = [run_pass(name, fn) for _ in range(N_RUNS)]
         times.sort()
         per_query[name] = round(times[len(times) // 2], 4)
         per_query_min[name] = round(times[0], 4)
@@ -497,6 +536,11 @@ def main() -> None:
         "runs_per_query": N_RUNS,
         "lane_retries": lane_retries,
         "sf": infer_sf(SF_DIR),
+        # recorded so future vs_prev picks can filter out baselines
+        # taken at a different core count (the c8 scaling artifacts)
+        "cpus": int(
+            os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+        ),
     }
     # Full result to a known path (r10 verdict, "what's wrong" #2): the
     # driver's stdout capture keeps only a bounded tail, which truncated

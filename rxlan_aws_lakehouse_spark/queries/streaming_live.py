@@ -582,15 +582,18 @@ def streaming_reshard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.put_many(t1)
         sink, ckpt = f"{work}/sink", f"{work}/ckpt"
 
-        def drain(**opts) -> None:
-            reader = spark.readStream.format("replaylog").option(
-                "startingPosition", "earliest"
-            )
-            for k, v in opts.items():
-                reader = reader.option(k, str(v))
+        # r17 (guide §4 — the Python boundary): each readStream frame
+        # construction spawns a fresh create_data_source worker (~0.7 s
+        # of interpreter+pyspark import), and the four uncapped drains
+        # use IDENTICAL reader options — build that frame ONCE and
+        # reuse it. Shard discovery is per-RUN (the runner re-calls
+        # streamReader at every start), so the reused plan sees each
+        # reshard; spawn-count probe: create_data_source 5 -> 2 per
+        # lane pass, exactly-once and the parent-drain ordering
+        # unchanged (oracle-checked).
+        def drain(frame) -> None:
             q = (
-                reader.load(root)
-                .writeStream.format("parquet")
+                frame.writeStream.format("parquet")
                 .option("path", sink)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
@@ -598,15 +601,26 @@ def streaming_reshard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
 
-        drain(maxSeqsPerTrigger=40)  # capped: backlog outstanding
+        capped = (
+            spark.readStream.format("replaylog")
+            .option("startingPosition", "earliest")
+            .option("maxSeqsPerTrigger", "40")
+            .load(root)
+        )
+        uncapped = (
+            spark.readStream.format("replaylog")
+            .option("startingPosition", "earliest")
+            .load(root)
+        )
+        drain(capped)  # capped: backlog outstanding
         c1, c2 = log.split_shard(log.shards[0])
         log.put_many(t2)  # hash-range routed: children + shard 1
-        drain()  # parents drain; children HELD
-        drain()  # children released
+        drain(uncapped)  # parents drain; children HELD
+        drain(uncapped)  # children released
         merged = log.merge_shards(c1, c2)
         log.put_many(t3)  # all t3 keys owned by the merged child
-        drain()  # children drain to close; merged HELD
-        drain()  # merged released
+        drain(uncapped)  # children drain to close; merged HELD
+        drain(uncapped)  # merged released
         parsed = (
             spark.read.parquet(sink)
             .select(

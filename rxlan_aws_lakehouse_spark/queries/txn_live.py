@@ -2063,12 +2063,18 @@ def txn_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.put_many(early)
         troot, ckpt = f"{work}/t", f"{work}/ckpt"
 
+        # r17 (guide §4): both runs use the identical reader — one
+        # frame, built once, so the create_data_source worker spawns
+        # once instead of per drain (see streaming_reshard_counts)
+        frame = (
+            spark.readStream.format("replaylog")
+            .option("startingPosition", "earliest")
+            .load(root)
+        )
+
         def drain() -> None:
             q = (
-                spark.readStream.format("replaylog")
-                .option("startingPosition", "earliest")
-                .load(root)
-                .writeStream.format("txn")
+                frame.writeStream.format("txn")
                 .option("path", troot)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)

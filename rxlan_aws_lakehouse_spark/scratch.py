@@ -21,6 +21,15 @@ the old behavior.
 
 The root is resolved once per process: scratch placement must not
 flip between a lane's own mkdir and rmtree.
+
+Size posture (r16 verdict, "what's wrong" #4): lanes build whole table
+copies under the scratch root, so auto-selecting tmpfs is only safe
+when RAM is actually plentiful — at a larger scale factor or on a
+RAM-tight host an unchecked /dev/shm default risks ENOSPC or memory
+pressure ext4 never had. The auto-pick therefore requires a free-space
+floor (``_MIN_FREE_BYTES``) on the tmpfs; below it the root degrades to
+the ordinary tempdir. ``SPARK_GRAFT_SCRATCH_DIR`` remains the explicit
+override in both directions and is never second-guessed.
 """
 
 from __future__ import annotations
@@ -30,6 +39,19 @@ import tempfile
 
 _ROOT: str | None = None
 
+# Auto-pick /dev/shm only when it has this much headroom. sf0.1 lane
+# scratch peaks in the tens of MB; 2 GiB of free tmpfs keeps a healthy
+# margin for bigger SFs while refusing hosts where tmpfs ~= spare RAM.
+_MIN_FREE_BYTES = 2 * 1024**3
+
+
+def _free_bytes(path: str) -> int:
+    try:
+        st = os.statvfs(path)
+        return st.f_bavail * st.f_frsize
+    except OSError:
+        return 0
+
 
 def scratch_root() -> str:
     """Resolve (once) the directory under which lane scratch lives."""
@@ -38,7 +60,11 @@ def scratch_root() -> str:
         env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
         if env:
             _ROOT = env
-        elif os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        elif (
+            os.path.isdir("/dev/shm")
+            and os.access("/dev/shm", os.W_OK)
+            and _free_bytes("/dev/shm") >= _MIN_FREE_BYTES
+        ):
             _ROOT = "/dev/shm"
         else:
             _ROOT = tempfile.gettempdir()

@@ -70,6 +70,9 @@ def get_spark(app_name: str = "rxlan_aws_lakehouse_spark") -> SparkSession:
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from .py4j_hotpath import install_py4j_reflection_cache
+
+    install_py4j_reflection_cache()
     return spark
 
 
@@ -85,4 +88,7 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in some deployments; defaults are acceptable there
+    from .py4j_hotpath import install_py4j_reflection_cache
+
+    install_py4j_reflection_cache()
     return spark

@@ -81,6 +81,33 @@ import functools
 _INSTALLED = False
 _CONF_KEY = "spark.sql.python.filterPushdown.enabled"
 
+# ---------------------------------------------------------------------------
+# Fast path (r16 verdict task 8): the guard's analyzed-plan leaf walk costs
+# ~0.4 ms/leaf of py4j round-trips per NEW DataFrame acted on — pure waste
+# on the relational lanes that never touch a Python data source. A Python
+# relation can only enter a plan through a reader/readStream ``load`` whose
+# format names a REGISTERED Python data source, so a process-level count of
+# such loads is a sound skip condition: while it is zero, no plan anywhere
+# in the process can contain a Python relation and the walk (and the cache
+# resets) can be skipped outright. The counter is monotonic — once a Python
+# load happens the guard is permanently thorough again — so the skip can
+# never hide a relation: the load that creates one bumps the counter
+# before any action on the resulting frame can run (same-thread program
+# order; cross-thread handoff of a DataFrame implies the usual
+# happens-before edge at the handoff).
+_PY_SOURCE_NAMES: set[str] = set()
+_PY_LOADS = 0
+
+
+def _note_registration(name: str) -> None:
+    _PY_SOURCE_NAMES.add(str(name).lower())
+
+
+def _note_load(fmt) -> None:
+    global _PY_LOADS
+    if fmt is not None and str(fmt).lower() in _PY_SOURCE_NAMES:
+        _PY_LOADS += 1
+
 # DataFrame methods that trigger planning/execution of the frame's plan.
 # take/head/first/limit funnel through collect on a derived frame whose
 # plan contains the same relations, so collect covers them.
@@ -133,6 +160,25 @@ def _reflect(obj, field: str):
     return f.get(obj)
 
 
+# java.lang.reflect.Field handles, keyed (gateway, class fqn, field):
+# resolving one costs 3 py4j roundtrips (getDeclaredField +
+# setAccessible on top of the getClass the walk already pays) — the
+# SAME PythonTable.ds field every time. A Field is a stateless handle;
+# f.get(obj) re-reads the live value each call, so caching the handle
+# changes nothing observable.
+_FIELD_CACHE: dict = {}
+
+
+def _field_get(obj, cls, cls_name: str, field: str):
+    key = (id(obj._gateway_client), cls_name, field)
+    f = _FIELD_CACHE.get(key)
+    if f is None:
+        f = cls.getDeclaredField(field)
+        f.setAccessible(True)
+        _FIELD_CACHE[key] = f
+    return f.get(obj)
+
+
 def _python_relations(df):
     """(relation, ds) for every Python-DataSource leaf of df's analyzed
     plan. py4j walk: a handful of calls, defensive by construction."""
@@ -143,9 +189,11 @@ def _python_relations(df):
         if not leaf.getClass().getName().endswith(".DataSourceV2Relation"):
             continue
         t = leaf.table()
-        if not t.getClass().getName().endswith(".python.PythonTable"):
+        tcls = t.getClass()
+        tname = tcls.getName()
+        if not tname.endswith(".python.PythonTable"):
             continue
-        out.append((leaf, _reflect(t, "ds")))
+        out.append((leaf, _field_get(t, tcls, tname, "ds")))
     return out
 
 
@@ -164,6 +212,8 @@ def reset_python_scan_caches(df) -> list:
 
 
 def _has_dup(rels) -> bool:
+    if len(rels) < 2:  # the common case: no hashCode roundtrips
+        return False
     seen: set[int] = set()
     for _rel, ds in rels:
         h = ds.hashCode()  # identity hash: not overridden
@@ -183,7 +233,15 @@ def _cached_relations(df) -> list:
     the walk costs 0.93 ms on a 1-leaf plan and 21.1 ms on a 50-leaf
     union (~0.4 ms/leaf, pure py4j round-trips), against action costs
     of 123 ms and 1.67 s for the same counts — <1.3% overhead even on
-    the pathological 50-scan plan, and ~0 when this cache hits."""
+    the pathological 50-scan plan, and ~0 when this cache hits.
+
+    Zero-load fast path: while no Python-source ``load`` has happened
+    in this process (``_PY_LOADS == 0``) no plan can contain a Python
+    relation, so return [] without the walk (and without caching —
+    the df's verdict is already final either way, but not caching
+    keeps the skip logic trivially monotone-safe)."""
+    if _PY_LOADS == 0:
+        return []
     try:
         rels = df.__dict__.get("_pdg_rels")
         if rels is None:
@@ -262,6 +320,83 @@ def install_pushdown_guard() -> None:
         # nothing to guard here.
         _INSTALLED = True
         return
+
+    # --- load counting for the zero-load fast path -----------------------
+    # Python relations are born in reader/readStream ``load`` calls whose
+    # format names a registered Python source; count those so the guard
+    # can skip its plan walk while none have happened. Registration is
+    # tracked at DataSourceRegistration.register (covers third-party
+    # sources too); our own register_* helpers also record their names
+    # directly, covering registrations that predate this install.
+    try:
+        from pyspark.sql.datasource import (
+            DataSourceRegistration as _DSR,
+        )
+
+        if not getattr(_DSR.register, "__pushdown_guard__", False):
+            _orig_reg = _DSR.register
+
+            @functools.wraps(_orig_reg)
+            def _reg(self, dataSource):
+                try:
+                    _note_registration(dataSource.name())
+                except Exception:  # noqa: BLE001
+                    pass
+                return _orig_reg(self, dataSource)
+
+            _reg.__pushdown_guard__ = True
+            _DSR.register = _reg
+    except ImportError:
+        pass
+
+    def _wrap_reader(cls) -> None:
+        if not getattr(cls.format, "__pushdown_guard__", False):
+            _ofmt = cls.format
+
+            @functools.wraps(_ofmt)
+            def _fmt(self, source):
+                self._pdg_fmt = source
+                return _ofmt(self, source)
+
+            _fmt.__pushdown_guard__ = True
+            cls.format = _fmt
+        if not getattr(cls.load, "__pushdown_guard__", False):
+            _oload = cls.load
+
+            @functools.wraps(_oload)
+            def _load(self, *a, **kw):
+                fmt = kw.get("format")
+                if fmt is None and len(a) >= 2:
+                    fmt = a[1]
+                if fmt is None:
+                    fmt = getattr(self, "_pdg_fmt", None)
+                _note_load(fmt)
+                return _oload(self, *a, **kw)
+
+            _load.__pushdown_guard__ = True
+            cls.load = _load
+
+    global _PY_LOADS
+    try:
+        from pyspark.sql.readwriter import DataFrameReader as _DFR
+
+        _wrap_reader(_DFR)
+    except Exception:  # noqa: BLE001 - counting is best-effort…
+        _PY_LOADS += 1  # …but skipping must stay sound: disable it
+    try:
+        from pyspark.sql.streaming.readwriter import (
+            DataStreamReader as _DSRD,
+        )
+
+        _wrap_reader(_DSRD)
+    except Exception:  # noqa: BLE001
+        _PY_LOADS += 1
+    if _PY_SOURCE_NAMES:
+        # a Python source was registered BEFORE load counting existed
+        # (register_replay_source without any guard-installing source):
+        # loads may already have happened unseen — disable the fast
+        # path for this process rather than risk skipping a real walk
+        _PY_LOADS += 1
 
     for name in _DF_ACTIONS:
         orig = getattr(_CDF, name, None)

@@ -465,4 +465,10 @@ class ReplayLogDataSource(DataSource):
 
 
 def register_replay_source(spark) -> None:
+    # record the name for the pushdown guard's zero-load fast path even
+    # when this registration runs BEFORE any guard install wraps
+    # DataSourceRegistration.register (driver-side only; cheap import)
+    from .pushdown_guard import _note_registration
+
+    _note_registration(ReplayLogDataSource.name())
     spark.dataSource.register(ReplayLogDataSource)

@@ -85,6 +85,19 @@ _SUBSHARD_MAX = 512
 _SUBSHARD_BUCKETS = 64
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    """``os.link`` with an EXDEV/EPERM copy fallback (delta_export.py:263
+    pattern). The carry paths that can cross TABLE roots (clone/convert/
+    writer publish) may legitimately cross filesystems — e.g. a foreign
+    table on disk converted into a TxnTable under tmpfs scratch — where a
+    bare hard link fails outright. Intra-table links never take the
+    fallback."""
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
 def _empty_df(spark: SparkSession, schema) -> DataFrame:
     """Schema-only empty frame on ONE slice: createDataFrame([]) spreads
     zero rows over default parallelism, so every job whose plan unions
@@ -528,6 +541,33 @@ def _cm_phys_schema(schema: StructType, cm: dict | None) -> StructType:
     )
 
 
+_ALIAS_COL_CACHE: dict = {}
+
+
+def _alias_cols(pairs: tuple) -> list:
+    """``(physical, logical) -> [F.col(phys).alias(logical), ...]``,
+    cached per SparkContext (guide §4 — the py4j boundary): unresolved
+    Column expressions are immutable and plan-independent, and every
+    ``F.col``/``alias`` costs a py4j roundtrip — the txn read path
+    rebuilds the SAME projection for every scan of a table (measured
+    324 roundtrips/pass at the _scan_files site alone on txn_sql_dml).
+    Keyed on the live SparkContext so a restarted JVM never serves
+    stale handles."""
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if ctx is None:
+        return [F.col(p).alias(c) for p, c in pairs]
+    if len(_ALIAS_COL_CACHE) > 1024:  # distinct projections: bounded
+        _ALIAS_COL_CACHE.clear()
+    key = (id(ctx), pairs)
+    cols = _ALIAS_COL_CACHE.get(key)
+    if cols is None:
+        cols = [F.col(p).alias(c) for p, c in pairs]
+        _ALIAS_COL_CACHE[key] = cols
+    return cols
+
+
 def _cm_to_logical(
     df: DataFrame, schema: StructType, cm: dict | None
 ) -> DataFrame:
@@ -536,9 +576,8 @@ def _cm_to_logical(
     if not _cm_divergent(cm):
         return df
     return df.select(
-        *(
-            F.col(_cm_phys(cm, f.name)).alias(f.name)
-            for f in schema.fields
+        *_alias_cols(
+            tuple((_cm_phys(cm, f.name), f.name) for f in schema.fields)
         )
     )
 
@@ -1476,11 +1515,11 @@ class TxnTable:
             if base_cols is not None:
                 # physical -> logical aliasing rides the same projection
                 # that binds the _metadata extras (mapping-inactive: a
-                # plain column select, unchanged)
+                # plain column select, unchanged); Column handles cached
+                # per projection (guide §4, see _alias_cols)
                 scan = scan.select(
-                    *(
-                        F.col(_cm_phys(cm, c)).alias(c)
-                        for c in base_cols
+                    *_alias_cols(
+                        tuple((_cm_phys(cm, c), c) for c in base_cols)
                     ),
                     *extra,
                 )
@@ -2149,7 +2188,10 @@ class TxnTable:
             for rel, src in carry_files.items():
                 dst = os.path.join(staging, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.link(src, dst)
+                # clone/convert/restore may carry from ANOTHER table's
+                # root (possibly a different filesystem): EXDEV falls
+                # back to a copy instead of failing the commit
+                _link_or_copy(src, dst)
             # Deletion-vector carry-forward: a commit that carries data
             # files from a DV-bearing snapshot must carry the DV too, or
             # the deleted rows resurrect (append after a deferred delete).
@@ -2719,6 +2761,7 @@ class TxnTable:
             )
 
         val_fut = None
+        committed = False
         try:
             # validation runs INSIDE the unpersist guard: a rejected batch
             # must not leak its cached blocks for the session's lifetime
@@ -2726,16 +2769,26 @@ class TxnTable:
                 val_fut = self._spawn_validation(validate, updates, dels)
                 if val_fut is None:
                     validate()  # python-source plan: stay serial
-            return self._with_retries(attempt, max_retries)
+            res = self._with_retries(attempt, max_retries)
+            committed = True
+            return res
         finally:
-            if val_fut is not None:
-                try:
-                    val_fut.result()
-                except Exception:  # noqa: BLE001 - already propagating
-                    pass
-            updates.unpersist()
-            if dels is not None:
-                dels.unpersist()
+            try:
+                if val_fut is not None:
+                    try:
+                        val_fut.result()
+                    except Exception:  # noqa: BLE001
+                        # a commit path that published WITHOUT gating on
+                        # the future would otherwise silently land a
+                        # validation-rejected batch — fail loudly instead
+                        # (when the attempt itself raised, that error is
+                        # already propagating and this one is the same)
+                        if committed:
+                            raise
+            finally:
+                updates.unpersist()
+                if dels is not None:
+                    dels.unpersist()
 
     def merge_upsert_dv(
         self,
@@ -2949,22 +3002,28 @@ class TxnTable:
                     matched.unpersist()
 
         val_fut = None
+        committed = False
         try:
             # overlapped with discovery — see merge_upsert / guide §2.6
             if validate_keys:
                 val_fut = self._spawn_validation(validate, updates, dels)
                 if val_fut is None:
                     validate()  # python-source plan: stay serial
-            return self._with_retries(attempt, max_retries)
+            res = self._with_retries(attempt, max_retries)
+            committed = True
+            return res
         finally:
-            if val_fut is not None:
-                try:
-                    val_fut.result()
-                except Exception:  # noqa: BLE001 - already propagating
-                    pass
-            updates.unpersist()
-            if dels is not None:
-                dels.unpersist()
+            try:
+                if val_fut is not None:
+                    try:
+                        val_fut.result()
+                    except Exception:  # noqa: BLE001
+                        if committed:  # missed gate: fail loudly
+                            raise
+            finally:
+                updates.unpersist()
+                if dels is not None:
+                    dels.unpersist()
 
     def sync_full(
         self,
@@ -3134,20 +3193,26 @@ class TxnTable:
                 j.unpersist()
 
         val_fut = None
+        committed = False
         try:
             # overlapped with discovery — see merge_upsert / guide §2.6
             if validate_keys:
                 val_fut = self._spawn_validation(validate, source)
                 if val_fut is None:
                     validate()  # python-source plan: stay serial
-            return self._with_retries(attempt, max_retries)
+            res = self._with_retries(attempt, max_retries)
+            committed = True
+            return res
         finally:
-            if val_fut is not None:
-                try:
-                    val_fut.result()
-                except Exception:  # noqa: BLE001 - already propagating
-                    pass
-            source.unpersist()
+            try:
+                if val_fut is not None:
+                    try:
+                        val_fut.result()
+                    except Exception:  # noqa: BLE001
+                        if committed:  # missed gate: fail loudly
+                            raise
+            finally:
+                source.unpersist()
 
     def overwrite_partitions(
         self,
@@ -4419,7 +4484,10 @@ class TxnTable:
                 os.makedirs(dst, exist_ok=True)
                 for n in os.listdir(_src):
                     if not n.startswith("."):
-                        os.link(os.path.join(_src, n), os.path.join(dst, n))
+                        # clone: source table may sit on another fs
+                        _link_or_copy(
+                            os.path.join(_src, n), os.path.join(dst, n)
+                        )
 
         dest.commit(
             _empty_df(spark, schema),
@@ -4723,7 +4791,8 @@ class TxnTable:
                 for rel in rels:
                     dst = os.path.join(staging, rel)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.link(os.path.join(source, rel), dst)
+                    # writer staging may sit on another fs than the table
+                    _link_or_copy(os.path.join(source, rel), dst)
             except Exception:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise

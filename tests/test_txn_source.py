@@ -581,6 +581,42 @@ class TestPushdownGuard:
         u.write.parquet(out)  # DataFrameWriter surface is guarded too
         assert spark.read.parquet(out).count() == 19
 
+    def test_zero_load_fast_path_skips_walk(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # r17: while no Python-source load has happened in the process,
+        # the guard must answer "no relations" WITHOUT the py4j plan
+        # walk (the relational lanes' fast path) — and a real load must
+        # bump the counter so python-relation frames stay guarded.
+        from rxlan_aws_lakehouse_spark.sources import pushdown_guard as pg
+
+        tbl = self._range_table(spark, tmp_path)
+        plain = spark.range(5).toDF("id")
+
+        def _boom(_df):  # the walk must not run on the fast path
+            raise AssertionError("plan walk ran despite zero loads")
+
+        monkeypatch.setattr(pg, "_PY_LOADS", 0)
+        monkeypatch.setattr(pg, "_python_relations", _boom)
+        assert pg._cached_relations(plain) == []
+        plain.__dict__.pop("_pdg_rels", None)
+        monkeypatch.undo()
+
+        # counting: the txn source name is registered; a format("txn")
+        # load must increment the counter and the guard must then find
+        # the relation on the loaded frame
+        assert "txn" in pg._PY_SOURCE_NAMES
+        before = pg._PY_LOADS
+        df = spark.read.format("txn").load(tbl.root)
+        assert pg._PY_LOADS > before
+        assert len(pg._cached_relations(df)) == 1
+        # a plain parquet-format load must NOT count
+        plain_dir = str(tmp_path / "plainpq")
+        spark.range(3).write.parquet(plain_dir)
+        mid = pg._PY_LOADS
+        spark.read.format("parquet").load(plain_dir).count()
+        assert pg._PY_LOADS == mid
+
     def test_default_reader_is_pruning(self, spark, tmp_path):
         from rxlan_aws_lakehouse_spark.sources.txn_source import (
             TxnDataSource,
