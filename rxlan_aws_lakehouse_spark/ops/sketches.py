@@ -159,9 +159,18 @@ def histogram_sketches(
     # O(bins log bins) but pays a distinct + join + extra shuffle, which
     # LOSES at small widths with many partitions (measured +15% on the
     # 2,500-day registry lane). Crossover sits around 512.
+    #
+    # r17: the assembly's input is metadata-scale BYTES but CPU-heavy per
+    # row, so AQE's byte-based coalescing squeezed it onto 3 tasks (a
+    # measured 1.3 s straggler at 2,500 day-sketches). Pinning the
+    # exchange width by the group keys keeps the per-row HOF work spread
+    # across the cores (−27% on the sf0.1 build); the groupBy reuses the
+    # same hash partitioning, so no second exchange appears.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     if n_bins <= 512:
         return (
-            sparse.groupBy(*part_cols)
+            sparse.repartition(n_part, *part_cols)
+            .groupBy(*part_cols)
             .agg(
                 F.map_from_entries(
                     F.collect_list(F.struct("_bin", "_c"))
@@ -195,7 +204,7 @@ def histogram_sketches(
         )
     )
     dense = spine.join(sparse, [*part_cols, "_bin"], "left")
-    return dense.groupBy(*part_cols).agg(
+    return dense.repartition(n_part, *part_cols).groupBy(*part_cols).agg(
         F.transform(
             F.array_sort(
                 F.collect_list(
@@ -409,8 +418,11 @@ def countmin_sketches(
             ).alias("_cell"),
         )
     )
+    # r17: same CPU-vs-bytes pin as the histogram assembly — AQE's
+    # byte-based coalescing under-parallelizes the d*w-cell collect+sort.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     dense = spine.join(sparse, [*part_cols, "_cell"], "left")
-    return dense.groupBy(*part_cols).agg(
+    return dense.repartition(n_part, *part_cols).groupBy(*part_cols).agg(
         F.transform(
             F.array_sort(
                 F.collect_list(

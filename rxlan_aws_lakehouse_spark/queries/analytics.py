@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load, local_df
+from ..catalog import load, local_df, spread
 from ..scratch import mkscratch as _mkscratch
 
 
@@ -324,23 +324,35 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops import sketches
 
     lo, hi, n_bins = 0.0, 120000.0, 256
-    li = load(spark, sf_dir, "lineitem").select(
-        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
-        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
-        "l_extendedprice",
+    # spread(): the bin/groupBy build otherwise runs entirely inside the
+    # one scan task a single-row-group file allows (guide §2.5); no-op
+    # when the input layout already fills the cores (r17).
+    li = spread(
+        spark,
+        load(spark, sf_dir, "lineitem").select(
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            "l_extendedprice",
+        ),
+        sf_dir,
+        "lineitem",
     )
     work = _mkscratch("hist_rollup_")
     try:
-        # coalesce(4): the sketch table is KBs (one 2 KB row per day) —
+        # 4 files: the sketch table is KBs (one 2 KB row per day) —
         # letting it inherit 32 shuffle partitions wrote 32 near-empty
         # files whose creation/fsync churn made the lane I/O-noise
         # exposed (r12 verdict task 6: +31% with zero code change).
-        # 4 files keeps the write parallel with a deterministic layout;
-        # coalesce (not repartition) adds no extra shuffle.
+        # repartition(4), NOT coalesce(4) (r17): coalesce collapses the
+        # PARENT stage to 4 tasks — it silently serialized the CPU-bound
+        # dense-assembly HOFs onto 4 cores (guide §2.4's exchange-reuse
+        # coin, flipped). The repartition exchange moves ~2,500 KB-scale
+        # rows (free at any scale) and lets the assembly keep the full
+        # core-count partitioning pinned in ops/sketches.py.
         sketches.histogram_sketches(
             li, "l_extendedprice", ["day", "month"], lo=lo, hi=hi,
             n_bins=n_bins,
-        ).coalesce(4).write.mode("overwrite").parquet(work)
+        ).repartition(4).write.mode("overwrite").parquet(work)
         stored = spark.read.parquet(work)
         merged = sketches.merge_histograms(stored, ["month"])
         out = merged.select(
@@ -442,9 +454,19 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..ops import sketches
 
-    li = load(spark, sf_dir, "lineitem").select(
-        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
-        "l_partkey",
+    # The md5/explode/partial-agg build is the lane's wall; the sf0.1
+    # input is one single-row-group file, which pins the whole build
+    # pipeline onto ONE scan task (guide §2.5 unsplittable input) —
+    # spread() repartitions the 2-column projection only when the layout
+    # actually under-fills the cores (r17; no-op at production layouts).
+    li = spread(
+        spark,
+        load(spark, sf_dir, "lineitem").select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            "l_partkey",
+        ),
+        sf_dir,
+        "lineitem",
     )
     work = _mkscratch("cm_topk_")
     try:
