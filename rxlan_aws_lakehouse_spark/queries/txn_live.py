@@ -2288,17 +2288,28 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ct.delete_where(spark, F.expr("o_orderkey % 7 = 0"))
         sync_out = export_delta_sync(ct, cdest)
+        # r17 (guide §1.2): one union action instead of two collect jobs
+        # — the two change sets differ only by a side tag
+        chg_cols = ["o_orderkey", "o_totalprice", "_change_type"]
+        both_chg = (
+            read_delta_cdf(spark, cdest, starting_commit=1)
+            .select(*chg_cols, F.lit("mirror").alias("_side"))
+            .unionByName(
+                ct.read_row_changes(spark, since="v00000001").select(
+                    *chg_cols, F.lit("api").alias("_side")
+                )
+            )
+            .collect()
+        )
         mirror_chg = {
             (r["o_orderkey"], r["o_totalprice"], r["_change_type"])
-            for r in read_delta_cdf(
-                spark, cdest, starting_commit=1
-            ).collect()
+            for r in both_chg
+            if r["_side"] == "mirror"
         }
         api_chg = {
             (r["o_orderkey"], r["o_totalprice"], r["_change_type"])
-            for r in ct.read_row_changes(
-                spark, since="v00000001"
-            ).collect()
+            for r in both_chg
+            if r["_side"] == "api"
         }
         cdf_ok = (
             sync_out["n_cdc_files"] > 0
@@ -2318,11 +2329,33 @@ def txn_export_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_sync = None
         for cv in ct_versions:
             last_sync = export_iceberg_sync(ct, im, version=cv)
+        # r17 (guide §1.2 — remove passes): the per-version parity loop
+        # ran 2 count JOBS per mirrored snapshot (6 at this history);
+        # one union of (version, side) projections aggregates all of
+        # them in a single job — same booleans, 6 actions -> 1.
+        from functools import reduce as _reduce
+
+        parity_parts = []
+        for cv in ct_versions:
+            parity_parts.append(
+                import_iceberg(
+                    spark, im, snapshot_id=_snapshot_id(ct.root, cv)
+                ).select(F.lit(cv).alias("v"), F.lit("imp").alias("side"))
+            )
+            parity_parts.append(
+                ct.read(spark, cv).select(
+                    F.lit(cv).alias("v"), F.lit("src").alias("side")
+                )
+            )
+        parity = {
+            (r["v"], r["side"]): r["n"]
+            for r in _reduce(DataFrame.unionByName, parity_parts)
+            .groupBy("v", "side")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         iceberg_sync_ok = last_sync["n_removes"] > 0 and all(
-            import_iceberg(
-                spark, im, snapshot_id=_snapshot_id(ct.root, cv)
-            ).count()
-            == ct.read(spark, cv).count()
+            parity.get((cv, "imp")) == parity.get((cv, "src"))
             for cv in ct_versions
         )
         rows = [
