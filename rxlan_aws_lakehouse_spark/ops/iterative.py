@@ -99,35 +99,47 @@ def connected_components(
     clusters incorrectly. This is the cluster step after near-dup pair
     generation (MinHash/SimHash pairs -> dup groups).
     """
+    # r17 (guide §5 — cache only what is reused AND expensive): the edge
+    # frame joins into EVERY round; without a persist each iteration
+    # re-executed the caller's whole upstream pipeline (the dup lanes
+    # feed the LSH candidate-verify joins in here — measured as the bulk
+    # of connected_components' wall). Persist for the loop, release after.
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    ).distinct().persist()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    # Convergence check (r17): labels are node ids and only ever DECREASE
+    # (min of mins), so the label-sum is strictly monotone and "sum
+    # unchanged" ⟺ "no label changed" — one cheap aggregate over the
+    # just-checkpointed frame instead of the old join+filter+count probe
+    # (decimal(38,0): exact, no int64 overflow at any node-id scale).
+    _sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("comp").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev_sum = _sum(labels)
     converged = False
-    for _ in range(max_iter):
-        prop = (
-            sym.join(labels, sym.a == labels.node)
-            .select(F.col("b").alias("node"), F.col("comp"))
-            .union(labels.select("node", "comp"))
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        )
-        prop = prop.localCheckpoint(eager=True)  # truncate lineage per round
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = prop
-        if changed == 0:
-            converged = True
-            break
+    try:
+        for _ in range(max_iter):
+            prop = (
+                sym.join(labels, sym.a == labels.node)
+                .select(F.col("b").alias("node"), F.col("comp"))
+                .union(labels.select("node", "comp"))
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+            )
+            prop = prop.localCheckpoint(eager=True)  # truncate lineage per round
+            cur_sum = _sum(prop)
+            labels = prop
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    finally:
+        sym.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
